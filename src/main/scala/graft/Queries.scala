@@ -1,0 +1,316 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{Crs, GridMapping}
+import graft.kernel.{Interp, Reducers}
+import graft.model.{Policies, Raster}
+import graft.model.Policies.{F64, VarPolicy}
+import graft.ops.{AffineOp, CoarsenOp, SpatialOps}
+
+/** Harness queries: every operator from SURVEY.md §2 exercised against
+  * the driver-generated testdata, each paired with equivalent DuckDB
+  * SQL in [[Queries.oracles]].
+  *
+  * Raster operators run on a deterministic 32x32 pixel grid derived
+  * from `lineitem` (cell value = sum of l_quantity for the rows
+  * hashing to the cell), densified so window semantics are exact; a
+  * second variant carries a deterministic null pattern (at most one
+  * null per 2x2 window) to exercise the NaN-skipping float semantics.
+  * The engine side runs the REAL tile kernels (pixelsToTiles ->
+  * kernel -> tilesToPixels); the oracle recomputes the math in pure
+  * SQL.
+  */
+object Queries {
+
+  val W = 32
+  // source grid: 32x32, tile 16 -> 4 tiles; geographic, x 50..53.2, y 56.8..60
+  val gmSrc: GridMapping =
+    GridMapping.regular(W, W, 50.0, 56.8, 0.1, 0.1, Crs.Geographic, Some((16, 16)))
+  // 2x upscale target: 64x64 @ 0.05, origin shifted by a quarter source
+  // pixel so nearest samples never land exactly on .5 index boundaries
+  // (where 1-ulp noise in the composed affine would flip the rounding)
+  val gmUp: GridMapping =
+    GridMapping.regular(2 * W, 2 * W, 50.025, 56.775, 0.05, 0.05, Crs.Geographic, Some((16, 16)))
+  // 16x16 subset shifted by +8 src pixels
+  val gmShift: GridMapping =
+    GridMapping.regular(16, 16, 50.8, 57.6, 0.1, 0.1, Crs.Geographic, Some((16, 16)))
+  // 2x downscale target: 16x16 @ 0.2
+  val gmDown: GridMapping =
+    GridMapping.regular(16, 16, 50.0, 56.8, 0.2, 0.2, Crs.Geographic, Some((8, 8)))
+
+  // ---------------------------------------------------------------- grids
+
+  def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Dense 32x32 grid; missing cells -> 0.0. */
+  def grid0(s: SparkSession, dir: String): DataFrame = {
+    val agg = lineitem(s, dir)
+      .groupBy((col("l_orderkey") % W).as("j"), (col("l_partkey") % W).as("i"))
+      .agg(sum(col("l_quantity")).as("v"))
+    val cells = s.range(W.toLong * W)
+      .select((col("id") / W).cast("long").as("j"), (col("id") % W).as("i"))
+    cells.join(agg, Seq("j", "i"), "left")
+      .select(col("j"), col("i"), coalesce(col("v"), lit(0.0)).as("value"))
+  }
+
+  /** Dense grid with a deterministic null pattern: (j*31+i)%17==0.
+    * Window offsets {0,1,31,32} are distinct mod 17, so a 2x2 window
+    * never holds more than one null.
+    */
+  def gridN(s: SparkSession, dir: String): DataFrame =
+    grid0(s, dir).select(col("j"), col("i"),
+      when((col("j") * 31 + col("i")) % 17 === 0, lit(null)).otherwise(col("value")).as("value"))
+
+  val sqlGrid0: String =
+    s"""WITH agg AS (
+       |  SELECT l_orderkey % $W AS j, l_partkey % $W AS i, SUM(l_quantity) AS v
+       |  FROM lineitem GROUP BY 1, 2
+       |), cells AS (
+       |  SELECT r // $W AS j, r % $W AS i FROM range(0, ${W * W}) t(r)
+       |), grid0 AS (
+       |  SELECT c.j, c.i, COALESCE(a.v, 0.0) AS value
+       |  FROM cells c LEFT JOIN agg a ON a.j = c.j AND a.i = c.i
+       |)""".stripMargin
+
+  val sqlGridN: String =
+    s"""$sqlGrid0, gridn AS (
+       |  SELECT j, i, CASE WHEN (j*31+i) % 17 = 0 THEN NULL ELSE value END AS value
+       |  FROM grid0
+       |)""".stripMargin
+
+  // ------------------------------------------------------------- helpers
+
+  /** Run one coarsen reducer through the real tile kernel path. */
+  private def coarsenKernel(
+      s: SparkSession, dir: String, method: Reducers.Method, useNullGrid: Boolean,
+      roundDigits: Option[Int]): DataFrame = {
+    val g = if (useNullGrid) gridN(s, dir) else grid0(s, dir)
+    val px = Raster.pixelsFromDf(g)
+    val tiles = Raster.pixelsToTiles(px, gmSrc)
+    val out = CoarsenOp.coarsenTiles(tiles, 2, 2, _ => (method, false))
+    val gmOut = gmSrc.scale(0.5, 0.5).derive(tileSize = Some((8, 8)))
+    val pxOut = Raster.tilesToPixels(out, gmOut)
+    val df = Raster.pixelsToOracleDf(pxOut)
+      .select(col("j").cast("long"), col("i").cast("long"), col("value"))
+    roundDigits.fold(df)(d => df.withColumn("value", round(col("value"), d)))
+  }
+
+  private def sqlRound(e: String, d: Option[Int]): String =
+    d.fold(e)(n => s"ROUND($e, $n)")
+
+  /** Oracle SQL for one coarsen reducer (div 2x2). */
+  private def coarsenSql(method: Reducers.Method, useNullGrid: Boolean,
+      roundDigits: Option[Int]): String = {
+    val src = if (useNullGrid) "gridn" else "grid0"
+    val cte = if (useNullGrid) sqlGridN else sqlGrid0
+    import Reducers._
+    val body = method match {
+      case Center =>
+        s"SELECT j // 2 AS j, i // 2 AS i, value FROM $src WHERE j % 2 = 1 AND i % 2 = 1"
+      case First =>
+        s"SELECT j // 2 AS j, i // 2 AS i, value FROM $src WHERE j % 2 = 0 AND i % 2 = 0"
+      case Last =>
+        s"SELECT j // 2 AS j, i // 2 AS i, value FROM $src WHERE j % 2 = 1 AND i % 2 = 1"
+      case Mode =>
+        s"""SELECT j, i, value FROM (
+           |  SELECT j, i, value,
+           |         ROW_NUMBER() OVER (PARTITION BY j, i ORDER BY cnt DESC, value ASC) AS rn
+           |  FROM (SELECT j // 2 AS j, i // 2 AS i, value, COUNT(*) AS cnt
+           |        FROM $src GROUP BY 1, 2, 3)
+           |) WHERE rn = 1""".stripMargin
+      case _ =>
+        val agg = method match {
+          case Count => "CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+          case Max => "MAX(value)"
+          case Mean => "AVG(value)"
+          case Median => "QUANTILE_CONT(value, 0.5)"
+          case Min => "MIN(value)"
+          case Prod => "PRODUCT(value)"
+          case Std => "STDDEV_POP(value)"
+          case Sum => "SUM(value)"
+          case Var => "VAR_POP(value)"
+          case other => throw new IllegalArgumentException(other.name)
+        }
+        s"SELECT j // 2 AS j, i // 2 AS i, ${sqlRound(agg, roundDigits)} AS value FROM $src GROUP BY 1, 2"
+    }
+    s"$cte SELECT * FROM ($body) ORDER BY j, i"
+  }
+
+  /** Which grid + rounding each reducer query uses. Float NaN-skip
+    * reducers run on the null grid; positional/categorical ones on the
+    * dense grid (NaN-in-window semantics for those are covered by the
+    * golden ScalaTests, not the SQL oracle).
+    */
+  private val coarsenConfigs: Seq[(Reducers.Method, Boolean, Option[Int])] = Seq(
+    (Reducers.Mean, true, Some(6)), (Reducers.Sum, true, Some(6)),
+    (Reducers.Min, true, None), (Reducers.Max, true, None),
+    (Reducers.Median, true, Some(6)), (Reducers.Std, true, Some(6)),
+    (Reducers.Var, true, Some(6)),
+    (Reducers.Count, false, None), (Reducers.Center, false, None),
+    (Reducers.First, false, None), (Reducers.Last, false, None),
+    // prod: values are exact integral doubles; ROUND(,6) would LOSE
+    // precision in DuckDB (x*1e6 > 2^53) -> compare unrounded
+    (Reducers.Mode, false, None), (Reducers.Prod, false, None))
+
+  // ------------------------------------------------------- affine family
+
+  private def affineQuery(s: SparkSession, dir: String, dstGm: GridMapping,
+      interp: Int, agg: Reducers.Method): DataFrame = {
+    val px = Raster.pixelsFromDf(grid0(s, dir))
+    val tiles = Raster.pixelsToTiles(px, gmSrc)
+    val pol = Map("v" -> VarPolicy(interp, agg, recoverNan = false, fill = 0.0, dtype = F64))
+    val out = AffineOp.affineTransform(tiles, gmSrc, dstGm, pol)
+    Raster.pixelsToOracleDf(Raster.tilesToPixels(out, dstGm))
+      .select(col("j").cast("long"), col("i").cast("long"),
+        round(col("value"), 6).as("value"))
+  }
+
+  // dst index -> src index for the three affine targets (edge-affine
+  // convention: src = (dstMin - srcMin)/srcRes + dst * dstRes/srcRes)
+  //   upscale 2x: src = 0.5*dst ; shift: src = dst + 8 ; down 2x: src = 2*dst
+
+  private val sqlUpNearest: String =
+    s"""$sqlGrid0, cells2 AS (
+       |  SELECT r // ${2 * W} AS j, r % ${2 * W} AS i FROM range(0, ${4 * W * W}) t(r)
+       |)
+       |SELECT c.j, c.i, ROUND(COALESCE(g.value, 0.0), 6) AS value
+       |FROM cells2 c
+       |LEFT JOIN grid0 g
+       |  ON g.j = CAST(FLOOR(0.5 * c.j + 0.25 + 0.5) AS BIGINT)
+       | AND g.i = CAST(FLOOR(0.5 * c.i + 0.25 + 0.5) AS BIGINT)
+       |ORDER BY c.j, c.i""".stripMargin
+
+  private val sqlUpBilinear: String =
+    s"""$sqlGrid0, cells2 AS (
+       |  SELECT r // ${2 * W} AS j, r % ${2 * W} AS i FROM range(0, ${4 * W * W}) t(r)
+       |), f AS (
+       |  SELECT j, i,
+       |         CAST(FLOOR(0.5 * i + 0.25) AS BIGINT) AS i0, 0.5 * i + 0.25 - FLOOR(0.5 * i + 0.25) AS u,
+       |         CAST(FLOOR(0.5 * j + 0.25) AS BIGINT) AS j0, 0.5 * j + 0.25 - FLOOR(0.5 * j + 0.25) AS v
+       |  FROM cells2
+       |)
+       |SELECT f.j, f.i,
+       |       ROUND(
+       |         (COALESCE(g00.value, 0.0) + f.u * (COALESCE(g01.value, 0.0) - COALESCE(g00.value, 0.0)))
+       |         + f.v * ((COALESCE(g10.value, 0.0) + f.u * (COALESCE(g11.value, 0.0) - COALESCE(g10.value, 0.0)))
+       |                  - (COALESCE(g00.value, 0.0) + f.u * (COALESCE(g01.value, 0.0) - COALESCE(g00.value, 0.0)))), 6) AS value
+       |FROM f
+       |LEFT JOIN grid0 g00 ON g00.j = f.j0     AND g00.i = f.i0
+       |LEFT JOIN grid0 g01 ON g01.j = f.j0     AND g01.i = f.i0 + 1
+       |LEFT JOIN grid0 g10 ON g10.j = f.j0 + 1 AND g10.i = f.i0
+       |LEFT JOIN grid0 g11 ON g11.j = f.j0 + 1 AND g11.i = f.i0 + 1
+       |ORDER BY f.j, f.i""".stripMargin
+
+  private val sqlShift: String =
+    s"""$sqlGrid0, cells16 AS (
+       |  SELECT r // 16 AS j, r % 16 AS i FROM range(0, 256) t(r)
+       |)
+       |SELECT c.j, c.i, ROUND(COALESCE(g.value, 0.0), 6) AS value
+       |FROM cells16 c
+       |LEFT JOIN grid0 g ON g.j = c.j + 8 AND g.i = c.i + 8
+       |ORDER BY c.j, c.i""".stripMargin
+
+  private val sqlDownMean: String =
+    s"""$sqlGrid0
+       |SELECT j // 2 AS j, i // 2 AS i, ROUND(AVG(value), 6) AS value
+       |FROM grid0 GROUP BY 1, 2 ORDER BY j, i""".stripMargin
+
+  // ------------------------------------------------- clip / bbox / select
+
+  /** Coordinate pixel table of gmSrc: (j, i, x, y). */
+  private def coordsDf(s: SparkSession): DataFrame =
+    s.range(W.toLong * W).select(
+      (col("id") / W).cast("long").as("j"), (col("id") % W).as("i"))
+      .select(col("j"), col("i"),
+        (lit(gmSrc.xMin) + (col("i") + 0.5) * gmSrc.xRes).as("x"),
+        (lit(gmSrc.yMax) - (col("j") + 0.5) * gmSrc.yRes).as("y"))
+
+  private val sqlCoords: String =
+    s"""coords AS (
+       |  SELECT r // $W AS j, r % $W AS i,
+       |         ${gmSrc.xMin} + (r % $W + 0.5) * ${gmSrc.xRes} AS x,
+       |         ${gmSrc.yMax} - (r // $W + 0.5) * ${gmSrc.yRes} AS y
+       |  FROM range(0, ${W * W}) t(r)
+       |)""".stripMargin
+
+  // ---------------------------------------------------------- public map
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = {
+    val coarsenQs = coarsenConfigs.map { case (m, useN, rd) =>
+      s"q_coarsen_${m.name}" -> ((s: SparkSession, dir: String) => coarsenKernel(s, dir, m, useN, rd))
+    }.toMap
+
+    coarsenQs ++ Map[String, (SparkSession, String) => DataFrame](
+      "q_affine_upscale_nearest" -> ((s, dir) =>
+        affineQuery(s, dir, gmUp, Interp.NEAREST, Reducers.Mean)),
+      "q_affine_upscale_bilinear" -> ((s, dir) =>
+        affineQuery(s, dir, gmUp, Interp.BILINEAR, Reducers.Mean)),
+      "q_affine_subset_shift" -> ((s, dir) =>
+        affineQuery(s, dir, gmShift, Interp.NEAREST, Reducers.Mean)),
+      "q_affine_downscale_mean" -> ((s, dir) =>
+        affineQuery(s, dir, gmDown, Interp.BILINEAR, Reducers.Mean)),
+      "q_clip_bbox" -> ((s, dir) => {
+        val px = Raster.pixelsFromDf(gridN(s, dir))
+        val clipped = SpatialOps.clipPixelsByBbox(px, gmSrc, 50.5, 57.5, 51.5, 58.5)
+        Raster.pixelsToOracleDf(clipped)
+          .select(col("j").cast("long"), col("i").cast("long"), col("value"))
+      }),
+      "q_select_vars" -> ((s, dir) => {
+        val li = lineitem(s, dir)
+        val px = li.select(col("l_returnflag").as("varName"), lit(0).as("band"),
+            (col("l_orderkey") % W).cast("int").as("j"),
+            (col("l_partkey") % W).cast("int").as("i"),
+            col("l_quantity").as("value"))
+          .groupBy("varName", "band", "j", "i").agg(sum("value").as("value"))
+        import s.implicits._
+        val ds = px.as[graft.model.Pixel]
+        SpatialOps.selectVariables(ds, Seq("A", "R")).toDF()
+          .select(col("varName").as("var"), col("j").cast("long"), col("i").cast("long"), col("value"))
+      }),
+      "q_ij_bbox_from_xy_bbox" -> ((s, _) =>
+        SpatialOps.ijBboxFromCoords(coordsDf(s), 50.5, 57.5, 51.5, 58.5)),
+      "q_xy_bbox" -> ((s, _) => {
+        val df = SpatialOps.computeXyBbox(coordsDf(s))
+        df.select(round(col("x_min"), 6).as("x_min"), round(col("y_min"), 6).as("y_min"),
+          round(col("x_max"), 6).as("x_max"), round(col("y_max"), 6).as("y_max"))
+      })
+    )
+  }
+
+  def oracles: Map[String, String] = {
+    val coarsenOs = coarsenConfigs.map { case (m, useN, rd) =>
+      s"q_coarsen_${m.name}" -> coarsenSql(m, useN, rd)
+    }.toMap
+
+    coarsenOs ++ Map(
+      "q_affine_upscale_nearest" -> sqlUpNearest,
+      "q_affine_upscale_bilinear" -> sqlUpBilinear,
+      "q_affine_subset_shift" -> sqlShift,
+      "q_affine_downscale_mean" -> sqlDownMean,
+      "q_clip_bbox" ->
+        s"""$sqlGridN
+           |SELECT j, i, value FROM gridn
+           |WHERE ${gmSrc.xMin} + (i + 0.5) * ${gmSrc.xRes} BETWEEN 50.5 AND 51.5
+           |  AND ${gmSrc.yMax} - (j + 0.5) * ${gmSrc.yRes} BETWEEN 57.5 AND 58.5
+           |ORDER BY j, i""".stripMargin,
+      "q_select_vars" ->
+        s"""SELECT l_returnflag AS var, l_orderkey % $W AS j, l_partkey % $W AS i,
+           |       SUM(l_quantity) AS value
+           |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "q_ij_bbox_from_xy_bbox" ->
+        s"""WITH $sqlCoords
+           |SELECT COALESCE(MIN(i), -1) AS i_min, COALESCE(MIN(j), -1) AS j_min,
+           |       COALESCE(MAX(i), -1) AS i_max, COALESCE(MAX(j), -1) AS j_max
+           |FROM coords
+           |WHERE x BETWEEN 50.5 AND 51.5 AND y BETWEEN 57.5 AND 58.5""".stripMargin,
+      "q_xy_bbox" ->
+        s"""WITH $sqlCoords
+           |SELECT ROUND(MIN(x), 6) AS x_min, ROUND(MIN(y), 6) AS y_min,
+           |       ROUND(MAX(x), 6) AS x_max, ROUND(MAX(y), 6) AS y_max
+           |FROM coords""".stripMargin
+    )
+  }
+}

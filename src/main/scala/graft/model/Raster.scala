@@ -1,0 +1,94 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.GridMapping
+
+/** One raster tile: `data` is row-major `h x w` for variable `varName`,
+  * leading-dim index `band` (time/etc.), tile-grid position (tj, ti).
+  *
+  * This is the engine's dense "tile-columnar" layout — the Spark analog
+  * of one dask chunk of an xarray variable (reference:
+  * xcube_resampling/dask.py:41-135 builds per-chunk graphs; here a tile
+  * is simply a row and kernels run inside mapPartitions/mapGroups).
+  * NaN encodes missing.
+  */
+final case class Tile(
+    varName: String, band: Int, tj: Int, ti: Int,
+    h: Int, w: Int, data: Array[Double])
+
+/** Pixel-row view `(varName, band, j, i, value)` — the SQL-friendly /
+  * DuckDB-oracle layout. `value` may be NaN; when written for oracle
+  * comparison NaN becomes null.
+  */
+final case class Pixel(varName: String, band: Int, j: Int, i: Int, value: Double)
+
+object Raster {
+
+  /** Tile-grid indices of a pixel for grid mapping `gm`. */
+  @inline def tileOf(gm: GridMapping, i: Int, j: Int): (Int, Int) =
+    (j / gm.tileHeight, i / gm.tileWidth)
+
+  /** Pixel table -> tile table. One shuffle on (var, band, tj, ti);
+    * missing pixels become NaN.
+    */
+  def pixelsToTiles(pixels: Dataset[Pixel], gm: GridMapping): Dataset[Tile] = {
+    val spark = pixels.sparkSession
+    import spark.implicits._
+    val tw = gm.tileWidth; val th = gm.tileHeight
+    val width = gm.width; val height = gm.height
+    pixels
+      .filter(p => p.i >= 0 && p.i < width && p.j >= 0 && p.j < height)
+      .groupByKey(p => (p.varName, p.band, p.j / th, p.i / tw))
+      .mapGroups { (key: (String, Int, Int, Int), ps: Iterator[Pixel]) =>
+        val (v, b, tj, ti) = key
+        val h = math.min(th, height - tj * th)
+        val w = math.min(tw, width - ti * tw)
+        val data = Array.fill(h * w)(Double.NaN)
+        ps.foreach { p => data((p.j - tj * th) * w + (p.i - ti * tw)) = p.value }
+        Tile(v, b, tj, ti, h, w, data)
+      }
+  }
+
+  /** Tile table -> pixel table. Narrow (no shuffle). */
+  def tilesToPixels(tiles: Dataset[Tile], gm: GridMapping): Dataset[Pixel] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val tw = gm.tileWidth; val th = gm.tileHeight
+    tiles.flatMap { t =>
+      val out = new Array[Pixel](t.h * t.w)
+      var k = 0
+      var j = 0
+      while (j < t.h) {
+        var i = 0
+        while (i < t.w) {
+          out(k) = Pixel(t.varName, t.band, t.tj * th + j, t.ti * tw + i, t.data(j * t.w + i))
+          k += 1; i += 1
+        }
+        j += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Pixel Dataset -> oracle-friendly DataFrame: NaN -> null, stable
+    * column names, deterministic ordering left to the harness.
+    */
+  def pixelsToOracleDf(pixels: Dataset[Pixel]): DataFrame = {
+    pixels.toDF("var", "band", "j", "i", "value")
+      .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+  }
+
+  /** Build a single-band pixel Dataset from a DataFrame with (j, i,
+    * value) columns (value nullable -> NaN).
+    */
+  def pixelsFromDf(df: DataFrame, varName: String = "v"): Dataset[Pixel] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        lit(varName).as("varName"), lit(0).as("band"),
+        col("j").cast("int"), col("i").cast("int"),
+        coalesce(col("value").cast("double"), lit(Double.NaN)).as("value"))
+      .as[Pixel]
+  }
+}

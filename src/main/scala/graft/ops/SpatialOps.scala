@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.geom.GridMapping
+import graft.model.Pixel
+
+/** Dataset utility operators (reference: xcube_resampling/utils.py).
+  * These are the join/filter/agg-shaped ops that map 1:1 onto Spark
+  * relational operators — predicate pushdown and partition pruning come
+  * free from Catalyst.
+  */
+object SpatialOps {
+
+  /** Clip by xy bbox — label-based range predicate
+    * (reference: utils.py:77-124). The driver converts the bbox to a
+    * pixel-index range analytically (regular grid), so the filter is a
+    * simple i/j range Catalyst can push into the scan / use for
+    * partition pruning on (tj, ti).
+    */
+  def clipPixelsByBbox(
+      px: Dataset[Pixel], gm: GridMapping,
+      x0: Double, y0: Double, x1: Double, y1: Double): Dataset[Pixel] = {
+    val (i0, j0, i1, j1) = gm.ijBboxFromXyBbox(x0, y0, x1, y1)
+    if (i0 < 0) px.filter(lit(false)).as(px.encoder)
+    else px.filter(p => p.i >= i0 && p.i < i1 && p.j >= j0 && p.j < j1)
+  }
+
+  /** Project a subset of variables (reference: utils.py:154-161). */
+  def selectVariables(px: Dataset[Pixel], vars: Seq[String]): Dataset[Pixel] = {
+    val keep = vars.toSet
+    px.filter(p => keep.contains(p.varName))
+  }
+
+  /** Inverse spatial index: pixel bbox of an xy bbox computed by
+    * scanning a coordinate pixel table (the irregular-grid form;
+    * reference: base.py:535-629, gridmapping/bboxes.py:28-106) —
+    * "literally a predicate + min/max aggregate" (SURVEY.md §2.6).
+    * `coords` columns: (j, i, x, y).
+    */
+  def ijBboxFromCoords(
+      coords: DataFrame,
+      x0: Double, y0: Double, x1: Double, y1: Double,
+      xyBorder: Double = 0.0): DataFrame = {
+    coords
+      .filter(col("x") >= x0 - xyBorder && col("x") <= x1 + xyBorder &&
+              col("y") >= y0 - xyBorder && col("y") <= y1 + xyBorder)
+      .agg(
+        coalesce(min(col("i")), lit(-1L)).as("i_min"),
+        coalesce(min(col("j")), lit(-1L)).as("j_min"),
+        coalesce(max(col("i")), lit(-1L)).as("i_max"),
+        coalesce(max(col("j")), lit(-1L)).as("j_max"))
+  }
+
+  /** Global coordinate bbox — tree-reduced min/max
+    * (reference: gridmapping/bboxes.py:109-166).
+    */
+  def computeXyBbox(coords: DataFrame): DataFrame =
+    coords.agg(
+      min(col("x")).as("x_min"), min(col("y")).as("y_min"),
+      max(col("x")).as("x_max"), max(col("y")).as("y_max"))
+}
