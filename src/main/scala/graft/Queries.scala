@@ -271,6 +271,59 @@ object Queries {
       }),
       "q_ij_bbox_from_xy_bbox" -> ((s, _) =>
         SpatialOps.ijBboxFromCoords(coordsDf(s), 50.5, 57.5, 51.5, 58.5)),
+      "q_resample_identity" -> ((s, dir) => {
+        // dispatcher identity elision: is_close target -> input unchanged
+        val px = Raster.pixelsFromDf(gridN(s, dir))
+        val tiles = Raster.pixelsToTiles(px, gmSrc)
+        val pol = Map("v" -> VarPolicy(Interp.BILINEAR, Reducers.Mean, false, Double.NaN, F64))
+        val (out, gmOut) = graft.ops.ResampleInSpace(tiles, None, gmSrc, Some(gmSrc), pol)
+        Raster.pixelsToOracleDf(Raster.tilesToPixels(out, gmOut))
+          .select(col("j").cast("long"), col("i").cast("long"), col("value"))
+      }),
+      "q_reproject_nearest" -> ((s, dir) => {
+        // UTM32 -> LAEA3035; CRS math not expressible in the SQL oracle
+        // -> rows-only check + golden ScalaTest parity
+        val px = Raster.pixelsFromDf(grid0(s, dir))
+        val utm = GridMapping.regular(W, W, 565250.0, 5933850.0, 100.0, 100.0,
+          Crs.utm(32, north = true), Some((16, 16)))
+        val tiles = Raster.pixelsToTiles(px, utm)
+        val laea = GridMapping.regular(W, W, 4320080.0, 3382480.0, 100.0, 100.0,
+          Crs.laea3035, Some((16, 16)))
+        val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
+        val out = graft.ops.ReprojectOp.reproject(tiles, utm, laea, pol)
+        Raster.pixelsToOracleDf(Raster.tilesToPixels(out, laea))
+          .filter(col("value").isNotNull)
+          .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
+      }),
+      "q_rectify_nearest" -> ((s, dir) => {
+        // synthetic swath: 32x32 grid with slightly rotated 2D lon/lat
+        // images, rectified onto a regular grid; rows-only check +
+        // golden ScalaTest parity for the kernel
+        val px = Raster.pixelsFromDf(grid0(s, dir))
+        val irr = gmSrc.copy(isRegular = false)
+        val dataTiles = Raster.pixelsToTiles(px, irr)
+        val ang = 0.1
+        val cosA = math.cos(ang); val sinA = math.sin(ang)
+        val coordPx = coordsDf(s).select(
+          col("j").cast("int"), col("i").cast("int"),
+          (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
+          (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
+        import s.implicits._
+        val xTiles = Raster.pixelsToTiles(
+          coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
+            col("x").as("value")).as[graft.model.Pixel], irr)
+        val yTiles = Raster.pixelsToTiles(
+          coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
+            col("y").as("value")).as[graft.model.Pixel], irr)
+        val dstGm = GridMapping.regular(W, W, 49.5, 56.0, 0.11, 0.11,
+          Crs.Geographic, Some((16, 16)))
+        val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
+        val out = graft.ops.RectifyOp.rectify(
+          dataTiles, xTiles.union(yTiles), irr, dstGm, pol)
+        Raster.pixelsToOracleDf(Raster.tilesToPixels(out, dstGm))
+          .filter(col("value").isNotNull)
+          .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
+      }),
       "q_xy_bbox" -> ((s, _) => {
         val df = SpatialOps.computeXyBbox(coordsDf(s))
         df.select(round(col("x_min"), 6).as("x_min"), round(col("y_min"), 6).as("y_min"),
@@ -300,6 +353,8 @@ object Queries {
            |       SUM(l_quantity) AS value
            |FROM lineitem WHERE l_returnflag IN ('A', 'R')
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "q_resample_identity" ->
+        s"""$sqlGridN SELECT j, i, value FROM gridn ORDER BY j, i""",
       "q_ij_bbox_from_xy_bbox" ->
         s"""WITH $sqlCoords
            |SELECT COALESCE(MIN(i), -1) AS i_min, COALESCE(MIN(j), -1) AS j_min,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import graft.geom.GridMapping
+import graft.model.Tile
+import graft.model.Policies.VarPolicy
+
+/** The universal entry point: route to rectify / affine / reproject by
+  * grid regularity and CRS equality, with the identity short-circuit
+  * (reference: xcube_resampling/spatial.py:40-168).
+  *
+  * Dispatch rules (reference: spatial.py:121-168):
+  *  - irregular source           -> rectify
+  *  - both regular, no target    -> return input unchanged
+  *  - grids close                -> return input unchanged
+  *  - equal/compatible CRS (both geographic counts as equal,
+  *    reference: utils.py:187-189) -> affine
+  *  - otherwise                  -> reproject
+  */
+object ResampleInSpace {
+
+  def apply(
+      tiles: Dataset[Tile],
+      coordTiles: Option[Dataset[Tile]],
+      srcGm: GridMapping,
+      dstGmOpt: Option[GridMapping],
+      policies: Map[String, VarPolicy]): (Dataset[Tile], GridMapping) = {
+
+    if (!srcGm.isRegular) {
+      val coords = coordTiles.getOrElse(
+        throw new IllegalArgumentException("irregular source requires coord tiles"))
+      val dstGm = dstGmOpt.getOrElse(srcGm.toRegular())
+      val coords2 =
+        if (srcGm.crs.equalsCrs(dstGm.crs)) coords
+        else RectifyOp.transformCoords(coords, srcGm.crs, dstGm.crs)
+      (RectifyOp.rectify(tiles, coords2, srcGm, dstGm, policies), dstGm)
+    } else dstGmOpt match {
+      case None =>
+        // both regular, no target: nothing to do (reference warns,
+        // spatial.py:137-142)
+        (tiles, srcGm)
+      case Some(dstGm) if srcGm.isClose(dstGm) =>
+        (tiles, srcGm) // identity elision (reference: spatial.py:144-145)
+      case Some(dstGm) if srcGm.crs.equalsCrs(dstGm.crs) =>
+        (AffineOp.affineTransform(tiles, srcGm, dstGm, policies), dstGm)
+      case Some(dstGm) =>
+        (ReprojectOp.reproject(tiles, srcGm, dstGm, policies), dstGm)
+    }
+  }
+}

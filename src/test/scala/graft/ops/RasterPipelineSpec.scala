@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.TestSpark._
+import graft.geom.{Crs, GridMapping}
+import graft.kernel.{Interp, Reducers}
+import graft.model.Policies
+import graft.model.Policies.{F64, I64, VarPolicy}
+
+/** Golden parity vs the reference's printed test expectations. */
+class RasterPipelineSpec extends AnyFunSuite {
+  val nan = Double.NaN
+
+  // reference: tests/sampledata.py:29-39
+  val srcLon = Array(Array(1.0, 6.0), Array(0.0, 2.0))
+  val srcLat = Array(Array(56.0, 53.0), Array(52.0, 50.0))
+  val srcRad = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+  val srcGmIrr = GridMapping(2, 2, 2, 2, 0.0, 50.0, 6.0, 56.0, 3.0, 2.0,
+    Crs.Geographic, isRegular = false)
+
+  def coordTiles(lon: Array[Array[Double]] = srcLon, lat: Array[Array[Double]] = srcLat) =
+    toDs(tilesFrom("x", lon, srcGmIrr) ++ tilesFrom("y", lat, srcGmIrr))
+
+  def radPolicy(interp: Int): Map[String, VarPolicy] =
+    Map("rad" -> VarPolicy(interp, Reducers.Mean, recoverNan = false, fill = nan, dtype = F64))
+
+  test("rectify 2x2 -> 4x4 nearest (reference: test_rectify.py:42-63)") {
+    val dstGm = GridMapping.regular(4, 4, -1.0, 49.0, 2.0, 2.0, Crs.Geographic)
+    val out = RectifyOp.rectify(
+      toDs(tilesFrom("rad", srcRad, srcGmIrr)), coordTiles(),
+      srcGmIrr, dstGm, radPolicy(Interp.NEAREST))
+    assertImage(toArray(out.collect().toSeq, dstGm, "rad"), Array(
+      Array(nan, nan, nan, nan),
+      Array(nan, 1.0, 2.0, nan),
+      Array(3.0, 3.0, 2.0, nan),
+      Array(nan, 4.0, nan, nan)))
+  }
+
+  test("rectify 2x2 -> 7x7 nearest (reference: test_rectify.py:113-148)") {
+    // rad offset so values don't lie on a plane
+    val rad = Array(Array(1.0, 2.0), Array(3.0, 5.0))
+    val dstGm = GridMapping.regular(7, 7, -0.5, 49.5, 1.0, 1.0, Crs.Geographic)
+    val out = RectifyOp.rectify(
+      toDs(tilesFrom("rad", rad, srcGmIrr)), coordTiles(),
+      srcGmIrr, dstGm, radPolicy(Interp.NEAREST))
+    assertImage(toArray(out.collect().toSeq, dstGm, "rad"), Array(
+      Array(nan, 1.0, nan, nan, nan, nan, nan),
+      Array(nan, 1.0, 1.0, nan, nan, nan, nan),
+      Array(nan, 1.0, 1.0, 1.0, 2.0, nan, nan),
+      Array(nan, 3.0, 3.0, 1.0, 2.0, 2.0, 2.0),
+      Array(3.0, 3.0, 3.0, 5.0, 2.0, nan, nan),
+      Array(nan, 3.0, 5.0, 5.0, nan, nan, nan),
+      Array(nan, nan, 5.0, nan, nan, nan, nan)))
+  }
+
+  test("rectify 3D band passthrough (reference: test_rectify.py:80-110)") {
+    val dstGm = GridMapping.regular(4, 4, -1.0, 49.0, 2.0, 2.0, Crs.Geographic)
+    val tiles = toDs(
+      tilesFrom("rad", srcRad, srcGmIrr, band = 0) ++
+      tilesFrom("rad", srcRad, srcGmIrr, band = 1))
+    val out = RectifyOp.rectify(tiles, coordTiles(), srcGmIrr, dstGm,
+      radPolicy(Interp.NEAREST)).collect().toSeq
+    val want = Array(
+      Array(nan, nan, nan, nan),
+      Array(nan, 1.0, 2.0, nan),
+      Array(3.0, 3.0, 2.0, nan),
+      Array(nan, 4.0, nan, nan))
+    assertImage(toArray(out, dstGm, "rad", band = 0), want)
+    assertImage(toArray(out, dstGm, "rad", band = 1), want)
+  }
+
+  // reference: tests/sampledata.py:95-109 — UTM32 5x5, band_1 = 0..24
+  val utmGm = GridMapping.regular(5, 5, 565250.0, 5933850.0, 100.0, 100.0,
+    Crs.utm(32, north = true))
+  val band1 = Array.tabulate(5, 5)((j, i) => (j * 5 + i).toDouble)
+  val bandPolicy: Map[String, VarPolicy] =
+    Map("band_1" -> VarPolicy(Interp.NEAREST, Reducers.Center, recoverNan = false,
+      fill = -1.0, dtype = I64))
+
+  test("reproject UTM32 -> LAEA 3035 nearest (reference: test_reproject.py:21-41)") {
+    val dstGm = GridMapping.regular(5, 5, 4320080.0, 3382480.0, 80.0, 80.0, Crs.laea3035)
+    val out = ReprojectOp.reproject(toDs(tilesFrom("band_1", band1, utmGm)),
+      utmGm, dstGm, bandPolicy)
+    assertImage(toArray(out.collect().toSeq, dstGm, "band_1"), Array(
+      Array(1, 1, 2, 3, 4),
+      Array(6, 6, 7, 8, 9),
+      Array(11, 12, 12, 13, 14),
+      Array(16, 17, 17, 18, 19),
+      Array(21, 17, 17, 18, 19)).map(_.map(_.toDouble)))
+  }
+
+  test("reproject to j-axis-up target (reference: test_reproject.py:78-103)") {
+    val dstGm = GridMapping.regular(5, 5, 4320080.0, 3382480.0, 80.0, 80.0,
+      Crs.laea3035, isJAxisUp = true)
+    val out = ReprojectOp.reproject(toDs(tilesFrom("band_1", band1, utmGm)),
+      utmGm, dstGm, bandPolicy)
+    assertImage(toArray(out.collect().toSeq, dstGm, "band_1"), Array(
+      Array(21, 17, 17, 18, 19),
+      Array(16, 17, 17, 18, 19),
+      Array(11, 12, 12, 13, 14),
+      Array(6, 6, 7, 8, 9),
+      Array(1, 1, 2, 3, 4)).map(_.map(_.toDouble)))
+  }
+
+  test("reproject from j-axis-up source (reference: test_reproject.py:105-131)") {
+    // flipped source rows + is_j_axis_up gm
+    val flipped = band1.reverse
+    val srcUp = utmGm.copy(isJAxisUp = true)
+    val dstGm = GridMapping.regular(5, 5, 4320080.0, 3382480.0, 80.0, 80.0, Crs.laea3035)
+    val out = ReprojectOp.reproject(toDs(tilesFrom("band_1", flipped, srcUp)),
+      srcUp, dstGm, bandPolicy)
+    assertImage(toArray(out.collect().toSeq, dstGm, "band_1"), Array(
+      Array(1, 1, 2, 3, 4),
+      Array(6, 6, 7, 8, 9),
+      Array(11, 12, 12, 13, 14),
+      Array(16, 17, 17, 18, 19),
+      Array(21, 17, 17, 18, 19)).map(_.map(_.toDouble)))
+  }
+
+  test("reproject chunked source gives identical values") {
+    val dstGm = GridMapping.regular(5, 5, 4320080.0, 3382480.0, 80.0, 80.0,
+      Crs.laea3035, tileSize = Some((2, 2)))
+    val srcTiled = utmGm.derive(tileSize = Some((2, 3)))
+    val out = ReprojectOp.reproject(toDs(tilesFrom("band_1", band1, srcTiled)),
+      srcTiled, dstGm, bandPolicy)
+    assertImage(toArray(out.collect().toSeq, dstGm, "band_1"), Array(
+      Array(1, 1, 2, 3, 4),
+      Array(6, 6, 7, 8, 9),
+      Array(11, 12, 12, 13, 14),
+      Array(16, 17, 17, 18, 19),
+      Array(21, 17, 17, 18, 19)).map(_.map(_.toDouble)))
+  }
+
+  test("dispatcher routes: identity, affine, reproject, rectify") {
+    val tiles = toDs(tilesFrom("band_1", band1, utmGm))
+    // identity: same gm -> unchanged
+    val (same, gmOut) = ResampleInSpace(tiles, None, utmGm, Some(utmGm), bandPolicy)
+    assert(gmOut == utmGm)
+    assertImage(toArray(same.collect().toSeq, utmGm, "band_1"), band1)
+    // affine route: same CRS shifted target
+    val shifted = GridMapping.regular(3, 3, 565350.0, 5933950.0, 100.0, 100.0,
+      Crs.utm(32, north = true))
+    val (aff, _) = ResampleInSpace(tiles, None, utmGm, Some(shifted), bandPolicy)
+    assertImage(toArray(aff.collect().toSeq, shifted, "band_1"), Array(
+      Array(6, 7, 8), Array(11, 12, 13), Array(16, 17, 18)).map(_.map(_.toDouble)))
+    // reproject route: different CRS
+    val laea = GridMapping.regular(5, 5, 4320080.0, 3382480.0, 80.0, 80.0, Crs.laea3035)
+    val (rep, _) = ResampleInSpace(tiles, None, utmGm, Some(laea), bandPolicy)
+    assert(rep.count() == 1)
+    // rectify route: irregular source
+    val (rect, rectGm) = ResampleInSpace(
+      toDs(tilesFrom("rad", srcRad, srcGmIrr)), Some(coordTiles()), srcGmIrr,
+      Some(GridMapping.regular(4, 4, -1.0, 49.0, 2.0, 2.0, Crs.Geographic)),
+      radPolicy(Interp.NEAREST))
+    assert(rect.count() == 1)
+  }
+}
