@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.vector.VectorOps
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline operators over the `documents` / `embeddings`
+  * / `events` / `lineitem` tables, with DuckDB oracles wherever the
+  * math is SQL-expressible (md5-based hashing is portable across both
+  * engines; LSH/minhash recall-dependent outputs are rows-only checks
+  * backed by ScalaTest invariants).
+  */
+object LlmQueries {
+
+  // pairwise ops run on a bounded deterministic subset so their cost is
+  // O(subset^2), independent of scale factor
+  val PairLimit = 500
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val sqlToks: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents
+       |)""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedup(docs(s, dir))
+        .select(col("text_hash"), col("doc_id"), col("n_dups"))),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      TextOps.jaccardPairs(docs(s, dir).filter(col("doc_id") < PairLimit), 0.95)),
+
+    "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
+
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      // rows-only: LSH recall < 1 by construction; invariants in
+      // TextVectorSpec (candidates are a subset of exact pairs)
+      TextOps.minhashLshPairs(docs(s, dir).filter(col("doc_id") < PairLimit),
+        numHashes = 64, bands = 16, threshold = 0.95)),
+
+    "q_embed_cosine_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    "q_embed_ann_lsh" -> ((s, dir) =>
+      // rows-only: approximate by design; recall vs brute force is
+      // asserted in TextVectorSpec
+      VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        numPlanes = 8, dims = 64, k = 5)),
+
+    "q_text_quality" -> ((s, dir) => TextOps.qualityFeatures(docs(s, dir))),
+
+    "q_token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
+
+    "q_lang_id" -> ((s, dir) => TextOps.languageId(docs(s, dir))),
+
+    "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
+
+    "q_multimodal_features" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
+      // oracle-checkable projection; checksum/dims validated in ScalaTest
+      feats.toDF().select(col("doc_id"), col("media_type"), col("byte_len"))
+    }),
+
+    "q_tpch_q1" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))),
+
+    "q_events_window" -> ((s, dir) => {
+      // events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
+      // (spark.sql.legacy.parquet.nanosAsLong in the session), convert
+      // to a timestamp for the tumbling window, output epoch millis so
+      // the comparison is integer-exact across engines
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts2", timestamp_micros((col("ts") / 1000).cast("long")))
+      ev.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select((unix_timestamp(col("w.start")) * 1000).as("window_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH tok0 AS (
+         |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), tok AS (SELECT DISTINCT id, w FROM tok0),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH $sqlToks, th AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok
+         |), bits AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, range(0, 60) t(b) GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM q, e c WHERE c.vec_id <> q.vec_id
+        |)
+        |SELECT query_id, cand_id, ROUND(sim, 6) AS sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+        |  FROM s
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  LENGTH(text) AS n_chars_txt,
+        |  LEN(toks) AS n_words,
+        |  LEN(list_distinct(toks)) AS n_distinct_words,
+        |  ROUND(LEN(list_filter(toks, w -> list_contains(['the','a','of','and','to','in','is','for','on','with'], w))) * 1.0
+        |        / GREATEST(LEN(toks), 1), 6) AS stopword_ratio,
+        |  ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+        |        / GREATEST(LENGTH(text), 1), 6) AS punct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      s"""WITH $sqlToks
+         |SELECT w AS token, COUNT(*) AS cnt FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lang_id" -> {
+      val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
+      val scoreSelects = markers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"""SELECT doc_id, '$lang' AS lang_pred,
+           |       SUM(CASE WHEN w IN ($inList) THEN 1 ELSE 0 END) AS score
+           |FROM tok GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlToks, scores AS (
+         |$scoreSelects
+         |)
+         |SELECT doc_id, lang_pred, score FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_pred ASC) AS rn
+         |  FROM scores
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_fingerprint" ->
+      s"""WITH $sqlToks
+         |SELECT doc_id, MIN(md5(w)) AS fingerprint, COUNT(DISTINCT w) AS n_distinct
+         |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  LENGTH(text) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,211 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Text-analysis and deduplication operators for large-scale training-
+  * data pipelines, built on codegen'd `functions._` columns wherever
+  * possible (no Scala UDFs on the hot path).
+  *
+  * Portability note: token hashes use md5 (identical across engines) so
+  * the DuckDB oracle can recompute signatures bit-exactly: the 60-bit
+  * token hash is `conv(substr(md5(w), 1, 15), 16, 10)`.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens — `array_remove(split(.), "")` keeps
+    * the shape identical to DuckDB's `list_filter(string_split(.))`.
+    */
+  def tokens(text: Column): Column = array_remove(split(text, " "), "")
+
+  /** 60-bit deterministic token hash (md5 prefix). */
+  def tokenHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** Exact deduplication: one row per distinct text, keeper = min id,
+    * plus duplicate count. Hash-groupBy shape — one shuffle on the text
+    * hash; at scale group on md5(text) rather than the full text to
+    * keep shuffle rows small.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** Token-SET Jaccard similarity join >= `threshold`: inverted-index
+    * self-join on tokens (NOT an O(n^2) cross join — pairs only form
+    * when docs share a token), then |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def jaccardPairs(
+      docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = tok.as("a"); val b = tok.as("b")
+    val inter = a.join(b, col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash signature over the 60-bit token hashes: per bit, sum +1/-1
+    * across token OCCURRENCES; bit set iff the sum is positive.
+    * Implemented as a typed Aggregator (single pass, no 64x row
+    * blow-up).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashes = docs.select(col(idCol).as("id"),
+      transform(tokens(col(textCol)), w => tokenHash(w)).as("hs"))
+    val agg = new SimhashAgg().toColumn
+    import hashes.sparkSession.implicits._
+    hashes.as[(Long, Seq[Long])]
+      .groupByKey(_._1)
+      .agg(agg.name("simhash"))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Bit-counting simhash aggregator (60 bits used of 64). */
+  class SimhashAgg extends Aggregator[(Long, Seq[Long]), Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](60)
+    def reduce(acc: Array[Int], row: (Long, Seq[Long])): Array[Int] = {
+      row._2.foreach { h =>
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      acc
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 60) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(acc: Array[Int]): Long = {
+      var sig = 0L
+      var b = 0
+      while (b < 60) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] = Encoders.javaSerialization[Array[Int]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** MinHash signatures + LSH banding for near-dup candidate pairs.
+    * numHashes permutations via (a*h + b) mod p over the md5 token
+    * hashes; `bands` bands of `numHashes/bands` rows; pairs sharing any
+    * band bucket are candidates, then verified with exact token-set
+    * Jaccard >= threshold. The candidate join is per-bucket (shuffle on
+    * band hash), never all-pairs.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, numHashes: Int, bands: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val p = 2305843009213693951L // 2^61 - 1
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val coef = (0 until numHashes).map { k =>
+      // deterministic odd multipliers / offsets (splitmix-ish constants)
+      val a = 0x9E3779B97F4A7C15L * (k + 1) | 1L
+      val b = 0xBF58476D1CE4E5B9L * (k + 1)
+      ((a & 0x0FFFFFFFFFFFFFFFL) | 1L, b & 0x0FFFFFFFFFFFFFFFL)
+    }
+    val tok = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+      .select(col("id"), array_distinct(transform(col("ws"), w => tokenHash(w))).as("hs"))
+    val sigs = tok.as[(Long, Seq[Long])].map { case (id, hs) =>
+      val sig = coef.map { case (a, b) =>
+        var mn = Long.MaxValue
+        hs.foreach { h =>
+          // multiply-add in 128-bit via Math.multiplyHigh-free mod trick:
+          // (a*h + b) mod p with p = 2^61-1 using unsigned 64 arithmetic
+          val prod = a * h + b // wraps; deterministic across JVMs
+          val v = prod & 0x1FFFFFFFFFFFFFFFL
+          if (v < mn) mn = v
+        }
+        mn
+      }
+      (id, sig)
+    }.toDF("id", "sig")
+    val banded = sigs.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b).cast("long"))))
+      .toDF("id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // verify candidates with exact Jaccard
+    val exact = jaccardPairs(docs, threshold, idCol, textCol)
+    cand.join(exact, Seq("id_a", "id_b"), "inner")
+  }
+
+  /** Quality-scoring features per document — pure codegen'd columns
+    * (length, token stats, stopword ratio, punctuation ratio).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  def qualityFeatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stop = lit(Stopwords.toArray)
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_txt"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+      round(size(filter(toks, w => array_contains(stop, w))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"), 6).as("stopword_ratio"),
+      round((length(col(textCol)) - length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / greatest(length(col(textCol)), lit(1)).cast("double"), 6)
+        .as("punct_ratio"))
+  }
+
+  /** Token counting: corpus-level token frequencies (the
+    * tokenize->explode->count shape of a BPE-corpus scan).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Language-ID heuristic: marker-token votes per language with
+    * deterministic tie-break (count desc, then language asc). Marker
+    * lists are tiny broadcast constants.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "data", "fast", "slow"),
+    "de" -> Seq("group", "order", "window", "batch"),
+    "es" -> Seq("query", "table", "row", "value"),
+    "fr" -> Seq("join", "merge", "filter", "scan"),
+    "zh" -> Seq("spark", "stream", "hash", "sort"))
+
+  def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      docs.select(col(idCol),
+        lit(lang).as("lang_pred"),
+        size(filter(toks, w => array_contains(lit(ms.toArray), w))).cast("long").as("score"))
+    }.reduce(_ union _)
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col(idCol)).orderBy(col("score").desc, col("lang_pred").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("lang_pred"), col("score"))
+  }
+
+  /** Document fingerprint: 1-permutation min-hash over token md5s plus
+    * distinct-token count — the content-addressable shape of rolling-
+    * hash winnowing, reduced to an oracle-checkable form.
+    */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol))
+      .agg(min(md5(col("w"))).as("fingerprint"),
+        countDistinct(col("w")).as("n_distinct"))
+}

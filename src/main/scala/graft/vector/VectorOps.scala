@@ -1,0 +1,87 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k with codegen'd `zip_with` +
+  * `aggregate` (no UDF). Scale path: LSH bucketing via deterministic
+  * sign-random-projections so candidate generation is a bucket join,
+  * not an all-pairs product.
+  */
+object VectorOps {
+
+  /** Cosine similarity between two array<double> columns via
+    * `zip_with`/`aggregate` — stays inside whole-stage codegen.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set,
+    * broadcast), scan all candidates and keep the k best. Linear in the
+    * table size; the broadcast side is the bounded query set.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = embeddings.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cand_vec"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("query_vec"))
+    val joined = cand.join(broadcast(qs), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("cand_vec")))
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed sinusoidal lattice — cheap, portable, and reproducible in
+    * SQL if ever needed.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double =
+    math.sin(1.0 + 0.7 * plane + 1.3 * dim + 0.01 * plane * dim)
+
+  /** Sign-random-projection LSH: `numPlanes` hyperplanes -> one bucket
+    * id per vector; near-neighbor candidates = same-bucket pairs. The
+    * scale path for ANN: bucket join + within-bucket rerank.
+    */
+  def lshBuckets(
+      embeddings: DataFrame, numPlanes: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val bucketBits = (0 until numPlanes).map { pl =>
+      val dot = (0 until dims).map(d =>
+        element_at(vec, d + 1) * lit(planeComponent(pl, d))).reduce(_ + _)
+      when(dot > 0, lit(1L << pl)).otherwise(lit(0L))
+    }
+    embeddings.select(col(idCol), bucketBits.reduce(_ + _).as("bucket"))
+  }
+
+  /** ANN top-k through LSH buckets: rerank within buckets only.
+    * Recall < 1 by construction; pair with [[bruteForceTopK]] as the
+    * exact baseline.
+    */
+  def annTopK(
+      embeddings: DataFrame, numPlanes: Int, dims: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(embeddings, numPlanes, dims, idCol, vecCol)
+    val withB = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .join(b, idCol)
+    val a = withB.select(col(idCol).as("query_id"), col("v").as("qv"), col("bucket"))
+    val c = withB.select(col(idCol).as("cand_id"), col("v").as("cv"), col("bucket"))
+    val joined = a.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+}
