@@ -38,7 +38,7 @@ object Raster {
     val tw = gm.tileWidth; val th = gm.tileHeight
     val width = gm.width; val height = gm.height
     pixels
-      .filter(p => p.i >= 0 && p.i < width && p.j >= 0 && p.j < height)
+      .filter(col("i") >= 0 && col("i") < width && col("j") >= 0 && col("j") < height)
       .groupByKey(p => (p.varName, p.band, p.j / th, p.i / tw))
       .mapGroups { (key: (String, Int, Int, Int), ps: Iterator[Pixel]) =>
         val (v, b, tj, ti) = key

@@ -22,15 +22,15 @@ object SpatialOps {
       px: Dataset[Pixel], gm: GridMapping,
       x0: Double, y0: Double, x1: Double, y1: Double): Dataset[Pixel] = {
     val (i0, j0, i1, j1) = gm.ijBboxFromXyBbox(x0, y0, x1, y1)
-    if (i0 < 0) px.filter(lit(false)).as(px.encoder)
-    else px.filter(p => p.i >= i0 && p.i < i1 && p.j >= j0 && p.j < j1)
+    // Column predicates (not Scala lambdas) so Catalyst pushes the
+    // range into the scan (parquet min/max pruning at scale)
+    if (i0 < 0) px.filter(lit(false))
+    else px.filter(col("i") >= i0 && col("i") < i1 && col("j") >= j0 && col("j") < j1)
   }
 
   /** Project a subset of variables (reference: utils.py:154-161). */
-  def selectVariables(px: Dataset[Pixel], vars: Seq[String]): Dataset[Pixel] = {
-    val keep = vars.toSet
-    px.filter(p => keep.contains(p.varName))
-  }
+  def selectVariables(px: Dataset[Pixel], vars: Seq[String]): Dataset[Pixel] =
+    px.filter(col("varName").isin(vars: _*))
 
   /** Inverse spatial index: pixel bbox of an xy bbox computed by
     * scanning a coordinate pixel table (the irregular-grid form;

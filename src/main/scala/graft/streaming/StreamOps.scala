@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the same tumbling-window aggregation
+  * as the batch `q_events_window` query, expressed as
+  * readStream -> watermark -> window agg -> writeStream. Batch and
+  * streaming share the one logical definition — Spark's unified
+  * Dataset API — so the correctness oracle for the batch form covers
+  * the streaming transform too.
+  */
+object StreamOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared transform: nanos -> timestamp, 1h tumbling window per
+    * event_type, count + sum.
+    */
+  def windowedAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val ts = events.withColumn("ts2", timestamp_micros((col("ts") / 1000).cast("long")))
+    val wm = if (withWatermark) ts.withWatermark("ts2", "2 hours") else ts
+    wm.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select((unix_timestamp(col("w.start")) * 1000).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** File-source streaming variant over a directory of event parquet. */
+  def streamFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    windowedAgg(src, withWatermark = true)
+  }
+}

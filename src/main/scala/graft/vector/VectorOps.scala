@@ -52,17 +52,35 @@ object VectorOps {
   /** Sign-random-projection LSH: `numPlanes` hyperplanes -> one bucket
     * id per vector; near-neighbor candidates = same-bucket pairs. The
     * scale path for ANN: bucket join + within-bucket rerank.
+    *
+    * Buckets are computed in a typed kernel (a column-expression
+    * formulation with dims x planes `element_at` terms blows up
+    * Catalyst codegen — 50x slower to plan than to run).
     */
   def lshBuckets(
       embeddings: DataFrame, numPlanes: Int, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val vec = col(vecCol).cast("array<double>")
-    val bucketBits = (0 until numPlanes).map { pl =>
-      val dot = (0 until dims).map(d =>
-        element_at(vec, d + 1) * lit(planeComponent(pl, d))).reduce(_ + _)
-      when(dot > 0, lit(1L << pl)).otherwise(lit(0L))
-    }
-    embeddings.select(col(idCol), bucketBits.reduce(_ + _).as("bucket"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(numPlanes, dims)(planeComponent)
+    embeddings.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          var bucket = 0L
+          var pl = 0
+          while (pl < numPlanes) {
+            var dot = 0.0
+            val plane = planes(pl)
+            var d = 0
+            val n = math.min(dims, v.length)
+            while (d < n) { dot += v(d) * plane(d); d += 1 }
+            if (dot > 0) bucket |= (1L << pl)
+            pl += 1
+          }
+          (id, bucket)
+        }
+      }.toDF(idCol, "bucket")
   }
 
   /** ANN top-k through LSH buckets: rerank within buckets only.

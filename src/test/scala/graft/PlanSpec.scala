@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * column pruning reaching the parquet scan, filter pushdown, broadcast
+  * joins for small sides, partial (map-side) aggregation, and
+  * whole-stage codegen on the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("grid scan prunes lineitem to the 3 needed columns") {
+    val p = plan(Queries.grid0(spark, dir))
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_partkey")
+      && readSchema.contains("l_quantity"), s"schema was: $readSchema")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"unpruned columns in: $readSchema")
+  }
+
+  test("parquet filter pushdown reaches the scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0).select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"missing pushdown in:\n${p.take(2000)}")
+  }
+
+  test("brute-force top-k broadcasts the query side") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), 5))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in:\n${p.take(2000)}")
+  }
+
+  test("tpch q1 uses partial aggregation and whole-stage codegen") {
+    val df = LlmQueries.all("q_tpch_q1")(spark, dir)
+    df.collect() // finalize AQE so codegen stages materialize
+    val p = plan(df)
+    // two HashAggregates (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg in:\n${p.take(2000)}")
+    // "*(n)" operator prefix == WholeStageCodegen stage n in toString form
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no whole-stage codegen in:\n${p.take(2000)}")
+  }
+
+  test("clip predicate appears as a pushable filter, not a lambda") {
+    val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
+    val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)
+    val p = plan(clipped.toDF())
+    // Column comparisons survive into the physical Filter; an opaque
+    // Scala lambda would show as a typed filter over serialized objects
+    assert(p.contains("(i#") && p.contains("(j#"), s"clip not columnar in:\n${p.take(2000)}")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class StreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming windowed agg over events matches the batch result") {
+    // stage the events parquet into a stream-source directory
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val q = StreamOps.streamFromDir(spark, srcDir.getAbsolutePath)
+      .writeStream
+      .format("memory")
+      .queryName("events_windowed")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("events_windowed")
+      .orderBy("window_start_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = StreamOps.windowedAgg(batch, withWatermark = false)
+      .orderBy("window_start_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    assert(streamed.length == expected.length && streamed.length > 0)
+    streamed.zip(expected).foreach { case (s, e) =>
+      assert(s._1 == e._1 && s._2 == e._2 && s._3 == e._3)
+      assert(math.abs(s._4 - e._4) < 1e-6)
+    }
+  }
+}
