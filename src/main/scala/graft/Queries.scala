@@ -338,6 +338,8 @@ object Queries {
           .filter(col("value").isNotNull)
           .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
       }),
+      "q_gm_to_coords" -> ((s, _) =>
+        graft.geom.GridMappingInference.toCoordsDf(s, gmSrc)),
       "q_xy_bbox" -> ((s, _) => {
         val df = SpatialOps.computeXyBbox(coordsDf(s))
         df.select(round(col("x_min"), 6).as("x_min"), round(col("y_min"), 6).as("y_min"),
@@ -375,6 +377,19 @@ object Queries {
            |       COALESCE(MAX(i), -1) AS i_max, COALESCE(MAX(j), -1) AS j_max
            |FROM coords
            |WHERE x BETWEEN 50.5 AND 51.5 AND y BETWEEN 57.5 AND 58.5""".stripMargin,
+      "q_gm_to_coords" ->
+        s"""SELECT 'x' AS axis, r AS idx,
+           |       ${gmSrc.xMin} + (r + 0.5) * ${gmSrc.xRes} AS coord,
+           |       ${gmSrc.xMin} + (r + 0.5) * ${gmSrc.xRes} - ${gmSrc.xRes} / 2 AS bnd_lo,
+           |       ${gmSrc.xMin} + (r + 0.5) * ${gmSrc.xRes} + ${gmSrc.xRes} / 2 AS bnd_hi
+           |FROM range(0, $W) t(r)
+           |UNION ALL
+           |SELECT 'y', r,
+           |       ${gmSrc.yMax} - (r + 0.5) * ${gmSrc.yRes},
+           |       ${gmSrc.yMax} - (r + 0.5) * ${gmSrc.yRes} + ${gmSrc.yRes} / 2,
+           |       ${gmSrc.yMax} - (r + 0.5) * ${gmSrc.yRes} - ${gmSrc.yRes} / 2
+           |FROM range(0, $W) t(r)
+           |ORDER BY 1, 2""".stripMargin,
       "q_xy_bbox" ->
         s"""WITH $sqlCoords
            |SELECT ROUND(MIN(x), 6) AS x_min, ROUND(MIN(y), 6) AS y_min,

@@ -1,0 +1,89 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.TestSpark._
+import graft.kernel.{Interp, Reducers}
+import graft.model.Policies.{F64, VarPolicy}
+import graft.ops.RectifyOp
+
+class InferenceSpec extends AnyFunSuite {
+  val nan = Double.NaN
+
+  test("fromCoords1D detects the regular 8x6 fixture grid") {
+    // reference: tests/sampledata.py:60-83
+    val xs = Array.tabulate(8)(i => 50.0 + 0.1 * i + 0.05)
+    val ys = Array.tabulate(6)(j => 10.6 - 0.1 * j - 0.05)
+    val gm = GridMappingInference.fromCoords1D(xs, ys, Crs.Geographic)
+    assert(gm.isRegular)
+    assert(!gm.isJAxisUp)
+    assert(math.abs(gm.xRes - 0.1) < 1e-9 && math.abs(gm.yRes - 0.1) < 1e-9)
+    assert(math.abs(gm.xMin - 50.0) < 1e-9 && math.abs(gm.yMax - 10.6) < 1e-9)
+    assert(gm.width == 8 && gm.height == 6)
+  }
+
+  test("fromCoords1D ascending y -> j axis up") {
+    val xs = Array(0.5, 1.5, 2.5)
+    val ys = Array(10.5, 11.5, 12.5)
+    val gm = GridMappingInference.fromCoords1D(xs, ys, Crs.Geographic)
+    assert(gm.isJAxisUp && gm.isRegular)
+  }
+
+  test("fromCoords1D antimeridian crossing normalizes to lon-360") {
+    val xs = Array(179.5, -179.5, -178.5)
+    val ys = Array(2.5, 1.5, 0.5)
+    val gm = GridMappingInference.fromCoords1D(xs, ys, Crs.Geographic)
+    assert(gm.isLon360 && gm.isRegular)
+    assert(math.abs(gm.xRes - 1.0) < 1e-9)
+    assert(math.abs(gm.xMin - 179.0) < 1e-9 && math.abs(gm.xMax - 182.0) < 1e-9)
+  }
+
+  // reference fixture: tests/sampledata.py:29-39
+  val srcLon = Array(Array(1.0, 6.0), Array(0.0, 2.0))
+  val srcLat = Array(Array(56.0, 53.0), Array(52.0, 50.0))
+
+  test("fromCoords2D estimates the irregular 2x2 swath grid") {
+    val gmT = GridMapping(2, 2, 2, 2, 0, 0, 1, 1, 1, 1, Crs.Geographic, isRegular = false)
+    val coords = toDs(tilesFrom("x", srcLon, gmT) ++ tilesFrom("y", srcLat, gmT))
+    val gm = GridMappingInference.fromCoords2D(coords, 2, 2, 2, 2, Crs.Geographic)
+    assert(!gm.isRegular && !gm.isJAxisUp && !gm.isLon360)
+    // area-blend estimate (reference formulas) -> 4.0 deg
+    assert(math.abs(gm.xRes - 4.0) < 1e-9, s"res was ${gm.xRes}")
+    assert(math.abs(gm.xMin - -2.0) < 1e-9 && math.abs(gm.xMax - 8.0) < 1e-9)
+    assert(math.abs(gm.yMin - 48.0) < 1e-9 && math.abs(gm.yMax - 58.0) < 1e-9)
+    // to_regular: 4x4 @ res 4 from (-2,48) (reference: regular.py:132-166)
+    val reg = gm.toRegular()
+    assert(reg.width == 4 && reg.height == 4)
+    assert(math.abs(reg.xRes - 4.0) < 1e-9)
+    assert(math.abs(reg.xMin - -2.0) < 1e-9 && math.abs(reg.yMin - 48.0) < 1e-9)
+  }
+
+  test("rectify to inferred default target matches reference golden") {
+    // reference: test_rectify.py:66-78 (rectify_dataset with no target)
+    val gmT = GridMapping(2, 2, 2, 2, 0, 0, 1, 1, 1, 1, Crs.Geographic, isRegular = false)
+    val coords = toDs(tilesFrom("x", srcLon, gmT) ++ tilesFrom("y", srcLat, gmT))
+    val srcGm = GridMappingInference.fromCoords2D(coords, 2, 2, 2, 2, Crs.Geographic)
+    val dstGm = srcGm.toRegular()
+    val rad = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val out = RectifyOp.rectify(
+      toDs(tilesFrom("rad", rad, srcGm)), coords, srcGm, dstGm,
+      Map("rad" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, nan, F64)))
+    assertImage(toArray(out.collect().toSeq, dstGm, "rad"), Array(
+      Array(nan, nan, nan, nan),
+      Array(nan, nan, nan, nan),
+      Array(nan, 2.0, nan, nan),
+      Array(nan, nan, nan, nan)))
+  }
+
+  test("toCoordsDf materializes axis coords with CF bounds") {
+    val gm = GridMapping.regular(8, 6, 50.0, 10.0, 0.1, 0.1, Crs.Geographic)
+    val df = GridMappingInference.toCoordsDf(TestSpark.spark, gm).collect()
+    val x0 = df.find(r => r.getString(0) == "x" && r.getLong(1) == 0L).get
+    assert(math.abs(x0.getDouble(2) - 50.05) < 1e-9)
+    assert(math.abs(x0.getDouble(3) - 50.0) < 1e-9 && math.abs(x0.getDouble(4) - 50.1) < 1e-9)
+    val y0 = df.find(r => r.getString(0) == "y" && r.getLong(1) == 0L).get
+    // j-down: bounds upper edge first
+    assert(math.abs(y0.getDouble(2) - 10.55) < 1e-9)
+    assert(math.abs(y0.getDouble(3) - 10.6) < 1e-9 && math.abs(y0.getDouble(4) - 10.5) < 1e-9)
+  }
+}
