@@ -26,11 +26,16 @@ final case class Affine(
   def invert: Affine = {
     val det = a * e - b * d
     require(det != 0.0, "affine transform is not invertible")
-    val ia = e / det
-    val ib = -b / det
-    val id = -d / det
-    val ie = a / det
-    Affine(ia, ib, -(ia * c + ib * f), id, ie, -(id * c + ie * f))
+    // EXACT float operation order of the `affine` package's __invert__
+    // (idet multiply, not divide) — downstream goldens are sensitive to
+    // the last ulp of the composed offsets (NaN propagation at
+    // exact-integer sample points flips with 1-ulp drift)
+    val idet = 1.0 / det
+    val ra = e * idet
+    val rb = -b * idet
+    val rd = -d * idet
+    val re = a * idet
+    Affine(ra, rb, -c * ra - f * rb, rd, re, -c * rd - f * re)
   }
 
   def rows: ((Double, Double, Double), (Double, Double, Double)) =

@@ -71,7 +71,14 @@ object AffineWarp {
       // scipy order-0: round half up via floor(x + 0.5)
       at(math.floor(fx + 0.5).toInt, math.floor(fy + 0.5).toInt)
     } else {
-      val iF = math.floor(fx).toInt; val jF = math.floor(fy).toInt
+      // scipy spline base: at the exact right/bottom boundary the
+      // stencil shifts inward (weights [0,1]) instead of reading the
+      // cval neighbor — golden tests prove v[n-1] stays finite there
+      // while interior exact-integer samples DO blend (and NaN-poison)
+      // through their zero-weight right neighbor
+      var iF = math.floor(fx).toInt; var jF = math.floor(fy).toInt
+      if (iF >= srcW - 1 && fx <= srcW - 1) iF = srcW - 2
+      if (jF >= srcH - 1 && fy <= srcH - 1) jF = srcH - 2
       val u = fx - iF; val v = fy - jF
       val v00 = at(iF, jF); val v01 = at(iF + 1, jF)
       val v10 = at(iF, jF + 1); val v11 = at(iF + 1, jF + 1)
@@ -99,7 +106,9 @@ object AffineWarp {
     @inline def weight(i: Int, j: Int): Double =
       if (i < 0 || i >= srcW || j < 0 || j >= srcH) fill
       else { val v = win.get(i, j, Double.NaN); if (v.isNaN) 0.0 else 1.0 }
-    val iF = math.floor(fx).toInt; val jF = math.floor(fy).toInt
+    var iF = math.floor(fx).toInt; var jF = math.floor(fy).toInt
+    if (iF >= srcW - 1 && fx <= srcW - 1) iF = srcW - 2
+    if (jF >= srcH - 1 && fy <= srcH - 1) jF = srcH - 2
     val u = fx - iF; val v = fy - jF
     @inline def blend(f: (Int, Int) => Double): Double = {
       val v00 = f(iF, jF); val v01 = f(iF + 1, jF)

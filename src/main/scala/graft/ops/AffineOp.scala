@@ -85,7 +85,14 @@ object AffineOp {
       val p = policies(v)
       val h = math.min(dstTileH, dstH - dtj * dstTileH)
       val w = math.min(dstTileW, dstW - dti * dstTileW)
-      val order = if (p.interp == Interp.NEAREST) 0 else 1
+      val order = p.interp match {
+        case Interp.NEAREST => 0
+        case Interp.BILINEAR => 1
+        case _ => throw new IllegalArgumentException(
+          "interp_methods must be one of 0, 1, 'nearest', 'bilinear'. " +
+          "Higher order is not supported for 3D arrays in affine transforms, " +
+          "as it causes unintended blending across the non-spatial (e.g., time) dimension.")
+      }
       val data = AffineWarp.warpTile(
         win, srcW, srcH, dti * dstTileW, dtj * dstTileH, w, h,
         matrix, order, p.fill, p.recoverNan)
