@@ -30,10 +30,17 @@ object ResampleInSpace {
       val coords = coordTiles.getOrElse(
         throw new IllegalArgumentException("irregular source requires coord tiles"))
       val dstGm = dstGmOpt.getOrElse(srcGm.toRegular())
-      val coords2 =
-        if (srcGm.crs.equalsCrs(dstGm.crs)) coords
-        else RectifyOp.transformCoords(coords, srcGm.crs, dstGm.crs)
-      (RectifyOp.rectify(tiles, coords2, srcGm, dstGm, policies), dstGm)
+      // different CRS: forward-transform the coord images then re-infer
+      // the source mapping in the target CRS (reference:
+      // rectify.py:127-129)
+      val (coords2, srcGm2) =
+        if (srcGm.crs.equalsCrs(dstGm.crs)) (coords, srcGm)
+        else {
+          val c = RectifyOp.transformCoords(coords, srcGm.crs, dstGm.crs)
+          (c, graft.geom.GridMappingInference.fromCoords2D(
+            c, srcGm.width, srcGm.height, srcGm.tileWidth, srcGm.tileHeight, dstGm.crs))
+        }
+      (RectifyOp.rectify(tiles, coords2, srcGm2, dstGm, policies), dstGm)
     } else dstGmOpt match {
       case None =>
         // both regular, no target: nothing to do (reference warns,
