@@ -38,7 +38,21 @@ object AffineOp {
       policies: Map[String, VarPolicy]): Dataset[Tile] = {
     require(srcGm.crs.equalsCrs(dstGm.crs),
       "affine_transform_dataset() requires CRS of source_gm and target_gm to be equal")
-    val matrix = dstGm.ijTransformTo(srcGm)
+    resampleWithMatrix(tiles, srcGm, dstGm, dstGm.ijTransformTo(srcGm), policies)
+  }
+
+  /** Core branching with an explicit target-index -> source-index
+    * matrix (used directly by the rectify downscale prepass, which
+    * works in pure index space on an irregular grid —
+    * reference: rectify.py:248-257 calling `resample_dataset` with
+    * matrix ((1/xs,0,0),(0,1/ys,0))).
+    */
+  def resampleWithMatrix(
+      tiles: Dataset[Tile],
+      srcGm: GridMapping,
+      dstGm: GridMapping,
+      matrix: Affine,
+      policies: Map[String, VarPolicy]): Dataset[Tile] = {
     val iScale = matrix.a; val jScale = matrix.e
 
     val needDownscale = policies.values.exists(p =>

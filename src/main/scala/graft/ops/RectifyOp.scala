@@ -47,8 +47,57 @@ object RectifyOp {
       srcGm: GridMapping,
       dstGm: GridMapping,
       policies: Map[String, VarPolicy]): Dataset[Tile] = {
-    val lookup = computeLookup(coordTiles, srcGm, dstGm).cache()
-    gatherVars(tiles, lookup, srcGm, dstGm, policies)
+    val (tiles2, coords2, srcGm2) =
+      downscaleSource(tiles, coordTiles, srcGm, dstGm, policies)
+    val lookup = computeLookup(coords2, srcGm2, dstGm).cache()
+    gatherVars(tiles2, lookup, srcGm2, dstGm, policies)
+  }
+
+  val ScaleLimit = 0.95 // reference: constants.py:79
+
+  /** Pre-aggregation rewrite: when the (estimated) source resolution is
+    * finer than the target's, affine-downscale the source — INCLUDING
+    * its 2D coordinate images — in pure index space, then re-infer the
+    * source mapping (reference: rectify.py:234-260).
+    */
+  def downscaleSource(
+      tiles: Dataset[Tile],
+      coordTiles: Dataset[Tile],
+      srcGm: GridMapping,
+      dstGm: GridMapping,
+      policies: Map[String, VarPolicy]): (Dataset[Tile], Dataset[Tile], GridMapping) = {
+    val xScale = srcGm.xRes / dstGm.xRes
+    val yScale = srcGm.yRes / dstGm.yRes
+    if (xScale >= ScaleLimit && yScale >= ScaleLimit) (tiles, coordTiles, srcGm)
+    else {
+      val w = math.max(2, math.round(xScale * srcGm.width).toInt)
+      val h = math.max(2, math.round(yScale * srcGm.height).toInt)
+      val m = graft.geom.Affine.scaleTranslate(1.0 / xScale, 1.0 / yScale, 0.0, 0.0)
+      val gmSmall = srcGm.copy(
+        width = w, height = h,
+        tileWidth = math.min(srcGm.tileWidth, w), tileHeight = math.min(srcGm.tileHeight, h),
+        xRes = srcGm.xRes / xScale, yRes = srcGm.yRes / yScale)
+      // triangular -> bilinear for the prepass (reference: utils.py:239-251)
+      val dataPolicies = policies.view.mapValues(p =>
+        if (p.interp == graft.kernel.Interp.TRIANGULAR)
+          p.copy(interp = graft.kernel.Interp.BILINEAR) else p).toMap
+      // coords resolve from the same option set as the data vars
+      // (reference passes the one interp_methods to resample_dataset)
+      val coordInterp = dataPolicies.values.map(_.interp).toSet.toList match {
+        case one :: Nil => one
+        case _ => graft.kernel.Interp.BILINEAR
+      }
+      val coordPolicies = Map(
+        "x" -> VarPolicy(coordInterp, graft.kernel.Reducers.Mean, false, Double.NaN,
+          graft.model.Policies.F64),
+        "y" -> VarPolicy(coordInterp, graft.kernel.Reducers.Mean, false, Double.NaN,
+          graft.model.Policies.F64))
+      val tiles2 = AffineOp.resampleWithMatrix(tiles, srcGm, gmSmall, m, dataPolicies)
+      val coords2 = AffineOp.resampleWithMatrix(coordTiles, srcGm, gmSmall, m, coordPolicies)
+      val srcGm2 = graft.geom.GridMappingInference.fromCoords2D(
+        coords2, w, h, gmSmall.tileWidth, gmSmall.tileHeight, srcGm.crs)
+      (tiles2, coords2, srcGm2)
+    }
   }
 
   /** Transform 2D coordinate images into another CRS
