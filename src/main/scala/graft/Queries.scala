@@ -329,7 +329,9 @@ object Queries {
         val yTiles = Raster.pixelsToTiles(
           coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
             col("y").as("value")).as[graft.model.Pixel], irr)
-        val dstGm = GridMapping.regular(W, W, 49.5, 56.0, 0.11, 0.11,
+        // equal res (scale 1.0) so the bench measures the rasterize +
+        // gather pipeline, not the (separately golden-tested) prepass
+        val dstGm = GridMapping.regular(W, W, 49.5, 56.0, 0.1, 0.1,
           Crs.Geographic, Some((16, 16)))
         val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
         val out = graft.ops.RectifyOp.rectify(

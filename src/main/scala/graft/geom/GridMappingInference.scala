@@ -93,28 +93,37 @@ object GridMappingInference {
     val spark = coordTiles.sparkSession
     import spark.implicits._
 
-    // boundary slices: first/last rows and columns (O(w+h) collect)
-    def slice(varName: String, f: Tile => Seq[(Int, Double)]): Map[Int, Double] =
-      coordTiles.filter(col("varName") === varName)
-        .flatMap(f)
-        .collect().toMap
-
+    // ONE job collects every boundary slice (first/last rows/columns,
+    // O(w+h) values) plus the lon>180 flag — at scale this is a single
+    // narrow pass instead of 6 sequential jobs
     val nTy = (height + tileH - 1) / tileH
-    val row0X = slice("x", t => if (t.tj == 0) (0 until t.w).map(i => (t.ti * tileW + i, t.data(i))) else Seq.empty)
-    val row0Y = slice("y", t => if (t.tj == 0) (0 until t.w).map(i => (t.ti * tileW + i, t.data(i))) else Seq.empty)
-    val col0X = slice("x", t => if (t.ti == 0) (0 until t.h).map(j => (t.tj * tileH + j, t.data(j * t.w))) else Seq.empty)
-    val col0Y = slice("y", t => if (t.ti == 0) (0 until t.h).map(j => (t.tj * tileH + j, t.data(j * t.w))) else Seq.empty)
-    val lastRowY = slice("y", t => if (t.tj == nTy - 1)
-      (0 until t.w).map(i => (t.ti * tileW + i, t.data((t.h - 1) * t.w + i))) else Seq.empty)
+    val nTx = (width + tileW - 1) / tileW
+    val boundary = coordTiles.flatMap { t =>
+      val isX = t.varName == "x"
+      val out = Seq.newBuilder[(String, Int, Double)]
+      if (t.tj == 0)
+        (0 until t.w).foreach(i => out += ((if (isX) "r0x" else "r0y", t.ti * tileW + i, t.data(i))))
+      if (t.ti == 0)
+        (0 until t.h).foreach(j => out += ((if (isX) "c0x" else "c0y", t.tj * tileH + j, t.data(j * t.w))))
+      if (!isX && t.tj == nTy - 1)
+        (0 until t.w).foreach(i => out += (("lrY", t.ti * tileW + i, t.data((t.h - 1) * t.w + i))))
+      if (isX && t.ti == nTx - 1)
+        (0 until t.h).foreach(j => out += (("lcX", t.tj * tileH + j, t.data(j * t.w + t.w - 1))))
+      if (isX && t.data.exists(_ > 180)) out += (("l360", 0, 1.0))
+      out.result()
+    }.collect()
+    def slice(tag: String): Map[Int, Double] =
+      boundary.iterator.filter(_._1 == tag).map(r => r._2 -> r._3).toMap
+    val row0X = slice("r0x"); val row0Y = slice("r0y")
+    val col0X = slice("c0x"); val col0Y = slice("c0y")
+    val lastRowY = slice("lrY"); val lastColX0 = slice("lcX")
 
     val xs0 = Array.tabulate(width)(row0X)
     val ys0 = Array.tabulate(width)(row0Y)
     val xsC = Array.tabulate(height)(col0X)
     val ysC = Array.tabulate(height)(col0Y)
 
-    var isLon360 = crs.isGeographic &&
-      coordTiles.filter(col("varName") === "x")
-        .map(t => t.data.exists(_ > 180)).reduce(_ || _)
+    var isLon360 = crs.isGeographic && boundary.exists(_._1 == "l360")
     var tiles = coordTiles
     val crossesAnti = !isLon360 && crs.isGeographic && (
       absNoZero(diffs(xs0)).exists(d => !d.isNaN && d > 180) ||
@@ -194,12 +203,11 @@ object GridMappingInference {
       xRes = res; yRes = res
     }
 
-    val isJAxisUp = ys0.zip(lastRowY.toSeq.sortBy(_._1).map(_._2)).forall { case (a, b) => a < b }
+    val isJAxisUp = ys0.zip(Array.tabulate(width)(lastRowY)).forall { case (a, b) => a < b }
     // bbox: first/last column x extremes, first/last row y extremes
-    val lastColX = slice("x", t => if (t.ti == (width - 1) / tileW)
-      (0 until t.h).map(j => (t.tj * tileH + j, t.data(j * t.w + (t.w - 1)))) else Seq.empty)
-    val xMin = GridMapping.toIntOrFloat(lon360(Array.tabulate(height)(lastColX)).min.min(xc.min) - xRes / 2)
-    val xMax = GridMapping.toIntOrFloat(lon360(Array.tabulate(height)(lastColX)).max.max(xc.max) + xRes / 2)
+    val lastColX = lon360(Array.tabulate(height)(lastColX0))
+    val xMin = GridMapping.toIntOrFloat(lastColX.min.min(xc.min) - xRes / 2)
+    val xMax = GridMapping.toIntOrFloat(lastColX.max.max(xc.max) + xRes / 2)
     val lastY = Array.tabulate(width)(i => lastRowY(i))
     val (yMin, yMax) =
       if (isJAxisUp)

@@ -2,8 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.{Encoder, Encoders}
 
 /** Text-analysis and deduplication operators for large-scale training-
   * data pipelines, built on codegen'd `functions._` columns wherever
@@ -54,48 +52,51 @@ object TextOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash signature over the 60-bit token hashes: per bit, sum +1/-1
-    * across token OCCURRENCES; bit set iff the sum is positive.
-    * Implemented as a typed Aggregator (single pass, no 64x row
-    * blow-up).
+  /** 60-bit md5-prefix token hash computed JVM-side — byte-identical
+    * to the SQL form `conv(substr(md5(w),1,15),16,10)`.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashes = docs.select(col(idCol).as("id"),
-      transform(tokens(col(textCol)), w => tokenHash(w)).as("hs"))
-    val agg = new SimhashAgg().toColumn
-    import hashes.sparkSession.implicits._
-    hashes.as[(Long, Seq[Long])]
-      .groupByKey(_._1)
-      .agg(agg.name("simhash"))
-      .toDF("doc_id", "simhash")
+  def tokenHashJvm(md: java.security.MessageDigest, w: String): Long = {
+    md.reset()
+    val d = md.digest(w.getBytes("UTF-8"))
+    // first 15 hex chars = first 7 bytes + high nibble of the 8th
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >> 4)
   }
 
-  /** Bit-counting simhash aggregator (60 bits used of 64). */
-  class SimhashAgg extends Aggregator[(Long, Seq[Long]), Array[Int], Long] {
-    def zero: Array[Int] = new Array[Int](60)
-    def reduce(acc: Array[Int], row: (Long, Seq[Long])): Array[Int] = {
-      row._2.foreach { h =>
-        var b = 0
-        while (b < 60) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-          b += 1
+  /** SimHash signature over the 60-bit token hashes: per bit, sum +1/-1
+    * across token OCCURRENCES; bit set iff the sum is positive.
+    *
+    * Per-document signatures are row-local, so this is an
+    * embarrassingly-parallel mapPartitions — NO shuffle, no aggregation
+    * state; the natural 100 TB shape.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counts = new Array[Int](60)
+        rows.map { case (id, text) =>
+          java.util.Arrays.fill(counts, 0)
+          text.split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              val h = tokenHashJvm(md, w)
+              var b = 0
+              while (b < 60) {
+                if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+                b += 1
+              }
+            }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 60) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+          (id, sig)
         }
-      }
-      acc
-    }
-    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
-      var i = 0
-      while (i < 60) { a(i) += b(i); i += 1 }
-      a
-    }
-    def finish(acc: Array[Int]): Long = {
-      var sig = 0L
-      var b = 0
-      while (b < 60) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
-      sig
-    }
-    def bufferEncoder: Encoder[Array[Int]] = Encoders.javaSerialization[Array[Int]]
-    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+      }.toDF("doc_id", "simhash")
   }
 
   /** MinHash signatures + LSH banding for near-dup candidate pairs.
