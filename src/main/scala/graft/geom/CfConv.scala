@@ -131,6 +131,51 @@ object CfConv {
     cands.flatten
   }
 
+  /** Emit CF grid-mapping attributes for a CRS — the inverse of
+    * [[crsFromAttrs]] (the reference serializes via pyproj `to_cf`,
+    * cfconv.py:215-221).
+    */
+  def crsToAttrs(crs: Crs): Attrs = crs match {
+    case Crs.Geographic => Map("grid_mapping_name" -> "latitude_longitude")
+    case t: Crs.TransverseMercator => Map(
+      "grid_mapping_name" -> "transverse_mercator",
+      "longitude_of_central_meridian" -> t.lon0Deg.toString,
+      "latitude_of_projection_origin" -> t.lat0Deg.toString,
+      "scale_factor_at_central_meridian" -> t.k0.toString,
+      "false_easting" -> t.falseEasting.toString,
+      "false_northing" -> t.falseNorthing.toString,
+      "crs_name" -> t.name)
+    case l: Crs.LambertAzimuthalEqualArea => Map(
+      "grid_mapping_name" -> "lambert_azimuthal_equal_area",
+      "longitude_of_projection_origin" -> l.lon0Deg.toString,
+      "latitude_of_projection_origin" -> l.lat0Deg.toString,
+      "false_easting" -> l.falseEasting.toString,
+      "false_northing" -> l.falseNorthing.toString,
+      "crs_name" -> l.name)
+  }
+
+  /** Normalize the grid-mapping metadata of a dataset's attribute
+    * catalog: drop the old grid-mapping variable, add a scalar
+    * `spatial_ref` carrying the CF CRS attrs, and point every data
+    * variable's `grid_mapping` attr at it
+    * (reference: utils.py:127-151).
+    */
+  def normalizeGridMapping(
+      varAttrs: Map[String, Attrs],
+      dataVars: Set[String],
+      crs: Crs): Map[String, Attrs] = {
+    val oldGmVars = varAttrs.collect {
+      case (name, attrs) if attrs.contains("grid_mapping_name") ||
+        attrs.contains("crs_wkt") || name == "crs" || name == "spatial_ref" => name
+    }.toSet
+    val kept = varAttrs -- oldGmVars
+    val updated = kept.map { case (name, attrs) =>
+      if (dataVars.contains(name)) name -> (attrs + ("grid_mapping" -> "spatial_ref"))
+      else name -> (attrs - "grid_mapping")
+    }
+    updated + ("spatial_ref" -> crsToAttrs(crs))
+  }
+
   /** Preference resolution (reference: dataset.py:60-96). */
   def select(
       candidates: Seq[Candidate],
