@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.TestSpark._
+import graft.geom.{Crs, GridMapping}
+import graft.kernel.{Interp, Reducers}
+import graft.model.Policies.{F64, VarPolicy}
+
+/** Property-based invariants (SURVEY §5 bonus):
+  *  - resampling onto the identical grid is the identity
+  *  - nearest 2x upscale followed by center 2x downscale is the identity
+  *  - coarsen(sum) preserves the image total
+  * (raw ScalaCheck generators; the scalatest bridge isn't in the
+  * offline dependency cache)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  val genImage: Gen[Array[Array[Double]]] = for {
+    h <- Gen.choose(2, 6)
+    w <- Gen.choose(2, 6)
+    cells <- Gen.listOfN(h * w, Gen.choose(-50, 50).map(_.toDouble))
+  } yield cells.grouped(w).map(_.toArray).toArray
+
+  def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(k => g.apply(Gen.Parameters.default, Seed(42L + k)))
+
+  def gmFor(img: Array[Array[Double]], res: Double = 0.5): GridMapping =
+    GridMapping.regular(img(0).length, img.length, 0.0, 0.0, res, res, Crs.Geographic)
+
+  val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
+
+  test("identity resample returns the input unchanged") {
+    samples(genImage, 5).foreach { img =>
+      val gm = gmFor(img)
+      val (out, _) = ResampleInSpace(toDs(tilesFrom("v", img, gm)), None, gm, Some(gm), pol)
+      assertImage(toArray(out.collect().toSeq, gm, "v"), img)
+    }
+  }
+
+  test("center-aligned nearest upscale x2 then center coarsen x2 is the identity") {
+    // quarter-pixel-shifted target makes the 2x nearest upscale an
+    // exact replication (the unshifted edge-affine convention rounds
+    // asymmetrically, so the naive roundtrip is NOT an identity)
+    samples(genImage, 5).foreach { img =>
+      val gm = gmFor(img)
+      val up = GridMapping.regular(gm.width * 2, gm.height * 2,
+        gm.xMin - gm.xRes / 4, gm.yMin + gm.yRes / 4,
+        gm.xRes / 2, gm.yRes / 2, Crs.Geographic)
+      val upTiles = AffineOp.affineTransform(toDs(tilesFrom("v", img, gm)), gm, up, pol)
+      val back = CoarsenOp.coarsenTiles(upTiles, 2, 2, _ => (Reducers.Center, false))
+      val backImg = Array.tabulate(gm.height, gm.width) { (j, i) => 0.0 }
+      back.collect().foreach { t =>
+        for (j <- 0 until t.h; i <- 0 until t.w)
+          backImg(t.tj * gm.height + j)(t.ti * gm.width + i) = t.data(j * t.w + i)
+      }
+      assertImage(backImg, img)
+    }
+  }
+
+  test("coarsen(sum) preserves the image total for divisor-aligned tilings") {
+    for (th <- 1 to 2; tw <- 1 to 2) {
+      val img = Array.tabulate(4, 4)((j, i) => (j * 4 + i).toDouble)
+      val gm = GridMapping.regular(4, 4, 0.0, 0.0, 1.0, 1.0, Crs.Geographic,
+        tileSize = Some((2 * tw, 2 * th)))
+      val tiles = toDs(tilesFrom("v", img, gm))
+      val out = CoarsenOp.coarsenTiles(tiles, 2, 2, _ => (Reducers.Sum, false)).collect()
+      val total = out.map(_.data.sum).sum
+      assert(math.abs(total - img.flatten.sum) < 1e-9)
+    }
+  }
+}
