@@ -162,7 +162,7 @@ object LlmQueries {
       val scoreSelects = markers.map { case (lang, ms) =>
         val inList = ms.map(m => s"'$m'").mkString(", ")
         s"""SELECT doc_id, '$lang' AS lang_pred,
-           |       SUM(CASE WHEN w IN ($inList) THEN 1 ELSE 0 END) AS score
+           |       CAST(SUM(CASE WHEN w IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS score
            |FROM tok GROUP BY 1""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $sqlToks, scores AS (

@@ -29,8 +29,13 @@ sealed trait Crs extends Serializable {
   /** lon/lat degrees -> projected/geographic coords */
   def fromLonLat(lon: Double, lat: Double): (Double, Double)
 
+  /** Structural equality: two parameterized CRSs are equal only when
+    * every projection parameter matches (case-class equality), never by
+    * display name alone — CF-parsed CRSs share a generic name, so name
+    * equality would elide real coordinate transforms.
+    */
   def equalsCrs(other: Crs): Boolean =
-    (this eq other) || (isGeographic && other.isGeographic) || name == other.name
+    (this eq other) || (isGeographic && other.isGeographic) || this == other
 }
 
 object Crs {

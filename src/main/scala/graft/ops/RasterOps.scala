@@ -28,6 +28,9 @@ object RasterOps {
   def clipTiles(
       tiles: Dataset[Tile], gm: GridMapping,
       x0: Double, y0: Double, x1: Double, y1: Double): (Dataset[Tile], GridMapping) = {
+    // the y-bound math and positional re-key below assume j-axis-down;
+    // normalize with flipJ first (as ReprojectOp does) for j-up grids
+    require(!gm.isJAxisUp, "clipTiles requires a j-axis-down grid; flipJ first")
     val (i0, j0, i1, j1) = gm.ijBboxFromXyBbox(x0, y0, x1, y1)
     if (i0 < 0) return (tiles, gm) // nothing to clip to; keep source
     val w = i1 - i0; val h = j1 - j0

@@ -228,7 +228,7 @@ object RectifyOp {
     val dXRes = dstGm.xRes; val dYRes = dstGm.yRes
     val jUp = dstGm.isJAxisUp
 
-    coordTiles.joinWith(
+    val covered = coordTiles.joinWith(
         broadcast(planDs),
         coordTiles("tj") === planDs("srcTj") && coordTiles("ti") === planDs("srcTi"),
         "inner")
@@ -255,6 +255,19 @@ object RectifyOp {
         }
         LookupTile(dtj, dti, h, w, srcI, srcJ)
       }
+
+    // target tiles with NO source coverage never match the inner join —
+    // emit all-NaN lookup tiles for them so gatherVars produces fill
+    // tiles, like the reference's -1-bbox all-NaN lookup blocks
+    // (reference: rectify.py:393-396)
+    val uncovered = windows.collect { case (dtj, dti, (i0, _, _, _)) if i0 < 0 =>
+      val h = math.min(dth, dH - dtj * dth)
+      val w = math.min(dtw, dW - dti * dtw)
+      LookupTile(dtj, dti, h, w,
+        Array.fill(h * w)(Double.NaN), Array.fill(h * w)(Double.NaN))
+    }
+    if (uncovered.isEmpty) covered
+    else covered.union(spark.createDataset(uncovered))
   }
 
   /** Stage 4: sample every variable through the lookup image. The source

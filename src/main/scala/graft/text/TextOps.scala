@@ -99,54 +99,76 @@ object TextOps {
       }.toDF("doc_id", "simhash")
   }
 
+  /** The numHashes deterministic permutation coefficients (a, b) for
+    * [[minhashLshPairs]] — splitmix-ish odd multipliers, masked to 60
+    * bits so `a*h + b` stays deterministic under 64-bit wrap.
+    */
+  def minhashCoefficients(numHashes: Int): IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map { k =>
+      val a = 0x9E3779B97F4A7C15L * (k + 1) | 1L
+      val b = 0xBF58476D1CE4E5B9L * (k + 1)
+      ((a & 0x0FFFFFFFFFFFFFFFL) | 1L, b & 0x0FFFFFFFFFFFFFFFL)
+    }
+
   /** MinHash signatures + LSH banding for near-dup candidate pairs.
-    * numHashes permutations via (a*h + b) mod p over the md5 token
-    * hashes; `bands` bands of `numHashes/bands` rows; pairs sharing any
-    * band bucket are candidates, then verified with exact token-set
-    * Jaccard >= threshold. The candidate join is per-bucket (shuffle on
-    * band hash), never all-pairs.
+    * numHashes permutations via the 2^61-masked affine hash
+    * `(a*h + b) mod 2^64 mod 2^61` over the md5 token hashes (NOT a
+    * min-wise-independent mod-p permutation — a deterministic scatter
+    * hash, which is what banding needs and what a SQL oracle can
+    * reproduce: the 64-bit wrap equals taking the 128-bit product mod
+    * 2^64, and 2^61 divides 2^64, so HUGEINT-mod reproduces it);
+    * `bands` bands of `numHashes/bands` rows; pairs sharing any band
+    * bucket are candidates. Buckets are md5 over the band's joined
+    * signature values — portable across engines, unlike murmur3.
+    *
+    * Verification joins ONLY the candidate pairs back to their token
+    * sets (two narrow joins on id + one count per pair), never the
+    * full-corpus similarity join — at 100 TB the whole point of LSH is
+    * that cost scales with candidates, not with corpus^2.
     */
   def minhashLshPairs(
       docs: DataFrame, numHashes: Int, bands: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val p = 2305843009213693951L // 2^61 - 1
     val spark = docs.sparkSession
     import spark.implicits._
-    val coef = (0 until numHashes).map { k =>
-      // deterministic odd multipliers / offsets (splitmix-ish constants)
-      val a = 0x9E3779B97F4A7C15L * (k + 1) | 1L
-      val b = 0xBF58476D1CE4E5B9L * (k + 1)
-      ((a & 0x0FFFFFFFFFFFFFFFL) | 1L, b & 0x0FFFFFFFFFFFFFFFL)
-    }
-    val tok = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+    val coef = minhashCoefficients(numHashes)
+    val tok0 = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+    val tokHashes = tok0
       .select(col("id"), array_distinct(transform(col("ws"), w => tokenHash(w))).as("hs"))
-    val sigs = tok.as[(Long, Seq[Long])].map { case (id, hs) =>
+    val sigs = tokHashes.as[(Long, Seq[Long])].map { case (id, hs) =>
       val sig = coef.map { case (a, b) =>
         var mn = Long.MaxValue
         hs.foreach { h =>
-          // multiply-add in 128-bit via Math.multiplyHigh-free mod trick:
-          // (a*h + b) mod p with p = 2^61-1 using unsigned 64 arithmetic
-          val prod = a * h + b // wraps; deterministic across JVMs
-          val v = prod & 0x1FFFFFFFFFFFFFFFL
+          val v = (a * h + b) & 0x1FFFFFFFFFFFFFFFL // mod 2^61 of the wrapped sum
           if (v < mn) mn = v
         }
         mn
       }
       (id, sig)
     }.toDF("id", "sig")
-    val banded = sigs.select(col("id"), posexplode(
+    val banded = sigs.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b).cast("long"))))
-      .toDF("id", "band", "bucket")
+        b => md5(concat_ws(",", concat(lit("b"), b.cast("string")),
+          concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            v => v.cast("string"))))))).as("bucket"))
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // verify candidates with exact Jaccard
-    val exact = jaccardPairs(docs, threshold, idCol, textCol)
-    cand.join(exact, Seq("id_a", "id_b"), "inner")
+    // exact Jaccard on candidate pairs only: two narrow joins on id
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(tok.toDF("id_a", "w"), "id_a")
+      .join(tok.toDF("id_b", "w"), Seq("id_b", "w")) // USING(id_b, w) = token intersection
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Quality-scoring features per document — pure codegen'd columns
