@@ -95,7 +95,91 @@ object LlmQueries {
     })
   )
 
+  /** Interpolate a Scala Double bit-exactly (string parse, not a DECIMAL
+    * literal).
+    */
+  private def d(v: Double): String = s"'$v'::DOUBLE"
+
+  /** DuckDB oracle for the minhash-LSH dedup: signatures are exactly
+    * reproducible because the token hash is an md5 prefix and the
+    * permutation hash `(a*h+b) mod 2^64 mod 2^61` equals the exact
+    * 128-bit product mod 2^61 (2^61 divides 2^64), i.e. HUGEINT-mod;
+    * band buckets are md5 strings in both engines.
+    */
+  private def sqlMinhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val coefValues = TextOps.minhashCoefficients(numHashes).zipWithIndex
+      .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+    s"""WITH tokw AS (
+       |  SELECT DISTINCT doc_id AS id, w FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents WHERE doc_id < $PairLimit
+       |  )
+       |), toks AS (
+       |  SELECT DISTINCT id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM tokw
+       |), coef(k, a, b) AS (VALUES $coefValues),
+       |mh AS (
+       |  SELECT id, k,
+       |         CAST(MIN((CAST(a AS HUGEINT) * h + b) % 2305843009213693952) AS BIGINT) AS mn
+       |  FROM toks, coef GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT id, list(mn ORDER BY k) AS sg FROM mh GROUP BY 1
+       |), banded AS (
+       |  SELECT id, md5('b' || b || ',' || array_to_string(list_slice(sg, b*$rows+1, b*$rows+$rows), ',')) AS bucket
+       |  FROM sig, range(0, $bands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+       |), sizes AS (SELECT id, COUNT(*) AS sz FROM tokw GROUP BY 1),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS c
+       |  FROM cand c
+       |  JOIN tokw ta ON ta.id = c.id_a
+       |  JOIN tokw tb ON tb.id = c.id_b AND tb.w = ta.w
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB oracle for the LSH ANN top-k: the hyperplanes are a
+    * deterministic sin lattice, interpolated bit-exactly from the JVM's
+    * values, so buckets and reranks are fully reproducible in SQL.
+    */
+  private def sqlAnnLsh(numPlanes: Int, dims: Int, k: Int): String = {
+    val planeValues = (for {
+      p <- 0 until numPlanes
+      dim <- 0 until dims
+    } yield s"($p, $dim, ${d(VectorOps.planeComponent(p, dim))})").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $PairLimit
+       |), pc(p, dd, comp) AS (VALUES $planeValues),
+       |pl AS (SELECT p, list(comp ORDER BY dd) AS pv FROM pc GROUP BY p),
+       |buck AS (
+       |  SELECT e.vec_id,
+       |         SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+       |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+       |  FROM e, pl GROUP BY 1
+       |), wb AS (
+       |  SELECT e.vec_id, e.v, b.bucket FROM e JOIN buck b ON b.vec_id = e.vec_id
+       |), pairs AS (
+       |  SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(a.v, c.v) AS sim
+       |  FROM wb a JOIN wb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |)
+       |SELECT query_id, cand_id, ROUND(sim, 6) AS sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM pairs
+       |) WHERE rn <= $k ORDER BY query_id, cand_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
+    "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

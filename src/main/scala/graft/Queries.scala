@@ -38,6 +38,16 @@ object Queries {
   // 2x downscale target: 16x16 @ 0.2
   val gmDown: GridMapping =
     GridMapping.regular(16, 16, 50.0, 56.8, 0.2, 0.2, Crs.Geographic, Some((8, 8)))
+  // reproject target: same (geographic) CRS, finer res 0.04, origin
+  // offset so fractional source indices never land on .5 rounding
+  // boundaries (frac cycle {.05,.45,.85,.25,.65}), and sized to overrun
+  // the source on the right/bottom so the fill path is exercised
+  val gmReproj: GridMapping =
+    GridMapping.regular(80, 80, 50.035, 59.985 - 80 * 0.04, 0.04, 0.04,
+      Crs.Geographic, Some((16, 16)))
+  // rectify target for the synthetic rotated swath
+  val gmRectify: GridMapping =
+    GridMapping.regular(W, W, 49.5, 56.0, 0.1, 0.1, Crs.Geographic, Some((16, 16)))
 
   // ---------------------------------------------------------------- grids
 
@@ -295,17 +305,15 @@ object Queries {
           .select(col("j").cast("long"), col("i").cast("long"), col("value"))
       }),
       "q_reproject_nearest" -> ((s, dir) => {
-        // UTM32 -> LAEA3035; CRS math not expressible in the SQL oracle
-        // -> rows-only check + golden ScalaTest parity
-        val px = Raster.pixelsFromDf(grid0(s, dir))
-        val utm = GridMapping.regular(W, W, 565250.0, 5933850.0, 100.0, 100.0,
-          Crs.utm(32, north = true), Some((16, 16)))
-        val tiles = Raster.pixelsToTiles(px, utm)
-        val laea = GridMapping.regular(W, W, 4320080.0, 3382480.0, 100.0, 100.0,
-          Crs.laea3035, Some((16, 16)))
+        // geographic -> geographic: the identity CRS transform makes the
+        // FULL reproject pipeline (plan, window-alignment shuffle,
+        // per-tile kernel, out-of-coverage fill) expressible as SQL.
+        // The projected-CRS math (UTM32 -> LAEA3035) is covered by the
+        // ReprojectGoldenSpec pyproj-parity goldens.
+        val tiles = gridTiles(s, dir, useNullGrid = false)
         val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
-        val out = graft.ops.ReprojectOp.reproject(tiles, utm, laea, pol)
-        Raster.pixelsToOracleDf(Raster.tilesToPixels(out, laea))
+        val out = graft.ops.ReprojectOp.reproject(tiles, gmSrc, gmReproj, pol)
+        Raster.pixelsToOracleDf(Raster.tilesToPixels(out, gmReproj))
           .filter(col("value").isNotNull)
           .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
       }),
@@ -331,8 +339,7 @@ object Queries {
             col("y").as("value")).as[graft.model.Pixel], irr)
         // equal res (scale 1.0) so the bench measures the rasterize +
         // gather pipeline, not the (separately golden-tested) prepass
-        val dstGm = GridMapping.regular(W, W, 49.5, 56.0, 0.1, 0.1,
-          Crs.Geographic, Some((16, 16)))
+        val dstGm = gmRectify
         val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
         val out = graft.ops.RectifyOp.rectify(
           dataTiles, xTiles.union(yTiles), irr, dstGm, pol)
@@ -350,12 +357,79 @@ object Queries {
     )
   }
 
+  /** Interpolate a Scala Double into SQL bit-exactly: Double.toString
+    * round-trips, and the string->DOUBLE cast parses to the nearest
+    * double — the same bits the JVM kernel used. Plain numeric literals
+    * would be DuckDB DECIMALs with different arithmetic.
+    */
+  private def d(v: Double): String = s"'$v'::DOUBLE"
+
+  /** Oracle for the geographic->geographic reproject: the kernel maps
+    * each target pixel center through the (identity) CRS transform to
+    * fractional source indices and samples nearest (rint); out-of-range
+    * indices fall out of the join = the NaN-fill path. Arithmetic
+    * mirrors ReprojectOp's kernel expression-for-expression.
+    */
+  private def sqlReprojectNearest: String = {
+    val g = gmReproj
+    s"""$sqlGrid0, tcells AS (
+       |  SELECT r // ${g.width} AS j, r % ${g.width} AS i
+       |  FROM range(0, ${g.width * g.height}) t(r)
+       |), f AS (
+       |  SELECT j, i,
+       |    ((${d(g.xMin)} + (i + 0.5) * ${d(g.xRes)}) - ${d(gmSrc.xMin)}) / ${d(gmSrc.xRes)} - 0.5 AS fi,
+       |    (${d(gmSrc.yMax)} - (${d(g.yMax)} - (j + 0.5) * ${d(g.yRes)})) / ${d(gmSrc.yRes)} - 0.5 AS fj
+       |  FROM tcells
+       |)
+       |SELECT f.j, f.i, ROUND(g.value, 6) AS value
+       |FROM f JOIN grid0 g
+       |  ON g.i = CAST(ROUND(fi) AS BIGINT) AND g.j = CAST(ROUND(fj) AS BIGINT)
+       |ORDER BY f.j, f.i""".stripMargin
+  }
+
+  /** Oracle for the synthetic-swath rectify: the swath coords are a
+    * rotation of pixel-center index space, so the triangle rasterizer's
+    * barycentric lookup reduces to the closed-form inverse rotation;
+    * acceptance is the UV_DELTA-grown swath extent and nearest sampling
+    * is the kernel's `frac > 0.5` step. Margins verified: every target
+    * center is >= 4e-5 from a 0.5-rounding boundary and >= 9e-3 from
+    * the acceptance boundary, far beyond fp noise.
+    */
+  private def sqlRectifyNearest: String = {
+    val ang = 0.1
+    val c = math.cos(ang); val s = math.sin(ang)
+    val dst = gmRectify
+    s"""$sqlGrid0, tcells AS (
+       |  SELECT r // ${dst.width} AS j, r % ${dst.width} AS i
+       |  FROM range(0, ${dst.width * dst.height}) t(r)
+       |), f AS (
+       |  SELECT j, i,
+       |    ${d(c)} * ((${d(dst.xMin)} + (i + 0.5) * ${d(dst.xRes)} - 50.0) / 0.1)
+       |      + ${d(s)} * ((60.0 - (${d(dst.yMax)} - (j + 0.5) * ${d(dst.yRes)})) / 0.1) - 0.5 AS fi,
+       |    -${d(s)} * ((${d(dst.xMin)} + (i + 0.5) * ${d(dst.xRes)} - 50.0) / 0.1)
+       |      + ${d(c)} * ((60.0 - (${d(dst.yMax)} - (j + 0.5) * ${d(dst.yRes)})) / 0.1) - 0.5 AS fj
+       |  FROM tcells
+       |), hit AS (
+       |  SELECT j, i,
+       |    CAST(FLOOR(fi) AS BIGINT) + CASE WHEN fi - FLOOR(fi) > 0.5 THEN 1 ELSE 0 END AS si,
+       |    CAST(FLOOR(fj) AS BIGINT) + CASE WHEN fj - FLOOR(fj) > 0.5 THEN 1 ELSE 0 END AS sj
+       |  FROM f
+       |  WHERE fi >= -0.001 AND fi <= ${W - 1} + 0.002
+       |    AND fj >= -0.001 AND fj <= ${W - 1} + 0.002
+       |)
+       |SELECT h.j, h.i, ROUND(g.value, 6) AS value
+       |FROM hit h JOIN grid0 g ON g.i = h.si AND g.j = h.sj
+       |ORDER BY h.j, h.i""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val coarsenOs = coarsenConfigs.map { case (m, useN, rd) =>
       s"q_coarsen_${m.name}" -> coarsenSql(m, useN, rd)
     }.toMap
 
     coarsenOs ++ Map(
+      "q_reproject_nearest" -> sqlReprojectNearest,
+      "q_rectify_nearest" -> sqlRectifyNearest,
       "q_affine_upscale_nearest" -> sqlUpNearest,
       "q_affine_upscale_bilinear" -> sqlUpBilinear,
       "q_affine_subset_shift" -> sqlShift,

@@ -46,7 +46,7 @@ object VectorOps {
     * a fixed sinusoidal lattice — cheap, portable, and reproducible in
     * SQL if ever needed.
     */
-  private def planeComponent(plane: Int, dim: Int): Double =
+  def planeComponent(plane: Int, dim: Int): Double =
     math.sin(1.0 + 0.7 * plane + 1.3 * dim + 0.01 * plane * dim)
 
   /** Sign-random-projection LSH: `numPlanes` hyperplanes -> one bucket
