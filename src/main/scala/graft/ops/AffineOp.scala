@@ -84,18 +84,33 @@ object AffineOp {
     }
   }
 
-  /** Single inverse-mapping warp (reference: affine.py:316-362). */
+  /** Single inverse-mapping warp (reference: affine.py:316-362). The
+    * tile->window plan is generated distributed from the target tile
+    * index range (pure affine math per tile); a driver-side O(1) check
+    * of the global corner box decides whether fill-only tasks can exist
+    * at all, so the common fully-covered case skips their stages.
+    */
   def upscale(
       tiles: Dataset[Tile],
       srcGm: GridMapping,
       dstGm: GridMapping,
       matrix: Affine,
       policies: Map[String, VarPolicy]): Dataset[Tile] = {
-    val plan = TileGather.planFromWindows(srcGm, warpWindows(srcGm, dstGm, matrix))
+    val dstWd = dstGm.width; val dstHt = dstGm.height
+    val dTw = dstGm.tileWidth; val dTh = dstGm.tileHeight
+    val srcWd = srcGm.width; val srcHt = srcGm.height
+    val m = matrix
+    val windowOf = (dtj: Int, dti: Int) => {
+      val i0 = dti * dTw; val j0 = dtj * dTh
+      val i1 = math.min(i0 + dTw, dstWd); val j1 = math.min(j0 + dTh, dstHt)
+      val (a, b, c, d) = warpWindow(m, srcWd, srcHt, i0, j0, i1, j1)
+      TileGather.WindowRow(dtj, dti, a, b, c, d)
+    }
     val srcW = srcGm.width; val srcH = srcGm.height
     val dstTileW = dstGm.tileWidth; val dstTileH = dstGm.tileHeight
     val dstW = dstGm.width; val dstH = dstGm.height
-    TileGather.gather(tiles, srcGm, plan, (v, b, dtj, dti, win) => {
+    TileGather.gatherWithWindows(tiles, srcGm, dstGm.numTilesX, dstGm.numTilesY,
+      windowOf, (v, b, dtj, dti, win) => {
       val p = policies(v)
       val h = math.min(dstTileH, dstH - dtj * dstTileH)
       val w = math.min(dstTileW, dstW - dti * dstTileW)
@@ -143,25 +158,24 @@ object AffineOp {
       v => { val p = policies(v); (p.agg, p.dtype.isInt) })
   }
 
-  /** Per-target-tile source windows from the affine matrix: map the
-    * tile's index-corner box, widen by 1 px for the interpolation
-    * stencil, clip to the source extent.
+  /** Source window of one target index box [i0,i1) x [j0,j1): map the
+    * tile's index corners through the matrix, widen by 1 px for the
+    * interpolation stencil, clip to the source extent. (-1,-1,-1,-1) =
+    * no overlap (fill-only).
     */
-  def warpWindows(
-      srcGm: GridMapping, dstGm: GridMapping, matrix: Affine): Seq[(Int, Int, (Int, Int, Int, Int))] =
-    dstGm.ijBboxes.toSeq.map { case (dtj, dti, i0, j0, i1, j1) =>
-      // dst pixel indices run i0..i1-1; sample coords = matrix * index
-      val corners = Seq(
-        matrix(i0, j0), matrix(i1 - 1, j0), matrix(i0, j1 - 1), matrix(i1 - 1, j1 - 1))
-      val sxMin = math.floor(corners.map(_._1).min).toInt - 1
-      val sxMax = math.ceil(corners.map(_._1).max).toInt + 2
-      val syMin = math.floor(corners.map(_._2).min).toInt - 1
-      val syMax = math.ceil(corners.map(_._2).max).toInt + 2
-      val ci0 = math.max(0, sxMin); val ci1 = math.min(srcGm.width, sxMax)
-      val cj0 = math.max(0, syMin); val cj1 = math.min(srcGm.height, syMax)
-      val win =
-        if (ci0 >= ci1 || cj0 >= cj1) (-1, -1, -1, -1)
-        else (ci0, cj0, ci1, cj1)
-      (dtj, dti, win)
-    }
+  def warpWindow(
+      matrix: Affine, srcW: Int, srcH: Int,
+      i0: Int, j0: Int, i1: Int, j1: Int): (Int, Int, Int, Int) = {
+    // dst pixel indices run i0..i1-1; sample coords = matrix * index
+    val corners = Seq(
+      matrix(i0, j0), matrix(i1 - 1, j0), matrix(i0, j1 - 1), matrix(i1 - 1, j1 - 1))
+    val sxMin = math.floor(corners.map(_._1).min).toInt - 1
+    val sxMax = math.ceil(corners.map(_._1).max).toInt + 2
+    val syMin = math.floor(corners.map(_._2).min).toInt - 1
+    val syMax = math.ceil(corners.map(_._2).max).toInt + 2
+    val ci0 = math.max(0, sxMin); val ci1 = math.min(srcW, sxMax)
+    val cj0 = math.max(0, syMin); val cj1 = math.min(srcH, syMax)
+    if (ci0 >= ci1 || cj0 >= cj1) (-1, -1, -1, -1)
+    else (ci0, cj0, ci1, cj1)
+  }
 }

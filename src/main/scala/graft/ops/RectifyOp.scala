@@ -128,7 +128,11 @@ object RectifyOp {
   }
 
   /** Stage 2+3: per-target-tile source bbox plan (one aggregate job over
-    * the coord tiles), then the rasterization gather.
+    * the coord tiles — each pixel bins ANALYTICALLY into the few target
+    * tiles whose grown bbox can contain it, O(1) per pixel instead of a
+    * loop over every tile), then the rasterization gather. Nothing
+    * driver-side scales with tile count: windows, plan, and fill tiles
+    * are all Datasets.
     */
   def computeLookup(
       coordTiles: Dataset[Tile],
@@ -139,34 +143,33 @@ object RectifyOp {
 
     // empirical xy border growing with tile count
     // (reference: rectify.py:329-344)
-    val numTilesX = dstGm.width.toDouble / dstGm.tileWidth
-    val numTilesY = dstGm.height.toDouble / dstGm.tileHeight
+    val numTilesXF = dstGm.width.toDouble / dstGm.tileWidth
+    val numTilesYF = dstGm.height.toDouble / dstGm.tileHeight
     val xyBorder = math.min(
-      math.min(2 * numTilesX * dstGm.xRes, 2 * numTilesY * dstGm.yRes),
+      math.min(2 * numTilesXF * dstGm.xRes, 2 * numTilesYF * dstGm.yRes),
       math.min(0.5 * (dstGm.xMax - dstGm.xMin), 0.5 * (dstGm.yMax - dstGm.yMin)))
 
-    // target tile xy bboxes, grown by xyBorder (driver-side, tiny)
-    val dstBoxes = dstGm.ijBboxes.toSeq.map { case (dtj, dti, _, _, _, _) =>
-      val (x0, y0, x1, y1) = dstGm.xyBboxOfTile(dtj, dti)
-      (dtj, dti, x0 - xyBorder, y0 - xyBorder, x1 + xyBorder, y1 + xyBorder)
-    }
-    val boxesB = spark.sparkContext.broadcast(dstBoxes)
+    val srcTw = srcGm.tileWidth; val srcTh = srcGm.tileHeight
+    val dtw = dstGm.tileWidth; val dth = dstGm.tileHeight
+    val dW = dstGm.width; val dH = dstGm.height
+    val dXMin = dstGm.xMin; val dYMin = dstGm.yMin; val dYMax = dstGm.yMax
+    val dXRes = dstGm.xRes; val dYRes = dstGm.yRes
+    val jUp = dstGm.isJAxisUp
+    val nTx = dstGm.numTilesX; val nTy = dstGm.numTilesY
 
     // ONE scan of the coord tiles: each coord pixel votes min/max into
-    // every target bbox containing it (reference numba scan:
-    // gridmapping/bboxes.py:28-106 — same contract: pixel centers
-    // against grown bboxes)
-    val srcTw = srcGm.tileWidth; val srcTh = srcGm.tileHeight
-    val partial = coordTiles
+    // the target tiles whose grown bbox contains it (reference numba
+    // scan: gridmapping/bboxes.py:28-106 — same pixel-center-vs-grown-
+    // bbox predicate, but the candidate tiles come from O(1) index
+    // arithmetic on the regular target grid, not a scan of all boxes)
+    val partials = coordTiles
       .groupByKey(c => (c.tj, c.ti))
       .flatMapGroups { (_: (Int, Int), ts: Iterator[Tile]) =>
         val arr = ts.toArray
         val xs = arr.find(_.varName == "x").get
         val ys = arr.find(_.varName == "y").get
-        val boxes = boxesB.value
-        val n = boxes.size
-        val iMin = Array.fill(n)(Int.MaxValue); val jMin = Array.fill(n)(Int.MaxValue)
-        val iMax = Array.fill(n)(Int.MinValue); val jMax = Array.fill(n)(Int.MinValue)
+        val acc = new java.util.HashMap[Long, Array[Int]]()
+        val spanX = dtw * dXRes; val spanY = dth * dYRes
         var j = 0
         while (j < xs.h) {
           var i = 0
@@ -174,100 +177,139 @@ object RectifyOp {
             val x = xs.data(j * xs.w + i); val y = ys.data(j * xs.w + i)
             if (!x.isNaN && !y.isNaN) {
               val gi = xs.ti * srcTw + i; val gj = xs.tj * srcTh + j
-              var b = 0
-              while (b < n) {
-                val (_, _, bx0, by0, bx1, by1) = boxes(b)
-                if (x >= bx0 && x <= bx1 && y >= by0 && y <= by1) {
-                  if (gi < iMin(b)) iMin(b) = gi
-                  if (gi > iMax(b)) iMax(b) = gi
-                  if (gj < jMin(b)) jMin(b) = gj
-                  if (gj > jMax(b)) jMax(b) = gj
+              // conservative candidate ranges (±1 tile), exact
+              // grown-bbox predicate applied per candidate
+              var tiLo = math.floor((x - dXMin - xyBorder) / spanX).toInt - 1
+              var tiHi = math.floor((x - dXMin + xyBorder) / spanX).toInt + 1
+              if (tiLo < 0) tiLo = 0
+              if (tiHi > nTx - 1) tiHi = nTx - 1
+              val yOff = if (jUp) y - dYMin else dYMax - y
+              var tjLo = math.floor((yOff - xyBorder) / spanY).toInt - 1
+              var tjHi = math.floor((yOff + xyBorder) / spanY).toInt + 1
+              if (tjLo < 0) tjLo = 0
+              if (tjHi > nTy - 1) tjHi = nTy - 1
+              var dtj = tjLo
+              while (dtj <= tjHi) {
+                var dti = tiLo
+                while (dti <= tiHi) {
+                  val i0 = dti * dtw; val i1 = math.min(i0 + dtw, dW)
+                  val j0 = dtj * dth; val j1 = math.min(j0 + dth, dH)
+                  val bx0 = dXMin + i0 * dXRes - xyBorder
+                  val bx1 = dXMin + i1 * dXRes + xyBorder
+                  val by0 = (if (jUp) dYMin + j0 * dYRes else dYMax - j1 * dYRes) - xyBorder
+                  val by1 = (if (jUp) dYMin + j1 * dYRes else dYMax - j0 * dYRes) + xyBorder
+                  if (x >= bx0 && x <= bx1 && y >= by0 && y <= by1) {
+                    val key = (dtj.toLong << 32) | (dti.toLong & 0xFFFFFFFFL)
+                    var e = acc.get(key)
+                    if (e == null) {
+                      e = Array(gi, gj, gi, gj)
+                      acc.put(key, e)
+                    } else {
+                      if (gi < e(0)) e(0) = gi
+                      if (gj < e(1)) e(1) = gj
+                      if (gi > e(2)) e(2) = gi
+                      if (gj > e(3)) e(3) = gj
+                    }
+                  }
+                  dti += 1
                 }
-                b += 1
+                dtj += 1
               }
             }
             i += 1
           }
           j += 1
         }
-        (0 until n).iterator.filter(b => iMax(b) >= 0).map(b =>
-          (b, iMin(b), jMin(b), iMax(b), jMax(b)))
-      }
-      .groupByKey(_._1)
-      .mapGroups { (b: Int, rows: Iterator[(Int, Int, Int, Int, Int)]) =>
-        var i0 = Int.MaxValue; var j0 = Int.MaxValue; var i1 = Int.MinValue; var j1 = Int.MinValue
-        rows.foreach { r =>
-          i0 = math.min(i0, r._2); j0 = math.min(j0, r._3)
-          i1 = math.max(i1, r._4); j1 = math.max(j1, r._5)
+        val it = acc.entrySet().iterator()
+        new Iterator[(Int, Int, Int, Int, Int, Int)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Int, Int, Int, Int, Int, Int) = {
+            val e = it.next()
+            val k = e.getKey; val v = e.getValue
+            ((k >> 32).toInt, k.toInt, v(0), v(1), v(2), v(3))
+          }
         }
-        (b, i0, j0, i1, j1)
       }
-      .collect()
-      .map { case (b, i0, j0, i1, j1) => b -> (i0, j0, i1, j1) }
-      .toMap
 
-    // ij_border = 1, clip to size (reference: rectify.py:343-344 with
-    // ij_bboxes_from_xy_bboxes(ij_border=1)); window max made inclusive
-    // +1 like the reference's slice j_min:j_max+1 (rectify.py:397-399)
-    val windows = dstBoxes.zipWithIndex.map { case ((dtj, dti, _, _, _, _), b) =>
-      val win = partial.get(b) match {
-        case Some((i0, j0, i1, j1)) =>
-          val gi0 = math.max(0, i0 - 1); val gj0 = math.max(0, j0 - 1)
-          val gi1 = math.min(srcGm.width, i1 + 1 + 1); val gj1 = math.min(srcGm.height, j1 + 1 + 1)
-          (gi0, gj0, gi1, gj1)
-        case None => (-1, -1, -1, -1)
+    // merge partials per target tile, then apply the reference's window
+    // border: ij_border = 1 and the inclusive +1 slice end
+    // (reference: rectify.py:343-344, 397-399)
+    val srcWd = srcGm.width; val srcHt = srcGm.height
+    val windowRows0 = partials
+      .groupByKey(r => (r._1, r._2))
+      .reduceGroups { (a, b) =>
+        (a._1, a._2,
+          math.min(a._3, b._3), math.min(a._4, b._4),
+          math.max(a._5, b._5), math.max(a._6, b._6))
       }
-      (dtj, dti, win)
-    }
-    val plan = TileGather.planFromWindows(srcGm, windows)
-    val planDs = spark.createDataset(plan)
+      .map { case (_, (dtj, dti, i0, j0, i1, j1)) =>
+        TileGather.WindowRow(dtj, dti,
+          math.max(0, i0 - 1), math.max(0, j0 - 1),
+          math.min(srcWd, i1 + 1 + 1), math.min(srcHt, j1 + 1 + 1))
+      }
 
-    val dtw = dstGm.tileWidth; val dth = dstGm.tileHeight
-    val dW = dstGm.width; val dH = dstGm.height
-    val dXMin = dstGm.xMin; val dYMin = dstGm.yMin; val dYMax = dstGm.yMax
-    val dXRes = dstGm.xRes; val dYRes = dstGm.yRes
-    val jUp = dstGm.isJAxisUp
-
-    val covered = coordTiles.joinWith(
-        broadcast(planDs),
-        coordTiles("tj") === planDs("srcTj") && coordTiles("ti") === planDs("srcTi"),
-        "inner")
-      .groupByKey { case (_, p) => (p.dtj, p.dti) }
-      .mapGroups { (key: (Int, Int), rows: Iterator[(Tile, TileGather.PlanRow)]) =>
-        val (dtj, dti) = key
-        val buf = rows.toArray
-        val p = buf.head._2
-        val xWin = TileGather.assembleWindow(p, buf.map(_._1).filter(_.varName == "x"), srcTw, srcTh)
-        val yWin = TileGather.assembleWindow(p, buf.map(_._1).filter(_.varName == "y"), srcTw, srcTh)
-        val h = math.min(dth, dH - dtj * dth)
-        val w = math.min(dtw, dW - dti * dtw)
-        val srcI = Array.fill(h * w)(Double.NaN)
-        val srcJ = Array.fill(h * w)(Double.NaN)
-        if (p.i0 >= 0) {
-          val dstXOffset = dXMin + dti * dtw * dXRes
-          val (dstYOffset, dstYScale) =
-            if (jUp) (dYMin + dtj * dth * dYRes, dYRes)
-            else (dYMax - dtj * dth * dYRes, -dYRes)
-          TriangleRasterizer.rasterize(
-            xWin.data, yWin.data, xWin.w, xWin.h, xWin.i0, xWin.j0,
-            dstXOffset, dstYOffset, dXRes, dstYScale,
-            w, h, UvDelta, srcI, srcJ)
+    def rasterized(planDs: Dataset[TileGather.PlanRow]): Dataset[LookupTile] =
+      coordTiles.joinWith(
+          planDs,
+          coordTiles("tj") === planDs("srcTj") && coordTiles("ti") === planDs("srcTi"),
+          "inner")
+        .groupByKey { case (_, p) => (p.dtj, p.dti) }
+        .mapGroups { (key: (Int, Int), rows: Iterator[(Tile, TileGather.PlanRow)]) =>
+          val (dtj, dti) = key
+          val buf = rows.toArray
+          val p = buf.head._2
+          val xWin = TileGather.assembleWindow(p, buf.map(_._1).filter(_.varName == "x"), srcTw, srcTh)
+          val yWin = TileGather.assembleWindow(p, buf.map(_._1).filter(_.varName == "y"), srcTw, srcTh)
+          val h = math.min(dth, dH - dtj * dth)
+          val w = math.min(dtw, dW - dti * dtw)
+          val srcI = Array.fill(h * w)(Double.NaN)
+          val srcJ = Array.fill(h * w)(Double.NaN)
+          if (p.i0 >= 0) {
+            val dstXOffset = dXMin + dti * dtw * dXRes
+            val (dstYOffset, dstYScale) =
+              if (jUp) (dYMin + dtj * dth * dYRes, dYRes)
+              else (dYMax - dtj * dth * dYRes, -dYRes)
+            TriangleRasterizer.rasterize(
+              xWin.data, yWin.data, xWin.w, xWin.h, xWin.i0, xWin.j0,
+              dstXOffset, dstYOffset, dXRes, dstYScale,
+              w, h, UvDelta, srcI, srcJ)
+          }
+          LookupTile(dtj, dti, h, w, srcI, srcJ)
         }
-        LookupTile(dtj, dti, h, w, srcI, srcJ)
-      }
 
-    // target tiles with NO source coverage never match the inner join —
-    // emit all-NaN lookup tiles for them so gatherVars produces fill
-    // tiles, like the reference's -1-bbox all-NaN lookup blocks
-    // (reference: rectify.py:393-396)
-    val uncovered = windows.collect { case (dtj, dti, (i0, _, _, _)) if i0 < 0 =>
+    def nanLookup(dtj: Int, dti: Int): LookupTile = {
       val h = math.min(dth, dH - dtj * dth)
       val w = math.min(dtw, dW - dti * dtw)
       LookupTile(dtj, dti, h, w,
         Array.fill(h * w)(Double.NaN), Array.fill(h * w)(Double.NaN))
     }
-    if (uncovered.isEmpty) covered
-    else covered.union(spark.createDataset(uncovered))
+
+    // target tiles with NO source coverage never match the inner join —
+    // they still get all-NaN lookup tiles so gathers produce fill tiles,
+    // like the reference's -1-bbox blocks (reference: rectify.py:393-396).
+    // Small grids: one bounded collect (<= DriverPlanMaxTiles rows of
+    // 24 B) buys a broadcast plan + driver-computed fill tiles — far
+    // fewer stages. At scale everything stays distributed and nothing
+    // on the driver grows with tile count.
+    if (nTx.toLong * nTy <= TileGather.DriverPlanMaxTiles) {
+      val wr = windowRows0.collect().toSeq
+      val plan = broadcast(spark.createDataset(wr.flatMap(w =>
+        TileGather.planRowsOf(srcTw, srcTh, srcGm.numTilesX, srcGm.numTilesY, w))))
+      val coveredSet = wr.map(w => (w.dtj, w.dti)).toSet
+      val fills = for {
+        dtj <- 0 until nTy; dti <- 0 until nTx if !coveredSet((dtj, dti))
+      } yield nanLookup(dtj, dti)
+      if (fills.isEmpty) rasterized(plan)
+      else rasterized(plan).union(spark.createDataset(fills))
+    } else {
+      val wr = windowRows0.persist()
+      val plan = TileGather.planDs(srcGm, wr)
+      val uncovered = spark.range(nTx.toLong * nTy)
+        .map(id => ((id / nTx).toInt, (id % nTx).toInt))
+        .except(wr.map(w => (w.dtj, w.dti)))
+        .map { case (dtj, dti) => nanLookup(dtj, dti) }
+      rasterized(plan).union(uncovered)
+    }
   }
 
   /** Stage 4: sample every variable through the lookup image. The source
@@ -284,8 +326,11 @@ object RectifyOp {
     val spark = tiles.sparkSession
     import spark.implicits._
 
-    // per-target-tile source windows from the lookup extents
-    val windows = lookup.map { lt =>
+    // per-target-tile source windows from the lookup extents — a
+    // distributed map over the (cached) lookup tiles; no driver collect
+    val srcW = srcGm.width; val srcH = srcGm.height
+    val srcTw = srcGm.tileWidth; val srcTh = srcGm.tileHeight
+    val windowRows = lookup.map { lt =>
       var i0 = Double.MaxValue; var j0 = Double.MaxValue
       var i1 = Double.MinValue; var j1 = Double.MinValue
       var k = 0
@@ -297,17 +342,15 @@ object RectifyOp {
         }
         k += 1
       }
-      if (i1 < i0) (lt.tj, lt.ti, -1, -1, -1, -1)
-      else (lt.tj, lt.ti,
+      if (i1 < i0) TileGather.WindowRow(lt.tj, lt.ti, -1, -1, -1, -1)
+      else TileGather.WindowRow(lt.tj, lt.ti,
         i0.toInt, j0.toInt,
-        math.min(i1.toInt + 2, srcGm.width), math.min(j1.toInt + 2, srcGm.height))
-    }.collect().toSeq.map { case (tj, ti, a, b, c, d) => (tj, ti, (a, b, c, d)) }
-
-    val plan = TileGather.planFromWindows(srcGm, windows)
-    val planDs = spark.createDataset(plan)
-
-    val srcW = srcGm.width; val srcH = srcGm.height
-    val srcTw = srcGm.tileWidth; val srcTh = srcGm.tileHeight
+        math.min(i1.toInt + 2, srcW), math.min(j1.toInt + 2, srcH))
+    }
+    val planDs0 = TileGather.planDs(srcGm, windowRows)
+    val planDs =
+      if (dstGm.numTilesX.toLong * dstGm.numTilesY <= TileGather.DriverPlanMaxTiles)
+        broadcast(planDs0) else planDs0
 
     // (var, band) inventory — tiny metadata; the lookup tile is shipped
     // once per (var, band, target tile), which is exactly the data each
@@ -318,7 +361,7 @@ object RectifyOp {
       .as[(Int, Int, Int, Int, Array[Double], Array[Double], String, Int)]
 
     val srcKeyed = tiles.joinWith(
-        broadcast(planDs),
+        planDs,
         tiles("tj") === planDs("srcTj") && tiles("ti") === planDs("srcTi"),
         "inner")
       .groupByKey { case (t, p) => (t.varName, t.band, p.dtj, p.dti) }

@@ -45,22 +45,25 @@ object ReprojectOp {
     // 2. downscale prepass
     val (tiles2, srcGm2) = downscaleSource(tiles1, srcGm1, dstGm, inv, policies)
 
-    // 3. plan: per-target-tile source windows
+    // 3. plan: per-target-tile source windows — a pure function of the
+    // tile index (inverse transform_bounds of the tile bbox); built on
+    // the driver for small grids, generated distributed at scale so
+    // nothing driver-side grows with tile count
     val cx0 = srcGm2.xMin + srcGm2.xRes / 2 // center of column 0
     val cy0 = srcGm2.yMax - srcGm2.yRes / 2 // center of row 0 (j-down)
-    val windows = dstGm.ijBboxes.toSeq.map { case (dtj, dti, _, _, _, _) =>
-      val (bx0, by0, bx1, by1) = dstGm.xyBboxOfTile(dtj, dti)
-      val (sx0, sy0, sx1, sy1) = inv.transformBounds(bx0, by0, bx1, by1)
-      val iMin = math.floor((sx0 - cx0) / srcGm2.xRes).toInt
-      val iMax = math.ceil((sx1 - cx0) / srcGm2.xRes).toInt
-      val jMin = math.floor((cy0 - sy1) / srcGm2.yRes).toInt
-      val jMax = math.ceil((cy0 - sy0) / srcGm2.yRes).toInt
-      val ci0 = math.max(0, iMin); val ci1 = math.min(srcGm2.width, iMax + 1)
-      val cj0 = math.max(0, jMin); val cj1 = math.min(srcGm2.height, jMax + 1)
-      val win = if (ci0 >= ci1 || cj0 >= cj1) (-1, -1, -1, -1) else (ci0, cj0, ci1, cj1)
-      (dtj, dti, win)
+    val srcGmP = srcGm2; val dstGmP = dstGm; val invP = inv
+    val windowOf = (dtj: Int, dti: Int) => {
+      val (bx0, by0, bx1, by1) = dstGmP.xyBboxOfTile(dtj, dti)
+      val (sx0, sy0, sx1, sy1) = invP.transformBounds(bx0, by0, bx1, by1)
+      val iMin = math.floor((sx0 - cx0) / srcGmP.xRes).toInt
+      val iMax = math.ceil((sx1 - cx0) / srcGmP.xRes).toInt
+      val jMin = math.floor((cy0 - sy1) / srcGmP.yRes).toInt
+      val jMax = math.ceil((cy0 - sy0) / srcGmP.yRes).toInt
+      val ci0 = math.max(0, iMin); val ci1 = math.min(srcGmP.width, iMax + 1)
+      val cj0 = math.max(0, jMin); val cj1 = math.min(srcGmP.height, jMax + 1)
+      if (ci0 >= ci1 || cj0 >= cj1) TileGather.WindowRow(dtj, dti, -1, -1, -1, -1)
+      else TileGather.WindowRow(dtj, dti, ci0, cj0, ci1, cj1)
     }
-    val plan = TileGather.planFromWindows(srcGm2, windows)
 
     // 4. gather + kernel
     val srcW = srcGm2.width; val srcH = srcGm2.height
@@ -72,7 +75,8 @@ object ReprojectOp {
     val dXRes = dstGm.xRes; val dYRes = dstGm.yRes
     val jUp = dstGm.isJAxisUp
 
-    TileGather.gather(tiles2, srcGm2, plan, (v, b, dtj, dti, win) => {
+    TileGather.gatherWithWindows(tiles2, srcGm2, dstGm.numTilesX, dstGm.numTilesY,
+      windowOf, (v, b, dtj, dti, win) => {
       val p = policies(v)
       val h = math.min(dth, dH - dtj * dth)
       val w = math.min(dtw, dW - dti * dtw)
