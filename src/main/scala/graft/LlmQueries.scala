@@ -70,6 +70,21 @@ object LlmQueries {
       feats.toDF().select(col("doc_id"), col("media_type"), col("byte_len"))
     }),
 
+    "q_multimodal_decode" -> ((s, dir) => {
+      // REAL decode: synthesize deterministic PNGs (dims derived from
+      // the id), ship them as binary payloads, decode with
+      // javax.imageio in the batched kernel; the oracle predicts the
+      // dims analytically
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    }),
+
     "q_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -262,6 +277,11 @@ object LlmQueries {
       s"""WITH $sqlToks
          |SELECT doc_id, MIN(md5(w)) AS fingerprint, COUNT(DISTINCT w) AS n_distinct
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id, 16 + doc_id % 32 AS width, 16 + doc_id % 17 AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id,

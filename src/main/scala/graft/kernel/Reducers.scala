@@ -76,17 +76,30 @@ object Reducers {
         }
       case _ =>
         // streaming reducers
-        var sum = 0.0; var sumSq = 0.0; var prod = 1.0
+        var sum = 0.0; var prod = 1.0
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
         var cnt = 0; var k = 0
         while (k < n) {
           val v = values(k)
           if (isIntType || !v.isNaN) {
-            sum += v; sumSq += v * v; prod *= v
+            sum += v; prod *= v
             if (v < mn) mn = v; if (v > mx) mx = v
             cnt += 1
           }
           k += 1
+        }
+        // two-pass variance (mean, then mean of squared deviations) —
+        // numpy's nanvar formulation; the one-pass E[x^2]-E[x]^2 form
+        // cancels catastrophically for large-magnitude windows
+        def var2(): Double = {
+          val m = sum / cnt
+          var s = 0.0; var k2 = 0
+          while (k2 < n) {
+            val v = values(k2)
+            if (isIntType || !v.isNaN) { val d = v - m; s += d * d }
+            k2 += 1
+          }
+          s / cnt
         }
         val res = method match {
           case Sum  => if (cnt == 0) 0.0 else sum // np.nansum of all-NaN = 0
@@ -94,8 +107,8 @@ object Reducers {
           case Max  => if (cnt == 0) Double.NaN else mx
           case Min  => if (cnt == 0) Double.NaN else mn
           case Mean => if (cnt == 0) Double.NaN else sum / cnt
-          case Var  => if (cnt == 0) Double.NaN else { val m = sum / cnt; sumSq / cnt - m * m }
-          case Std  => if (cnt == 0) Double.NaN else { val m = sum / cnt; math.sqrt(math.max(0.0, sumSq / cnt - m * m)) }
+          case Var  => if (cnt == 0) Double.NaN else var2()
+          case Std  => if (cnt == 0) Double.NaN else math.sqrt(var2())
           case other => throw new IllegalStateException(other.name)
         }
         if (isIntType && (method == Mean || method == Var || method == Std)) rint(res) else res

@@ -21,9 +21,57 @@ object Multimodal {
       doc_id: Long, media_type: String, byte_len: Long,
       checksum: Long, width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder: replace with a real codec (JPEG/PNG/WAV/MP4) bound
-    * in via JNI or a pure-JVM lib. Deterministic fake: dimensions from
-    * a byte checksum, 1 frame for images, byte_len/1024 for video.
+  /** True when the payload starts with a magic number javax.imageio can
+    * decode (PNG / JPEG / GIF / BMP).
+    */
+  def looksLikeImage(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && {
+      val b0 = payload(0) & 0xFF; val b1 = payload(1) & 0xFF
+      val b2 = payload(2) & 0xFF; val b3 = payload(3) & 0xFF
+      (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') || // PNG
+      (b0 == 0xFF && b1 == 0xD8) ||                          // JPEG
+      (b0 == 'G' && b1 == 'I' && b2 == 'F') ||               // GIF
+      (b0 == 'B' && b1 == 'M')                               // BMP
+    }
+
+  /** REAL image decode via javax.imageio (pure JVM, no native codecs):
+    * returns (width, height, 1) for a decodable PNG/JPEG/GIF/BMP
+    * payload, None otherwise.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None else Some((img.getWidth, img.getHeight, 1))
+    } catch { case _: Exception => None }
+
+  /** Deterministic tiny PNG: dims derive from the id (width
+    * 16 + id % 32, height 16 + id % 17), pixels a fixed gradient —
+    * decodable fixture for the real-decode path.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 32).toInt
+    val h = 16 + (id % 17).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((x * 31 + y * 7 + id) & 0xFFFFFF).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB decoder for the formats with no pure-JVM codec in this
+    * container (audio/video): deterministic fake dimensions from a byte
+    * checksum, byte_len/1024 frames for video. Real image payloads
+    * never reach this — [[extractFeatures]] routes them through
+    * [[decodeImage]].
     */
   def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
     var cs = 0L
@@ -55,7 +103,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition decoder setup would go here (codec/model init)
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.media_type, r.payload)
+        val (w, h, f) = decodeImage(r.payload)
+          .getOrElse(decodeStub(r.media_type, r.payload))
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
           checksum(r.payload), w, h, f)
       }

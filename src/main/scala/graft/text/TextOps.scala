@@ -31,19 +31,37 @@ object TextOps {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** Token-SET Jaccard similarity join >= `threshold`: inverted-index
-    * self-join on tokens (NOT an O(n^2) cross join — pairs only form
-    * when docs share a token), then |A∩B| / (|A|+|B|-|A∩B|).
+  /** Token-SET Jaccard similarity join >= `threshold` with PREFIX
+    * FILTERING (Chaudhuri et al. 2006 "A Primitive Operator for
+    * Similarity Joins"): order each document's tokens by ascending
+    * global document frequency and index only the first
+    * `|A| - ceil(t*|A|) + 1` of them. Any pair with J >= t must share a
+    * prefix token in BOTH prefixes, so the candidate join touches only
+    * the rare end of each document — a corpus-scale hot token like
+    * "the" (max df, ranked last in every document) almost never enters
+    * the index, killing the k^2 fan-out of skewed join keys. Candidates
+    * are then verified with the exact intersection over the full token
+    * sets, so results are IDENTICAL to the unpruned join.
     */
   def jaccardPairs(
       docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = tok.as("a"); val b = tok.as("b")
-    val inter = a.join(b, col("a.w") === col("b.w") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "w")
+      .withColumn("rnk", row_number().over(W.partitionBy(col("id")).orderBy(col("df"), col("w"))))
+      .join(sizes, "id")
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("w"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val inter = cand
+      .join(tok.toDF("id_a", "w"), "id_a")
+      .join(tok.toDF("id_b", "w"), Seq("id_b", "w"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")

@@ -92,4 +92,16 @@ class KernelSpec extends AnyFunSuite {
     val out2 = AffineWarp.warpTile(win, 2, 2, 0, 0, 1, 1, m, 1, Double.NaN, false)
     assert(out2(0).isNaN)
   }
+
+  test("var/std stay exact for large-magnitude windows (two-pass, not E[x^2]-E[x]^2)") {
+    // 1e8 + {1,2,3,4}: mean = 1e8 + 2.5 and every deviation is exactly
+    // representable, so the two-pass population variance is exactly
+    // 1.25; the one-pass form loses ~all significant digits here
+    val vals = Array(1e8 + 1, 1e8 + 2, 1e8 + 3, 1e8 + 4)
+    assert(Reducers.reduce(vals, 2, 2, Reducers.Var, isIntType = false) == 1.25)
+    assert(Reducers.reduce(vals, 2, 2, Reducers.Std, isIntType = false) == math.sqrt(1.25))
+    // NaN-skipping path keeps the same exactness
+    val withNan = Array(1e8 + 1, Double.NaN, 1e8 + 3, 1e8 + 5)
+    assert(Reducers.reduce(withNan, 2, 2, Reducers.Var, isIntType = false) == 8.0 / 3.0)
+  }
 }

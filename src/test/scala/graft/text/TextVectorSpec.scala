@@ -38,6 +38,24 @@ class TextVectorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix filtering changes nothing: pruned jaccard equals the brute-force join") {
+    // brute-force all-pairs Jaccard on the real documents table, bounded
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    for (t <- Seq(0.95, 0.8)) {
+      val pruned = TextOps.jaccardPairs(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val toks = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+      val brute = (for {
+        (a, sa) <- toks; (b, sb) <- toks if a < b
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter) if j >= t
+      } yield (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(pruned == brute, s"threshold $t")
+    }
+  }
+
   test("minhash LSH candidates are a subset of exact pairs and catch identical docs") {
     val got = TextOps.minhashLshPairs(docsDf, numHashes = 64, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -77,6 +95,28 @@ class TextVectorSpec extends AnyFunSuite {
     assert(f1.toSeq == f2.toSeq)
     assert(f1.forall(f => f.byte_len > 0 && f.width >= 16 && f.height >= 16))
     assert(f1.filter(_.media_type == "image").forall(_.n_frames == 1))
+  }
+
+  test("imageio decode recovers real PNG dimensions; non-image payloads fall back to the stub") {
+    val png = Multimodal.syntheticPng(37L) // 16+37%32=21 x 16+37%17=19
+    assert(Multimodal.looksLikeImage(png))
+    assert(Multimodal.decodeImage(png).contains((21, 19, 1)))
+    // a JPEG written by ImageIO itself decodes too
+    val img = new java.awt.image.BufferedImage(8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(Multimodal.decodeImage(bos.toByteArray).contains((8, 5, 1)))
+    // text bytes are not an image -> stub path
+    val txt = "not an image".getBytes("UTF-8")
+    assert(!Multimodal.looksLikeImage(txt))
+    assert(Multimodal.decodeImage(txt).isEmpty)
+    // end-to-end through the batched kernel
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(37L, "image", png),
+      Multimodal.MediaRow(1L, "audio", txt)))
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(1).width == 21 && feats(1).height == 19 && feats(1).n_frames == 1)
+    assert(feats(0).width == 16 + math.floorMod(Multimodal.checksum(txt), 64).toInt) // stub dims
   }
 
   test("language id is deterministic with stable tie-break") {
