@@ -25,7 +25,12 @@ object CfConv {
 
   type Attrs = Map[String, String]
 
-  final case class CoordVars(xName: String, yName: String, is2D: Boolean)
+  /** kind: "geographic" (lon/lat), "rotated" (rlon/rlat,
+    * grid_longitude/grid_latitude), or "projected" (x/y, xc/yc, ...) —
+    * drives CRS pairing like the reference's three GridCoords buckets
+    * (reference: cfconv.py:119-163).
+    */
+  final case class CoordVars(xName: String, yName: String, is2D: Boolean, kind: String = "geographic")
   final case class Candidate(crs: Crs, coords: CoordVars, gmVarName: Option[String])
 
   /** CF grid-mapping attrs -> Crs. Supports the families the engine
@@ -56,17 +61,28 @@ object CfConv {
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
               ell = Crs.GRS80, name = "CF:laea")
+          case "rotated_latitude_longitude" =>
+            Crs.RotatedPole(
+              poleLatDeg = num("grid_north_pole_latitude").getOrElse(90.0),
+              poleLonDeg = num("grid_north_pole_longitude").getOrElse(0.0),
+              axisLonDeg = num("north_pole_grid_longitude").getOrElse(0.0),
+              name = "CF:rotated_pole")
           case other =>
             throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
         }
     }
   }
 
-  private val XStandardNames = Set("longitude", "projection_x_coordinate", "grid_longitude")
-  private val YStandardNames = Set("latitude", "projection_y_coordinate", "grid_latitude")
+  private val XStandardNames = Map(
+    "longitude" -> "geographic", "grid_longitude" -> "rotated",
+    "projection_x_coordinate" -> "projected")
+  private val YStandardNames = Map(
+    "latitude" -> "geographic", "grid_latitude" -> "rotated",
+    "projection_y_coordinate" -> "projected")
   private val XNamePairs = Seq(
-    ("lon", "lat"), ("x", "y"), ("xc", "yc"), ("rlon", "rlat"),
-    ("transformed_x", "transformed_y"), ("longitude", "latitude"))
+    ("lon", "lat", "geographic"), ("x", "y", "projected"), ("xc", "yc", "projected"),
+    ("rlon", "rlat", "rotated"), ("transformed_x", "transformed_y", "projected"),
+    ("longitude", "latitude", "geographic"))
 
   /** Find x/y coordinate variable pairs. `varDims` maps var name ->
     * dim names (1 entry = 1D axis var, 2 = 2D coord image);
@@ -80,20 +96,21 @@ object CfConv {
     val usable = varDims.keySet -- boundsVars
 
     def std(v: String): Option[String] = varAttrs.getOrElse(v, Map.empty).get("standard_name")
-    val xByStd = usable.filter(v => std(v).exists(XStandardNames)).toSeq.sorted
-    val yByStd = usable.filter(v => std(v).exists(YStandardNames)).toSeq.sorted
+    val xByStd = usable.filter(v => std(v).exists(XStandardNames.contains)).toSeq.sorted
+    val yByStd = usable.filter(v => std(v).exists(YStandardNames.contains)).toSeq.sorted
 
     val stdPairs = for {
       x <- xByStd; y <- yByStd
-      if varDims(x).length == varDims(y).length &&
+      if XStandardNames(std(x).get) == YStandardNames(std(y).get) &&
+        varDims(x).length == varDims(y).length &&
         (varDims(x).length == 1 || varDims(x) == varDims(y))
-    } yield CoordVars(x, y, varDims(x).length == 2)
+    } yield CoordVars(x, y, varDims(x).length == 2, XStandardNames(std(x).get))
 
     if (stdPairs.nonEmpty) stdPairs
-    else XNamePairs.flatMap { case (xn, yn) =>
+    else XNamePairs.flatMap { case (xn, yn, kind) =>
       if (usable.contains(xn) && usable.contains(yn) &&
           varDims(xn).length == varDims(yn).length)
-        Some(CoordVars(xn, yn, varDims(xn).length == 2))
+        Some(CoordVars(xn, yn, varDims(xn).length == 2, kind))
       else None
     }
   }
@@ -117,18 +134,49 @@ object CfConv {
     }
     val pairs = findCoordPairs(varDims, varAttrs)
     val cands = for (p <- pairs) yield {
-      // geographic coords pair with a geographic CRS; projected coords
-      // with a projected one; missing CRS -> WGS84 default for lon/lat
-      val geographicPair = p.xName.startsWith("lon") || p.xName == "longitude" ||
-        varAttrs.getOrElse(p.xName, Map.empty).get("standard_name").contains("longitude")
-      val matching = crss.find { case (_, c) => c.isGeographic == geographicPair }
+      // each coord kind pairs with its CRS bucket (reference's three
+      // GridCoords buckets, cfconv.py:158-163): lon/lat <-> geographic,
+      // rlon/rlat <-> rotated_latitude_longitude, x/y <-> projected;
+      // missing CRS -> WGS84 default for lon/lat only
+      val matching = p.kind match {
+        case "geographic" => crss.find { case (_, c) => c.isGeographic }
+        case "rotated" => crss.find { case (_, c) => c.isInstanceOf[Crs.RotatedPole] }
+        case _ => crss.find { case (_, c) =>
+          !c.isGeographic && !c.isInstanceOf[Crs.RotatedPole] }
+      }
       matching match {
         case Some((name, c)) => Some(Candidate(c, p, Some(name)))
-        case None if geographicPair => Some(Candidate(Crs.Geographic, p, None))
+        case None if p.kind == "geographic" => Some(Candidate(Crs.Geographic, p, None))
         case None => None
       }
     }
     cands.flatten
+  }
+
+  /** Identify the horizontal spatial dimension pair, in (x, y) order —
+    * ("lon","lat") preferred over ("x","y"); anything else raises, like
+    * the reference's KeyError (reference: utils.py:47-74).
+    */
+  def getSpatialDims(names: Set[String]): (String, String) =
+    if (names.contains("lat") && names.contains("lon")) ("lon", "lat")
+    else if (names.contains("y") && names.contains("x")) ("x", "y")
+    else throw new NoSuchElementException(
+      "No standard spatial dimensions found in dataset. Expected pairs " +
+      s"('lon', 'lat') or ('x', 'y'), but found: ${names.toSeq.sorted.mkString(", ")}.")
+
+  /** Collect the grid-mapping variable name: every data var's
+    * `grid_mapping` attr plus present `crs`/`spatial_ref` vars must
+    * agree on at most ONE distinct name — a malformed dataset raises
+    * instead of mis-inferring silently (reference: utils.py:164-178).
+    */
+  def getGridMappingName(
+      varAttrs: Map[String, Attrs], varNames: Set[String]): Option[String] = {
+    val referenced = varAttrs.values.flatMap(_.get("grid_mapping"))
+    val present = Seq("crs", "spatial_ref").filter(varNames.contains)
+    val names = (referenced ++ present).toSet
+    require(names.size <= 1,
+      s"Multiple grid mapping names found: ${names.toSeq.sorted.mkString(", ")}.")
+    names.headOption
   }
 
   /** Emit CF grid-mapping attributes for a CRS — the inverse of
@@ -152,6 +200,12 @@ object CfConv {
       "false_easting" -> l.falseEasting.toString,
       "false_northing" -> l.falseNorthing.toString,
       "crs_name" -> l.name)
+    case r: Crs.RotatedPole => Map(
+      "grid_mapping_name" -> "rotated_latitude_longitude",
+      "grid_north_pole_latitude" -> r.poleLatDeg.toString,
+      "grid_north_pole_longitude" -> r.poleLonDeg.toString,
+      "north_pole_grid_longitude" -> r.axisLonDeg.toString,
+      "crs_name" -> r.name)
   }
 
   /** Normalize the grid-mapping metadata of a dataset's attribute

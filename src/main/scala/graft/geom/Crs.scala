@@ -221,6 +221,57 @@ object Crs {
     }
   }
 
+  /** CF `rotated_latitude_longitude`: a geographic system whose north
+    * pole sits at (grid_north_pole_latitude, grid_north_pole_longitude)
+    * of the true sphere, with an optional extra rotation
+    * `north_pole_grid_longitude` about the new axis. Spherical rotation
+    * formulas as in PROJ's `+proj=ob_tran +o_proj=longlat` with
+    * `o_lat_p = poleLat`, `lon_0 = poleLon + 180`, `o_lon_p = axisLon`
+    * (the standard CORDEX/COSMO transformation; reference parses the CF
+    * params via pyproj at cfconv.py:215-221,
+    * tests/gridmapping/test_cfconv.py:239-285).
+    *
+    * `x`/`y` are rotated lon/lat DEGREES. Modeled with
+    * `isGeographic = false`: although the axes are angular, treating a
+    * rotated grid as interchangeable with WGS84 (the both-geographic
+    * equality shortcut) would silently skip the pole rotation.
+    */
+  final case class RotatedPole(
+      poleLatDeg: Double, poleLonDeg: Double, axisLonDeg: Double,
+      override val name: String) extends Crs {
+    val isGeographic = false
+
+    private val theta = math.toRadians(poleLatDeg)
+    private val sinT = math.sin(theta); private val cosT = math.cos(theta)
+    private val lon0Deg = poleLonDeg + 180.0
+
+    /** rotated (rlon, rlat) degrees -> true (lon, lat) degrees */
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val lr = math.toRadians(x + axisLonDeg)
+      val pr = math.toRadians(y)
+      val cosPr = math.cos(pr); val sinPr = math.sin(pr)
+      val sinPhi = sinPr * sinT + cosPr * cosT * math.cos(lr)
+      val phi = math.asin(math.min(1.0, math.max(-1.0, sinPhi)))
+      val lon = lon0Deg + math.toDegrees(math.atan2(
+        cosPr * math.sin(lr), sinT * cosPr * math.cos(lr) - sinPr * cosT))
+      (normLon(lon), math.toDegrees(phi))
+    }
+
+    /** true (lon, lat) degrees -> rotated (rlon, rlat) degrees */
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+      val dl = math.toRadians(lon - lon0Deg)
+      val phi = math.toRadians(lat)
+      val cosPhi = math.cos(phi); val sinPhi = math.sin(phi)
+      val sinPr = sinT * sinPhi - cosT * cosPhi * math.cos(dl)
+      val pr = math.asin(math.min(1.0, math.max(-1.0, sinPr)))
+      val lr = math.atan2(cosPhi * math.sin(dl), sinT * cosPhi * math.cos(dl) + cosT * sinPhi)
+      (normLon(math.toDegrees(lr) - axisLonDeg), math.toDegrees(pr))
+    }
+
+    @inline private def normLon(l: Double): Double =
+      if (l > 180.0) l - 360.0 else if (l < -180.0) l + 360.0 else l
+  }
+
   def utm(zone: Int, north: Boolean): Crs = TransverseMercator(
     lon0Deg = zone * 6.0 - 183.0, lat0Deg = 0.0, k0 = 0.9996,
     falseEasting = 500000.0, falseNorthing = if (north) 0.0 else 10000000.0,

@@ -41,6 +41,43 @@ object GridMappingOps {
     }
   }
 
+  /** Meshgrid 1D irregular axes into 2D coord tiles (vars "x"/"y") —
+    * the `Coords1DGridMapping.xy_coords` meshgrid
+    * (reference: gridmapping/coords.py:74-96, meshgridded at 83-88):
+    * row j of "x" repeats the x axis, column i of "y" repeats the y
+    * axis. The axes are broadcast (O(width+height) doubles) and the
+    * tiles are generated distributed.
+    */
+  def meshgridCoordTiles(
+      spark: SparkSession, xs: Array[Double], ys: Array[Double],
+      tileWidth: Int, tileHeight: Int): Dataset[Tile] = {
+    import spark.implicits._
+    val width = xs.length; val height = ys.length
+    val nTx = (width + tileWidth - 1) / tileWidth
+    val nTy = (height + tileHeight - 1) / tileHeight
+    val xsB = spark.sparkContext.broadcast(xs)
+    val ysB = spark.sparkContext.broadcast(ys)
+    spark.range(nTx.toLong * nTy).flatMap { id =>
+      val tj = (id / nTx).toInt; val ti = (id % nTx).toInt
+      val h = math.min(tileHeight, height - tj * tileHeight)
+      val w = math.min(tileWidth, width - ti * tileWidth)
+      val xv = new Array[Double](h * w)
+      val yv = new Array[Double](h * w)
+      val xa = xsB.value; val ya = ysB.value
+      var j = 0
+      while (j < h) {
+        var i = 0
+        while (i < w) {
+          xv(j * w + i) = xa(ti * tileWidth + i)
+          yv(j * w + i) = ya(tj * tileHeight + j)
+          i += 1
+        }
+        j += 1
+      }
+      Seq(Tile("x", 0, tj, ti, h, w, xv), Tile("y", 0, tj, ti, h, w, yv))
+    }
+  }
+
   /** Transform `gm` into another CRS. Returns the new (irregular) grid
     * mapping plus its transformed coordinate tiles. No-op when the CRS
     * already matches (reference: transform.py:63-67).

@@ -23,6 +23,15 @@ final case class Tile(
   */
 final case class Pixel(varName: String, band: Int, j: Int, i: Int, value: Double)
 
+/** Leading-dimension (band) metadata: the `datetime64` time coordinate
+  * of a 3D stack (reference fixtures: tests/sampledata.py:45, 115, 136)
+  * lives here as a `TimestampType`-encodable column, keyed by
+  * (varName, band). Spatial operators never touch `band`, so time
+  * coordinates pass through every pipeline untouched — attach them back
+  * to any operator output with [[Raster.attachBandMeta]].
+  */
+final case class BandMeta(varName: String, band: Int, time: java.sql.Timestamp)
+
 object Raster {
 
   /** Tile-grid indices of a pixel for grid mapping `gm`. */
@@ -91,4 +100,15 @@ object Raster {
         coalesce(col("value").cast("double"), lit(Double.NaN)).as("value"))
       .as[Pixel]
   }
+
+  /** Join band metadata (time coordinates) back onto an operator's
+    * output tiles — a broadcast join on (varName, band); bands are
+    * passthrough keys in every spatial operator
+    * (reference: reproject.py:189-265 iterates leading-dim chunks
+    * without touching their coordinate).
+    */
+  def attachBandMeta(tiles: Dataset[Tile], meta: Dataset[BandMeta]): DataFrame =
+    tiles.toDF().join(
+      broadcast(meta.toDF().withColumnRenamed("time", "band_time")),
+      Seq("varName", "band"), "left")
 }

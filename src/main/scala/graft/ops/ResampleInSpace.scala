@@ -54,4 +54,25 @@ object ResampleInSpace {
         (ReprojectOp.reproject(tiles, srcGm, dstGm, policies), dstGm)
     }
   }
+
+  /** Resample a source described by 1D coordinate AXES (the reference's
+    * `Coords1DGridMapping`, gridmapping/coords.py:74-96): infer the
+    * grid mapping from the axes; if they are regular this is the
+    * ordinary affine/reproject dispatch, otherwise the axes are
+    * meshgridded into 2D coord tiles and routed through rectify.
+    */
+  def from1DCoords(
+      tiles: Dataset[Tile],
+      xs: Array[Double], ys: Array[Double],
+      crs: graft.geom.Crs,
+      tileSize: Option[(Int, Int)],
+      dstGmOpt: Option[GridMapping],
+      policies: Map[String, VarPolicy]): (Dataset[Tile], GridMapping) = {
+    val srcGm = graft.geom.GridMappingInference.fromCoords1D(xs, ys, crs, tileSize)
+    val coordTiles =
+      if (srcGm.isRegular) None
+      else Some(graft.geom.GridMappingOps.meshgridCoordTiles(
+        tiles.sparkSession, xs, ys, srcGm.tileWidth, srcGm.tileHeight))
+    apply(tiles, coordTiles, srcGm, dstGmOpt, policies)
+  }
 }

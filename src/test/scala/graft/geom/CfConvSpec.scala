@@ -41,7 +41,7 @@ class CfConvSpec extends AnyFunSuite {
     val cands = CfConv.findCandidates(s2Dims, s2Attrs)
     assert(cands.length >= 2) // projected 1D pair + geographic 2D pair
     val chosen = CfConv.select(cands, preferIsRegular = true)
-    assert(chosen.coords == CfConv.CoordVars("x", "y", is2D = false))
+    assert(chosen.coords == CfConv.CoordVars("x", "y", is2D = false, "projected"))
     assert(!chosen.crs.isGeographic)
     // prefer_crs overrides: ask for geographic -> 2D lon/lat pair
     val geo = CfConv.select(cands, preferCrs = Some(Crs.Geographic))
@@ -71,6 +71,66 @@ class CfConvSpec extends AnyFunSuite {
   }
 
   // ------------------- policy resolution (reference: utils.py:192-333)
+
+  // CF rotated-pole attrs as in the reference's CRS_ROTATED_POLE
+  // fixture (tests/gridmapping/test_cfconv.py:45-50)
+  val rotatedPoleAttrs: CfConv.Attrs = Map(
+    "grid_mapping_name" -> "rotated_latitude_longitude",
+    "grid_north_pole_latitude" -> "32.5",
+    "grid_north_pole_longitude" -> "170.0")
+
+  test("rotated pole with common names (test_cfconv.py:239-256)") {
+    val dims = Map("rlon" -> Seq("rlon"), "rlat" -> Seq("rlat"))
+    val attrs = Map("rotated_pole" -> rotatedPoleAttrs)
+    val cands = CfConv.findCandidates(dims, attrs)
+    assert(cands.length == 1)
+    val c = cands.head
+    assert(c.gmVarName.contains("rotated_pole"))
+    assert(c.coords == CfConv.CoordVars("rlon", "rlat", is2D = false, "rotated"))
+    assert(c.crs == Crs.RotatedPole(32.5, 170.0, 0.0, "CF:rotated_pole"))
+  }
+
+  test("rotated pole with standard names (test_cfconv.py:258-285)") {
+    val dims = Map("u" -> Seq("u"), "v" -> Seq("v"))
+    val attrs = Map(
+      "rotated_pole" -> rotatedPoleAttrs,
+      "u" -> Map("standard_name" -> "grid_longitude"),
+      "v" -> Map("standard_name" -> "grid_latitude"))
+    val cands = CfConv.findCandidates(dims, attrs)
+    assert(cands.length == 1)
+    val c = cands.head
+    assert(c.coords == CfConv.CoordVars("u", "v", is2D = false, "rotated"))
+    assert(c.crs.isInstanceOf[Crs.RotatedPole])
+  }
+
+  test("rotated pole is NOT interchangeable with plain geographic") {
+    val rp = CfConv.crsFromAttrs(rotatedPoleAttrs).get
+    assert(!rp.equalsCrs(Crs.Geographic))
+    // round-trips through CF attrs
+    assert(CfConv.crsFromAttrs(CfConv.crsToAttrs(rp)).get == rp)
+  }
+
+  test("get_spatial_dims contract: lon/lat preferred, KeyError-like otherwise (utils.py:47-74)") {
+    assert(CfConv.getSpatialDims(Set("lon", "lat", "time")) == ("lon", "lat"))
+    assert(CfConv.getSpatialDims(Set("x", "y")) == ("x", "y"))
+    assert(CfConv.getSpatialDims(Set("lon", "lat", "x", "y")) == ("lon", "lat"))
+    intercept[NoSuchElementException] { CfConv.getSpatialDims(Set("u", "v")) }
+  }
+
+  test("grid mapping name: at most one distinct, else assertion (utils.py:164-178)") {
+    val ok = Map(
+      "a" -> Map("grid_mapping" -> "tm"),
+      "b" -> Map("grid_mapping" -> "tm"))
+    assert(CfConv.getGridMappingName(ok, Set("a", "b", "tm")).contains("tm"))
+    assert(CfConv.getGridMappingName(Map.empty, Set("x")).isEmpty)
+    assert(CfConv.getGridMappingName(Map.empty, Set("crs")).contains("crs"))
+    intercept[IllegalArgumentException] {
+      CfConv.getGridMappingName(ok + ("c" -> Map("grid_mapping" -> "other")), Set("a"))
+    }
+    intercept[IllegalArgumentException] {
+      CfConv.getGridMappingName(ok, Set("spatial_ref")) // tm + spatial_ref
+    }
+  }
 
   test("policy defaults by dtype") {
     val f = Policies.resolve("a", F64)

@@ -88,6 +88,35 @@ class GeomSpec extends AnyFunSuite {
     }
   }
 
+  test("rotated pole anchors and roundtrip") {
+    // CORDEX EUR pole: rotated origin lands at 18E 50.75N, the rotated
+    // north pole at the grid_north_pole position
+    val rp = Crs.RotatedPole(39.25, -162.0, 0.0, "CF:rotated_pole")
+    val (lon0, lat0) = rp.toLonLat(0.0, 0.0)
+    assert(lon0 === 18.0 +- 1e-9)
+    assert(lat0 === 50.75 +- 1e-9)
+    val (lonP, latP) = rp.toLonLat(0.0, 90.0)
+    assert(latP === 39.25 +- 1e-9)
+    assert(math.abs((lonP - -162.0 + 540.0) % 360.0 - 180.0) < 1e-9, s"pole lon $lonP")
+    for (rlon <- Seq(-15.0, -2.0, 3.5, 12.0); rlat <- Seq(-10.0, 0.0, 7.0, 20.0)) {
+      val (lon, lat) = rp.toLonLat(rlon, rlat)
+      val (rl2, rp2) = rp.fromLonLat(lon, lat)
+      assert(rl2 === rlon +- 1e-9, s"rlon roundtrip $rlon,$rlat")
+      assert(rp2 === rlat +- 1e-9, s"rlat roundtrip $rlon,$rlat")
+    }
+    // axis rotation (north_pole_grid_longitude) shifts rotated longitude
+    val rpAxis = Crs.RotatedPole(39.25, -162.0, 10.0, "CF:rotated_pole")
+    val (lonA, latA) = rpAxis.toLonLat(-10.0, 0.0)
+    val (lonB, latB) = rp.toLonLat(0.0, 0.0)
+    assert(lonA === lonB +- 1e-9)
+    assert(latA === latB +- 1e-9)
+    // identity pole (90N, lon -180 => lon_0 = 0) degenerates to plain lon/lat
+    val ident = Crs.RotatedPole(90.0, -180.0, 0.0, "ident")
+    val (li, pi) = ident.toLonLat(12.25, 47.5)
+    assert(li === 12.25 +- 1e-9)
+    assert(pi === 47.5 +- 1e-9)
+  }
+
   test("LAEA EPSG:3035 anchors and roundtrip") {
     val laea = Crs.laea3035
     // projection center by definition of the false origin

@@ -155,4 +155,28 @@ class RasterPipelineSpec extends AnyFunSuite {
       radPolicy(Interp.NEAREST))
     assert(rect.count() == 1)
   }
+
+  test("time coordinates pass through a 3D pipeline via band metadata") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val gm = GridMapping.regular(4, 4, 0.0, 50.0, 1.0, 1.0, Crs.Geographic, Some((2, 2)))
+    // two time slices of one variable
+    val tiles = toDs(
+      tilesFrom("rad", Array.fill(4, 4)(1.0), gm, band = 0) ++
+      tilesFrom("rad", Array.fill(4, 4)(2.0), gm, band = 1))
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-02 10:00:00")
+    val meta = s.createDataset(Seq(
+      graft.model.BandMeta("rad", 0, t0), graft.model.BandMeta("rad", 1, t1)))
+    // a real resample (2x upscale), then reattach the time coordinate
+    val dst = GridMapping.regular(8, 8, 0.0, 50.0, 0.5, 0.5, Crs.Geographic, Some((4, 4)))
+    val out = AffineOp.affineTransform(tiles, gm, dst,
+      Map("rad" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, nan, F64)))
+    val withTime = graft.model.Raster.attachBandMeta(out, meta)
+    val byBand = withTime.select("band", "band_time").distinct().collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    assert(byBand == Map(0 -> t0, 1 -> t1))
+    // every output tile kept its slice's timestamp
+    assert(withTime.filter(org.apache.spark.sql.functions.col("band_time").isNull).count() == 0)
+  }
 }

@@ -116,4 +116,48 @@ class RectifyGoldenSpec extends AnyFunSuite {
       graft.kernel.Interp.methodFromName("cubic")
     }
   }
+
+  test("irregular 1D axes route through meshgrid + rectify (coords.py:74-96)") {
+    // non-uniform steps in both axes; y descending (j-down image)
+    val xs = Array(0.0, 1.0, 2.5, 4.5)
+    val ys = Array(10.0, 9.0, 7.5, 5.5)
+    val gm1d = graft.geom.GridMappingInference.fromCoords1D(
+      xs, ys, Crs.Geographic, Some((2, 2)))
+    assert(!gm1d.isRegular)
+
+    // meshgrid property: x repeats per row, y per column
+    val ct = graft.geom.GridMappingOps.meshgridCoordTiles(spark, xs, ys, 2, 2)
+      .collect().toSeq
+    val xImg = toArray(ct, gm1d, "x"); val yImg = toArray(ct, gm1d, "y")
+    for (j <- 0 until 4; i <- 0 until 4) {
+      assert(xImg(j)(i) == xs(i)); assert(yImg(j)(i) == ys(j))
+    }
+
+    val data = Array.tabulate(4, 4)((j, i) => (j * 4 + i).toDouble)
+    val dst = GridMapping.regular(8, 8, 0.05, 5.55, 0.5, 0.5, Crs.Geographic)
+    val (outTiles, outGm) = ResampleInSpace.from1DCoords(
+      toDs(tilesFrom("rad", data, gm1d)), xs, ys, Crs.Geographic, Some((2, 2)),
+      Some(dst), Map("rad" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, nan, F64)))
+    assert(outGm == dst)
+    val got = toArray(outTiles.collect().toSeq, dst, "rad")
+
+    // independent oracle: the separable mesh makes the rasterizer's
+    // barycentric lookup a per-axis piecewise-linear inverse; nearest
+    // uses the kernel's frac > 0.5 step
+    def axisFrac(axis: Array[Double], v: Double, ascending: Boolean): Double = {
+      var k = 0
+      while (k < axis.length - 2 &&
+        (if (ascending) v > axis(k + 1) else v < axis(k + 1))) k += 1
+      k + (v - axis(k)) / (axis(k + 1) - axis(k))
+    }
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val x = dst.xMin + (i + 0.5) * dst.xRes
+      val y = dst.yMax - (j + 0.5) * dst.yRes
+      val fi = axisFrac(xs, x, ascending = true)
+      val fj = axisFrac(ys, y, ascending = false)
+      val si = fi.toInt + (if (fi - fi.toInt > 0.5) 1 else 0)
+      val sj = fj.toInt + (if (fj - fj.toInt > 0.5) 1 else 0)
+      assert(got(j)(i) == data(sj)(si), s"at ($j,$i): fi=$fi fj=$fj")
+    }
+  }
 }
