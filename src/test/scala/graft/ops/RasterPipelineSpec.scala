@@ -156,6 +156,33 @@ class RasterPipelineSpec extends AnyFunSuite {
     assert(rect.count() == 1)
   }
 
+  test("reproject rotated-pole grid to geographic end-to-end") {
+    // CORDEX-style pole: rotated (0,0) sits at 18E 50.75N; a small
+    // rotated grid around the origin reprojects onto a geographic grid
+    // centered there
+    val rp = Crs.RotatedPole(39.25, -162.0, 0.0, "CF:rotated_pole")
+    val srcGm = GridMapping.regular(8, 8, -2.0, -2.0, 0.5, 0.5, rp, Some((4, 4)))
+    val data = Array.tabulate(8, 8)((j, i) => (j * 8 + i).toDouble)
+    val dstGm = GridMapping.regular(6, 6, 17.0, 49.9, 0.25, 0.25, Crs.Geographic, Some((3, 3)))
+    val out = ReprojectOp.reproject(toDs(tilesFrom("v", data, srcGm)), srcGm, dstGm,
+      Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, nan, F64)))
+    val got = toArray(out.collect().toSeq, dstGm, "v")
+    // independent oracle: forward-rotate each target center into the
+    // rotated frame and do the nearest-index arithmetic directly
+    for (j <- 0 until 6; i <- 0 until 6) {
+      val lon = dstGm.xMin + (i + 0.5) * dstGm.xRes
+      val lat = dstGm.yMax - (j + 0.5) * dstGm.yRes
+      val (rlon, rlat) = rp.fromLonLat(lon, lat)
+      val fi = (rlon - srcGm.xMin) / srcGm.xRes - 0.5
+      val fj = (srcGm.yMax - rlat) / srcGm.yRes - 0.5
+      val si = math.rint(fi).toInt; val sj = math.rint(fj).toInt
+      val want =
+        if (si < 0 || si > 7 || sj < 0 || sj > 7) nan else data(sj)(si)
+      assert((got(j)(i).isNaN && want.isNaN) || got(j)(i) == want,
+        s"at ($j,$i): got ${got(j)(i)} want $want (rlon=$rlon rlat=$rlat)")
+    }
+  }
+
   test("time coordinates pass through a 3D pipeline via band metadata") {
     val s = TestSpark.spark
     import s.implicits._
