@@ -39,6 +39,12 @@ object LlmQueries {
 
     "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
 
+    "q_dedup_ngram" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < PairLimit), 3, 0.8)),
+
+    "q_dedup_embed_cosine" -> ((s, dir) =>
+      VectorOps.cosineDupPairs(embeddings(s, dir).filter(col("vec_id") < PairLimit), 0.2)),
+
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       // rows-only: LSH recall < 1 by construction; invariants in
       // TextVectorSpec (candidates are a subset of exact pairs)
@@ -51,10 +57,12 @@ object LlmQueries {
     }),
 
     "q_embed_ann_lsh" -> ((s, dir) =>
-      // rows-only: approximate by design; recall vs brute force is
-      // asserted in TextVectorSpec
       VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         numPlanes = 8, dims = 64, k = 5)),
+
+    "q_embed_ann_ivf" -> ((s, dir) =>
+      VectorOps.ivfTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        nlist = 16, nprobe = 4, k = 5)),
 
     "q_text_quality" -> ((s, dir) => TextOps.qualityFeatures(docs(s, dir))),
 
@@ -195,6 +203,62 @@ object LlmQueries {
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
     "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
+
+    // word-3-gram shingles; shingle k (1-based) spans toks[k..k+2]
+    "q_dedup_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), sh0 AS (
+         |  SELECT id, array_to_string(toks[k:k+2], ' ') AS w
+         |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+         |  WHERE len(toks) >= 3
+         |), sh AS (SELECT DISTINCT id, w FROM sh0),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_embed_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < $PairLimit
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // IVF-Flat with the first nlist vectors as fixed coarse centroids;
+    // assignment = rank-1 cosine, probes = ranks 1..nprobe
+    "q_embed_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < $PairLimit
+         |), cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS s,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |  FROM e, cent c
+         |), assign AS (SELECT vec_id AS cand_id, cid AS list FROM sims WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS list FROM sims WHERE rn <= 4),
+         |pairs AS (
+         |  SELECT p.query_id, a.cand_id, list_cosine_similarity(qe.v, ce.v) AS sim
+         |  FROM probes p
+         |  JOIN assign a ON a.list = p.list AND a.cand_id <> p.query_id
+         |  JOIN e qe ON qe.vec_id = p.query_id
+         |  JOIN e ce ON ce.vec_id = a.cand_id
+         |)
+         |SELECT query_id, cand_id, ROUND(sim, 6) AS sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+         |  FROM pairs
+         |) WHERE rn <= 5 ORDER BY query_id, cand_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

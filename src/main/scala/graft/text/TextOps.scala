@@ -45,9 +45,34 @@ object TextOps {
     */
   def jaccardPairs(
       docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardFromTok(
+      docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct(),
+      threshold)
+
+  /** Word n-gram (shingle) Jaccard similarity join: contiguous n-token
+    * shingles as the set elements — order-sensitive near-dup detection
+    * (a reordered document shares words but few shingles). Same
+    * prefix-filtered join as [[jaccardPairs]]; documents with fewer
+    * than n tokens have no shingles and never pair.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val shingles = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array())
+    jaccardFromTok(
+      docs.select(col(idCol).as("id"), explode(shingles).as("w")).distinct(),
+      threshold)
+  }
+
+  /** Prefix-filtered set-similarity join over a distinct (id, w)
+    * element table (see [[jaccardPairs]] for the filtering argument).
+    */
+  private def jaccardFromTok(tok: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val prefix = tok.join(dfreq, "w")

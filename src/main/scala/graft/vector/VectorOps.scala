@@ -83,6 +83,78 @@ object VectorOps {
       }.toDF(idCol, "bucket")
   }
 
+  /** Embedding-cosine near-duplicate join: pairs (a < b) with cosine
+    * similarity >= threshold. Exact form (all-pairs with one side
+    * broadcast) for bounded inputs; at corpus scale route candidates
+    * through [[lshBuckets]] / [[ivfTopK]] and verify with this
+    * predicate.
+    */
+  def cosineDupPairs(
+      embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = e.toDF("id_a", "va"); val b = e.toDF("id_b", "vb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-Flat ANN: assign every vector to its nearest coarse centroid
+    * (the inverted lists), probe the `nprobe` nearest lists per query,
+    * rerank candidates by exact cosine. Deterministic coarse quantizer:
+    * the first `nlist` vectors serve as centroids (externally-supplied
+    * centroids, no k-means iterations) so results are exactly
+    * reproducible — including by a SQL oracle. The scale shape: the
+    * centroid table broadcasts, assignment is one narrow pass, and the
+    * probe⋈list join shuffles on the list id (each vector sits in
+    * exactly one list, so candidates are never duplicated).
+    */
+  def ivfTopK(
+      embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centroids = e.filter(col("id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val centB = spark.sparkContext.broadcast(centroids)
+
+    // per-vector centroid similarities -> assignment (rank 1) and the
+    // query's probe set (ranks 1..nprobe); tie-break by centroid id
+    def ranked(limit: Int) = e.as[(Long, Array[Double])].mapPartitions { rows =>
+      val cents = centB.value
+      rows.flatMap { case (id, v) =>
+        var nv = 0.0
+        var d = 0
+        while (d < v.length) { nv += v(d) * v(d); d += 1 }
+        val normV = math.sqrt(nv)
+        val sims = cents.map { case (cid, cv) =>
+          var dot = 0.0; var nc = 0.0
+          var i = 0
+          val n = math.min(v.length, cv.length)
+          while (i < n) { dot += v(i) * cv(i); nc += cv(i) * cv(i); i += 1 }
+          (cid, dot / (normV * math.sqrt(nc)))
+        }
+        sims.sortBy { case (cid, s) => (-s, cid) }.take(limit)
+          .map { case (cid, _) => (id, cid) }
+      }
+    }
+    val assign = ranked(1).toDF("cand_id", "list")
+    val probes = ranked(nprobe).toDF("query_id", "list")
+
+    val cand = probes.join(assign, "list").filter(col("query_id") =!= col("cand_id"))
+    val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
+    val rer = cand.join(q, "query_id").join(c, "cand_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** ANN top-k through LSH buckets: rerank within buckets only.
     * Recall < 1 by construction; pair with [[bruteForceTopK]] as the
     * exact baseline.

@@ -56,6 +56,50 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard is order-sensitive where token-set jaccard is not") {
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e f"),     // identical -> shingle jaccard 1
+      (2L, "f e d c b a"),     // same token SET, reversed order
+      (3L, "a b c d e g")      // shares 3 of 4+.. shingles partially
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.ngramJaccardPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // reversed doc shares NO 3-gram with the original
+    assert(!pairs.exists(p => (p._1, p._2) == (0L, 2L)))
+    // token-set jaccard would call 0 and 2 identical
+    val setPairs = TextOps.jaccardPairs(docs, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(setPairs.contains((0L, 2L)))
+  }
+
+  test("cosine dup pairs threshold join matches per-pair cosine") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = VectorOps.cosineDupPairs(e, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // only the near-parallel pair
+  }
+
+  test("IVF top-k: high recall vs brute force and exact hit within the probed lists") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val ivf = VectorOps.ivfTopK(e, nlist = 16, nprobe = 4, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.bruteForceTopK(e, e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe=4/16 lists covers ~25% of the corpus at random; the coarse
+    // quantizer concentrating neighbors should beat that clearly
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+    // every query returns k candidates (lists are non-degenerate here)
+    val perQuery = ivf.groupBy(_._1).map(_._2.size)
+    assert(perQuery.forall(_ == 5))
+  }
+
   test("minhash LSH candidates are a subset of exact pairs and catch identical docs") {
     val got = TextOps.minhashLshPairs(docsDf, numHashes = 64, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
