@@ -41,4 +41,34 @@ object StreamOps {
       .parquet(dir)
     windowedAgg(src, withWatermark = true)
   }
+
+  /** Streaming EXACT dedup with custom state
+    * (`flatMapGroupsWithState`): key on the content hash, keep one bit
+    * of state per distinct text, emit only the FIRST document carrying
+    * each content — the streaming form of `TextOps.exactDedup`'s
+    * keeper selection. State is one boolean per distinct hash: the
+    * minimal footprint for exact streaming dedup at corpus scale
+    * (bounded by distinct contents, not stream length).
+    */
+  def streamingExactDedup(docs: DataFrame): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(md5(col("text")).as("text_hash"), col("doc_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (hash: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) {
+            rows.foreach(_ => ()) // drain: all duplicates of known content
+            Iterator.empty
+          } else {
+            state.update(true)
+            // first occurrence in arrival order wins within the batch
+            var best = Long.MaxValue
+            rows.foreach { case (_, id) => if (id < best) best = id }
+            Iterator.single((hash, best))
+          }
+      }
+  }
 }

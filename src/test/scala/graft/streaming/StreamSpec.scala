@@ -34,4 +34,34 @@ class StreamSpec extends AnyFunSuite {
       assert(math.abs(s._4 - e._4) < 1e-6)
     }
   }
+
+  test("streaming exact dedup (flatMapGroupsWithState) emits one keeper per distinct text") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = StreamOps.streamingExactDedup(src)
+      .toDF("text_hash", "doc_id")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("dedup_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchKeepers = graft.text.TextOps.exactDedup(docs).collect()
+      .map(r => r.getAs[String]("text_hash") -> r.getAs[Long]("doc_id")).toMap
+    // one emission per distinct content, no duplicates, same key set
+    assert(streamed.keySet == batchKeepers.keySet)
+    assert(spark.table("dedup_stream").count() == batchKeepers.size)
+    // keepers agree (stream arrives in one file => same min-id choice)
+    assert(streamed == batchKeepers)
+  }
 }
