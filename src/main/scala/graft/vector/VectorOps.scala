@@ -92,11 +92,17 @@ object VectorOps {
   def cosineDupPairs(
       embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms precomputed once per side (not once per pair); the pair
+    // expression dot/(na*nb) is the same double arithmetic as cosine()
     val e = embeddings.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val a = e.toDF("id_a", "va"); val b = e.toDF("id_b", "vb")
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val a = e.toDF("id_a", "va", "na"); val b = e.toDF("id_b", "vb", "nb")
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
