@@ -12,15 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Cosine similarity between two array<double> columns via
-    * `zip_with`/`aggregate` — stays inside whole-stage codegen.
+  /** Cosine similarity between two array<double> columns — a native
+    * Catalyst expression with `doGenCode`
+    * ([[graft.functions.CosineSimilarity]]): Spark's higher-order
+    * functions (`zip_with`/`aggregate`) are CodegenFallback and
+    * evaluate interpreted per pair, which dominated the pairwise joins.
+    * Numeric order is identical to the HOF form, so results (and the
+    * DuckDB oracle hashes) are unchanged.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), scan all candidates and keep the k best. Linear in the
@@ -92,17 +93,11 @@ object VectorOps {
   def cosineDupPairs(
       embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // norms precomputed once per side (not once per pair); the pair
-    // expression dot/(na*nb) is the same double arithmetic as cosine()
     val e = embeddings.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-    val a = e.toDF("id_a", "va", "na"); val b = e.toDF("id_b", "vb", "nb")
+      col(vecCol).cast("array<double>").as("v"))
+    val a = e.toDF("id_a", "va"); val b = e.toDF("id_b", "vb")
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("na") * col("nb")))
+      .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }

@@ -52,6 +52,26 @@ class PlanSpec extends AnyFunSuite {
       s"no whole-stage codegen in:\n${p.take(2000)}")
   }
 
+  test("native cosine expression: codegen and interpreted eval agree, plan stays codegen'd") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // non-foldable input (Range) so the expression must run in the
+    // generated stage, not at constant-folding time
+    val df = spark.range(1, 2).select(
+      graft.vector.VectorOps.cosine(
+        array(col("id").cast("double"), lit(2.0)), array(lit(2.0), lit(1.0))).as("sim"))
+    assert(math.abs(df.collect()(0).getDouble(0) - 0.8) < 1e-15) // 4 / (sqrt5*sqrt5)
+    val p = plan(df)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"cosine fell out of whole-stage codegen:\n${p.take(2000)}")
+    // interpreted eval path returns the identical double
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.functions.CosineSimilarity(
+      Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Array(2.0, 1.0), ArrayType(DoubleType)))
+    assert(e.eval(null).asInstanceOf[Double] == 4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)
