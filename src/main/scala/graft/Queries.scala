@@ -331,18 +331,19 @@ object Queries {
           (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
           (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
         import s.implicits._
-        val xTiles = Raster.pixelsToTiles(
+        // both coord images through ONE pixelsToTiles shuffle
+        val coordTilesBoth = Raster.pixelsToTiles(
           coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
-            col("x").as("value")).as[graft.model.Pixel], irr)
-        val yTiles = Raster.pixelsToTiles(
-          coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
-            col("y").as("value")).as[graft.model.Pixel], irr)
+              col("x").as("value"))
+            .union(coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
+              col("y").as("value")))
+            .as[graft.model.Pixel], irr)
         // equal res (scale 1.0) so the bench measures the rasterize +
         // gather pipeline, not the (separately golden-tested) prepass
         val dstGm = gmRectify
         val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
         val out = graft.ops.RectifyOp.rectify(
-          dataTiles, xTiles.union(yTiles), irr, dstGm, pol)
+          dataTiles, coordTilesBoth, irr, dstGm, pol)
         Raster.pixelsToOracleDf(Raster.tilesToPixels(out, dstGm))
           .filter(col("value").isNotNull)
           .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
