@@ -129,6 +129,14 @@ final case class GridMapping(
     else (iMin, jLo, iMax + 1, jHi + 1)
   }
 
+  /** Whether the image is tiled (reference: base.py:269-271). */
+  def isTiled: Boolean = tileWidth != width || tileHeight != height
+
+  /** Unit of the spatial axes (reference: base.py:403-404 reads the
+    * CRS axis info; here geographic => degree, projected => metre).
+    */
+  def spatialUnitName: String = if (crs.isGeographic) "degree" else "metre"
+
   /** Derive a copy with a new tile size and/or flipped j axis
     * (reference: base.py:145-205).
     */

@@ -12,6 +12,19 @@ import graft.model.Pixel
   */
 object SpatialOps {
 
+  /** Longitudes -> [0, 360): negative values shift up
+    * (reference: gridmapping/helpers.py:97-102). Codegen'd Column form
+    * for antimeridian-crossing grids.
+    */
+  def toLon360(lon: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(lon >= 0.0, lon).otherwise(lon + 360.0)
+
+  /** [0, 360) -> [-180, 180]: values above 180 shift down
+    * (reference: gridmapping/helpers.py:105-110).
+    */
+  def fromLon360(lon: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(lon <= 180.0, lon).otherwise(lon - 360.0)
+
   /** Clip by xy bbox — label-based range predicate
     * (reference: utils.py:77-124). The driver converts the bbox to a
     * pixel-index range analytically (regular grid), so the filter is a

@@ -88,6 +88,22 @@ class GeomSpec extends AnyFunSuite {
     }
   }
 
+  test("isTiled / spatialUnitName / lon-360 helpers") {
+    val gm = graft.geom.GridMapping.regular(8, 6, 0.0, 50.0, 1.0, 1.0, Crs.Geographic)
+    assert(!gm.isTiled)
+    assert(gm.derive(tileSize = Some((4, 4))).isTiled)
+    assert(gm.spatialUnitName == "degree")
+    assert(graft.geom.GridMapping.regular(8, 6, 0.0, 0.0, 100.0, 100.0,
+      Crs.utm(32, north = true)).spatialUnitName == "metre")
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    val lons = Seq(-170.0, -1.0, 0.0, 179.0, 181.0, 359.0).toDF("lon")
+    val to360 = lons.select(graft.ops.SpatialOps.toLon360($"lon")).as[Double].collect().toSeq
+    assert(to360 == Seq(190.0, 359.0, 0.0, 179.0, 181.0, 359.0))
+    val from360 = lons.select(graft.ops.SpatialOps.fromLon360($"lon")).as[Double].collect().toSeq
+    assert(from360 == Seq(-170.0, -1.0, 0.0, 179.0, -179.0, -1.0))
+  }
+
   test("rotated pole anchors and roundtrip") {
     // CORDEX EUR pole: rotated origin lands at 18E 50.75N, the rotated
     // north pole at the grid_north_pole position
