@@ -32,7 +32,13 @@ object RasterOps {
     // normalize with flipJ first (as ReprojectOp does) for j-up grids
     require(!gm.isJAxisUp, "clipTiles requires a j-axis-down grid; flipJ first")
     val (i0, j0, i1, j1) = gm.ijBboxFromXyBbox(x0, y0, x1, y1)
-    if (i0 < 0) return (tiles, gm) // nothing to clip to; keep source
+    if (i0 < 0) {
+      // non-overlapping bbox: the reference returns a ZERO-SIZED
+      // dataset with a warning (utils.py:119-124), not the input
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"Clipped dataset is empty: bbox ($x0,$y0,$x1,$y1) does not overlap the grid extent")
+      return (tiles.limit(0), gm.copy(width = 0, height = 0))
+    }
     val w = i1 - i0; val h = j1 - j0
     val newGm = GridMapping(
       width = w, height = h,

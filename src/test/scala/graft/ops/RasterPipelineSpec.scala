@@ -183,6 +183,17 @@ class RasterPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("clip with a non-overlapping bbox yields an EMPTY dataset (utils.py:119-124)") {
+    val gm = GridMapping.regular(4, 4, 0.0, 50.0, 1.0, 1.0, Crs.Geographic, Some((2, 2)))
+    val tiles = toDs(tilesFrom("v", Array.fill(4, 4)(1.0), gm))
+    val (clipped, gmOut) = RasterOps.clipTiles(tiles, gm, 100.0, 10.0, 101.0, 11.0)
+    assert(clipped.count() == 0)
+    assert(gmOut.width == 0 && gmOut.height == 0)
+    // overlapping bbox still clips normally
+    val (c2, gm2) = RasterOps.clipTiles(tiles, gm, 0.0, 50.0, 2.0, 52.0)
+    assert(gm2.width == 2 && c2.count() > 0)
+  }
+
   test("time coordinates pass through a 3D pipeline via band metadata") {
     val s = TestSpark.spark
     import s.implicits._
