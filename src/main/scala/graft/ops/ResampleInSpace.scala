@@ -43,8 +43,10 @@ object ResampleInSpace {
       (RectifyOp.rectify(tiles, coords2, srcGm2, dstGm, policies), dstGm)
     } else dstGmOpt match {
       case None =>
-        // both regular, no target: nothing to do (reference warns,
-        // spatial.py:137-142)
+        // both regular, no target: nothing to do; warn like the
+        // reference (spatial.py:137-142)
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn("Source grid mapping is already regular and no target grid mapping given; returning source dataset unchanged")
         (tiles, srcGm)
       case Some(dstGm) if srcGm.isClose(dstGm) =>
         (tiles, srcGm) // identity elision (reference: spatial.py:144-145)

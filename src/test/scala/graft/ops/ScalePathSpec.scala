@@ -58,6 +58,21 @@ class ScalePathSpec extends AnyFunSuite {
     assert(fine.valuesIterator.exists(!_.isNaN))
   }
 
+  test("reproject: distributed plan (4900 tiles, CRS transform in executors) == broadcast plan") {
+    val utm = GridMapping.regular(64, 64, 565000.0, 5930000.0, 100.0, 100.0,
+      Crs.utm(32, north = true), Some((16, 16)))
+    val data = Array.tabulate(64, 64)((j, i) => (j * 64 + i).toDouble)
+    val tiles = toDs(tilesFrom("v", data, utm))
+    val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, nan, F64))
+    def dst(tile: Int) = GridMapping.regular(
+      140, 140, 4318000.0, 3377000.0, 50.0, 50.0, Crs.laea3035, Some((tile, tile)))
+    val dstFine = dst(2); val dstCoarse = dst(35)
+    val fine = pixelMap(ReprojectOp.reproject(tiles, utm, dstFine, pol).collect().toSeq, dstFine)
+    val coarse = pixelMap(ReprojectOp.reproject(tiles, utm, dstCoarse, pol).collect().toSeq, dstCoarse)
+    assertSamePixels(fine, coarse)
+    assert(fine.valuesIterator.exists(!_.isNaN))
+  }
+
   test("rectify: distributed lookup plan (4900 tiles) == broadcast plan, incl. NaN fill tiles") {
     // small rotated swath rectified onto a larger target so many target
     // tiles have NO source coverage (exercises the except-based fills)
