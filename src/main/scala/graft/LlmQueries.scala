@@ -42,6 +42,11 @@ object LlmQueries {
     "q_dedup_ngram" -> ((s, dir) =>
       TextOps.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < PairLimit), 3, 0.8)),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < PairLimit)
+      TextOps.dedupClusters(d, TextOps.jaccardPairs(d, 0.95))
+    }),
+
     "q_dedup_embed_cosine" -> ((s, dir) =>
       VectorOps.cosineDupPairs(embeddings(s, dir).filter(col("vec_id") < PairLimit), 0.2)),
 
@@ -203,6 +208,40 @@ object LlmQueries {
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
     "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
+
+    // connected components over the 0.95-jaccard dup pairs: cluster_id =
+    // min doc id reachable through dup edges (recursive transitive
+    // closure; the engine's min-label propagation computes the same
+    // fixpoint)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE tok0 AS (
+         |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), tok AS (SELECT DISTINCT id, w FROM tok0),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
+         |),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |),
+         |walk(id, lbl) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+         |)
+         |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(w.lbl), d.doc_id)) AS cluster_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $PairLimit) d
+         |LEFT JOIN walk w ON w.id = d.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY 1""".stripMargin,
 
     // word-3-gram shingles; shingle k (1-based) spans toks[k..k+2]
     "q_dedup_ngram" ->

@@ -214,6 +214,44 @@ object TextOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Dedup CLUSTERING: connected components over a near-duplicate pair
+    * table, labeling every document with the smallest doc id reachable
+    * through dup edges (the canonical keeper of its cluster). Iterative
+    * min-label propagation — converges in O(component diameter)
+    * rounds; each round is one join + one aggregate, all distributed.
+    * (At extreme graph scale the alternating large-star/small-star
+    * variant of Kiveris et al. halves the round count; diameters of
+    * near-dup graphs are tiny in practice, so the simple form is kept.)
+    */
+  def dedupClusters(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIterations: Int = 50): DataFrame = {
+    // localCheckpoint (not persist) after every round: iterative
+    // DataFrames otherwise nest the previous round's LOGICAL plan,
+    // which grows exponentially and stalls planning long before any
+    // data volume matters
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val viaNeighbor = edges
+        .join(labels.toDF("b", "nlbl"), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("minN"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("minN"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.toDF("id", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** Quality-scoring features per document — pure codegen'd columns
     * (length, token stats, stopword ratio, punctuation ratio).
     */

@@ -56,6 +56,15 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clustering: transitive chains collapse to the min id, singletons keep their own") {
+    val docs = Seq.tabulate(7)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    // chain 0-1-2 (0~1, 1~2 but NOT 0~2 directly), pair 4-6, singleton 3, 5
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 6L)).toDF("id_a", "id_b")
+    val clusters = TextOps.dedupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 4L))
+  }
+
   test("ngram jaccard is order-sensitive where token-set jaccard is not") {
     val docs = Seq(
       (0L, "a b c d e f"),
