@@ -98,6 +98,35 @@ object LlmQueries {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "q_multimodal_resize" -> ((s, dir) => {
+      // decode -> bilinear resize -> re-encode -> decode again; the
+      // oracle predicts source dims analytically and target dims by
+      // construction
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") % 3 === 0 && col("doc_id") < PairLimit)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val png = Multimodal.syntheticPng(id)
+          val (w0, h0, _) = Multimodal.decodeImage(png).get
+          val resized = Multimodal.resizeImage(png, 12, 9).get
+          val (w1, h1, _) = Multimodal.decodeImage(resized).get
+          (id, w0.toLong, h0.toLong, w1.toLong, h1.toLong)
+        }
+      media.toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h")
+    }),
+
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") < PairLimit)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 2, "video").otherwise("image").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, frameBytes = 1024, stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes"))
+    }),
+
     "q_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -385,6 +414,23 @@ object LlmQueries {
       """SELECT doc_id, 16 + doc_id % 32 AS width, 16 + doc_id % 17 AS height,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_resize" ->
+      s"""SELECT doc_id, 16 + doc_id % 32 AS src_w, 16 + doc_id % 17 AS src_h,
+         |  CAST(12 AS BIGINT) AS dst_w, CAST(9 AS BIGINT) AS dst_h
+         |FROM documents WHERE doc_id % 3 = 0 AND doc_id < $PairLimit
+         |ORDER BY doc_id""".stripMargin,
+
+    // frames: every 2nd 1024-byte block of the (utf-8) payload
+    "q_multimodal_frames" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS len
+         |  FROM documents WHERE doc_id < $PairLimit AND doc_id % 3 = 2
+         |)
+         |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |       LEAST(1024, len - k * 1024) AS frame_bytes
+         |FROM v, unnest(generate_series(0, CAST(GREATEST(1, len // 1024) AS BIGINT) - 1, 2)) u(k)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id,

@@ -93,6 +93,62 @@ object Multimodal {
     cs
   }
 
+  /** REAL image resize: decode, draw scaled with bilinear rendering,
+    * re-encode PNG — pure JVM (ImageIO + Graphics2D). Returns None for
+    * undecodable payloads.
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Frame sampling over a video payload: every `stride`-th fixed-size
+    * block as one "frame" payload. The SPLITTING is a stub (no video
+    * codec in this container — a real one would seek keyframes); the
+    * Spark-side shape is the real one: one binary row per sampled
+    * frame, ready for per-frame feature extraction.
+    */
+  def frameSampleStub(
+      payload: Array[Byte], frameBytes: Int, stride: Int): Seq[(Int, Array[Byte])] = {
+    val nFrames = math.max(1, payload.length / frameBytes)
+    (0 until nFrames by stride).map { f =>
+      val from = f * frameBytes
+      (f, java.util.Arrays.copyOfRange(payload, from, math.min(from + frameBytes, payload.length)))
+    }
+  }
+
+  /** Explode media rows into sampled frames — the batched per-partition
+    * kernel shape of a video pipeline stage (one row per frame, frame
+    * index carried alongside).
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow], frameBytes: Int = 1024, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type != "video") Iterator.empty
+        else frameSampleStub(r.payload, frameBytes, stride).iterator.map {
+          case (blockIdx, frame) => (r.doc_id, blockIdx, frame.length.toLong, checksum(frame))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_bytes", "frame_checksum")
+  }
+
   /** Batched feature extraction over a binary column — mapPartitions so
     * a real decoder amortizes per-batch setup (model load, codec init)
     * exactly like `mapInPandas` batches Arrow record batches.

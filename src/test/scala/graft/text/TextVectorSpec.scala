@@ -172,6 +172,26 @@ class TextVectorSpec extends AnyFunSuite {
     assert(feats(0).width == 16 + math.floorMod(Multimodal.checksum(txt), 64).toInt) // stub dims
   }
 
+  test("image resize really resizes; frame sampling strides blocks with real plumbing") {
+    val png = Multimodal.syntheticPng(5L) // 21 x 21
+    val resized = Multimodal.resizeImage(png, 7, 4).get
+    assert(Multimodal.decodeImage(resized).contains((7, 4, 1)))
+    assert(Multimodal.resizeImage("nope".getBytes, 4, 4).isEmpty)
+    // frame sampling: 5000 bytes = 4 full 1KB frames; stride 2 -> blocks 0 and 2
+    val payload = Array.fill(5000)(7.toByte)
+    val frames = Multimodal.frameSampleStub(payload, 1024, 2)
+    assert(frames.map(_._1) == Seq(0, 2))
+    assert(frames.map(_._2.length) == Seq(1024, 1024))
+    // short payloads yield exactly one frame
+    assert(Multimodal.frameSampleStub(Array.fill(10)(1.toByte), 1024, 2).map(_._2.length) == Seq(10))
+    // non-video rows are skipped by the dataset kernel
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(2L, "video", payload),
+      Multimodal.MediaRow(1L, "audio", payload)))
+    val out = Multimodal.sampleFrames(media).collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSet == Set((2L, 0), (2L, 2)))
+  }
+
   test("language id is deterministic with stable tie-break") {
     val out = TextOps.languageId(docsDf).collect()
     assert(out.length == 5)
