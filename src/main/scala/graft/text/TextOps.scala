@@ -235,17 +235,24 @@ object TextOps {
       .localCheckpoint()
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
+    // labels only ever decrease, so the label sum is strictly monotone
+    // until the fixpoint — ONE aggregate per round detects convergence
+    // (no join-and-count pass)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIterations) {
+    while (!converged && iter < maxIterations) {
       val viaNeighbor = edges
         .join(labels.toDF("b", "nlbl"), "b")
         .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("minN"))
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("minN"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.toDF("id", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
