@@ -14,10 +14,8 @@ run / fork := true
 // The bench/verify contract needs the forked JVM's stdout to reach the
 // caller UNPREFIXED (no sbt "[info] " wrapper) so the final JSON metric
 // line is machine-parseable. StdoutOutput passes the child's stdout
-// straight through; logLevel Error silences sbt's own [info]/[success]
-// chatter so the JSON line is the last thing on stdout.
+// straight through.
 run / outputStrategy := Some(StdoutOutput)
-Global / logLevel := Level.Error
 // ... and the trailing "[success] Total time" banner would otherwise be
 // the last stdout line after the JSON metric.
 Global / showSuccess := false

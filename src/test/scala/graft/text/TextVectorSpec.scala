@@ -65,6 +65,24 @@ class TextVectorSpec extends AnyFunSuite {
     assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 4L))
   }
 
+  test("dedup clustering: 32-diameter chain converges in O(log d) rounds via pointer jumping") {
+    // chain 0-1-2-...-32: plain min-label propagation needs ~diameter
+    // (32) sequential rounds; the pointer-jumping form doubles reach
+    // each round, so ~log2(32)=5 plus hooking/detection slack
+    val n = 33
+    val docs = (0 until n).map(i => (i.toLong, "x")).toDF("doc_id", "text")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val (lbl, rounds) = TextOps.dedupClustersWithRounds(docs, pairs)
+    assert(lbl.collect().forall(_.getLong(1) == 0L), "all chain members label to min id 0")
+    assert(rounds <= 10, s"expected ~log2(32)+slack rounds, got $rounds")
+  }
+
+  test("dedup clustering: empty docs input returns empty without NPE") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextOps.dedupClusters(docs, pairs).count() == 0L)
+  }
+
   test("ngram jaccard is order-sensitive where token-set jaccard is not") {
     val docs = Seq(
       (0L, "a b c d e f"),
