@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Memory-backed ImageIO streams: the default disk cache creates (and
+  // fsyncs, and deletes) one temp file per read/write call, which for
+  // ~KB payloads costs far more than the codec itself on a contended
+  // disk. Object init runs once per JVM — driver and each executor —
+  // before any decode/encode call below.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, media_type: String, byte_len: Long,
@@ -73,14 +80,18 @@ object Multimodal {
     * never reach this — [[extractFeatures]] routes them through
     * [[decodeImage]].
     */
-  def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
-    var cs = 0L
-    var k = 0
-    while (k < payload.length) { cs = cs * 31 + (payload(k) & 0xFF); k += 1 }
+  def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
+    decodeStubFromChecksum(mediaType, payload.length, checksum(payload))
+
+  /** [[decodeStub]] with the checksum precomputed — lets callers that
+    * already scanned the bytes (feature extraction) avoid a second
+    * pass.
+    */
+  def decodeStubFromChecksum(mediaType: String, byteLen: Int, cs: Long): (Int, Int, Int) = {
     val w = 16 + math.floorMod(cs, 64).toInt
     val h = 16 + math.floorMod(cs >> 8, 64).toInt
     val frames = mediaType match {
-      case "video" => math.max(1, payload.length / 1024)
+      case "video" => math.max(1, byteLen / 1024)
       case _ => 1
     }
     (w, h, frames)
@@ -159,10 +170,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition decoder setup would go here (codec/model init)
       rows.map { r =>
+        val cs = checksum(r.payload) // one byte scan, shared with the stub
         val (w, h, f) = decodeImage(r.payload)
-          .getOrElse(decodeStub(r.media_type, r.payload))
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-          checksum(r.payload), w, h, f)
+          .getOrElse(decodeStubFromChecksum(r.media_type, r.payload.length, cs))
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, cs, w, h, f)
       }
     }
   }
