@@ -48,6 +48,15 @@ object Queries {
   // rectify target for the synthetic rotated swath
   val gmRectify: GridMapping =
     GridMapping.regular(W, W, 49.5, 56.0, 0.1, 0.1, Crs.Geographic, Some((16, 16)))
+  // inset 12x12 rectify target for the INTERPOLATING gathers: origin
+  // chosen (numerically searched) so every accepted pixel's fractional
+  // source index stays >= 8.4e-3 from an integer and the triangular
+  // u+v split >= 5.0e-3 from 1 — no UV_DELTA clamping, no first-writer
+  // ambiguity, and the rasterized lookup equals the closed-form inverse
+  // rotation to < 6e-14, making the blend SQL-reproducible
+  val gmRectifyInt: GridMapping =
+    GridMapping.regular(12, 12, 50.3901, 58.8539 - 12 * 0.1, 0.1, 0.1,
+      Crs.Geographic, Some((16, 16)))
 
   // ---------------------------------------------------------------- grids
 
@@ -186,13 +195,70 @@ object Queries {
   // ------------------------------------------------------- affine family
 
   private def affineQuery(s: SparkSession, dir: String, dstGm: GridMapping,
-      interp: Int, agg: Reducers.Method): DataFrame = {
-    val tiles = gridTiles(s, dir, useNullGrid = false)
-    val pol = Map("v" -> VarPolicy(interp, agg, recoverNan = false, fill = 0.0, dtype = F64))
+      interp: Int, agg: Reducers.Method, useNullGrid: Boolean = false,
+      recoverNan: Boolean = false): DataFrame = {
+    val tiles = gridTiles(s, dir, useNullGrid)
+    val pol = Map("v" -> VarPolicy(interp, agg, recoverNan, fill = 0.0, dtype = F64))
     val out = AffineOp.affineTransform(tiles, gmSrc, dstGm, pol)
     Raster.pixelsToOracleDf(Raster.tilesToPixels(out, dstGm))
       .select(col("j").cast("long"), col("i").cast("long"),
         round(col("value"), 6).as("value"))
+  }
+
+  /** Synthetic-swath rectify through the real pipeline: 32x32 grid with
+    * slightly rotated 2D lon/lat coordinate images, rectified onto a
+    * regular target; oracle = closed-form inverse rotation. Inputs are
+    * cached per dir (like gridTiles) so the bench times the rectify
+    * pipeline, not input staging.
+    */
+  private def rectifyQuery(
+      s: SparkSession, dir: String, interp: Int, dstGm: GridMapping,
+      roundDigits: Int): DataFrame = {
+    val irr = gmSrc.copy(isRegular = false)
+    val (dataTiles, coordTilesBoth) =
+      rectifyInputCache.getOrElseUpdate(dir, {
+        val px = Raster.pixelsFromDf(grid0(s, dir))
+        val ang = 0.1
+        val cosA = math.cos(ang); val sinA = math.sin(ang)
+        val coordPx = coordsDf(s).select(
+          col("j").cast("int"), col("i").cast("int"),
+          (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
+          (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
+        import s.implicits._
+        // both coord images through ONE pixelsToTiles shuffle
+        val coords = Raster.pixelsToTiles(
+          coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
+              col("x").as("value"))
+            .union(coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
+              col("y").as("value")))
+            .as[graft.model.Pixel], irr)
+        (Raster.pixelsToTiles(px, irr).persist(), coords.persist())
+      })
+    // equal res (scale 1.0) so the bench measures the rasterize +
+    // gather pipeline, not the (separately golden-tested) prepass
+    val pol = Map("v" -> VarPolicy(interp, Reducers.Mean, false, Double.NaN, F64))
+    val out = graft.ops.RectifyOp.rectify(dataTiles, coordTilesBoth, irr, dstGm, pol)
+    Raster.pixelsToOracleDf(Raster.tilesToPixels(out, dstGm))
+      .filter(col("value").isNotNull)
+      .select(col("j").cast("long"), col("i").cast("long"),
+        round(col("value"), roundDigits).as("value"))
+  }
+
+  /** Full reproject pipeline (plan, gather shuffle, kernel, fill) on
+    * the geographic pair; out-of-coverage NaN rows are dropped (the
+    * oracle's inner joins drop the same rows).
+    */
+  private def reprojectQuery(
+      s: SparkSession, dir: String, interp: Int,
+      srcJUp: Boolean = false, dstJUp: Boolean = false): DataFrame = {
+    val tiles = gridTiles(s, dir, useNullGrid = false)
+    val src = if (srcJUp) gmSrc.copy(isJAxisUp = true) else gmSrc
+    val dst = if (dstJUp) gmReproj.copy(isJAxisUp = true) else gmReproj
+    val pol = Map("v" -> VarPolicy(interp, Reducers.Mean, false, Double.NaN, F64))
+    val out = graft.ops.ReprojectOp.reproject(tiles, src, dst, pol)
+    Raster.pixelsToOracleDf(Raster.tilesToPixels(out, dst))
+      .filter(col("value").isNotNull)
+      .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
   }
 
   // dst index -> src index for the three affine targets (edge-affine
@@ -307,54 +373,31 @@ object Queries {
         Raster.pixelsToOracleDf(Raster.tilesToPixels(out, gmOut))
           .select(col("j").cast("long"), col("i").cast("long"), col("value"))
       }),
-      "q_reproject_nearest" -> ((s, dir) => {
-        // geographic -> geographic: the identity CRS transform makes the
-        // FULL reproject pipeline (plan, window-alignment shuffle,
-        // per-tile kernel, out-of-coverage fill) expressible as SQL.
-        // The projected-CRS math (UTM32 -> LAEA3035) is covered by the
-        // ReprojectGoldenSpec pyproj-parity goldens.
-        val tiles = gridTiles(s, dir, useNullGrid = false)
-        val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
-        val out = graft.ops.ReprojectOp.reproject(tiles, gmSrc, gmReproj, pol)
-        Raster.pixelsToOracleDf(Raster.tilesToPixels(out, gmReproj))
-          .filter(col("value").isNotNull)
-          .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
-      }),
-      "q_rectify_nearest" -> ((s, dir) => {
-        // synthetic swath: 32x32 grid with slightly rotated 2D lon/lat
-        // images, rectified onto a regular grid; oracle = closed-form
-        // inverse rotation. Inputs cached per dir (like gridTiles) so
-        // the bench times the rectify pipeline, not input staging.
-        val irr = gmSrc.copy(isRegular = false)
-        val (dataTiles, coordTilesBoth) =
-          rectifyInputCache.getOrElseUpdate(dir, {
-            val px = Raster.pixelsFromDf(grid0(s, dir))
-            val ang = 0.1
-            val cosA = math.cos(ang); val sinA = math.sin(ang)
-            val coordPx = coordsDf(s).select(
-              col("j").cast("int"), col("i").cast("int"),
-              (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
-              (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
-            import s.implicits._
-            // both coord images through ONE pixelsToTiles shuffle
-            val coords = Raster.pixelsToTiles(
-              coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
-                  col("x").as("value"))
-                .union(coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
-                  col("y").as("value")))
-                .as[graft.model.Pixel], irr)
-            (Raster.pixelsToTiles(px, irr).persist(), coords.persist())
-          })
-        // equal res (scale 1.0) so the bench measures the rasterize +
-        // gather pipeline, not the (separately golden-tested) prepass
-        val dstGm = gmRectify
-        val pol = Map("v" -> VarPolicy(Interp.NEAREST, Reducers.Mean, false, Double.NaN, F64))
-        val out = graft.ops.RectifyOp.rectify(
-          dataTiles, coordTilesBoth, irr, dstGm, pol)
-        Raster.pixelsToOracleDf(Raster.tilesToPixels(out, dstGm))
-          .filter(col("value").isNotNull)
-          .select(col("j").cast("long"), col("i").cast("long"), round(col("value"), 6).as("value"))
-      }),
+      // geographic -> geographic: the identity CRS transform makes the
+      // FULL reproject pipeline (plan, window-alignment shuffle,
+      // per-tile kernel, out-of-coverage fill) expressible as SQL.
+      // The projected-CRS math (UTM32 -> LAEA3035) is covered by the
+      // ReprojectGoldenSpec pyproj-parity goldens.
+      "q_reproject_nearest" -> ((s, dir) => reprojectQuery(s, dir, Interp.NEAREST)),
+      "q_reproject_bilinear" -> ((s, dir) => reprojectQuery(s, dir, Interp.BILINEAR)),
+      // j-axis-up on BOTH sides: source tiles flip through
+      // RasterOps.flipJ (normalize), target rows scan bottom-up through
+      // the kernel's jUp branch
+      "q_reproject_jup" -> ((s, dir) =>
+        reprojectQuery(s, dir, Interp.NEAREST, srcJUp = true, dstJUp = true)),
+      // scipy-style 3-pass NaN recovery on the null grid: warp the
+      // zero-filled image and the inverted NaN mask with the same
+      // bilinear weights, renormalize, NaN where the norm ~ 0
+      "q_affine_nanrec" -> ((s, dir) =>
+        affineQuery(s, dir, gmUp, Interp.BILINEAR, Reducers.Mean,
+          useNullGrid = true, recoverNan = true)),
+      "q_rectify_nearest" -> ((s, dir) => rectifyQuery(s, dir, Interp.NEAREST, gmRectify, 6)),
+      // interpolating gathers on the inset target (see gmRectifyInt):
+      // the rasterized lookup is fp-noisy (~1e-13 vs the closed form),
+      // so these round to 4 digits — measured >= 8e-8 absolute margin
+      // to every rounding boundary at all three SFs
+      "q_rectify_bilinear" -> ((s, dir) => rectifyQuery(s, dir, Interp.BILINEAR, gmRectifyInt, 4)),
+      "q_rectify_triangular" -> ((s, dir) => rectifyQuery(s, dir, Interp.TRIANGULAR, gmRectifyInt, 4)),
       "q_gm_to_coords" -> ((s, _) =>
         graft.geom.GridMappingInference.toCoordsDf(s, gmSrc)),
       "q_xy_bbox" -> ((s, _) => {
@@ -430,6 +473,144 @@ object Queries {
        |ORDER BY h.j, h.i""".stripMargin
   }
 
+  /** Oracle for the bilinear reproject: same fractional-index mapping
+    * as the nearest oracle, then the kernel's exact 4-neighbor blend
+    * (`vu0 + v*(vu1 - vu0)` with `vu = v0 + u*(v1 - v0)`), mirrored
+    * operation-for-operation so the doubles are bit-identical before
+    * ROUND. Fractional parts cycle {.05,.25,.45,.65,.85} — never 0 —
+    * so the kernel's floor/ceil stencil is always (i0, i0+1) and a NaN
+    * fill (any neighbor out of extent) maps to the inner joins
+    * dropping the row.
+    */
+  private def sqlReprojectBilinear: String = {
+    val g = gmReproj
+    s"""$sqlGrid0, tcells AS (
+       |  SELECT r // ${g.width} AS j, r % ${g.width} AS i
+       |  FROM range(0, ${g.width * g.height}) t(r)
+       |), f AS (
+       |  SELECT j, i,
+       |    ((${d(g.xMin)} + (i + 0.5) * ${d(g.xRes)}) - ${d(gmSrc.xMin)}) / ${d(gmSrc.xRes)} - 0.5 AS fi,
+       |    (${d(gmSrc.yMax)} - (${d(g.yMax)} - (j + 0.5) * ${d(g.yRes)})) / ${d(gmSrc.yRes)} - 0.5 AS fj
+       |  FROM tcells
+       |), b AS (
+       |  SELECT j, i, CAST(FLOOR(fi) AS BIGINT) AS i0, CAST(FLOOR(fj) AS BIGINT) AS j0,
+       |         fi - FLOOR(fi) AS u, fj - FLOOR(fj) AS v
+       |  FROM f
+       |)
+       |SELECT b.j, b.i,
+       |  ROUND((g00.value + u * (g01.value - g00.value))
+       |    + v * ((g10.value + u * (g11.value - g10.value))
+       |           - (g00.value + u * (g01.value - g00.value))), 6) AS value
+       |FROM b
+       |JOIN grid0 g00 ON g00.j = b.j0     AND g00.i = b.i0
+       |JOIN grid0 g01 ON g01.j = b.j0     AND g01.i = b.i0 + 1
+       |JOIN grid0 g10 ON g10.j = b.j0 + 1 AND g10.i = b.i0
+       |JOIN grid0 g11 ON g11.j = b.j0 + 1 AND g11.i = b.i0 + 1
+       |ORDER BY b.j, b.i""".stripMargin
+  }
+
+  /** Oracle for the j-axis-up reproject (nearest): the j-up SOURCE is
+    * normalized by flipping rows (flipped(jd) = grid0(31 - jd)), and
+    * the j-up TARGET computes dy = yMin + (j + 0.5) * yRes. Net: join
+    * grid0 at (31 - rint(fj), rint(fi)).
+    */
+  private def sqlReprojectJup: String = {
+    val g = gmReproj
+    s"""$sqlGrid0, tcells AS (
+       |  SELECT r // ${g.width} AS j, r % ${g.width} AS i
+       |  FROM range(0, ${g.width * g.height}) t(r)
+       |), f AS (
+       |  SELECT j, i,
+       |    ((${d(g.xMin)} + (i + 0.5) * ${d(g.xRes)}) - ${d(gmSrc.xMin)}) / ${d(gmSrc.xRes)} - 0.5 AS fi,
+       |    (${d(gmSrc.yMax)} - (${d(g.yMin)} + (j + 0.5) * ${d(g.yRes)})) / ${d(gmSrc.yRes)} - 0.5 AS fj
+       |  FROM tcells
+       |)
+       |SELECT f.j, f.i, ROUND(g.value, 6) AS value
+       |FROM f JOIN grid0 g
+       |  ON g.i = CAST(ROUND(fi) AS BIGINT)
+       | AND g.j = ${W - 1} - CAST(ROUND(fj) AS BIGINT)
+       |ORDER BY f.j, f.i""".stripMargin
+  }
+
+  /** Oracles for the interpolating rectify gathers on the inset target
+    * (see gmRectifyInt): closed-form inverse rotation to (fi, fj), then
+    * the gather kernel's bilinear / two-triangle blend. All 144 pixels
+    * are interior and unclamped, so no acceptance filter is needed.
+    */
+  private def sqlRectifyInterp(bilinear: Boolean): String = {
+    val ang = 0.1
+    val c = math.cos(ang); val s = math.sin(ang)
+    val dst = gmRectifyInt
+    val body =
+      if (bilinear)
+        """(g00.value + u * (g01.value - g00.value))
+          |    + v * ((g10.value + u * (g11.value - g10.value))
+          |           - (g00.value + u * (g01.value - g00.value)))""".stripMargin
+      else
+        """CASE WHEN u + v < 1.0
+          |    THEN g00.value + u * (g01.value - g00.value) + v * (g10.value - g00.value)
+          |    ELSE g11.value + (1.0 - u) * (g10.value - g11.value) + (1.0 - v) * (g01.value - g11.value)
+          |    END""".stripMargin
+    s"""$sqlGrid0, tcells AS (
+       |  SELECT r // ${dst.width} AS j, r % ${dst.width} AS i
+       |  FROM range(0, ${dst.width * dst.height}) t(r)
+       |), f AS (
+       |  SELECT j, i,
+       |    ${d(c)} * ((${d(dst.xMin)} + (i + 0.5) * ${d(dst.xRes)} - 50.0) / 0.1)
+       |      + ${d(s)} * ((60.0 - (${d(dst.yMax)} - (j + 0.5) * ${d(dst.yRes)})) / 0.1) - 0.5 AS fi,
+       |    -${d(s)} * ((${d(dst.xMin)} + (i + 0.5) * ${d(dst.xRes)} - 50.0) / 0.1)
+       |      + ${d(c)} * ((60.0 - (${d(dst.yMax)} - (j + 0.5) * ${d(dst.yRes)})) / 0.1) - 0.5 AS fj
+       |  FROM tcells
+       |), b AS (
+       |  SELECT j, i, CAST(FLOOR(fi) AS BIGINT) AS i0, CAST(FLOOR(fj) AS BIGINT) AS j0,
+       |         fi - FLOOR(fi) AS u, fj - FLOOR(fj) AS v
+       |  FROM f
+       |)
+       |SELECT b.j, b.i, ROUND($body, 4) AS value
+       |FROM b
+       |JOIN grid0 g00 ON g00.j = b.j0     AND g00.i = b.i0
+       |JOIN grid0 g01 ON g01.j = b.j0     AND g01.i = b.i0 + 1
+       |JOIN grid0 g10 ON g10.j = b.j0 + 1 AND g10.i = b.i0
+       |JOIN grid0 g11 ON g11.j = b.j0 + 1 AND g11.i = b.i0 + 1
+       |ORDER BY b.j, b.i""".stripMargin
+  }
+
+  /** Oracle for the NaN-recovery affine upscale: warp the zero-filled
+    * null grid and the inverted NaN mask with the SAME bilinear
+    * weights, divide, NULL where |norm| <= 1e-8 (np.isclose atol;
+    * reference: affine.py:344-360). Out-of-extent neighbors contribute
+    * fill = 0.0 to both blends. u, v mirror sqlUpBilinear.
+    */
+  private def sqlAffineNanrec: String = {
+    def blend(p: String): String =
+      s"((${p}00 + u * (${p}01 - ${p}00)) + v * ((${p}10 + u * (${p}11 - ${p}10)) - (${p}00 + u * (${p}01 - ${p}00))))"
+    s"""$sqlGridN, cells2 AS (
+       |  SELECT r // ${2 * W} AS j, r % ${2 * W} AS i FROM range(0, ${4 * W * W}) t(r)
+       |), f AS (
+       |  SELECT j, i,
+       |         CAST(FLOOR(0.5 * i + 0.25) AS BIGINT) AS i0, 0.5 * i + 0.25 - FLOOR(0.5 * i + 0.25) AS u,
+       |         CAST(FLOOR(0.5 * j + 0.25) AS BIGINT) AS j0, 0.5 * j + 0.25 - FLOOR(0.5 * j + 0.25) AS v
+       |  FROM cells2
+       |), n AS (
+       |  SELECT f.j, f.i, f.u, f.v,
+       |         COALESCE(g00.value, 0.0) AS f00, COALESCE(g01.value, 0.0) AS f01,
+       |         COALESCE(g10.value, 0.0) AS f10, COALESCE(g11.value, 0.0) AS f11,
+       |         CASE WHEN g00.value IS NOT NULL THEN 1.0 ELSE 0.0 END AS w00,
+       |         CASE WHEN g01.value IS NOT NULL THEN 1.0 ELSE 0.0 END AS w01,
+       |         CASE WHEN g10.value IS NOT NULL THEN 1.0 ELSE 0.0 END AS w10,
+       |         CASE WHEN g11.value IS NOT NULL THEN 1.0 ELSE 0.0 END AS w11
+       |  FROM f
+       |  LEFT JOIN gridn g00 ON g00.j = f.j0     AND g00.i = f.i0
+       |  LEFT JOIN gridn g01 ON g01.j = f.j0     AND g01.i = f.i0 + 1
+       |  LEFT JOIN gridn g10 ON g10.j = f.j0 + 1 AND g10.i = f.i0
+       |  LEFT JOIN gridn g11 ON g11.j = f.j0 + 1 AND g11.i = f.i0 + 1
+       |)
+       |SELECT j, i,
+       |  ROUND(CASE WHEN ABS(${blend("w")}) <= 1e-8 THEN NULL
+       |        ELSE ${blend("f")} / ${blend("w")} END, 6) AS value
+       |FROM n ORDER BY j, i""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val coarsenOs = coarsenConfigs.map { case (m, useN, rd) =>
       s"q_coarsen_${m.name}" -> coarsenSql(m, useN, rd)
@@ -437,7 +618,12 @@ object Queries {
 
     coarsenOs ++ Map(
       "q_reproject_nearest" -> sqlReprojectNearest,
+      "q_reproject_bilinear" -> sqlReprojectBilinear,
+      "q_reproject_jup" -> sqlReprojectJup,
       "q_rectify_nearest" -> sqlRectifyNearest,
+      "q_rectify_bilinear" -> sqlRectifyInterp(bilinear = true),
+      "q_rectify_triangular" -> sqlRectifyInterp(bilinear = false),
+      "q_affine_nanrec" -> sqlAffineNanrec,
       "q_affine_upscale_nearest" -> sqlUpNearest,
       "q_affine_upscale_bilinear" -> sqlUpBilinear,
       "q_affine_subset_shift" -> sqlShift,
