@@ -85,14 +85,27 @@ object VectorOps {
   }
 
   /** Embedding-cosine near-duplicate join: pairs (a < b) with cosine
-    * similarity >= threshold. Exact form (all-pairs with one side
-    * broadcast) for bounded inputs; at corpus scale route candidates
-    * through [[lshBuckets]] / [[ivfTopK]] and verify with this
-    * predicate.
+    * similarity >= threshold. Exact all-pairs form, GUARDED: the input
+    * must fit `maxExactRows` (checked with a bounded `limit(n+1)`
+    * count, never a full scan) because the broadcast non-equi join is a
+    * cartesian — quadratic work AND a driver-sized broadcast. Above the
+    * ceiling this THROWS rather than silently running an
+    * executor-melting plan; at corpus scale generate candidates with
+    * [[lshBuckets]] / [[ivfTopK]] (recall < 1, documented) or any
+    * blocking scheme, and verify them exactly with
+    * [[cosineVerifyPairs]] — for DENSE embeddings at loose thresholds
+    * no exact sub-quadratic threshold join exists, so the exact/
+    * approximate trade-off must be the caller's explicit choice.
     */
   def cosineDupPairs(
       embeddings: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxExactRows: Int = 65536): DataFrame = {
+    val n = embeddings.limit(maxExactRows + 1).count()
+    require(n <= maxExactRows,
+      s"cosineDupPairs is an exact all-pairs join; input exceeds maxExactRows=$maxExactRows. " +
+        "Generate candidates with lshBuckets/ivfTopK (approximate) or a blocking scheme and " +
+        "verify them with cosineVerifyPairs, or raise maxExactRows explicitly.")
     val e = embeddings.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val a = e.toDF("id_a", "va"); val b = e.toDF("id_b", "vb")
@@ -100,6 +113,44 @@ object VectorOps {
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** EXACT verification of a candidate pair table: joins each (id_a,
+    * id_b) candidate to its vectors (two narrow hash joins on id — no
+    * broadcast of the embedding table, no cartesian) and keeps pairs
+    * with exact cosine >= threshold. Returns exactly the exact-join
+    * result restricted to the covered candidates, so total cost scales
+    * with the candidate count — the 100 TB shape for any candidate
+    * generator (LSH, IVF, exact blocking).
+    */
+  def cosineVerifyPairs(
+      embeddings: DataFrame, candidates: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    candidates.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .join(e.toDF("id_a", "va"), "id_a")
+      .join(e.toDF("id_b", "vb"), "id_b")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** LSH-routed near-duplicate join: candidates = same-bucket pairs
+    * (one shuffle on the bucket id), verified exactly. Sound (every
+    * returned pair truly has sim >= threshold, with the exact sim) but
+    * recall < 1 by construction — pairs hashed to different buckets are
+    * never considered. The scale route the [[cosineDupPairs]] guard
+    * points to.
+    */
+  def cosineDupPairsLsh(
+      embeddings: DataFrame, threshold: Double, numPlanes: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(embeddings, numPlanes, dims, idCol, vecCol)
+    val cand = b.toDF("id_a", "bucket").join(b.toDF("id_b", "bucket"), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    cosineVerifyPairs(embeddings, cand, threshold, idCol, vecCol)
   }
 
   /** IVF-Flat ANN: assign every vector to its nearest coarse centroid

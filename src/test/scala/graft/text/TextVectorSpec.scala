@@ -111,6 +111,34 @@ class TextVectorSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L))) // only the near-parallel pair
   }
 
+  test("cosine dup routing: verifier over a full candidate cover is IDENTICAL to the exact join; LSH route is sound") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = toSet(VectorOps.cosineDupPairs(e, 0.2))
+    assert(exact.nonEmpty)
+    // routed form: candidate generation decoupled from verification;
+    // with a candidate cover the result is identical, pair for pair
+    // and similarity for similarity
+    val ids = e.select(col("vec_id").cast("long"))
+    val allCand = ids.toDF("id_a").crossJoin(ids.toDF("id_b")).filter(col("id_a") < col("id_b"))
+    assert(toSet(VectorOps.cosineVerifyPairs(e, allCand, 0.2)) == exact)
+    // LSH candidates: sound (subset with exact sims), recall < 1 by
+    // construction at this loose threshold
+    val lsh = toSet(VectorOps.cosineDupPairsLsh(e, 0.2, numPlanes = 2, dims = 64))
+    assert(lsh.nonEmpty && lsh.subsetOf(exact))
+  }
+
+  test("cosine dup pairs: the unguarded all-pairs cartesian is unreachable above the row ceiling") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.cosineDupPairs(e, 0.2, maxExactRows = 100).count()
+    }
+    assert(ex.getMessage.contains("cosineVerifyPairs"))
+  }
+
   test("IVF top-k: high recall vs brute force and exact hit within the probed lists") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 200)
