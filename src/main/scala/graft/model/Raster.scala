@@ -23,6 +23,25 @@ final case class Tile(
   */
 final case class Pixel(varName: String, band: Int, j: Int, i: Int, value: Double)
 
+/** Declared dimension names of one dataset variable — the metadata the
+  * dispatcher uses to split a dataset into resampled / passthrough /
+  * dropped variables (reference: xcube_resampling/affine.py:226-233
+  * keys the same split off `var.dims`).
+  */
+final case class VarDims(varName: String, dims: Seq[String])
+
+/** A dataset in the reference's sense: variables with BOTH spatial dims
+  * live as tiles; variables with NO spatial dim ride along as an opaque
+  * row table `(varName, payload rows...)` that spatial operators copy
+  * through UNCHANGED; variables with exactly ONE spatial dim are
+  * dropped by the dispatcher with a warning (reference:
+  * affine.py:232-233, reproject.py:183-184, rectify.py:176-177).
+  */
+final case class RasterDataset(
+    tiles: Dataset[Tile],
+    varDims: Seq[VarDims],
+    nonSpatial: DataFrame)
+
 /** Leading-dimension (band) metadata: the `datetime64` time coordinate
   * of a 3D stack (reference fixtures: tests/sampledata.py:45, 115, 136)
   * lives here as a `TimestampType`-encodable column, keyed by

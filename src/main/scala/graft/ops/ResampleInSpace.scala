@@ -57,6 +57,39 @@ object ResampleInSpace {
     }
   }
 
+  /** Dataset-level dispatch with the reference's variable contract
+    * (reference: affine.py:226-233, reproject.py:179-188,
+    * rectify.py:172-180): variables carrying BOTH spatial dims are
+    * resampled; variables carrying NEITHER are copied through
+    * unchanged; variables carrying exactly ONE spatial dim are DROPPED
+    * with a warning. The split is pure metadata (`varDims`), so the
+    * passthrough costs nothing at any scale — the non-spatial table is
+    * returned as-is and the tile/row filters are narrow.
+    */
+  def resampleDataset(
+      ds: graft.model.RasterDataset,
+      coordTiles: Option[Dataset[Tile]],
+      srcGm: GridMapping,
+      dstGmOpt: Option[GridMapping],
+      policies: Map[String, VarPolicy],
+      xDim: String = "x", yDim: String = "y"): (graft.model.RasterDataset, GridMapping) = {
+    import org.apache.spark.sql.functions.col
+    val (spatial2d, rest) = ds.varDims.partition(v =>
+      v.dims.contains(xDim) && v.dims.contains(yDim))
+    val (oneDim, nonSpatial) = rest.partition(v =>
+      v.dims.contains(xDim) || v.dims.contains(yDim))
+    if (oneDim.nonEmpty)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"Dropping variables with exactly one spatial dimension: ${oneDim.map(_.varName).mkString(", ")}")
+    val spatialNames = spatial2d.map(_.varName)
+    val keepNames = nonSpatial.map(_.varName)
+    val (outTiles, gmOut) = apply(
+      ds.tiles.filter(col("varName").isin(spatialNames: _*)),
+      coordTiles, srcGm, dstGmOpt, policies)
+    val outNonSpatial = ds.nonSpatial.filter(col("varName").isin(keepNames: _*))
+    (graft.model.RasterDataset(outTiles, spatial2d ++ nonSpatial, outNonSpatial), gmOut)
+  }
+
   /** Resample a source described by 1D coordinate AXES (the reference's
     * `Coords1DGridMapping`, gridmapping/coords.py:74-96): infer the
     * grid mapping from the axes; if they are regular this is the

@@ -54,6 +54,32 @@ class RasterPipelineSpec extends AnyFunSuite {
       Array(nan, nan, 5.0, nan, nan, nan, nan)))
   }
 
+  test("dataset dispatch: non-spatial vars pass through unchanged, one-spatial-dim vars drop (reference: affine.py:232-233)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gm = GridMapping.regular(4, 4, 0.0, 0.0, 1.0, 1.0, Crs.Geographic)
+    val dst = GridMapping.regular(2, 2, 1.0, 1.0, 1.0, 1.0, Crs.Geographic)
+    val img = Array.tabulate(4, 4)((j, i) => (j * 4 + i).toDouble)
+    val ds = graft.model.RasterDataset(
+      toDs(tilesFrom("sst", img, gm)),
+      Seq(graft.model.VarDims("sst", Seq("time", "y", "x")),
+        graft.model.VarDims("scalar_attr", Seq("time")),
+        graft.model.VarDims("x_bnds", Seq("x", "bnds"))),
+      Seq(("scalar_attr", 42.0), ("x_bnds", 0.5)).toDF("varName", "value"))
+    val (out, gmOut) = ResampleInSpace.resampleDataset(ds, None, gm, Some(dst),
+      Map("sst" -> VarPolicy(Interp.NEAREST, Reducers.Mean, recoverNan = false, fill = nan, dtype = F64)))
+    assert(gmOut.isClose(dst))
+    // spatial var went through the affine path: 1-pixel subset shift
+    assertImage(toArray(out.tiles.collect().toSeq, dst, "sst"),
+      Array(Array(5.0, 6.0), Array(9.0, 10.0)))
+    // non-spatial var rides through untouched; the 1-spatial-dim var is gone
+    assert(out.varDims.map(_.varName).toSet == Set("sst", "scalar_attr"))
+    val kept = out.nonSpatial.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(kept.toSeq == Seq(("scalar_attr", 42.0)))
+    // output tiles carry no phantom variables
+    assert(out.tiles.collect().forall(_.varName == "sst"))
+  }
+
   test("rectify 3D band passthrough (reference: test_rectify.py:80-110)") {
     val dstGm = GridMapping.regular(4, 4, -1.0, 49.0, 2.0, 2.0, Crs.Geographic)
     val tiles = toDs(
