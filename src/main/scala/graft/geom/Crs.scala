@@ -36,6 +36,13 @@ sealed trait Crs extends Serializable {
     */
   def equalsCrs(other: Crs): Boolean =
     (this eq other) || (isGeographic && other.isGeographic) || this == other
+
+  /** Unit of the CRS's grid axes: "degree" for angular systems —
+    * geographic AND rotated-pole (whose axes are degrees even though
+    * it is deliberately not `isGeographic`) — "metre" for projected
+    * ones.
+    */
+  def axisUnit: String = if (isGeographic) "degree" else "metre"
 }
 
 object Crs {
@@ -240,6 +247,7 @@ object Crs {
       poleLatDeg: Double, poleLonDeg: Double, axisLonDeg: Double,
       override val name: String) extends Crs {
     val isGeographic = false
+    override val axisUnit: String = "degree" // rotated lon/lat axes
 
     private val theta = math.toRadians(poleLatDeg)
     private val sinT = math.sin(theta); private val cosT = math.cos(theta)
@@ -272,6 +280,144 @@ object Crs {
       if (l > 180.0) l - 360.0 else if (l < -180.0) l + 360.0 else l
   }
 
+  /** Lambert Conformal Conic, 2 standard parallels (Snyder 1987, USGS
+    * PP 1395, pp. 104-110, eqs. 15-1..15-11 ellipsoidal form) — the
+    * standard regional-model projection (e.g. EPSG:2154 Lambert-93).
+    */
+  final case class LambertConformalConic(
+      lat1Deg: Double, lat2Deg: Double, lat0Deg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double,
+      ell: Ellipsoid, override val name: String) extends Crs {
+    val isGeographic = false
+
+    private val e = ell.e
+    private val lon0 = math.toRadians(lon0Deg)
+
+    // t(phi) = tan(pi/4 - phi/2) / ((1 - e sin phi)/(1 + e sin phi))^(e/2)  (15-9)
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    // m(phi) = cos phi / sqrt(1 - e^2 sin^2 phi)  (14-15)
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+    }
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val m1 = mOf(phi1); private val m2 = mOf(phi2)
+    private val t1 = tOf(phi1); private val t2 = tOf(phi2)
+    private val nCone =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2)) // (15-8)
+    private val bigF = m1 / (nCone * math.pow(t1, nCone)) // (15-10)
+    private val rho0 = ell.a * bigF * math.pow(tOf(math.toRadians(lat0Deg)), nCone) // (15-7a)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var dLon = math.toRadians(lonDeg) - lon0
+      if (dLon > math.Pi) dLon -= 2 * math.Pi
+      if (dLon < -math.Pi) dLon += 2 * math.Pi
+      val rho = ell.a * bigF * math.pow(tOf(math.toRadians(latDeg)), nCone) // (15-7)
+      val theta = nCone * dLon // (14-4)
+      (falseEasting + rho * math.sin(theta),
+        falseNorthing + rho0 - rho * math.cos(theta)) // (14-1, 14-2)
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - falseEasting
+      val yr = rho0 - (y - falseNorthing)
+      val sign = if (nCone < 0) -1.0 else 1.0
+      val rho = sign * math.sqrt(xr * xr + yr * yr) // (14-10)
+      val theta = math.atan2(sign * xr, sign * yr) // (14-11)
+      val tP = math.pow(rho / (ell.a * bigF), 1.0 / nCone) // (15-11)
+      // phi from t by fixed-point iteration (7-9)
+      var phi = math.Pi / 2 - 2 * math.atan(tP)
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        val next = math.Pi / 2 - 2 * math.atan(
+          tP * math.pow((1 - e * s) / (1 + e * s), e / 2))
+        if (math.abs(next - phi) < 1e-13) { phi = next; i = 12 } else { phi = next; i += 1 }
+      }
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(phi))
+    }
+  }
+
+  /** Polar Stereographic, variant B (standard parallel `latTsDeg`;
+    * Snyder 1987, pp. 160-163, eqs. 21-33..21-41 and 7-9). `south`
+    * mirrors the north-aspect math through (phi, y) negation — the
+    * EPSG:3031-style south aspect.
+    */
+  final case class PolarStereographic(
+      latTsDeg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double,
+      south: Boolean, ell: Ellipsoid, override val name: String) extends Crs {
+    val isGeographic = false
+
+    private val e = ell.e
+    private val lon0 = math.toRadians(lon0Deg)
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    private val phiTs = math.toRadians(math.abs(latTsDeg))
+    private val mc = {
+      val s = math.sin(phiTs)
+      math.cos(phiTs) / math.sqrt(1 - ell.e2 * s * s)
+    }
+    private val tc = tOf(phiTs)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(if (south) -latDeg else latDeg)
+      var dLon = math.toRadians(lonDeg) - lon0
+      if (south) dLon = -dLon
+      if (dLon > math.Pi) dLon -= 2 * math.Pi
+      if (dLon < -math.Pi) dLon += 2 * math.Pi
+      val rho = ell.a * mc * tOf(phi) / tc // (21-34)
+      val xP = rho * math.sin(dLon)
+      val yP = -rho * math.cos(dLon) // north aspect: y opens toward lon0+180
+      if (south) (falseEasting - xP, falseNorthing - yP)
+      else (falseEasting + xP, falseNorthing + yP)
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      var xP = x - falseEasting
+      var yP = y - falseNorthing
+      if (south) { xP = -xP; yP = -yP }
+      val rho = math.sqrt(xP * xP + yP * yP)
+      val tP = rho * tc / (ell.a * mc) // (21-39)
+      var phi = math.Pi / 2 - 2 * math.atan(tP)
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        val next = math.Pi / 2 - 2 * math.atan(
+          tP * math.pow((1 - e * s) / (1 + e * s), e / 2))
+        if (math.abs(next - phi) < 1e-13) { phi = next; i = 12 } else { phi = next; i += 1 }
+      }
+      val dLon = if (rho < 1e-12) 0.0 else math.atan2(xP, -yP)
+      val lon = math.toDegrees(lon0 + (if (south) -dLon else dLon))
+      val lat = math.toDegrees(if (south) -phi else phi)
+      (if (lon > 180) lon - 360 else if (lon < -180) lon + 360 else lon, lat)
+    }
+  }
+
+  /** Spherical ("web") Mercator, EPSG:3857: the WGS84 ellipsoid's
+    * semi-major axis used as a sphere radius (the defining quirk).
+    */
+  case object WebMercator extends Crs {
+    val name = "EPSG:3857"
+    val isGeographic = false
+    private val a = WGS84.a
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) =
+      (a * math.toRadians(lon),
+        a * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+    def toLonLat(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(x / a),
+        math.toDegrees(2 * math.atan(math.exp(y / a)) - math.Pi / 2))
+  }
+
   def utm(zone: Int, north: Boolean): Crs = TransverseMercator(
     lon0Deg = zone * 6.0 - 183.0, lat0Deg = 0.0, k0 = 0.9996,
     falseEasting = 500000.0, falseNorthing = if (north) 0.0 else 10000000.0,
@@ -282,13 +428,139 @@ object Crs {
     falseEasting = 4321000.0, falseNorthing = 3210000.0,
     ell = GRS80, name = "EPSG:3035")
 
-  /** Parse the EPSG identifiers the engine supports. */
-  def fromString(s: String): Crs = s.trim.toUpperCase match {
-    case "EPSG:4326" | "OGC:CRS84" | "CRS84" | "WGS84" | "EPSG:4979" => Geographic
-    case "EPSG:3035" => laea3035
-    case c if c.startsWith("EPSG:326") && c.length == 10 => utm(c.drop(8).toInt, north = true)
-    case c if c.startsWith("EPSG:327") && c.length == 10 => utm(c.drop(8).toInt, north = false)
-    case other => throw new IllegalArgumentException(s"unsupported CRS: $other")
+  val lambert93: Crs = LambertConformalConic(
+    lat1Deg = 49.0, lat2Deg = 44.0, lat0Deg = 46.5, lon0Deg = 3.0,
+    falseEasting = 700000.0, falseNorthing = 6600000.0,
+    ell = GRS80, name = "EPSG:2154")
+
+  val npsPolarStereo: Crs = PolarStereographic( // NSIDC Sea Ice Polar Stereographic North
+    latTsDeg = 70.0, lon0Deg = -45.0, falseEasting = 0.0, falseNorthing = 0.0,
+    south = false, ell = WGS84, name = "EPSG:3413")
+
+  val antarcticPolarStereo: Crs = PolarStereographic( // Antarctic Polar Stereographic
+    latTsDeg = -71.0, lon0Deg = 0.0, falseEasting = 0.0, falseNorthing = 0.0,
+    south = true, ell = WGS84, name = "EPSG:3031")
+
+  private val SupportedMsg =
+    "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
+      "EPSG:326xx/327xx (UTM), EPSG:3035 (LAEA Europe), EPSG:2154 (Lambert-93 LCC), " +
+      "EPSG:3413/3031 (polar stereographic), proj strings " +
+      "(+proj=longlat|merc|utm|tmerc|laea|lcc|stere|ob_tran), and WKT with PROJECTION " +
+      "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|Polar_Stereographic|Mercator"
+
+  /** Parse an EPSG identifier, a proj string, or (pragmatically) a WKT
+    * blob. Fails loudly with the supported list — silently proceeding
+    * with a wrong CRS would corrupt every downstream coordinate.
+    */
+  def fromString(s: String): Crs = {
+    val trimmed = s.trim
+    if (trimmed.startsWith("+")) fromProjString(trimmed)
+    else if (trimmed.contains("[")) fromWkt(trimmed)
+    else trimmed.toUpperCase match {
+      case "EPSG:4326" | "OGC:CRS84" | "CRS84" | "WGS84" | "EPSG:4979" => Geographic
+      case "EPSG:3857" | "EPSG:900913" => WebMercator
+      case "EPSG:3035" => laea3035
+      case "EPSG:2154" => lambert93
+      case "EPSG:3413" => npsPolarStereo
+      case "EPSG:3031" => antarcticPolarStereo
+      case c if c.startsWith("EPSG:326") && c.length == 10 => utm(c.drop(8).toInt, north = true)
+      case c if c.startsWith("EPSG:327") && c.length == 10 => utm(c.drop(8).toInt, north = false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported CRS: $other; $SupportedMsg")
+    }
+  }
+
+  /** Parse a PROJ.4-style parameter string for the implemented
+    * projection families (public parameter semantics; see the PROJ
+    * documentation for each +proj entry).
+    */
+  def fromProjString(s: String): Crs = {
+    val kv = s.trim.split("\\s+").filter(_.startsWith("+")).map(_.drop(1)).map { tok =>
+      tok.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+    def num(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val ell = kv.getOrElse("ellps", kv.getOrElse("datum", "WGS84")).toUpperCase match {
+      case "GRS80" => GRS80
+      case _ => WGS84
+    }
+    kv.getOrElse("proj", "?") match {
+      case "longlat" | "latlong" | "lonlat" => Geographic
+      case "merc" if num("a", WGS84.a) == WGS84.a => WebMercator
+      case "utm" =>
+        utm(kv("zone").toInt, north = !kv.contains("south"))
+      case "tmerc" => TransverseMercator(
+        num("lon_0", 0), num("lat_0", 0), num("k", num("k_0", 1.0)),
+        num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "laea" => LambertAzimuthalEqualArea(
+        num("lon_0", 0), num("lat_0", 0), num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "lcc" => LambertConformalConic(
+        num("lat_1", 0), num("lat_2", num("lat_1", 0)), num("lat_0", 0), num("lon_0", 0),
+        num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "stere" if math.abs(num("lat_0", 0)) == 90.0 => PolarStereographic(
+        num("lat_ts", num("lat_0", 90)), num("lon_0", 0),
+        num("x_0", 0), num("y_0", 0), south = num("lat_0", 0) < 0, ell, s.trim)
+      case "ob_tran" if kv.get("o_proj").exists(p => p == "longlat" || p == "latlon" || p == "latlong") =>
+        RotatedPole(num("o_lat_p", 90), num("lon_0", 180) - 180.0, num("o_lon_p", 0), s.trim)
+      case other => throw new IllegalArgumentException(
+        s"unsupported proj string (+proj=$other): $s; $SupportedMsg")
+    }
+  }
+
+  /** Pragmatic WKT1/WKT2 reader: extracts PROJECTION / PARAMETER /
+    * SPHEROID (or ELLIPSOID) tokens rather than building a full WKT
+    * grammar — enough to accept the CRS blobs CF metadata and common
+    * tooling emit for the implemented families.
+    */
+  def fromWkt(wkt: String): Crs = {
+    val upper = wkt.toUpperCase
+    // outermost EPSG authority (WKT1 AUTHORITY / WKT2 ID) is listed
+    // last; prefer the exact registry entry when we have one
+    val authority = """(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+      .findAllMatchIn(wkt).toSeq.lastOption.map(_.group(1))
+    authority.foreach { code =>
+      try return fromString(s"EPSG:$code")
+      catch { case _: IllegalArgumentException => () } // fall through to parameter parse
+    }
+    def params: Map[String, Double] =
+      """PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)""".r
+        .findAllMatchIn(wkt).map(m => m.group(1).toLowerCase.replace(' ', '_') -> m.group(2).toDouble)
+        .toMap
+    def p(names: Seq[String], dflt: Double): Double =
+      names.flatMap(params.get).headOption.getOrElse(dflt)
+    val ell = """(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)\s*,\s*([-0-9.eE+]+)""".r
+      .findFirstMatchIn(wkt)
+      .map(m => Ellipsoid(m.group(1).toDouble, m.group(2).toDouble))
+      .getOrElse(WGS84)
+    val projection = """(?:PROJECTION\s*\[\s*"([^"]+)"|METHOD\s*\[\s*"([^"]+)")""".r
+      .findFirstMatchIn(wkt).map(m => Option(m.group(1)).getOrElse(m.group(2)))
+    val lon0 = p(Seq("central_meridian", "longitude_of_origin", "longitude_of_natural_origin", "longitude_of_center"), 0)
+    val lat0 = p(Seq("latitude_of_origin", "latitude_of_natural_origin", "latitude_of_center"), 0)
+    val fe = p(Seq("false_easting"), 0); val fn = p(Seq("false_northing"), 0)
+    projection.map(_.toLowerCase.replace(' ', '_')) match {
+      case None if upper.contains("GEOGCS") || upper.contains("GEOGCRS") => Geographic
+      case Some(proj) if proj.contains("transverse_mercator") =>
+        TransverseMercator(lon0, lat0, p(Seq("scale_factor", "scale_factor_at_natural_origin"), 1.0),
+          fe, fn, ell, "WKT")
+      case Some(proj) if proj.contains("lambert_azimuthal") =>
+        LambertAzimuthalEqualArea(lon0, lat0, fe, fn, ell, "WKT")
+      case Some(proj) if proj.contains("lambert_conformal") =>
+        LambertConformalConic(
+          p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), lat0),
+          p(Seq("standard_parallel_2", "latitude_of_2nd_standard_parallel"),
+            p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), lat0)),
+          lat0, lon0, fe, fn, ell, "WKT")
+      case Some(proj) if proj.contains("polar_stereographic") =>
+        val ts = p(Seq("standard_parallel_1", "latitude_of_standard_parallel", "latitude_of_origin"), 90)
+        PolarStereographic(ts, p(Seq("central_meridian", "longitude_of_origin", "straight_vertical_longitude_from_pole"), lon0),
+          fe, fn, south = ts < 0, ell, "WKT")
+      case Some(proj) if proj.contains("mercator") && !proj.contains("transverse") =>
+        WebMercator
+      case other => throw new IllegalArgumentException(
+        s"unsupported WKT (projection = ${other.getOrElse("none")}); $SupportedMsg")
+    }
   }
 }
 

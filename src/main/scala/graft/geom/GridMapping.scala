@@ -133,9 +133,11 @@ final case class GridMapping(
   def isTiled: Boolean = tileWidth != width || tileHeight != height
 
   /** Unit of the spatial axes (reference: base.py:403-404 reads the
-    * CRS axis info; here geographic => degree, projected => metre).
+    * CRS axis info): angular systems — including rotated-pole, whose
+    * axes are degrees even though it is not interchangeable with
+    * WGS84 — report degree, projected ones metre.
     */
-  def spatialUnitName: String = if (crs.isGeographic) "degree" else "metre"
+  def spatialUnitName: String = crs.axisUnit
 
   /** Derive a copy with a new tile size and/or flipped j axis
     * (reference: base.py:145-205).

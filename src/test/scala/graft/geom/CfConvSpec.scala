@@ -159,4 +159,76 @@ class CfConvSpec extends AnyFunSuite {
     assert(p.scalar.contains(Interp.BILINEAR))
     assert(p.byVar("a") == Interp.BILINEAR && p.byVar("b") == Interp.NEAREST)
   }
+
+  def samePoint(a: Crs, b: Crs, lon: Double, lat: Double, tol: Double = 1e-9): Unit = {
+    val (x1, y1) = a.fromLonLat(lon, lat)
+    val (x2, y2) = b.fromLonLat(lon, lat)
+    assert(math.abs(x1 - x2) < tol && math.abs(y1 - y2) < tol,
+      s"($lon,$lat): ($x1,$y1) vs ($x2,$y2)")
+  }
+
+  test("proj-string parsing covers every implemented family") {
+    assert(Crs.fromString("+proj=longlat +datum=WGS84 +no_defs") == Crs.Geographic)
+    assert(Crs.fromString("+proj=utm +zone=32 +datum=WGS84").name == "EPSG:32632")
+    assert(Crs.fromString("+proj=utm +zone=33 +south +datum=WGS84").name == "EPSG:32733")
+    samePoint(
+      Crs.fromString("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80"),
+      Crs.lambert93, 4.1, 45.2)
+    samePoint(
+      Crs.fromString("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80"),
+      Crs.laea3035, 8.3, 50.1)
+    samePoint(
+      Crs.fromString("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +datum=WGS84"),
+      Crs.antarcticPolarStereo, 110.0, -75.0)
+    samePoint(
+      Crs.fromString("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84"),
+      Crs.npsPolarStereo, -30.0, 78.0)
+    Crs.fromString("+proj=ob_tran +o_proj=longlat +o_lat_p=32.5 +o_lon_p=0 +lon_0=250") match {
+      case rp: Crs.RotatedPole =>
+        assert(rp.poleLatDeg == 32.5 && rp.poleLonDeg == 70.0 && rp.axisLonDeg == 0.0)
+      case other => fail(s"expected RotatedPole, got $other")
+    }
+  }
+
+  test("WKT parsing: parameters for known projections, outer EPSG authority preferred") {
+    val lccWkt =
+      """PROJCS["RGF93 / Lambert-93",
+        |  GEOGCS["RGF93",DATUM["Reseau_Geodesique_Francais_1993",
+        |    SPHEROID["GRS 1980",6378137,298.257222101]],AUTHORITY["EPSG","4171"]],
+        |  PROJECTION["Lambert_Conformal_Conic_2SP"],
+        |  PARAMETER["standard_parallel_1",49],
+        |  PARAMETER["standard_parallel_2",44],
+        |  PARAMETER["latitude_of_origin",46.5],
+        |  PARAMETER["central_meridian",3],
+        |  PARAMETER["false_easting",700000],
+        |  PARAMETER["false_northing",6600000]]""".stripMargin
+    samePoint(Crs.fromString(lccWkt), Crs.lambert93, -1.2, 48.9)
+    // outer authority wins when the registry knows the code
+    assert(Crs.fromString(
+      """PROJCS["WGS 84 / UTM zone 32N",PROJECTION["Transverse_Mercator"],
+        |AUTHORITY["EPSG","32632"]]""".stripMargin).name == "EPSG:32632")
+    // plain GEOGCS is geographic
+    assert(Crs.fromString("""GEOGCS["WGS 84",DATUM["WGS_1984"]]""") == Crs.Geographic)
+  }
+
+  test("unsupported CRSs fail loudly with the supported list") {
+    for (bad <- Seq("EPSG:27700", "+proj=sinu +lon_0=0",
+        """PROJCS["x",PROJECTION["Sinusoidal"]]""")) {
+      val ex = intercept[IllegalArgumentException](Crs.fromString(bad))
+      assert(ex.getMessage.contains("supported:"), s"$bad -> ${ex.getMessage}")
+    }
+  }
+
+  test("new EPSG shorthands resolve and rotated-pole grids report degree axes") {
+    assert(Crs.fromString("EPSG:3857") == Crs.WebMercator)
+    assert(Crs.fromString("EPSG:2154").name == "EPSG:2154")
+    assert(Crs.fromString("EPSG:3413").name == "EPSG:3413")
+    assert(Crs.fromString("EPSG:3031").name == "EPSG:3031")
+    val gmRot = graft.geom.GridMapping.regular(4, 4, 0.0, 0.0, 0.1, 0.1,
+      Crs.RotatedPole(32.5, -170.0, 0.0, "rotated"))
+    assert(gmRot.spatialUnitName == "degree")
+    val gmUtm = graft.geom.GridMapping.regular(4, 4, 0.0, 0.0, 10.0, 10.0,
+      Crs.utm(32, north = true))
+    assert(gmUtm.spatialUnitName == "metre")
+  }
 }
