@@ -10,12 +10,14 @@ import graft.model.Tile
   *
   * 1D analysis runs on driver arrays (axis coords are O(width+height)
   * doubles — exactly what the reference holds in memory). 2D analysis
-  * runs over the coordinate tile table: boundary slices are collected
-  * (O(width+height)), and the irregular-resolution estimation is a
-  * per-tile kernel + global min/max aggregate — the reference's
-  * full-image `da.diff` pass, tile-localized (neighbor diffs at tile
-  * seams use the reference's own last-row/column duplication trick,
-  * applied per tile).
+  * runs over the coordinate tile table fully distributed: boundary
+  * regularity/antimeridian/bbox checks fold per-tile O(1) EDGE
+  * SUMMARIES (the driver sees O(numTiles) records, never a coordinate
+  * slice), the j-up orientation is one pointwise aggregate, and the
+  * irregular-resolution estimation is a per-tile kernel + global
+  * min/max aggregate — the reference's full-image `da.diff` pass,
+  * tile-localized (neighbor diffs at tile seams use the reference's
+  * own last-row/column duplication trick, applied per tile).
   */
 object GridMappingInference {
 
@@ -24,6 +26,9 @@ object GridMappingInference {
 
   private def absNoZero(a: Array[Double]): Array[Double] =
     a.map(v => { val x = math.abs(v); if (x < 1e-8) Double.NaN else x })
+
+  /** Any |diff| > 180 along the folded slice (the antimeridian jump). */
+  private def bigJump(f: FoldedEdge): Boolean = f.nDiffs > 0 && f.maxAbsD > 180
 
   private def diffs(a: Array[Double]): Array[Double] =
     Array.tabulate(a.length - 1)(k => a(k + 1) - a(k))
@@ -81,6 +86,82 @@ object GridMappingInference {
     else (a(a.length / 2 - 1) + a(a.length / 2)) / 2
   }
 
+  /** O(1) summary of one tile's boundary slice: first/last elements
+    * (for cross-tile diffs on the driver), |diff| extremes, value
+    * extremes (NaN-skipped), and NaN presence. `tag` names the slice
+    * (top row / first column / ... of x or y), `idx` orders tiles along
+    * the slice.
+    */
+  private[geom] final case class EdgeStat(
+      tag: String, idx: Int, n: Int, first: Double, last: Double,
+      firstAbsDiff: Double, minAbsD: Double, maxAbsD: Double,
+      minV: Double, maxV: Double, hasNaN: Boolean)
+
+  private def edgeStat(tag: String, idx: Int, vals: Array[Double]): EdgeStat = {
+    var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+    var hasNaN = false
+    var k = 0
+    while (k < vals.length) {
+      val v = vals(k)
+      if (v.isNaN) hasNaN = true
+      else { if (v < minV) minV = v; if (v > maxV) maxV = v }
+      k += 1
+    }
+    var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
+    var firstD = Double.NaN
+    k = 1
+    while (k < vals.length) {
+      val d = math.abs(vals(k) - vals(k - 1))
+      if (k == 1) firstD = d
+      if (d.isNaN) hasNaN = true
+      else { if (d < minD) minD = d; if (d > maxD) maxD = d }
+      k += 1
+    }
+    EdgeStat(tag, idx, vals.length, vals.head, vals.last, firstD, minD, maxD, minV, maxV, hasNaN)
+  }
+
+  /** Driver-side fold of one slice's tile summaries (ordered by idx):
+    * the global |diff| extremes include the cross-tile seam diffs, `d0`
+    * is the slice's first |diff| (what the reference reads the
+    * resolution from), min/max the slice value extremes.
+    */
+  private final case class FoldedEdge(
+      d0: Double, minAbsD: Double, maxAbsD: Double,
+      minV: Double, maxV: Double, hasNaN: Boolean, nDiffs: Long)
+
+  private def foldEdge(stats: Seq[EdgeStat]): FoldedEdge = {
+    var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
+    var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+    var hasNaN = false
+    var d0 = Double.NaN
+    var nDiffs = 0L
+    var k = 0
+    while (k < stats.length) {
+      val s = stats(k)
+      hasNaN ||= s.hasNaN
+      if (s.minV < minV) minV = s.minV
+      if (s.maxV > maxV) maxV = s.maxV
+      if (s.n >= 2) {
+        if (k == 0) d0 = s.firstAbsDiff
+        if (s.minAbsD < minD) minD = s.minAbsD
+        if (s.maxAbsD > maxD) maxD = s.maxAbsD
+        nDiffs += s.n - 1
+      }
+      if (k > 0) {
+        val cross = math.abs(stats(k).first - stats(k - 1).last)
+        if (k == 1 && stats(0).n < 2) d0 = cross
+        if (cross.isNaN) hasNaN = true
+        else {
+          if (cross < minD) minD = cross
+          if (cross > maxD) maxD = cross
+        }
+        nDiffs += 1
+      }
+      k += 1
+    }
+    FoldedEdge(d0, minD, maxD, minV, maxV, hasNaN, nDiffs)
+  }
+
   /** 2D coord images (vars "x"/"y" in `coordTiles`, tiled per
     * (tileW, tileH)) -> grid mapping. Returns an irregular mapping with
     * the reference's area-blend resolution estimate
@@ -93,61 +174,62 @@ object GridMappingInference {
     val spark = coordTiles.sparkSession
     import spark.implicits._
 
-    // ONE job collects every boundary slice (first/last rows/columns,
-    // O(w+h) values) plus the lon>180 flag — at scale this is a single
-    // narrow pass instead of 6 sequential jobs
+    // ONE job folds per-tile EDGE SUMMARIES (first/last rows/columns as
+    // O(1) stats each, plus the lon>180 flag): the driver sees
+    // O(numTiles) records and reconstructs the cross-tile seam diffs
+    // from first/last elements — no coordinate slice is ever collected
     val nTy = (height + tileH - 1) / tileH
     val nTx = (width + tileW - 1) / tileW
-    val boundary = coordTiles.flatMap { t =>
-      val isX = t.varName == "x"
-      val out = Seq.newBuilder[(String, Int, Double)]
-      if (t.tj == 0)
-        (0 until t.w).foreach(i => out += ((if (isX) "r0x" else "r0y", t.ti * tileW + i, t.data(i))))
-      if (t.ti == 0)
-        (0 until t.h).foreach(j => out += ((if (isX) "c0x" else "c0y", t.tj * tileH + j, t.data(j * t.w))))
-      if (!isX && t.tj == nTy - 1)
-        (0 until t.w).foreach(i => out += (("lrY", t.ti * tileW + i, t.data((t.h - 1) * t.w + i))))
-      if (isX && t.ti == nTx - 1)
-        (0 until t.h).foreach(j => out += (("lcX", t.tj * tileH + j, t.data(j * t.w + t.w - 1))))
-      if (isX && t.data.exists(_ > 180)) out += (("l360", 0, 1.0))
-      out.result()
-    }.collect()
-    def slice(tag: String): Map[Int, Double] =
-      boundary.iterator.filter(_._1 == tag).map(r => r._2 -> r._3).toMap
-    val row0X = slice("r0x"); val row0Y = slice("r0y")
-    val col0X = slice("c0x"); val col0Y = slice("c0y")
-    val lastRowY = slice("lrY"); val lastColX0 = slice("lcX")
+    def edgeStatsOf(src: Dataset[Tile]): Map[String, FoldedEdge] =
+      src.flatMap { t =>
+        val isX = t.varName == "x"
+        val out = Seq.newBuilder[EdgeStat]
+        if (t.tj == 0)
+          out += edgeStat(if (isX) "r0x" else "r0y", t.ti,
+            Array.tabulate(t.w)(i => t.data(i)))
+        if (t.ti == 0)
+          out += edgeStat(if (isX) "c0x" else "c0y", t.tj,
+            Array.tabulate(t.h)(j => t.data(j * t.w)))
+        if (!isX && t.tj == nTy - 1)
+          out += edgeStat("lrY", t.ti, Array.tabulate(t.w)(i => t.data((t.h - 1) * t.w + i)))
+        if (isX && t.ti == nTx - 1)
+          out += edgeStat("lcX", t.tj, Array.tabulate(t.h)(j => t.data(j * t.w + t.w - 1)))
+        if (isX && t.data.exists(_ > 180))
+          out += EdgeStat("l360", 0, 0, 0, 0, 0, 0, 0, 0, 0, hasNaN = false)
+        out.result()
+      }.collect().groupBy(_.tag)
+        .map { case (tag, sts) => tag -> foldEdge(sts.sortBy(_.idx).toSeq) }
 
-    val xs0 = Array.tabulate(width)(row0X)
-    val ys0 = Array.tabulate(width)(row0Y)
-    val xsC = Array.tabulate(height)(col0X)
-    val ysC = Array.tabulate(height)(col0Y)
-
-    var isLon360 = crs.isGeographic && boundary.exists(_._1 == "l360")
+    val raw = edgeStatsOf(coordTiles)
+    var isLon360 = crs.isGeographic && raw.contains("l360")
     var tiles = coordTiles
     val crossesAnti = !isLon360 && crs.isGeographic && (
-      absNoZero(diffs(xs0)).exists(d => !d.isNaN && d > 180) ||
-      absNoZero(diffs(xsC)).exists(d => !d.isNaN && d > 180))
+      bigJump(raw("r0x")) || bigJump(raw("c0x")))
     if (crossesAnti) {
       tiles = coordTiles.map { t =>
         if (t.varName == "x") t.copy(data = t.data.map(x => if (x >= 0) x else x + 360.0)) else t
       }
       isLon360 = true
     }
-    def lon360(a: Array[Double]) =
-      if (crossesAnti) a.map(x => if (x >= 0) x else x + 360.0) else a
-    val xs = lon360(xs0); val xc = lon360(xsC)
+    // antimeridian normalization changes the x slices' diffs and
+    // extremes, so re-fold the (narrowly re-mapped) x stats
+    val ed = if (crossesAnti) edgeStatsOf(tiles.filter(col("varName") === "x")) ++
+      raw.view.filterKeys(k => k == "r0y" || k == "c0y" || k == "lrY").toMap
+    else raw
 
-    val xxDiff = diffs(xs).map(math.abs)
-    val yyDiff = diffs(ysC).map(math.abs)
-    val xyDiff = diffs(xc).map(math.abs)
-    val yxDiff = diffs(ys0).map(math.abs)
-    var xRes = xxDiff(0)
-    var yRes = yyDiff(0)
+    val xx = ed("r0x"); val yy = ed("c0y")
+    val xy = ed("c0x"); val yx = ed("r0y")
+    var xRes = xx.d0
+    var yRes = yy.d0
+    def regularAlong(f: FoldedEdge, res: Double): Boolean =
+      !f.hasNaN && !res.isNaN &&
+        (f.nDiffs == 0 ||
+          (math.abs(f.minAbsD - res) <= tolerance && math.abs(f.maxAbsD - res) <= tolerance))
+    def flatAcross(f: FoldedEdge): Boolean =
+      !f.hasNaN && (f.nDiffs == 0 || f.maxAbsD <= tolerance)
     val isRegular =
-      xxDiff.forall(d => math.abs(d - xRes) <= tolerance) &&
-      yyDiff.forall(d => math.abs(d - yRes) <= tolerance) &&
-      xyDiff.forall(_ <= tolerance) && yxDiff.forall(_ <= tolerance)
+      regularAlong(xx, xRes) && regularAlong(yy, yRes) &&
+      flatAcross(xy) && flatAcross(yx)
 
     if (!isRegular) {
       // area-based estimation (reference: coords.py:226-264), per tile
@@ -203,17 +285,32 @@ object GridMappingInference {
       xRes = res; yRes = res
     }
 
-    val isJAxisUp = ys0.zip(Array.tabulate(width)(lastRowY)).forall { case (a, b) => a < b }
+    // pointwise first-row < last-row comparison per column — one
+    // distributed aggregate (group state is one column's two values)
+    val isJAxisUp = coordTiles.flatMap { t =>
+      if (t.varName != "y" || (t.tj != 0 && t.tj != nTy - 1)) Seq.empty[(Int, Boolean, Double)]
+      else {
+        val out = Seq.newBuilder[(Int, Boolean, Double)]
+        if (t.tj == 0)
+          (0 until t.w).foreach(i => out += ((t.ti * tileW + i, true, t.data(i))))
+        if (t.tj == nTy - 1)
+          (0 until t.w).foreach(i => out += ((t.ti * tileW + i, false, t.data((t.h - 1) * t.w + i))))
+        out.result()
+      }
+    }.groupByKey(_._1).mapGroups { (_, it) =>
+      var top = Double.NaN; var bot = Double.NaN
+      it.foreach { r => if (r._2) top = r._3 else bot = r._3 }
+      top < bot
+    }.reduce(_ && _)
     // bbox: first/last column x extremes, first/last row y extremes
-    val lastColX = lon360(Array.tabulate(height)(lastColX0))
-    val xMin = GridMapping.toIntOrFloat(lastColX.min.min(xc.min) - xRes / 2)
-    val xMax = GridMapping.toIntOrFloat(lastColX.max.max(xc.max) + xRes / 2)
-    val lastY = Array.tabulate(width)(i => lastRowY(i))
+    val lcx = ed("lcX"); val lry = ed("lrY")
+    val xMin = GridMapping.toIntOrFloat(math.min(lcx.minV, xy.minV) - xRes / 2)
+    val xMax = GridMapping.toIntOrFloat(math.max(lcx.maxV, xy.maxV) + xRes / 2)
     val (yMin, yMax) =
       if (isJAxisUp)
-        (GridMapping.toIntOrFloat(ys0.min - yRes / 2), GridMapping.toIntOrFloat(lastY.max + yRes / 2))
+        (GridMapping.toIntOrFloat(yx.minV - yRes / 2), GridMapping.toIntOrFloat(lry.maxV + yRes / 2))
       else
-        (GridMapping.toIntOrFloat(lastY.min - yRes / 2), GridMapping.toIntOrFloat(ys0.max + yRes / 2))
+        (GridMapping.toIntOrFloat(lry.minV - yRes / 2), GridMapping.toIntOrFloat(yx.maxV + yRes / 2))
 
     GridMapping(
       width, height, math.min(tileW, width), math.min(tileH, height),

@@ -54,17 +54,38 @@ object Reducers {
         c.toDouble
       case Mode =>
         // categorical histogram over [min, max]; no NaN handling by
-        // design (reference: coarsen.py:114-155). First-max wins.
+        // design (reference: coarsen.py:114-155). First-max wins
+        // (= smallest value among the most frequent).
         var mn = Double.MaxValue; var mx = Double.MinValue
         var k = 0
         while (k < n) { val v = values(k); if (v < mn) mn = v; if (v > mx) mx = v; k += 1 }
-        val lo = mn.toLong; val range = (mx.toLong - lo + 1).toInt
-        val counts = new Array[Int](range)
-        k = 0
-        while (k < n) { counts((values(k).toLong - lo).toInt) += 1; k += 1 }
-        var best = 0; var bestC = counts(0); var j = 1
-        while (j < range) { if (counts(j) > bestC) { bestC = counts(j); best = j }; j += 1 }
-        (best + lo).toDouble
+        val lo = mn.toLong
+        val span = mx.toLong - lo + 1
+        if (span <= 65536) {
+          val counts = new Array[Int](span.toInt)
+          k = 0
+          while (k < n) { counts((values(k).toLong - lo).toInt) += 1; k += 1 }
+          var best = 0; var bestC = counts(0); var j = 1
+          while (j < span.toInt) { if (counts(j) > bestC) { bestC = counts(j); best = j }; j += 1 }
+          (best + lo).toDouble
+        } else {
+          // a stray non-categorical window (e.g. a 1e9-magnitude float)
+          // would make the dense histogram a GB-scale allocation in an
+          // executor — hash-count instead; same binning (toLong), same
+          // smallest-value-among-max-count winner
+          val m = scala.collection.mutable.HashMap.empty[Long, Int]
+          k = 0
+          while (k < n) {
+            val key = values(k).toLong
+            m.update(key, m.getOrElse(key, 0) + 1)
+            k += 1
+          }
+          var best = Long.MaxValue; var bestC = 0
+          m.foreach { case (v, c) =>
+            if (c > bestC || (c == bestC && v < best)) { bestC = c; best = v }
+          }
+          best.toDouble
+        }
       case Median =>
         val vs = if (isIntType) values.take(n).sorted
                  else values.take(n).filter(v => !v.isNaN).sorted

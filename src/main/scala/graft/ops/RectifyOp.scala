@@ -302,7 +302,11 @@ object RectifyOp {
       if (fills.isEmpty) rasterized(plan)
       else rasterized(plan).union(spark.createDataset(fills))
     } else {
-      val wr = windowRows0.persist()
+      // localCheckpoint, not persist: the checkpoint blocks are freed
+      // by the ContextCleaner once the lookup plan is garbage
+      // collected, where an explicit persist() would leak cached
+      // blocks for the session lifetime on every rectify call
+      val wr = windowRows0.localCheckpoint()
       val plan = TileGather.planDs(srcGm, wr)
       val uncovered = spark.range(nTx.toLong * nTy)
         .map(id => ((id / nTx).toInt, (id % nTx).toInt))

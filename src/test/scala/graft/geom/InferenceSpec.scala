@@ -58,6 +58,43 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(reg.xMin - -2.0) < 1e-9 && math.abs(reg.yMin - 48.0) < 1e-9)
   }
 
+  test("fromCoords2D detects a regular multi-tile grid without collecting slices") {
+    // 6x4 regular grid tiled 2x2 -> 6 tiles; seam diffs must fold
+    // correctly across tile borders
+    val gmT = GridMapping(6, 4, 2, 2, 0, 0, 1, 1, 1, 1, Crs.Geographic, isRegular = false)
+    val xs2d = Array.tabulate(4, 6)((_, i) => 20.05 + 0.1 * i)
+    val ys2d = Array.tabulate(4, 6)((j, _) => 49.95 - 0.1 * j)
+    val coords = toDs(tilesFrom("x", xs2d, gmT) ++ tilesFrom("y", ys2d, gmT))
+    val gm = GridMappingInference.fromCoords2D(coords, 6, 4, 2, 2, Crs.Geographic)
+    assert(gm.isRegular && !gm.isJAxisUp && !gm.isLon360)
+    assert(math.abs(gm.xRes - 0.1) < 1e-9 && math.abs(gm.yRes - 0.1) < 1e-9)
+    assert(math.abs(gm.xMin - 20.0) < 1e-9 && math.abs(gm.xMax - 20.6) < 1e-9)
+    assert(math.abs(gm.yMin - 49.6) < 1e-9 && math.abs(gm.yMax - 50.0) < 1e-9)
+  }
+
+  test("fromCoords2D: ascending y -> j axis up (pointwise distributed check)") {
+    val gmT = GridMapping(4, 4, 2, 2, 0, 0, 1, 1, 1, 1, Crs.Geographic, isRegular = false)
+    val xs2d = Array.tabulate(4, 4)((_, i) => 10.5 + 1.0 * i)
+    val ys2d = Array.tabulate(4, 4)((j, _) => 40.5 + 1.0 * j)
+    val coords = toDs(tilesFrom("x", xs2d, gmT) ++ tilesFrom("y", ys2d, gmT))
+    val gm = GridMappingInference.fromCoords2D(coords, 4, 4, 2, 2, Crs.Geographic)
+    assert(gm.isJAxisUp && gm.isRegular)
+    assert(math.abs(gm.yMin - 40.0) < 1e-9 && math.abs(gm.yMax - 44.0) < 1e-9)
+  }
+
+  test("fromCoords2D antimeridian crossing normalizes to lon-360 (re-folded x stats)") {
+    val gmT = GridMapping(4, 2, 2, 2, 0, 0, 1, 1, 1, 1, Crs.Geographic, isRegular = false)
+    // lons 179.5, -179.5 (=180.5), -178.5, -177.5 -> regular once shifted
+    val lonRow = Array(179.5, -179.5, -178.5, -177.5)
+    val xs2d = Array.fill(2)(lonRow)
+    val ys2d = Array.tabulate(2, 4)((j, _) => 1.5 - 1.0 * j)
+    val coords = toDs(tilesFrom("x", xs2d, gmT) ++ tilesFrom("y", ys2d, gmT))
+    val gm = GridMappingInference.fromCoords2D(coords, 4, 2, 2, 2, Crs.Geographic)
+    assert(gm.isLon360 && gm.isRegular)
+    assert(math.abs(gm.xRes - 1.0) < 1e-9)
+    assert(math.abs(gm.xMin - 179.0) < 1e-9 && math.abs(gm.xMax - 183.0) < 1e-9)
+  }
+
   test("rectify to inferred default target matches reference golden") {
     // reference: test_rectify.py:66-78 (rectify_dataset with no target)
     val gmT = GridMapping(2, 2, 2, 2, 0, 0, 1, 1, 1, 1, Crs.Geographic, isRegular = false)

@@ -46,6 +46,15 @@ class KernelSpec extends AnyFunSuite {
     assert(reduce(Array(-3.0, -3.0, -1.0, 0.0), 2, 2, Mode, true) == -3.0)
   }
 
+  test("mode survives a 1e9-spread window (hash fallback, same semantics)") {
+    // a dense [min,max] histogram here would be a ~8 GB allocation;
+    // the hash fallback must preserve first-max (smallest value wins)
+    assert(reduce(Array(0.0, 1e9, 1e9, 3.0), 2, 2, Mode, true) == 1e9)
+    assert(reduce(Array(0.0, 1e9, 3.0, 3.0), 2, 2, Mode, true) == 3.0)
+    // equal counts across the huge spread -> smallest value
+    assert(reduce(Array(7.0, 1e9, 1e9, 7.0), 2, 2, Mode, true) == 7.0)
+  }
+
   test("interp sampling formulas") {
     // window = [[0,1],[2,3]] at origin
     val win = new Window(0, 0, 2, 2, Array(0.0, 1.0, 2.0, 3.0))
