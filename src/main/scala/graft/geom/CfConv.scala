@@ -67,6 +67,29 @@ object CfConv {
               poleLonDeg = num("grid_north_pole_longitude").getOrElse(0.0),
               axisLonDeg = num("north_pole_grid_longitude").getOrElse(0.0),
               name = "CF:rotated_pole")
+          case "lambert_conformal_conic" =>
+            // CF standard_parallel is one value or two (serialized
+            // "44.0" or "[44.0, 49.0]")
+            val sps = attrs.get("standard_parallel").toSeq
+              .flatMap(_.split("[,\\[\\]\\s]+")).flatMap(_.toDoubleOption)
+            val sp1 = sps.headOption.getOrElse(0.0)
+            val sp2 = sps.lift(1).getOrElse(sp1)
+            Crs.LambertConformalConic(
+              lat1Deg = sp1, lat2Deg = sp2,
+              lat0Deg = num("latitude_of_projection_origin").getOrElse(0.0),
+              lon0Deg = num("longitude_of_central_meridian").getOrElse(0.0),
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              ell = Crs.WGS84, name = "CF:lcc")
+          case "polar_stereographic" =>
+            val lat0 = num("latitude_of_projection_origin").getOrElse(90.0)
+            Crs.PolarStereographic(
+              latTsDeg = num("standard_parallel").getOrElse(lat0),
+              lon0Deg = num("straight_vertical_longitude_from_pole").getOrElse(0.0),
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              south = lat0 < 0, ell = Crs.WGS84, name = "CF:polar_stereographic")
+          case "mercator" => Crs.WebMercator
           case other =>
             throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
         }
@@ -206,6 +229,25 @@ object CfConv {
       "grid_north_pole_longitude" -> r.poleLonDeg.toString,
       "north_pole_grid_longitude" -> r.axisLonDeg.toString,
       "crs_name" -> r.name)
+    case l: Crs.LambertConformalConic => Map(
+      "grid_mapping_name" -> "lambert_conformal_conic",
+      "standard_parallel" -> s"[${l.lat1Deg}, ${l.lat2Deg}]",
+      "latitude_of_projection_origin" -> l.lat0Deg.toString,
+      "longitude_of_central_meridian" -> l.lon0Deg.toString,
+      "false_easting" -> l.falseEasting.toString,
+      "false_northing" -> l.falseNorthing.toString,
+      "crs_name" -> l.name)
+    case p: Crs.PolarStereographic => Map(
+      "grid_mapping_name" -> "polar_stereographic",
+      "latitude_of_projection_origin" -> (if (p.south) "-90.0" else "90.0"),
+      "standard_parallel" -> p.latTsDeg.toString,
+      "straight_vertical_longitude_from_pole" -> p.lon0Deg.toString,
+      "false_easting" -> p.falseEasting.toString,
+      "false_northing" -> p.falseNorthing.toString,
+      "crs_name" -> p.name)
+    case Crs.WebMercator => Map(
+      "grid_mapping_name" -> "mercator",
+      "crs_name" -> Crs.WebMercator.name)
   }
 
   /** Normalize the grid-mapping metadata of a dataset's attribute

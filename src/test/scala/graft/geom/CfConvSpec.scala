@@ -219,6 +219,29 @@ class CfConvSpec extends AnyFunSuite {
     }
   }
 
+  test("CF attrs roundtrip for the new projection families") {
+    for (crs <- Seq(Crs.lambert93, Crs.npsPolarStereo, Crs.antarcticPolarStereo)) {
+      val parsed = CfConv.crsFromAttrs(CfConv.crsToAttrs(crs)).get
+      // parameter-identical transforms (names/ellipsoid defaults may differ)
+      val lat = if (crs == Crs.lambert93) 46.0 else if (crs == Crs.antarcticPolarStereo) -80.0 else 80.0
+      val (x1, y1) = crs.fromLonLat(5.0, lat)
+      val (x2, y2) = parsed.fromLonLat(5.0, lat)
+      // lambert93 is GRS80, CF default WGS84 -> metre-level agreement;
+      // the polar stereo pair is WGS84 both sides -> exact
+      val tol = if (crs == Crs.lambert93) 1.0 else 1e-9
+      assert(math.abs(x1 - x2) < tol && math.abs(y1 - y2) < tol, s"${crs.name}: ($x1,$y1) vs ($x2,$y2)")
+    }
+    assert(CfConv.crsFromAttrs(Map("grid_mapping_name" -> "mercator")).contains(Crs.WebMercator))
+    // CF single-value standard_parallel accepted for LCC
+    val oneSp = CfConv.crsFromAttrs(Map(
+      "grid_mapping_name" -> "lambert_conformal_conic",
+      "standard_parallel" -> "45.0", "longitude_of_central_meridian" -> "3.0")).get
+    oneSp match {
+      case l: Crs.LambertConformalConic => assert(l.lat1Deg == 45.0 && l.lat2Deg == 45.0)
+      case other => fail(s"$other")
+    }
+  }
+
   test("new EPSG shorthands resolve and rotated-pole grids report degree axes") {
     assert(Crs.fromString("EPSG:3857") == Crs.WebMercator)
     assert(Crs.fromString("EPSG:2154").name == "EPSG:2154")
