@@ -31,6 +31,16 @@ object LlmQueries {
   private val mediaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  // The jaccard-family queries (threshold join, clustering) all join on
+  // the same distinct (id, w) token table of the bounded doc subset;
+  // tokenize once per sfDir and persist (a few thousand short rows)
+  private def tokTable(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "tok"), {
+      val df = TextOps.tokenTable(docs(s, dir).filter(col("doc_id") < PairLimit)).persist()
+      df.count()
+      df
+    })
+
   /** One synthesized PNG per image doc (doc_id % 3 == 0), persisted and
     * eagerly materialized.
     */
@@ -72,7 +82,7 @@ object LlmQueries {
         .select(col("text_hash"), col("doc_id"), col("n_dups"))),
 
     "q_dedup_jaccard" -> ((s, dir) =>
-      TextOps.jaccardPairs(docs(s, dir).filter(col("doc_id") < PairLimit), 0.95)),
+      TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95)),
 
     "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
 
@@ -81,7 +91,7 @@ object LlmQueries {
 
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < PairLimit)
-      TextOps.dedupClusters(d, TextOps.jaccardPairs(d, 0.95))
+      TextOps.dedupClusters(d, TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95))
     }),
 
     "q_dedup_embed_cosine" -> ((s, dir) =>

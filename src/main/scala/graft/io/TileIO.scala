@@ -55,6 +55,19 @@ object TileIO {
     }
   }
 
+  /** Write CF CRS metadata INTO AN EXISTING store — the analog of the
+    * reference's Zarr `add_spatial_ref` (cfconv.py:320-358), which
+    * inserts a `spatial_ref` variable carrying the CF attrs into a
+    * store written without one: the sidecar's crs block is replaced in
+    * place, all geometry fields untouched, no tile data rewritten.
+    */
+  def addSpatialRef(path: String, crs: Crs): Unit = {
+    val sidecar = Paths.get(s"$path/gridmapping.json")
+    require(Files.exists(sidecar), s"no tile store at $path (missing gridmapping.json)")
+    val gm = gridMappingFromJson(Files.readString(sidecar))
+    Files.writeString(sidecar, gridMappingToJson(gm.copy(crs = crs)))
+  }
+
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 

@@ -46,9 +46,20 @@ object TextOps {
   def jaccardPairs(
       docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    jaccardFromTok(
-      docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct(),
-      threshold)
+    jaccardPairsFromTokens(tokenTable(docs, idCol, textCol), threshold)
+
+  /** The distinct (id, w) token-set table [[jaccardPairs]] joins on —
+    * exposed so a pipeline running several similarity passes over the
+    * same corpus (different thresholds, clustering) tokenizes ONCE and
+    * caches the result instead of re-exploding the text per query.
+    */
+  def tokenTable(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
+
+  /** [[jaccardPairs]] over a precomputed [[tokenTable]]. */
+  def jaccardPairsFromTokens(tok: DataFrame, threshold: Double): DataFrame =
+    jaccardFromTok(tok, threshold)
 
   /** Word n-gram (shingle) Jaccard similarity join: contiguous n-token
     * shingles as the set elements — order-sensitive near-dup detection

@@ -35,6 +35,21 @@ class TileIOSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("tj"), p.take(1500))
   }
 
+  test("addSpatialRef rewrites the CRS of an existing store in place (cfconv.py:320-358)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io3").toString
+    TileIO.writeTiles(toDs(tilesFrom("refl", img, gm)), dir, gm)
+    assert(TileIO.readTiles(spark, dir)._2.crs == Crs.Geographic)
+    TileIO.addSpatialRef(dir, Crs.utm(32, north = true))
+    val (ds, gm2) = TileIO.readTiles(spark, dir)
+    assert(gm2.crs.name == "EPSG:32632")
+    assert(gm2.width == gm.width && gm2.xMin == gm.xMin) // geometry untouched
+    assert(ds.count() == gm.numTilesX.toLong * gm.numTilesY) // tiles untouched
+    // no store at all -> loud failure
+    val ex = intercept[IllegalArgumentException](
+      TileIO.addSpatialRef(s"$dir/nope", Crs.Geographic))
+    assert(ex.getMessage.contains("no tile store"))
+  }
+
   test("projected CRS survives the JSON sidecar via CF attrs") {
     val utmGm = GridMapping.regular(5, 5, 565250.0, 5933850.0, 100.0, 100.0,
       Crs.utm(32, north = true))
