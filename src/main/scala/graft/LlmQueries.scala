@@ -120,6 +120,8 @@ object LlmQueries {
 
     "q_token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
+    "q_token_count_bpe" -> ((s, dir) => TextOps.tokenCountsBpe(docs(s, dir))),
+
     "q_lang_id" -> ((s, dir) => TextOps.languageId(docs(s, dir))),
 
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
@@ -427,6 +429,14 @@ object LlmQueries {
     "q_token_count" ->
       s"""WITH $sqlToks
          |SELECT w AS token, COUNT(*) AS cnt FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // BPE-ish pre-tokenizer: the pattern is RE2-compatible and
+    // ASCII-anchored, so DuckDB's RE2 and Java regex split identically
+    "q_token_count_bpe" ->
+      s"""SELECT token, COUNT(*) AS cnt FROM (
+         |  SELECT unnest(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS token
+         |  FROM documents
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lang_id" -> {
       val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)

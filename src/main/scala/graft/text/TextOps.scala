@@ -332,6 +332,19 @@ object TextOps {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** Token counting with a BPE-ish PRE-TOKENIZER: letter runs, digit
+    * runs, and single punctuation marks become separate tokens (the
+    * GPT-2-style pre-split shape, minus byte-level quirks). The pattern
+    * is RE2-compatible and ASCII-anchored so both Java regex and a SQL
+    * engine's RE2 produce identical splits.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCountsBpe(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(expr(
+        s"regexp_extract_all($textCol, '$BpeishPattern', 0)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
   /** Language-ID heuristic: marker-token votes per language with
     * deterministic tie-break (count desc, then language asc). Marker
     * lists are tiny broadcast constants.

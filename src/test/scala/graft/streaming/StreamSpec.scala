@@ -64,4 +64,30 @@ class StreamSpec extends AnyFunSuite {
     // keepers agree (stream arrives in one file => same min-id choice)
     assert(streamed == batchKeepers)
   }
+
+  test("simhash signatures are stream-transparent (row-local kernel, no state)") {
+    // simhash is mapPartitions with no aggregation state, so the SAME
+    // operator body runs unmodified on a readStream source — the
+    // shuffle-free shape that makes it the right 100 TB streaming op
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-simhash-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.simhash(src)
+      .writeStream.format("memory").queryName("simhash_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("simhash_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchSigs = graft.text.TextOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batchSigs && streamed.nonEmpty)
+  }
 }
