@@ -80,4 +80,19 @@ class PlanSpec extends AnyFunSuite {
     // Scala lambda would show as a typed filter over serialized objects
     assert(p.contains("(i#") && p.contains("(j#"), s"clip not columnar in:\n${p.take(2000)}")
   }
+
+  test("cosine_sim registers as a SQL function backed by the codegen'd native expression") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Array(1.0, 0.0), Array(1.0, 0.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val out = spark.sql("SELECT cosine_sim(a, b) AS s FROM vecs").collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12 && math.abs(out(1)) < 1e-12)
+    // the SQL function resolves to the SAME expression class as the
+    // Column API (one implementation, two surfaces)
+    val p = plan(spark.sql("SELECT cosine_sim(a, b) FROM vecs"))
+    assert(p.toLowerCase.contains("cosine"), p.take(800))
+    // config-time injection path builds the same descriptors
+    assert(new graft.functions.GraftExtensions().isInstanceOf[
+      org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
 }
