@@ -94,6 +94,14 @@ object LlmQueries {
       TextOps.dedupClusters(d, TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95))
     }),
 
+    "q_dedup_keep" -> ((s, dir) => {
+      // the end-to-end endpoint: ids kept after near-dup collapse
+      val d = docs(s, dir).filter(col("doc_id") < PairLimit)
+      TextOps.dedupKeepers(d, TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95))
+    }),
+
+    "q_doc_winnow" -> ((s, dir) => TextOps.winnowFingerprints(docs(s, dir), k = 8, w = 4)),
+
     "q_dedup_embed_cosine" -> ((s, dir) =>
       VectorOps.cosineDupPairs(embeddings(s, dir).filter(col("vec_id") < PairLimit), 0.2)),
 
@@ -276,6 +284,41 @@ object LlmQueries {
        |) WHERE rn <= $k ORDER BY query_id, cand_id""".stripMargin
   }
 
+  // connected components over the 0.95-jaccard dup pairs as a shared
+  // CTE: cluster_id = min doc id reachable through dup edges
+  // (recursive transitive closure; the engine's pointer-jumping
+  // propagation computes the same fixpoint)
+  private val sqlClustersCte: String =
+    s"""WITH RECURSIVE tok0 AS (
+       |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents WHERE doc_id < $PairLimit
+       |), tok AS (SELECT DISTINCT id, w FROM tok0),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+       |  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
+       |),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |),
+       |walk(id, lbl) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+       |),
+       |clusters AS (
+       |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(w.lbl), d.doc_id)) AS cluster_id
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < $PairLimit) d
+       |  LEFT JOIN walk w ON w.id = d.doc_id
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
     "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
@@ -284,35 +327,28 @@ object LlmQueries {
     // min doc id reachable through dup edges (recursive transitive
     // closure; the engine's min-label propagation computes the same
     // fixpoint)
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE tok0 AS (
-         |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-         |  FROM documents WHERE doc_id < $PairLimit
-         |), tok AS (SELECT DISTINCT id, w FROM tok0),
-         |sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY 1),
-         |inter AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-         |  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-         |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
-         |),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs
-         |),
-         |walk(id, lbl) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+    "q_dedup_clusters" -> s"$sqlClustersCte\nSELECT doc_id, cluster_id FROM clusters ORDER BY 1",
+
+    "q_dedup_keep" -> s"$sqlClustersCte\nSELECT doc_id FROM clusters WHERE cluster_id = doc_id ORDER BY 1",
+
+    // winnowing: same gram hash (md5 prefix), same window expansion,
+    // same rightmost-min selection rule as the engine
+    "q_doc_winnow" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, k AS pos, LENGTH(text) - 7 AS ng,
+         |         CAST(concat('0x', substr(md5(substr(text, k, 8)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents, unnest(generate_series(1, LENGTH(text) - 7)) u(k)
+         |  WHERE LENGTH(text) - 7 >= 4
+         |), win AS (
+         |  SELECT doc_id, pos, h, ws
+         |  FROM g, unnest(generate_series(GREATEST(pos - 3, 1), LEAST(pos, ng - 3))) v(ws)
+         |), sel AS (
+         |  SELECT doc_id, pos, h,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id, ws ORDER BY h ASC, pos DESC) AS rn
+         |  FROM win
          |)
-         |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(w.lbl), d.doc_id)) AS cluster_id
-         |FROM (SELECT doc_id FROM documents WHERE doc_id < $PairLimit) d
-         |LEFT JOIN walk w ON w.id = d.doc_id
-         |GROUP BY d.doc_id
-         |ORDER BY 1""".stripMargin,
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin,
 
     // word-3-gram shingles; shingle k (1-based) spans toks[k..k+2]
     "q_dedup_ngram" ->

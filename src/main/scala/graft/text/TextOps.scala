@@ -305,6 +305,56 @@ object TextOps {
     (result(labels), iter)
   }
 
+  /** End-to-end dedup ENDPOINT: the ids a training pipeline actually
+    * keeps — one representative (the min id) per near-duplicate
+    * cluster, singletons included. Composes [[dedupClusters]] with the
+    * keeper filter.
+    */
+  def dedupKeepers(
+      docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      maxIterations: Int = 50): DataFrame =
+    dedupClusters(docs, pairs, idCol, maxIterations)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): hash every k-char gram, slide a window over w
+    * consecutive gram hashes, select the RIGHTMOST minimal hash per
+    * window (robust winnowing), emit the distinct selected
+    * (position, hash) pairs. Guarantee: any substring match of length
+    * >= k + w - 1 between two documents shares at least one
+    * fingerprint.
+    *
+    * Shape: codegen'd gram/window explodes plus ONE window-function
+    * shuffle partitioned by (document, window) — linear in corpus
+    * size, no driver state, no pairwise blowup. Documents with fewer
+    * than k + w - 1 characters produce no fingerprints.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, k: Int = 8, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"),
+        (length(col(textCol)) - (k - 1)).as("ng"))
+      .filter(col("ng") >= w)
+      .select(col("doc_id"), col("ng"), explode(sequence(lit(1), col("ng"))).as("pos"), col("t"))
+      .select(col("doc_id"), col("ng"), col("pos"),
+        tokenHash(col("t").substr(col("pos"), lit(k))).as("h"))
+    // gram at pos participates in windows [pos-w+1, pos] clipped to the
+    // valid window range [1, ng-w+1]; start <= stop holds whenever
+    // ng >= w, so the sequence never reverses
+    val win = grams.select(col("doc_id"), col("pos"), col("h"),
+      explode(sequence(greatest(col("pos") - (w - 1), lit(1)),
+        least(col("pos"), col("ng") - (w - 1)))).as("ws"))
+    val rn = row_number().over(
+      W.partitionBy(col("doc_id"), col("ws")).orderBy(col("h").asc, col("pos").desc))
+    win.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h").as("fp"))
+      .distinct()
+  }
+
   /** Quality-scoring features per document — pure codegen'd columns
     * (length, token stats, stopword ratio, punctuation ratio).
     */

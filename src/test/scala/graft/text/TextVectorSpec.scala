@@ -77,6 +77,38 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rounds <= 10, s"expected ~log2(32)+slack rounds, got $rounds")
   }
 
+  test("winnowing fingerprints: shared-substring guarantee, rightmost-min rule, short docs excluded") {
+    val k = 8; val w = 4
+    val shared = "zqxwvuts rqponml" // 16 chars >= k + w - 1 = 11
+    val docs = Seq(
+      (0L, s"aaaa bbbb $shared cccc dddd"),
+      (1L, s"eeee ffff gggg $shared hhhh"),
+      (2L, "tiny"), // < k + w - 1 chars -> no fingerprints
+      (3L, "completely different content here with no overlap at all")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // winnowing guarantee: a match of length >= k+w-1 shares a fingerprint
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty, "shared substring must share a fingerprint")
+    assert(!byDoc.contains(2L), "sub-threshold doc emits nothing")
+    // selection density: every window picks one gram, so gaps between
+    // consecutive selected positions within a doc are < w + ... <= w
+    val pos0 = fp.filter(_._1 == 0L).map(_._2).sorted
+    assert(pos0.zip(pos0.tail).forall { case (a, b) => b - a <= w }, pos0.mkString(","))
+    // deterministic
+    val fp2 = TextOps.winnowFingerprints(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fp.toSet == fp2.toSet)
+  }
+
+  test("dedup keepers: one representative per cluster, singletons kept") {
+    val docs = Seq.tabulate(7)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 6L)).toDF("id_a", "id_b")
+    val kept = TextOps.dedupKeepers(docs, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L, 5L))
+  }
+
   test("dedup clustering: empty docs input returns empty without NPE") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
