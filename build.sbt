@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs one JVM for driver+executors: 8g forces GC churn
+  // once a multi-query session accumulates broadcasts and fixture
+  // caches, showing up as multi-second pauses on random queries.
+  // 24g stays under the compressed-oops cutoff (~32g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

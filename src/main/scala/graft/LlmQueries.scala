@@ -31,15 +31,14 @@ object LlmQueries {
   private val mediaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  // The jaccard-family queries (threshold join, clustering) all join on
-  // the same distinct (id, w) token table of the bounded doc subset;
-  // tokenize once per sfDir and persist (a few thousand short rows)
+  // Shared token-table DEFINITION for the jaccard-family queries
+  // (threshold join, clustering, keepers). Deliberately NOT persisted:
+  // caching the exploded table behind an InMemoryRelation hides the
+  // parquet statistics, which flips the frequency/size joins from
+  // broadcast to sort-merge and made the whole family ~4x slower
+  // (measured); recomputing the narrow explode from parquet is cheap.
   private def tokTable(s: SparkSession, dir: String): DataFrame =
-    mediaCache.getOrElseUpdate((dir, "tok"), {
-      val df = TextOps.tokenTable(docs(s, dir).filter(col("doc_id") < PairLimit)).persist()
-      df.count()
-      df
-    })
+    TextOps.tokenTable(docs(s, dir).filter(col("doc_id") < PairLimit))
 
   /** One synthesized PNG per image doc (doc_id % 3 == 0), persisted and
     * eagerly materialized.

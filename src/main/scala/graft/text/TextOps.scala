@@ -342,16 +342,16 @@ object TextOps {
       .select(col("doc_id"), col("ng"), explode(sequence(lit(1), col("ng"))).as("pos"), col("t"))
       .select(col("doc_id"), col("ng"), col("pos"),
         tokenHash(col("t").substr(col("pos"), lit(k))).as("h"))
-    // gram at pos participates in windows [pos-w+1, pos] clipped to the
-    // valid window range [1, ng-w+1]; start <= stop holds whenever
-    // ng >= w, so the sequence never reverses
-    val win = grams.select(col("doc_id"), col("pos"), col("h"),
-      explode(sequence(greatest(col("pos") - (w - 1), lit(1)),
-        least(col("pos"), col("ng") - (w - 1)))).as("ws"))
-    val rn = row_number().over(
-      W.partitionBy(col("doc_id"), col("ws")).orderBy(col("h").asc, col("pos").desc))
-    win.withColumn("rn", rn).filter(col("rn") === 1)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h").as("fp"))
+    // rightmost-min per window as a FRAME aggregate (no w-fold row
+    // explosion): min over struct(h, -pos) in ROWS [0, w-1] picks the
+    // smallest hash and, among ties, the largest pos — exactly the
+    // ORDER BY h ASC, pos DESC rank-1 rule. Rows past ng-w+1 start
+    // partial windows and are excluded.
+    val wspec = W.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(wspec))
+      .filter(col("pos") <= col("ng") - (w - 1))
+      .select(col("doc_id"), (-col("sel.np")).cast("long").as("pos"), col("sel.h").as("fp"))
       .distinct()
   }
 
