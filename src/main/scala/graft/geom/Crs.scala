@@ -490,7 +490,9 @@ object Crs {
       case "longlat" | "latlong" | "lonlat" => Geographic
       case "merc" if num("a", WGS84.a) == WGS84.a => WebMercator
       case "utm" =>
-        utm(kv("zone").toInt, north = !kv.contains("south"))
+        val zone = kv.getOrElse("zone",
+          throw new IllegalArgumentException(s"+proj=utm requires +zone=<n>: $s"))
+        utm(zone.toInt, north = !kv.contains("south"))
       case "tmerc" => TransverseMercator(
         num("lon_0", 0), num("lat_0", 0), num("k", num("k_0", 1.0)),
         num("x_0", 0), num("y_0", 0), ell, s.trim)

@@ -70,4 +70,39 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(total - img.flatten.sum) < 1e-9)
     }
   }
+
+  test("winnowing matches an independent sequential reference model on random docs") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val k = 5; val w = 3
+    // sequential robust winnowing straight from the paper's definition
+    def model(text: String): Set[(Long, Long)] = {
+      val ng = text.length - (k - 1)
+      if (ng < w) Set.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hs = Array.tabulate(ng)(p => graft.text.TextOps.tokenHashJvm(md, text.substring(p, p + k)))
+        (0 until ng - w + 1).map { ws =>
+          // rightmost minimal hash in [ws, ws+w-1]
+          var best = ws
+          for (p <- ws + 1 until ws + w)
+            if (hs(p) < hs(best) || (hs(p) == hs(best) && p > best)) best = p
+          ((best + 1).toLong, hs(best)) // 1-based pos
+        }.toSet
+      }
+    }
+    val genDoc = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.oneOf("abc d".toSeq)) // tiny alphabet -> frequent hash ties
+    } yield cs.mkString
+    val docsList = samples(genDoc, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.text.TextOps.winnowFingerprints(
+        docsList.toDF("doc_id", "text"), k, w)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docsList.foreach { case (id, text) =>
+      val want = model(text)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id '$text'")
+    }
+  }
 }
