@@ -54,6 +54,39 @@ class ReprojectGoldenSpec extends AnyFunSuite {
       Array(22, 23, 23, 23, 24)).map(_.map(_.toDouble)))
   }
 
+  test("reproject onto LCC / polar stereographic / web mercator targets (new CRS families e2e)") {
+    // end-to-end through the real pipeline (plan, gather, kernel,
+    // fill) for each new projection family: build a target grid around
+    // the forward-projected source center, reproject, and check every
+    // output pixel against the inverse-transform of its center — the
+    // same arithmetic path the kernel takes, so comparisons are exact.
+    // Target res 60 m keeps the transformed scale above SCALE_LIMIT
+    // for every family (rotated envelopes inflate the transformed
+    // bbox: LCC ~4°, polar stereo 55° of meridian convergence), so the
+    // downscale prepass — which would rewrite the source grid and
+    // invalidate the mirror — never triggers
+    val (clon, clat) = utmGm.crs.toLonLat(565500.0, 5934100.0)
+    for (crs <- Seq(Crs.lambert93, Crs.npsPolarStereo, Crs.WebMercator)) {
+      val (cx, cy) = crs.fromLonLat(clon, clat)
+      val dst = GridMapping.regular(10, 10, cx - 300.0, cy - 300.0, 60.0, 60.0, crs)
+      val img = run(dst)
+      assert(img.flatten.exists(_ != -1.0), s"${crs.name}: no coverage")
+      // (web mercator's shrunken ground footprint keeps its grid fully
+      // inside the source; LCC / polar stereo grids overhang and
+      // exercise the fill path — validated by the per-pixel mirror)
+      val tr = graft.geom.CrsTransformer(crs, utmGm.crs)
+      for (j <- 0 until 10; i <- 0 until 10) {
+        val x = dst.xMin + (i + 0.5) * dst.xRes
+        val y = dst.yMax - (j + 0.5) * dst.yRes
+        val (sx, sy) = tr.transformPoint(x, y)
+        val fi = math.rint((sx - utmGm.xMin) / utmGm.xRes - 0.5).toInt
+        val fj = math.rint((utmGm.yMax - sy) / utmGm.yRes - 0.5).toInt
+        val want = if (fi < 0 || fi > 4 || fj < 0 || fj > 4) -1.0 else band1(fj)(fi)
+        assert(img(j)(i) == want, s"${crs.name} ($j,$i): got ${img(j)(i)} want $want")
+      }
+    }
+  }
+
   test("geographic target finer res (test_reproject.py:181-201)") {
     val dst = GridMapping.regular(5, 5, 9.9886, 53.5499, 0.0003, 0.0003, Crs.Geographic)
     assertImage(run(dst), Array(
