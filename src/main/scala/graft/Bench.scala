@@ -7,12 +7,27 @@ import org.apache.spark.sql.SparkSession
   * same line to `BENCH_LAST.json` (override with
   * `SPARK_GRAFT_BENCH_OUT`) so the driver can always parse it.
   *
-  * Each query runs twice and reports the SECOND time: the first run
-  * pays one-time session costs (codegen, AQE warm-up, shuffle-file
-  * creation, input cache population) that otherwise inflate whichever
-  * query happens to run first and hide round-over-round regressions.
+  * Measurement integrity (each defends against a contamination mode
+  * that inflated a previous round's artifact):
+  *  - per-dir fixture caches (grids, tiles, swath inputs, media
+  *    payloads) are staged BEFORE the timed region, so no query pays
+  *    one-time staging costs;
+  *  - each query runs once untimed (codegen, AQE warm-up, broadcast)
+  *    then `Runs` timed executions, reporting the MINIMUM — a single
+  *    timed run is hostage to whatever GC pause or external contention
+  *    coincides with it;
+  *  - between queries, a hygiene step drops leaked cache/checkpoint
+  *    blocks: `System.gc()` is what lets Spark's ContextCleaner (weak-
+  *    reference based) actually reclaim shuffle files, broadcasts, and
+  *    localCheckpoint blocks dropped by earlier queries — without it
+  *    they accumulate across the ~200 executions of a full bench;
+  *  - per-query GC time and heap deltas are recorded INTO the artifact
+  *    (`gc_ms`, `heap_mb`), so if a number is contaminated the cause
+  *    is visible next to it instead of needing a forensic rerun.
   */
 object Bench {
+  val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,27 +38,69 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner's own safety net; the per-query System.gc()
+      // below is the primary trigger
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // prewarm shared input grids/caches so per-query timings measure
-    // the operators, not the one-time scan of lineitem
+
+    // stage every per-dir fixture cache outside the timed region
     try {
-      Queries.gridTiles(spark, sfDir, useNullGrid = false).count()
-      Queries.gridTiles(spark, sfDir, useNullGrid = true).count()
+      Queries.prewarm(spark, sfDir)
+      LlmQueries.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    def heapMb(): Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    }
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      time(fn) // warm-up run (plans, codegen, broadcast)
-      name -> time(fn)
+
+    // give the ContextCleaner a GC to find dropped weak refs, then a
+    // beat to process its reference queue
+    def hygiene(): Unit = {
+      System.gc()
+      Thread.sleep(50)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    final case class QStat(sec: Double, gcMs: Long, heapStartMb: Long, heapEndMb: Long)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      hygiene()
+      val heap0 = heapMb()
+      val gc0 = gcMillis()
+      timeOnce(fn) // warm-up run (plans, codegen, broadcast)
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (r < Runs && !failed) {
+        val t = timeOnce(fn)
+        if (t < 0) failed = true else if (t < best) best = t
+        r += 1
+      }
+      val stat = QStat(if (failed) -1.0 else best, gcMillis() - gc0, heap0, heapMb())
+      name -> stat
+    }
+
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val gcs = results.map { case (k, v) => s"\"" + k + "\":" + v.gcMs }
+      .mkString("{", ",", "}")
+    val heaps = results.map { case (k, v) => s"\"" + k + "\":[" + v.heapStartMb + "," + v.heapEndMb + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"min","queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()

@@ -205,35 +205,52 @@ object Queries {
         round(col("value"), 6).as("value"))
   }
 
+  /** The cached synthetic-swath rectify inputs (data + rotated 2D coord
+    * tiles) for one sfDir — staged once per dir (like gridTiles) so the
+    * bench times the rectify pipeline, not input staging.
+    */
+  private def rectifyInputs(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.Dataset[graft.model.Tile], org.apache.spark.sql.Dataset[graft.model.Tile]) =
+    rectifyInputCache.getOrElseUpdate(dir, {
+      val irr = gmSrc.copy(isRegular = false)
+      val px = Raster.pixelsFromDf(grid0(s, dir))
+      val ang = 0.1
+      val cosA = math.cos(ang); val sinA = math.sin(ang)
+      val coordPx = coordsDf(s).select(
+        col("j").cast("int"), col("i").cast("int"),
+        (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
+        (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
+      import s.implicits._
+      // both coord images through ONE pixelsToTiles shuffle
+      val coords = Raster.pixelsToTiles(
+        coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
+            col("x").as("value"))
+          .union(coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
+            col("y").as("value")))
+          .as[graft.model.Pixel], irr)
+      (Raster.pixelsToTiles(px, irr).persist(), coords.persist())
+    })
+
+  /** Eagerly stage every per-dir harness cache (dense grids, tile
+    * forms, rectify swath inputs) OUTSIDE any timed region, so bench
+    * timings measure operators rather than fixture staging.
+    */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    gridTiles(s, dir, useNullGrid = false).count()
+    gridTiles(s, dir, useNullGrid = true).count()
+    val (dataTiles, coordTiles) = rectifyInputs(s, dir)
+    dataTiles.count(); coordTiles.count()
+  }
+
   /** Synthetic-swath rectify through the real pipeline: 32x32 grid with
     * slightly rotated 2D lon/lat coordinate images, rectified onto a
-    * regular target; oracle = closed-form inverse rotation. Inputs are
-    * cached per dir (like gridTiles) so the bench times the rectify
-    * pipeline, not input staging.
+    * regular target; oracle = closed-form inverse rotation.
     */
   private def rectifyQuery(
       s: SparkSession, dir: String, interp: Int, dstGm: GridMapping,
       roundDigits: Int): DataFrame = {
     val irr = gmSrc.copy(isRegular = false)
-    val (dataTiles, coordTilesBoth) =
-      rectifyInputCache.getOrElseUpdate(dir, {
-        val px = Raster.pixelsFromDf(grid0(s, dir))
-        val ang = 0.1
-        val cosA = math.cos(ang); val sinA = math.sin(ang)
-        val coordPx = coordsDf(s).select(
-          col("j").cast("int"), col("i").cast("int"),
-          (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
-          (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
-        import s.implicits._
-        // both coord images through ONE pixelsToTiles shuffle
-        val coords = Raster.pixelsToTiles(
-          coordPx.select(lit("x").as("varName"), lit(0).as("band"), col("j"), col("i"),
-              col("x").as("value"))
-            .union(coordPx.select(lit("y").as("varName"), lit(0).as("band"), col("j"), col("i"),
-              col("y").as("value")))
-            .as[graft.model.Pixel], irr)
-        (Raster.pixelsToTiles(px, irr).persist(), coords.persist())
-      })
+    val (dataTiles, coordTilesBoth) = rectifyInputs(s, dir)
     // equal res (scale 1.0) so the bench measures the rasterize +
     // gather pipeline, not the (separately golden-tested) prepass
     val pol = Map("v" -> VarPolicy(interp, Reducers.Mean, false, Double.NaN, F64))

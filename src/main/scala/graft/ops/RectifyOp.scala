@@ -40,6 +40,15 @@ object RectifyOp {
   /** Rectify `tiles` (vars on the irregular source grid) given coord
     * tiles holding 2D x/y images (varName "x" and "y" on the SAME
     * tiling). Returns target tiles.
+    *
+    * The lookup is materialized via `localCheckpoint` (computed once,
+    * shared by the plan-derivation and gather passes), NOT `cache()`:
+    * cached data is pinned by the session's CacheManager until an
+    * explicit unpersist, so every rectify call in a long-lived session
+    * would leak blocks forever — checkpoint blocks are instead freed by
+    * the ContextCleaner as soon as the caller drops the result.
+    * Callers orchestrating many gathers over one swath can instead
+    * compose [[computeLookup]] + [[gatherVars]] and own the caching.
     */
   def rectify(
       tiles: Dataset[Tile],
@@ -49,7 +58,7 @@ object RectifyOp {
       policies: Map[String, VarPolicy]): Dataset[Tile] = {
     val (tiles2, coords2, srcGm2) =
       downscaleSource(tiles, coordTiles, srcGm, dstGm, policies)
-    val lookup = computeLookup(coords2, srcGm2, dstGm).cache()
+    val lookup = computeLookup(coords2, srcGm2, dstGm).localCheckpoint()
     gatherVars(tiles2, lookup, srcGm2, dstGm, policies)
   }
 
