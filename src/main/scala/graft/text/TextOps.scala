@@ -184,6 +184,13 @@ object TextOps {
     * sets (two narrow joins on id + one count per pair), never the
     * full-corpus similarity join — at 100 TB the whole point of LSH is
     * that cost scales with candidates, not with corpus^2.
+    *
+    * SINGLE-PASS over the corpus: one distinct (id, token) table feeds
+    * the signature build, the size aggregate, and both intersection
+    * joins. The distinct's shuffle is the shared subtree — Spark's
+    * ReuseExchange materializes it once, so the text is scanned,
+    * split, and md5-hashed exactly once however many consumers hang
+    * off it.
     */
   def minhashLshPairs(
       docs: DataFrame, numHashes: Int, bands: Int, threshold: Double,
@@ -192,21 +199,34 @@ object TextOps {
     val rows = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    val coef = minhashCoefficients(numHashes)
-    val tok0 = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
-    val tokHashes = tok0
-      .select(col("id"), array_distinct(transform(col("ws"), w => tokenHash(w))).as("hs"))
-    val sigs = tokHashes.as[(Long, Seq[Long])].map { case (id, hs) =>
-      val sig = coef.map { case (a, b) =>
-        var mn = Long.MaxValue
-        hs.foreach { h =>
-          val v = (a * h + b) & 0x1FFFFFFFFFFFFFFFL // mod 2^61 of the wrapped sum
-          if (v < mn) mn = v
+    val aCoef = new Array[Long](numHashes)
+    val bCoef = new Array[Long](numHashes)
+    minhashCoefficients(numHashes).zipWithIndex
+      .foreach { case ((a, b), k) => aCoef(k) = a; bCoef(k) = b }
+    // the ONE corpus pass everything derives from
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
+    // signature kernel over a primitive Array[Long] of the doc's
+    // distinct token hashes — tight while-loops, no per-element boxing
+    val sigs = tok.select(col("id"), tokenHash(col("w")).as("h"))
+      .groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
+      .as[(Long, Array[Long])]
+      .map { case (id, hs) =>
+        val sig = new Array[Long](numHashes)
+        var k = 0
+        while (k < numHashes) {
+          val a = aCoef(k); val b = bCoef(k)
+          var mn = Long.MaxValue
+          var t = 0
+          while (t < hs.length) {
+            val v = (a * hs(t) + b) & 0x1FFFFFFFFFFFFFFFL // mod 2^61 of the wrapped sum
+            if (v < mn) mn = v
+            t += 1
+          }
+          sig(k) = mn
+          k += 1
         }
-        mn
-      }
-      (id, sig)
-    }.toDF("id", "sig")
+        (id, sig)
+      }.toDF("id", "sig")
     val banded = sigs.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", concat(lit("b"), b.cast("string")),
@@ -216,7 +236,6 @@ object TextOps {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // exact Jaccard on candidate pairs only: two narrow joins on id
-    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(tok.toDF("id_a", "w"), "id_a")

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Per-query top-k over a scored candidate table (columns `query_id`,
+    * `cand_id`, `sim`) via the bounded [[graft.functions.TopK]]
+    * aggregator: partial aggregation keeps at most k rows per input
+    * partition, so the shuffle carries O(partitions * k) rows per query
+    * instead of every candidate, and no per-query full sort happens
+    * anywhere. Same (sim DESC, cand_id ASC) order and rank as the
+    * `row_number` window form, row for row.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(k)(col("cand_id"), col("sim")).as("tk"))
+      .select(col("query_id"), explode(col("tk.entries")).as("e"))
+      .select(col("query_id"), col("e.id").as("cand_id"),
+        round(col("e.sim"), 6).as("sim"), col("e.rank").as("rank"))
+
   /** Cosine similarity between two array<double> columns — a native
     * Catalyst expression with `doGenCode`
     * ([[graft.functions.CosineSimilarity]]): Spark's higher-order
@@ -36,11 +51,7 @@ object VectorOps {
       col(vecCol).cast("array<double>").as("query_vec"))
     val joined = cand.join(broadcast(qs), col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("query_vec"), col("cand_vec")))
-    import org.apache.spark.sql.expressions.{Window => W}
-    val w = W.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"),
-        col("rn").cast("long").as("rank"))
+    topKPerQuery(joined, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -201,10 +212,7 @@ object VectorOps {
     val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
     val rer = cand.join(q, "query_id").join(c, "cand_id")
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    import org.apache.spark.sql.expressions.{Window => W}
-    val w = W.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+    topKPerQuery(rer, k).drop("rank")
   }
 
   /** ANN top-k through LSH buckets: rerank within buckets only.
@@ -221,9 +229,6 @@ object VectorOps {
     val c = withB.select(col(idCol).as("cand_id"), col("v").as("cv"), col("bucket"))
     val joined = a.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    import org.apache.spark.sql.expressions.{Window => W}
-    val w = W.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+    topKPerQuery(joined, k).drop("rank")
   }
 }

@@ -72,6 +72,18 @@ class PlanSpec extends AnyFunSuite {
     assert(e.eval(null).asInstanceOf[Double] == 4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
   }
 
+  test("top-k rerank partial-aggregates: no window sort anywhere in the plan") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), 5)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("Window"), s"window sort survived in:\n${p.take(3000)}")
+    // typed-aggregator aggregation, partial (map-side) + final around
+    // the exchange: at most k rows per (partition, query) shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial ObjectHashAggregate in:\n${p.take(3000)}")
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)

@@ -219,6 +219,34 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ANN recall too low: $recall")
   }
 
+  test("bounded top-k aggregator equals the row_number window form, ties and NaN included") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // duplicate vectors force sim ties (broken by cand_id); an all-zero
+    // vector yields NaN sims, which the window's descending sort ranks
+    // FIRST — the aggregator must reproduce both orders exactly
+    val vecs = ((0 until 40).map { i =>
+      val base = Array.tabulate(6)(d => math.sin((i % 10) * 0.9 + d)) // 4-way duplicates
+      (i.toLong, base.map(_.toFloat))
+    } :+ (40L, Array.fill(6)(0.0f))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4 || $"vec_id" === 40L)
+    val agg = VectorOps.bruteForceTopK(vecs, queries, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    // the window formulation the aggregator replaced
+    val cand = vecs.select($"vec_id".as("cand_id"), $"embedding".cast("array<double>").as("cv"))
+    val qs = queries.select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qv"))
+    val w = W.partitionBy($"query_id").orderBy($"sim".desc, $"cand_id".asc)
+    val win = cand.join(qs, $"query_id" =!= $"cand_id")
+      .withColumn("sim", VectorOps.cosine($"qv", $"cv"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 7)
+      .select($"query_id", $"cand_id", round($"sim", 6).as("sim"), $"rn".cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    assert(agg.length == win.length && agg.length == 35) // 5 queries x 7
+    agg.zip(win).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && a._4 == b._4
+        && (a._3 == b._3 || (a._3.isNaN && b._3.isNaN)), s"$a != $b")
+    }
+  }
+
   test("multimodal feature extraction is deterministic over binary payloads") {
     val media = Multimodal.mediaFromDocuments(docsDf)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
