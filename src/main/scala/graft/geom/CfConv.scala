@@ -81,6 +81,18 @@ object CfConv {
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
               ell = Crs.WGS84, name = "CF:lcc")
+          case "albers_conical_equal_area" =>
+            val sps = attrs.get("standard_parallel").toSeq
+              .flatMap(_.split("[,\\[\\]\\s]+")).flatMap(_.toDoubleOption)
+            val sp1 = sps.headOption.getOrElse(0.0)
+            val sp2 = sps.lift(1).getOrElse(sp1)
+            Crs.AlbersEqualAreaConic(
+              lat1Deg = sp1, lat2Deg = sp2,
+              lat0Deg = num("latitude_of_projection_origin").getOrElse(0.0),
+              lon0Deg = num("longitude_of_central_meridian").getOrElse(0.0),
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              ell = Crs.WGS84, name = "CF:albers")
           case "polar_stereographic" =>
             val lat0 = num("latitude_of_projection_origin").getOrElse(90.0)
             Crs.PolarStereographic(
@@ -237,6 +249,14 @@ object CfConv {
       "false_easting" -> l.falseEasting.toString,
       "false_northing" -> l.falseNorthing.toString,
       "crs_name" -> l.name)
+    case a: Crs.AlbersEqualAreaConic => Map(
+      "grid_mapping_name" -> "albers_conical_equal_area",
+      "standard_parallel" -> s"[${a.lat1Deg}, ${a.lat2Deg}]",
+      "latitude_of_projection_origin" -> a.lat0Deg.toString,
+      "longitude_of_central_meridian" -> a.lon0Deg.toString,
+      "false_easting" -> a.falseEasting.toString,
+      "false_northing" -> a.falseNorthing.toString,
+      "crs_name" -> a.name)
     case p: Crs.PolarStereographic => Map(
       "grid_mapping_name" -> "polar_stereographic",
       "latitude_of_projection_origin" -> (if (p.south) "-90.0" else "90.0"),

@@ -344,6 +344,75 @@ object Crs {
     }
   }
 
+  /** Albers Equal-Area Conic on the ellipsoid (Snyder 1987, USGS PP
+    * 1395, pp. 98-103, eqs. 14-1..14-19 with the authalic-latitude
+    * series iteration 3-16) — the standard projection for US national
+    * products (EPSG:5070 CONUS Albers, the ESRI:102003 family).
+    */
+  final case class AlbersEqualAreaConic(
+      lat1Deg: Double, lat2Deg: Double, lat0Deg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double,
+      ell: Ellipsoid, override val name: String) extends Crs {
+    val isGeographic = false
+
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val lon0 = math.toRadians(lon0Deg)
+
+    // q(phi), Snyder eq. 3-12 (same authalic form as LAEA)
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    // m(phi) = cos phi / sqrt(1 - e^2 sin^2 phi)  (14-15)
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val m1 = mOf(phi1); private val m2 = mOf(phi2)
+    private val q1 = qOf(phi1); private val q2 = qOf(phi2)
+    private val nCone =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (m1 * m1 - m2 * m2) / (q2 - q1) // (14-14)
+    private val bigC = m1 * m1 + nCone * q1 // (14-13)
+    private def rhoOf(q: Double): Double =
+      ell.a * math.sqrt(math.max(0.0, bigC - nCone * q)) / nCone // (14-12)
+    private val rho0 = rhoOf(qOf(math.toRadians(lat0Deg))) // (14-12a)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var dLon = math.toRadians(lonDeg) - lon0
+      if (dLon > math.Pi) dLon -= 2 * math.Pi
+      if (dLon < -math.Pi) dLon += 2 * math.Pi
+      val rho = rhoOf(qOf(math.toRadians(latDeg)))
+      val theta = nCone * dLon // (14-4)
+      (falseEasting + rho * math.sin(theta),
+        falseNorthing + rho0 - rho * math.cos(theta)) // (14-1, 14-2)
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - falseEasting
+      val yr = rho0 - (y - falseNorthing)
+      val sign = if (nCone < 0) -1.0 else 1.0
+      val rho = sign * math.sqrt(xr * xr + yr * yr) // (14-10)
+      val theta = math.atan2(sign * xr, sign * yr) // (14-11)
+      val qv = (bigC - (rho * rho * nCone * nCone) / (ell.a * ell.a)) / nCone // (14-19)
+      // phi from q by the Snyder 3-16 iteration, seeded with asin(q/2)
+      var phi = math.asin(math.min(1.0, math.max(-1.0, qv / 2)))
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        val oneMinus = 1 - e2 * s * s
+        val corr = (oneMinus * oneMinus) / (2 * math.cos(phi)) *
+          (qv / (1 - e2) - s / oneMinus + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += corr
+        if (math.abs(corr) < 1e-13) i = 12 else i += 1
+      }
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(phi))
+    }
+  }
+
   /** Polar Stereographic, variant B (standard parallel `latTsDeg`;
     * Snyder 1987, pp. 160-163, eqs. 21-33..21-41 and 7-9). `south`
     * mirrors the north-aspect math through (phi, y) negation — the
@@ -441,12 +510,49 @@ object Crs {
     latTsDeg = -71.0, lon0Deg = 0.0, falseEasting = 0.0, falseNorthing = 0.0,
     south = true, ell = WGS84, name = "EPSG:3031")
 
+  val conusAlbers: Crs = AlbersEqualAreaConic( // NAD83 / Conus Albers
+    lat1Deg = 29.5, lat2Deg = 45.5, lat0Deg = 23.0, lon0Deg = -96.0,
+    falseEasting = 0.0, falseNorthing = 0.0, ell = GRS80, name = "EPSG:5070")
+
+  val usaContiguousAlbers: Crs = AlbersEqualAreaConic( // ESRI USA Contiguous AEA
+    lat1Deg = 29.5, lat2Deg = 45.5, lat0Deg = 37.5, lon0Deg = -96.0,
+    falseEasting = 0.0, falseNorthing = 0.0, ell = GRS80, name = "ESRI:102003")
+
+  /** Airy 1830 (OSGB36 / British National Grid). */
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
+
+  /** Registry of well-known EPSG codes for the implemented families,
+    * beyond the pattern-matched UTM ranges. Parameters from the public
+    * EPSG registry entries.
+    */
+  private lazy val epsgRegistry: Map[String, Crs] = Map(
+    "EPSG:3035" -> laea3035,
+    "EPSG:2154" -> lambert93,
+    "EPSG:3413" -> npsPolarStereo,
+    "EPSG:3031" -> antarcticPolarStereo,
+    "EPSG:5070" -> conusAlbers,
+    "ESRI:102003" -> usaContiguousAlbers,
+    // NSIDC Sea Ice Polar Stereographic South
+    "EPSG:3976" -> PolarStereographic(-70.0, 0.0, 0.0, 0.0, south = true, WGS84, "EPSG:3976"),
+    // Arctic Polar Stereographic (lat_ts 71N, lon0 0)
+    "EPSG:3995" -> PolarStereographic(71.0, 0.0, 0.0, 0.0, south = false, WGS84, "EPSG:3995"),
+    // OSGB36 / British National Grid (transverse mercator on Airy 1830)
+    "EPSG:27700" -> TransverseMercator(-2.0, 49.0, 0.9996012717, 400000.0, -100000.0,
+      Airy1830, "EPSG:27700"),
+    // ETRS89 / UTM zones 32N, 33N (GRS80 rather than the WGS84 of 326xx)
+    "EPSG:25832" -> TransverseMercator(9.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, "EPSG:25832"),
+    "EPSG:25833" -> TransverseMercator(15.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, "EPSG:25833"),
+    // NAD83 / Conus LCC (CONUS analysis grids)
+    "EPSG:5069" -> LambertConformalConic(33.0, 45.0, 23.0, -96.0, 0.0, 0.0, GRS80, "EPSG:5069"))
+
   private val SupportedMsg =
     "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
-      "EPSG:326xx/327xx (UTM), EPSG:3035 (LAEA Europe), EPSG:2154 (Lambert-93 LCC), " +
-      "EPSG:3413/3031 (polar stereographic), proj strings " +
-      "(+proj=longlat|merc|utm|tmerc|laea|lcc|stere|ob_tran), and WKT with PROJECTION " +
-      "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|Polar_Stereographic|Mercator"
+      "EPSG:326xx/327xx + 25832/25833 (UTM), EPSG:27700 (British National Grid), " +
+      "EPSG:3035 (LAEA Europe), EPSG:2154/5069 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
+      "EPSG:3413/3031/3976/3995 (polar stereographic), proj strings " +
+      "(+proj=longlat|merc|utm|tmerc|laea|lcc|aea|stere|ob_tran), and WKT with PROJECTION " +
+      "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|" +
+      "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator"
 
   /** Parse an EPSG identifier, a proj string, or (pragmatically) a WKT
     * blob. Fails loudly with the supported list — silently proceeding
@@ -459,10 +565,7 @@ object Crs {
     else trimmed.toUpperCase match {
       case "EPSG:4326" | "OGC:CRS84" | "CRS84" | "WGS84" | "EPSG:4979" => Geographic
       case "EPSG:3857" | "EPSG:900913" => WebMercator
-      case "EPSG:3035" => laea3035
-      case "EPSG:2154" => lambert93
-      case "EPSG:3413" => npsPolarStereo
-      case "EPSG:3031" => antarcticPolarStereo
+      case c if epsgRegistry.contains(c) => epsgRegistry(c)
       case c if c.startsWith("EPSG:326") && c.length == 10 => utm(c.drop(8).toInt, north = true)
       case c if c.startsWith("EPSG:327") && c.length == 10 => utm(c.drop(8).toInt, north = false)
       case other => throw new IllegalArgumentException(
@@ -499,6 +602,9 @@ object Crs {
       case "laea" => LambertAzimuthalEqualArea(
         num("lon_0", 0), num("lat_0", 0), num("x_0", 0), num("y_0", 0), ell, s.trim)
       case "lcc" => LambertConformalConic(
+        num("lat_1", 0), num("lat_2", num("lat_1", 0)), num("lat_0", 0), num("lon_0", 0),
+        num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "aea" => AlbersEqualAreaConic(
         num("lat_1", 0), num("lat_2", num("lat_1", 0)), num("lat_0", 0), num("lon_0", 0),
         num("x_0", 0), num("y_0", 0), ell, s.trim)
       case "stere" if math.abs(num("lat_0", 0)) == 90.0 => PolarStereographic(
@@ -550,6 +656,12 @@ object Crs {
         LambertAzimuthalEqualArea(lon0, lat0, fe, fn, ell, "WKT")
       case Some(proj) if proj.contains("lambert_conformal") =>
         LambertConformalConic(
+          p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), lat0),
+          p(Seq("standard_parallel_2", "latitude_of_2nd_standard_parallel"),
+            p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), lat0)),
+          lat0, lon0, fe, fn, ell, "WKT")
+      case Some(proj) if proj.contains("albers") =>
+        AlbersEqualAreaConic(
           p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), lat0),
           p(Seq("standard_parallel_2", "latitude_of_2nd_standard_parallel"),
             p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), lat0)),

@@ -37,6 +37,25 @@ class CfConvSpec extends AnyFunSuite {
     assert(math.abs(lat - 51.329464) < 1e-4, s"lat $lat")
   }
 
+  test("CF albers_conical_equal_area attrs roundtrip through crsToAttrs/crsFromAttrs") {
+    val attrs = Map(
+      "grid_mapping_name" -> "albers_conical_equal_area",
+      "standard_parallel" -> "[29.5, 45.5]",
+      "latitude_of_projection_origin" -> "23.0",
+      "longitude_of_central_meridian" -> "-96.0",
+      "false_easting" -> "0.0",
+      "false_northing" -> "0.0")
+    val crs = CfConv.crsFromAttrs(attrs).get.asInstanceOf[Crs.AlbersEqualAreaConic]
+    assert(crs.lat1Deg == 29.5 && crs.lat2Deg == 45.5 && crs.lon0Deg == -96.0)
+    // emitted attrs parse back to the same parameters
+    val back = CfConv.crsFromAttrs(CfConv.crsToAttrs(crs)).get
+    assert(back == crs)
+    // single-valued standard_parallel folds to a one-parallel cone
+    val one = CfConv.crsFromAttrs(attrs + ("standard_parallel" -> "40.0")).get
+      .asInstanceOf[Crs.AlbersEqualAreaConic]
+    assert(one.lat1Deg == 40.0 && one.lat2Deg == 40.0)
+  }
+
   test("multi-grid-mapping dataset: prefer regular 1D projected coords") {
     val cands = CfConv.findCandidates(s2Dims, s2Attrs)
     assert(cands.length >= 2) // projected 1D pair + geographic 2D pair
@@ -212,7 +231,7 @@ class CfConvSpec extends AnyFunSuite {
   }
 
   test("unsupported CRSs fail loudly with the supported list") {
-    for (bad <- Seq("EPSG:27700", "+proj=sinu +lon_0=0",
+    for (bad <- Seq("EPSG:6933", "+proj=sinu +lon_0=0",
         """PROJCS["x",PROJECTION["Sinusoidal"]]""")) {
       val ex = intercept[IllegalArgumentException](Crs.fromString(bad))
       assert(ex.getMessage.contains("supported:"), s"$bad -> ${ex.getMessage}")

@@ -107,6 +107,69 @@ class TransformSpec extends AnyFunSuite {
     }
   }
 
+  test("Albers equal-area conic: area scale 1 everywhere, unit parallel scale on standard parallels, exact roundtrip") {
+    val aea = Crs.conusAlbers // EPSG:5070
+    // defining property: the product of meridian and parallel scales is
+    // 1 EVERYWHERE (equal-area), and the parallel scale alone is 1 on
+    // each standard parallel
+    for (lat <- Seq(29.5, 45.5); lon <- Seq(-120.0, -96.0, -75.0)) {
+      val (kM, kP) = scaleFactors(aea, lon, lat)
+      assert(math.abs(kP - 1.0) < 1e-6 && math.abs(kM * kP - 1.0) < 1e-6,
+        s"scale at ($lon,$lat): $kM/$kP")
+    }
+    for (lat <- Seq(24.0, 37.5, 48.9); lon <- Seq(-123.4, -96.0, -67.1)) {
+      val (kM, kP) = scaleFactors(aea, lon, lat)
+      assert(math.abs(kM * kP - 1.0) < 1e-6, s"area distortion at ($lon,$lat): ${kM * kP}")
+    }
+    // projection origin maps to (FE, FN) = (0, 0); central meridian to x = 0
+    val (ox, oy) = aea.fromLonLat(-96.0, 23.0)
+    assert(math.abs(ox) < 1e-6 && math.abs(oy) < 1e-6, s"origin -> ($ox,$oy)")
+    assert(math.abs(aea.fromLonLat(-96.0, 41.3)._1) < 1e-6)
+    // roundtrip to sub-nanodegree over CONUS
+    for (lat <- Seq(25.0, 37.5, 49.0); lon <- Seq(-124.0, -96.0, -66.9)) {
+      val (x, y) = aea.fromLonLat(lon, lat)
+      val (lon2, lat2) = aea.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // single-parallel degenerate form stays finite and roundtrips
+    val one = Crs.AlbersEqualAreaConic(40.0, 40.0, 35.0, -100.0, 0.0, 0.0, Crs.WGS84, "aea1")
+    val (x1, y1) = one.fromLonLat(-97.0, 42.0)
+    val (l1, p1) = one.toLonLat(x1, y1)
+    assert(math.abs(l1 + 97.0) < 1e-9 && math.abs(p1 - 42.0) < 1e-9)
+  }
+
+  test("EPSG registry: 5070/102003/27700/25832/3995/3976/5069 parse to correctly-parameterized families") {
+    import Crs._
+    assert(fromString("EPSG:5070") == conusAlbers)
+    assert(fromString("ESRI:102003") == usaContiguousAlbers)
+    val bng = fromString("EPSG:27700").asInstanceOf[TransverseMercator]
+    assert(bng.ell == Airy1830 && bng.lon0Deg == -2.0 && bng.falseNorthing == -100000.0)
+    // BNG true origin (2W, 49N) maps to (400000, -100000)
+    val (bx, by) = bng.fromLonLat(-2.0, 49.0)
+    assert(math.abs(bx - 400000.0) < 1e-6 && math.abs(by + 100000.0) < 1e-6)
+    val etrs = fromString("EPSG:25832").asInstanceOf[TransverseMercator]
+    assert(etrs.ell == GRS80 && etrs.lon0Deg == 9.0)
+    assert(fromString("EPSG:3995").asInstanceOf[PolarStereographic].latTsDeg == 71.0)
+    assert(fromString("EPSG:3976").asInstanceOf[PolarStereographic].south)
+    assert(fromString("EPSG:5069").isInstanceOf[LambertConformalConic])
+    // proj-string and WKT routes build the same Albers parameters
+    val viaProj = fromProjString(
+      "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=GRS80")
+      .asInstanceOf[AlbersEqualAreaConic]
+    assert(viaProj.copy(name = conusAlbers.name) == conusAlbers)
+    val viaWkt = fromWkt(
+      """PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",DATUM["North_American_Datum_1983",
+        |SPHEROID["GRS 1980",6378137,298.257222101]]],
+        |PROJECTION["Albers_Conic_Equal_Area"],
+        |PARAMETER["standard_parallel_1",29.5],PARAMETER["standard_parallel_2",45.5],
+        |PARAMETER["latitude_of_center",23],PARAMETER["longitude_of_center",-96],
+        |PARAMETER["false_easting",0],PARAMETER["false_northing",0]]""".stripMargin)
+      .asInstanceOf[AlbersEqualAreaConic]
+    assert(viaWkt.copy(name = conusAlbers.name, ell = GRS80) == conusAlbers)
+    assert(math.abs(viaWkt.ell.a - GRS80.a) < 1e-9 && math.abs(viaWkt.ell.invF - GRS80.invF) < 1e-9)
+  }
+
   test("web mercator: equator scale 1 in x, known y identity, roundtrip") {
     val wm = Crs.WebMercator
     val (x, y) = wm.fromLonLat(180.0, 0.0)
