@@ -55,6 +55,21 @@ object LlmQueries {
       df
     })
 
+  /** One synthesized multi-frame animated GIF per doc_id % 3 == 1 doc,
+    * persisted and eagerly materialized.
+    */
+  private def stagedGifs(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "gif"), {
+      import s.implicits._
+      val df = docs(s, dir).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, "image", Multimodal.syntheticGif(id)))
+        .toDF("doc_id", "media_type", "payload")
+        .persist()
+      df.count()
+      df
+    })
+
   /** Bounded media table with text-byte payloads (video rows for the
     * frame sampler), persisted and eagerly materialized.
     */
@@ -74,6 +89,7 @@ object LlmQueries {
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
     stagedImages(s, dir)
+    stagedGifs(s, dir)
     stagedMedia(s, dir)
     ()
   }
@@ -190,6 +206,18 @@ object LlmQueries {
           (id, w0.toLong, h0.toLong, w1.toLong, h1.toLong)
         }
       media.toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h")
+    }),
+
+    "q_multimodal_gif_frames" -> ((s, dir) => {
+      // REAL multi-frame decode: animated GIFs (frame count derived
+      // from the id) pre-staged per sfDir, frame counts recovered by
+      // the ImageReader-based decode; the oracle predicts analytically
+      import s.implicits._
+      val media = stagedGifs(s, dir).as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
     }),
 
     "q_multimodal_frames" -> ((s, dir) => {
@@ -529,6 +557,11 @@ object LlmQueries {
          |  CAST(12 AS BIGINT) AS dst_w, CAST(9 AS BIGINT) AS dst_h
          |FROM documents WHERE doc_id % 3 = 0 AND doc_id < $PairLimit
          |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_gif_frames" ->
+      """SELECT doc_id, 8 + doc_id % 16 AS width, 8 + doc_id % 11 AS height,
+        |  2 + doc_id % 5 AS n_frames
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
 
     // frames: every 2nd 1024-byte block of the (utf-8) payload
     "q_multimodal_frames" ->

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * analog of `mapInPandas`: one buffer of rows per call, vectorizable
   * libraries plug in at the marked stub).
   *
-  * The decode step is a clearly-marked STUB (no image/audio libs in
-  * this container): it derives deterministic fake features from the
-  * bytes. The Spark-side plumbing — schema, binary transport,
-  * partition batching, feature schema — is real and tested.
+  * Image decode is REAL (javax.imageio: PNG/JPEG/BMP and GIF including
+  * multi-frame animated GIF frame counts). Audio/video decode is a
+  * clearly-marked STUB (no codec libs in this container): it derives
+  * deterministic fake features from the bytes. The Spark-side
+  * plumbing — schema, binary transport, partition batching, feature
+  * schema — is real and tested either way.
   */
 object Multimodal {
 
@@ -42,15 +44,34 @@ object Multimodal {
     }
 
   /** REAL image decode via javax.imageio (pure JVM, no native codecs):
-    * returns (width, height, 1) for a decodable PNG/JPEG/GIF/BMP
-    * payload, None otherwise.
+    * returns (width, height, n_frames) for a decodable
+    * PNG/JPEG/GIF/BMP payload, None otherwise. The ImageReader API
+    * (not `ImageIO.read`) so multi-frame formats report their REAL
+    * frame count — an animated GIF yields n_frames > 1. The first
+    * frame is fully decoded to reject payloads with a valid header but
+    * corrupt data.
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
     if (!looksLikeImage(payload)) None
-    else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None else Some((img.getWidth, img.getHeight, 1))
-    } catch { case _: Exception => None }
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false so getNumImages may scan the stream
+            reader.setInput(iis, false, true)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            val n = try math.max(1, reader.getNumImages(true)) catch { case _: Exception => 1 }
+            if (reader.read(0) == null) None else Some((w, h, n))
+          } catch { case _: Exception => None }
+          finally reader.dispose()
+        }
+      } finally iis.close()
+    }
 
   /** Deterministic tiny PNG: dims derive from the id (width
     * 16 + id % 32, height 16 + id % 17), pixels a fixed gradient —
@@ -71,6 +92,44 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic multi-frame ANIMATED GIF: `2 + id % 5` frames of
+    * `(8 + id % 16) x (8 + id % 11)` pixels, written through the JDK's
+    * GIF sequence writer — a real multi-frame payload for the
+    * frame-count decode path, with zero non-JVM dependencies.
+    */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + (id % 11).toInt
+    val nFrames = 2 + (id % 5).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((x * 13 + y * 5 + f * 41 + id) & 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     bos.toByteArray
   }
 

@@ -278,6 +278,18 @@ class TextVectorSpec extends AnyFunSuite {
     assert(feats(0).width == 16 + math.floorMod(Multimodal.checksum(txt), 64).toInt) // stub dims
   }
 
+  test("animated GIF: synthetic multi-frame payload decodes to its real frame count") {
+    for (id <- Seq(0L, 3L, 7L, 11L, 23L)) {
+      val gif = Multimodal.syntheticGif(id)
+      assert(gif.length > 3 && gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+      val (w, h, n) = Multimodal.decodeImage(gif).get
+      assert(w == 8 + (id % 16).toInt && h == 8 + (id % 11).toInt, s"dims for $id: ${(w, h)}")
+      assert(n == 2 + (id % 5).toInt, s"frame count for $id: $n")
+    }
+    // single-frame formats still report 1 frame through the reader path
+    assert(Multimodal.decodeImage(Multimodal.syntheticPng(5L)).get._3 == 1)
+  }
+
   test("image resize really resizes; frame sampling strides blocks with real plumbing") {
     val png = Multimodal.syntheticPng(5L) // 21 x 21
     val resized = Multimodal.resizeImage(png, 7, 4).get
