@@ -338,4 +338,58 @@ object GridMappingInference {
     }
     (xRows ++ yRows).toDF("axis", "idx", "coord", "bnd_lo", "bnd_hi")
   }
+
+  /** Full 2D coordinate variables — one row per pixel (j, i, x, y) —
+    * for ANY mapping, the analog of the reference's `xy_coords`
+    * property (reference: coords.py:74-96 — `Coords2DGridMapping`
+    * returns its 2D coord images stacked; `Coords1DGridMapping`
+    * broadcasts 1D axes to 2D).
+    *
+    * Regular mappings synthesize coordinates DISTRIBUTEDLY from the
+    * affine transform (`spark.range`, no driver-side materialization —
+    * a 10^10-pixel grid never exists as one array). Irregular mappings
+    * flatten their x/y coord tiles (the tiles ARE the 2D coords);
+    * irregular 1D axes go through [[GridMappingOps.meshgridCoordTiles]]
+    * first, which is exactly the reference's 1D-to-2D broadcast.
+    */
+  def xyCoordsDf(
+      spark: SparkSession, gm: GridMapping,
+      coordTiles: Option[Dataset[graft.model.Tile]] = None): DataFrame = {
+    import spark.implicits._
+    coordTiles match {
+      case None =>
+        require(gm.isRegular,
+          "xyCoordsDf for an irregular mapping needs its x/y coord tiles " +
+            "(2D coords are the tiles themselves; irregular 1D axes go " +
+            "through meshgridCoordTiles)")
+        val w = gm.width
+        spark.range(w.toLong * gm.height).map { id =>
+          val j = (id / w).toInt; val i = (id % w).toInt
+          (j, i, gm.xCoord(i), gm.yCoord(j))
+        }.toDF("j", "i", "x", "y")
+      case Some(tiles) =>
+        val th = gm.tileHeight; val tw = gm.tileWidth
+        tiles.filter(t => (t.varName == "x" || t.varName == "y") && t.band == 0)
+          .groupByKey(t => (t.tj, t.ti))
+          .flatMapGroups { (key: (Int, Int), it: Iterator[graft.model.Tile]) =>
+            val (tj, ti) = key
+            var xt: graft.model.Tile = null
+            var yt: graft.model.Tile = null
+            it.foreach { t => if (t.varName == "x") xt = t else yt = t }
+            require(xt != null && yt != null, s"missing x or y coord tile at ($tj,$ti)")
+            val out = new Array[(Int, Int, Double, Double)](xt.h * xt.w)
+            var k = 0
+            var r = 0
+            while (r < xt.h) {
+              var c = 0
+              while (c < xt.w) {
+                out(k) = (tj * th + r, ti * tw + c, xt.data(k), yt.data(k))
+                k += 1; c += 1
+              }
+              r += 1
+            }
+            out.iterator
+          }.toDF("j", "i", "x", "y")
+    }
+  }
 }

@@ -68,13 +68,22 @@ object VectorOps {
     * Buckets are computed in a typed kernel (a column-expression
     * formulation with dims x planes `element_at` terms blows up
     * Catalyst codegen — 50x slower to plan than to run).
+    *
+    * SIZING (see README "Designed for 100 TB"): candidates are
+    * quadratic per bucket, so `numPlanes` must grow with the corpus —
+    * pick `numPlanes >= log2(n)` so expected occupancy `n / 2^p` stays
+    * small; recover the recall lost to extra planes with MULTI-TABLE
+    * LSH: `tableOffset = t * numPlanes` gives table `t` an independent
+    * plane set; union the per-table candidate pairs before the exact
+    * verify.
     */
   def lshBuckets(
       embeddings: DataFrame, numPlanes: Int, dims: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tableOffset: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val planes = Array.tabulate(numPlanes, dims)(planeComponent)
+    val planes = Array.tabulate(numPlanes, dims)((p, d) => planeComponent(tableOffset + p, d))
     embeddings.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>

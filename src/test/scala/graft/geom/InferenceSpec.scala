@@ -123,4 +123,29 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(y0.getDouble(2) - 10.55) < 1e-9)
     assert(math.abs(y0.getDouble(3) - 10.6) < 1e-9 && math.abs(y0.getDouble(4) - 10.5) < 1e-9)
   }
+
+  test("xyCoordsDf: irregular 2D coords equal the coord tiles; 1D-irregular equals the meshgrid broadcast; regular path agrees") {
+    val spark = TestSpark.spark
+    // irregular 1D axes (uneven spacing) -> meshgrid broadcast, like
+    // the reference's Coords1DGridMapping._new_xy_coords
+    val xs = Array(50.0, 50.1, 50.3, 50.8)
+    val ys = Array(10.0, 10.2, 10.3)
+    val tiles = GridMappingOps.meshgridCoordTiles(spark, xs, ys, 2, 2)
+    val gmIrr = GridMapping(4, 3, 2, 2, 49.95, 9.95, 50.85, 10.35, 0.1, 0.1,
+      Crs.Geographic, isRegular = false, isJAxisUp = false, isLon360 = false)
+    val rows = GridMappingInference.xyCoordsDf(spark, gmIrr, Some(tiles))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.size == 12)
+    for (j <- 0 until 3; i <- 0 until 4)
+      assert(rows((j, i)) == ((xs(i), ys(j))), s"($j,$i) -> ${rows((j, i))}")
+    // regular distributed synthesis matches the per-axis definition
+    val gmReg = GridMapping.regular(5, 4, 50.0, 10.0, 0.1, 0.1, Crs.Geographic)
+    val reg = GridMappingInference.xyCoordsDf(spark, gmReg)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(reg.size == 20)
+    for (j <- 0 until 4; i <- 0 until 5)
+      assert(reg((j, i)) == ((gmReg.xCoord(i), gmReg.yCoord(j))))
+    // missing coord tiles on an irregular mapping fail loudly
+    intercept[IllegalArgumentException](GridMappingInference.xyCoordsDf(spark, gmIrr, None))
+  }
 }

@@ -219,6 +219,38 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ANN recall too low: $recall")
   }
 
+  test("LSH sizing: more planes shrink buckets and candidates, cost recall; a second table recovers it") {
+    val n = 120
+    val vecs = (0 until n).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 0.37 + d * 1.1) + 0.3 * math.cos(i * 0.11 * d))
+      (i.toLong, base.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    // ground truth: exact top-3 neighbor pairs for every query
+    val exact = VectorOps.bruteForceTopK(vecs, vecs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def buckets(planes: Int, offset: Int): Map[Long, Long] =
+      VectorOps.lshBuckets(vecs, planes, 8, tableOffset = offset)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def occupancy(b: Map[Long, Long]): (Int, Long) = {
+      val sizes = b.groupBy(_._2).map(_._2.size)
+      (sizes.max, sizes.map(s => s.toLong * (s - 1) / 2).sum) // (max bucket, candidate pairs)
+    }
+    def recall(bs: Seq[Map[Long, Long]]): Double =
+      exact.count { case (q, c) => bs.exists(b => b(q) == b(c)) }.toDouble / exact.size
+    val b4 = buckets(4, 0); val b7 = buckets(7, 0); val b7t2 = buckets(7, 7)
+    val (max4, cand4) = occupancy(b4); val (max7, cand7) = occupancy(b7)
+    // more planes -> strictly smaller hot bucket and candidate join
+    assert(max7 < max4, s"max bucket: $max7 !< $max4")
+    assert(cand7 < cand4, s"candidates: $cand7 !< $cand4")
+    // ...but lower recall per table (each plane can split true neighbors)
+    val r4 = recall(Seq(b4)); val r7 = recall(Seq(b7)); val r7x2 = recall(Seq(b7, b7t2))
+    assert(r7 < r4, s"recall: $r7 !< $r4")
+    // an independent second table recovers a real share of the loss at
+    // ~2x candidate cost (still far below the 4-plane bucket join)
+    assert(r7x2 > r7, s"multi-table recall $r7x2 !> $r7")
+    assert(r7x2 >= r4 - 0.15, s"2-table recall $r7x2 far below 4-plane $r4")
+  }
+
   test("bounded top-k aggregator equals the row_number window form, ties and NaN included") {
     import org.apache.spark.sql.expressions.{Window => W}
     // duplicate vectors force sim ties (broken by cand_id); an all-zero
