@@ -173,6 +173,23 @@ object LlmQueries {
 
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
 
+    "q_pii_scrub" -> ((s, dir) => {
+      // deterministic PII appended identically here and in the oracle
+      // (the corpus itself has none), so the scrub has real matches:
+      // one email, one IPv4, and a digit run whose length cycles 7/8/9
+      // so n_longnums varies 0/0/1
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact"), col("doc_id").cast("string"), lit("@example.com via 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250).cast("string"), lit(" ref "),
+          lpad(col("doc_id").cast("string"), (lit(7) + col("doc_id") % 3).cast("int"), lit("8"))
+        ).as("text"))
+      TextOps.scrubPii(aug)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_emails"), col("n_ips"), col("n_longnums"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       // oracle-checkable projection; checksum/dims validated in ScalaTest
@@ -546,6 +563,28 @@ object LlmQueries {
       s"""WITH $sqlToks
          |SELECT doc_id, MIN(md5(w)) AS fingerprint, COUNT(DISTINCT w) AS n_distinct
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PII scrub: same augmentation, same RE2/Java-identical regexes,
+    // sequential replacement mirrored stage for stage ('g' = global,
+    // matching Spark's replace-all default)
+    "q_pii_scrub" -> {
+      val em = TextOps.EmailRe; val ip = TextOps.Ipv4Re; val num = TextOps.LongNumRe
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id % 250 AS VARCHAR) || ' ref ' ||
+         |    lpad(CAST(doc_id AS VARCHAR), CAST(7 + doc_id % 3 AS INTEGER), '8') AS text
+         |  FROM documents
+         |), s1 AS (
+         |  SELECT doc_id, text, regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1 FROM aug
+         |), s2 AS (SELECT *, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1
+         |), s3 AS (SELECT *, regexp_replace(t2, '$num', '<NUM>', 'g') AS t3 FROM s2)
+         |SELECT doc_id, md5(t3) AS clean_md5,
+         |  len(regexp_extract_all(text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(t1, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(t2, '$num')) AS n_longnums
+         |FROM s3 ORDER BY doc_id""".stripMargin
+    },
 
     "q_multimodal_decode" ->
       """SELECT doc_id, 16 + doc_id % 32 AS width, 16 + doc_id % 17 AS height,

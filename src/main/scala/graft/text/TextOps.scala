@@ -447,4 +447,34 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(min(md5(col("w"))).as("fingerprint"),
         countDistinct(col("w")).as("n_distinct"))
+
+  // PII patterns, deliberately restricted to syntax whose greedy-match
+  // semantics are IDENTICAL in Java regex and RE2 (no alternation
+  // ambiguity, no backrefs) so a SQL engine scrubs byte-identically.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val LongNumRe = "\\d{9,}"
+
+  /** PII scrubbing — the redaction pass a training pipeline runs before
+    * anything else sees the text: emails, IPv4 addresses, and long
+    * digit runs (account/phone-number shaped) replaced by typed tokens,
+    * with per-category match counts. Replacement is SEQUENTIAL
+    * (emails first, since an email can embed an IP-shaped host) so the
+    * counts are well-defined; every stage is a codegen'd column
+    * expression — narrow, shuffle-free, the 100 TB shape.
+    *
+    * Returns (id, clean_text, n_emails, n_ips, n_longnums).
+    */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterNum = regexp_replace(afterIp, LongNumRe, "<NUM>")
+    docs.select(
+      col(idCol),
+      afterNum.as("clean_text"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
+  }
 }

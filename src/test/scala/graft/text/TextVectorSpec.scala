@@ -342,6 +342,25 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.toSet == Set((2L, 0), (2L, 2)))
   }
 
+  test("PII scrub: emails, IPv4s, and long digit runs redacted with exact counts; clean text preserved") {
+    val pii = Seq(
+      (0L, "mail alice.smith+x@corp.example.org now"),
+      (1L, "host 192.168.1.254 and 10.0.0.1 up"),
+      (2L, "acct 123456789012 ok, short 12345678 kept"),
+      (3L, "mixed bob@10.2.3.4.net from 172.16.254.3 acct 999888777666"),
+      (4L, "nothing to redact here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(pii).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == (("mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(out(1L) == (("host <IP> and <IP> up", 0L, 2L, 0L)))
+    // \d{9,} takes the 12-digit run, leaves the 8-digit one
+    assert(out(2L) == (("acct <NUM> ok, short 12345678 kept", 0L, 0L, 1L)))
+    // the email eats its IP-shaped host; the bare IP and account remain
+    assert(out(3L) == (("mixed <EMAIL> from <IP> acct <NUM>", 1L, 1L, 1L)))
+    assert(out(4L) == (("nothing to redact here", 0L, 0L, 0L)))
+  }
+
   test("language id is deterministic with stable tie-break") {
     val out = TextOps.languageId(docsDf).collect()
     assert(out.length == 5)
