@@ -345,33 +345,57 @@ object TextOps {
     * >= k + w - 1 between two documents shares at least one
     * fingerprint.
     *
-    * Shape: codegen'd gram/window explodes plus ONE window-function
-    * shuffle partitioned by (document, window) — linear in corpus
-    * size, no driver state, no pairwise blowup. Documents with fewer
-    * than k + w - 1 characters produce no fingerprints.
+    * Shape: winnowing is a PER-DOCUMENT algorithm, so the whole thing
+    * is one row-local mapPartitions kernel — ZERO shuffles, no gram
+    * rows ever materialized as a table (the earlier frame-aggregate
+    * form shuffled every gram of the corpus through a window sort and
+    * spent most of its time in GC on the per-gram decimal plumbing).
+    * Linear in corpus size; memory per task is one document's gram
+    * hashes. Documents with fewer than k + w - 1 characters produce no
+    * fingerprints. Selection is the rightmost minimal hash per window
+    * (min over (h, -pos)), deduplicated on selection change — the
+    * selected index is monotone under the slide, so that equals the
+    * distinct selected set.
     */
   def winnowFingerprints(
       docs: DataFrame, k: Int = 8, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
-    val grams = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("t"),
-        (length(col(textCol)) - (k - 1)).as("ng"))
-      .filter(col("ng") >= w)
-      .select(col("doc_id"), col("ng"), explode(sequence(lit(1), col("ng"))).as("pos"), col("t"))
-      .select(col("doc_id"), col("ng"), col("pos"),
-        tokenHash(col("t").substr(col("pos"), lit(k))).as("h"))
-    // rightmost-min per window as a FRAME aggregate (no w-fold row
-    // explosion): min over struct(h, -pos) in ROWS [0, w-1] picks the
-    // smallest hash and, among ties, the largest pos — exactly the
-    // ORDER BY h ASC, pos DESC rank-1 rule. Rows past ng-w+1 start
-    // partial windows and are excluded.
-    val wspec = W.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
-    grams
-      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(wspec))
-      .filter(col("pos") <= col("ng") - (w - 1))
-      .select(col("doc_id"), (-col("sel.np")).cast("long").as("pos"), col("sel.h").as("fp"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          val ng = text.length - (k - 1)
+          if (ng < w) Iterator.empty
+          else {
+            val hs = new Array[Long](ng)
+            var p = 0
+            while (p < ng) { hs(p) = tokenHashJvm(md, text.substring(p, p + k)); p += 1 }
+            // rightmost minimum of hs[s, s+w): <= so later ties win,
+            // matching the (h ASC, pos DESC) rank-1 rule
+            def rescan(s: Int): Int = {
+              var best = s
+              var q = s + 1
+              while (q < s + w) { if (hs(q) <= hs(best)) best = q; q += 1 }
+              best
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            var sel = rescan(0)
+            out += ((id, sel + 1L, hs(sel))) // 1-based positions
+            var start = 1
+            while (start + w <= ng) {
+              val incoming = start + w - 1
+              if (sel < start) sel = rescan(start) // the min slid out
+              else if (hs(incoming) <= hs(sel)) sel = incoming
+              val last = out(out.length - 1)
+              if (last._2 != sel + 1L) out += ((id, sel + 1L, hs(sel)))
+              start += 1
+            }
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "pos", "fp")
   }
 
   /** Quality-scoring features per document — pure codegen'd columns
