@@ -163,6 +163,10 @@ object LlmQueries {
       VectorOps.ivfTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         nlist = 16, nprobe = 4, k = 5)),
 
+    "q_embed_quantize" -> ((s, dir) =>
+      VectorOps.quantizeInt8(embeddings(s, dir))
+        .withColumnRenamed("id", "vec_id")),
+
     "q_text_quality" -> ((s, dir) => TextOps.qualityFeatures(docs(s, dir))),
 
     "q_token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -451,6 +455,19 @@ object LlmQueries {
 
     // IVF-Flat with the first nlist vectors as fixed coarse centroids;
     // assignment = rank-1 cosine, probes = ranks 1..nprobe
+    // int8 quantization: same double division, same explicit
+    // floor(x + 0.5) half-up rounding -> bit-identical q values
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e
+        |)
+        |SELECT vec_id, CAST(k - 1 AS BIGINT) AS dim,
+        |  CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(v[k] / scale + 0.5) AS BIGINT) END AS q
+        |FROM s, unnest(generate_series(1, len(v))) u(k)
+        |ORDER BY vec_id, dim""".stripMargin,
+
     "q_embed_ann_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -173,6 +173,27 @@ object VectorOps {
     cosineVerifyPairs(embeddings, cand, threshold, idCol, vecCol)
   }
 
+  /** Symmetric per-vector INT8 quantization — the compression pass an
+    * embedding pipeline runs before building an ANN index at scale
+    * (4x smaller than float32, dot products in integer SIMD). For each
+    * vector: scale = max|v| / 127, q_i = floor(v_i / scale + 0.5)
+    * (explicit half-up so a SQL engine reproduces the rounding bit for
+    * bit; all-zero vectors quantize to zeros). Emitted exploded as
+    * (id, dim, q) — narrow, shuffle-free.
+    */
+  def quantizeInt8(
+      embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val scale = (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale")
+    e.select(col("id"), col("v"), scale)
+      .select(col("id"), col("scale"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        when(col("scale") === 0.0, 0L)
+          .otherwise(floor(col("x") / col("scale") + 0.5).cast("long")).as("q"))
+  }
+
   /** IVF-Flat ANN: assign every vector to its nearest coarse centroid
     * (the inverted lists), probe the `nprobe` nearest lists per query,
     * rerank candidates by exact cosine. Deterministic coarse quantizer:

@@ -219,6 +219,26 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ANN recall too low: $recall")
   }
 
+  test("int8 quantization: |q| <= 127, max component hits +-127, zero vectors to zeros, error bounded") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.1f)),   // max |v| = 1.0 -> that dim = -127
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // all-zero: scale 0, no div-by-zero
+      (2L, Array(3.0f, 1.5f, -0.75f, 2.9999f))
+    ).toDF("vec_id", "embedding")
+    val q = VectorOps.quantizeInt8(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(q((0L, 1L)) == -127L && q((0L, 0L)) == 64L) // 0.5/(1/127) = 63.5 -> floor(64.0) = 64
+    assert((0 until 4).forall(d => q((1L, d.toLong)) == 0L))
+    assert(q((2L, 0L)) == 127L)
+    // every q within int8 range; dequantized error <= scale/2 per dim
+    val scale2 = 3.0 / 127
+    for (d <- 0 until 4) {
+      val v = Seq(3.0f, 1.5f, -0.75f, 2.9999f)(d).toDouble
+      assert(math.abs(q((2L, d.toLong))) <= 127)
+      assert(math.abs(q((2L, d.toLong)) * scale2 - v) <= scale2 / 2 + 1e-12)
+    }
+  }
+
   test("LSH sizing: more planes shrink buckets and candidates, cost recall; a second table recovers it") {
     val n = 120
     val vecs = (0 until n).map { i =>
