@@ -472,6 +472,44 @@ object Crs {
     }
   }
 
+  /** SPHERICAL sinusoidal (Sanson-Flamsteed; Snyder 1987 pp. 243-248,
+    * eqs. 30-1..30-5): x = R (lon - lon0) cos(lat), y = R lat —
+    * equal-area, the MODIS land-product grid (sphere radius
+    * R = 6371007.181 m, the authalic radius). Only the spherical form
+    * is implemented; an ellipsoidal `+proj=sinu` with a real ellipsoid
+    * fails loudly in the parser rather than silently using the sphere.
+    */
+  final case class Sinusoidal(
+      lon0Deg: Double, radius: Double,
+      falseEasting: Double, falseNorthing: Double,
+      override val name: String) extends Crs {
+    val isGeographic = false
+    private val lon0 = math.toRadians(lon0Deg)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      var dLon = math.toRadians(lonDeg) - lon0
+      if (dLon > math.Pi) dLon -= 2 * math.Pi
+      if (dLon < -math.Pi) dLon += 2 * math.Pi
+      (falseEasting + radius * dLon * math.cos(phi), falseNorthing + radius * phi)
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val phi = (y - falseNorthing) / radius
+      val cosPhi = math.cos(phi)
+      // at the exact pole every x maps to the pole point
+      val lon =
+        if (math.abs(cosPhi) < 1e-12) lon0
+        else lon0 + (x - falseEasting) / (radius * cosPhi)
+      val lonDeg = math.toDegrees(lon)
+      (if (lonDeg > 180) lonDeg - 360 else if (lonDeg < -180) lonDeg + 360 else lonDeg,
+        math.toDegrees(phi))
+    }
+  }
+
+  /** The MODIS sinusoidal grid (authalic sphere R = 6371007.181 m). */
+  val modisSinusoidal: Crs = Sinusoidal(0.0, 6371007.181, 0.0, 0.0, "SR-ORG:6974")
+
   /** Spherical ("web") Mercator, EPSG:3857: the WGS84 ellipsoid's
     * semi-major axis used as a sphere radius (the defining quirk).
     */
@@ -543,16 +581,19 @@ object Crs {
     "EPSG:25832" -> TransverseMercator(9.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, "EPSG:25832"),
     "EPSG:25833" -> TransverseMercator(15.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, "EPSG:25833"),
     // NAD83 / Conus LCC (CONUS analysis grids)
-    "EPSG:5069" -> LambertConformalConic(33.0, 45.0, 23.0, -96.0, 0.0, 0.0, GRS80, "EPSG:5069"))
+    "EPSG:5069" -> LambertConformalConic(33.0, 45.0, 23.0, -96.0, 0.0, 0.0, GRS80, "EPSG:5069"),
+    // MODIS sinusoidal grid (spherical, authalic radius)
+    "SR-ORG:6974" -> modisSinusoidal)
 
   private val SupportedMsg =
     "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
       "EPSG:326xx/327xx + 25832/25833 (UTM), EPSG:27700 (British National Grid), " +
       "EPSG:3035 (LAEA Europe), EPSG:2154/5069 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
-      "EPSG:3413/3031/3976/3995 (polar stereographic), proj strings " +
-      "(+proj=longlat|merc|utm|tmerc|laea|lcc|aea|stere|ob_tran), and WKT with PROJECTION " +
+      "EPSG:3413/3031/3976/3995 (polar stereographic), SR-ORG:6974 (MODIS sinusoidal), " +
+      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran), " +
+      "and WKT with PROJECTION " +
       "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|" +
-      "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator"
+      "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator|Sinusoidal(spherical)"
 
   /** Parse an EPSG identifier, a proj string, or (pragmatically) a WKT
     * blob. Fails loudly with the supported list — silently proceeding
@@ -607,6 +648,19 @@ object Crs {
       case "aea" => AlbersEqualAreaConic(
         num("lat_1", 0), num("lat_2", num("lat_1", 0)), num("lat_0", 0), num("lon_0", 0),
         num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "sinu" =>
+        // only the spherical form (the MODIS case) is implemented: an
+        // explicit +R, or a sphere-shaped +a (+b absent or equal)
+        val r = kv.get("R").map(_.toDouble)
+          .orElse(kv.get("a").map(_.toDouble).filter(a =>
+            kv.get("b").forall(_.toDouble == a)))
+        r match {
+          case Some(radius) => Sinusoidal(
+            num("lon_0", 0), radius, num("x_0", 0), num("y_0", 0), s.trim)
+          case None => throw new IllegalArgumentException(
+            s"+proj=sinu is implemented for the SPHERICAL form only (MODIS): " +
+              s"pass +R=<radius> (or +a==+b); ellipsoidal sinusoidal is unsupported: $s")
+        }
       case "stere" if math.abs(num("lat_0", 0)) == 90.0 => PolarStereographic(
         num("lat_ts", num("lat_0", 90)), num("lon_0", 0),
         num("x_0", 0), num("y_0", 0), south = num("lat_0", 0) < 0, ell, s.trim)
@@ -670,6 +724,16 @@ object Crs {
         val ts = p(Seq("standard_parallel_1", "latitude_of_standard_parallel", "latitude_of_origin"), 90)
         PolarStereographic(ts, p(Seq("central_meridian", "longitude_of_origin", "straight_vertical_longitude_from_pole"), lon0),
           fe, fn, south = ts < 0, ell, "WKT")
+      case Some(proj) if proj.contains("sinusoidal") =>
+        // spherical only (MODIS: SPHEROID["Custom spheroid",6371007.181,0])
+        val sphereR = """(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)\s*,\s*(0(?:\.0*)?)\s*[,\]]""".r
+          .findFirstMatchIn(wkt).map(_.group(1).toDouble)
+        sphereR match {
+          case Some(r) => Sinusoidal(lon0, r, fe, fn, "WKT")
+          case None => throw new IllegalArgumentException(
+            "WKT Sinusoidal is implemented for the SPHERICAL form only (MODIS-style " +
+              s"SPHEROID[...,R,0]); ellipsoidal sinusoidal is unsupported; $SupportedMsg")
+        }
       case Some(proj) if proj.contains("mercator") && !proj.contains("transverse") =>
         WebMercator
       case other => throw new IllegalArgumentException(

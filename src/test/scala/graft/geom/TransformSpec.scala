@@ -170,6 +170,37 @@ class TransformSpec extends AnyFunSuite {
     assert(math.abs(viaWkt.ell.a - GRS80.a) < 1e-9 && math.abs(viaWkt.ell.invF - GRS80.invF) < 1e-9)
   }
 
+  test("MODIS sinusoidal: grid-edge anchors, equator identity, exact roundtrip, spherical-only parse") {
+    val sinu = Crs.modisSinusoidal
+    val R = 6371007.181
+    // the MODIS grid's outer edge: x(180, 0) = pi * R
+    val (xe, ye) = sinu.fromLonLat(180.0, 0.0)
+    assert(math.abs(xe - math.Pi * R) < 1e-6 && math.abs(ye) < 1e-9)
+    // y is linear in latitude; poles at +-pi*R/2
+    assert(math.abs(sinu.fromLonLat(0.0, 90.0)._2 - math.Pi * R / 2) < 1e-6)
+    assert(math.abs(sinu.fromLonLat(77.0, 90.0)._1) < 1e-6) // pole: x collapses
+    for (lat <- Seq(-60.0, 0.0, 23.5, 70.0); lon <- Seq(-170.0, -96.0, 0.0, 45.3)) {
+      val (x, y) = sinu.fromLonLat(lon, lat)
+      val (lon2, lat2) = sinu.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // proj-string, WKT, and registry routes agree
+    val viaProj = Crs.fromProjString("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
+      .asInstanceOf[Crs.Sinusoidal]
+    assert(viaProj.copy(name = sinu.name) == sinu)
+    val viaWkt = Crs.fromWkt(
+      """PROJCS["MODIS Sinusoidal",GEOGCS["Custom",DATUM["Custom",
+        |SPHEROID["Custom spheroid",6371007.181,0]]],PROJECTION["Sinusoidal"],
+        |PARAMETER["central_meridian",0],PARAMETER["false_easting",0],
+        |PARAMETER["false_northing",0]]""".stripMargin).asInstanceOf[Crs.Sinusoidal]
+    assert(viaWkt.copy(name = sinu.name) == sinu)
+    assert(Crs.fromString("SR-ORG:6974") == sinu)
+    // the ellipsoidal form is rejected loudly, never silently spherical
+    intercept[IllegalArgumentException](
+      Crs.fromProjString("+proj=sinu +lon_0=0 +ellps=WGS84"))
+  }
+
   test("web mercator: equator scale 1 in x, known y identity, roundtrip") {
     val wm = Crs.WebMercator
     val (x, y) = wm.fromLonLat(180.0, 0.0)

@@ -90,4 +90,29 @@ class StreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batchSigs && streamed.nonEmpty)
   }
+
+  test("winnowing fingerprints are stream-transparent (per-document kernel, no state)") {
+    // winnowing became a stateless per-document mapPartitions kernel,
+    // so the SAME operator body runs unmodified on a readStream source
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-winnow-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.winnowFingerprints(src, k = 8, w = 4)
+      .writeStream.format("memory").queryName("winnow_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.table("winnow_stream").collect().map(key).toSet
+    val batch = graft.text.TextOps.winnowFingerprints(docs, k = 8, w = 4)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
