@@ -37,6 +37,50 @@ class RasterPipelineSpec extends AnyFunSuite {
       Array(nan, 4.0, nan, nan)))
   }
 
+  test("rectify leaks no cached blocks: lookup checkpoints are reclaimed once the result is dropped") {
+    val spark = TestSpark.spark
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // run the pipeline on SHORT-LIVED THREADS: when each dies its
+    // frames are certainly gone, so nothing but weak references can
+    // reach the dropped Datasets (interpreted JVM frames otherwise keep
+    // dead locals reachable and would pin the checkpoints artificially)
+    val runs = 5
+    for (_ <- 1 to runs) {
+      @volatile var n = 0L
+      val t = new Thread(() => {
+        val dstGm = GridMapping.regular(4, 4, -1.0, 49.0, 2.0, 2.0, Crs.Geographic)
+        n = RectifyOp.rectify(
+          toDs(tilesFrom("rad", srcRad, srcGmIrr)), coordTiles(), srcGmIrr, dstGm,
+          radPolicy(Interp.NEAREST)).count()
+      })
+      t.start(); t.join()
+      assert(n > 0)
+    }
+    // the lookup was localCheckpoint'ed (NOT cache()'d), so the
+    // ContextCleaner frees its blocks once GC collects the dropped
+    // RDDs. The old cache() bug pinned one lookup PER CALL for the
+    // session lifetime, immune to GC — after `runs` calls we require
+    // the pinned set NOT to grow with the call count. (A plain-main
+    // probe of the same 3-run pipeline reclaims EVERY checkpoint after
+    // 2 GCs; under the ScalaTest harness the ~2 most recent executions
+    // stay referenced by harness state, hence the bound of 2 rather
+    // than 0 — still 3 short of what the cache() regression would pin.)
+    var leaked = sc.getPersistentRDDs.keySet -- before
+    var attempts = 0
+    while (leaked.size > 2 && attempts < 50) {
+      System.gc()
+      Thread.sleep(100)
+      leaked = sc.getPersistentRDDs.keySet -- before
+      attempts += 1
+    }
+    assert(leaked.size <= 2,
+      s"rectify pinned ${leaked.size} cached/checkpointed RDDs after $runs runs " +
+        "(cache-style per-call leak): " +
+        leaked.map(id => sc.getPersistentRDDs.get(id).map(r =>
+          s"$id=${r.toString}/${r.getStorageLevel.description}").getOrElse(s"$id=?")).mkString(", "))
+  }
+
   test("rectify 2x2 -> 7x7 nearest (reference: test_rectify.py:113-148)") {
     // rad offset so values don't lie on a plane
     val rad = Array(Array(1.0, 2.0), Array(3.0, 5.0))
