@@ -177,6 +177,8 @@ object LlmQueries {
 
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
 
+    "q_text_repetition" -> ((s, dir) => TextOps.repetitionFeatures(docs(s, dir))),
+
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic PII appended identically here and in the oracle
       // (the corpus itself has none), so the scrub has real matches:
@@ -580,6 +582,32 @@ object LlmQueries {
       s"""WITH $sqlToks
          |SELECT doc_id, MIN(md5(w)) AS fingerprint, COUNT(DISTINCT w) AS n_distinct
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, GREATEST(len(toks) - 2, 0) AS ng FROM t
+        |), dg AS (
+        |  SELECT t.doc_id, COUNT(DISTINCT array_to_string(toks[k:k+2], ' ')) AS nd
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+        |  WHERE len(toks) >= 3 GROUP BY 1
+        |), tp AS (
+        |  SELECT doc_id, MAX(c) AS top, SUM(c) AS n FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(g.ng AS BIGINT) AS n_grams3,
+        |  CAST(COALESCE(dg.nd, 0) AS BIGINT) AS n_distinct_grams3,
+        |  ROUND(CASE WHEN g.ng = 0 THEN 0.0
+        |        ELSE 1.0 - CAST(COALESCE(dg.nd, 0) AS DOUBLE) / g.ng END, 6) AS rep_ratio,
+        |  ROUND(CASE WHEN COALESCE(tp.n, 0) = 0 THEN 0.0
+        |        ELSE CAST(tp.top AS DOUBLE) / tp.n END, 6) AS top_token_ratio
+        |FROM t JOIN g USING (doc_id)
+        |LEFT JOIN dg USING (doc_id) LEFT JOIN tp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // PII scrub: same augmentation, same RE2/Java-identical regexes,
     // sequential replacement mirrored stage for stage ('g' = global,

@@ -472,6 +472,46 @@ object TextOps {
       .agg(min(md5(col("w"))).as("fingerprint"),
         countDistinct(col("w")).as("n_distinct"))
 
+  /** Repetition features — the boilerplate/degenerate-text signal a
+    * pretraining quality filter cuts on: `rep_ratio` = 1 - distinct
+    * word-3-grams / total word-3-grams (near 1 for looping text, near
+    * 0 for natural prose) and `top_token_ratio` = the most frequent
+    * token's share of all tokens. Row-local mapPartitions — no
+    * shuffle, the natural 100 TB shape (same as [[simhash]]).
+    */
+  def repetitionFeatures(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          val n = ws.length
+          val ng = math.max(n - 2, 0)
+          val grams = new java.util.HashSet[String]()
+          var k = 0
+          while (k < ng) { grams.add(ws(k) + " " + ws(k + 1) + " " + ws(k + 2)); k += 1 }
+          val counts = new java.util.HashMap[String, Integer]()
+          var top = 0
+          var t = 0
+          while (t < n) {
+            val c = counts.merge(ws(t), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+            if (c > top) top = c
+            t += 1
+          }
+          val rep = if (ng == 0) 0.0 else 1.0 - grams.size.toDouble / ng
+          val tt = if (n == 0) 0.0 else top.toDouble / n
+          (id, ng.toLong, grams.size.toLong, rep, tt)
+        }
+      }.toDF("doc_id", "n_grams3", "n_distinct_grams3", "rep_raw", "top_raw")
+      // round through Spark's SQL round so the values are bit-identical
+      // to a SQL oracle's ROUND(..., 6)
+      .select(col("doc_id"), col("n_grams3"), col("n_distinct_grams3"),
+        round(col("rep_raw"), 6).as("rep_ratio"),
+        round(col("top_raw"), 6).as("top_token_ratio"))
+  }
+
   // PII patterns, deliberately restricted to syntax whose greedy-match
   // semantics are IDENTICAL in Java regex and RE2 (no alternation
   // ambiguity, no backrefs) so a SQL engine scrubs byte-identically.

@@ -362,6 +362,21 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.toSet == Set((2L, 0), (2L, 2)))
   }
 
+  test("repetition features: looping text scores high, distinct text zero, short docs defined") {
+    val docsR = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"),   // one distinct 3-gram
+      (1L, "a b c d e f g h"),                           // all 3-grams distinct
+      (2L, "x y"),                                       // no 3-grams
+      (3L, "")                                           // no tokens at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionFeatures(docsR).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((6L, 1L, 0.833333, 1.0)))        // 8 tokens of one kind, rounded 6
+    assert(out(1L) == ((6L, 6L, 0.0, 0.125)))           // top token 1/8
+    assert(out(2L) == ((0L, 0L, 0.0, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
   test("PII scrub: emails, IPv4s, and long digit runs redacted with exact counts; clean text preserved") {
     val pii = Seq(
       (0L, "mail alice.smith+x@corp.example.org now"),
