@@ -18,6 +18,11 @@ object LlmQueries {
   // O(subset^2), independent of scale factor
   val PairLimit = 500
 
+  // per-language keep rates for the stratified-sampling (data-mixing)
+  // query; "fr" deliberately absent to exercise the default rate
+  val MixRates: Map[String, Double] =
+    Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -178,6 +183,10 @@ object LlmQueries {
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
 
     "q_text_repetition" -> ((s, dir) => TextOps.repetitionFeatures(docs(s, dir))),
+
+    "q_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
+        .select(col("doc_id"), col("lang"))),
 
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic PII appended identically here and in the oracle
@@ -582,6 +591,18 @@ object LlmQueries {
       s"""WITH $sqlToks
          |SELECT doc_id, MIN(md5(w)) AS fingerprint, COUNT(DISTINCT w) AS n_distinct
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stratified sampling: same 60-bit md5 hash, same double division,
+    // same rate table (missing "fr" exercises the default rate 1.0)
+    "q_stratified_sample" -> {
+      val rateValues = MixRates.toSeq.sorted
+        .map { case (l, r) => s"('$l', ${d(r)})" }.mkString(", ")
+      s"""WITH rates(lang, rate) AS (VALUES $rateValues)
+         |SELECT doc_id, d.lang FROM documents d LEFT JOIN rates r USING (lang)
+         |WHERE CAST(CAST(concat('0x', substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976 < COALESCE(r.rate, '1.0'::DOUBLE)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_repetition" ->
       """WITH t AS (

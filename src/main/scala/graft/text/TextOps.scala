@@ -472,6 +472,30 @@ object TextOps {
       .agg(min(md5(col("w"))).as("fingerprint"),
         countDistinct(col("w")).as("n_distinct"))
 
+  /** DETERMINISTIC stratified sampling — the data-mixing primitive: a
+    * per-stratum (language/source/domain) keep-rate applied by hashing
+    * the document id with a salt, so the sample is (a) exactly
+    * reproducible across runs, engines, and cluster sizes — no RNG
+    * state, no partition-order dependence, unlike `sample()` — and
+    * (b) consistent: changing one stratum's rate never resamples the
+    * others, and raising a rate only ADDS documents (the kept set is
+    * monotone in the rate — hash < rate). One broadcast join against
+    * the tiny rate table; the filter is a codegen'd column expression.
+    */
+  def stratifiedSample(
+      docs: DataFrame, rates: Map[String, Double], defaultRate: Double = 1.0,
+      keyCol: String = "lang", idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(keyCol, "rate")
+    // uniform [0,1): 60-bit md5 prefix of salt:id over 2^60
+    val u = tokenHash(concat_ws(":", lit(salt), col(idCol).cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    docs.join(broadcast(ratesDf), Seq(keyCol), "left")
+      .filter(u < coalesce(col("rate"), lit(defaultRate)))
+  }
+
   /** Repetition features — the boilerplate/degenerate-text signal a
     * pretraining quality filter cuts on: `rep_ratio` = 1 - distinct
     * word-3-grams / total word-3-grams (near 1 for looping text, near

@@ -362,6 +362,26 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.toSet == Set((2L, 0), (2L, 2)))
   }
 
+  test("stratified sampling: deterministic, monotone in rate, strata independent, default rate applied") {
+    val docsS = (0L until 400L).map(i =>
+      (i, s"text $i", Seq("en", "de", "es", "fr")(( i % 4).toInt))).toDF("doc_id", "text", "lang")
+    def ids(rates: Map[String, Double]) =
+      TextOps.stratifiedSample(docsS, rates, defaultRate = 1.0, salt = "s1")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet
+    val a = ids(Map("en" -> 0.5, "de" -> 0.2))
+    // deterministic: same call, same set
+    assert(a == ids(Map("en" -> 0.5, "de" -> 0.2)))
+    // default rate: unlisted strata fully kept
+    assert(a.count(_._2 == "es") == 100 && a.count(_._2 == "fr") == 100)
+    // rates land near expectation (hash-uniformity sanity)
+    assert(math.abs(a.count(_._2 == "en") - 50) < 25 && math.abs(a.count(_._2 == "de") - 20) < 15)
+    // monotone: raising one stratum's rate only ADDS docs there and
+    // never resamples the others
+    val b = ids(Map("en" -> 0.8, "de" -> 0.2))
+    assert(a.filter(_._2 == "en").subsetOf(b.filter(_._2 == "en")))
+    assert(a.filter(_._2 != "en") == b.filter(_._2 != "en"))
+  }
+
   test("repetition features: looping text scores high, distinct text zero, short docs defined") {
     val docsR = Seq(
       (0L, "spam spam spam spam spam spam spam spam"),   // one distinct 3-gram
