@@ -84,6 +84,23 @@ class PlanSpec extends AnyFunSuite {
       s"no partial ObjectHashAggregate in:\n${p.take(3000)}")
   }
 
+  test("stratified sample broadcasts the rate table; scrub and quantize plans are exchange-free") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val strat = graft.text.TextOps.stratifiedSample(docs, Map("en" -> 0.5))
+    strat.collect()
+    val ps = plan(strat)
+    assert(ps.contains("BroadcastHashJoin"), s"rate join not broadcast in:\n${ps.take(2000)}")
+    // redaction and quantization are narrow per-row transforms: no
+    // Exchange anywhere — the shape that scales linearly at 100 TB
+    for (df <- Seq(
+        graft.text.TextOps.scrubPii(docs),
+        VectorOps.quantizeInt8(spark.read.parquet(s"$dir/embeddings.parquet")))) {
+      df.collect()
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"unexpected shuffle in:\n${p.take(2000)}")
+    }
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)
