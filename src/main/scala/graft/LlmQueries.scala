@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.TextOps
+import graft.text.{CorpusOps, OrderOps, TextOps}
 import graft.vector.VectorOps
 import graft.multimodal.Multimodal
 
@@ -187,6 +187,33 @@ object LlmQueries {
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
         .select(col("doc_id"), col("lang"))),
+
+    "q_contamination" -> ((s, dir) => {
+      // eval suite = every 50th document; the check reports n-gram
+      // overlap of the whole corpus against it
+      val d = docs(s, dir)
+      CorpusOps.contamination(d, d.filter(col("doc_id") % 50 === 0), n = 5)
+    }),
+
+    "q_lm_score" -> ((s, dir) => CorpusOps.bigramLmScore(docs(s, dir))),
+
+    "q_tfidf_topk" -> ((s, dir) => CorpusOps.tfIdfTopTerms(docs(s, dir), k = 3)),
+
+    "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
+
+    "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
+
+    "q_text_normalize" -> ((s, dir) => {
+      // the corpus itself is already clean ASCII, so append a suffix
+      // with real work in it: mixed case, whitespace runs, a tab, and
+      // a combining acute (e + U+0301) that NFC composes — identical
+      // augmentation in the oracle
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("  CAFÉ  du\tMonde 42 ")).as("text"))
+      TextOps.normalizeText(aug)
+        .select(col("doc_id"), md5(col("norm_text")).as("norm_md5"),
+          length(col("norm_text")).cast("long").as("n_chars_norm"))
+    }),
 
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic PII appended identically here and in the oracle
@@ -651,6 +678,104 @@ object LlmQueries {
          |  len(regexp_extract_all(t2, '$num')) AS n_longnums
          |FROM s3 ORDER BY doc_id""".stripMargin
     },
+
+    // contamination: distinct word-5-grams of each doc vs the distinct
+    // gram set of the every-50th-doc "eval suite"
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT id, array_to_string(toks[k:k+4], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 4)) u(k)
+        |  WHERE len(toks) >= 5
+        |), sh AS (SELECT DISTINCT id, g FROM sh0),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE id % 50 = 0),
+        |tot AS (SELECT id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+        |hits AS (SELECT id, COUNT(*) AS n_hits FROM sh JOIN ev USING (g) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(tot.n_grams, 0) AS n_grams,
+        |  COALESCE(hits.n_hits, 0) AS n_hits,
+        |  ROUND(COALESCE(hits.n_hits, 0) * 1.0 / GREATEST(COALESCE(tot.n_grams, 0), 1), 6)
+        |    AS contamination_ratio
+        |FROM documents d
+        |LEFT JOIN tot ON tot.id = d.doc_id
+        |LEFT JOIN hits ON hits.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // bigram LM with add-one smoothing, <s> context per document;
+    // mean ln P rounded to 6 so summation order can't leak through
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT id, CASE WHEN k = 1 THEN '<s>' ELSE toks[k-1] END AS prev, toks[k] AS cur
+        |  FROM t, unnest(generate_series(1, len(toks))) u(k)
+        |  WHERE len(toks) >= 1
+        |), c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT cur) AS v FROM bg)
+        |SELECT id AS doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 6) AS lm_score
+        |FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // tf-idf top-3 terms; rank on the ROUNDED score (see CorpusOps)
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |), tf AS (SELECT id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT id, w, tf, ROUND(tf * ln(n_docs * 1.0 / df), 6) AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN n
+        |)
+        |SELECT id AS doc_id, w AS term, CAST(tf AS BIGINT) AS tf, score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, w ASC) AS rank
+        |  FROM s
+        |) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // concat-and-chunk packing over doc_id order, capacity 256
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum // 256 AS BIGINT) AS start_bin,
+        |  CAST((cum + GREATEST(n_tokens, 1) - 1) // 256 AS BIGINT) AS end_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // deterministic salted-hash training order
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5('shuf1:' || CAST(doc_id AS VARCHAR))) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // normalization: same augmentation (chr(769) = U+0301 combining
+    // acute, chr(9) = tab), same NFC -> lower -> collapse -> trim order
+    "q_text_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || '  CAFE' || chr(769) || '  du' || chr(9) || 'Monde 42 ' AS text
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g')) AS norm_text
+        |  FROM aug
+        |)
+        |SELECT doc_id, md5(norm_text) AS norm_md5, LENGTH(norm_text) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_decode" ->
       """SELECT doc_id, 16 + doc_id % 32 AS width, 16 + doc_id % 17 AS height,

@@ -28,6 +28,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"cosine_sim takes 2 arguments, got ${args.length}")
         CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"nfc_normalize takes 1 argument, got ${args.length}")
+        NfcNormalize(args.head)
       }))
 
   /** Register on a live session (idempotent — re-registration replaces). */

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-STATISTICS operators — the training-data quality passes that
+  * need global aggregates (document frequencies, n-gram inventories,
+  * language-model counts) rather than row-local features. Every
+  * operator here is aggregation-shaped: partial (map-side) aggregation
+  * does the heavy lifting, the shuffled state is counts keyed by token
+  * or n-gram, and nothing pairwise or quadratic ever forms.
+  */
+object CorpusOps {
+
+  /** Word n-gram array of a text column: empty when the document has
+    * fewer than n tokens (same construction as the shingle join in
+    * [[TextOps.ngramJaccardPairs]]).
+    */
+  private def shingles(textCol: Column, n: Int): Column = {
+    val ws = TextOps.tokens(textCol)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** BENCHMARK-CONTAMINATION detection: for every training document,
+    * how many of its distinct word n-grams also occur in an evaluation
+    * corpus (the n-gram-overlap decontamination check every serious
+    * pretraining pipeline runs before training; n = 8..13 word-grams in
+    * published pipelines, parameterized here).
+    *
+    * Shape for 100 TB: the EVAL side is a benchmark suite — megabytes,
+    * not terabytes — so its distinct-gram set is broadcast and the
+    * whole check is one narrow broadcast-semi-join over the train
+    * grams plus one groupBy(id) count; the train corpus is scanned
+    * once and nothing shuffles on a skewed key (hot n-grams hash to
+    * the same reduce key only in the per-id counts, which are bounded
+    * by document length).
+    *
+    * Returns one row per train document:
+    * (id, n_grams, n_hits, contamination_ratio).
+    */
+  def contamination(
+      train: DataFrame, eval: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainG = train
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val evalG = eval.select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    val totals = trainG.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val hits = trainG.join(broadcast(evalG), "g")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("contamination_ratio"))
+  }
+
+  /** BIGRAM-LANGUAGE-MODEL document scoring — the CCNet-style quality
+    * signal: train an add-one-smoothed bigram model on the corpus
+    * itself and score every document by its mean token log-probability
+    * (gibberish and boilerplate score far below natural prose).
+    *
+    * P(cur | prev) = (c(prev,cur) + 1) / (c(prev) + |V|), context
+    * `<s>` prepended per document; score = mean ln P over the
+    * document's tokens, rounded to 6 decimals so the value is
+    * reproducible across engines regardless of summation order.
+    *
+    * Shape: two count aggregations over the exploded bigram stream
+    * (map-side partial aggregation absorbs the token skew), one scalar
+    * vocabulary count broadcast into the plan, then a join of the
+    * stream against the two count tables — at 100 TB the count tables
+    * are vocabulary-sized (millions of rows), far under the stream
+    * size, and AQE picks broadcast or shuffle join per table
+    * accordingly. Nothing is ever collected to the driver.
+    */
+  def bigramLmScore(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = TextOps.tokens(col(textCol))
+    // positions i = 0..n-1: (prev, cur) with prev = "<s>" at i = 0
+    val pairs = when(size(ws) >= 1,
+      transform(sequence(lit(0), size(ws) - 1),
+        i => struct(
+          when(i === 0, lit("<s>")).otherwise(element_at(ws, i)).as("prev"),
+          element_at(ws, i + 1).as("cur"))))
+      .otherwise(array())
+    val bg = docs.select(col(idCol).as("id"), explode(pairs).as("p"))
+      .select(col("id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val vocab = bg.agg(countDistinct(col("cur")).as("v"))
+    bg.join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** TF-IDF top-k terms per document — the "what is this document
+    * about" reduction used for corpus exploration and topic-balanced
+    * sampling. score = tf * ln(N / df), ROUNDED to 6 decimals BEFORE
+    * ranking: two terms whose scores are mathematically equal but
+    * computed through different (tf, df) factorizations can differ at
+    * the last ulp between engines, and ranking on the rounded value
+    * (ties broken by term) keeps the top-k reproducible everywhere.
+    *
+    * Shape: tf is one groupBy over the exploded tokens, df is a
+    * second aggregation OVER THE TF TABLE (already one row per
+    * (doc, term) — no second corpus scan), N rides along as a
+    * broadcast scalar, and the rank window partitions by document, so
+    * its sort is bounded by per-document vocabulary.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val tok = docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
+    val tf = tok.groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = W.partitionBy(col("id")).orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("w").as("term"), col("tf"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -536,6 +536,23 @@ object TextOps {
         round(col("top_raw"), 6).as("top_token_ratio"))
   }
 
+  /** TEXT NORMALIZATION — the canonicalization pass run before any
+    * hashing or dedup so visually-identical texts hash identically:
+    * Unicode NFC (combining sequences composed, via the native
+    * [[graft.functions.NfcNormalize]] expression — Spark has no
+    * built-in), lowercase, whitespace runs collapsed to single
+    * spaces, ends trimmed. Every stage is a codegen'd column
+    * expression — narrow, shuffle-free, the 100 TB shape.
+    *
+    * Returns (id, norm_text).
+    */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      lower(graft.functions.NfcNormalize.nfcNormalize(col(textCol))),
+      "[ \\t\\n\\r]+", " "))
+    docs.select(col(idCol), norm.as("norm_text"))
+  }
+
   // PII patterns, deliberately restricted to syntax whose greedy-match
   // semantics are IDENTICAL in Java regex and RE2 (no alternation
   // ambiguity, no backrefs) so a SQL engine scrubs byte-identically.

@@ -1,0 +1,186 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Corpus-statistics (contamination, bigram LM, tf-idf) and global-
+  * order (packing, shuffle) operators: hand-computed expectations on
+  * tiny corpora, plus the partition-independence properties that make
+  * the prefix-sum operators safe at cluster scale.
+  */
+class CorpusOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---- contamination ----
+
+  test("contamination counts distinct shared n-grams against the eval set") {
+    val d = docsDf(
+      0L -> "a b c d e f",      // eval doc: grams "a b c", "b c d", "c d e", "d e f"
+      1L -> "a b c x y z",      // shares "a b c" -> 1 of 4 grams
+      2L -> "c d e f g h i",    // shares "c d e", "d e f" -> 2 of 5
+      3L -> "p q r s t",        // shares none -> 0 of 3
+      4L -> "x y")              // too short: 0 grams
+    val out = CorpusOps.contamination(d, d.filter(col("doc_id") === 0), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 4L, 1.0)))  // the eval doc itself is fully contaminated
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((5L, 2L, 0.4)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))  // no grams -> ratio 0, not NaN
+  }
+
+  test("contamination counts DISTINCT grams once however often they repeat") {
+    val d = docsDf(0L -> "a b c", 1L -> "a b c a b c a b c")
+    // doc 1 grams: "a b c","b c a","c a b" x
+    val out = CorpusOps.contamination(d, d.filter(col("doc_id") === 0), n = 3)
+      .filter(col("doc_id") === 1).head()
+    assert(out.getLong(1) == 3L) // distinct grams
+    assert(out.getLong(2) == 1L) // only "a b c" is shared, counted once
+  }
+
+  // ---- bigram LM ----
+
+  test("bigram LM score matches a sequential reference model") {
+    val rows = Seq(0L -> "a b a b", 1L -> "a b", 2L -> "z z z", 3L -> "a")
+    val d = docsDf(rows: _*)
+    // sequential reference: counts over (<s> prepended) bigram stream
+    val streams = rows.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      id -> ("<s>" +: ws.dropRight(1)).zip(ws)
+    }
+    val all = streams.flatMap(_._2)
+    val c2 = all.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = all.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val vocab = all.map(_._2).distinct.size
+    val want = streams.map { case (id, bgs) =>
+      val lps = bgs.map { bg => math.log((c2(bg) + 1.0) / (c1(bg._1) + vocab)) }
+      id -> ((bgs.size.toLong, math.rint(lps.sum / lps.size * 1e6) / 1e6))
+    }.toMap
+    val got = CorpusOps.bigramLmScore(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, (n, score)) <- want) {
+      assert(got(id)._1 == n, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - score) < 1e-9, s"doc $id score: got ${got(id)._2} want $score")
+    }
+  }
+
+  test("repetitive text scores higher than novel text under its own corpus LM") {
+    val d = docsDf(0L -> "a a a a a a a a", 1L -> "q w e r t y u i")
+    val got = CorpusOps.bigramLmScore(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) > got(1L)) // "a a" bigrams dominate the model
+  }
+
+  // ---- tf-idf ----
+
+  test("tf-idf ranks corpus-rare high-tf terms first, ties broken by term") {
+    val d = docsDf(
+      0L -> "rare rare common",
+      1L -> "common other",
+      2L -> "common other")
+    val out = CorpusOps.tfIdfTopTerms(d, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toList
+    // doc 0: "rare" (tf=2, df=1) beats "common" (tf=1, df=3, idf=0)
+    assert(out.contains((0L, "rare", 1L)))
+    // docs 1/2: "other" (df=2) beats "common" (idf = ln(1) = 0)
+    assert(out.contains((1L, "other", 1L)) && out.contains((2L, "other", 1L)))
+    // k cap respected
+    assert(out.count(_._1 == 0L) == 2)
+  }
+
+  test("tf-idf rank is at most k and scores are rounded before ranking") {
+    val d = docsDf(0L -> "a b c d e f g h")
+    val out = CorpusOps.tfIdfTopTerms(d, k = 3).collect()
+    assert(out.length == 3)
+    // single doc: every term has idf = ln(1) = 0 -> all scores 0.0,
+    // ranking must fall back to term order deterministically
+    assert(out.map(_.getString(1)).toList == List("a", "b", "c"))
+  }
+
+  // ---- sequence packing ----
+
+  test("packSequences matches a sequential fold, including spanning docs") {
+    val d = docsDf(
+      0L -> Seq.fill(3)("w").mkString(" "),   // 3 tokens: cum 0..2   -> bin 0
+      1L -> Seq.fill(10)("w").mkString(" "),  // cum 3..12 cap 8      -> bins 0..1
+      2L -> Seq.fill(8)("w").mkString(" "),   // cum 13..20           -> bins 1..2
+      3L -> "",                               // zero tokens at cum 21 -> bin 2..2
+      4L -> Seq.fill(4)("w").mkString(" "))   // cum 21..24           -> bins 2..3
+    val out = OrderOps.packSequences(d, capacity = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((3L, 0L, 0L)))
+    assert(out(1L) == ((10L, 0L, 1L)))
+    assert(out(2L) == ((8L, 1L, 2L)))
+    assert(out(3L) == ((0L, 2L, 2L)))
+    assert(out(4L) == ((4L, 2L, 3L)))
+  }
+
+  test("packSequences is independent of input partitioning") {
+    val rows = (0L until 97L).map(i => i -> Seq.fill((i % 13 + 1).toInt)("w").mkString(" "))
+    val d = docsDf(rows: _*)
+    val a = OrderOps.packSequences(d, 32).collect().map(_.toSeq).toSet
+    val b = OrderOps.packSequences(d.repartition(7), 32).collect().map(_.toSeq).toSet
+    val c = OrderOps.packSequences(d.repartition(1), 32).collect().map(_.toSeq).toSet
+    assert(a == b && b == c)
+    // and matches the sequential fold
+    var cum = 0L
+    val want = rows.map { case (id, t) =>
+      val n = t.split(" ").count(_.nonEmpty).toLong
+      val r = (id, n, cum / 32, (cum + math.max(n, 1) - 1) / 32)
+      cum += n
+      r
+    }.toSet
+    assert(a.map(s => (s(0), s(1), s(2), s(3))) == want)
+  }
+
+  // ---- deterministic shuffle ----
+
+  test("shuffleOrder is a permutation consistent with the salted-hash sort") {
+    val d = docsDf((0L until 50L).map(i => i -> "x"): _*)
+    val out = OrderOps.shuffleOrder(d, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSeq.sorted == (0L until 50L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"s1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0L until 50L).sortBy(key).zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(out == want)
+  }
+
+  test("shuffleOrder is deterministic and salt-sensitive") {
+    val d = docsDf((0L until 40L).map(i => i -> "x"): _*)
+    val a = OrderOps.shuffleOrder(d, "s1").collect().map(_.toSeq).toSet
+    val b = OrderOps.shuffleOrder(d.repartition(5), "s1").collect().map(_.toSeq).toSet
+    val c = OrderOps.shuffleOrder(d, "s2").collect().map(_.toSeq).toSet
+    assert(a == b)   // partition-independent
+    assert(a != c)   // salt changes the order
+  }
+
+  // ---- normalization ----
+
+  test("normalizeText composes NFC, lowercases, collapses whitespace, trims") {
+    // input carries the DECOMPOSED form E + U+0301; the output must be
+    // the composed, lowercased single code point U+00E9
+    val d = docsDf(0L -> "  Hello\t\tWORLD  CAFE\u0301 \n x  ")
+    val out = TextOps.normalizeText(d).head().getString(1)
+    assert(out == "hello world caf\u00e9 x")
+    assert(out.length == "hello world cafe x".length) // composed: 1 cp for e-acute
+  }
+
+  test("nfc_normalize is SQL-callable after registration and composes") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT nfc_normalize('CAFE\u0301') AS s").head().getString(0)
+    assert(r == "CAF\u00c9")
+    // codegen and interpreted agree; already-normalized input is identity
+    val d = docsDf(0L -> "CAFE\u0301")
+    val viaCol = d.select(graft.functions.NfcNormalize.nfcNormalize(col("text"))).head().getString(0)
+    assert(viaCol == "CAF\u00c9")
+    assert(graft.functions.NfcNormalize.nfcUtf8(
+      org.apache.spark.unsafe.types.UTF8String.fromString("plain ascii")).toString == "plain ascii")
+  }
+}
