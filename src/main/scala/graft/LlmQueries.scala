@@ -297,6 +297,33 @@ object LlmQueries {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,6)")).cast("double").as("revenue"))),
 
+    "q_events_sessionize" -> ((s, dir) =>
+      // 4-hour inactivity gap. ts arrives as int64 nanos; `div` is
+      // exact integer floor-division to micros — the precision DuckDB
+      // reads TIMESTAMP(NANOS) at, so both engines compare equal ticks
+      graft.events.EventOps.sessionize(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("ts div 1000")),
+        gap = 4L * 3600 * 1000000L)
+        .withColumnRenamed("start_ts", "start_us")
+        .withColumnRenamed("end_ts", "end_us")),
+
+    "q_events_asof" -> ((s, dir) =>
+      // each purchase correlated to the user's most recent click at or
+      // before it (left semantics: purchases without a prior click keep
+      // null right columns); micros for cross-engine tick equality
+      graft.events.EventOps.asofLatest(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("ts div 1000")), "purchase", "click")
+        .withColumnRenamed("ts", "ts_us")
+        .withColumnRenamed("b_ts", "b_ts_us")),
+
+    "q_events_json" -> ((s, dir) =>
+      graft.events.EventOps.jsonFieldStats(s.read.parquet(s"$dir/events.parquet"))),
+
+    "q_len_quantiles" -> ((s, dir) =>
+      CorpusOps.lengthQuantiles(docs(s, dir), Seq(0.25, 0.5, 0.75, 0.9))),
+
     "q_events_window" -> ((s, dir) => {
       // events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
       // (spark.sql.legacy.parquet.nanosAsLong in the session), convert
@@ -818,6 +845,56 @@ object LlmQueries {
         |  ROUND(AVG(l_quantity), 6) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sessionization: identical lag/running-sum windows; epoch_us(ts)
+    // = the engine's `ts div 1000` floor of the int64 nanos
+    "q_events_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+        |                   OR tsu - lag(tsu) OVER w > 14400000000
+        |            THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(tsu) AS start_us, MAX(tsu) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // as-of via DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the semantics the union-tag window plan claims
+    "q_events_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type, value FROM events
+        |), a AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT a.event_id, a.user_id, a.tsu AS ts_us,
+        |  b.event_id AS b_event_id, b.tsu AS b_ts_us, b.value AS b_value
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.tsu >= b.tsu
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact linear-interpolation quantiles (h = p*(n-1)), per language
+    "q_len_quantiles" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT lang, CAST(k - 1 AS BIGINT) AS pi, ROUND(qs[k], 6) AS q
+        |FROM q, unnest(generate_series(1, 4)) u(k)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_events_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

@@ -1,0 +1,108 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** TEMPORAL event-stream operators over the `events` table —
+  * sessionization and as-of correlation, the two event-log primitives
+  * Spark's built-in operator set lacks as first-class joins. Both are
+  * expressed as per-user window plans: ONE hash shuffle on the user
+  * key, per-user sorted frames bounded by a single user's history —
+  * the shape that scales linearly with users at 100 TB (and the same
+  * shape Structured Streaming state partitioning uses, so the batch
+  * semantics carry over to streams).
+  *
+  * Timestamps are plain int64 ticks in whatever unit the caller
+  * standardized on (the harness uses integer microseconds — the
+  * precision every engine in the compare can represent), so every
+  * comparison and difference here is integer-exact — no calendar
+  * arithmetic, no rounding.
+  */
+object EventOps {
+
+  /** GAP-BASED SESSIONIZATION: a user's events, ordered by time, split
+    * into sessions wherever the gap to the previous event exceeds
+    * `gap` (in the ts column's own units); per session, the count / span / value sum a funnel or
+    * engagement pipeline consumes.
+    *
+    * Two stacked windows over the same (user, ts, id) order — lag to
+    * flag session starts, running sum to number them — then one
+    * groupBy. Catalyst plans the two windows into a single sort over a
+    * single exchange, and the session aggregate reuses the same
+    * partitioning (`event_id` breaks ordering ties so the numbering is
+    * deterministic under equal timestamps).
+    */
+  def sessionize(
+      events: DataFrame, gap: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    val order = W.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col(tsCol) - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(running) - 1)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
+
+  /** AS-OF JOIN (event-type form): for every event of `leftType`, the
+    * most recent `rightType` event by the SAME user at or strictly
+    * before it — "which click led to this purchase". Spark has no asof
+    * join; the naive inequality join explodes to a per-user cross
+    * product and then filters. This plan never forms a pair: both
+    * sides union into one stream, ONE window per user carries the
+    * latest right-side attributes forward (`last(..., ignoreNulls)`
+    * over an unbounded-preceding frame), and the left rows read them
+    * off — cost is one shuffle plus a per-user sort, independent of
+    * how many right events precede each left event.
+    *
+    * At equal timestamps the right side sorts first (tag 0 < tag 1),
+    * so a left event sees a same-instant right event — the `<=`
+    * convention, matching a SQL engine's `ASOF JOIN ON l.ts >= r.ts`.
+    * Unmatched left events keep null right columns (left semantics).
+    */
+  def asofLatest(
+      events: DataFrame, leftType: String, rightType: String,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val base = events.select(
+      col(idCol), col(userCol), col(tsCol), col(typeCol), col(valueCol))
+    val tagged = base.filter(col(typeCol) === leftType).withColumn("tag", lit(1))
+      .unionByName(base.filter(col(typeCol) === rightType).withColumn("tag", lit(0)))
+    val frame = W.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("tag"), col(idCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    def carried(c: org.apache.spark.sql.Column) =
+      last(when(col("tag") === 0, c), ignoreNulls = true).over(frame)
+    tagged
+      .withColumn("b_event_id", carried(col(idCol)))
+      .withColumn("b_ts", carried(col(tsCol)))
+      .withColumn("b_value", carried(col(valueCol)))
+      .filter(col("tag") === 1)
+      .select(col(idCol), col(userCol), col(tsCol),
+        col("b_event_id"), col("b_ts"), col("b_value"))
+  }
+
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` payload and aggregate — the "parse the logging sidecar"
+    * pass. `get_json_object` is a codegen'd path expression; the whole
+    * query is scan → narrow extract → one partial-aggregated groupBy.
+    */
+  def jsonFieldStats(
+      events: DataFrame, path: String = "$.k",
+      typeCol: String = "event_type", propsCol: String = "props"): DataFrame =
+    events
+      .select(col(typeCol), get_json_object(col(propsCol), path).cast("long").as("k"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+}

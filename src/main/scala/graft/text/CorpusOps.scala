@@ -105,6 +105,29 @@ object CorpusOps {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Per-stratum length QUANTILES (exact, linearly interpolated — the
+    * same `h = p*(n-1)` definition DuckDB's `quantile_cont` and
+    * NumPy's default use), for corpus length profiling and cutoff
+    * selection. Spark's exact `percentile` aggregate does a per-group
+    * sort; groups are strata (languages/sources), so group size is
+    * corpus-scale — at 100 TB swap in `percentile_approx` (t-digest,
+    * mergeable partial aggregation) and accept the documented error
+    * bound; the exact form here is what the oracle can reproduce.
+    *
+    * Returns (stratum, pi, q): quantile index pi into `ps`, value q
+    * rounded to 6.
+    */
+  def lengthQuantiles(
+      docs: DataFrame, ps: Seq[Double],
+      stratumCol: String = "lang", lenCol: String = "n_chars"): DataFrame = {
+    val arr = ps.map(p => s"${p}d").mkString("array(", ", ", ")")
+    docs.groupBy(col(stratumCol))
+      .agg(expr(s"percentile($lenCol, $arr)").as("qs"))
+      .select(col(stratumCol), posexplode(col("qs")).as(Seq("pi", "q")))
+      .select(col(stratumCol), col("pi").cast("long").as("pi"),
+        round(col("q"), 6).as("q"))
+  }
+
   /** TF-IDF top-k terms per document — the "what is this document
     * about" reduction used for corpus exploration and topic-balanced
     * sampling. score = tf * ln(N / df), ROUNDED to 6 decimals BEFORE

@@ -101,6 +101,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination broadcasts the eval-gram set") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.CorpusOps.contamination(docs, docs.filter(col("doc_id") % 50 === 0), 5)
+    df.collect()
+    val p = plan(df)
+    // the eval suite is benchmark-sized; its gram set must never shuffle
+    // the train grams — a broadcast join is the 100 TB shape
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast in:\n${p.take(3000)}")
+  }
+
+  test("global-order operators plan no single-partition window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (df <- Seq(
+        graft.text.OrderOps.packSequences(docs, 256),
+        graft.text.OrderOps.shuffleOrder(docs, "s"))) {
+      df.collect()
+      val p = plan(df)
+      // the naive formulation is Window over ORDER BY with no
+      // PARTITION BY — one task sorts the corpus. The prefix-sum plan
+      // does its one range shuffle before the checkpoint, so the final
+      // emit stage must be NARROW: no Window, no Exchange — every
+      // partition assigns its rows independently from broadcast offsets
+      assert(!p.contains("Window"), s"single-partition window in:\n${p.take(3000)}")
+      assert(!p.contains("Exchange"), s"emit stage not narrow in:\n${p.take(3000)}")
+    }
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)

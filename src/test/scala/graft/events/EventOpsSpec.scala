@@ -1,0 +1,80 @@
+package graft.events
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Temporal event operators: hand-computed session splits and as-of
+  * correlations, including the tie and no-match edges the oracle data
+  * may not cover.
+  */
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (event_id, user_id, ts, event_type, value)
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("sessionize splits on gap, aggregates per session") {
+    val e = ev(
+      (0L, 1L, 100L, "view", 1.0),
+      (1L, 1L, 150L, "view", 2.0),   // gap 50 <= 100: same session
+      (2L, 1L, 300L, "view", 4.0),   // gap 150 > 100: new session
+      (3L, 2L, 100L, "view", 8.0))   // other user: own session 0
+    val out = EventOps.sessionize(e, gap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out((1L, 0L)) == ((2L, 100L, 150L, 3.0)))
+    assert(out((1L, 1L)) == ((1L, 300L, 300L, 4.0)))
+    assert(out((2L, 0L)) == ((1L, 100L, 100L, 8.0)))
+  }
+
+  test("sessionize: gap exactly equal to the threshold does NOT split") {
+    val e = ev((0L, 1L, 0L, "view", 1.0), (1L, 1L, 100L, "view", 1.0))
+    val out = EventOps.sessionize(e, gap = 100L).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2L)
+  }
+
+  test("asofLatest picks the most recent right event at or before each left event") {
+    val e = ev(
+      (0L, 1L, 100L, "click", 1.5),
+      (1L, 1L, 200L, "click", 2.5),
+      (2L, 1L, 250L, "purchase", 9.0),  // sees click id=1 (ts 200)
+      (3L, 1L, 300L, "click", 3.5),
+      (4L, 1L, 300L, "purchase", 9.5),  // equal ts: sees click id=3
+      (5L, 2L, 50L, "purchase", 7.0),   // user 2 has no click: nulls
+      (6L, 2L, 60L, "view", 0.0))       // other types never participate
+    val out = EventOps.asofLatest(e, "purchase", "click")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)),
+          (if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    assert(out(2L)._1 == 1L && out(2L)._2 == 2.5)
+    assert(out(4L)._1 == 3L && out(4L)._2 == 3.5) // <= convention at equal ts
+    assert(out(5L)._1 == -1L && out(5L)._2.isNaN) // left row kept, right null
+    assert(!out.contains(6L)) // only leftType rows in the output
+  }
+
+  test("jsonFieldStats extracts and aggregates a typed JSON field") {
+    val e = Seq(
+      (0L, "a", """{"k": 5}"""),
+      (1L, "a", """{"k": 7}"""),
+      (2L, "b", """{"k": 11, "other": 1}"""))
+      .toDF("event_id", "event_type", "props")
+    val out = EventOps.jsonFieldStats(e)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((2L, 12L, 5L, 7L)))
+    assert(out("b") == ((1L, 11L, 11L, 11L)))
+  }
+
+  test("lengthQuantiles interpolates exactly like h = p*(n-1)") {
+    // lang "x": lengths 10, 20, 30, 40 -> p50 at h=1.5 -> 25.0;
+    // p25 at h=0.75 -> 17.5; p90 at h=2.7 -> 37.0
+    val d = Seq((0L, "x", 10L), (1L, "x", 20L), (2L, "x", 30L), (3L, "x", 40L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = graft.text.CorpusOps.lengthQuantiles(d, Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(0L) == 17.5 && out(1L) == 25.0)
+    assert(math.abs(out(2L) - 37.0) < 1e-9)
+  }
+}
