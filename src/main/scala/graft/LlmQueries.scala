@@ -168,6 +168,9 @@ object LlmQueries {
       VectorOps.ivfTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         nlist = 16, nprobe = 4, k = 5)),
 
+    "q_embed_kmeans" -> ((s, dir) =>
+      VectorOps.kmeansAssign(embeddings(s, dir), k = 8, iters = 2)),
+
     "q_embed_quantize" -> ((s, dir) =>
       VectorOps.quantizeInt8(embeddings(s, dir))
         .withColumnRenamed("id", "vec_id")),
@@ -532,6 +535,29 @@ object LlmQueries {
         |  CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(v[k] / scale + 0.5) AS BIGINT) END AS q
         |FROM s, unnest(generate_series(1, len(v))) u(k)
         |ORDER BY vec_id, dim""".stripMargin,
+
+    // two fixed Lloyd rounds from the 8 lowest-id seeds; assignments
+    // are integers, so 1e-15 centroid-mean summation wobble between
+    // engines cannot reach the output (argmax gaps are >> 1e-9)
+    "q_embed_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        |  FROM e, c0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.cid, k - 1 AS dim, AVG(e.v[k]) AS m
+        |  FROM a1 JOIN e USING (vec_id), unnest(generate_series(1, 64)) u(k)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        |  FROM e, c1 c) WHERE rn = 1)
+        |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q_embed_ann_ivf" ->
       s"""WITH e AS (

@@ -245,6 +245,103 @@ object VectorOps {
     topKPerQuery(rer, k).drop("rank")
   }
 
+  /** Distributed LLOYD'S K-MEANS assignment over the embedding column —
+    * the centroid-training step a real IVF index runs before
+    * [[ivfTopK]]'s probe/rerank (which deliberately uses fixed
+    * centroids for oracle reproducibility; this supplies trained ones).
+    *
+    * Deterministic throughout: init = the `k` lowest-id vectors
+    * (centroid keyed by that vector's id), assignment = argmax cosine
+    * with ties to the smaller centroid id, `iters` assignment passes
+    * with `iters - 1` centroid updates between them (so `iters = 1`
+    * is pure nearest-seed assignment).
+    *
+    * The 100 TB shape: centroids are O(k·d) — driver-held and
+    * broadcast, the ONLY thing ever collected. Each round is ONE
+    * narrow pass over the corpus (assignment fused with per-partition
+    * partial sums in the same mapPartitions — no assignment join, no
+    * dim explosion), followed by a k-row shuffle of the partials.
+    * Clusters that lose all members vanish for subsequent rounds
+    * (standard Lloyd degeneracy; k shrinks rather than re-seeding, so
+    * a SQL oracle can mirror the behavior exactly).
+    */
+  def kmeansAssign(
+      embeddings: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).as[(Long, Array[Double])]
+    var cents: Array[(Long, Array[Double])] =
+      e.orderBy(col("id")).limit(k).collect().sortBy(_._1)
+
+    def cosineSim(v: Array[Double], c: Array[Double]): Double = {
+      val n = math.min(v.length, c.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) { dot += v(i) * c(i); i += 1 }
+      i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      i = 0
+      while (i < c.length) { nc += c(i) * c(i); i += 1 }
+      dot / (math.sqrt(nv) * math.sqrt(nc))
+    }
+    // cents sorted by cid + strict > keeps the SMALLEST cid on ties,
+    // matching a SQL (sim DESC, cid ASC) rank-1
+    def best(cs: Array[(Long, Array[Double])], v: Array[Double]): Long = {
+      var bi = -1L
+      var bs = Double.NegativeInfinity
+      var j = 0
+      while (j < cs.length) {
+        val s = cosineSim(v, cs(j)._2)
+        if (s > bs) { bs = s; bi = cs(j)._1 }
+        j += 1
+      }
+      bi
+    }
+
+    var round = 0
+    while (round < iters - 1) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // fused assign + partial sums: slot d holds the count
+      val partials = e.mapPartitions { rows =>
+        val cs = bc.value
+        val acc = new java.util.HashMap[Long, Array[Double]]()
+        rows.foreach { case (_, v) =>
+          val cid = best(cs, v)
+          var a = acc.get(cid)
+          if (a == null) { a = new Array[Double](v.length + 1); acc.put(cid, a) }
+          var i = 0
+          while (i < v.length) { a(i) += v(i); i += 1 }
+          a(v.length) += 1.0
+        }
+        scala.jdk.CollectionConverters.MapHasAsScala(acc).asScala.iterator
+          .map { case (cid, a) => (cid, a) }
+      }
+      cents = partials.groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val s = new Array[Double](x._2.length)
+          var i = 0
+          while (i < s.length) { s(i) = x._2(i) + y._2(i); i += 1 }
+          (x._1, s)
+        }
+        .map { case (cid, (_, a)) =>
+          val d = a.length - 1
+          val m = new Array[Double](d)
+          var i = 0
+          while (i < d) { m(i) = a(i) / a(d); i += 1 }
+          (cid, m)
+        }.collect().sortBy(_._1)
+      round += 1
+    }
+
+    val bc = spark.sparkContext.broadcast(cents)
+    e.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, v) => (id, best(cs, v)) }
+    }.toDF(idCol, "cluster_id")
+  }
+
   /** ANN top-k through LSH buckets: rerank within buckets only.
     * Recall < 1 by construction; pair with [[bruteForceTopK]] as the
     * exact baseline.

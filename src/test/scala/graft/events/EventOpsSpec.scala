@@ -67,6 +67,41 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 11L, 11L, 11L)))
   }
 
+  test("kmeansAssign: two separated blobs cluster by seed, iters=1 is nearest-seed") {
+    import org.apache.spark.sql.functions.col
+    // blob A along +x (ids 0, 2, 4), blob B along +y (ids 1, 3, 5);
+    // seeds k=2 are ids 0 (blob A) and 1 (blob B)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.8f, 0.05f)), (5L, Array(0.02f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    for (iters <- Seq(1, 2, 3)) {
+      val out = graft.vector.VectorOps.kmeansAssign(vecs, k = 2, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L),
+        s"iters=$iters: $out")
+    }
+    // partition-independence: same assignments from a repartitioned input
+    val rep = graft.vector.VectorOps.kmeansAssign(vecs.repartition(3), 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(4L) == 0L && rep(5L) == 1L)
+  }
+
+  test("kmeansAssign drops a cluster whose seed attracts no members") {
+    // seed 1 = (1,1) sits between the two blobs; after one update every
+    // vector is closer to the two surviving centroids and cluster 1
+    // may legitimately vanish — the operator must not crash or reseed
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 1.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.05f)), (4L, Array(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.vector.VectorOps.kmeansAssign(vecs, k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 5)
+    assert(out.values.toSet.subsetOf(Set(0L, 1L, 2L)))
+  }
+
   test("lengthQuantiles interpolates exactly like h = p*(n-1)") {
     // lang "x": lengths 10, 20, 30, 40 -> p50 at h=1.5 -> 25.0;
     // p25 at h=0.75 -> 17.5; p90 at h=2.7 -> 37.0

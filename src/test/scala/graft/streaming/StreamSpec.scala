@@ -91,6 +91,43 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batchSigs && streamed.nonEmpty)
   }
 
+  test("sessionize agrees with Spark's built-in session_window on real events") {
+    // independent implementation cross-check: the lag/running-sum plan
+    // vs Catalyst's native session-window merge, same 4h gap
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+    val ours = graft.events.EventOps.sessionize(ev, gap = 4L * 3600 * 1000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2), r.getLong(4))).toSet // (user, start, n, end)
+    val builtin = ev.withColumn("ts2", timestamp_micros(col("ts")))
+      .groupBy(session_window(col("ts2"), "4 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("start_us"), max(col("ts")).as("end_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("n"), r.getAs[Long]("end_us"))).toSet
+    assert(ours.nonEmpty && ours == builtin)
+  }
+
+  test("text normalization is stream-transparent (codegen column op, no state)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-norm-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 80)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+    val q = graft.text.TextOps.normalizeText(src)
+      .writeStream.format("memory").queryName("norm_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("norm_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.text.TextOps.normalizeText(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("winnowing fingerprints are stream-transparent (per-document kernel, no state)") {
     // winnowing became a stateless per-document mapPartitions kernel,
     // so the SAME operator body runs unmodified on a readStream source
