@@ -72,36 +72,52 @@ object CorpusOps {
     * document's tokens, rounded to 6 decimals so the value is
     * reproducible across engines regardless of summation order.
     *
-    * Shape: two count aggregations over the exploded bigram stream
-    * (map-side partial aggregation absorbs the token skew), one scalar
-    * vocabulary count broadcast into the plan, then a join of the
-    * stream against the two count tables — at 100 TB the count tables
-    * are vocabulary-sized (millions of rows), far under the stream
-    * size, and AQE picks broadcast or shuffle join per table
-    * accordingly. Nothing is ever collected to the driver.
+    * Shape: ONE corpus pass. A tight mapPartitions kernel emits each
+    * document's distinct bigrams WITH multiplicity (a higher-order-
+    * function formulation evaluates interpreted — CodegenFallback —
+    * and Catalyst re-runs the explode once per consumer, which
+    * profiled 4 corpus scans); every model statistic then derives
+    * from that one aggregate: c2 by (prev, cur), c1 by summing c2
+    * over cur, |V| by counting c2's distinct cur — no second scan.
+    * The count tables are vocabulary-sized (millions of rows at
+    * 100 TB), far under the stream size, and AQE picks broadcast or
+    * shuffle join per table. Nothing is ever collected to the driver;
+    * the per-doc score is the m-weighted mean, identical to the
+    * per-occurrence mean.
     */
   def bigramLmScore(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ws = TextOps.tokens(col(textCol))
-    // positions i = 0..n-1: (prev, cur) with prev = "<s>" at i = 0
-    val pairs = when(size(ws) >= 1,
-      transform(sequence(lit(0), size(ws) - 1),
-        i => struct(
-          when(i === 0, lit("<s>")).otherwise(element_at(ws, i)).as("prev"),
-          element_at(ws, i + 1).as("cur"))))
-      .otherwise(array())
-    val bg = docs.select(col(idCol).as("id"), explode(pairs).as("p"))
-      .select(col("id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
-    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
-    val vocab = bg.agg(countDistinct(col("cur")).as("v"))
-    bg.join(c2, Seq("prev", "cur"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // (id, prev, cur, m): per-document bigram multiplicities, <s> as
+    // the first context — row-local, shuffle-free
+    val bgm = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          val m = new java.util.HashMap[(String, String), Long]()
+          var i = 0
+          while (i < ws.length) {
+            val key = (if (i == 0) "<s>" else ws(i - 1), ws(i))
+            m.merge(key, 1L, (a, b) => a + b)
+            i += 1
+          }
+          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.iterator
+            .map { case ((p, c), n) => (id, p, c, n) }
+        }
+      }.toDF("id", "prev", "cur", "m")
+    val c2 = bgm.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val vocab = c2.agg(countDistinct(col("cur")).as("v"))
+    bgm.join(c2, Seq("prev", "cur"))
       .join(c1, Seq("prev"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp",
         log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m").cast("double") * col("lp")) / sum(col("m")).cast("double"), 6)
+          .as("lm_score"))
       .withColumnRenamed("id", idCol)
   }
 

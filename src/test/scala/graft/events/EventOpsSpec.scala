@@ -102,6 +102,32 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.values.toSet.subsetOf(Set(0L, 1L, 2L)))
   }
 
+  test("percentile_approx (the documented 100 TB path) tracks the exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.text.CorpusOps.lengthQuantiles(docs, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    // percentile_approx returns an actual data point whose RANK is
+    // within the accuracy bound of the true median rank; its value can
+    // be arbitrarily far if the data has gaps, so assert on rank
+    val byLang = docs.select(col("lang"), col("n_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((lang, a) <- approx) {
+      val vs = byLang(lang)
+      val below = vs.count(_ < a)
+      val atMost = vs.count(_ <= a)
+      val target = 0.5 * (vs.length - 1)
+      assert(below <= target + 1 && atMost >= target - 1,
+        s"$lang: approx $a has rank window [$below, $atMost) vs target $target " +
+          s"(exact ${exact(lang)})")
+    }
+  }
+
   test("lengthQuantiles interpolates exactly like h = p*(n-1)") {
     // lang "x": lengths 10, 20, 30, 40 -> p50 at h=1.5 -> 25.0;
     // p25 at h=0.75 -> 17.5; p90 at h=2.7 -> 37.0
