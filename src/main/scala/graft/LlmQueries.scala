@@ -191,6 +191,12 @@ object LlmQueries {
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
         .select(col("doc_id"), col("lang"))),
 
+    "q_corpus_select" -> ((s, dir) =>
+      // the composed endpoint: en docs, repetition cut, exact-dedup
+      // keepers, >= 20 tokens
+      CorpusOps.selectCorpus(docs(s, dir), lang = "en",
+        minWords = 20, maxTopTokenRatio = 0.12)),
+
     "q_contamination" -> ((s, dir) => {
       // eval suite = every 50th document; the check reports n-gram
       // overlap of the whole corpus against it
@@ -731,6 +737,32 @@ object LlmQueries {
          |  len(regexp_extract_all(t2, '$num')) AS n_longnums
          |FROM s3 ORDER BY doc_id""".stripMargin
     },
+
+    // composed selection endpoint: stage-for-stage mirror (repetition
+    // ratio cut -> exact-dedup min-id keepers -> token floor)
+    "q_corpus_select" ->
+      """WITH en AS (
+        |  SELECT doc_id, text FROM documents WHERE lang = 'en'
+        |), t AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM en
+        |), tp AS (
+        |  SELECT doc_id, MAX(c) AS top, SUM(c) AS n FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), qual AS (
+        |  SELECT t.doc_id, t.text, len(t.toks) AS n_tokens
+        |  FROM t JOIN tp USING (doc_id)
+        |  WHERE ROUND(CASE WHEN COALESCE(tp.n, 0) = 0 THEN 0.0
+        |        ELSE CAST(tp.top AS DOUBLE) / tp.n END, 6) <= 0.12
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)
+        |)
+        |SELECT q.doc_id, q.n_tokens
+        |FROM qual q JOIN keep USING (doc_id)
+        |WHERE q.n_tokens >= 20
+        |ORDER BY q.doc_id""".stripMargin,
 
     // contamination: distinct word-5-grams of each doc vs the distinct
     // gram set of the every-50th-doc "eval suite"

@@ -121,6 +121,30 @@ object CorpusOps {
       .withColumnRenamed("id", idCol)
   }
 
+  /** END-TO-END corpus selection — the composed endpoint a pretraining
+    * run actually executes: language filter, quality cuts (stopword
+    * floor and repetition ceiling are the published heuristic-filter
+    * shape), exact-dedup keepers, emitting the surviving ids with
+    * their token counts. Each stage is one of this library's
+    * operators; composition stays lazy, so Catalyst plans the whole
+    * selection as one DAG (the quality columns and the dedup hash
+    * compute in the same scan).
+    */
+  def selectCorpus(
+      docs: DataFrame, lang: String, minWords: Long, maxTopTokenRatio: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val filtered = docs.filter(col("lang") === lang)
+    val quality = TextOps.repetitionFeatures(filtered, idCol, textCol)
+      .filter(col("top_token_ratio") <= maxTopTokenRatio)
+      .select(col(idCol))
+    val qualified = filtered.join(quality, idCol)
+    val keepers = TextOps.exactDedup(qualified, idCol, textCol)
+      .select(col(idCol))
+    qualified.join(keepers, idCol)
+      .select(col(idCol), size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minWords)
+  }
+
   /** Per-stratum length QUANTILES (exact, linearly interpolated — the
     * same `h = p*(n-1)` definition DuckDB's `quantile_cont` and
     * NumPy's default use), for corpus length profiling and cutoff

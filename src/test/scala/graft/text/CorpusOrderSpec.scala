@@ -102,6 +102,22 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toList == List("a", "b", "c"))
   }
 
+  // ---- composed selection endpoint ----
+
+  test("selectCorpus applies language, repetition, dedup-keeper, and length stages in order") {
+    val good = (0 until 25).map(i => s"w$i").mkString(" ") // 25 distinct tokens
+    val d = Seq(
+      (0L, "en", good),                       // kept
+      (1L, "en", good),                       // exact dup of 0 -> dropped (keeper = min id)
+      (2L, "de", good),                       // wrong language
+      (3L, "en", Seq.fill(25)("x").mkString(" ")), // top-token ratio 1.0 -> dropped
+      (4L, "en", "short text here"))          // 3 tokens < 20 -> dropped
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusOps.selectCorpus(d, "en", minWords = 20, maxTopTokenRatio = 0.12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 25L))
+  }
+
   // ---- sequence packing ----
 
   test("packSequences matches a sequential fold, including spanning docs") {
