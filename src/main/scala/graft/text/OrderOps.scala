@@ -75,6 +75,30 @@ object OrderOps {
     }.toDF(idCol, "n_tokens", "start_bin", "end_bin")
   }
 
+  /** TRAINING-SHARD SINK: write the corpus as `numShards` contiguous
+    * slices of the deterministic [[shuffleOrder]], one partition
+    * directory per shard, rows inside each shard in training order —
+    * the export step between "corpus selected" and "trainer reads
+    * shard files". Shard boundaries are `pos * numShards div n`
+    * (integer math), so shards are equal-sized ±1 and the assignment
+    * is reproducible across runs and cluster sizes. One range
+    * repartition on (shard, pos) co-locates and orders each shard's
+    * rows before the write, so each shard directory holds ordered
+    * files rather than interleaved fragments.
+    */
+  def writeShards(
+      docs: DataFrame, outDir: String, numShards: Int,
+      salt: String = "graft", idCol: String = "doc_id"): Unit = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val n = math.max(docs.count(), 1L)
+    val order = shuffleOrder(docs, salt, idCol)
+    docs.join(order, idCol)
+      .withColumn("shard", expr(s"CAST((pos * $numShards) div ${n}L AS INT)"))
+      .repartitionByRange(numShards, col("shard"), col("pos"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** DETERMINISTIC training-order shuffle: every document gets a
     * global position by sorting on a salted hash of its id —
     * reproducible across runs, engines, and cluster sizes (no RNG

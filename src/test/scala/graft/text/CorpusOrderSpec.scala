@@ -177,6 +177,32 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(a != c)   // salt changes the order
   }
 
+  // ---- shard sink ----
+
+  test("writeShards emits contiguous equal-ish ordered shards that reassemble the corpus") {
+    val d = docsDf((0L until 100L).map(i => i -> s"doc $i"): _*)
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    OrderOps.writeShards(d, out, numShards = 4, salt = "sh1")
+    // partition directories exist
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toList == List("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 100)
+    // every id present exactly once; shard matches the formula over the
+    // deterministic order; per-shard pos ranges are contiguous slices
+    val rows = back.select(col("doc_id"), col("pos"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.map(_._1).sorted.toList == (0L until 100L).toList)
+    val order = OrderOps.shuffleOrder(d, "sh1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, pos, shard) =>
+      assert(order(id) == pos)
+      assert(shard == pos * 4 / 100)
+    }
+    val byShard = rows.groupBy(_._3).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byShard.keySet == Set(0, 1, 2, 3))
+    for ((s, ps) <- byShard) assert(ps.toList == (ps.min to ps.max).toList && ps.length == 25)
+  }
+
   // ---- normalization ----
 
   test("normalizeText composes NFC, lowercases, collapses whitespace, trims") {
