@@ -42,6 +42,26 @@ object StreamOps {
     windowedAgg(src, withWatermark = true)
   }
 
+  /** STREAMING SESSIONIZATION: the event-time session aggregation that
+    * matches [[graft.events.EventOps.sessionize]]'s batch semantics
+    * (same gap rule — a session absorbs an event whose distance to the
+    * session's current end is <= gap). Spark's native `session_window`
+    * carries the merge logic in the state store; the watermark bounds
+    * state: sessions older than the watermark finalize and emit, so
+    * state is O(open sessions), not O(events) — the only shape that
+    * survives an unbounded stream. Timestamps arrive as int64 micros
+    * (the cross-engine tick unit used by the batch harness).
+    */
+  def streamingSessionize(events: DataFrame, gap: String = "4 hours"): DataFrame =
+    events.withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", "1 hour")
+      .groupBy(session_window(col("ts2"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_us"), max(col("ts")).as("end_us"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
+        col("sum_value"))
+
   /** Streaming EXACT dedup with custom state
     * (`flatMapGroupsWithState`): key on the content hash, keep one bit
     * of state per distinct text, emit only the FIRST document carrying

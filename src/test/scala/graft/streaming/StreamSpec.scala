@@ -108,6 +108,28 @@ class StreamSpec extends AnyFunSuite {
     assert(ours.nonEmpty && ours == builtin)
   }
 
+  test("streaming sessionization matches the batch operator session for session") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-stream").toFile
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val ev = raw.withColumn("ts", expr("ts div 1000"))
+    val src = spark.readStream
+      .schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+      .withColumn("ts", expr("ts div 1000"))
+    val q = StreamOps.streamingSessionize(src)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("sess_stream").collect().map(key).toSet
+    val batch = graft.events.EventOps.sessionize(ev, gap = 4L * 3600 * 1000000L)
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("text normalization is stream-transparent (codegen column op, no state)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-norm-stream").toFile
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
