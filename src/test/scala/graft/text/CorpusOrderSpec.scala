@@ -177,6 +177,18 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(a != c)   // salt changes the order
   }
 
+  // ---- empty-input edges ----
+
+  test("prefix-sum operators and contamination handle empty inputs") {
+    val empty = docsDf()
+    assert(OrderOps.packSequences(empty, 8).collect().isEmpty)
+    assert(OrderOps.shuffleOrder(empty).collect().isEmpty)
+    val d = docsDf(0L -> "a b c d e")
+    // empty eval set: zero hits, ratio 0 for every doc
+    val out = CorpusOps.contamination(d, empty, n = 3).head()
+    assert(out.getLong(1) == 3L && out.getLong(2) == 0L && out.getDouble(3) == 0.0)
+  }
+
   // ---- shard sink ----
 
   test("writeShards emits contiguous equal-ish ordered shards that reassemble the corpus") {
