@@ -128,6 +128,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("event operators shuffle ONCE on the user key") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+    // sessionize: the window exchange on user_id is the only shuffle —
+    // the session aggregate's (user, session) grouping is satisfied by
+    // the existing user partitioning (subset clustering), and the asof
+    // union-tag plan needs only its per-user window sort
+    for ((df, wantMaxExchanges) <- Seq(
+        (graft.events.EventOps.sessionize(ev, 4L * 3600 * 1000000L), 1),
+        (graft.events.EventOps.asofLatest(ev, "purchase", "click"), 1))) {
+      df.collect()
+      // AQE's toString repeats the pre-adaptive plan under
+      // "== Initial Plan ==" — count exchanges in the final plan only
+      val p = plan(df).split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= wantMaxExchanges,
+        s"$exchanges hash exchanges (want <= $wantMaxExchanges) in:\n${p.take(3000)}")
+    }
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)
