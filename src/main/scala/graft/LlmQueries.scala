@@ -191,6 +191,15 @@ object LlmQueries {
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
         .select(col("doc_id"), col("lang"))),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // eval = every 50th doc, train = the WHOLE corpus — the corpus
+      // has no cross-id exact dups, so leaving the eval docs in the
+      // train side makes the anti-join demonstrably drop them
+      val d = docs(s, dir)
+      CorpusOps.decontaminate(d, d.filter(col("doc_id") % 50 === 0))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     "q_corpus_select" -> ((s, dir) =>
       // the composed endpoint: en docs, repetition cut, exact-dedup
       // keepers, >= 20 tokens
@@ -737,6 +746,11 @@ object LlmQueries {
          |  len(regexp_extract_all(t2, '$num')) AS n_longnums
          |FROM s3 ORDER BY doc_id""".stripMargin
     },
+
+    "q_decontaminate" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 50 = 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // composed selection endpoint: stage-for-stage mirror (repetition
     // ratio cut -> exact-dedup min-id keepers -> token floor)

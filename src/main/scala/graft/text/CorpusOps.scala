@@ -121,6 +121,21 @@ object CorpusOps {
       .withColumnRenamed("id", idCol)
   }
 
+  /** EXACT cross-corpus decontamination: drop training documents whose
+    * exact content also appears in the eval corpus — the complement of
+    * [[contamination]]'s fuzzy n-gram report, used when the policy is
+    * "remove verbatim test material, period". One broadcast LEFT ANTI
+    * join on the content hash: the eval side is benchmark-sized, the
+    * train side is scanned once, nothing shuffles.
+    */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalHashes = eval.select(md5(col(textCol)).as("eval_hash")).distinct()
+    train.join(broadcast(evalHashes),
+      md5(col(textCol)) === col("eval_hash"), "left_anti")
+  }
+
   /** END-TO-END corpus selection — the composed endpoint a pretraining
     * run actually executes: language filter, quality cuts (stopword
     * floor and repetition ceiling are the published heuristic-filter

@@ -102,6 +102,14 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toList == List("a", "b", "c"))
   }
 
+  test("decontaminate drops exact content matches and keeps everything else") {
+    val train = docsDf(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "alpha beta")
+    val eval_ = docsDf(100L -> "alpha beta", 101L -> "unrelated")
+    val kept = CorpusOps.decontaminate(train, eval_)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L)) // both copies of the contaminated text drop
+  }
+
   // ---- composed selection endpoint ----
 
   test("selectCorpus applies language, repetition, dedup-keeper, and length stages in order") {
