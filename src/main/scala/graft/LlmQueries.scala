@@ -146,6 +146,10 @@ object LlmQueries {
 
     "q_doc_winnow" -> ((s, dir) => TextOps.winnowFingerprints(docs(s, dir), k = 8, w = 4)),
 
+    "q_winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowPairs(docs(s, dir).filter(col("doc_id") < PairLimit),
+        k = 8, w = 4, minShared = 3, maxDf = 50)),
+
     "q_dedup_embed_cosine" -> ((s, dir) =>
       VectorOps.cosineDupPairs(embeddings(s, dir).filter(col("vec_id") < PairLimit), 0.2)),
 
@@ -504,6 +508,31 @@ object LlmQueries {
          |)
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
          |FROM sel WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin,
+
+    // winnowing pair join: same selection as q_doc_winnow over the
+    // bounded subset, distinct (doc, fp), df-capped, shared-count join
+    "q_winnow_pairs" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, k AS pos, LENGTH(text) - 7 AS ng,
+         |         CAST(concat('0x', substr(md5(substr(text, k, 8)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents, unnest(generate_series(1, LENGTH(text) - 7)) u(k)
+         |  WHERE LENGTH(text) - 7 >= 4 AND doc_id < $PairLimit
+         |), win AS (
+         |  SELECT doc_id, pos, h, ws
+         |  FROM g, unnest(generate_series(GREATEST(pos - 3, 1), LEAST(pos, ng - 3))) v(ws)
+         |), selrows AS (
+         |  SELECT doc_id, pos, h,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id, ws ORDER BY h ASC, pos DESC) AS rn
+         |  FROM win
+         |), sel AS (
+         |  SELECT DISTINCT doc_id, h AS fp FROM selrows WHERE rn = 1
+         |), rare AS (
+         |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 50
+         |), s2 AS (SELECT sel.doc_id, sel.fp FROM sel JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+         |FROM s2 a JOIN s2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY 1, 2""".stripMargin,
 
     // word-3-gram shingles; shingle k (1-based) spans toks[k..k+2]
     "q_dedup_ngram" ->

@@ -398,6 +398,31 @@ object TextOps {
       }.toDF("doc_id", "pos", "fp")
   }
 
+  /** Winnowing-based near-duplicate CANDIDATES — the join that makes
+    * [[winnowFingerprints]] a dedup operator (the MOSS shape):
+    * documents sharing at least `minShared` selected fingerprints are
+    * candidate near-dups/plagiarism pairs, found with one equi-join on
+    * the fingerprint hash. Fingerprints with document frequency above
+    * `maxDf` are dropped first — the winnowing analog of stop-words:
+    * a gram selected by half the corpus carries no signal and would
+    * make its join group quadratic (the same hot-key argument as the
+    * Jaccard prefix filter, but as an explicit cutoff because
+    * fingerprint selection has no per-document ordering to prune by).
+    */
+  def winnowPairs(
+      docs: DataFrame, k: Int = 8, w: Int = 4, minShared: Long = 3, maxDf: Long = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sel = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDf).select(col("fp"))
+    val s2 = sel.join(rare, "fp")
+    s2.toDF("fp", "id_a").join(s2.toDF("fp", "id_b"), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Quality-scoring features per document — pure codegen'd columns
     * (length, token stats, stopword ratio, punctuation ratio).
     */

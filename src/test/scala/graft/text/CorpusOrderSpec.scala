@@ -102,6 +102,20 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toList == List("a", "b", "c"))
   }
 
+  test("winnowPairs finds overlapping docs and the df cap kills corpus-wide grams") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docsDf(
+      0L -> (shared + " tail zero"),
+      1L -> (shared + " tail one!!"),   // long shared prefix with 0
+      2L -> "completely different content with no overlap whatsoever here")
+    val pairs = TextOps.winnowPairs(d, k = 8, w = 4, minShared = 3, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 3)
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
+    // a df cap of 1 removes every shared fingerprint -> no pairs at all
+    assert(TextOps.winnowPairs(d, 8, 4, 1, maxDf = 1).collect().isEmpty)
+  }
+
   test("decontaminate drops exact content matches and keeps everything else") {
     val train = docsDf(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "alpha beta")
     val eval_ = docsDf(100L -> "alpha beta", 101L -> "unrelated")
