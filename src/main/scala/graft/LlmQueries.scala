@@ -168,6 +168,10 @@ object LlmQueries {
       VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         numPlanes = 8, dims = 64, k = 5)),
 
+    "q_embed_ann_mlsh" -> ((s, dir) =>
+      VectorOps.annTopKMulti(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        numPlanes = 8, dims = 64, k = 5, tables = 2)),
+
     "q_embed_ann_ivf" -> ((s, dir) =>
       VectorOps.ivfTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         nlist = 16, nprobe = 4, k = 5)),
@@ -443,6 +447,43 @@ object LlmQueries {
        |) WHERE rn <= $k ORDER BY query_id, cand_id""".stripMargin
   }
 
+  /** DuckDB oracle for the multi-table LSH ANN: per-table plane
+    * lattices at disjoint offsets, per-table bucket joins, candidates
+    * unioned distinct, exact rerank — mirroring [[VectorOps.annTopKMulti]].
+    */
+  private def sqlAnnLshMulti(numPlanes: Int, dims: Int, k: Int, tables: Int): String = {
+    val planeValues = (for {
+      t <- 0 until tables
+      p <- 0 until numPlanes
+      dim <- 0 until dims
+    } yield s"($t, $p, $dim, ${d(VectorOps.planeComponent(t * numPlanes + p, dim))})")
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $PairLimit
+       |), pc(t, p, dd, comp) AS (VALUES $planeValues),
+       |pl AS (SELECT t, p, list(comp ORDER BY dd) AS pv FROM pc GROUP BY t, p),
+       |buck AS (
+       |  SELECT pl.t, e.vec_id,
+       |         SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+       |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+       |  FROM e, pl GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM buck a JOIN buck c ON a.t = c.t AND a.bucket = c.bucket
+       |    AND a.vec_id <> c.vec_id
+       |), pairs AS (
+       |  SELECT cand.query_id, cand.cand_id,
+       |         list_cosine_similarity(qe.v, ce.v) AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+       |  JOIN e ce ON ce.vec_id = cand.cand_id
+       |)
+       |SELECT query_id, cand_id, ROUND(sim, 6) AS sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM pairs
+       |) WHERE rn <= $k ORDER BY query_id, cand_id""".stripMargin
+  }
+
   // connected components over the 0.95-jaccard dup pairs as a shared
   // CTE: cluster_id = min doc id reachable through dup edges
   // (recursive transitive closure; the engine's pointer-jumping
@@ -481,6 +522,7 @@ object LlmQueries {
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
     "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
+    "q_embed_ann_mlsh" -> sqlAnnLshMulti(8, 64, 5, 2),
 
     // connected components over the 0.95-jaccard dup pairs: cluster_id =
     // min doc id reachable through dup edges (recursive transitive

@@ -245,6 +245,35 @@ object VectorOps {
     topKPerQuery(rer, k).drop("rank")
   }
 
+  /** MULTI-TABLE LSH ANN top-k — the recall-recovery construction the
+    * README's sizing notes prescribe: `tables` independent plane sets
+    * (disjoint [[planeComponent]] offsets), candidates = the UNION of
+    * per-table same-bucket pairs (deduplicated before reranking so
+    * each pair pays the exact cosine once), then the bounded top-k.
+    * More planes per table keeps buckets small (shuffle-skew control);
+    * more tables buys back the recall each extra plane costs. Cost
+    * scales with tables × candidates, never corpus².
+    */
+  def annTopKMulti(
+      embeddings: DataFrame, numPlanes: Int, dims: Int, k: Int, tables: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val cand = (0 until tables).map { t =>
+      val b = lshBuckets(embeddings, numPlanes, dims, idCol, vecCol,
+        tableOffset = t * numPlanes)
+      b.toDF("query_id", "bucket").join(b.toDF("cand_id", "bucket"), "bucket")
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"))
+    }.reduce(_ unionByName _).distinct()
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val rer = cand
+      .join(e.toDF("query_id", "qv"), "query_id")
+      .join(e.toDF("cand_id", "cv"), "cand_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    topKPerQuery(rer, k).drop("rank")
+  }
+
   /** Distributed LLOYD'S K-MEANS assignment over the embedding column —
     * the centroid-training step a real IVF index runs before
     * [[ivfTopK]]'s probe/rerank (which deliberately uses fixed

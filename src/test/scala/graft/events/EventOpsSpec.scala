@@ -128,6 +128,24 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH ANN dominates the single-table run per query") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.reverse.toList).toMap
+    val single = ranked(graft.vector.VectorOps.annTopK(e, 8, 64, 5))
+    val multi = ranked(graft.vector.VectorOps.annTopKMulti(e, 8, 64, 5, 2))
+    // table 0 of the multi run IS the single run, so the unioned
+    // candidate set dominates RANK BY RANK (a sum comparison would be
+    // wrong: a query short of k single-table candidates legitimately
+    // gains extra candidates with NEGATIVE similarity)
+    assert(multi.keySet.size >= single.keySet.size)
+    for ((q, ss) <- single; (s, m) <- ss.zip(multi(q)))
+      assert(m >= s - 1e-9, s"query $q: multi rank sim $m < single $s")
+  }
+
   test("lengthQuantiles interpolates exactly like h = p*(n-1)") {
     // lang "x": lengths 10, 20, 30, 40 -> p50 at h=1.5 -> 25.0;
     // p25 at h=0.75 -> 17.5; p90 at h=2.7 -> 37.0
