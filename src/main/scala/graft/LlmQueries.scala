@@ -195,6 +195,10 @@ object LlmQueries {
 
     "q_text_repetition" -> ((s, dir) => TextOps.repetitionFeatures(docs(s, dir))),
 
+    // rows-only check: deflate is not SQL-expressible; semantics pinned
+    // in CorpusOrderSpec
+    "q_text_compress" -> ((s, dir) => TextOps.compressionRatio(docs(s, dir))),
+
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
         .select(col("doc_id"), col("lang"))),

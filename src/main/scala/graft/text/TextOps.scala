@@ -561,6 +561,40 @@ object TextOps {
         round(col("top_raw"), 6).as("top_token_ratio"))
   }
 
+  /** COMPRESSION-RATIO quality signal (the Gopher-style filter):
+    * deflate(text).length / text.length — highly repetitive or
+    * templated documents compress far below natural prose, and the
+    * signal needs no language model. Row-local mapPartitions with one
+    * reused Deflater per task — shuffle-free, the 100 TB shape. Not
+    * SQL-expressible (no deflate in the oracle engine), so the harness
+    * records it under the weaker rows-only check; the spec pins the
+    * semantics instead.
+    *
+    * Returns (id, raw_len, deflate_len, compress_ratio).
+    */
+  def compressionRatio(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var outLen = 0L
+          while (!deflater.finished()) outLen += deflater.deflate(buf)
+          val ratio = if (in.length == 0) 0.0 else outLen.toDouble / in.length
+          (id, in.length.toLong, outLen, ratio)
+        }
+      }.toDF(idCol, "raw_len", "deflate_len", "ratio_raw")
+      .select(col(idCol), col("raw_len"), col("deflate_len"),
+        round(col("ratio_raw"), 6).as("compress_ratio"))
+  }
+
   /** TEXT NORMALIZATION — the canonicalization pass run before any
     * hashing or dedup so visually-identical texts hash identically:
     * Unicode NFC (combining sequences composed, via the native

@@ -116,6 +116,22 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(TextOps.winnowPairs(d, 8, 4, 1, maxDf = 1).collect().isEmpty)
   }
 
+  test("compressionRatio separates repetitive from varied text, deterministically") {
+    val rep = Seq.fill(60)("spam").mkString(" ")
+    val varied = (0 until 60).map(i => s"tok${i * 7919 % 997}x${i}").mkString(" ")
+    val d = docsDf(0L -> rep, 1L -> varied, 2L -> "")
+    val out = TextOps.compressionRatio(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L)._3 < out(1L)._3) // repetition compresses better
+    assert(out(0L)._3 > 0.0 && out(1L)._3 < 1.5)
+    assert(out(2L) == ((0L, out(2L)._2, 0.0))) // empty doc: ratio 0, no NaN
+    assert(out(0L)._1 == rep.getBytes("UTF-8").length.toLong)
+    // deterministic across partitionings (one Deflater per task)
+    val rep2 = TextOps.compressionRatio(d.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rep2 == out.view.mapValues(_._3).toMap)
+  }
+
   test("decontaminate drops exact content matches and keeps everything else") {
     val train = docsDf(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "alpha beta")
     val eval_ = docsDf(100L -> "alpha beta", 101L -> "unrelated")
