@@ -245,6 +245,15 @@ object LlmQueries {
           length(col("norm_text")).cast("long").as("n_chars_norm"))
     }),
 
+    "q_source_mix" -> ((s, dir) =>
+      // the same deterministic mixing primitive keyed on SOURCE
+      // (domain-weighting) instead of language; "src3" absent from the
+      // table exercises the default rate
+      TextOps.stratifiedSample(docs(s, dir),
+        Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0), defaultRate = 0.75,
+        keyCol = "source", salt = "mix2")
+        .select(col("doc_id"), col("source"))),
+
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic PII appended identically here and in the oracle
       // (the corpus itself has none), so the scrub has real matches:
@@ -771,6 +780,16 @@ object LlmQueries {
          |SELECT doc_id, d.lang FROM documents d LEFT JOIN rates r USING (lang)
          |WHERE CAST(CAST(concat('0x', substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
          |      / 1152921504606846976 < COALESCE(r.rate, '1.0'::DOUBLE)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_source_mix" -> {
+      val rates = Seq("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0)
+        .map { case (k, r) => s"('$k', ${d(r)})" }.mkString(", ")
+      s"""WITH rates(source, rate) AS (VALUES $rates)
+         |SELECT doc_id, d.source FROM documents d LEFT JOIN rates r USING (source)
+         |WHERE CAST(CAST(concat('0x', substr(md5('mix2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976 < COALESCE(r.rate, '0.75'::DOUBLE)
          |ORDER BY doc_id""".stripMargin
     },
 
