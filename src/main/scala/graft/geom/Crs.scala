@@ -413,6 +413,90 @@ object Crs {
     }
   }
 
+  /** Equal Earth (Šavrič, Patterson & Jenny 2018, "The Equal Earth map
+    * projection", IJGIS 33(3)) — EPSG:8857's construction: geodetic
+    * latitude -> authalic latitude (Snyder 3-11/3-12, the same q as
+    * LAEA/Albers), then the published degree-9 polynomial in theta
+    * where sin theta = (sqrt(3)/2) sin beta, scaled by the authalic
+    * radius R_q = a*sqrt(q_p/2). The x denominator is dy/dtheta, which
+    * is what makes the construction exactly equal-area for ANY y
+    * polynomial; the published A1..A4 fix the Robinson-like shape
+    * (aspect ratio 2.0546). Inverse: Newton on theta, then the Snyder
+    * 3-16 authalic iteration back to geodetic latitude.
+    */
+  final case class EqualEarth(
+      lon0Deg: Double, falseEasting: Double, falseNorthing: Double,
+      ell: Ellipsoid, override val name: String) extends Crs {
+    val isGeographic = false
+
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val lon0 = math.toRadians(lon0Deg)
+    private val A1 = 1.340264
+    private val A2 = -0.081106
+    private val A3 = 0.000893
+    private val A4 = 0.003796
+    private val M = math.sqrt(3.0) / 2.0
+
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val qp = qOf(math.Pi / 2)
+    private val rq = ell.a * math.sqrt(qp / 2.0)
+
+    private def yPoly(t: Double): Double = {
+      val t2 = t * t; val t6 = t2 * t2 * t2
+      t * (A1 + A2 * t2 + t6 * (A3 + A4 * t2))
+    }
+    private def dyPoly(t: Double): Double = {
+      val t2 = t * t; val t6 = t2 * t2 * t2
+      A1 + 3 * A2 * t2 + t6 * (7 * A3 + 9 * A4 * t2)
+    }
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var dLon = math.toRadians(lonDeg) - lon0
+      if (dLon > math.Pi) dLon -= 2 * math.Pi
+      if (dLon < -math.Pi) dLon += 2 * math.Pi
+      val sinBeta = math.min(1.0, math.max(-1.0, qOf(math.toRadians(latDeg)) / qp))
+      val theta = math.asin(M * sinBeta)
+      (falseEasting + rq * dLon * math.cos(theta) / (M * dyPoly(theta)),
+        falseNorthing + rq * yPoly(theta))
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val yr = (y - falseNorthing) / rq
+      var theta = yr // good seed: y(theta) ~ A1*theta near 0, |y| <= 1.318
+      var i = 0
+      while (i < 20) {
+        val corr = (yPoly(theta) - yr) / dyPoly(theta)
+        theta -= corr
+        if (math.abs(corr) < 1e-14) i = 20 else i += 1
+      }
+      val sinBeta = math.min(1.0, math.max(-1.0, math.sin(theta) / M))
+      val qv = sinBeta * qp
+      // geodetic phi from authalic q (Snyder 3-16); exact pole
+      // short-circuit — the iteration divides by cos(phi)
+      val phi =
+        if (math.abs(qv) >= qp * (1 - 1e-12)) math.copySign(math.Pi / 2, qv)
+        else {
+          var ph = math.asin(math.min(1.0, math.max(-1.0, qv / 2)))
+          var k = 0
+          while (k < 12) {
+            val s = math.sin(ph)
+            val oneMinus = 1 - e2 * s * s
+            val corr = (oneMinus * oneMinus) / (2 * math.cos(ph)) *
+              (qv / (1 - e2) - s / oneMinus + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+            ph += corr
+            if (math.abs(corr) < 1e-13) k = 12 else k += 1
+          }
+          ph
+        }
+      val dLon = (x - falseEasting) * M * dyPoly(theta) / (rq * math.cos(theta))
+      (math.toDegrees(lon0 + dLon), math.toDegrees(phi))
+    }
+  }
+
   /** Polar Stereographic, variant B (standard parallel `latTsDeg`;
     * Snyder 1987, pp. 160-163, eqs. 21-33..21-41 and 7-9). `south`
     * mirrors the north-aspect math through (phi, y) negation — the
@@ -583,17 +667,20 @@ object Crs {
     // NAD83 / Conus LCC (CONUS analysis grids)
     "EPSG:5069" -> LambertConformalConic(33.0, 45.0, 23.0, -96.0, 0.0, 0.0, GRS80, "EPSG:5069"),
     // MODIS sinusoidal grid (spherical, authalic radius)
-    "SR-ORG:6974" -> modisSinusoidal)
+    "SR-ORG:6974" -> modisSinusoidal,
+    // WGS84 Equal Earth Greenwich (global equal-area visualization grid)
+    "EPSG:8857" -> EqualEarth(0.0, 0.0, 0.0, WGS84, "EPSG:8857"))
 
   private val SupportedMsg =
     "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
       "EPSG:326xx/327xx + 25832/25833 (UTM), EPSG:27700 (British National Grid), " +
       "EPSG:3035 (LAEA Europe), EPSG:2154/5069 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 (polar stereographic), SR-ORG:6974 (MODIS sinusoidal), " +
-      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran), " +
+      "EPSG:8857 (Equal Earth), " +
+      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth), " +
       "and WKT with PROJECTION " +
       "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|" +
-      "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator|Sinusoidal(spherical)"
+      "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator|Sinusoidal(spherical)|Equal_Earth"
 
   /** Parse an EPSG identifier, a proj string, or (pragmatically) a WKT
     * blob. Fails loudly with the supported list — silently proceeding
@@ -661,6 +748,8 @@ object Crs {
             s"+proj=sinu is implemented for the SPHERICAL form only (MODIS): " +
               s"pass +R=<radius> (or +a==+b); ellipsoidal sinusoidal is unsupported: $s")
         }
+      case "eqearth" => EqualEarth(
+        num("lon_0", 0), num("x_0", 0), num("y_0", 0), ell, s.trim)
       case "stere" if math.abs(num("lat_0", 0)) == 90.0 => PolarStereographic(
         num("lat_ts", num("lat_0", 90)), num("lon_0", 0),
         num("x_0", 0), num("y_0", 0), south = num("lat_0", 0) < 0, ell, s.trim)
@@ -734,6 +823,8 @@ object Crs {
             "WKT Sinusoidal is implemented for the SPHERICAL form only (MODIS-style " +
               s"SPHEROID[...,R,0]); ellipsoidal sinusoidal is unsupported; $SupportedMsg")
         }
+      case Some(proj) if proj.contains("equal_earth") =>
+        EqualEarth(lon0, fe, fn, ell, "WKT")
       case Some(proj) if proj.contains("mercator") && !proj.contains("transverse") =>
         WebMercator
       case other => throw new IllegalArgumentException(

@@ -139,6 +139,55 @@ class TransformSpec extends AnyFunSuite {
     assert(math.abs(l1 + 97.0) < 1e-9 && math.abs(p1 - 42.0) < 1e-9)
   }
 
+  test("Equal Earth: equal-area everywhere, published aspect ratio, exact roundtrip, all parse routes") {
+    val ee = Crs.fromString("EPSG:8857").asInstanceOf[Crs.EqualEarth]
+    // the defining property is the JACOBIAN DETERMINANT equal to the
+    // ellipsoidal area element (kM*kP = 1 would be wrong here: a
+    // pseudocylindrical's meridians are not orthogonal to parallels
+    // away from the central meridian, unlike the conic families)
+    for (lat <- Seq(-66.5, -20.0, 0.0, 37.5, 71.0); lon <- Seq(-150.0, -30.0, 0.0, 111.0)) {
+      val h = 1e-6 // degrees
+      def pt(lo: Double, la: Double) = ee.fromLonLat(lo, la)
+      val (x0, y0) = pt(lon - h, lat); val (x1, y1) = pt(lon + h, lat)
+      val (x2, y2) = pt(lon, lat - h); val (x3, y3) = pt(lon, lat + h)
+      val dRad = math.toRadians(2 * h)
+      val dxdl = (x1 - x0) / dRad; val dydl = (y1 - y0) / dRad
+      val dxdp = (x3 - x2) / dRad; val dydp = (y3 - y2) / dRad
+      val det = dxdl * dydp - dxdp * dydl
+      val s = math.sin(math.toRadians(lat))
+      val a = Crs.WGS84.a; val e2 = Crs.WGS84.e2
+      val areaElem = a * a * (1 - e2) * math.cos(math.toRadians(lat)) /
+        math.pow(1 - e2 * s * s, 2)
+      assert(math.abs(det / areaElem - 1.0) < 1e-5,
+        s"area distortion at ($lon,$lat): ${det / areaElem}")
+    }
+    // published shape: width/height ratio 2.0546 (Savric et al. 2018)
+    val xMax = ee.fromLonLat(180.0, 0.0)._1
+    val yMax = ee.fromLonLat(0.0, 90.0)._2
+    assert(math.abs(xMax / yMax - 2.0546) < 1e-3, s"aspect ${xMax / yMax}")
+    // equator/central-meridian anchors and sub-nanodegree roundtrips
+    assert(math.abs(ee.fromLonLat(0.0, 0.0)._1) < 1e-9 && math.abs(ee.fromLonLat(0.0, 0.0)._2) < 1e-9)
+    for (lat <- Seq(-89.9, -45.0, 0.0, 33.3, 84.0); lon <- Seq(-179.5, -97.0, 0.0, 10.0, 179.5)) {
+      val (x, y) = ee.fromLonLat(lon, lat)
+      val (lon2, lat2) = ee.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // pole roundtrips through the authalic short-circuit
+    val (px, py) = ee.fromLonLat(12.0, 90.0)
+    assert(math.abs(ee.toLonLat(px, py)._2 - 90.0) < 1e-9)
+    // proj-string and WKT routes build the same projection
+    val viaProj = Crs.fromProjString("+proj=eqearth +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+    assert(viaProj.asInstanceOf[Crs.EqualEarth].copy(name = ee.name) == ee)
+    val viaWkt = Crs.fromWkt(
+      """PROJCRS["WGS 84 / Equal Earth Greenwich",
+        |  BASEGEOGCRS["WGS 84", ELLIPSOID["WGS 84",6378137,298.257223563]],
+        |  CONVERSION["Equal Earth Greenwich", METHOD["Equal Earth"],
+        |    PARAMETER["Longitude of natural origin",0],
+        |    PARAMETER["False easting",0], PARAMETER["False northing",0]]]""".stripMargin)
+    assert(viaWkt.asInstanceOf[Crs.EqualEarth].copy(name = ee.name) == ee)
+  }
+
   test("EPSG registry: 5070/102003/27700/25832/3995/3976/5069 parse to correctly-parameterized families") {
     import Crs._
     assert(fromString("EPSG:5070") == conusAlbers)
