@@ -19,6 +19,13 @@ object OrderOps {
   /** Range-partition `df` by `key`, sort within partitions, and
     * checkpoint so the two prefix passes read the sorted blocks
     * instead of re-shuffling. Returns the checkpointed frame.
+    *
+    * Scale note: `localCheckpoint` stores the sorted projection
+    * (id + one long here — a sliver of the corpus) in executor block
+    * storage; blocks are freed by the ContextCleaner when the frame is
+    * dropped. On a cluster with aggressive executor decommissioning,
+    * swap for reliable `checkpoint()` — block loss between the two
+    * passes would otherwise fail the job (never corrupt it).
     */
   private def rangeSorted(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
