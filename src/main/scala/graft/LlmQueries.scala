@@ -150,6 +150,16 @@ object LlmQueries {
       TextOps.winnowPairs(docs(s, dir).filter(col("doc_id") < PairLimit),
         k = 8, w = 4, minShared = 3, maxDf = 50)),
 
+    "q_winnow_verified" -> ((s, dir) => {
+      // the complete candidate -> exact-verify dedup route: winnowing
+      // proposes, word-3-gram jaccard disposes (sound: every output
+      // pair carries its exact similarity)
+      val d = docs(s, dir).filter(col("doc_id") < PairLimit)
+      TextOps.verifyPairsNgramJaccard(d,
+        TextOps.winnowPairs(d, k = 8, w = 4, minShared = 3, maxDf = 50),
+        n = 3, threshold = 0.8)
+    }),
+
     "q_dedup_embed_cosine" -> ((s, dir) =>
       VectorOps.cosineDupPairs(embeddings(s, dir).filter(col("vec_id") < PairLimit), 0.2)),
 
@@ -587,6 +597,51 @@ object LlmQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
          |FROM s2 a JOIN s2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    // winnow-candidate pairs verified by exact word-3-gram jaccard:
+    // the winnow CTEs propose, the shingle-join verify disposes
+    "q_winnow_verified" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, k AS pos, LENGTH(text) - 7 AS ng,
+         |         CAST(concat('0x', substr(md5(substr(text, k, 8)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents, unnest(generate_series(1, LENGTH(text) - 7)) u(k)
+         |  WHERE LENGTH(text) - 7 >= 4 AND doc_id < $PairLimit
+         |), win AS (
+         |  SELECT doc_id, pos, h, ws
+         |  FROM g, unnest(generate_series(GREATEST(pos - 3, 1), LEAST(pos, ng - 3))) v(ws)
+         |), selrows AS (
+         |  SELECT doc_id, pos, h,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id, ws ORDER BY h ASC, pos DESC) AS rn
+         |  FROM win
+         |), sel AS (
+         |  SELECT DISTINCT doc_id, h AS fp FROM selrows WHERE rn = 1
+         |), rare AS (
+         |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 50
+         |), s2 AS (SELECT sel.doc_id, sel.fp FROM sel JOIN rare USING (fp)),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s2 a JOIN s2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |), t AS (
+         |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), sh0 AS (
+         |  SELECT id, array_to_string(toks[k:k+2], ' ') AS w
+         |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+         |  WHERE len(toks) >= 3
+         |), sh AS (SELECT DISTINCT id, w FROM sh0),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS c
+         |  FROM cand c
+         |  JOIN sh ta ON ta.id = c.id_a
+         |  JOIN sh tb ON tb.id = c.id_b AND tb.w = ta.w
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
          |ORDER BY 1, 2""".stripMargin,
 
     // word-3-gram shingles; shingle k (1-based) spans toks[k..k+2]

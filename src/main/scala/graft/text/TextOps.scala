@@ -398,6 +398,46 @@ object TextOps {
       }.toDF("doc_id", "pos", "fp")
   }
 
+  /** The distinct (id, shingle) word-n-gram table [[ngramJaccardPairs]]
+    * joins on — exposed so candidate verification and multiple
+    * similarity passes shingle the corpus once.
+    */
+  def shingleTable(
+      docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val shingles = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array())
+    docs.select(col(idCol).as("id"), explode(shingles).as("w")).distinct()
+  }
+
+  /** EXACT verification of a near-duplicate CANDIDATE table — the
+    * text-side analog of the vector path's `cosineVerifyPairs`: join
+    * each (id_a, id_b) candidate to its n-gram shingle sets (two
+    * narrow hash joins on id — never a corpus × corpus join) and keep
+    * pairs whose exact n-gram Jaccard clears `threshold`, with the
+    * exact similarity. Returns precisely the exhaustive join's result
+    * restricted to the covered candidates, so ANY candidate generator
+    * (winnowing, MinHash bands, SimHash radius, blocking) composes
+    * into a sound dedup route whose cost scales with candidates.
+    */
+  def verifyPairsNgramJaccard(
+      docs: DataFrame, candidates: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingleTable(docs, n, idCol, textCol)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .join(sh.toDF("id_a", "w"), "id_a")
+      .join(sh.toDF("id_b", "w"), Seq("id_b", "w"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Winnowing-based near-duplicate CANDIDATES — the join that makes
     * [[winnowFingerprints]] a dedup operator (the MOSS shape):
     * documents sharing at least `minShared` selected fingerprints are

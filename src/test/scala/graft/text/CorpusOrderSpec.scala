@@ -132,6 +132,22 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(rep2 == out.view.mapValues(_._3).toMap)
   }
 
+  test("winnow-verified pairs are SOUND: a subset of the exhaustive ngram join with exact sims") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cand = TextOps.winnowPairs(docs, k = 8, w = 4, minShared = 3, maxDf = 50)
+    val verified = TextOps.verifyPairsNgramJaccard(docs, cand, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exhaustive = TextOps.ngramJaccardPairs(docs, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every verified pair is in the exhaustive join with the
+    // SAME exact similarity (never an approximation)
+    for ((pair, j) <- verified) {
+      assert(exhaustive.contains(pair), s"unsound pair $pair")
+      assert(exhaustive(pair) == j, s"sim mismatch for $pair: $j vs ${exhaustive(pair)}")
+    }
+    assert(verified.keySet.subsetOf(exhaustive.keySet))
+  }
+
   test("decontaminate drops exact content matches and keeps everything else") {
     val train = docsDf(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "alpha beta")
     val eval_ = docsDf(100L -> "alpha beta", 101L -> "unrelated")
