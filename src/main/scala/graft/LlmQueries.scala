@@ -131,6 +131,12 @@ object LlmQueries {
 
     "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
 
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      // the canonical web-dedup radius 3 (4 bands of 15 bits); the
+      // oracle is the EXHAUSTIVE Hamming join, so the compare also
+      // proves the pigeonhole banding loses no pair
+      TextOps.simhashPairs(docs(s, dir).filter(col("doc_id") < PairLimit), maxHamming = 3)),
+
     "q_dedup_ngram" -> ((s, dir) =>
       TextOps.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < PairLimit), 3, 0.8)),
 
@@ -763,6 +769,27 @@ object LlmQueries {
          |)
          |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exhaustive Hamming-radius join over the bit-exact signatures —
+    // equality with the engine's banded plan proves pigeonhole coverage
+    "q_dedup_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), th AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok
+         |), bits AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, range(0, 60) t(b) GROUP BY 1, 2
+         |), sig AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

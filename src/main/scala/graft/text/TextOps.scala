@@ -158,6 +158,43 @@ object TextOps {
       }.toDF("doc_id", "simhash")
   }
 
+  /** SimHash NEAR-DUP PAIRS within Hamming distance `maxHamming`
+    * (Manku, Jain & Das Sarma, WWW 2007 — the production web-dedup
+    * construction): split the 60-bit signature into `maxHamming + 1`
+    * contiguous bands; by pigeonhole, any two signatures within the
+    * radius agree EXACTLY on at least one band, so candidates are
+    * (band index, band bits) equi-join matches — never a quadratic
+    * scan — and the exact `bit_count(xor)` filter keeps the result
+    * identical to the exhaustive Hamming join. Completes the simhash
+    * route the same way [[winnowPairs]] completes winnowing.
+    *
+    * Returns (id_a, id_b, hamming).
+    */
+  def simhashPairs(
+      docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming in [0, 60), got $maxHamming")
+    val bands = maxHamming + 1
+    val width = 60 / bands // trailing band absorbs the remainder bits
+    val sigs = simhash(docs, idCol, textCol)
+    val banded = sigs.select(col("doc_id").as("id"), col("simhash"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+           |  'band', b,
+           |  'bits', CASE WHEN b = ${bands - 1}
+           |    THEN shiftright(simhash, b * $width)
+           |    ELSE shiftright(simhash, b * $width) & ${(1L << width) - 1} END))""".stripMargin))
+        .as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.toDF("id_a", "sig_a", "band", "bits")
+      .join(banded.toDF("id_b", "sig_b", "band", "bits"), Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The numHashes deterministic permutation coefficients (a, b) for
     * [[minhashLshPairs]] — splitmix-ish odd multipliers, masked to 60
     * bits so `a*h + b` stays deterministic under 64-bit wrap.

@@ -132,6 +132,21 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(rep2 == out.view.mapValues(_._3).toMap)
   }
 
+  test("simhashPairs banding equals the exhaustive Hamming join for several radii") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = TextOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    // radii that divide 60 unevenly exercise the remainder band
+    for (r <- Seq(2, 3, 6, 7)) {
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= r
+      } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+      val got = TextOps.simhashPairs(docs, maxHamming = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == want, s"radius $r: got ${got.size} want ${want.size}")
+    }
+  }
+
   test("winnow-verified pairs are SOUND: a subset of the exhaustive ngram join with exact sims") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cand = TextOps.winnowPairs(docs, k = 8, w = 4, minShared = 3, maxDf = 50)
