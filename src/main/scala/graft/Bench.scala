@@ -106,6 +106,12 @@ object Bench {
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
+    // The full line above carries per-query gc/heap maps and can exceed
+    // the driver's stdout tail-capture window (BENCH_r04 "parsed": null).
+    // Print a COMPACT line (total + per-query seconds only) LAST, so a
+    // tail capture of any reasonable size always ends with one complete
+    // parseable JSON object.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

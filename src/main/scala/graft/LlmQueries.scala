@@ -925,7 +925,8 @@ object LlmQueries {
 
     "q_decontaminate" ->
       """SELECT doc_id, n_chars FROM documents
-        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 50 = 0)
+        |WHERE md5(coalesce(text, '')) NOT IN
+        |  (SELECT md5(coalesce(text, '')) FROM documents WHERE doc_id % 50 = 0)
         |ORDER BY doc_id""".stripMargin,
 
     // composed selection endpoint: stage-for-stage mirror (repetition
@@ -1105,8 +1106,8 @@ object LlmQueries {
         |            THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |), s AS (
-        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
         |  FROM f
         |)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -1129,7 +1130,7 @@ object LlmQueries {
 
     "q_events_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -81,15 +81,21 @@ object EventOps {
     val frame = W.partitionBy(col(userCol))
       .orderBy(col(tsCol), col("tag"), col(idCol))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    def carried(c: org.apache.spark.sql.Column) =
-      last(when(col("tag") === 0, c), ignoreNulls = true).over(frame)
+    // ONE struct carried with a single last(ignoreNulls): carrying each
+    // column independently would, when the newest right event has a
+    // NULL value, splice that column from an OLDER event — a frankenrow
+    // matching no actual event. The struct is non-null whenever the row
+    // is a right event, so all b_* fields come from the same event.
+    val carried = last(
+      when(col("tag") === 0, struct(col(idCol), col(tsCol), col(valueCol))),
+      ignoreNulls = true).over(frame)
     tagged
-      .withColumn("b_event_id", carried(col(idCol)))
-      .withColumn("b_ts", carried(col(tsCol)))
-      .withColumn("b_value", carried(col(valueCol)))
+      .withColumn("b", carried)
       .filter(col("tag") === 1)
       .select(col(idCol), col(userCol), col(tsCol),
-        col("b_event_id"), col("b_ts"), col("b_value"))
+        col("b")(idCol).as("b_event_id"),
+        col("b")(tsCol).as("b_ts"),
+        col("b")(valueCol).as("b_value"))
   }
 
   /** Semi-structured extraction: pull a typed field out of the JSON

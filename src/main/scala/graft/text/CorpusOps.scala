@@ -127,13 +127,21 @@ object CorpusOps {
     * "remove verbatim test material, period". One broadcast LEFT ANTI
     * join on the content hash: the eval side is benchmark-sized, the
     * train side is scanned once, nothing shuffles.
+    *
+    * NULL text is hashed as the empty string (`coalesce`), on both
+    * sides: a NULL anti-join key would be trivially non-matching and
+    * silently KEEP every NULL-text train row, while a SQL engine's
+    * `NOT IN` would DROP them — coalescing pins one defined behavior
+    * (NULL text ≡ empty text) that both the engine and an oracle can
+    * express identically.
     */
   def decontaminate(
       train: DataFrame, eval: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val evalHashes = eval.select(md5(col(textCol)).as("eval_hash")).distinct()
+    val evalHashes = eval.select(
+      md5(coalesce(col(textCol), lit(""))).as("eval_hash")).distinct()
     train.join(broadcast(evalHashes),
-      md5(col(textCol)) === col("eval_hash"), "left_anti")
+      md5(coalesce(col(textCol), lit(""))) === col("eval_hash"), "left_anti")
   }
 
   /** END-TO-END corpus selection — the composed endpoint a pretraining

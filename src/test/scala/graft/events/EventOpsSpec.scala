@@ -54,6 +54,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(!out.contains(6L)) // only leftType rows in the output
   }
 
+  test("asofLatest: a NULL value on the newest right event stays NULL — no frankenrow") {
+    // the per-column carry bug took b_value from the OLDER click (2.0)
+    // while b_event_id/b_ts came from the newer one — a row matching no
+    // actual event; the single-struct carry keeps all b_* fields from
+    // the same (newest) event
+    val e = Seq(
+      (0L, 1L, 100L, "click", Some(2.0)),
+      (1L, 1L, 200L, "click", None),          // newest click: NULL value
+      (2L, 1L, 300L, "purchase", Some(9.0)))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventOps.asofLatest(e, "purchase", "click").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(3) == 1L && r.getLong(4) == 200L,
+      "b_event_id/b_ts must come from the newest click")
+    assert(r.isNullAt(5), s"b_value must be NULL (same event), got ${r.get(5)}")
+  }
+
   test("jsonFieldStats extracts and aggregates a typed JSON field") {
     val e = Seq(
       (0L, "a", """{"k": 5}"""),

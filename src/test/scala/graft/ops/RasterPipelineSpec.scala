@@ -40,7 +40,24 @@ class RasterPipelineSpec extends AnyFunSuite {
   test("rectify leaks no cached blocks: nothing registers in the CacheManager, checkpoints reclaimable") {
     val spark = TestSpark.spark
     val sc = spark.sparkContext
-    val cacheEmptyBefore = spark.sharedState.cacheManager.isEmpty
+    // entry COUNT, not emptiness: under parallel suites another spec may
+    // legitimately hold cached plans, and gating on prior emptiness
+    // would short-circuit the assertion into vacuity
+    def cacheEntries(): Int = {
+      val cm = spark.sharedState.cacheManager
+      val f = cm.getClass.getDeclaredFields.find(_.getName.contains("cachedData"))
+      f match {
+        case Some(fld) =>
+          fld.setAccessible(true)
+          fld.get(cm) match {
+            case c: java.util.Collection[_] => c.size()
+            case it: Iterable[_] => it.size
+            case _ => if (cm.isEmpty) 0 else 1
+          }
+        case None => if (cm.isEmpty) 0 else 1
+      }
+    }
+    val cacheCountBefore = cacheEntries()
     val before = sc.getPersistentRDDs.keySet
     // run the pipeline on SHORT-LIVED THREADS: when each dies its
     // frames are certainly gone, so nothing but weak references can
@@ -61,9 +78,12 @@ class RasterPipelineSpec extends AnyFunSuite {
     // DETERMINISTIC discriminator of the original regression: the old
     // `computeLookup(...).cache()` registered one InMemoryRelation PER
     // CALL in the shared CacheManager, pinned for the session lifetime
-    // and immune to GC. localCheckpoint never touches the CacheManager.
-    assert(!cacheEmptyBefore || spark.sharedState.cacheManager.isEmpty,
-      "rectify registered plans in the CacheManager (cache-style per-call leak)")
+    // and immune to GC. localCheckpoint never touches the CacheManager,
+    // so 5 rectify runs must not GROW the entry count (concurrent
+    // suites may shrink it by uncaching their own plans — that's fine).
+    assert(cacheEntries() <= cacheCountBefore,
+      s"rectify grew the CacheManager ($cacheCountBefore -> ${cacheEntries()} entries): " +
+        "cache-style per-call leak")
     // BEST-EFFORT reclamation probe (not load-proof, hence soft): the
     // checkpoint blocks are freed by the ContextCleaner once GC
     // collects the dropped RDDs; under a loaded suite the cleaner's

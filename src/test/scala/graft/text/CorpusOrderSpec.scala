@@ -163,6 +163,42 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(verified.keySet.subsetOf(exhaustive.keySet))
   }
 
+  test("verifyPairsNgramJaccard: duplicate candidate rows do not inflate the similarity") {
+    // a generator that emits the same (id_a, id_b) more than once (e.g.
+    // multi-table LSH before dedup) must yield the same exact jaccard
+    // as a single candidate row — the pre-fix code multiplied `inter`
+    // per duplicate, pushing jaccard past 1 and past any threshold
+    val docs = docsDf(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog tonight")
+    val once = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val tripled = Seq((0L, 1L), (0L, 1L), (0L, 1L)).toDF("id_a", "id_b")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      TextOps.verifyPairsNgramJaccard(docs, c, n = 3, threshold = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = run(once); val b = run(tripled)
+    assert(a == b, s"duplicated candidates changed the result: $a vs $b")
+    assert(a.values.forall(j => j > 0.0 && j <= 1.0))
+  }
+
+  test("decontaminate: NULL text behaves as empty text, identically to the oracle's NOT IN") {
+    val train = Seq(
+      (0L, Some("alpha beta")), (1L, None: Option[String]), (2L, Some("")))
+      .toDF("doc_id", "text")
+    // eval contains the empty string -> NULL-text and empty-text train
+    // rows BOTH drop (NULL ≡ empty, pinned by the coalesce)
+    val evalWithEmpty = Seq((100L, Some(""))).toDF("doc_id", "text")
+    val kept1 = CorpusOps.decontaminate(train, evalWithEmpty)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(0L))
+    // eval without empty/NULL -> NULL-text train row is KEPT (defined,
+    // not accidentally kept by a never-true NULL join key)
+    val evalOther = Seq((100L, Some("alpha beta"))).toDF("doc_id", "text")
+    val kept2 = CorpusOps.decontaminate(train, evalOther)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L))
+  }
+
   test("decontaminate drops exact content matches and keeps everything else") {
     val train = docsDf(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "alpha beta")
     val eval_ = docsDf(100L -> "alpha beta", 101L -> "unrelated")
