@@ -249,6 +249,21 @@ object LlmQueries {
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
 
+    "q_shard_manifest" -> ((s, dir) => {
+      // exercises the SINK path end-to-end: write the sharded training
+      // export, read the written parquet back, and report the manifest
+      // (per shard: row count + pos range). Fixed output dir keyed by
+      // the sf dir so repeated bench runs overwrite instead of
+      // accumulating temp copies.
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_shards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      OrderOps.writeShards(docs(s, dir), out, numShards = 4, salt = "sh1")
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+    }),
+
     "q_text_normalize" -> ((s, dir) => {
       // the corpus itself is already clean ASCII, so append a suffix
       // with real work in it: mixed case, whitespace runs, a tab, and
@@ -1037,6 +1052,21 @@ object LlmQueries {
         |  CAST(ROW_NUMBER() OVER (ORDER BY md5('shuf1:' || CAST(doc_id AS VARCHAR))) - 1
         |    AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // manifest of the written shard export: the oracle recomputes the
+    // shard formula (pos * numShards div n over the salted order) from
+    // the source table, so a sink that dropped/duplicated/misplaced
+    // rows diverges
+    "q_shard_manifest" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY md5('sh1:' || CAST(doc_id AS VARCHAR))) - 1 AS pos
+        |  FROM documents
+        |), t AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT CAST((pos * 4) // n AS INT) AS shard,
+        |  COUNT(*) AS n_rows,
+        |  CAST(MIN(pos) AS BIGINT) AS min_pos, CAST(MAX(pos) AS BIGINT) AS max_pos
+        |FROM o CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // normalization: same augmentation (chr(769) = U+0301 combining
     // acute, chr(9) = tab), same NFC -> lower -> collapse -> trim order

@@ -20,16 +20,27 @@ object OrderOps {
     * checkpoint so the two prefix passes read the sorted blocks
     * instead of re-shuffling. Returns the checkpointed frame.
     *
-    * Scale note: `localCheckpoint` stores the sorted projection
-    * (id + one long here — a sliver of the corpus) in executor block
-    * storage; blocks are freed by the ContextCleaner when the frame is
-    * dropped. On a cluster with aggressive executor decommissioning,
-    * swap for reliable `checkpoint()` — block loss between the two
-    * passes would otherwise fail the job (never corrupt it).
+    * Durability is the caller's choice (`reliable`):
+    *  - `false` (default): `localCheckpoint` stores the sorted
+    *    projection (id + one long here — a sliver of the corpus) in
+    *    executor block storage; blocks are freed by the ContextCleaner
+    *    when the frame is dropped. Fastest, but an executor lost
+    *    between the two passes fails the job (never corrupts it).
+    *  - `true`: reliable `checkpoint()` to the configured checkpoint
+    *    dir (HDFS/object storage on a cluster) — survives executor
+    *    decommissioning, costs one write+read of the projection. The
+    *    checkpoint dir must be set; failing loudly here beats Spark's
+    *    late error inside the job.
     */
-  private def rangeSorted(df: DataFrame, key: Column): DataFrame = {
+  private def rangeSorted(df: DataFrame, key: Column, reliable: Boolean): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.repartitionByRange(p, key).sortWithinPartitions(key).localCheckpoint()
+    val sorted = df.repartitionByRange(p, key).sortWithinPartitions(key)
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true requires sparkContext.setCheckpointDir(...) pointing at " +
+          "storage that survives executor loss (HDFS/object store on a cluster)")
+      sorted.checkpoint()
+    } else sorted.localCheckpoint()
   }
 
   /** Per-partition exclusive offsets of `partials` (pid -> partition
@@ -56,13 +67,14 @@ object OrderOps {
     */
   def packSequences(
       docs: DataFrame, capacity: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      reliable: Boolean = false): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-    val sorted = rangeSorted(base, col("id")).as[(Long, Long)]
+    val sorted = rangeSorted(base, col("id"), reliable).as[(Long, Long)]
     val partials = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
@@ -95,10 +107,11 @@ object OrderOps {
     */
   def writeShards(
       docs: DataFrame, outDir: String, numShards: Int,
-      salt: String = "graft", idCol: String = "doc_id"): Unit = {
+      salt: String = "graft", idCol: String = "doc_id",
+      reliable: Boolean = false): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val n = math.max(docs.count(), 1L)
-    val order = shuffleOrder(docs, salt, idCol)
+    val order = shuffleOrder(docs, salt, idCol, reliable)
     docs.join(order, idCol)
       .withColumn("shard", expr(s"CAST((pos * $numShards) div ${n}L AS INT)"))
       .repartitionByRange(numShards, col("shard"), col("pos"))
@@ -117,12 +130,12 @@ object OrderOps {
     */
   def shuffleOrder(
       docs: DataFrame, salt: String = "graft",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", reliable: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
       md5(concat_ws(":", lit(salt), col(idCol).cast("string"))).as("skey"))
-    val sorted = rangeSorted(base, col("skey")).as[(Long, String)]
+    val sorted = rangeSorted(base, col("skey"), reliable).as[(Long, String)]
     val partials = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         Iterator.single(pid -> it.size.toLong)

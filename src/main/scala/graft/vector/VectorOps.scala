@@ -304,25 +304,41 @@ object VectorOps {
     var cents: Array[(Long, Array[Double])] =
       e.orderBy(col("id")).limit(k).collect().sortBy(_._1)
 
-    def cosineSim(v: Array[Double], c: Array[Double]): Double = {
-      val n = math.min(v.length, c.length)
-      var dot = 0.0; var nv = 0.0; var nc = 0.0
-      var i = 0
-      while (i < n) { dot += v(i) * c(i); i += 1 }
-      i = 0
-      while (i < v.length) { nv += v(i) * v(i); i += 1 }
-      i = 0
-      while (i < c.length) { nc += c(i) * c(i); i += 1 }
-      dot / (math.sqrt(nv) * math.sqrt(nc))
-    }
+    // Assignment only needs argmax cosine, and |v| is constant across
+    // centroids — so centroids are UNIT-normalized ONCE per broadcast
+    // and the inner loop is a bare dot product scaled by one 1/|v| per
+    // row: half the math of recomputing both norms per (row, centroid).
+    // The integer assignment is invariant to this refactor up to fp
+    // rounding of near-exact ties (sims within ~1 ulp); the 1/|v|
+    // factor is kept (not dropped, though argmax wouldn't need it) so
+    // a zero vector still yields NaN sims → cluster -1, as before.
+    def unitNormalized(cs: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] =
+      cs.map { case (cid, c) =>
+        var nc = 0.0; var i = 0
+        while (i < c.length) { nc += c(i) * c(i); i += 1 }
+        val inv = 1.0 / math.sqrt(nc)
+        val u = new Array[Double](c.length)
+        i = 0
+        while (i < c.length) { u(i) = c(i) * inv; i += 1 }
+        (cid, u)
+      }
     // cents sorted by cid + strict > keeps the SMALLEST cid on ties,
     // matching a SQL (sim DESC, cid ASC) rank-1
     def best(cs: Array[(Long, Array[Double])], v: Array[Double]): Long = {
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      val invV = 1.0 / math.sqrt(nv)
       var bi = -1L
       var bs = Double.NegativeInfinity
       var j = 0
       while (j < cs.length) {
-        val s = cosineSim(v, cs(j)._2)
+        val c = cs(j)._2
+        val n = math.min(v.length, c.length)
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += v(i) * c(i); i += 1 }
+        val s = dot * invV
         if (s > bs) { bs = s; bi = cs(j)._1 }
         j += 1
       }
@@ -331,7 +347,7 @@ object VectorOps {
 
     var round = 0
     while (round < iters - 1) {
-      val bc = spark.sparkContext.broadcast(cents)
+      val bc = spark.sparkContext.broadcast(unitNormalized(cents))
       // fused assign + partial sums: slot d holds the count
       val partials = e.mapPartitions { rows =>
         val cs = bc.value
@@ -364,7 +380,7 @@ object VectorOps {
       round += 1
     }
 
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(unitNormalized(cents))
     e.mapPartitions { rows =>
       val cs = bc.value
       rows.map { case (id, v) => (id, best(cs, v)) }

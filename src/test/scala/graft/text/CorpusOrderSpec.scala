@@ -320,6 +320,28 @@ class CorpusOrderSpec extends AnyFunSuite {
     for ((s, ps) <- byShard) assert(ps.toList == (ps.min to ps.max).toList && ps.length == 25)
   }
 
+  test("reliable=true routes through checkpoint() and matches the localCheckpoint results") {
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    // without a checkpoint dir the reliable path must fail LOUDLY
+    // before running anything (Spark's own error fires mid-job)
+    if (prior.isEmpty)
+      intercept[IllegalArgumentException] {
+        OrderOps.shuffleOrder(docsDf(0L -> "a"), reliable = true)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val d = docsDf((0L until 50L).map(i => i -> s"tok$i word$i end"): _*)
+      val a = OrderOps.shuffleOrder(d, "s1").collect().map(_.toSeq).toSet
+      val b = OrderOps.shuffleOrder(d, "s1", reliable = true).collect().map(_.toSeq).toSet
+      assert(a == b, "durable checkpoint changed the order result")
+      val p = OrderOps.packSequences(d, 8).collect().map(_.toSeq).toSet
+      val q = OrderOps.packSequences(d, 8, reliable = true).collect().map(_.toSeq).toSet
+      assert(p == q, "durable checkpoint changed the packing result")
+    } finally prior.foreach(sc.setCheckpointDir)
+  }
+
   // ---- normalization ----
 
   test("normalizeText composes NFC, lowercases, collapses whitespace, trims") {
