@@ -493,7 +493,10 @@ object Crs {
           ph
         }
       val dLon = (x - falseEasting) * M * dyPoly(theta) / (rq * math.cos(theta))
-      (math.toDegrees(lon0 + dLon), math.toDegrees(phi))
+      // non-Greenwich aspects (8858/8859): fold back into [-180, 180]
+      val lonDeg = math.toDegrees(lon0 + dLon)
+      (if (lonDeg > 180) lonDeg - 360 else if (lonDeg < -180) lonDeg + 360 else lonDeg,
+        math.toDegrees(phi))
     }
   }
 
@@ -643,6 +646,9 @@ object Crs {
   /** Airy 1830 (OSGB36 / British National Grid). */
   val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
 
+  /** Hughes 1980 (the legacy NSIDC sea-ice grids EPSG:3411/3412). */
+  val Hughes1980: Ellipsoid = Ellipsoid(6378273.0, 298.279411123064)
+
   /** Registry of well-known EPSG codes for the implemented families,
     * beyond the pattern-matched UTM ranges. Parameters from the public
     * EPSG registry entries.
@@ -661,22 +667,36 @@ object Crs {
     // OSGB36 / British National Grid (transverse mercator on Airy 1830)
     "EPSG:27700" -> TransverseMercator(-2.0, 49.0, 0.9996012717, 400000.0, -100000.0,
       Airy1830, "EPSG:27700"),
-    // ETRS89 / UTM zones 32N, 33N (GRS80 rather than the WGS84 of 326xx)
-    "EPSG:25832" -> TransverseMercator(9.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, "EPSG:25832"),
-    "EPSG:25833" -> TransverseMercator(15.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, "EPSG:25833"),
+    // NZGD2000 / New Zealand Transverse Mercator 2000
+    "EPSG:2193" -> TransverseMercator(173.0, 0.0, 0.9996, 1600000.0, 10000000.0,
+      GRS80, "EPSG:2193"),
     // NAD83 / Conus LCC (CONUS analysis grids)
     "EPSG:5069" -> LambertConformalConic(33.0, 45.0, 23.0, -96.0, 0.0, 0.0, GRS80, "EPSG:5069"),
+    // ETRS89-extended / LCC Europe (the EEA's conformal companion to 3035)
+    "EPSG:3034" -> LambertConformalConic(35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0,
+      GRS80, "EPSG:3034"),
+    // NSIDC legacy sea-ice polar stereo N/S on the Hughes 1980 ellipsoid
+    "EPSG:3411" -> PolarStereographic(70.0, -45.0, 0.0, 0.0, south = false,
+      Hughes1980, "EPSG:3411"),
+    "EPSG:3412" -> PolarStereographic(-70.0, 0.0, 0.0, 0.0, south = true,
+      Hughes1980, "EPSG:3412"),
     // MODIS sinusoidal grid (spherical, authalic radius)
     "SR-ORG:6974" -> modisSinusoidal,
-    // WGS84 Equal Earth Greenwich (global equal-area visualization grid)
-    "EPSG:8857" -> EqualEarth(0.0, 0.0, 0.0, WGS84, "EPSG:8857"))
+    // ESRI Sphere Sinusoidal (world grid on the R=6371000 sphere)
+    "ESRI:53008" -> Sinusoidal(0.0, 6371000.0, 0.0, 0.0, "ESRI:53008"),
+    // WGS84 Equal Earth: Greenwich / Americas / Asia-Pacific aspects
+    "EPSG:8857" -> EqualEarth(0.0, 0.0, 0.0, WGS84, "EPSG:8857"),
+    "EPSG:8858" -> EqualEarth(-90.0, 0.0, 0.0, WGS84, "EPSG:8858"),
+    "EPSG:8859" -> EqualEarth(150.0, 0.0, 0.0, WGS84, "EPSG:8859"))
 
   private val SupportedMsg =
     "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
-      "EPSG:326xx/327xx + 25832/25833 (UTM), EPSG:27700 (British National Grid), " +
-      "EPSG:3035 (LAEA Europe), EPSG:2154/5069 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
-      "EPSG:3413/3031/3976/3995 (polar stereographic), SR-ORG:6974 (MODIS sinusoidal), " +
-      "EPSG:8857 (Equal Earth), " +
+      "EPSG:326xx/327xx + 258xx (ETRS89) + 269xx (NAD83) (UTM), " +
+      "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), " +
+      "EPSG:3035 (LAEA Europe), EPSG:2154/5069/3034 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
+      "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
+      "SR-ORG:6974 + ESRI:53008 (sinusoidal), " +
+      "EPSG:8857/8858/8859 (Equal Earth), " +
       "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth), " +
       "and WKT with PROJECTION " +
       "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|" +
@@ -696,6 +716,18 @@ object Crs {
       case c if epsgRegistry.contains(c) => epsgRegistry(c)
       case c if c.startsWith("EPSG:326") && c.length == 10 => utm(c.drop(8).toInt, north = true)
       case c if c.startsWith("EPSG:327") && c.length == 10 => utm(c.drop(8).toInt, north = false)
+      // ETRS89 / UTM zones 28N-38N (GRS80 rather than the WGS84 of 326xx)
+      case c if c.startsWith("EPSG:258") && c.length == 10 && {
+        val z = c.drop(8).toInt; z >= 28 && z <= 38
+      } =>
+        val z = c.drop(8).toInt
+        TransverseMercator(z * 6.0 - 183.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, c)
+      // NAD83 / UTM zones 1N-23N
+      case c if c.startsWith("EPSG:269") && c.length == 10 && {
+        val z = c.drop(8).toInt; z >= 1 && z <= 23
+      } =>
+        val z = c.drop(8).toInt
+        TransverseMercator(z * 6.0 - 183.0, 0.0, 0.9996, 500000.0, 0.0, GRS80, c)
       case other => throw new IllegalArgumentException(
         s"unsupported CRS: $other; $SupportedMsg")
     }

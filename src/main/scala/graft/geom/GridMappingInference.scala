@@ -318,23 +318,61 @@ object GridMappingInference {
       isRegular = isRegular, isJAxisUp = isJAxisUp, isLon360 = isLon360)
   }
 
-  /** CF-style axis coordinates + 2-column cell bounds for a regular
-    * grid (reference: coords.py:340-472, base.py:631-665). Returned as
+  /** CF-style axis coordinates + 2-column cell bounds
+    * (reference: coords.py:340-472, base.py:631-665). Returned as
     * a DataFrame (axis, idx, coord, bnd_lo, bnd_hi) for SQL-friendly
     * consumption.
+    *
+    * Defined for ANY mapping, matching the reference: its
+    * `grid_mapping_to_coords` derives the axes from the bbox and
+    * resolution without consulting is_regular, so an irregular
+    * mapping yields the axis coordinates of its DERIVED regular grid
+    * (the bbox/res the inference computed) — the true per-pixel 2D
+    * coordinates stay with [[xyCoordsDf]]. Lon-360 mappings fold x
+    * coords AND bounds back to [-180, 180] (`from_lon_360`), exactly
+    * as the reference folds both arrays.
     */
   def toCoordsDf(spark: SparkSession, gm: GridMapping): DataFrame = {
-    require(gm.isRegular, "to_coords requires a regular grid mapping")
     import spark.implicits._
-    val xRows = (0 until gm.width).map { i =>
-      val c = gm.xCoord(i)
-      ("x", i.toLong, c, c - gm.xRes / 2, c + gm.xRes / 2)
+    def foldLon(v: Double): Double =
+      if (gm.isLon360 && v > 180.0) v - 360.0 else v
+    // np.linspace-style endpoint interpolation. For REGULAR grids the
+    // bbox is consistent (x2 - x1 == w * res) and this equals the
+    // stride form x1 + (k+0.5)*res, so the regular path keeps the
+    // stride arithmetic its SQL oracle mirrors bit-for-bit; for
+    // IRREGULAR mappings the two diverge (the bbox is an estimate) and
+    // the endpoint form is what the reference prints.
+    def linspace(a: Double, b: Double, n: Int)(k: Int): Double =
+      if (n == 1) a
+      else if (k == n - 1) b
+      else a + k * ((b - a) / (n - 1))
+    val (w, h) = (gm.width, gm.height)
+    val xr2 = gm.xRes / 2; val yr2 = gm.yRes / 2
+    val xRows = (0 until w).map { i =>
+      val (c, lo, hi) =
+        if (gm.isRegular)
+          (gm.xCoord(i), gm.xCoord(i) - xr2, gm.xCoord(i) + xr2)
+        else
+          (linspace(gm.xMin + xr2, gm.xMax - xr2, w)(i),
+            linspace(gm.xMin, gm.xMax - gm.xRes, w)(i),
+            linspace(gm.xMin + gm.xRes, gm.xMax, w)(i))
+      ("x", i.toLong, foldLon(c), foldLon(lo), foldLon(hi))
     }
-    val yRows = (0 until gm.height).map { j =>
-      val c = gm.yCoord(j)
-      // bounds follow axis direction (descending y -> upper first)
-      if (gm.isJAxisUp) ("y", j.toLong, c, c - gm.yRes / 2, c + gm.yRes / 2)
-      else ("y", j.toLong, c, c + gm.yRes / 2, c - gm.yRes / 2)
+    val yRows = (0 until h).map { j =>
+      // bounds follow axis direction (descending y -> upper edge first)
+      val (c, b0, b1) =
+        if (gm.isRegular) {
+          val c = gm.yCoord(j)
+          if (gm.isJAxisUp) (c, c - yr2, c + yr2) else (c, c + yr2, c - yr2)
+        } else if (gm.isJAxisUp)
+          (linspace(gm.yMin + yr2, gm.yMax - yr2, h)(j),
+            linspace(gm.yMin, gm.yMax - gm.yRes, h)(j),
+            linspace(gm.yMin + gm.yRes, gm.yMax, h)(j))
+        else
+          (linspace(gm.yMax - yr2, gm.yMin + yr2, h)(j),
+            linspace(gm.yMax, gm.yMin + gm.yRes, h)(j),
+            linspace(gm.yMax - gm.yRes, gm.yMin, h)(j))
+      ("y", j.toLong, c, b0, b1)
     }
     (xRows ++ yRows).toDF("axis", "idx", "coord", "bnd_lo", "bnd_hi")
   }

@@ -124,6 +124,43 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(y0.getDouble(3) - 10.6) < 1e-9 && math.abs(y0.getDouble(4) - 10.5) < 1e-9)
   }
 
+  test("toCoordsDf on an IRREGULAR mapping prints the reference's linspace axes and bounds") {
+    // the 2x2 swath fixture infers bbox (-2,48)-(8,58) at res 4 — an
+    // ESTIMATE inconsistent with w*res, where the endpoint (linspace)
+    // form diverges from the stride form; expected arrays are the
+    // reference's grid_mapping_to_coords on exact binary values:
+    //   x:      linspace(0, 6, 2)  = [0, 6]
+    //   x_bnds: [(-2, 2), (4, 8)]
+    //   y:      linspace(56, 50, 2) = [56, 50]   (j-down: descending)
+    //   y_bnds: [(58, 54), (52, 48)]
+    val gmT = GridMapping(2, 2, 2, 2, 0, 0, 1, 1, 1, 1, Crs.Geographic, isRegular = false)
+    val coords = toDs(tilesFrom("x", srcLon, gmT) ++ tilesFrom("y", srcLat, gmT))
+    val gm = GridMappingInference.fromCoords2D(coords, 2, 2, 2, 2, Crs.Geographic)
+    assert(!gm.isRegular)
+    val rows = GridMappingInference.toCoordsDf(TestSpark.spark, gm).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(("x", 0L)) == ((0.0, -2.0, 2.0)))
+    assert(rows(("x", 1L)) == ((6.0, 4.0, 8.0)))
+    assert(rows(("y", 0L)) == ((56.0, 58.0, 54.0)))
+    assert(rows(("y", 1L)) == ((50.0, 52.0, 48.0)))
+  }
+
+  test("toCoordsDf folds lon-360 coords AND bounds back to [-180, 180]") {
+    // 4 cells at res 1 from x 179..183 (antimeridian crossing, stored
+    // lon-360); the reference folds where > 180 — note cell 1's lower
+    // bound 180 stays while its center 180.5 and upper bound 181 fold
+    val gm = GridMapping(4, 2, 4, 2, 179.0, 0.0, 183.0, 2.0, 1.0, 1.0,
+      Crs.Geographic, isRegular = true, isJAxisUp = false, isLon360 = true)
+    val rows = GridMappingInference.toCoordsDf(TestSpark.spark, gm).collect()
+      .filter(_.getString(0) == "x")
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(0L) == ((179.5, 179.0, 180.0)))
+    assert(rows(1L) == ((-179.5, 180.0, -179.0)))
+    assert(rows(2L) == ((-178.5, -179.0, -178.0)))
+    assert(rows(3L) == ((-177.5, -178.0, -177.0)))
+  }
+
   test("xyCoordsDf: irregular 2D coords equal the coord tiles; 1D-irregular equals the meshgrid broadcast; regular path agrees") {
     val spark = TestSpark.spark
     // irregular 1D axes (uneven spacing) -> meshgrid broadcast, like

@@ -219,6 +219,75 @@ class TransformSpec extends AnyFunSuite {
     assert(math.abs(viaWkt.ell.a - GRS80.a) < 1e-9 && math.abs(viaWkt.ell.invF - GRS80.invF) < 1e-9)
   }
 
+  test("EPSG registry growth: NZTM, LCC Europe, Hughes polar stereo, Equal Earth aspects, sphere sinusoidal, UTM ranges") {
+    import Crs._
+    // NZTM2000: true-origin anchor (173E, 0N) -> (FE, FN); Wellington
+    // lands in the published coordinate neighborhood
+    val nztm = fromString("EPSG:2193").asInstanceOf[TransverseMercator]
+    assert(nztm.ell == GRS80 && nztm.lon0Deg == 173.0)
+    val (ox, oy) = nztm.fromLonLat(173.0, 0.0)
+    assert(math.abs(ox - 1600000.0) < 1e-6 && math.abs(oy - 10000000.0) < 1e-6)
+    val (wx, wy) = nztm.fromLonLat(174.7762, -41.2865) // Wellington
+    assert(math.abs(wx - 1749000.0) < 5000 && math.abs(wy - 5428000.0) < 5000,
+      s"Wellington NZTM ($wx,$wy)")
+    // ETRS89-LCC Europe: grid origin (10E, 52N) -> (FE, FN), exact roundtrip
+    val lcc = fromString("EPSG:3034").asInstanceOf[LambertConformalConic]
+    val (gx, gy) = lcc.fromLonLat(10.0, 52.0)
+    assert(math.abs(gx - 4000000.0) < 1e-6 && math.abs(gy - 2800000.0) < 1e-6)
+    // legacy NSIDC grids carry the Hughes 1980 ellipsoid, pole at origin
+    val n3411 = fromString("EPSG:3411").asInstanceOf[PolarStereographic]
+    assert(n3411.ell == Hughes1980 && !n3411.south && n3411.lon0Deg == -45.0)
+    val (px, py) = n3411.fromLonLat(0.0, 90.0)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    assert(fromString("EPSG:3412").asInstanceOf[PolarStereographic].south)
+    // Equal Earth aspects differ only in the central meridian: the
+    // Americas/Asia-Pacific grids map their own lon0 like Greenwich maps 0
+    val ee0 = fromString("EPSG:8857"); val eeA = fromString("EPSG:8858")
+    val eeP = fromString("EPSG:8859")
+    for (lat <- Seq(-48.7, 0.0, 33.9)) {
+      val want = ee0.fromLonLat(0.0, lat)
+      for ((crs, lon0) <- Seq((eeA, -90.0), (eeP, 150.0))) {
+        val got = crs.fromLonLat(lon0, lat)
+        assert(math.abs(got._1 - want._1) < 1e-9 && math.abs(got._2 - want._2) < 1e-9)
+      }
+    }
+    // sphere sinusoidal: x(180, 0) = pi * R on the 6371000 sphere
+    val s53008 = fromString("ESRI:53008").asInstanceOf[Sinusoidal]
+    assert(math.abs(s53008.fromLonLat(180.0, 0.0)._1 - math.Pi * 6371000.0) < 1e-6)
+    // parametric UTM families: ETRS89 zones 28-38, NAD83 zones 1-23
+    for (z <- 28 to 38) {
+      val c = fromString(f"EPSG:258$z%02d").asInstanceOf[TransverseMercator]
+      assert(c.ell == GRS80 && c.lon0Deg == z * 6.0 - 183.0 && c.falseNorthing == 0.0)
+    }
+    for (z <- Seq(1, 10, 17, 23)) {
+      val c = fromString(f"EPSG:269$z%02d").asInstanceOf[TransverseMercator]
+      assert(c.ell == GRS80 && c.lon0Deg == z * 6.0 - 183.0)
+    }
+    // out-of-range zones fail loudly instead of inventing a grid
+    intercept[IllegalArgumentException](fromString("EPSG:25839"))
+    intercept[IllegalArgumentException](fromString("EPSG:26924"))
+    // every new registry code roundtrips exactly at spread test points
+    for (code <- Seq("EPSG:2193", "EPSG:3034", "EPSG:3411", "EPSG:3412",
+        "EPSG:8858", "EPSG:8859", "ESRI:53008", "EPSG:25828", "EPSG:26910")) {
+      val crs = fromString(code)
+      val pts = code match {
+        case "EPSG:2193" => Seq((168.0, -46.5), (174.8, -41.3), (178.0, -37.0))
+        case "EPSG:3034" => Seq((-10.0, 35.0), (10.0, 52.0), (30.0, 65.0))
+        case "EPSG:3411" => Seq((-45.0, 70.0), (10.0, 80.0), (-120.0, 55.0))
+        case "EPSG:3412" => Seq((0.0, -70.0), (90.0, -80.0), (-150.0, -55.0))
+        case "EPSG:25828" => Seq((-15.0, 28.0), (-9.0, 39.0), (-13.0, 55.0))
+        case "EPSG:26910" => Seq((-123.0, 38.0), (-126.0, 49.0), (-120.0, 32.0))
+        case _ => Seq((-170.0, -60.0), (0.0, 0.0), (77.7, 44.4))
+      }
+      for ((lon, lat) <- pts) {
+        val (x, y) = crs.fromLonLat(lon, lat)
+        val (lon2, lat2) = crs.toLonLat(x, y)
+        assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+          s"$code roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+      }
+    }
+  }
+
   test("MODIS sinusoidal: grid-edge anchors, equator identity, exact roundtrip, spherical-only parse") {
     val sinu = Crs.modisSinusoidal
     val R = 6371007.181
