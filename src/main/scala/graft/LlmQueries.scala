@@ -195,6 +195,15 @@ object LlmQueries {
     "q_embed_kmeans" -> ((s, dir) =>
       VectorOps.kmeansAssign(embeddings(s, dir), k = 8, iters = 2)),
 
+    // SemDeDup: kmeans prepass bounds the pair join to within-cluster;
+    // threshold chosen with measured >= 3e-5 margin to the nearest
+    // within-cluster similarity at both verify SFs
+    "q_semdedup" -> ((s, dir) =>
+      VectorOps.semanticDedup(embeddings(s, dir), k = 8, iters = 2, threshold = 0.35)),
+
+    // span-level duplication signal (chunked substring-dedup stats)
+    "q_chunk_dup" -> ((s, dir) => TextOps.chunkDupStats(docs(s, dir), k = 8)),
+
     "q_embed_quantize" -> ((s, dir) =>
       VectorOps.quantizeInt8(embeddings(s, dir))
         .withColumnRenamed("id", "vec_id")),
@@ -733,6 +742,61 @@ object LlmQueries {
         |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
         |  FROM e, c1 c) WHERE rn = 1)
         |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup: the q_embed_kmeans assignment CTE + within-cluster
+    // pair drop (junior id dropped when a senior cluster-mate is
+    // within the cosine threshold)
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        |  FROM e, c0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.cid, k - 1 AS dim, AVG(e.v[k]) AS m
+        |  FROM a1 JOIN e USING (vec_id), unnest(generate_series(1, 64)) u(k)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        |  FROM e, c1 c) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35)
+        |SELECT vec_id, cid AS cluster_id FROM a2
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
+
+    // chunked substring-dedup stats: ceil(n/8) consecutive 8-token
+    // chunks (1-based inclusive list slice truncates the tail), df >= 2
+    // across distinct docs marks an occurrence duplicated
+    "q_chunk_dup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, array_to_string(toks[(k*8+1):((k+1)*8)], ' ') AS chunk
+        |  FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) u(k)
+        |  WHERE len(toks) > 0
+        |), dfreq AS (
+        |  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY 1
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM c JOIN dfreq USING (chunk) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+        |  ROUND(COALESCE(n_dup, 0) * 1.0 / GREATEST(COALESCE(n_chunks, 0), 1), 6) AS dup_frac
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_ann_ivf" ->
       s"""WITH e AS (

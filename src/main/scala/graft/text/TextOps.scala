@@ -531,6 +531,51 @@ object TextOps {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** SPAN-level duplication stats — the chunk-granular approximation
+    * of substring dedup (Lee et al. 2022, arXiv:2107.06499, which
+    * dedups exact repeated spans; a true distributed suffix array is
+    * the full version, chunking is the practical one): each document
+    * splits into consecutive `k`-token chunks (tail chunk kept), and a
+    * chunk occurrence counts as duplicated when the same chunk text
+    * appears in >= 2 DISTINCT documents. Per doc: chunk count,
+    * duplicated-chunk count, duplicated fraction — the signal a
+    * pipeline thresholds to drop boilerplate-heavy documents.
+    *
+    * All codegen'd column ops (sequence/transform/slice) plus one
+    * groupBy on the chunk text whose partial aggregation bounds the
+    * shuffle by the distinct-chunk count — no UDF, no cartesian; cost
+    * is linear in corpus tokens at any scale.
+    *
+    * Returns (id, n_chunks, n_dup_chunks, dup_frac).
+    */
+  def chunkDupStats(
+      docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"chunk size must be >= 1, got $k")
+    val toks = tokens(col(textCol))
+    // ceil(n/k) chunk starts; guard the empty doc (sequence(0,-1)
+    // would DESCEND, not produce an empty array)
+    val nChunks = ((size(toks) + (k - 1)) / k).cast("int") // ceil(n/k); Column / is double
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .otherwise(array())
+    val c = docs.select(col(idCol).cast("long").as("id"), explode(chunks).as("chunk"))
+    val dfreq = c.select(col("id"), col("chunk")).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+    val agg = c.join(dfreq, "chunk")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)) /
+          greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)), 6).as("dup_frac"))
+  }
+
   /** Token counting with a BPE-ish PRE-TOKENIZER: letter runs, digit
     * runs, and single punctuation marks become separate tokens (the
     * GPT-2-style pre-split shape, minus byte-level quirks). The pattern

@@ -387,6 +387,37 @@ object VectorOps {
     }.toDF(idCol, "cluster_id")
   }
 
+  /** SEMANTIC deduplication (the SemDeDup shape, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with k-means, then
+    * within each cluster drop every vector that has a more-senior
+    * (smaller-id) cluster-mate at cosine >= `threshold`. The k-means
+    * prepass is what makes this scale: the quadratic similarity join
+    * runs per CLUSTER (an equi-join on cluster_id, cost sum of
+    * squared cluster sizes), never corpus x corpus — k is the knob
+    * that bounds cluster occupancy as the corpus grows. Cross-cluster
+    * near-dups are missed by construction; that recall loss is the
+    * published trade-off.
+    *
+    * Deterministic end-to-end ([[kmeansAssign]] is; seniority is the
+    * id order), returning the KEPT rows as (id, cluster_id).
+    */
+  def semanticDedup(
+      embeddings: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeansAssign(embeddings, k, iters, idCol, vecCol)
+    val e = embeddings
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).cast("array<double>").as("v"))
+      .join(assign, idCol)
+    val a = e.select(col("cluster_id"), col(idCol).as("id_a"), col("v").as("va"))
+    val b = e.select(col("cluster_id"), col(idCol).as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    e.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+  }
+
   /** ANN top-k through LSH buckets: rerank within buckets only.
     * Recall < 1 by construction; pair with [[bruteForceTopK]] as the
     * exact baseline.

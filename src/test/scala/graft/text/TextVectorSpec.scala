@@ -187,6 +187,51 @@ class TextVectorSpec extends AnyFunSuite {
     assert(perQuery.forall(_ == 5))
   }
 
+  test("chunkDupStats: hand-computed chunk counts, cross-doc df rule, tail chunk, empty doc") {
+    val d = Seq(
+      (0L, "a b c d e f g"),     // k=3 -> chunks "a b c","d e f","g" (tail kept)
+      (1L, "a b c x y z"),       // shares chunk "a b c" with doc 0
+      (2L, "d e f d e f"),       // "d e f" twice in-doc AND in doc 0
+      (3L, "u v w"),             // unique chunk
+      (4L, ""))                  // empty: 0 chunks, frac 0 (not NaN)
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDupStats(d, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((3L, 2L, 0.666667))) // "a b c" (df 2) + "d e f" (df 2); "g" unique
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    // BOTH in-doc occurrences of "d e f" count: df >= 2 via doc 0
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // an in-doc repeat with NO other doc sharing it is not a cross-doc dup
+    val solo = Seq((0L, "p q r p q r")).toDF("doc_id", "text")
+    val s = TextOps.chunkDupStats(solo, k = 3).head()
+    assert(s.getLong(1) == 2L && s.getLong(2) == 0L)
+  }
+
+  test("semanticDedup drops juniors within cosine threshold inside a cluster, never across clusters") {
+    // blob A along +x, blob B along +y (orthogonal -> different
+    // clusters); A's three vectors are mutually near-identical, B's
+    // two are well-separated at threshold 0.95
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),   // ~1.0 cosine with 0 -> dropped
+      (3L, Array(0.998f, 0.02f, 0.0f)),   // ~1.0 with 0 and 2 -> dropped
+      (4L, Array(0.0f, 0.7f, 0.7f)))      // cos with 1 ~ 0.7 -> kept
+      .toDF("vec_id", "embedding")
+    val kept = VectorOps.semanticDedup(vecs, k = 2, iters = 1, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set(0L, 1L, 4L), s"kept ${kept.keySet}")
+    // doc 2/3 dropped by cluster-mate 0; 4 kept despite being in 1's cluster
+    assert(kept(0L) == kept.getOrElse(4L, kept(0L)) || kept(1L) == kept(4L))
+    // identical input is idempotent: re-running on the kept set drops nothing
+    val keptDf = vecs.filter(col("vec_id").isin(kept.keySet.toSeq: _*))
+    val again = VectorOps.semanticDedup(keptDf, k = 2, iters = 1, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.keySet)
+  }
+
   test("minhash LSH candidates are a subset of exact pairs and catch identical docs") {
     val got = TextOps.minhashLshPairs(docsDf, numHashes = 64, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
