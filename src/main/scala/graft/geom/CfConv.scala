@@ -101,6 +101,32 @@ object CfConv {
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
               south = lat0 < 0, ell = Crs.WGS84, name = "CF:polar_stereographic")
+          case "sinusoidal" =>
+            val r = num("earth_radius").getOrElse(throw new IllegalArgumentException(
+              "CF sinusoidal is implemented for the SPHERICAL form only: earth_radius required"))
+            Crs.Sinusoidal(
+              lon0Deg = num("longitude_of_projection_origin").getOrElse(0.0),
+              radius = r,
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              name = "CF:sinusoidal")
+          case "equal_earth" =>
+            Crs.EqualEarth(
+              lon0Deg = num("longitude_of_projection_origin").getOrElse(0.0),
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              ell = Crs.WGS84, name = "CF:equal_earth")
+          case "oblique_mercator" =>
+            val az = num("azimuth_of_central_line").getOrElse(90.0)
+            if (az != 90.0) throw new IllegalArgumentException(
+              s"oblique_mercator is implemented for azimuth 90 (the Swiss somerc form) only, got $az")
+            Crs.SwissObliqueMercator(
+              lon0Deg = num("longitude_of_projection_origin").getOrElse(0.0),
+              lat0Deg = num("latitude_of_projection_origin").getOrElse(0.0),
+              k0 = num("scale_factor_at_projection_origin").getOrElse(1.0),
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              ell = Crs.WGS84, name = "CF:oblique_mercator")
           case "mercator" => Crs.WebMercator
           case other =>
             throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
@@ -265,6 +291,29 @@ object CfConv {
       "false_easting" -> p.falseEasting.toString,
       "false_northing" -> p.falseNorthing.toString,
       "crs_name" -> p.name)
+    case s: Crs.Sinusoidal => Map(
+      "grid_mapping_name" -> "sinusoidal",
+      "longitude_of_projection_origin" -> s.lon0Deg.toString,
+      "earth_radius" -> s.radius.toString,
+      "false_easting" -> s.falseEasting.toString,
+      "false_northing" -> s.falseNorthing.toString,
+      "crs_name" -> s.name)
+    // CF 1.9 has no equal_earth entry; pyproj serializes the PROJ name
+    case e: Crs.EqualEarth => Map(
+      "grid_mapping_name" -> "equal_earth",
+      "longitude_of_projection_origin" -> e.lon0Deg.toString,
+      "false_easting" -> e.falseEasting.toString,
+      "false_northing" -> e.falseNorthing.toString,
+      "crs_name" -> e.name)
+    case s: Crs.SwissObliqueMercator => Map(
+      "grid_mapping_name" -> "oblique_mercator",
+      "azimuth_of_central_line" -> "90.0",
+      "latitude_of_projection_origin" -> s.lat0Deg.toString,
+      "longitude_of_projection_origin" -> s.lon0Deg.toString,
+      "scale_factor_at_projection_origin" -> s.k0.toString,
+      "false_easting" -> s.falseEasting.toString,
+      "false_northing" -> s.falseNorthing.toString,
+      "crs_name" -> s.name)
     case Crs.WebMercator => Map(
       "grid_mapping_name" -> "mercator",
       "crs_name" -> Crs.WebMercator.name)

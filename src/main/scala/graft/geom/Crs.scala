@@ -597,6 +597,98 @@ object Crs {
   /** The MODIS sinusoidal grid (authalic sphere R = 6371007.181 m). */
   val modisSinusoidal: Crs = Sinusoidal(0.0, 6371007.181, 0.0, 0.0, "SR-ORG:6974")
 
+  /** SWISS OBLIQUE MERCATOR (`+proj=somerc`, the CH1903 / LV03 and
+    * CH1903+ / LV95 national grids): the published Swisstopo double
+    * projection — ellipsoid to conformal sphere (Gaussian curvature
+    * radius at the origin), sphere rotated so the origin becomes the
+    * pseudo-equator point, then a plain Mercator on the rotated
+    * sphere. Conformal, scale k0 at the projection center. Formulas
+    * from the public Swisstopo reference "Formulas and constants for
+    * the calculation of the Swiss conformal cylindrical projection"
+    * (also Snyder 1987 ch. 9 oblique-Mercator background); parameter
+    * semantics match PROJ's +proj=somerc.
+    */
+  final case class SwissObliqueMercator(
+      lon0Deg: Double, lat0Deg: Double, k0: Double,
+      falseEasting: Double, falseNorthing: Double,
+      ell: Ellipsoid, override val name: String) extends Crs {
+    val isGeographic = false
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val sinPhi0 = math.sin(phi0)
+    // sphere constants: alpha (lat stretch), R (conformal sphere
+    // radius), b0 (origin's sphere latitude), K (level constant)
+    private val alpha = {
+      val c = math.cos(phi0)
+      math.sqrt(1 + e2 / (1 - e2) * c * c * c * c)
+    }
+    private val bigR =
+      k0 * ell.a * math.sqrt(1 - e2) / (1 - e2 * sinPhi0 * sinPhi0)
+    private val b0 = math.asin(sinPhi0 / alpha)
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        (e / 2) * math.log((1 + e * s) / (1 - e * s))
+    }
+    private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) - alpha * q(phi0)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val sVal = alpha * q(math.toRadians(latDeg)) + bigK
+      val b = 2 * math.atan(math.exp(sVal)) - math.Pi / 2
+      var dLam = math.toRadians(lonDeg) - lam0
+      if (dLam > math.Pi) dLam -= 2 * math.Pi
+      if (dLam < -math.Pi) dLam += 2 * math.Pi
+      val l = alpha * dLam
+      val lBar = math.atan2(math.sin(l),
+        math.sin(b0) * math.tan(b) + math.cos(b0) * math.cos(l))
+      val sinBBar = math.cos(b0) * math.sin(b) -
+        math.sin(b0) * math.cos(b) * math.cos(l)
+      (falseEasting + bigR * lBar,
+        falseNorthing + bigR / 2 * math.log((1 + sinBBar) / (1 - sinBBar)))
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val lBar = (x - falseEasting) / bigR
+      val bBar = 2 * math.atan(math.exp((y - falseNorthing) / bigR)) - math.Pi / 2
+      val b = math.asin(math.cos(b0) * math.sin(bBar) +
+        math.sin(b0) * math.cos(bBar) * math.cos(lBar))
+      val l = math.atan2(math.sin(lBar),
+        math.cos(b0) * math.cos(lBar) - math.sin(b0) * math.tan(bBar))
+      val lamDeg = math.toDegrees(lam0 + l / alpha)
+      // invert S = alpha*q(phi) + K for phi (fixed point on the
+      // ellipsoidal correction term; converges in a handful of rounds)
+      val qT = (math.log(math.tan(math.Pi / 4 + b / 2)) - bigK) / alpha
+      var phi = b
+      var i = 0
+      while (i < 30) {
+        val s = math.sin(phi)
+        val next = 2 * math.atan(math.exp(
+          qT + (e / 2) * math.log((1 + e * s) / (1 - e * s)))) - math.Pi / 2
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 30 }
+        else { phi = next; i += 1 }
+      }
+      (if (lamDeg > 180) lamDeg - 360 else if (lamDeg < -180) lamDeg + 360 else lamDeg,
+        math.toDegrees(phi))
+    }
+  }
+
+  /** Bessel 1841 (the Swiss national grids). */
+  val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
+
+  // Bern old observatory: 46°57'08.66" N, 7°26'22.50" E
+  private val BernLatDeg = 46.0 + 57.0 / 60 + 8.66 / 3600
+  private val BernLonDeg = 7.0 + 26.0 / 60 + 22.50 / 3600
+
+  /** CH1903 / LV03 (EPSG:21781). */
+  val ch1903Lv03: Crs = SwissObliqueMercator(
+    BernLonDeg, BernLatDeg, 1.0, 600000.0, 200000.0, Bessel1841, "EPSG:21781")
+
+  /** CH1903+ / LV95 (EPSG:2056). */
+  val ch1903PlusLv95: Crs = SwissObliqueMercator(
+    BernLonDeg, BernLatDeg, 1.0, 2600000.0, 1200000.0, Bessel1841, "EPSG:2056")
+
   /** Spherical ("web") Mercator, EPSG:3857: the WGS84 ellipsoid's
     * semi-major axis used as a sphere radius (the defining quirk).
     */
@@ -680,6 +772,9 @@ object Crs {
       Hughes1980, "EPSG:3411"),
     "EPSG:3412" -> PolarStereographic(-70.0, 0.0, 0.0, 0.0, south = true,
       Hughes1980, "EPSG:3412"),
+    // Swiss national grids (oblique mercator on Bessel 1841)
+    "EPSG:21781" -> ch1903Lv03,
+    "EPSG:2056" -> ch1903PlusLv95,
     // MODIS sinusoidal grid (spherical, authalic radius)
     "SR-ORG:6974" -> modisSinusoidal,
     // ESRI Sphere Sinusoidal (world grid on the R=6371000 sphere)
@@ -695,9 +790,10 @@ object Crs {
       "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), " +
       "EPSG:3035 (LAEA Europe), EPSG:2154/5069/3034 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
+      "EPSG:21781/2056 (Swiss oblique mercator), " +
       "SR-ORG:6974 + ESRI:53008 (sinusoidal), " +
       "EPSG:8857/8858/8859 (Equal Earth), " +
-      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth), " +
+      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth|somerc), " +
       "and WKT with PROJECTION " +
       "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|" +
       "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator|Sinusoidal(spherical)|Equal_Earth"
@@ -782,6 +878,14 @@ object Crs {
         }
       case "eqearth" => EqualEarth(
         num("lon_0", 0), num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "somerc" =>
+        val som = kv.getOrElse("ellps", "").toUpperCase match {
+          case "BESSEL" => Bessel1841
+          case _ => ell
+        }
+        SwissObliqueMercator(
+          num("lon_0", 0), num("lat_0", 0), num("k_0", num("k", 1.0)),
+          num("x_0", 0), num("y_0", 0), som, s.trim)
       case "stere" if math.abs(num("lat_0", 0)) == 90.0 => PolarStereographic(
         num("lat_ts", num("lat_0", 90)), num("lon_0", 0),
         num("x_0", 0), num("y_0", 0), south = num("lat_0", 0) < 0, ell, s.trim)
@@ -857,6 +961,17 @@ object Crs {
         }
       case Some(proj) if proj.contains("equal_earth") =>
         EqualEarth(lon0, fe, fn, ell, "WKT")
+      // must precede the generic mercator case: "Hotine_Oblique_
+      // Mercator_Azimuth_Center" contains "mercator"
+      case Some(proj) if proj.contains("swiss_oblique") ||
+          (proj.contains("oblique_mercator") && p(Seq("azimuth"), 90) == 90.0) =>
+        SwissObliqueMercator(lon0, lat0,
+          p(Seq("scale_factor", "scale_factor_at_projection_centre", "scale_factor_at_natural_origin"), 1.0),
+          fe, fn, ell, "WKT")
+      case Some(proj) if proj.contains("oblique_mercator") =>
+        throw new IllegalArgumentException(
+          "oblique mercator is implemented for azimuth = 90 (the Swiss " +
+            s"somerc form) only; $SupportedMsg")
       case Some(proj) if proj.contains("mercator") && !proj.contains("transverse") =>
         WebMercator
       case other => throw new IllegalArgumentException(

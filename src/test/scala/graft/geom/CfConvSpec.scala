@@ -251,6 +251,23 @@ class CfConvSpec extends AnyFunSuite {
       assert(math.abs(x1 - x2) < tol && math.abs(y1 - y2) < tol, s"${crs.name}: ($x1,$y1) vs ($x2,$y2)")
     }
     assert(CfConv.crsFromAttrs(Map("grid_mapping_name" -> "mercator")).contains(Crs.WebMercator))
+    // sinusoidal / equal earth / Swiss oblique mercator: emit -> parse
+    // -> transform-identical (all WGS84-or-sphere both sides except the
+    // Bessel-based Swiss grid, where CF carries no ellipsoid -> ~100 m)
+    for ((crs, pt, tol) <- Seq(
+        (Crs.modisSinusoidal, (45.3, -23.0), 1e-9),
+        (Crs.fromString("EPSG:8858"), (-100.0, 40.0), 1e-9),
+        (Crs.ch1903Lv03, (8.5417, 47.3769), 200.0))) {
+      val parsed = CfConv.crsFromAttrs(CfConv.crsToAttrs(crs)).get
+      val (x1, y1) = crs.fromLonLat(pt._1, pt._2)
+      val (x2, y2) = parsed.fromLonLat(pt._1, pt._2)
+      assert(math.abs(x1 - x2) < tol && math.abs(y1 - y2) < tol,
+        s"${crs.name}: ($x1,$y1) vs ($x2,$y2)")
+    }
+    // genuinely oblique azimuth refuses loudly
+    intercept[IllegalArgumentException](CfConv.crsFromAttrs(Map(
+      "grid_mapping_name" -> "oblique_mercator",
+      "azimuth_of_central_line" -> "53.3")))
     // CF single-value standard_parallel accepted for LCC
     val oneSp = CfConv.crsFromAttrs(Map(
       "grid_mapping_name" -> "lambert_conformal_conic",

@@ -288,6 +288,70 @@ class TransformSpec extends AnyFunSuite {
     }
   }
 
+  test("Swiss oblique mercator: Bern origin exact, city anchors, conformal scale, LV95 offset, parse routes") {
+    import Crs._
+    val lv03 = fromString("EPSG:21781")
+    // the projection center maps to the false origin EXACTLY (l = 0,
+    // b = b0 by construction of K)
+    val (bx, by) = lv03.fromLonLat(7.0 + 26.0 / 60 + 22.5 / 3600, 46.0 + 57.0 / 60 + 8.66 / 3600)
+    assert(math.abs(bx - 600000.0) < 1e-6 && math.abs(by - 200000.0) < 1e-6)
+    // well-known city coordinates in LV03 (km-scale sanity anchors)
+    val (zx, zy) = lv03.fromLonLat(8.5417, 47.3769) // Zurich
+    assert(math.abs(zx - 683500.0) < 2000 && math.abs(zy - 248000.0) < 2000,
+      s"Zurich LV03 ($zx,$zy)")
+    val (gx, gy) = lv03.fromLonLat(6.1432, 46.2044) // Geneva
+    assert(math.abs(gx - 500000.0) < 3000 && math.abs(gy - 117500.0) < 3000,
+      s"Geneva LV03 ($gx,$gy)")
+    // conformality: finite-difference scale is direction-independent
+    // and ~1 near the center (k0 = 1 at the origin)
+    val h = 1e-4
+    val (x0, y0) = lv03.fromLonLat(7.44, 46.95)
+    val (xe, ye) = lv03.fromLonLat(7.44 + h, 46.95)
+    val (xn, yn) = lv03.fromLonLat(7.44, 46.95 + h)
+    val mPerDegLat = 111132.95  // approx at 47N on Bessel; only ratios matter
+    val se = math.hypot(xe - x0, ye - y0) / (h * mPerDegLat * math.cos(math.toRadians(46.95)))
+    val sn = math.hypot(xn - x0, yn - y0) / (h * 111132.95)
+    assert(math.abs(se / sn - 1.0) < 5e-3, s"anisotropy se=$se sn=$sn")
+    assert(math.abs(sn - 1.0) < 5e-3, s"scale at center $sn")
+    // LV95 is LV03 shifted by exactly (+2 000 000, +1 000 000)
+    val lv95 = fromString("EPSG:2056")
+    for ((lon, lat) <- Seq((7.0, 46.0), (8.5417, 47.3769), (9.8, 46.5))) {
+      val (a3, b3) = lv03.fromLonLat(lon, lat)
+      val (a5, b5) = lv95.fromLonLat(lon, lat)
+      assert(math.abs(a5 - a3 - 2000000.0) < 1e-6 && math.abs(b5 - b3 - 1000000.0) < 1e-6)
+    }
+    // exact roundtrip across the country
+    for (lon <- Seq(6.0, 7.44, 8.5, 10.4); lat <- Seq(45.9, 46.95, 47.8)) {
+      val (x, y) = lv03.fromLonLat(lon, lat)
+      val (lon2, lat2) = lv03.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // proj-string route builds the same projection
+    val viaProj = fromProjString(
+      "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 +k_0=1 " +
+        "+x_0=600000 +y_0=200000 +ellps=bessel").asInstanceOf[SwissObliqueMercator]
+    val (px, py) = viaProj.fromLonLat(8.5417, 47.3769)
+    assert(math.abs(px - zx) < 1e-6 && math.abs(py - zy) < 1e-6)
+    // WKT route: Hotine azimuth-90 form is the Swiss projection;
+    // a genuinely oblique azimuth fails loudly instead of guessing
+    val viaWkt = fromWkt(
+      """PROJCS["CH1903 / LV03",GEOGCS["CH1903",DATUM["CH1903",
+        |SPHEROID["Bessel 1841",6377397.155,299.1528128]]],
+        |PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],
+        |PARAMETER["latitude_of_center",46.95240555555556],
+        |PARAMETER["longitude_of_center",7.439583333333333],
+        |PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],
+        |PARAMETER["scale_factor",1],
+        |PARAMETER["false_easting",600000],PARAMETER["false_northing",200000]]""".stripMargin)
+    val (wx, wy) = viaWkt.fromLonLat(8.5417, 47.3769)
+    assert(math.abs(wx - zx) < 1e-6 && math.abs(wy - zy) < 1e-6)
+    intercept[IllegalArgumentException](fromWkt(
+      """PROJCS["x",GEOGCS["y",DATUM["z",SPHEROID["WGS 84",6378137,298.257223563]]],
+        |PROJECTION["Hotine_Oblique_Mercator"],PARAMETER["azimuth",53.31582],
+        |PARAMETER["false_easting",0],PARAMETER["false_northing",0]]""".stripMargin))
+  }
+
   test("MODIS sinusoidal: grid-edge anchors, equator identity, exact roundtrip, spherical-only parse") {
     val sinu = Crs.modisSinusoidal
     val R = 6371007.181
