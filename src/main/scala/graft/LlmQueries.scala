@@ -252,6 +252,14 @@ object LlmQueries {
 
     "q_lm_score" -> ((s, dir) => CorpusOps.bigramLmScore(docs(s, dir))),
 
+    // held-out LM: train on even ids, score the odd ids (CCNet shape);
+    // unseen bigrams exercise the smoothing path
+    "q_lm_heldout" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.bigramLmScoreHeldOut(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+
     "q_tfidf_topk" -> ((s, dir) => CorpusOps.tfIdfTopTerms(docs(s, dir), k = 3)),
 
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
@@ -1073,6 +1081,26 @@ object LlmQueries {
         |SELECT id AS doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(AVG(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 6) AS lm_score
         |FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // held-out LM: counts from the even-id split only; LEFT joins +
+    // COALESCE give unseen bigrams the smoothed (0+1)/(0+V) mass
+    "q_lm_heldout" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT id, CASE WHEN k = 1 THEN '<s>' ELSE toks[k-1] END AS prev, toks[k] AS cur
+        |  FROM t, unnest(generate_series(1, len(toks))) u(k)
+        |  WHERE len(toks) >= 1
+        |), bgt AS (SELECT * FROM bg WHERE id % 2 = 0),
+        |bge AS (SELECT * FROM bg WHERE id % 2 = 1),
+        |c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM bgt GROUP BY 1, 2),
+        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM bgt GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT cur) AS v FROM bgt)
+        |SELECT id AS doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(ln((COALESCE(c2.c2, 0) + 1) * 1.0 / (COALESCE(c1.c1, 0) + v.v))), 6) AS lm_score
+        |FROM bge LEFT JOIN c2 USING (prev, cur) LEFT JOIN c1 USING (prev) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // tf-idf top-3 terms; rank on the ROUNDED score (see CorpusOps)

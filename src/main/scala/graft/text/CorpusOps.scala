@@ -87,11 +87,32 @@ object CorpusOps {
     */
   def bigramLmScore(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bgm = bigramTable(docs, idCol, textCol)
+    val c2 = bgm.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val vocab = c2.agg(countDistinct(col("cur")).as("v"))
+    bgm.join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m").cast("double") * col("lp")) / sum(col("m")).cast("double"), 6)
+          .as("lm_score"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** (id, prev, cur, m): per-document bigram multiplicities, `<s>` as
+    * the first context — row-local, shuffle-free. A tight
+    * mapPartitions kernel (a higher-order-function formulation
+    * evaluates interpreted — CodegenFallback — and Catalyst re-runs
+    * the explode once per consumer; see [[bigramLmScore]]).
+    */
+  private def bigramTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // (id, prev, cur, m): per-document bigram multiplicities, <s> as
-    // the first context — row-local, shuffle-free
-    val bgm = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
           val ws = text.split(" ").filter(_.nonEmpty)
@@ -106,14 +127,35 @@ object CorpusOps {
             .map { case ((p, c), n) => (id, p, c, n) }
         }
       }.toDF("id", "prev", "cur", "m")
-    val c2 = bgm.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c2"))
+  }
+
+  /** HELD-OUT bigram-LM scoring — the actual CCNet shape: the model
+    * trains on a REFERENCE corpus (CCNet: Wikipedia) and scores a
+    * different target corpus, so the signal measures "does this look
+    * like the reference domain" rather than self-similarity. Add-one
+    * smoothing makes unseen bigrams well-defined:
+    * P(cur|prev) = (c2 + 1) / (c1 + |V|) with c2 = c1 = 0 for contexts
+    * the model never saw (left joins + coalesce, where
+    * [[bigramLmScore]]'s self-trained inner joins can't miss).
+    *
+    * Same one-pass-per-corpus shape: count tables are vocabulary-sized
+    * and AQE picks broadcast vs shuffle joins; nothing collects to the
+    * driver.
+    */
+  def bigramLmScoreHeldOut(
+      train: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainBg = bigramTable(train, idCol, textCol)
+    val c2 = trainBg.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c2"))
     val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val vocab = c2.agg(countDistinct(col("cur")).as("v"))
-    bgm.join(c2, Seq("prev", "cur"))
-      .join(c1, Seq("prev"))
+    bigramTable(docs, idCol, textCol)
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("lp",
-        log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+        log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
       .groupBy(col("id"))
       .agg(sum(col("m")).as("n_bigrams"),
         round(sum(col("m").cast("double") * col("lp")) / sum(col("m")).cast("double"), 6)

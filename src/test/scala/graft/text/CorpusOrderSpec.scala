@@ -69,6 +69,21 @@ class CorpusOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("held-out LM scoring: unseen bigrams and unseen contexts get the smoothed mass") {
+    // train "a b a b": c2 = {(<s>,a):1, (a,b):2, (b,a):1},
+    // c1 = {<s>:1, a:2, b:1}, V = |{a,b}| = 2
+    val train = docsDf(0L -> "a b a b")
+    val eval_ = docsDf(
+      1L -> "a b z",  // (b,z) unseen bigram, seen context b
+      2L -> "q q")    // (<s>,q) unseen bigram; (q,q) unseen CONTEXT too
+    val got = CorpusOps.bigramLmScoreHeldOut(train, eval_)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val s1 = (math.log(2.0 / 3) + math.log(3.0 / 4) + math.log(1.0 / 3)) / 3
+    val s2 = (math.log(1.0 / 3) + math.log(1.0 / 2)) / 2
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - math.rint(s1 * 1e6) / 1e6) < 1e-9)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - math.rint(s2 * 1e6) / 1e6) < 1e-9)
+  }
+
   test("repetitive text scores higher than novel text under its own corpus LM") {
     val d = docsDf(0L -> "a a a a a a a a", 1L -> "q w e r t y u i")
     val got = CorpusOps.bigramLmScore(d)
