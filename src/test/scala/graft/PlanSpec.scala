@@ -148,6 +148,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup's similarity join is a cluster-keyed equi-join, never a cartesian") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = VectorOps.semanticDedup(e, k = 4, iters = 1, threshold = 0.35)
+    df.collect()
+    val p = plan(df)
+    // the SemDeDup contract: the quadratic pair join is BOUNDED by the
+    // kmeans clusters — it must plan as an equi-join on cluster_id
+    // (hash or sort-merge), not a BroadcastNestedLoopJoin/cartesian
+    // whose cost is corpus x corpus at any threshold
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster join degenerated to a cartesian in:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join on cluster_id in:\n${p.take(3000)}")
+  }
+
+  test("chunkDupStats aggregates partially on both shuffles; heldout LM broadcasts the vocab scalar") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cd = graft.text.TextOps.chunkDupStats(docs, k = 8)
+    cd.collect()
+    val pc = plan(cd).split("== Initial Plan ==")(0)
+    // df-count and per-doc aggregations must combine map-side: the
+    // shuffle carries distinct-chunk partials, not raw chunk rows
+    assert("HashAggregate".r.findAllIn(pc).size >= 4,
+      s"missing partial aggregation in:\n${pc.take(3000)}")
+    val lm = graft.text.CorpusOps.bigramLmScoreHeldOut(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    lm.collect()
+    val pl = plan(lm).split("== Initial Plan ==")(0)
+    // the 1-row vocab count joins by broadcast, never a shuffle
+    assert(pl.contains("BroadcastNestedLoopJoin") || pl.contains("BroadcastHashJoin"),
+      s"vocab scalar not broadcast in:\n${pl.take(3000)}")
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)
