@@ -405,6 +405,17 @@ object LlmQueries {
         .withColumnRenamed("ts", "ts_us")
         .withColumnRenamed("b_ts", "b_ts_us")),
 
+    // attribution-window join: ALL clicks of the preceding hour, not
+    // just the newest (1h = 3.6e9 micro ticks); streaming twin parity
+    // is pinned in StreamSpec
+    "q_events_interval" -> ((s, dir) =>
+      graft.events.EventOps.intervalJoin(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("ts div 1000")), "purchase", "click",
+        window = 3600L * 1000000L)
+        .withColumnRenamed("l_ts", "l_ts_us")
+        .withColumnRenamed("r_ts", "r_ts_us")),
+
     "q_events_json" -> ((s, dir) =>
       graft.events.EventOps.jsonFieldStats(s.read.parquet(s"$dir/events.parquet"))),
 
@@ -1249,6 +1260,17 @@ object LlmQueries {
         |FROM a ASOF LEFT JOIN b
         |  ON a.user_id = b.user_id AND a.tsu >= b.tsu
         |ORDER BY a.event_id""".stripMargin,
+
+    "q_events_interval" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type, value FROM events
+        |), a AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT a.event_id AS l_event_id, a.user_id, a.tsu AS l_ts_us,
+        |  b.event_id AS r_event_id, b.tsu AS r_ts_us, b.value AS r_value
+        |FROM a JOIN b
+        |  ON a.user_id = b.user_id AND b.tsu <= a.tsu AND b.tsu >= a.tsu - 3600000000
+        |ORDER BY 1, 4""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, COUNT(*) AS n,

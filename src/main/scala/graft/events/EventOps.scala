@@ -98,6 +98,36 @@ object EventOps {
         col("b")(valueCol).as("b_value"))
   }
 
+  /** INTERVAL JOIN (batch form): every `leftType` event paired with
+    * ALL the same user's `rightType` events in the trailing `window`
+    * ticks — the attribution-window join ("purchases with the clicks
+    * of the preceding hour"), where [[asofLatest]] keeps only the
+    * newest one. The user equi-key bounds the match set per user;
+    * Spark plans the range condition as a post-join filter on the
+    * user-partitioned join, so cost is per-user pair counts, never
+    * corpus x corpus. The streaming twin is
+    * [[graft.streaming.StreamOps.streamingIntervalJoin]], whose
+    * watermark + time-bound state eviction runs the same semantics
+    * unbounded; StreamSpec pins batch == stream row for row.
+    */
+  def intervalJoin(
+      events: DataFrame, leftType: String, rightType: String, window: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val l = events.filter(col(typeCol) === leftType)
+      .select(col(idCol).as("l_event_id"), col(userCol),
+        col(tsCol).as("l_ts"), col(valueCol).as("l_value"))
+    val r = events.filter(col(typeCol) === rightType)
+      .select(col(idCol).as("r_event_id"), col(userCol).as("r_user"),
+        col(tsCol).as("r_ts"), col(valueCol).as("r_value"))
+    l.join(r,
+      col(userCol) === col("r_user") &&
+        col("r_ts") <= col("l_ts") && col("r_ts") >= col("l_ts") - window)
+      .select(col("l_event_id"), col(userCol), col("l_ts"),
+        col("r_event_id"), col("r_ts"), col("r_value"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` payload and aggregate — the "parse the logging sidecar"
     * pass. `get_json_object` is a codegen'd path expression; the whole

@@ -62,6 +62,42 @@ object StreamOps {
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
         col("sum_value"))
 
+  /** STREAM-STREAM interval join: events of `leftType` joined to the
+    * SAME user's `rightType` events from the trailing `window` —
+    * "purchases with the clicks of the preceding hour". This is the
+    * canonical two-stream shape Structured Streaming can run
+    * unbounded: the equi-key (user) routes both streams to the same
+    * state partition, and the event-time range condition PLUS both
+    * watermarks lets the state store evict rows older than
+    * `watermark + window` — without the time bound the join would
+    * have to buffer both streams forever. Batch semantics are the
+    * plain inequality join, which the parity spec mirrors.
+    *
+    * Timestamps arrive as int64 micros (the tick unit of the batch
+    * harness); emitted back as micros.
+    */
+  def streamingIntervalJoin(
+      events: DataFrame, leftType: String, rightType: String,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("ts2", timestamp_micros(col("ts")))
+    val l = base.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts2").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = base.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"),
+        col("ts2").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $window"))
+      .select(col("l_event_id"), col("user_id"),
+        unix_micros(col("l_ts")).as("l_ts_us"),
+        col("r_event_id"), unix_micros(col("r_ts")).as("r_ts_us"),
+        col("r_value"))
+  }
+
   /** Streaming EXACT dedup with custom state
     * (`flatMapGroupsWithState`): key on the content hash, keep one bit
     * of state per distinct text, emit only the FIRST document carrying

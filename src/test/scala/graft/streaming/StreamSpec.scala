@@ -130,6 +130,35 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch inequality join row for row") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-join-stream").toFile
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream
+      .schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+      .withColumn("ts", expr("ts div 1000"))
+    val q = StreamOps.streamingIntervalJoin(src, "purchase", "click", "1 hour")
+      .writeStream.format("memory").queryName("ij_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.table("ij_stream").collect().map(key).toSet
+    // batch mirror: plain inequality join on the same micros ticks
+    val ev = raw.withColumn("tsu", expr("ts div 1000"))
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_event_id"), col("user_id"), col("tsu").as("l_ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"), col("tsu").as("r_ts"))
+    val batch = l.join(r,
+        col("user_id") === col("r_user") && col("r_ts") <= col("l_ts") &&
+          col("r_ts") >= col("l_ts") - 3600L * 1000000L)
+      .select(col("l_event_id"), col("user_id"), col("l_ts"), col("r_event_id"), col("r_ts"))
+      .collect().map(key).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("text normalization is stream-transparent (codegen column op, no state)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-norm-stream").toFile
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
