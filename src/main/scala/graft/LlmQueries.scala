@@ -237,6 +237,15 @@ object LlmQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // same semantics as q_decontaminate via the bloom-prefilter route;
+    // the oracle is intentionally the identical SQL — exactness of the
+    // prefiltered plan IS the claim under test
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.decontaminateBloom(d, d.filter(col("doc_id") % 50 === 0))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     "q_corpus_select" -> ((s, dir) =>
       // the composed endpoint: en docs, repetition cut, exact-dedup
       // keepers, >= 20 tokens
@@ -1022,6 +1031,12 @@ object LlmQueries {
     },
 
     "q_decontaminate" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE md5(coalesce(text, '')) NOT IN
+        |  (SELECT md5(coalesce(text, '')) FROM documents WHERE doc_id % 50 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate_bloom" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE md5(coalesce(text, '')) NOT IN
         |  (SELECT md5(coalesce(text, '')) FROM documents WHERE doc_id % 50 = 0)

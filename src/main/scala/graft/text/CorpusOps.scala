@@ -186,6 +186,39 @@ object CorpusOps {
       md5(coalesce(col(textCol), lit(""))) === col("eval_hash"), "left_anti")
   }
 
+  /** BLOOM-PREFILTERED decontamination — the 100 TB route when the
+    * eval corpus is too large to broadcast as an exact hash set: a
+    * Bloom filter over the eval hashes (bits ~ 1.2 bytes/item at 1%
+    * fpp — an eval set of 10^8 items broadcasts as ~120 MB where the
+    * exact string set would be tens of GB) prefilters the train scan;
+    * only the ~fpp fraction of false-positive candidates plus the true
+    * hits reach the exact anti-join, which now SHUFFLES hash-to-hash
+    * instead of broadcasting. EXACTNESS IS PRESERVED: Bloom filters
+    * have no false negatives, so non-candidates are provably clean,
+    * and candidates are verified exactly — the output is bit-identical
+    * to [[decontaminate]] (same oracle), only the plan differs.
+    */
+  def decontaminateBloom(
+      train: DataFrame, eval: DataFrame, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = train.sparkSession
+    val evalHashes = eval.select(
+      md5(coalesce(col(textCol), lit(""))).as("eval_hash")).distinct()
+    val n = math.max(evalHashes.count(), 1L)
+    val bf = evalHashes.stat.bloomFilter("eval_hash", n, fpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val hashed = train.withColumn("train_hash", md5(coalesce(col(textCol), lit(""))))
+    val mightContain = udf((h: String) => bcBf.value.mightContainString(h))
+    // definite keeps: bloom miss = provably not in the eval set
+    val clean = hashed.filter(!mightContain(col("train_hash")))
+    // candidates: exact verification by anti-join (shuffle, not
+    // broadcast — the eval side is big by assumption here)
+    val verified = hashed.filter(mightContain(col("train_hash")))
+      .join(evalHashes.hint("shuffle_hash"),
+        col("train_hash") === col("eval_hash"), "left_anti")
+    clean.unionByName(verified).drop("train_hash")
+  }
+
   /** END-TO-END corpus selection — the composed endpoint a pretraining
     * run actually executes: language filter, quality cuts (stopword
     * floor and repetition ceiling are the published heuristic-filter

@@ -214,6 +214,20 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("decontaminateBloom is bit-identical to exact decontaminate, false positives included") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    val exact = CorpusOps.decontaminate(docs, eval_)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // fpp 0.5 makes Bloom false positives near-certain at this corpus
+    // size — the exact-verify stage must scrub every one of them
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = CorpusOps.decontaminateBloom(docs, eval_, fpp)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got == exact, s"fpp=$fpp: ${got.size} vs ${exact.size}")
+    }
+  }
+
   test("decontaminate drops exact content matches and keeps everything else") {
     val train = docsDf(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "alpha beta")
     val eval_ = docsDf(100L -> "alpha beta", 101L -> "unrelated")
