@@ -212,6 +212,11 @@ object LlmQueries {
 
     "q_token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
+    // exact heavy hitters via mergeable Misra-Gries + exact verify;
+    // the oracle is the plain HAVING form — exactness of the sketch
+    // route is the claim under test
+    "q_heavy_hitters" -> ((s, dir) => TextOps.heavyHitterTokens(docs(s, dir), minCount = 500)),
+
     "q_token_count_bpe" -> ((s, dir) => TextOps.tokenCountsBpe(docs(s, dir))),
 
     "q_lang_id" -> ((s, dir) => TextOps.languageId(docs(s, dir))),
@@ -1108,6 +1113,12 @@ object LlmQueries {
         |  ROUND(AVG(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 6) AS lm_score
         |FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |      FROM documents)
+        |GROUP BY 1 HAVING COUNT(*) >= 500 ORDER BY 1""".stripMargin,
 
     // held-out LM: counts from the even-id split only; LEFT joins +
     // COALESCE give unseen bigrams the smoothed (0+1)/(0+V) mass

@@ -531,6 +531,103 @@ object TextOps {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** EXACT heavy-hitter tokens via MERGEABLE Misra-Gries summaries —
+    * the one-pass bounded-memory route to "every token appearing >=
+    * minCount times" when the vocabulary is too large for a clean
+    * groupBy (URLs, n-grams, user ids at 100 TB). Two stages, exactness
+    * preserved end-to-end:
+    *
+    *  1. Each partition builds a `counters`-slot Misra-Gries summary;
+    *     summaries merge associatively (add counts, then subtract the
+    *     (counters+1)-th largest and drop non-positive — Agarwal et
+    *     al., "Mergeable Summaries", PODS 2012), so `treeReduce` gives
+    *     a corpus summary whose undercount is bounded by n/counters
+    *     (the insert path uses the subtract-min variant, whose k
+    *     decremented slots per round give the slightly weaker n/k
+    *     bound; merges stay within n/(k+1)). Every token with true
+    *     count >= minCount SURVIVES whenever n/counters < minCount
+    *     (checked; loud failure otherwise — silently missing heavy
+    *     hitters would corrupt the contract).
+    *  2. The surviving candidate set (<= counters tokens, broadcast)
+    *     is counted EXACTLY in a second narrow pass and filtered to
+    *     >= minCount — overcounts from stage 1 cannot leak through.
+    *
+    * Same exactness-restoring shape as [[graft.text.CorpusOps.decontaminateBloom]]:
+    * the sketch bounds memory, the verify pass keeps the answer exact
+    * (and the DuckDB oracle is the plain HAVING COUNT >= minCount).
+    *
+    * Returns (token, cnt) for the true heavy hitters.
+    */
+  def heavyHitterTokens(
+      docs: DataFrame, minCount: Long, counters: Int = 4096,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && counters >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col(textCol))).as("token")).as[String]
+    // stage 1: per-partition MG summaries + token totals, tree-merged
+    val (summary, nTotal) = toks.rdd
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]()
+        var n = 0L
+        it.foreach { t =>
+          n += 1
+          val c = m.get(t)
+          if (c != 0L || m.containsKey(t)) m.put(t, c + 1)
+          else if (m.size < counters) m.put(t, 1L)
+          else {
+            // decrement-all step, amortized via min subtraction
+            val minV = {
+              var mv = Long.MaxValue
+              val vs = m.values.iterator()
+              while (vs.hasNext) { val v = vs.next(); if (v < mv) mv = v }
+              mv
+            }
+            val es = m.entrySet().iterator()
+            while (es.hasNext) {
+              val e = es.next()
+              val nv = e.getValue - minV
+              if (nv <= 0) es.remove() else e.setValue(nv)
+            }
+          }
+        }
+        Iterator.single((m, n))
+      }
+      .treeReduce { case ((a, na), (b, nb)) =>
+        b.forEach((k, v) => a.merge(k, v, (x, y) => x + y))
+        if (a.size > counters) {
+          // subtract the (counters+1)-th largest, drop non-positive
+          val vals = new Array[Long](a.size)
+          var i = 0
+          a.values.forEach { v => vals(i) = v; i += 1 }
+          java.util.Arrays.sort(vals)
+          val cut = vals(a.size - counters - 1)
+          val es = a.entrySet().iterator()
+          while (es.hasNext) {
+            val e = es.next()
+            val nv = e.getValue - cut
+            if (nv <= 0) es.remove() else e.setValue(nv)
+          }
+        }
+        (a, na + nb)
+      }
+    require(nTotal / counters < minCount,
+      s"Misra-Gries undercount bound n/counters = ${nTotal / counters} " +
+        s">= minCount=$minCount: heavy hitters could be missed. " +
+        s"Raise counters above ${nTotal / minCount} (n=$nTotal tokens).")
+    val candidates = {
+      val arr = new Array[String](summary.size)
+      var i = 0
+      summary.keySet.forEach { k => arr(i) = k; i += 1 }
+      arr.toSeq
+    }
+    // stage 2: exact counts of the bounded candidate set only
+    toks.toDF("token")
+      .join(broadcast(candidates.toDF("token")), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** SPAN-level duplication stats — the chunk-granular approximation
     * of substring dedup (Lee et al. 2022, arXiv:2107.06499, which
     * dedups exact repeated spans; a true distributed suffix array is

@@ -209,6 +209,29 @@ class TextVectorSpec extends AnyFunSuite {
     assert(s.getLong(1) == 2L && s.getLong(2) == 0L)
   }
 
+  test("heavyHitterTokens: equals the exact HAVING under real counter eviction; invalid sizing fails loudly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    def exactAtLeast(t: Long) = exact.filter(col("cnt") >= t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.select(explode(TextOps.tokens(col("text")))).count()
+    // counters chosen so the MG maps EVICT (vocab 31 > 16 slots) but
+    // the n/counters bound still clears the threshold — the real
+    // sketch path, not a degenerate exact map
+    val minCount = n / 16 + 1
+    val got = TextOps.heavyHitterTokens(docs, minCount, counters = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exactAtLeast(minCount), s"got ${got.size} vs ${exactAtLeast(minCount).size}")
+    // a plainly-valid sizing agrees too, with exact counts
+    val got2 = TextOps.heavyHitterTokens(docs, 50, counters = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == exactAtLeast(50) && got2.nonEmpty)
+    // sizing that could miss heavy hitters is refused, never silent
+    intercept[IllegalArgumentException](
+      TextOps.heavyHitterTokens(docs, minCount = 2, counters = 4))
+  }
+
   test("semanticDedup drops juniors within cosine threshold inside a cluster, never across clusters") {
     // blob A along +x, blob B along +y (orthogonal -> different
     // clusters); A's three vectors are mutually near-identical, B's
