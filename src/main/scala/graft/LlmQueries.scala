@@ -352,6 +352,24 @@ object LlmQueries {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "q_multimodal_phash" -> ((s, dir) => {
+      // REAL decode -> integer box-average 9x8 luma grid -> 64-bit
+      // dHash; the oracle replays the synthetic PNG's closed pixel
+      // formula and the same integer arithmetic in SQL, so the hash is
+      // checked bit-exactly without an image codec in the oracle engine
+      import s.implicits._
+      Multimodal.imageHashes(stagedImages(s, dir).as[Multimodal.MediaRow])
+    }),
+
+    "q_multimodal_phash_pairs" -> ((s, dir) => {
+      // perceptual near-dup pairs via the banded Hamming join (radius 6
+      // -> 7 pigeonhole bands over the 64-bit signatures)
+      import s.implicits._
+      val sigs = Multimodal.imageHashes(stagedImages(s, dir).as[Multimodal.MediaRow])
+      TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
+        .toDF("id_a", "id_b", "hamming")
+    }),
+
     "q_multimodal_resize" -> ((s, dir) => {
       // pre-staged PNG -> decode -> bilinear resize -> re-encode ->
       // decode again; the oracle predicts source dims analytically and
@@ -1216,6 +1234,78 @@ object LlmQueries {
       """SELECT doc_id, 16 + doc_id % 32 AS width, 16 + doc_id % 17 AS height,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    // dHash replayed analytically: the synthetic PNG pixel at (x, y) is
+    // (x*31 + y*7 + id) mod 2^24 packed RGB; the oracle reproduces the
+    // decode-side integer box-average and comparison bit for bit,
+    // including the signed wrap of bit 63
+    "q_multimodal_phash" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 17 AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), cell AS (
+        |  SELECT i.doc_id, i.w, i.h, rr.r, cc.c,
+        |    (cc.c * i.w) // 9 AS x0,
+        |    GREATEST((cc.c * i.w) // 9 + 1, ((cc.c + 1) * i.w) // 9) AS x1,
+        |    (rr.r * i.h) // 8 AS y0,
+        |    GREATEST((rr.r * i.h) // 8 + 1, ((rr.r + 1) * i.h) // 8) AS y1
+        |  FROM img i, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
+        |), g AS (
+        |  SELECT doc_id, r, c,
+        |    SUM(299 * (((x * 31 + y * 7 + doc_id) % 16777216) // 65536)
+        |      + 587 * ((((x * 31 + y * 7 + doc_id) % 16777216) // 256) % 256)
+        |      + 114 * (((x * 31 + y * 7 + doc_id) % 16777216) % 256)) // COUNT(*) AS gval
+        |  FROM cell, unnest(generate_series(y0, y1 - 1)) yy(y),
+        |    unnest(generate_series(x0, x1 - 1)) xx(x)
+        |  GROUP BY 1, 2, 3
+        |), s AS (
+        |  SELECT a.doc_id,
+        |    SUM(CASE WHEN a.gval > b.gval
+        |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+        |  THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_phash_pairs" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 17 AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), cell AS (
+        |  SELECT i.doc_id, i.w, i.h, rr.r, cc.c,
+        |    (cc.c * i.w) // 9 AS x0,
+        |    GREATEST((cc.c * i.w) // 9 + 1, ((cc.c + 1) * i.w) // 9) AS x1,
+        |    (rr.r * i.h) // 8 AS y0,
+        |    GREATEST((rr.r * i.h) // 8 + 1, ((rr.r + 1) * i.h) // 8) AS y1
+        |  FROM img i, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
+        |), g AS (
+        |  SELECT doc_id, r, c,
+        |    SUM(299 * (((x * 31 + y * 7 + doc_id) % 16777216) // 65536)
+        |      + 587 * ((((x * 31 + y * 7 + doc_id) % 16777216) // 256) % 256)
+        |      + 114 * (((x * 31 + y * 7 + doc_id) % 16777216) % 256)) // COUNT(*) AS gval
+        |  FROM cell, unnest(generate_series(y0, y1 - 1)) yy(y),
+        |    unnest(generate_series(x0, x1 - 1)) xx(x)
+        |  GROUP BY 1, 2, 3
+        |), s AS (
+        |  SELECT a.doc_id,
+        |    SUM(CASE WHEN a.gval > b.gval
+        |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+        |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
+        |  FROM s
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_multimodal_resize" ->
       s"""SELECT doc_id, 16 + doc_id % 32 AS src_w, 16 + doc_id % 17 AS src_h,

@@ -133,6 +133,80 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** PERCEPTUAL difference hash (dHash, 64-bit) over a REAL decode:
+    * ImageIO decode, integer box-average downsample to a 9x8 grayscale
+    * grid (our own pixel loop over `getRGB` — not Graphics2D scaling,
+    * whose rendering pipeline may vary; integer arithmetic makes the
+    * bits identical on every JVM), then bit `r*8+c` set when the cell
+    * is brighter than its right neighbor. Near-duplicate images —
+    * re-encodes, resizes, small edits — land within a few bits;
+    * pair them with [[graft.text.TextOps.hammingPairs]] (the banded
+    * join is signature-agnostic). Returns None for undecodable
+    * payloads.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val gw = 9; val gh = 8
+        val w = img.getWidth; val h = img.getHeight
+        val gray = Array.ofDim[Long](gh, gw)
+        var r = 0
+        while (r < gh) {
+          val y0 = r * h / gh
+          val y1 = math.max(y0 + 1, (r + 1) * h / gh)
+          var c = 0
+          while (c < gw) {
+            val x0 = c * w / gw
+            val x1 = math.max(x0 + 1, (c + 1) * w / gw)
+            var sum = 0L
+            var n = 0L
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val rgb = img.getRGB(x, y)
+                // integer luma (ITU-R 601 weights scaled by 1000)
+                sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+                  114L * (rgb & 0xFF)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            gray(r)(c) = if (n == 0) 0L else sum / n
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (gray(r)(c) > gray(r)(c + 1)) bits |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** (id, dhash) signature table over a media table's decodable image
+    * payloads — row-local mapPartitions, shuffle-free; feed to
+    * [[graft.text.TextOps.hammingPairs]] for banded near-dup pairs.
+    */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => dHash(m.payload).map(h => (m.doc_id, h)))
+    }.toDF("doc_id", "dhash")
+  }
+
   /** STUB decoder for the formats with no pure-JVM codec in this
     * container (audio/video): deterministic fake dimensions from a byte
     * checksum, byte_len/1024 frames for video. Real image payloads

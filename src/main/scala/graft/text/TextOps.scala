@@ -172,20 +172,37 @@ object TextOps {
     */
   def simhashPairs(
       docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming in [0, 60), got $maxHamming")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol).toDF("id", "sig"),
+      sigBits = 60, maxHamming = maxHamming)
+
+  /** Pigeonhole-banded Hamming-radius pair join over ANY (id, sig)
+    * signature table — the generic core of [[simhashPairs]], shared by
+    * perceptual image-hash dedup
+    * ([[graft.multimodal.Multimodal.dHash]] signatures are 64-bit).
+    * `maxHamming + 1` disjoint bit-bands: two signatures within radius
+    * r must agree EXACTLY on at least one band (pigeonhole), so an
+    * equi-join per band finds every pair — candidates scale with
+    * band-bucket occupancy, never corpus². The trailing band absorbs
+    * the `sigBits mod bands` remainder bits. `shiftrightunsigned`
+    * keeps banding correct for full-width 64-bit signatures whose sign
+    * bit is set (signed shift would smear the sign across high bands).
+    */
+  def hammingPairs(sigs: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64, s"sigBits in [1, 64], got $sigBits")
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming in [0, $sigBits), got $maxHamming")
     val bands = maxHamming + 1
-    val width = 60 / bands // trailing band absorbs the remainder bits
-    val sigs = simhash(docs, idCol, textCol)
-    val banded = sigs.select(col("doc_id").as("id"), col("simhash"),
+    val width = sigBits / bands // trailing band absorbs the remainder bits
+    val banded = sigs.select(col("id"), col("sig"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
            |  'band', b,
            |  'bits', CASE WHEN b = ${bands - 1}
-           |    THEN shiftright(simhash, b * $width)
-           |    ELSE shiftright(simhash, b * $width) & ${(1L << width) - 1} END))""".stripMargin))
+           |    THEN shiftrightunsigned(sig, b * $width)
+           |    ELSE shiftrightunsigned(sig, b * $width) & ${(1L << width) - 1} END))""".stripMargin))
         .as("bb"))
-      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
     banded.toDF("id_a", "sig_a", "band", "bits")
       .join(banded.toDF("id_b", "sig_b", "band", "bits"), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))

@@ -367,6 +367,46 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: deterministic, re-encode-invariant, edit-local; banded pairs exact for 64-bit sigs") {
+    import javax.imageio.ImageIO
+    val png = Multimodal.syntheticPng(42L)
+    val h1 = Multimodal.dHash(png).get
+    assert(Multimodal.dHash(png).get == h1) // deterministic
+    // lossless re-encode (decode -> write PNG again): IDENTICAL hash
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash(bos.toByteArray).get == h1)
+    // a small local edit moves few bits; a different image moves many
+    val edited = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    edited.setRGB(0, 0, 0xFFFFFF)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    ImageIO.write(edited, "png", bos2)
+    val hEdit = Multimodal.dHash(bos2.toByteArray).get
+    assert(java.lang.Long.bitCount(h1 ^ hEdit) <= 4,
+      s"local edit moved ${java.lang.Long.bitCount(h1 ^ hEdit)} bits")
+    val hOther = Multimodal.dHash(Multimodal.syntheticPng(911L)).get
+    assert(java.lang.Long.bitCount(h1 ^ hOther) > 8)
+    assert(Multimodal.dHash("not an image".getBytes).isEmpty)
+    // banded Hamming join on FULL 64-bit signatures (sign bit set)
+    // equals the brute-force join — the shiftrightunsigned contract
+    import spark.implicits._
+    val sigs = Seq(
+      (0L, 0x8000000000000001L), (1L, 0x8000000000000003L), // d=1, sign bit set
+      (2L, 0x7FFFFFFFFFFFFFFFL), (3L, 0x7FFFFFFFFFFFFF0FL), // d=4
+      (4L, 0x0123456789ABCDEFL)).toDF("id", "sig")
+    for (r <- Seq(1, 4, 6)) {
+      val want = (for {
+        a <- sigs.collect(); b <- sigs.collect()
+        if a.getLong(0) < b.getLong(0) &&
+          java.lang.Long.bitCount(a.getLong(1) ^ b.getLong(1)) <= r
+      } yield (a.getLong(0), b.getLong(0))).toSet
+      val got = TextOps.hammingPairs(sigs, 64, r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"radius $r: $got vs $want")
+    }
+  }
+
   test("multimodal feature extraction is deterministic over binary payloads") {
     val media = Multimodal.mediaFromDocuments(docsDf)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
