@@ -229,6 +229,12 @@ object LlmQueries {
     // in CorpusOrderSpec
     "q_text_compress" -> ((s, dir) => TextOps.compressionRatio(docs(s, dir))),
 
+    // quota capping: at most 15 docs per source (sources hold 25+ at
+    // every SF, so the cap BINDS), salted-hash order; heap-aggregated
+    // (no window sort — PlanSpec-asserted shape)
+    "q_source_cap" -> ((s, dir) =>
+      TextOps.capPerStratum(docs(s, dir), cap = 15, salt = "cap1")),
+
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
         .select(col("doc_id"), col("lang"))),
@@ -1131,6 +1137,18 @@ object LlmQueries {
         |  ROUND(AVG(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 6) AS lm_score
         |FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quota cap: identical salted 52-bit-hash order, window form (the
+    // oracle engine's corpus fits one task; the ENGINE plan is the
+    // heap-aggregated one)
+    "q_source_cap" ->
+      """SELECT source, doc_id, rank_in_stratum FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      CAST(concat('0x', substr(md5('cap1:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT),
+        |      doc_id) AS rank_in_stratum
+        |  FROM documents)
+        |WHERE rank_in_stratum <= 15 ORDER BY source, rank_in_stratum""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT token, COUNT(*) AS cnt

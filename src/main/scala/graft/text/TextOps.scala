@@ -761,6 +761,40 @@ object TextOps {
       .filter(u < coalesce(col("rate"), lit(defaultRate)))
   }
 
+  /** PER-STRATUM QUOTA capping — the other data-mixing primitive
+    * ([[stratifiedSample]] keeps a RATE; this keeps a fixed COUNT per
+    * source/language/domain, the "at most N documents from each
+    * domain" policy). Deterministic: documents rank within their
+    * stratum by the salted 52-bit md5 prefix of their id (52 bits so
+    * the value is EXACT as a double; ties, ~2^-52, break by id), and
+    * the first `cap` survive — reproducible across runs, engines, and
+    * cluster sizes, and changing the salt redraws the quota sample.
+    *
+    * Ranking goes through the bounded-heap [[graft.functions.TopK]]
+    * aggregator, NOT a `row_number` window: the window form shuffles a
+    * stratum's EVERY row into one task and sorts it there — with few
+    * large sources that is a single-task corpus sort. The aggregator
+    * partial-aggregates map-side, so the shuffle carries at most `cap`
+    * rows per (partition, stratum) — the 100 TB shape.
+    *
+    * Returns (stratum, id, rank_in_stratum), rank 1-based.
+    */
+  def capPerStratum(
+      docs: DataFrame, cap: Int, salt: String = "graft",
+      keyCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    // 52-bit hash as a NEGATED double (TopK ranks sim DESC; negation
+    // is exact for |v| < 2^53)
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    docs.select(col(keyCol), col(idCol).cast("long").as("id"),
+        negate(h.cast("double")).as("nh"))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.TopK.topK(cap)(col("id"), col("nh")).as("top"))
+      .select(col(keyCol), explode(col("top.entries")).as("e"))
+      .select(col(keyCol), col("e.id").as(idCol), col("e.rank").as("rank_in_stratum"))
+  }
+
   /** Repetition features — the boilerplate/degenerate-text signal a
     * pretraining quality filter cuts on: `rep_ratio` = 1 - distinct
     * word-3-grams / total word-3-grams (near 1 for looping text, near

@@ -182,6 +182,16 @@ class PlanSpec extends AnyFunSuite {
       s"vocab scalar not broadcast in:\n${pl.take(3000)}")
   }
 
+  test("capPerStratum aggregates with the bounded heap — no per-stratum window sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.capPerStratum(docs, cap = 10)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), s"window sort in the cap plan:\n${p.take(3000)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial heap aggregation in:\n${p.take(3000)}")
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)

@@ -209,6 +209,37 @@ class TextVectorSpec extends AnyFunSuite {
     assert(s.getLong(1) == 2L && s.getLong(2) == 0L)
   }
 
+  test("capPerStratum: exact quota, window-form parity, salt redraws, monotone in cap") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cap = 7
+    val got = TextOps.capPerStratum(docs, cap, salt = "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // quota respected, ranks 1..n contiguous per stratum
+    val bySrc = got.groupBy(_._1)
+    for ((_, rows) <- bySrc) {
+      assert(rows.length <= cap)
+      assert(rows.map(_._3).sorted.toList == (1L to rows.length).toList)
+    }
+    // parity with the row_number window over the same (hash52, id) order
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat_ws(":", lit("s1"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val want = docs.select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assert(got.toSet == want)
+    // a different salt picks a different quota sample
+    val other = TextOps.capPerStratum(docs, cap, salt = "s2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(other != got.map(t => (t._1, t._2)).toSet)
+    // raising the cap only ADDS documents
+    val more = TextOps.capPerStratum(docs, cap + 5, salt = "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(more))
+  }
+
   test("heavyHitterTokens: equals the exact HAVING under real counter eviction; invalid sizing fails loudly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
