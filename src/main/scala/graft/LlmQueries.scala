@@ -457,6 +457,15 @@ object LlmQueries {
     "q_events_json" -> ((s, dir) =>
       graft.events.EventOps.jsonFieldStats(s.read.parquet(s"$dir/events.parquet"))),
 
+    // time-series regularization: 6h tick grid per user, forward fill
+    // (6h = 21.6e9 micro ticks)
+    "q_events_resample" -> ((s, dir) =>
+      graft.events.EventOps.resampleEvents(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("ts div 1000")), step = 21600L * 1000000L)
+        .withColumnRenamed("tick_ts", "tick_us")
+        .withColumn("value", round(col("value"), 6))),
+
     "q_len_quantiles" -> ((s, dir) =>
       CorpusOps.lengthQuantiles(docs(s, dir), Seq(0.25, 0.5, 0.75, 0.9))),
 
@@ -1405,6 +1414,36 @@ object LlmQueries {
         |FROM a JOIN b
         |  ON a.user_id = b.user_id AND b.tsu <= a.tsu AND b.tsu >= a.tsu - 3600000000
         |ORDER BY 1, 4""".stripMargin,
+
+    // same union-tag + carry-window plan in SQL: last_value IGNORE
+    // NULLS over (ts, is_tick, event_id); the RANGE lookback counts
+    // observations in (tick - step, tick]
+    "q_events_resample" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+        |), b AS (
+        |  SELECT user_id, ((MIN(tsu) + 21599999999) // 21600000000) * 21600000000 AS ft,
+        |         MAX(tsu) AS t1
+        |  FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT user_id, unnest(generate_series(ft, t1, 21600000000)) AS tsu
+        |  FROM b WHERE ft <= t1
+        |), u AS (
+        |  SELECT user_id, tsu, 0 AS is_tick, event_id, value FROM e
+        |  UNION ALL
+        |  SELECT user_id, tsu, 1, NULL, NULL FROM g
+        |), c AS (
+        |  SELECT user_id, tsu, is_tick,
+        |    last_value(CASE WHEN is_tick = 0 THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsu, is_tick, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+        |    COUNT(CASE WHEN is_tick = 0 THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY tsu
+        |        RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW) AS n_obs
+        |  FROM u
+        |)
+        |SELECT user_id, tsu AS tick_us, ROUND(carried, 6) AS value, n_obs
+        |FROM c WHERE is_tick = 1 ORDER BY user_id, tick_us""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -128,6 +128,65 @@ object EventOps {
         col("r_event_id"), col("r_ts"), col("r_value"))
   }
 
+  /** TIME-SERIES REGULARIZATION — the temporal analog of raster
+    * resampling: each user's irregular event stream becomes a regular
+    * grid of `step`-tick samples carrying the LAST observed value at
+    * or before each tick (forward fill), from the first tick >= the
+    * user's first event through the user's last event. The plan is
+    * the as-of union-tag shape again: per-user tick rows are GENERATED
+    * distributedly (`sequence` + explode from each user's min/max —
+    * never a driver loop), unioned with the real events, and ONE
+    * per-user window carries the latest value forward onto the ticks —
+    * one shuffle on the user key, cost linear in events + ticks, no
+    * per-tick point lookups.
+    *
+    * Returns (user, tick_ts, value, n_obs) where n_obs counts the real
+    * events in the tick's lookback window (tick - step, tick] — 0 for
+    * pure carry-forward ticks.
+    */
+  def resampleEvents(
+      events: DataFrame, step: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    require(step >= 1, s"step must be >= 1 tick, got $step")
+    // per-user tick grid: first multiple of step >= min(ts), through
+    // max(ts) — integer arithmetic (a double ceil would wobble at
+    // 2^53-scale tick values); users whose single event misses the
+    // grid entirely produce no ticks (filter, not an empty-sequence
+    // error)
+    val firstTick = expr(s"((t0 + $step - 1) div $step) * $step")
+    val bounds = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t0"), max(col(tsCol)).as("t1"))
+      .withColumn("ft", firstTick)
+      .filter(col("ft") <= col("t1"))
+    val ticks = bounds.select(col(userCol),
+        explode(sequence(col("ft"), col("t1"), lit(step))).as(tsCol))
+      .withColumn("is_tick", lit(1))
+      .withColumn("eid", lit(null).cast("long"))
+      .withColumn("v", lit(null).cast("double"))
+    val obs = events.select(col(userCol), col(tsCol),
+        col(idCol).cast("long").as("eid"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("is_tick", lit(0))
+    // ticks sort AFTER same-instant events (tick 1 > event 0), so a
+    // tick at an event's exact timestamp sees that event's value;
+    // event_id makes the carry deterministic under equal timestamps
+    val carryOrder = W.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("is_tick"), col("eid"))
+    val carryFrame = carryOrder.rowsBetween(W.unboundedPreceding, W.currentRow)
+    // RANGE frames take ONE numeric sort key; peers at the same ts all
+    // enter the frame, so the tick/event tie needs no second key here
+    val lookback = W.partitionBy(col(userCol)).orderBy(col(tsCol))
+      .rangeBetween(-(step - 1), 0)
+    obs.unionByName(ticks)
+      .withColumn("carried", last(when(col("is_tick") === 0, col("v")),
+        ignoreNulls = true).over(carryFrame))
+      .withColumn("n_obs", count(when(col("is_tick") === 0, lit(1))).over(lookback))
+      .filter(col("is_tick") === 1)
+      .select(col(userCol), col(tsCol).as("tick_ts"),
+        col("carried").as("value"), col("n_obs"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` payload and aggregate — the "parse the logging sidecar"
     * pass. `get_json_object` is a codegen'd path expression; the whole

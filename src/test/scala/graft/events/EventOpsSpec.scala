@@ -72,6 +72,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(5), s"b_value must be NULL (same event), got ${r.get(5)}")
   }
 
+  test("resampleEvents: grid placement, forward fill, lookback counts, tie determinism, off-grid user") {
+    val e = ev(
+      (0L, 1L, 5L, "x", 1.0),
+      (1L, 1L, 10L, "x", 2.0),   // exactly on a tick
+      (2L, 1L, 25L, "x", 3.0),
+      (3L, 2L, 5L, "x", 9.0))    // single event, first tick 10 > 5: no grid
+    val out = EventOps.resampleEvents(e, step = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // user 1 ticks: 10 (ceil(5/10)*10) and 20; 25 is past the last tick
+    assert(out.keySet == Set((1L, 10L), (1L, 20L)))
+    assert(out((1L, 10L)) == ((2.0, 2L))) // same-instant event visible; 2 obs in (0, 10]
+    assert(out((1L, 20L)) == ((2.0, 0L))) // pure carry-forward, no obs in (10, 20]
+    // equal timestamps: the HIGHEST event id's value wins, deterministically
+    val tie = ev((1L, 1L, 10L, "x", 7.0), (2L, 1L, 10L, "x", 9.0))
+    val t = EventOps.resampleEvents(tie, step = 10L).collect()
+    assert(t.length == 1 && t.head.getDouble(2) == 9.0)
+  }
+
   test("jsonFieldStats extracts and aggregates a typed JSON field") {
     val e = Seq(
       (0L, "a", """{"k": 5}"""),
