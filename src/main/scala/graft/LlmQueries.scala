@@ -235,6 +235,11 @@ object LlmQueries {
     "q_source_cap" -> ((s, dir) =>
       TextOps.capPerStratum(docs(s, dir), cap = 15, salt = "cap1")),
 
+    // token-budget mixing: ~800 tokens per source (sources carry ~1350+
+    // tokens at every SF, so the budget BINDS)
+    "q_token_budget" -> ((s, dir) =>
+      CorpusOps.tokenBudgetPerStratum(docs(s, dir), budget = 800, salt = "tb1")),
+
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
         .select(col("doc_id"), col("lang"))),
@@ -1146,6 +1151,25 @@ object LlmQueries {
         |  ROUND(AVG(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 6) AS lm_score
         |FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // token budget: same salted order, running-sum window, boundary
+    // doc included (prior total < budget)
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    CAST(concat('0x', substr(md5('tb1:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 800
+        |ORDER BY source, doc_id""".stripMargin,
 
     // quota cap: identical salted 52-bit-hash order, window form (the
     // oracle engine's corpus fits one task; the ENGINE plan is the

@@ -219,6 +219,41 @@ object CorpusOps {
     clean.unionByName(verified).drop("train_hash")
   }
 
+  /** PER-STRATUM TOKEN-BUDGET selection — data mixing by token mass
+    * rather than document count ([[graft.text.TextOps.capPerStratum]]
+    * caps documents; training mixes are specified in TOKENS): within
+    * each source, documents are taken in salted-hash order while the
+    * stratum's running token total stays within `budget`. The running
+    * sum is a per-stratum window — partitioned by source, so a stratum
+    * is one task's sort (fine when strata are balanced; for one giant
+    * stratum, pre-cap with [[graft.text.TextOps.capPerStratum]] at
+    * budget/min-doc-tokens first, which bounds the window's input).
+    *
+    * A document enters while the PRIOR total is < budget (so the
+    * budget boundary document is included — budgets fill, never stall
+    * at an over-sized head doc).
+    *
+    * Returns (stratum, id, n_tokens, cum_tokens).
+    */
+  def tokenBudgetPerStratum(
+      docs: DataFrame, budget: Long, salt: String = "graft",
+      keyCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("h"), col(idCol))
+    val running = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(keyCol), col(idCol).cast("long").as(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(running))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col(keyCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** END-TO-END corpus selection — the composed endpoint a pretraining
     * run actually executes: language filter, quality cuts (stopword
     * floor and repetition ceiling are the published heuristic-filter

@@ -134,10 +134,13 @@ class PlanSpec extends AnyFunSuite {
     // sessionize: the window exchange on user_id is the only shuffle —
     // the session aggregate's (user, session) grouping is satisfied by
     // the existing user partitioning (subset clustering), and the asof
-    // union-tag plan needs only its per-user window sort
+    // union-tag plan needs only its per-user window sort; resample
+    // adds the bounds aggregate's exchange (same key) and its tick
+    // union re-shuffles into the carry window — still user-keyed only
     for ((df, wantMaxExchanges) <- Seq(
         (graft.events.EventOps.sessionize(ev, 4L * 3600 * 1000000L), 1),
-        (graft.events.EventOps.asofLatest(ev, "purchase", "click"), 1))) {
+        (graft.events.EventOps.asofLatest(ev, "purchase", "click"), 1),
+        (graft.events.EventOps.resampleEvents(ev, 21600L * 1000000L), 3))) {
       df.collect()
       // AQE's toString repeats the pre-adaptive plan under
       // "== Initial Plan ==" — count exchanges in the final plan only

@@ -214,6 +214,29 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("tokenBudgetPerStratum: budget fills in hash order, boundary doc included, strata independent") {
+    val d = Seq(
+      (0L, "sA", "a b c d"),        // 4 tokens each
+      (1L, "sA", "a b c d"),
+      (2L, "sA", "a b c d"),
+      (3L, "sB", "x y"))            // other stratum: own budget
+      .toDF("doc_id", "source", "text")
+    // budget 6: first doc (4 tokens) enters with prior 0 < 6; second
+    // enters with prior 4 < 6 (BOUNDARY doc -> cum 8 > budget); third
+    // is cut (prior 8 >= 6)
+    val out = CorpusOps.tokenBudgetPerStratum(d, budget = 6, salt = "s1")
+      .collect().map(r => r.getLong(1) -> ((r.getString(0), r.getLong(2), r.getLong(3)))).toMap
+    val aRows = out.filter(_._2._1 == "sA")
+    assert(aRows.size == 2, s"budget kept ${aRows.size} of sA")
+    assert(aRows.values.map(_._3).toSet == Set(4L, 8L)) // running sums
+    assert(out.contains(3L) && out(3L) == (("sB", 2L, 2L)))
+    // order is the salted hash, not doc_id: a different salt can pick
+    // a different boundary pair (deterministic per salt either way)
+    val again = CorpusOps.tokenBudgetPerStratum(d, budget = 6, salt = "s1")
+      .collect().map(_.getLong(1)).toSet
+    assert(again == out.keySet)
+  }
+
   test("decontaminateBloom is bit-identical to exact decontaminate, false positives included") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val eval_ = docs.filter(col("doc_id") % 10 === 0)
