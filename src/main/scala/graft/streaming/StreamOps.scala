@@ -98,6 +98,21 @@ object StreamOps {
         col("r_value"))
   }
 
+  /** STREAMING EVENT DEDUP with BOUNDED state: at-least-once delivery
+    * (replayed Kafka offsets, retried batches) dedups by event id via
+    * `dropDuplicatesWithinWatermark` — unlike plain `dropDuplicates`,
+    * whose state grows with every id ever seen, the watermark lets the
+    * state store EVICT ids older than the lateness bound, so state is
+    * O(events per watermark window): the only exact-dedup shape that
+    * survives an unbounded stream when ids don't repeat outside the
+    * redelivery horizon. Timestamps arrive as int64 micros.
+    */
+  def streamingEventDedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("ts2")
+
   /** Streaming EXACT dedup with custom state
     * (`flatMapGroupsWithState`): key on the content hash, keep one bit
     * of state per distinct text, emit only the FIRST document carrying

@@ -159,6 +159,26 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming event dedup drops redelivered ids, keeps exactly the distinct set") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-evdedup-stream").toFile
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+      .limit(500)
+    // simulate at-least-once delivery: every event shipped twice
+    raw.unionByName(raw).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream
+      .schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingEventDedup(src)
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("evdedup_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("evdedup_stream").collect().map(_.getLong(0))
+    val want = raw.select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed.length == want.size, s"${streamed.length} rows vs ${want.size} distinct ids")
+    assert(streamed.toSet == want)
+  }
+
   test("text normalization is stream-transparent (codegen column op, no state)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-norm-stream").toFile
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
