@@ -127,6 +127,17 @@ object CfConv {
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
               ell = Crs.WGS84, name = "CF:oblique_mercator")
+          case "krovak" =>
+            Crs.Krovak(
+              lonCDeg = num("longitude_of_center").getOrElse(24.0 + 50.0 / 60),
+              latCDeg = num("latitude_of_center").getOrElse(49.5),
+              azimuthDeg = num("azimuth_of_central_line")
+                .getOrElse(30.0 + 17.0 / 60 + 17.3031 / 3600),
+              latPseudoDeg = num("pseudo_standard_parallel").getOrElse(78.5),
+              kP = num("scale_factor_on_pseudo_standard_parallel").getOrElse(0.9999),
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              ell = Crs.Bessel1841, name = "CF:krovak")
           case "mercator" => Crs.WebMercator
           case other =>
             throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
@@ -314,6 +325,18 @@ object CfConv {
       "false_easting" -> s.falseEasting.toString,
       "false_northing" -> s.falseNorthing.toString,
       "crs_name" -> s.name)
+    // CF has no Krovak entry; "krovak" mirrors PROJ's method name and
+    // round-trips through crsFromAttrs (pyproj falls back to crs_wkt)
+    case k: Crs.Krovak => Map(
+      "grid_mapping_name" -> "krovak",
+      "longitude_of_center" -> k.lonCDeg.toString,
+      "latitude_of_center" -> k.latCDeg.toString,
+      "azimuth_of_central_line" -> k.azimuthDeg.toString,
+      "pseudo_standard_parallel" -> k.latPseudoDeg.toString,
+      "scale_factor_on_pseudo_standard_parallel" -> k.kP.toString,
+      "false_easting" -> k.falseEasting.toString,
+      "false_northing" -> k.falseNorthing.toString,
+      "crs_name" -> k.name)
     case Crs.WebMercator => Map(
       "grid_mapping_name" -> "mercator",
       "crs_name" -> Crs.WebMercator.name)

@@ -674,8 +674,100 @@ object Crs {
     }
   }
 
-  /** Bessel 1841 (the Swiss national grids). */
+  /** KROVAK oblique conformal conic (EPSG method 9819) — the Czech /
+    * Slovak S-JTSK national grid: Bessel 1841 to a conformal sphere,
+    * rotation to the oblique pole (azimuth ~30.29 deg), then a conic
+    * at the pseudo-standard parallel. Formulas from the public EPSG
+    * Guidance Note 7-2. The NATIVE axes are southing (X) / westing
+    * (Y); this class exposes the GIS "East North" form (EPSG:5514) —
+    * easting = -westing, northing = -southing — so coordinates are
+    * negative over the whole country by construction.
+    */
+  final case class Krovak(
+      lonCDeg: Double, latCDeg: Double, azimuthDeg: Double,
+      latPseudoDeg: Double, kP: Double,
+      falseEasting: Double, falseNorthing: Double,
+      ell: Ellipsoid, override val name: String) extends Crs {
+    val isGeographic = false
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val phiC = math.toRadians(latCDeg)
+    private val lam0 = math.toRadians(lonCDeg)
+    private val alphaC = math.toRadians(azimuthDeg)
+    private val phiP = math.toRadians(latPseudoDeg)
+    private val bigA =
+      ell.a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phiC) * math.sin(phiC))
+    private val bigB = {
+      val c = math.cos(phiC)
+      math.sqrt(1 + e2 * c * c * c * c / (1 - e2))
+    }
+    private val gamma0 = math.asin(math.sin(phiC) / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * math.sin(phiC)) / (1 - e * math.sin(phiC)), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = kP * bigA / math.tan(phiP)
+    private val tanP = math.pow(math.tan(phiP / 2 + math.Pi / 4), n)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val u = 2 * (math.atan(
+        t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bigB) /
+          math.pow((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)), e * bigB / 2))
+        - math.Pi / 4)
+      val v = bigB * (lam0 - math.toRadians(lonDeg))
+      val t = math.asin(math.cos(alphaC) * math.sin(u) +
+        math.sin(alphaC) * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val theta = n * d
+      val r = r0 * tanP / math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      val southing = r * math.cos(theta)
+      val westing = r * math.sin(theta)
+      (falseEasting - westing, falseNorthing - southing)
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val westing = falseEasting - x
+      val southing = falseNorthing - y
+      val r = math.hypot(southing, westing)
+      val theta = math.atan2(westing, southing)
+      val d = theta / n
+      val t = 2 * (math.atan(
+        math.pow(r0 / r, 1.0 / n) * math.tan(phiP / 2 + math.Pi / 4)) - math.Pi / 4)
+      val u = math.asin(math.cos(alphaC) * math.sin(t) -
+        math.sin(alphaC) * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      val lam = lam0 - v / bigB
+      // invert the conformal-latitude relation for phi (fixed point on
+      // the ellipsoidal term, same shape as the Swiss inverse)
+      var phi = u
+      var i = 0
+      while (i < 30) {
+        val s = math.sin(phi)
+        val next = 2 * (math.atan(
+          math.pow(1.0 / t0, 1.0 / bigB) *
+            math.pow(math.tan(u / 2 + math.Pi / 4), 1.0 / bigB) *
+            math.pow((1 + e * s) / (1 - e * s), e / 2)) - math.Pi / 4)
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 30 }
+        else { phi = next; i += 1 }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Bessel 1841 (the Swiss and Czech/Slovak national grids). */
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
+
+  /** S-JTSK / Krovak East North (EPSG:5514): lonC 24°50' E Greenwich
+    * (42°30' E Ferro), latC 49°30', azimuth 30°17'17.3031",
+    * pseudo-standard parallel 78°30', kP 0.9999, Bessel 1841.
+    */
+  val krovakEastNorth: Crs = Krovak(
+    lonCDeg = 24.0 + 50.0 / 60, latCDeg = 49.5,
+    azimuthDeg = 30.0 + 17.0 / 60 + 17.3031 / 3600,
+    latPseudoDeg = 78.5, kP = 0.9999,
+    falseEasting = 0.0, falseNorthing = 0.0,
+    ell = Bessel1841, name = "EPSG:5514")
 
   // Bern old observatory: 46°57'08.66" N, 7°26'22.50" E
   private val BernLatDeg = 46.0 + 57.0 / 60 + 8.66 / 3600
@@ -775,6 +867,8 @@ object Crs {
     // Swiss national grids (oblique mercator on Bessel 1841)
     "EPSG:21781" -> ch1903Lv03,
     "EPSG:2056" -> ch1903PlusLv95,
+    // Czech/Slovak S-JTSK (Krovak East North)
+    "EPSG:5514" -> krovakEastNorth,
     // MODIS sinusoidal grid (spherical, authalic radius)
     "SR-ORG:6974" -> modisSinusoidal,
     // ESRI Sphere Sinusoidal (world grid on the R=6371000 sphere)
@@ -790,7 +884,7 @@ object Crs {
       "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), " +
       "EPSG:3035 (LAEA Europe), EPSG:2154/5069/3034 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
-      "EPSG:21781/2056 (Swiss oblique mercator), " +
+      "EPSG:21781/2056 (Swiss oblique mercator), EPSG:5514 (Krovak East North), " +
       "SR-ORG:6974 + ESRI:53008 (sinusoidal), " +
       "EPSG:8857/8858/8859 (Equal Earth), " +
       "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth|somerc), " +
@@ -878,6 +972,20 @@ object Crs {
         }
       case "eqearth" => EqualEarth(
         num("lon_0", 0), num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "krovak" =>
+        // PROJ's default is the East-North (negative) axis form this
+        // class exposes; +czech (positive southing/westing) is not
+        val krEll = kv.getOrElse("ellps", "").toUpperCase match {
+          case "BESSEL" => Bessel1841
+          case _ => ell
+        }
+        if (kv.contains("czech")) throw new IllegalArgumentException(
+          s"+proj=krovak +czech (positive S/W axes) is unsupported; use the East-North form: $s")
+        Krovak(
+          num("lon_0", 24.0 + 50.0 / 60), num("lat_0", 49.5),
+          num("alpha", 30.0 + 17.0 / 60 + 17.3031 / 3600),
+          num("lat_ts", 78.5), num("k_0", num("k", 0.9999)),
+          num("x_0", 0), num("y_0", 0), krEll, s.trim)
       case "somerc" =>
         val som = kv.getOrElse("ellps", "").toUpperCase match {
           case "BESSEL" => Bessel1841
@@ -961,6 +1069,14 @@ object Crs {
         }
       case Some(proj) if proj.contains("equal_earth") =>
         EqualEarth(lon0, fe, fn, ell, "WKT")
+      case Some(proj) if proj.contains("krovak") =>
+        Krovak(
+          p(Seq("longitude_of_center", "central_meridian"), 24.0 + 50.0 / 60),
+          p(Seq("latitude_of_center", "latitude_of_origin"), 49.5),
+          p(Seq("azimuth", "co_latitude_of_cone_axis"), 30.0 + 17.0 / 60 + 17.3031 / 3600),
+          p(Seq("pseudo_standard_parallel_1", "latitude_of_pseudo_standard_parallel"), 78.5),
+          p(Seq("scale_factor", "scale_factor_on_pseudo_standard_parallel"), 0.9999),
+          fe, fn, ell, "WKT")
       // must precede the generic mercator case: "Hotine_Oblique_
       // Mercator_Azimuth_Center" contains "mercator"
       case Some(proj) if proj.contains("swiss_oblique") ||

@@ -257,7 +257,8 @@ class CfConvSpec extends AnyFunSuite {
     for ((crs, pt, tol) <- Seq(
         (Crs.modisSinusoidal, (45.3, -23.0), 1e-9),
         (Crs.fromString("EPSG:8858"), (-100.0, 40.0), 1e-9),
-        (Crs.ch1903Lv03, (8.5417, 47.3769), 200.0))) {
+        (Crs.ch1903Lv03, (8.5417, 47.3769), 200.0),
+        (Crs.krovakEastNorth, (14.4208, 50.0875), 1e-9))) {
       val parsed = CfConv.crsFromAttrs(CfConv.crsToAttrs(crs)).get
       val (x1, y1) = crs.fromLonLat(pt._1, pt._2)
       val (x2, y2) = parsed.fromLonLat(pt._1, pt._2)

@@ -352,6 +352,59 @@ class TransformSpec extends AnyFunSuite {
         |PARAMETER["false_easting",0],PARAMETER["false_northing",0]]""".stripMargin))
   }
 
+  test("Krovak East North: Prague anchor, negative axes, conformal scale, exact roundtrip, parse routes") {
+    import Crs._
+    val kr = fromString("EPSG:5514")
+    // Prague city centre in S-JTSK East North: approx (-743 km, -1043 km)
+    val (px, py) = kr.fromLonLat(14.4208, 50.0875)
+    assert(math.abs(px - -743000.0) < 5000 && math.abs(py - -1043500.0) < 5000,
+      s"Prague EPSG:5514 ($px,$py)")
+    // the whole country maps to negative coordinates (westing/southing)
+    for ((lon, lat) <- Seq((12.1, 50.2), (14.42, 50.09), (17.2, 49.2), (21.9, 48.6))) {
+      val (x, y) = kr.fromLonLat(lon, lat)
+      assert(x < 0 && y < 0, s"($lon,$lat) -> ($x,$y) not in the negative quadrant")
+    }
+    // Brno lies ~185 km ESE of Prague: direction and distance sanity
+    val (bx, by) = kr.fromLonLat(16.6068, 49.1951)
+    assert(bx > px && by < py)
+    val distKm = math.hypot(bx - px, by - py) / 1000
+    assert(math.abs(distKm - 185.0) < 15.0, s"Prague-Brno $distKm km")
+    // conformal: finite-difference scale direction-independent near the
+    // pseudo-standard parallel region, magnitude ~kP
+    val h = 1e-4
+    val (x0, y0) = kr.fromLonLat(15.0, 49.7)
+    val (xe, ye) = kr.fromLonLat(15.0 + h, 49.7)
+    val (xn, yn) = kr.fromLonLat(15.0, 49.7 + h)
+    val se = math.hypot(xe - x0, ye - y0) / (h * 111132.95 * math.cos(math.toRadians(49.7)))
+    val sn = math.hypot(xn - x0, yn - y0) / (h * 111132.95)
+    assert(math.abs(se / sn - 1.0) < 5e-3, s"anisotropy se=$se sn=$sn")
+    assert(math.abs(sn - 1.0) < 2e-2, s"scale $sn far from kP")
+    // exact roundtrip across the Czech and Slovak territory
+    for (lon <- Seq(12.5, 14.42, 17.0, 20.5); lat <- Seq(47.9, 49.0, 50.8)) {
+      val (x, y) = kr.fromLonLat(lon, lat)
+      val (lon2, lat2) = kr.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // proj-string and WKT routes build the same projection
+    val viaProj = fromProjString("+proj=krovak +ellps=bessel").asInstanceOf[Krovak]
+    val (vx, vy) = viaProj.fromLonLat(14.4208, 50.0875)
+    assert(math.abs(vx - px) < 1e-6 && math.abs(vy - py) < 1e-6)
+    intercept[IllegalArgumentException](fromProjString("+proj=krovak +czech +ellps=bessel"))
+    val viaWkt = fromWkt(
+      """PROJCS["S-JTSK / Krovak East North",GEOGCS["S-JTSK",DATUM["S_JTSK",
+        |SPHEROID["Bessel 1841",6377397.155,299.1528128]]],
+        |PROJECTION["Krovak"],
+        |PARAMETER["latitude_of_center",49.5],
+        |PARAMETER["longitude_of_center",24.83333333333333],
+        |PARAMETER["azimuth",30.28813972222222],
+        |PARAMETER["pseudo_standard_parallel_1",78.5],
+        |PARAMETER["scale_factor",0.9999],
+        |PARAMETER["false_easting",0],PARAMETER["false_northing",0]]""".stripMargin)
+    val (wx, wy) = viaWkt.fromLonLat(14.4208, 50.0875)
+    assert(math.abs(wx - px) < 0.1 && math.abs(wy - py) < 0.1)
+  }
+
   test("MODIS sinusoidal: grid-edge anchors, equator identity, exact roundtrip, spherical-only parse") {
     val sinu = Crs.modisSinusoidal
     val R = 6371007.181
