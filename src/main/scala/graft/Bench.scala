@@ -108,10 +108,28 @@ object Bench {
     println(line)
     // The full line above carries per-query gc/heap maps and can exceed
     // the driver's stdout tail-capture window (BENCH_r04 "parsed": null).
-    // Print a COMPACT line (total + per-query seconds only) LAST, so a
-    // tail capture of any reasonable size always ends with one complete
-    // parseable JSON object.
+    // A compact line with the 89-entry per-query map is STILL ~2.9 KB
+    // against the driver's measured 2,000-char tail window (BENCH_r05
+    // "parsed": null again), so the absolute last line must be total-ONLY
+    // (<200 bytes): a tail capture of any size ends with one complete
+    // parseable JSON object carrying the headline number.
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    // Cross-round trend: one self-contained JSONL line per bench run so
+    // regressions are greppable without reconstructing them from the
+    // per-round artifacts.
+    try {
+      val trend = new java.io.FileWriter("BENCH_TREND.jsonl", true)
+      val ts = java.time.Instant.now().toString
+      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"min","sf":"$sfDir","queries":$qs}""" + "\n")
+      finally trend.close()
+    } catch { case _: Throwable => () }
+    // Stop Spark BEFORE the final line: its shutdown logging must not
+    // land between the total-only line and end-of-stream. Silence the
+    // logger too, in case any appender writes to stdout.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    val totalOnly = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"agg":"min","sf":"$sfDir"}"""
+    println(totalOnly)
+    Console.out.flush()
   }
 }
