@@ -75,27 +75,44 @@ object LlmQueries {
       df
     })
 
-  /** Bounded media table with text-byte payloads (video rows for the
-    * frame sampler), persisted and eagerly materialized.
+  /** One synthesized RIFF/WAVE (16-bit PCM) payload per audio doc
+    * (doc_id % 3 == 1), persisted and eagerly materialized.
     */
-  private def stagedMedia(s: SparkSession, dir: String): DataFrame =
-    mediaCache.getOrElseUpdate((dir, "media"), {
-      val df = docs(s, dir).filter(col("doc_id") < PairLimit)
-        .select(col("doc_id"),
-          when(col("doc_id") % 3 === 2, "video").otherwise("image").as("media_type"),
-          encode(col("text"), "UTF-8").as("payload"))
+  private def stagedWavs(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "wav"), {
+      import s.implicits._
+      val df = docs(s, dir).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, "audio", Multimodal.syntheticWav(id)))
+        .toDF("doc_id", "media_type", "payload")
         .persist()
       df.count()
       df
     })
 
-  /** Eagerly stage the per-dir media fixtures (synthetic PNG payloads,
-    * byte-block video stand-ins) outside any timed region.
+  /** One synthesized MJPEG-in-AVI payload per video doc
+    * (doc_id % 3 == 2), persisted and eagerly materialized.
+    */
+  private def stagedAvis(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "avi"), {
+      import s.implicits._
+      val df = docs(s, dir).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, "video", Multimodal.syntheticAvi(id)))
+        .toDF("doc_id", "media_type", "payload")
+        .persist()
+      df.count()
+      df
+    })
+
+  /** Eagerly stage the per-dir media fixtures (synthetic PNG / GIF /
+    * WAV / AVI payloads) outside any timed region.
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
     stagedImages(s, dir)
     stagedGifs(s, dir)
-    stagedMedia(s, dir)
+    stagedWavs(s, dir)
+    stagedAvis(s, dir)
     ()
   }
 
@@ -410,11 +427,41 @@ object LlmQueries {
     }),
 
     "q_multimodal_frames" -> ((s, dir) => {
+      // REAL video frame extraction: walk the AVI movi list, decode
+      // every '00dc' JPEG chunk with javax.imageio — one row per frame
+      // with DECODED dims; the oracle predicts frame count and dims
+      // analytically from the id
       import s.implicits._
-      val media = stagedMedia(s, dir).as[Multimodal.MediaRow]
-      Multimodal.sampleFrames(media, frameBytes = 1024, stride = 2)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          col("frame_bytes"))
+      val media = stagedAvis(s, dir).as[Multimodal.MediaRow]
+      Multimodal.sampleAviFrames(media)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_w"), col("frame_h"))
+    }),
+
+    "q_multimodal_wav" -> ((s, dir) => {
+      // REAL RIFF/WAVE parse: fmt chunk (rate/channels/bits) + every
+      // 16-bit PCM sample decoded into a sum of absolute amplitudes;
+      // the oracle replays the synthetic sample formula analytically
+      import s.implicits._
+      Multimodal.audioFeatures(stagedWavs(s, dir).as[Multimodal.MediaRow])
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"), col("duration_ms"), col("sum_abs"))
+    }),
+
+    "q_multimodal_avi" -> ((s, dir) => {
+      // REAL AVI container parse: avih dims, strh fps (dwRate/dwScale),
+      // counted movi chunks, plus the DECODED first-frame JPEG dims
+      import s.implicits._
+      Multimodal.videoFeatures(stagedAvis(s, dir).as[Multimodal.MediaRow])
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("fps").cast("long").as("fps"),
+          col("frame0_w").cast("long").as("frame0_w"),
+          col("frame0_h").cast("long").as("frame0_h"))
     }),
 
     "q_tpch_q1" -> ((s, dir) =>
@@ -1369,16 +1416,51 @@ object LlmQueries {
         |  2 + doc_id % 5 AS n_frames
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
 
-    // frames: every 2nd 1024-byte block of the (utf-8) payload
+    // real AVI frame extraction: one row per movi '00dc' JPEG chunk,
+    // dims from the DECODER (JPEG preserves dimensions exactly); frame
+    // count and dims predicted analytically from the id
     "q_multimodal_frames" ->
-      s"""WITH v AS (
-         |  SELECT doc_id, octet_length(encode(text)) AS len
-         |  FROM documents WHERE doc_id < $PairLimit AND doc_id % 3 = 2
-         |)
-         |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
-         |       LEAST(1024, len - k * 1024) AS frame_bytes
-         |FROM v, unnest(generate_series(0, CAST(GREATEST(1, len // 1024) AS BIGINT) - 1, 2)) u(k)
-         |ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH v AS (
+        |  SELECT doc_id, 16 + doc_id % 13 AS w, 16 + doc_id % 7 AS h,
+        |         2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |       w AS frame_w, h AS frame_h
+        |FROM v, unnest(generate_series(0, nf - 1)) u(k)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // RIFF/WAVE parse: rate/channels/frame-count cycles predicted from
+    // the id; sum_abs replays the synthetic 16-bit PCM sample formula
+    // ((i*2347 + id*17) mod 65536) - 32768 over every interleaved
+    // sample index
+    "q_multimodal_wav" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+        |      WHEN 3 THEN 22050 ELSE 44100 END AS sample_rate,
+        |    1 + doc_id % 2 AS channels,
+        |    200 + doc_id % 300 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1
+        |)
+        |SELECT doc_id, sample_rate, channels,
+        |  n_frames AS n_samples,
+        |  n_frames * 1000 // sample_rate AS duration_ms,
+        |  CAST(SUM(ABS((i * 2347 + doc_id * 17) % 65536 - 32768)) AS BIGINT) AS sum_abs
+        |FROM a, unnest(generate_series(0, n_frames * channels - 1)) s(i)
+        |GROUP BY doc_id, sample_rate, channels, n_frames
+        |ORDER BY doc_id""".stripMargin,
+
+    // AVI container parse: avih dims, strh fps, counted movi chunks,
+    // first-frame decoded dims — all analytic in the id
+    "q_multimodal_avi" ->
+      """SELECT doc_id,
+        |  16 + doc_id % 13 AS width, 16 + doc_id % 7 AS height,
+        |  2 + doc_id % 4 AS n_frames,
+        |  CASE doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25
+        |    WHEN 3 THEN 40 ELSE 50 END AS fps,
+        |  16 + doc_id % 13 AS frame0_w, 16 + doc_id % 7 AS frame0_h
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id,

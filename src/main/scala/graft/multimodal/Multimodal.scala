@@ -207,11 +207,13 @@ object Multimodal {
     }.toDF("doc_id", "dhash")
   }
 
-  /** STUB decoder for the formats with no pure-JVM codec in this
-    * container (audio/video): deterministic fake dimensions from a byte
-    * checksum, byte_len/1024 frames for video. Real image payloads
-    * never reach this — [[extractFeatures]] routes them through
-    * [[decodeImage]].
+  /** STUB decoder — now ONLY for payloads that are genuinely not a
+    * container this engine can parse (compressed codecs: MP3/AAC/H.264
+    * etc., which need codec libraries absent from this container, or
+    * arbitrary non-media bytes): deterministic fake dimensions from a
+    * byte checksum. Real image payloads route through [[decodeImage]];
+    * RIFF/WAVE audio through [[decodeWav]]; MJPEG-in-AVI video through
+    * [[decodeAvi]] — all pure-JVM REAL parsers.
     */
   def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
     decodeStubFromChecksum(mediaType, payload.length, checksum(payload))
@@ -260,37 +262,360 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Frame sampling over a video payload: every `stride`-th fixed-size
-    * block as one "frame" payload. The SPLITTING is a stub (no video
-    * codec in this container — a real one would seek keyframes); the
-    * Spark-side shape is the real one: one binary row per sampled
-    * frame, ready for per-frame feature extraction.
+  // ------------------------------------------------------------------
+  // RIFF plumbing shared by the WAV (audio) and AVI (video) codecs.
+  // RIFF is a chunked container: fourCC tag, little-endian u32 size,
+  // payload, padded to even length. Both formats are pure container
+  // arithmetic — no codec library needed (the AVI frames themselves
+  // are JPEG, which javax.imageio decodes).
+  // ------------------------------------------------------------------
+
+  private def leU16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+  }
+  private def leU32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    b.write((v & 0xFF).toInt); b.write(((v >> 8) & 0xFF).toInt)
+    b.write(((v >> 16) & 0xFF).toInt); b.write(((v >> 24) & 0xFF).toInt)
+  }
+  private def fourCC(b: java.io.ByteArrayOutputStream, s: String): Unit = {
+    var i = 0; while (i < 4) { b.write(s.charAt(i).toInt & 0xFF); i += 1 }
+  }
+  @inline private def rdU16(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8)
+  @inline private def rdU32(a: Array[Byte], off: Int): Long =
+    (a(off) & 0xFFL) | ((a(off + 1) & 0xFFL) << 8) |
+      ((a(off + 2) & 0xFFL) << 16) | ((a(off + 3) & 0xFFL) << 24)
+  @inline private def tagAt(a: Array[Byte], off: Int): String =
+    new String(a, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  final case class WavMeta(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long, durationMs: Long, sumAbs: Long)
+
+  /** True when the payload is a RIFF/WAVE container. */
+  def looksLikeWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && tagAt(payload, 0) == "RIFF" && tagAt(payload, 8) == "WAVE"
+
+  /** True when the payload is a RIFF/'AVI ' container. */
+  def looksLikeAvi(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && tagAt(payload, 0) == "RIFF" && tagAt(payload, 8) == "AVI "
+
+  /** Deterministic 16-bit PCM WAV: sample rate cycles
+    * {8000, 11025, 16000, 22050, 44100} by `id % 5`, channels
+    * `1 + id % 2`, `200 + id % 300` frames; interleaved sample `i` is
+    * `((i*2347 + id*17) mod 65536) - 32768`. A REAL RIFF/WAVE file
+    * (fmt + data chunks, little-endian) whose every field the oracle
+    * can predict analytically.
     */
-  def frameSampleStub(
-      payload: Array[Byte], frameBytes: Int, stride: Int): Seq[(Int, Array[Byte])] = {
-    val nFrames = math.max(1, payload.length / frameBytes)
-    (0 until nFrames by stride).map { f =>
-      val from = f * frameBytes
-      (f, java.util.Arrays.copyOfRange(payload, from, math.min(from + frameBytes, payload.length)))
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = WavRates((id % 5).toInt)
+    val channels = 1 + (id % 2).toInt
+    val frames = 200 + (id % 300).toInt
+    val total = frames * channels
+    val dataLen = total * 2
+    val b = new java.io.ByteArrayOutputStream(44 + dataLen)
+    fourCC(b, "RIFF"); leU32(b, 36L + dataLen); fourCC(b, "WAVE")
+    fourCC(b, "fmt "); leU32(b, 16L)
+    leU16(b, 1) // PCM
+    leU16(b, channels)
+    leU32(b, rate.toLong)
+    leU32(b, rate.toLong * channels * 2) // byte rate
+    leU16(b, channels * 2)               // block align
+    leU16(b, 16)                         // bits per sample
+    fourCC(b, "data"); leU32(b, dataLen.toLong)
+    var i = 0L
+    while (i < total) {
+      val s = ((i * 2347L + id * 17L) % 65536L).toInt - 32768
+      leU16(b, s & 0xFFFF)
+      i += 1
+    }
+    b.toByteArray
+  }
+
+  private val WavRates = Array(8000, 11025, 16000, 22050, 44100)
+
+  /** REAL RIFF/WAVE parse: walks the chunk list (word-aligned sizes),
+    * reads `fmt ` (PCM format, channels, rate, bits) and `data`
+    * (decodes every little-endian 16-bit sample to fold a sum of
+    * absolute amplitudes — proof the PCM payload was actually read,
+    * not just the header). Duration is integer floor millis. None for
+    * non-WAV or non-16-bit-PCM payloads.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavMeta] =
+    if (!looksLikeWav(payload)) None
+    else {
+      var off = 12
+      var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length) {
+        val tag = tagAt(payload, off)
+        val size = rdU32(payload, off + 4).toInt
+        val body = off + 8
+        if (tag == "fmt " && size >= 16 && body + 16 <= payload.length) {
+          fmtOk = rdU16(payload, body) == 1 // PCM
+          channels = rdU16(payload, body + 2)
+          rate = rdU32(payload, body + 4).toInt
+          bits = rdU16(payload, body + 14)
+        } else if (tag == "data") {
+          dataOff = body; dataLen = math.min(size, payload.length - body)
+        }
+        off = body + size + (size & 1) // chunks are word-aligned
+      }
+      if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) None
+      else {
+        var sumAbs = 0L
+        var i = dataOff
+        val end = dataOff + (dataLen & ~1)
+        while (i < end) {
+          val s = (rdU16(payload, i) << 16) >> 16 // sign-extend
+          sumAbs += math.abs(s)
+          i += 2
+        }
+        val frames = dataLen / (2L * channels)
+        Some(WavMeta(rate, channels, bits, frames, frames * 1000L / rate, sumAbs))
+      }
+    }
+
+  final case class AviMeta(
+      width: Int, height: Int, nFrames: Int, fps: Int,
+      frame0Width: Int, frame0Height: Int)
+
+  private val AviFps = Array(10, 20, 25, 40, 50) // exact divisors of 1e6
+
+  /** Deterministic MJPEG-in-AVI: `2 + id % 4` JPEG frames of
+    * `(16 + id % 13) x (16 + id % 7)` pixels at `{10,20,25,40,50}` fps
+    * by `id % 5`. A REAL AVI container — RIFF('AVI ') with
+    * LIST(hdrl){avih, LIST(strl){strh 'vids'/'MJPG', strf
+    * BITMAPINFOHEADER}} and LIST(movi){'00dc' JPEG chunks} — written
+    * with the JDK's JPEG encoder. Every header field the oracle can
+    * predict analytically; the frame payloads are real JPEGs.
+    */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 16 + (id % 13).toInt
+    val h = 16 + (id % 7).toInt
+    val nFrames = 2 + (id % 4).toInt
+    val fps = AviFps((id % 5).toInt)
+
+    val jpegs = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((x * 31 + y * 7 + f * 41 + id) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(12 + body.length)
+      fourCC(b, "LIST"); leU32(b, 4L + body.length); fourCC(b, listType)
+      b.write(body); b.toByteArray
+    }
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(8 + body.length + 1)
+      fourCC(b, tag); leU32(b, body.length.toLong); b.write(body)
+      if ((body.length & 1) == 1) b.write(0) // pad to even
+      b.toByteArray
+    }
+
+    val avih = {
+      val b = new java.io.ByteArrayOutputStream(56)
+      leU32(b, 1000000L / fps) // dwMicroSecPerFrame
+      leU32(b, 0); leU32(b, 0); leU32(b, 0)
+      leU32(b, nFrames.toLong) // dwTotalFrames
+      leU32(b, 0); leU32(b, 1) // dwStreams = 1
+      leU32(b, 0)
+      leU32(b, w.toLong); leU32(b, h.toLong)
+      leU32(b, 0); leU32(b, 0); leU32(b, 0); leU32(b, 0) // reserved
+      b.toByteArray
+    }
+    val strh = {
+      val b = new java.io.ByteArrayOutputStream(56)
+      fourCC(b, "vids"); fourCC(b, "MJPG")
+      leU32(b, 0); leU16(b, 0); leU16(b, 0); leU32(b, 0)
+      leU32(b, 1)            // dwScale
+      leU32(b, fps.toLong)   // dwRate -> fps = rate/scale
+      leU32(b, 0); leU32(b, nFrames.toLong); leU32(b, 0)
+      leU32(b, 0xFFFFFFFFL)  // quality = -1
+      leU32(b, 0)
+      leU16(b, 0); leU16(b, 0); leU16(b, w); leU16(b, h) // rcFrame
+      b.toByteArray
+    }
+    val strf = {
+      val b = new java.io.ByteArrayOutputStream(40)
+      leU32(b, 40L); leU32(b, w.toLong); leU32(b, h.toLong)
+      leU16(b, 1); leU16(b, 24)
+      fourCC(b, "MJPG")
+      leU32(b, w.toLong * h * 3)
+      leU32(b, 0); leU32(b, 0); leU32(b, 0); leU32(b, 0)
+      b.toByteArray
+    }
+
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = hdrl ++ movi
+
+    val out = new java.io.ByteArrayOutputStream(12 + body.length)
+    fourCC(out, "RIFF"); leU32(out, 4L + body.length); fourCC(out, "AVI ")
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Walk an AVI payload's movi list, yielding each video chunk
+    * (`##dc`/`##db`) payload in stream order.
+    */
+  private def aviVideoChunks(payload: Array[Byte]): Iterator[Array[Byte]] = {
+    if (!looksLikeAvi(payload)) return Iterator.empty
+    // find LIST(movi) among the top-level chunks
+    var off = 12
+    var moviStart = -1; var moviEnd = -1
+    while (off + 12 <= payload.length && moviStart < 0) {
+      val tag = tagAt(payload, off)
+      val size = rdU32(payload, off + 4).toInt
+      if (tag == "LIST" && tagAt(payload, off + 8) == "movi") {
+        moviStart = off + 12
+        moviEnd = math.min(off + 8 + size, payload.length)
+      }
+      off = off + 8 + size + (size & 1)
+    }
+    if (moviStart < 0) Iterator.empty
+    else new Iterator[Array[Byte]] {
+      private var p = moviStart
+      private var nextChunk: Array[Byte] = null
+      private def advance(): Unit = {
+        nextChunk = null
+        while (nextChunk == null && p + 8 <= moviEnd) {
+          val tag = tagAt(payload, p)
+          val size = rdU32(payload, p + 4).toInt
+          val body = p + 8
+          if (tag.endsWith("dc") || tag.endsWith("db")) {
+            nextChunk = java.util.Arrays.copyOfRange(
+              payload, body, math.min(body + size, payload.length))
+          }
+          p = body + size + (size & 1)
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextChunk != null
+      def next(): Array[Byte] = { val c = nextChunk; advance(); c }
     }
   }
 
-  /** Explode media rows into sampled frames — the batched per-partition
-    * kernel shape of a video pipeline stage (one row per frame, frame
-    * index carried alongside).
+  /** REAL AVI parse: walks RIFF LIST(hdrl) for avih (dims) and strh
+    * (fps = dwRate/dwScale), counts the movi list's video chunks for
+    * the true frame count, and DECODES frame 0 with javax.imageio
+    * (the chunks are real JPEGs) — returned dims prove the frame
+    * bytes, not just the header, were read. None for non-AVI payloads
+    * or an undecodable first frame.
     */
-  def sampleFrames(
-      media: Dataset[MediaRow], frameBytes: Int = 1024, stride: Int = 2): DataFrame = {
+  def decodeAvi(payload: Array[Byte]): Option[AviMeta] =
+    if (!looksLikeAvi(payload)) None
+    else {
+      var w = 0; var h = 0; var fps = 0
+      // hdrl scan: avih is 8 bytes of LIST(hdrl) body in our layout,
+      // but walk generically: find LIST(hdrl), then its sub-chunks.
+      var off = 12
+      while (off + 12 <= payload.length) {
+        val tag = tagAt(payload, off)
+        val size = rdU32(payload, off + 4).toInt
+        if (tag == "LIST" && tagAt(payload, off + 8) == "hdrl") {
+          var p = off + 12
+          val end = math.min(off + 8 + size, payload.length)
+          while (p + 8 <= end) {
+            val t2 = tagAt(payload, p)
+            val s2 = rdU32(payload, p + 4).toInt
+            if (t2 == "avih" && s2 >= 40) {
+              w = rdU32(payload, p + 8 + 32).toInt
+              h = rdU32(payload, p + 8 + 36).toInt
+            } else if (t2 == "LIST" && tagAt(payload, p + 8) == "strl") {
+              var q = p + 12
+              val e2 = math.min(p + 8 + s2, payload.length)
+              while (q + 8 <= e2) {
+                val t3 = tagAt(payload, q)
+                val s3 = rdU32(payload, q + 4).toInt
+                if (t3 == "strh" && s3 >= 32 && tagAt(payload, q + 8) == "vids") {
+                  val scale = rdU32(payload, q + 8 + 20)
+                  val rate = rdU32(payload, q + 8 + 24)
+                  if (scale > 0) fps = (rate / scale).toInt
+                }
+                q = q + 8 + s3 + (s3 & 1)
+              }
+            }
+            p = p + 8 + s2 + (s2 & 1)
+          }
+        }
+        off = off + 8 + size + (size & 1)
+      }
+      val frames = aviVideoChunks(payload)
+      if (!frames.hasNext || w <= 0 || h <= 0) None
+      else {
+        var n = 0
+        var f0: java.awt.image.BufferedImage = null
+        frames.foreach { chunk =>
+          if (n == 0)
+            f0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(chunk))
+          n += 1
+        }
+        if (f0 == null) None
+        else Some(AviMeta(w, h, n, fps, f0.getWidth, f0.getHeight))
+      }
+    }
+
+  /** Explode media rows into REAL decoded frames — one row per movi
+    * video chunk, each JPEG actually decoded (dims in the output are
+    * the decoder's, not the header's). Non-AVI payloads yield no rows.
+    * Row-local mapPartitions: shuffle-free, batched per partition like
+    * `mapInPandas`.
+    */
+  def sampleAviFrames(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        if (r.media_type != "video") Iterator.empty
-        else frameSampleStub(r.payload, frameBytes, stride).iterator.map {
-          case (blockIdx, frame) => (r.doc_id, blockIdx, frame.length.toLong, checksum(frame))
+        aviVideoChunks(r.payload).zipWithIndex.flatMap { case (chunk, idx) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(chunk))
+          if (img == null) Iterator.empty
+          else Iterator((r.doc_id, idx.toLong, img.getWidth.toLong, img.getHeight.toLong))
         }
       }
-    }.toDF("doc_id", "frame_idx", "frame_bytes", "frame_checksum")
+    }.toDF("doc_id", "frame_idx", "frame_w", "frame_h")
+  }
+
+  /** (doc_id, audio metadata) over a media table's RIFF/WAVE payloads —
+    * the real-parse audio feature kernel (non-WAV rows yield nothing).
+    */
+  def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeWav(m.payload).map(a =>
+          (m.doc_id, a.sampleRate, a.channels, a.bitsPerSample, a.nFrames,
+            a.durationMs, a.sumAbs))
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "bits", "n_samples", "duration_ms", "sum_abs")
+  }
+
+  /** (doc_id, video metadata) over a media table's AVI payloads — the
+    * real-parse video feature kernel: container header fields plus the
+    * DECODED first-frame dims (proof the JPEG bytes were read).
+    */
+  def videoFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeAvi(m.payload).map(v =>
+          (m.doc_id, v.width, v.height, v.nFrames, v.fps, v.frame0Width, v.frame0Height))
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "fps", "frame0_w", "frame0_h")
   }
 
   /** Batched feature extraction over a binary column — mapPartitions so

@@ -481,24 +481,56 @@ class TextVectorSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Multimodal.syntheticPng(5L)).get._3 == 1)
   }
 
-  test("image resize really resizes; frame sampling strides blocks with real plumbing") {
+  test("image resize really resizes; undecodable payloads rejected") {
     val png = Multimodal.syntheticPng(5L) // 21 x 21
     val resized = Multimodal.resizeImage(png, 7, 4).get
     assert(Multimodal.decodeImage(resized).contains((7, 4, 1)))
     assert(Multimodal.resizeImage("nope".getBytes, 4, 4).isEmpty)
-    // frame sampling: 5000 bytes = 4 full 1KB frames; stride 2 -> blocks 0 and 2
-    val payload = Array.fill(5000)(7.toByte)
-    val frames = Multimodal.frameSampleStub(payload, 1024, 2)
-    assert(frames.map(_._1) == Seq(0, 2))
-    assert(frames.map(_._2.length) == Seq(1024, 1024))
-    // short payloads yield exactly one frame
-    assert(Multimodal.frameSampleStub(Array.fill(10)(1.toByte), 1024, 2).map(_._2.length) == Seq(10))
-    // non-video rows are skipped by the dataset kernel
+  }
+
+  test("WAV: synthetic RIFF/WAVE round-trips through the real parser, PCM samples actually read") {
+    for (id <- Seq(0L, 1L, 4L, 7L, 299L, 1234L)) {
+      val wav = Multimodal.syntheticWav(id)
+      assert(Multimodal.looksLikeWav(wav))
+      val m = Multimodal.decodeWav(wav).get
+      val expRate = Seq(8000, 11025, 16000, 22050, 44100)((id % 5).toInt)
+      val expCh = 1 + (id % 2).toInt
+      val expFrames = 200 + (id % 300).toInt
+      assert(m.sampleRate == expRate && m.channels == expCh && m.bitsPerSample == 16)
+      assert(m.nFrames == expFrames)
+      assert(m.durationMs == expFrames * 1000L / expRate)
+      // sum of |sample| recomputed independently from the formula
+      val total = expFrames * expCh
+      val expSum = (0L until total).map(i => math.abs(((i * 2347L + id * 17L) % 65536L).toInt - 32768).toLong).sum
+      assert(m.sumAbs == expSum, s"sumAbs for $id")
+    }
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty) // header only, no chunks
+    assert(Multimodal.decodeWav("not a wav at all".getBytes).isEmpty)
+  }
+
+  test("AVI: synthetic MJPEG container parses headers, counts frames, decodes real JPEGs") {
+    for (id <- Seq(0L, 2L, 5L, 8L, 23L, 777L)) {
+      val avi = Multimodal.syntheticAvi(id)
+      assert(Multimodal.looksLikeAvi(avi))
+      val m = Multimodal.decodeAvi(avi).get
+      val expW = 16 + (id % 13).toInt; val expH = 16 + (id % 7).toInt
+      assert(m.width == expW && m.height == expH)
+      assert(m.nFrames == 2 + (id % 4).toInt)
+      assert(m.fps == Seq(10, 20, 25, 40, 50)((id % 5).toInt))
+      // decoded first-frame dims (from the JPEG bytes) match the header
+      assert(m.frame0Width == expW && m.frame0Height == expH)
+    }
+    assert(Multimodal.decodeAvi("RIFFxxxxAVI ".getBytes).isEmpty)
+    assert(Multimodal.decodeAvi(Multimodal.syntheticPng(3L)).isEmpty)
+    // frame explode kernel: one row per frame, decoded dims, non-AVI skipped
     val media = spark.createDataset(Seq(
-      Multimodal.MediaRow(2L, "video", payload),
-      Multimodal.MediaRow(1L, "audio", payload)))
-    val out = Multimodal.sampleFrames(media).collect().map(r => (r.getLong(0), r.getInt(1)))
-    assert(out.toSet == Set((2L, 0), (2L, 2)))
+      Multimodal.MediaRow(9L, "video", Multimodal.syntheticAvi(9L)),
+      Multimodal.MediaRow(1L, "audio", Multimodal.syntheticWav(1L))))
+    val out = Multimodal.sampleAviFrames(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expN = 2 + (9L % 4).toInt
+    assert(out.map(_._1).toSet == Set(9L) && out.length == expN)
+    assert(out.forall(t => t._3 == 16 + 9 % 13 && t._4 == 16 + 9 % 7))
   }
 
   test("stratified sampling: deterministic, monotone in rate, strata independent, default rate applied") {
