@@ -209,6 +209,16 @@ object LlmQueries {
       VectorOps.ivfTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         nlist = 16, nprobe = 4, k = 5)),
 
+    // recall accounting: per query point, |ANN top-k ∩ brute top-k| —
+    // the LSH route's recall loss as a measured number, not a caveat
+    "q_embed_ann_recall" -> ((s, dir) =>
+      VectorOps.annRecallAtK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        numPlanes = 8, dims = 64, k = 5)),
+
+    "q_embed_ann_recall_ivf" -> ((s, dir) =>
+      VectorOps.ivfRecallAtK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        nlist = 16, nprobe = 4, k = 5)),
+
     "q_embed_kmeans" -> ((s, dir) =>
       VectorOps.kmeansAssign(embeddings(s, dir), k = 8, iters = 2)),
 
@@ -655,6 +665,54 @@ object LlmQueries {
        |) WHERE rn <= $k ORDER BY query_id, cand_id""".stripMargin
   }
 
+  /** DuckDB oracle for the ANN recall query: the single-table LSH
+    * pipeline and the exact brute-force top-k composed in one
+    * statement, recall = matched-candidate count per query — mirroring
+    * [[VectorOps.annRecallAtK]].
+    */
+  private def sqlAnnRecall(numPlanes: Int, dims: Int, k: Int): String = {
+    val planeValues = (for {
+      p <- 0 until numPlanes
+      dim <- 0 until dims
+    } yield s"($p, $dim, ${d(VectorOps.planeComponent(p, dim))})").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $PairLimit
+       |), pc(p, dd, comp) AS (VALUES $planeValues),
+       |pl AS (SELECT p, list(comp ORDER BY dd) AS pv FROM pc GROUP BY p),
+       |buck AS (
+       |  SELECT e.vec_id,
+       |         SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+       |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+       |  FROM e, pl GROUP BY 1
+       |), wb AS (
+       |  SELECT e.vec_id, e.v, b.bucket FROM e JOIN buck b ON b.vec_id = e.vec_id
+       |), annp AS (
+       |  SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(a.v, c.v) AS sim
+       |  FROM wb a JOIN wb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |), ann AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |    FROM annp
+       |  ) WHERE rn <= $k
+       |), bfp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(q.v, c.v) AS sim
+       |  FROM e q, e c WHERE c.vec_id <> q.vec_id
+       |), bf AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |    FROM bfp
+       |  ) WHERE rn <= $k
+       |)
+       |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
+       |       ROUND(COUNT(ann.cand_id) * 1.0 / $k, 6) AS recall
+       |FROM bf LEFT JOIN ann
+       |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // connected components over the 0.95-jaccard dup pairs as a shared
   // CTE: cluster_id = min doc id reachable through dup edges
   // (recursive transitive closure; the engine's pointer-jumping
@@ -694,6 +752,47 @@ object LlmQueries {
     "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
     "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
     "q_embed_ann_mlsh" -> sqlAnnLshMulti(8, 64, 5, 2),
+    "q_embed_ann_recall" -> sqlAnnRecall(8, 64, 5),
+
+    // IVF recall vs exact: same IVF pipeline as q_embed_ann_ivf
+    // (nlist=16, nprobe=4), brute-force ground truth, per-query hits
+    "q_embed_ann_recall_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < $PairLimit
+         |), cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS s,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |  FROM e, cent c
+         |), assign AS (SELECT vec_id AS cand_id, cid AS list FROM sims WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS list FROM sims WHERE rn <= 4),
+         |pairs AS (
+         |  SELECT p.query_id, a.cand_id, list_cosine_similarity(qe.v, ce.v) AS sim
+         |  FROM probes p
+         |  JOIN assign a ON a.list = p.list AND a.cand_id <> p.query_id
+         |  JOIN e qe ON qe.vec_id = p.query_id
+         |  JOIN e ce ON ce.vec_id = a.cand_id
+         |), ann AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+         |    FROM pairs
+         |  ) WHERE rn <= 5
+         |), bfp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         list_cosine_similarity(q.v, c.v) AS sim
+         |  FROM e q, e c WHERE c.vec_id <> q.vec_id
+         |), bf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+         |    FROM bfp
+         |  ) WHERE rn <= 5
+         |)
+         |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
+         |       ROUND(COUNT(ann.cand_id) * 1.0 / 5, 6) AS recall
+         |FROM bf LEFT JOIN ann
+         |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // connected components over the 0.95-jaccard dup pairs: cluster_id =
     // min doc id reachable through dup edges (recursive transitive

@@ -434,4 +434,51 @@ object VectorOps {
       .withColumn("sim", cosine(col("qv"), col("cv")))
     topKPerQuery(joined, k).drop("rank")
   }
+
+  /** Recall accounting for the LSH ANN route: per query point, how many
+    * of the exact brute-force top-k the bucketed [[annTopK]] recovered.
+    * Turns "recall < 1 by construction" from a caveat into a measured
+    * number — `n_hits` = |ANN(q) ∩ brute(q)|, `recall` = n_hits / k.
+    *
+    * Both sides use identical deterministic tie-breaks (sim DESC,
+    * cand_id ASC), so the intersection is well-defined; the output is
+    * integer counts + an exact small-rational recall, immune to fp
+    * wobble. Cost: the ANN pass plus one bounded brute-force pass over
+    * the same subset — the brute side is the ground-truth oracle, run
+    * at harness scale only (at 100 TB, recall is estimated the same
+    * way on a sampled query cohort, never the full corpus).
+    */
+  def annRecallAtK(
+      embeddings: DataFrame, numPlanes: Int, dims: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    recallAgainstBrute(
+      annTopK(embeddings, numPlanes, dims, k, idCol, vecCol),
+      embeddings, k, idCol, vecCol)
+
+  /** [[annRecallAtK]] for the IVF route: recall of [[ivfTopK]]'s
+    * probe-bounded candidates against the exact top-k.
+    */
+  def ivfRecallAtK(
+      embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    recallAgainstBrute(
+      ivfTopK(embeddings, nlist, nprobe, k, idCol, vecCol),
+      embeddings, k, idCol, vecCol)
+
+  /** Per-query |approx ∩ exact| over a (query_id, cand_id, …) approx
+    * result: left-join the brute-force top-k against it and count
+    * matches. Every query point appears (the brute side always has k
+    * rows per query), so zero-recall queries report 0, not absence.
+    */
+  private def recallAgainstBrute(
+      approx: DataFrame, embeddings: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val ann = approx.select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    val brute = bruteForceTopK(embeddings, embeddings, k, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+    brute.join(ann, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / k, 6))
+  }
 }
