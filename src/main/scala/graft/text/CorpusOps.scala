@@ -223,35 +223,83 @@ object CorpusOps {
     * rather than document count ([[graft.text.TextOps.capPerStratum]]
     * caps documents; training mixes are specified in TOKENS): within
     * each source, documents are taken in salted-hash order while the
-    * stratum's running token total stays within `budget`. The running
-    * sum is a per-stratum window — partitioned by source, so a stratum
-    * is one task's sort (fine when strata are balanced; for one giant
-    * stratum, pre-cap with [[graft.text.TextOps.capPerStratum]] at
-    * budget/min-doc-tokens first, which bounds the window's input).
+    * stratum's running token total stays within `budget`. A document
+    * enters while the PRIOR total is < budget (so the budget boundary
+    * document is included — budgets fill, never stall at an over-sized
+    * head doc).
     *
-    * A document enters while the PRIOR total is < budget (so the
-    * budget boundary document is included — budgets fill, never stall
-    * at an over-sized head doc).
+    * SKEW-SAFE: the running sum is NOT a per-stratum window (which
+    * sorts an entire stratum in one task — the single-partition-window
+    * scale-killer when one source dominates the corpus). Same shape as
+    * [[graft.text.OrderOps.shuffleOrder]]: range-repartition on
+    * (stratum, hash, id) so every stratum spans contiguous partitions,
+    * per-(partition, stratum) token partials in one pass, a
+    * partitions-x-strata-sized collect (bounded metadata: strata are
+    * categorical), broadcast exclusive offsets, second pass adds them.
+    * A 100x-skewed stratum costs proportionally more partitions, never
+    * one giant sort. Output is identical to the window form — the
+    * prefix over a total order doesn't depend on where partition
+    * boundaries land.
     *
-    * Returns (stratum, id, n_tokens, cum_tokens).
+    * Stratum keys are compared as strings (cast internally; returned
+    * as read). Returns (stratum, id, n_tokens, cum_tokens).
     */
   def tokenBudgetPerStratum(
       docs: DataFrame, budget: Long, salt: String = "graft",
       keyCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", reliable: Boolean = false): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("long")
-    val order = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("h"), col(idCol))
-    val running = order.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    docs.select(col(keyCol), col(idCol).cast("long").as(idCol),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"), h.as("h"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(running))
-      .filter(col("cum_tokens") - col("n_tokens") < budget)
-      .select(col(keyCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+    val base = docs.select(col(keyCol).cast("string").as("k"),
+      col(idCol).cast("long").as("id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      h.as("h"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sorted0 = base.repartitionByRange(p, col("k"), col("h"), col("id"))
+      .sortWithinPartitions(col("k"), col("h"), col("id"))
+    val sorted = (if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true requires sparkContext.setCheckpointDir(...) pointing at " +
+          "storage that survives executor loss (HDFS/object store on a cluster)")
+      sorted0.checkpoint()
+    } else sorted0.localCheckpoint()).as[(String, Long, Long, Long)]
+
+    // pass 1: per-(partition, stratum) token sums — strata are
+    // contiguous inside a sorted partition, so this is a streaming fold
+    val partials: Array[(Int, String, Long)] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (k, _, n, _) => sums.update(k, sums.getOrElse(k, 0L) + n) }
+        sums.iterator.map { case (k, s) => (pid, k, s) }
+      }.collect()
+
+    // driver: exclusive prefix per stratum across partitions in pid order
+    val offsets: Map[(Int, String), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+      val acc = scala.collection.mutable.HashMap.empty[String, Long]
+      partials.sortBy(_._1).foreach { case (pid, k, s) =>
+        m((pid, k)) = acc.getOrElse(k, 0L)
+        acc(k) = acc.getOrElse(k, 0L) + s
+      }
+      m.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: local running sum from the broadcast offset; emit while
+    // the prior total is under budget
+    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curK: String = null
+      var cum = 0L
+      it.flatMap { case (k, id, n, _) =>
+        if (k != curK) { curK = k; cum = bc.value.getOrElse((pid, k), 0L) }
+        val prior = cum
+        cum += n
+        if (prior < budget) Iterator.single((k, id, n, prior + n)) else Iterator.empty
+      }
+    }.toDF(keyCol, idCol, "n_tokens", "cum_tokens")
   }
 
   /** END-TO-END corpus selection — the composed endpoint a pretraining

@@ -185,6 +185,19 @@ class PlanSpec extends AnyFunSuite {
       s"vocab scalar not broadcast in:\n${pl.take(3000)}")
   }
 
+  test("tokenBudgetPerStratum plans no per-stratum window — narrow emit from broadcast offsets") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.CorpusOps.tokenBudgetPerStratum(docs, budget = 1000)
+    df.collect()
+    val p = plan(df)
+    // the naive form is Window PARTITION BY source ORDER BY hash — one
+    // task sorts an entire stratum (the skew killer when one source
+    // dominates). The two-pass form's emit stage must be narrow: no
+    // Window and no Exchange after the checkpointed range shuffle
+    assert(!p.contains("Window"), s"per-stratum window sort in:\n${p.take(3000)}")
+    assert(!p.contains("Exchange"), s"emit stage not narrow in:\n${p.take(3000)}")
+  }
+
   test("capPerStratum aggregates with the bounded heap — no per-stratum window sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.text.TextOps.capPerStratum(docs, cap = 10)
