@@ -199,6 +199,62 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("perceptual phash pipeline: streaming banded self-join matches batch hammingPairs") {
+    // imageHashes is a stateless mapPartitions kernel, so the SAME
+    // operator body hashes a readStream of image payloads; the banded
+    // Hamming join becomes a stream-stream inner equi-join on
+    // (band, bits) — Spark's supported shape for append-mode joins.
+    // Batch hammingPairs is the ground truth, pair for pair.
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-phash-stream").toFile
+    val ids = (0L until 180L by 3L).toSeq // the image cohort: doc_id % 3 == 0
+    val mediaBatch = spark.createDataset(
+      ids.map(id => Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id))))
+    mediaBatch.toDF().write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val mediaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("media_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    def hashedStream() = Multimodal.imageHashes(
+      spark.readStream.schema(mediaSchema).parquet(srcDir.getAbsolutePath)
+        .as[Multimodal.MediaRow])
+
+    // band both sides exactly as hammingPairs does (7 bands for radius 6
+    // over 64 bits); the distinct/threshold reduction runs on the sink
+    // because append-mode streams can't re-aggregate the joined pairs
+    val bands = 7; val width = 64 / bands
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"), col("dhash").as("sig"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+             |  'band', b,
+             |  'bits', CASE WHEN b = ${bands - 1}
+             |    THEN shiftrightunsigned(dhash, b * $width)
+             |    ELSE shiftrightunsigned(dhash, b * $width) & ${(1L << width) - 1} END))""".stripMargin))
+          .as("bb"))
+        .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val joined = banded(hashedStream()).toDF("id_a", "sig_a", "band", "bits")
+      .join(banded(hashedStream()).toDF("id_b", "sig_b", "band", "bits"), Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+    val q = joined.writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // a pair may surface from several agreeing bands — dedup at the sink
+    val streamed = spark.table("phash_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.text.TextOps.hammingPairs(
+        Multimodal.imageHashes(mediaBatch).toDF("id", "sig"), sigBits = 64, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("winnowing fingerprints are stream-transparent (per-document kernel, no state)") {
     // winnowing became a stateless per-document mapPartitions kernel,
     // so the SAME operator body runs unmodified on a readStream source
