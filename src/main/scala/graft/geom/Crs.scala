@@ -755,6 +755,129 @@ object Crs {
     }
   }
 
+  /** NEW ZEALAND MAP GRID (EPSG:27200) — Reilly's 6th-order complex
+    * conformal polynomial on International 1924, the NZGD49 national
+    * grid that preceded NZTM2000. Published definition (all constants
+    * public): W.I. Reilly, "A conformal mapping projection with minimum
+    * scale error" (Survey Review 1973) and the LINZ standard
+    * LINZS25702 "NZGD49 / NZMG projection". The forward maps
+    * Δφ (in 10^5 arc-seconds) through a 10-term real series to an
+    * isometric-latitude difference Δψ, forms z = Δψ + iΔλ, and
+    * evaluates a 6-term COMPLEX polynomial ζ = Σ B_k z^k;
+    * E = FE + a·Im ζ, N = FN + a·Re ζ. The inverse seeds z from the
+    * published 6-term inverse series and polishes with two Newton
+    * steps on the forward polynomial, then maps Δψ back through the
+    * 9-term real series. Conformality comes free from the analyticity
+    * of the complex polynomial.
+    */
+  final case class NewZealandMapGrid(override val name: String) extends Crs {
+    val isGeographic = false
+    private val a = 6378388.0 // International 1924
+    private val phi0 = math.toRadians(-41.0)
+    private val lam0 = math.toRadians(173.0)
+    private val fe = 2510000.0
+    private val fn = 6023150.0
+    // rad <-> 10^5 arc-seconds
+    private val RadToSec5 = math.toDegrees(1.0) * 3600.0 * 1e-5
+    private val Sec5ToRad = 1.0 / RadToSec5
+    // Δφ' -> Δψ series (A1..A10) and Δψ -> Δφ' series (C1..C9)
+    private val A = Array(0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+      0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034)
+    private val C = Array(1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+      -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+    // forward complex coefficients B1..B6 (re, im)
+    private val Br = Array(0.7557853228, 0.249204646, -0.001541739,
+      -0.10162907, -0.26623489, -0.6870983)
+    private val Bi = Array(0.0, 0.003371507, 0.041058560,
+      0.01727609, -0.36249218, -1.1651967)
+    // inverse-seed complex coefficients b1..b6
+    private val br = Array(1.3231270439, -0.577245789, 0.508307513,
+      -0.15094762, 1.01418179, 1.9660549)
+    private val bi = Array(0.0, -0.007809598, -0.112208952,
+      0.18200602, 1.64497696, 2.5127645)
+
+    /** Horner evaluation of z * Σ c_k z^(k-1) for complex coefficient
+      * arrays — i.e. Σ_{k=1..n} c_k z^k.
+      */
+    private def zpoly(cr: Array[Double], ci: Array[Double],
+        zr: Double, zi: Double): (Double, Double) = {
+      val n = cr.length
+      var wr = cr(n - 1); var wi = ci(n - 1)
+      var k = n - 2
+      while (k >= 0) {
+        val t = wr * zr - wi * zi + cr(k)
+        wi = wr * zi + wi * zr + ci(k)
+        wr = t
+        k -= 1
+      }
+      (wr * zr - wi * zi, wr * zi + wi * zr)
+    }
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val dphi = (math.toRadians(latDeg) - phi0) * RadToSec5
+      var psi = A(A.length - 1)
+      var i = A.length - 2
+      while (i >= 0) { psi = A(i) + dphi * psi; i -= 1 }
+      psi *= dphi
+      var dlam = math.toRadians(lonDeg) - lam0
+      if (dlam > math.Pi) dlam -= 2 * math.Pi
+      if (dlam < -math.Pi) dlam += 2 * math.Pi
+      val (zr, zi) = zpoly(Br, Bi, psi, dlam)
+      (fe + a * zi, fn + a * zr)
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val wr = (y - fn) / a; val wi = (x - fe) / a
+      // seed from the inverse series, then two Newton steps on
+      // f(z) = Σ B_k z^k - w  (f'(z) = Σ k B_k z^(k-1))
+      var (zr, zi) = zpoly(br, bi, wr, wi)
+      var it = 0
+      while (it < 2) {
+        // numerator: w + Σ_{k=2..6} (k-1) B_k z^k, denominator: Σ k B_k z^(k-1)
+        var numR = wr; var numI = wi
+        var denR = Br(0); var denI = Bi(0)
+        // accumulate powers of z
+        var pr = zr; var pi = zi // z^1
+        var k = 2
+        while (k <= 6) {
+          val t = pr * zr - pi * zi
+          pi = pr * zi + pi * zr
+          pr = t // now z^k
+          numR += (k - 1) * (Br(k - 1) * pr - Bi(k - 1) * pi)
+          numI += (k - 1) * (Br(k - 1) * pi + Bi(k - 1) * pr)
+          k += 1
+        }
+        // denominator Σ k B_k z^(k-1): Horner over coefficients k*B_k
+        var dr = 6 * Br(5); var di = 6 * Bi(5)
+        k = 4
+        while (k >= 0) {
+          val t = dr * zr - di * zi + (k + 1) * Br(k)
+          di = dr * zi + di * zr + (k + 1) * Bi(k)
+          dr = t
+          k -= 1
+        }
+        denR = dr; denI = di
+        val d2 = denR * denR + denI * denI
+        val nzr = (numR * denR + numI * denI) / d2
+        val nzi = (numI * denR - numR * denI) / d2
+        zr = nzr; zi = nzi
+        it += 1
+      }
+      val dpsi = zr
+      var dphi = C(C.length - 1)
+      var i = C.length - 2
+      while (i >= 0) { dphi = C(i) + dpsi * dphi; i -= 1 }
+      dphi *= dpsi
+      val latDeg = math.toDegrees(phi0 + dphi * Sec5ToRad)
+      var lonDeg = math.toDegrees(lam0 + zi)
+      if (lonDeg > 180) lonDeg -= 360 else if (lonDeg < -180) lonDeg += 360
+      (lonDeg, latDeg)
+    }
+  }
+
+  /** NZGD49 / New Zealand Map Grid. */
+  val nzmg: Crs = NewZealandMapGrid("EPSG:27200")
+
   /** Bessel 1841 (the Swiss and Czech/Slovak national grids). */
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
 
@@ -869,6 +992,8 @@ object Crs {
     "EPSG:2056" -> ch1903PlusLv95,
     // Czech/Slovak S-JTSK (Krovak East North)
     "EPSG:5514" -> krovakEastNorth,
+    // NZGD49 / New Zealand Map Grid (complex-series conformal)
+    "EPSG:27200" -> nzmg,
     // MODIS sinusoidal grid (spherical, authalic radius)
     "SR-ORG:6974" -> modisSinusoidal,
     // ESRI Sphere Sinusoidal (world grid on the R=6371000 sphere)
@@ -885,9 +1010,10 @@ object Crs {
       "EPSG:3035 (LAEA Europe), EPSG:2154/5069/3034 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
       "EPSG:21781/2056 (Swiss oblique mercator), EPSG:5514 (Krovak East North), " +
+      "EPSG:27200 (New Zealand Map Grid), " +
       "SR-ORG:6974 + ESRI:53008 (sinusoidal), " +
       "EPSG:8857/8858/8859 (Equal Earth), " +
-      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth|somerc), " +
+      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth|somerc|krovak|nzmg), " +
       "and WKT with PROJECTION " +
       "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|" +
       "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator|Sinusoidal(spherical)|Equal_Earth"
@@ -994,6 +1120,10 @@ object Crs {
         SwissObliqueMercator(
           num("lon_0", 0), num("lat_0", 0), num("k_0", num("k", 1.0)),
           num("x_0", 0), num("y_0", 0), som, s.trim)
+      case "nzmg" =>
+        // all constants are fixed by the published definition; PROJ
+        // likewise ignores overrides beyond the International ellipsoid
+        NewZealandMapGrid(s.trim)
       case "stere" if math.abs(num("lat_0", 0)) == 90.0 => PolarStereographic(
         num("lat_ts", num("lat_0", 90)), num("lon_0", 0),
         num("x_0", 0), num("y_0", 0), south = num("lat_0", 0) < 0, ell, s.trim)

@@ -405,6 +405,88 @@ class TransformSpec extends AnyFunSuite {
     assert(math.abs(wx - px) < 0.1 && math.abs(wy - py) < 0.1)
   }
 
+  test("NZMG: origin exact, isometric series exact, design scale profile, conformal, roundtrip, parse routes") {
+    import Crs._
+    val nz = fromString("EPSG:27200")
+    // the false origin IS the projection center (z = 0 -> zeta = 0)
+    val (ox, oy) = nz.fromLonLat(173.0, -41.0)
+    assert(math.abs(ox - 2510000.0) < 1e-6 && math.abs(oy - 6023150.0) < 1e-6,
+      s"origin ($ox,$oy)")
+    // the published A series must BE the isometric-latitude difference
+    // on International 1924 (a=6378388, 1/f=297) — checked against the
+    // closed form at 1e-9, which pins the coefficients and the
+    // 10^5-arc-second unit convention
+    val aa = 6378388.0; val ff = 1.0 / 297.0; val ee2 = ff * (2 - ff)
+    val ee = math.sqrt(ee2)
+    def iso(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        (ee / 2) * math.log((1 + ee * s) / (1 - ee * s))
+    }
+    val A = Array(0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+      0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034)
+    for (latDeg <- Seq(-34.0, -38.0, -44.0, -47.0)) {
+      val dphi = math.toRadians(latDeg + 41.0) * math.toDegrees(1.0) * 3600.0 * 1e-5
+      var psi = A(A.length - 1)
+      var i = A.length - 2
+      while (i >= 0) { psi = A(i) + dphi * psi; i -= 1 }
+      psi *= dphi
+      val exact = iso(math.toRadians(latDeg)) - iso(math.toRadians(-41.0))
+      assert(math.abs(psi - exact) < 1e-9, s"A-series at $latDeg: $psi vs $exact")
+    }
+    // NZMG's defining property is MINIMUM scale error over the country
+    // (Reilly 1973): |k - 1| stays inside 2e-4 over the whole NZ
+    // landmass lattice, far tighter than any single-k0 TM could do.
+    // Golden point scales (finite difference along the meridian):
+    def kAt(lon: Double, lat: Double): Double = {
+      val d = 1e-6
+      val (x1, y1) = nz.fromLonLat(lon, lat - d / 2)
+      val (x2, y2) = nz.fromLonLat(lon, lat + d / 2)
+      val phi = math.toRadians(lat)
+      val s2 = math.sin(phi) * math.sin(phi)
+      val m = aa * (1 - ee2) / math.pow(1 - ee2 * s2, 1.5)
+      math.hypot(x2 - x1, y2 - y1) / (m * math.toRadians(d))
+    }
+    val golden = Seq( // city, lon, lat, point scale (engine golden)
+      ("NorthCape", 173.0, -34.4, 0.999923), ("Auckland", 174.76, -36.85, 0.999980),
+      ("Gisborne", 178.02, -38.66, 1.000074), ("Wellington", 174.78, -41.29, 0.999952),
+      ("Christchurch", 172.63, -43.53, 0.999998), ("Dunedin", 170.50, -45.87, 1.000074),
+      ("Invercargill", 168.35, -46.41, 0.999923))
+    golden.foreach { case (nm, lon, lat, k) =>
+      val got = kAt(lon, lat)
+      assert(math.abs(got - k) < 1e-5, s"$nm scale $got vs golden $k")
+      assert(math.abs(got - 1.0) < 2e-4, s"$nm outside the design bound: $got")
+    }
+    // conformal: scale direction-independent
+    for ((lon, lat) <- Seq((174.76, -36.85), (170.5, -45.87))) {
+      val d = 1e-6
+      val (x1, y1) = nz.fromLonLat(lon - d / 2, lat)
+      val (x2, y2) = nz.fromLonLat(lon + d / 2, lat)
+      val phi = math.toRadians(lat)
+      val s2 = math.sin(phi) * math.sin(phi)
+      val nR = aa / math.sqrt(1 - ee2 * s2)
+      val kp = math.hypot(x2 - x1, y2 - y1) / (nR * math.cos(phi) * math.toRadians(d))
+      assert(math.abs(kp - kAt(lon, lat)) < 1e-6, s"anisotropy at ($lon,$lat)")
+    }
+    // Auckland-Wellington grid distance matches the ~493 km meridional
+    // separation (scale ~1 everywhere makes grid distance ~ true distance)
+    val (ax, ay) = nz.fromLonLat(174.76, -36.85)
+    val (wx2, wy2) = nz.fromLonLat(174.78, -41.29)
+    val dAw = math.hypot(ax - wx2, ay - wy2) / 1000
+    assert(math.abs(dAw - 493.0) < 8.0, s"Auckland-Wellington $dAw km")
+    // exact roundtrip over the NZ lattice (inverse series + 2 Newton steps)
+    for (lon <- Seq(166.5, 170.0, 173.0, 176.0, 178.5); lat <- Seq(-34.5, -38.0, -41.0, -44.0, -47.0)) {
+      val (x, y) = nz.fromLonLat(lon, lat)
+      val (lon2, lat2) = nz.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // parse routes agree; unknown params still fail loudly elsewhere
+    val viaProj = fromProjString("+proj=nzmg +ellps=intl")
+    val (px, py) = viaProj.fromLonLat(174.76, -36.85)
+    assert(math.abs(px - ax) < 1e-9 && math.abs(py - ay) < 1e-9)
+  }
+
   test("MODIS sinusoidal: grid-edge anchors, equator identity, exact roundtrip, spherical-only parse") {
     val sinu = Crs.modisSinusoidal
     val R = 6371007.181
