@@ -38,6 +38,16 @@ object CfConv {
     */
   def crsFromAttrs(attrs: Attrs): Option[Crs] = {
     def num(k: String): Option[Double] = attrs.get(k).flatMap(v => v.toDoubleOption)
+    // CF defines semi_major_axis / inverse_flattening on grid-mapping
+    // variables: when both are present they override the family's
+    // default ellipsoid, so Bessel-based grids (Swiss somerc, Krovak)
+    // round-trip through their own attrs instead of silently becoming
+    // WGS84 (a ~100-200 m shift)
+    def ellOr(default: Crs.Ellipsoid): Crs.Ellipsoid =
+      (num("semi_major_axis"), num("inverse_flattening")) match {
+        case (Some(a), Some(invF)) => Crs.Ellipsoid(a, invF)
+        case _ => default
+      }
     attrs.get("spatial_ref").orElse(attrs.get("crs_wkt")) match {
       case Some(wkt) if wkt.contains("EPSG") =>
         // accept "EPSG","NNNN" authority tails in WKT
@@ -53,14 +63,14 @@ object CfConv {
               k0 = num("scale_factor_at_central_meridian").getOrElse(1.0),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              ell = Crs.WGS84, name = "CF:transverse_mercator")
+              ell = ellOr(Crs.WGS84), name = "CF:transverse_mercator")
           case "lambert_azimuthal_equal_area" =>
             Crs.LambertAzimuthalEqualArea(
               lon0Deg = num("longitude_of_projection_origin").getOrElse(0.0),
               lat0Deg = num("latitude_of_projection_origin").getOrElse(0.0),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              ell = Crs.GRS80, name = "CF:laea")
+              ell = ellOr(Crs.GRS80), name = "CF:laea")
           case "rotated_latitude_longitude" =>
             Crs.RotatedPole(
               poleLatDeg = num("grid_north_pole_latitude").getOrElse(90.0),
@@ -80,7 +90,7 @@ object CfConv {
               lon0Deg = num("longitude_of_central_meridian").getOrElse(0.0),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              ell = Crs.WGS84, name = "CF:lcc")
+              ell = ellOr(Crs.WGS84), name = "CF:lcc")
           case "albers_conical_equal_area" =>
             val sps = attrs.get("standard_parallel").toSeq
               .flatMap(_.split("[,\\[\\]\\s]+")).flatMap(_.toDoubleOption)
@@ -92,7 +102,7 @@ object CfConv {
               lon0Deg = num("longitude_of_central_meridian").getOrElse(0.0),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              ell = Crs.WGS84, name = "CF:albers")
+              ell = ellOr(Crs.WGS84), name = "CF:albers")
           case "polar_stereographic" =>
             val lat0 = num("latitude_of_projection_origin").getOrElse(90.0)
             Crs.PolarStereographic(
@@ -100,7 +110,7 @@ object CfConv {
               lon0Deg = num("straight_vertical_longitude_from_pole").getOrElse(0.0),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              south = lat0 < 0, ell = Crs.WGS84, name = "CF:polar_stereographic")
+              south = lat0 < 0, ell = ellOr(Crs.WGS84), name = "CF:polar_stereographic")
           case "sinusoidal" =>
             val r = num("earth_radius").getOrElse(throw new IllegalArgumentException(
               "CF sinusoidal is implemented for the SPHERICAL form only: earth_radius required"))
@@ -115,7 +125,7 @@ object CfConv {
               lon0Deg = num("longitude_of_projection_origin").getOrElse(0.0),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              ell = Crs.WGS84, name = "CF:equal_earth")
+              ell = ellOr(Crs.WGS84), name = "CF:equal_earth")
           case "oblique_mercator" =>
             val az = num("azimuth_of_central_line").getOrElse(90.0)
             if (az != 90.0) throw new IllegalArgumentException(
@@ -126,7 +136,7 @@ object CfConv {
               k0 = num("scale_factor_at_projection_origin").getOrElse(1.0),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              ell = Crs.WGS84, name = "CF:oblique_mercator")
+              ell = ellOr(Crs.WGS84), name = "CF:oblique_mercator")
           case "krovak" =>
             Crs.Krovak(
               lonCDeg = num("longitude_of_center").getOrElse(24.0 + 50.0 / 60),
@@ -137,8 +147,11 @@ object CfConv {
               kP = num("scale_factor_on_pseudo_standard_parallel").getOrElse(0.9999),
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
-              ell = Crs.Bessel1841, name = "CF:krovak")
+              ell = ellOr(Crs.Bessel1841), name = "CF:krovak")
           case "mercator" => Crs.WebMercator
+          // CF has no NZMG entry; all constants are fixed by the
+          // published definition, so the name alone round-trips
+          case "new_zealand_map_grid" => Crs.nzmg
           case other =>
             throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
         }
@@ -264,6 +277,8 @@ object CfConv {
       "scale_factor_at_central_meridian" -> t.k0.toString,
       "false_easting" -> t.falseEasting.toString,
       "false_northing" -> t.falseNorthing.toString,
+      "semi_major_axis" -> t.ell.a.toString,
+      "inverse_flattening" -> t.ell.invF.toString,
       "crs_name" -> t.name)
     case l: Crs.LambertAzimuthalEqualArea => Map(
       "grid_mapping_name" -> "lambert_azimuthal_equal_area",
@@ -271,6 +286,8 @@ object CfConv {
       "latitude_of_projection_origin" -> l.lat0Deg.toString,
       "false_easting" -> l.falseEasting.toString,
       "false_northing" -> l.falseNorthing.toString,
+      "semi_major_axis" -> l.ell.a.toString,
+      "inverse_flattening" -> l.ell.invF.toString,
       "crs_name" -> l.name)
     case r: Crs.RotatedPole => Map(
       "grid_mapping_name" -> "rotated_latitude_longitude",
@@ -285,6 +302,8 @@ object CfConv {
       "longitude_of_central_meridian" -> l.lon0Deg.toString,
       "false_easting" -> l.falseEasting.toString,
       "false_northing" -> l.falseNorthing.toString,
+      "semi_major_axis" -> l.ell.a.toString,
+      "inverse_flattening" -> l.ell.invF.toString,
       "crs_name" -> l.name)
     case a: Crs.AlbersEqualAreaConic => Map(
       "grid_mapping_name" -> "albers_conical_equal_area",
@@ -293,6 +312,8 @@ object CfConv {
       "longitude_of_central_meridian" -> a.lon0Deg.toString,
       "false_easting" -> a.falseEasting.toString,
       "false_northing" -> a.falseNorthing.toString,
+      "semi_major_axis" -> a.ell.a.toString,
+      "inverse_flattening" -> a.ell.invF.toString,
       "crs_name" -> a.name)
     case p: Crs.PolarStereographic => Map(
       "grid_mapping_name" -> "polar_stereographic",
@@ -301,6 +322,8 @@ object CfConv {
       "straight_vertical_longitude_from_pole" -> p.lon0Deg.toString,
       "false_easting" -> p.falseEasting.toString,
       "false_northing" -> p.falseNorthing.toString,
+      "semi_major_axis" -> p.ell.a.toString,
+      "inverse_flattening" -> p.ell.invF.toString,
       "crs_name" -> p.name)
     case s: Crs.Sinusoidal => Map(
       "grid_mapping_name" -> "sinusoidal",
@@ -315,6 +338,8 @@ object CfConv {
       "longitude_of_projection_origin" -> e.lon0Deg.toString,
       "false_easting" -> e.falseEasting.toString,
       "false_northing" -> e.falseNorthing.toString,
+      "semi_major_axis" -> e.ell.a.toString,
+      "inverse_flattening" -> e.ell.invF.toString,
       "crs_name" -> e.name)
     case s: Crs.SwissObliqueMercator => Map(
       "grid_mapping_name" -> "oblique_mercator",
@@ -324,6 +349,8 @@ object CfConv {
       "scale_factor_at_projection_origin" -> s.k0.toString,
       "false_easting" -> s.falseEasting.toString,
       "false_northing" -> s.falseNorthing.toString,
+      "semi_major_axis" -> s.ell.a.toString,
+      "inverse_flattening" -> s.ell.invF.toString,
       "crs_name" -> s.name)
     // CF has no Krovak entry; "krovak" mirrors PROJ's method name and
     // round-trips through crsFromAttrs (pyproj falls back to crs_wkt)
@@ -336,10 +363,15 @@ object CfConv {
       "scale_factor_on_pseudo_standard_parallel" -> k.kP.toString,
       "false_easting" -> k.falseEasting.toString,
       "false_northing" -> k.falseNorthing.toString,
+      "semi_major_axis" -> k.ell.a.toString,
+      "inverse_flattening" -> k.ell.invF.toString,
       "crs_name" -> k.name)
     case Crs.WebMercator => Map(
       "grid_mapping_name" -> "mercator",
       "crs_name" -> Crs.WebMercator.name)
+    case n: Crs.NewZealandMapGrid => Map(
+      "grid_mapping_name" -> "new_zealand_map_grid",
+      "crs_name" -> n.name)
   }
 
   /** Normalize the grid-mapping metadata of a dataset's attribute

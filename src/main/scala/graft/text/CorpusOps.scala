@@ -200,12 +200,29 @@ object CorpusOps {
     */
   def decontaminateBloom(
       train: DataFrame, eval: DataFrame, fpp: Double = 0.01,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      expectedItems: Option[Long] = None): DataFrame = {
     val spark = train.sparkSession
     val evalHashes = eval.select(
       md5(coalesce(col(textCol), lit(""))).as("eval_hash")).distinct()
-    val n = math.max(evalHashes.count(), 1L)
-    val bf = evalHashes.stat.bloomFilter("eval_hash", n, fpp)
+    // The md5+distinct pipeline has three consumers: the sizing count,
+    // the bloom aggregation, and the final anti-join scan. Persist it
+    // across the two EAGER actions (count + bloom) and release before
+    // returning — the lazy anti-join recomputes one scan at execution
+    // time, so the eval pipeline runs twice, not three times, and no
+    // cache entry outlives the call. Callers that already know the
+    // eval cardinality pass `expectedItems` and skip the count job
+    // entirely (one eager pass).
+    val bf = expectedItems match {
+      case Some(n) =>
+        evalHashes.stat.bloomFilter("eval_hash", math.max(n, 1L), fpp)
+      case None =>
+        val cached = evalHashes.persist()
+        try {
+          val n = math.max(cached.count(), 1L)
+          cached.stat.bloomFilter("eval_hash", n, fpp)
+        } finally cached.unpersist()
+    }
     val bcBf = spark.sparkContext.broadcast(bf)
     val hashed = train.withColumn("train_hash", md5(coalesce(col(textCol), lit(""))))
     val mightContain = udf((h: String) => bcBf.value.mightContainString(h))

@@ -582,6 +582,10 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(tokens(col(textCol))).as("token")).as[String]
+    // an empty / zero-partition input has no tokens and no heavy
+    // hitters; treeReduce on a zero-partition RDD would throw instead
+    if (toks.rdd.getNumPartitions == 0)
+      return Seq.empty[(String, Long)].toDF("token", "cnt")
     // stage 1: per-partition MG summaries + token totals, tree-merged
     val (summary, nTotal) = toks.rdd
       .mapPartitions { it =>

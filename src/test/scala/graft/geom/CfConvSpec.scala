@@ -245,19 +245,23 @@ class CfConvSpec extends AnyFunSuite {
       val lat = if (crs == Crs.lambert93) 46.0 else if (crs == Crs.antarcticPolarStereo) -80.0 else 80.0
       val (x1, y1) = crs.fromLonLat(5.0, lat)
       val (x2, y2) = parsed.fromLonLat(5.0, lat)
-      // lambert93 is GRS80, CF default WGS84 -> metre-level agreement;
-      // the polar stereo pair is WGS84 both sides -> exact
-      val tol = if (crs == Crs.lambert93) 1.0 else 1e-9
+      // ellipsoid attrs now ride along in crsToAttrs, so every family
+      // round-trips transform-identical (lambert93's GRS80 included)
+      val tol = 1e-9
       assert(math.abs(x1 - x2) < tol && math.abs(y1 - y2) < tol, s"${crs.name}: ($x1,$y1) vs ($x2,$y2)")
     }
     assert(CfConv.crsFromAttrs(Map("grid_mapping_name" -> "mercator")).contains(Crs.WebMercator))
-    // sinusoidal / equal earth / Swiss oblique mercator: emit -> parse
-    // -> transform-identical (all WGS84-or-sphere both sides except the
-    // Bessel-based Swiss grid, where CF carries no ellipsoid -> ~100 m)
+    // sinusoidal / equal earth / Swiss oblique mercator / Krovak / NZMG:
+    // emit -> parse -> transform-identical. The Bessel-based Swiss grid
+    // is the regression that motivated serializing semi_major_axis /
+    // inverse_flattening: without them it re-parsed as WGS84, ~100-200 m
+    // off; with them the roundtrip is exact
     for ((crs, pt, tol) <- Seq(
         (Crs.modisSinusoidal, (45.3, -23.0), 1e-9),
         (Crs.fromString("EPSG:8858"), (-100.0, 40.0), 1e-9),
-        (Crs.ch1903Lv03, (8.5417, 47.3769), 200.0),
+        (Crs.ch1903Lv03, (8.5417, 47.3769), 1e-9),
+        (Crs.ch1903PlusLv95, (6.15, 46.2), 1e-9),
+        (Crs.nzmg, (174.76, -36.85), 1e-9),
         (Crs.krovakEastNorth, (14.4208, 50.0875), 1e-9))) {
       val parsed = CfConv.crsFromAttrs(CfConv.crsToAttrs(crs)).get
       val (x1, y1) = crs.fromLonLat(pt._1, pt._2)

@@ -249,6 +249,19 @@ class CorpusOrderSpec extends AnyFunSuite {
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       assert(got == exact, s"fpp=$fpp: ${got.size} vs ${exact.size}")
     }
+    // the count-skipping path (caller-supplied cardinality) is
+    // identical, including a deliberately-low estimate (bloom fpp
+    // degrades, exactness survives via the verify join)
+    for (est <- Seq(1L, 50L, 100000L)) {
+      val got = CorpusOps.decontaminateBloom(docs, eval_, 0.01,
+          expectedItems = Some(est))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got == exact, s"expectedItems=$est: ${got.size} vs ${exact.size}")
+    }
+    // no cache entry may outlive the call (the leak the persist fix
+    // could have introduced)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "decontaminateBloom leaked a cached DataFrame")
   }
 
   test("decontaminate drops exact content matches and keeps everything else") {

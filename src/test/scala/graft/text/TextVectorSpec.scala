@@ -187,6 +187,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(perQuery.forall(_ == 5))
   }
 
+  test("semanticDedup fixture margin: no within-cluster similarity sits near the 0.35 threshold") {
+    // q_semdedup's oracle parity rests on Spark (pre-normalized
+    // centroids, native cosine) and DuckDB (raw list_cosine_similarity)
+    // agreeing on every >= 0.35 comparison. Different rounding could
+    // flip a comparison only within float-noise of the threshold, so
+    // this guard asserts the DATA keeps a >= 3e-5 margin around it at
+    // every verify SF — a future fixture or threshold change fails
+    // here, loudly, instead of as a flaky hash mismatch in the harness.
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+        if new java.io.File(s"$sfDir/embeddings.parquet").exists) {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val assign = VectorOps.kmeansAssign(e, k = 8, iters = 2)
+      val v = e.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(assign, "vec_id")
+      val a = v.select(col("cluster_id"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = v.select(col("cluster_id"), col("vec_id").as("id_b"), col("v").as("vb"))
+      val minMargin = a.join(b, Seq("cluster_id"))
+        .filter(col("id_a") < col("id_b"))
+        .select(abs(VectorOps.cosine(col("va"), col("vb")) - lit(0.35)).as("margin"))
+        .agg(min(col("margin"))).collect()(0).getDouble(0)
+      assert(minMargin >= 3e-5,
+        s"$sfDir: within-cluster similarity within $minMargin of the 0.35 threshold " +
+          "— q_semdedup oracle parity is no longer guaranteed; adjust the threshold")
+    }
+  }
+
   test("chunkDupStats: hand-computed chunk counts, cross-doc df rule, tail chunk, empty doc") {
     val d = Seq(
       (0L, "a b c d e f g"),     // k=3 -> chunks "a b c","d e f","g" (tail kept)
@@ -261,6 +288,12 @@ class TextVectorSpec extends AnyFunSuite {
     // sizing that could miss heavy hitters is refused, never silent
     intercept[IllegalArgumentException](
       TextOps.heavyHitterTokens(docs, minCount = 2, counters = 4))
+    // a zero-partition input returns the empty result instead of
+    // treeReduce's UnsupportedOperationException
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.select(col("doc_id"), col("text")).schema)
+    assert(TextOps.heavyHitterTokens(empty, minCount = 5).count() == 0)
   }
 
   test("semanticDedup drops juniors within cosine threshold inside a cluster, never across clusters") {
