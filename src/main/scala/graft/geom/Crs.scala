@@ -994,6 +994,21 @@ object Crs {
     "EPSG:5514" -> krovakEastNorth,
     // NZGD49 / New Zealand Map Grid (complex-series conformal)
     "EPSG:27200" -> nzmg,
+    // ETRS89 / TM35FIN (Finland single-zone TM)
+    "EPSG:3067" -> TransverseMercator(27.0, 0.0, 0.9996, 500000.0, 0.0,
+      GRS80, "EPSG:3067"),
+    // ETRS89 / Poland CS92 (single-zone TM, negative false northing)
+    "EPSG:2180" -> TransverseMercator(19.0, 0.0, 0.9993, 500000.0, -5300000.0,
+      GRS80, "EPSG:2180"),
+    // MGI / Austria Lambert (LCC on Bessel 1841)
+    "EPSG:31287" -> LambertConformalConic(49.0, 46.0, 47.5, 13.0 + 20.0 / 60,
+      400000.0, 400000.0, Bessel1841, "EPSG:31287"),
+    // EASE-Grid 2.0 North / South (polar LAEA on WGS84)
+    "EPSG:6931" -> LambertAzimuthalEqualArea(0.0, 90.0, 0.0, 0.0, WGS84, "EPSG:6931"),
+    "EPSG:6932" -> LambertAzimuthalEqualArea(0.0, -90.0, 0.0, 0.0, WGS84, "EPSG:6932"),
+    // North Pole LAEA Atlantic / Europe (pan-Arctic mapping aspects)
+    "EPSG:3574" -> LambertAzimuthalEqualArea(-40.0, 90.0, 0.0, 0.0, WGS84, "EPSG:3574"),
+    "EPSG:3575" -> LambertAzimuthalEqualArea(10.0, 90.0, 0.0, 0.0, WGS84, "EPSG:3575"),
     // MODIS sinusoidal grid (spherical, authalic radius)
     "SR-ORG:6974" -> modisSinusoidal,
     // ESRI Sphere Sinusoidal (world grid on the R=6371000 sphere)
@@ -1006,8 +1021,9 @@ object Crs {
   private val SupportedMsg =
     "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
       "EPSG:326xx/327xx + 258xx (ETRS89) + 269xx (NAD83) (UTM), " +
-      "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), " +
-      "EPSG:3035 (LAEA Europe), EPSG:2154/5069/3034 (LCC), EPSG:5070 + ESRI:102003 (Albers), " +
+      "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), EPSG:3067/2180 (national TM), " +
+      "EPSG:3035 + 6931/6932/3574/3575 (LAEA), EPSG:2154/5069/3034/31287 (LCC), " +
+      "EPSG:5070 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
       "EPSG:21781/2056 (Swiss oblique mercator), EPSG:5514 (Krovak East North), " +
       "EPSG:27200 (New Zealand Map Grid), " +

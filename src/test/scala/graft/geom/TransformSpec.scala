@@ -266,9 +266,30 @@ class TransformSpec extends AnyFunSuite {
     // out-of-range zones fail loudly instead of inventing a grid
     intercept[IllegalArgumentException](fromString("EPSG:25839"))
     intercept[IllegalArgumentException](fromString("EPSG:26924"))
+    // round-6 registry growth: national TM zones, Austria's Bessel LCC,
+    // EASE-Grid 2.0 and pan-Arctic LAEA aspects
+    val tm35 = fromString("EPSG:3067").asInstanceOf[TransverseMercator]
+    assert(tm35.ell == GRS80 && tm35.lon0Deg == 27.0 && tm35.k0 == 0.9996)
+    val cs92 = fromString("EPSG:2180").asInstanceOf[TransverseMercator]
+    assert(cs92.lon0Deg == 19.0 && cs92.falseNorthing == -5300000.0)
+    val austria = fromString("EPSG:31287").asInstanceOf[LambertConformalConic]
+    assert(austria.ell == Bessel1841 && austria.lat1Deg == 49.0 && austria.lat2Deg == 46.0)
+    // Vienna lands near the published MGI/Lambert neighborhood
+    val (vx, vy) = austria.fromLonLat(16.3738, 48.2082)
+    assert(math.abs(vx - 625000.0) < 15000 && math.abs(vy - 483000.0) < 15000,
+      s"Vienna EPSG:31287 ($vx,$vy)")
+    for (code <- Seq("EPSG:6931", "EPSG:3574", "EPSG:3575")) {
+      val l = fromString(code).asInstanceOf[LambertAzimuthalEqualArea]
+      assert(l.lat0Deg == 90.0 && l.falseEasting == 0.0)
+      val (px2, py2) = l.fromLonLat(0.0, 90.0)
+      assert(math.abs(px2) < 1e-6 && math.abs(py2) < 1e-6, s"$code pole not origin")
+    }
+    assert(fromString("EPSG:6932").asInstanceOf[LambertAzimuthalEqualArea].lat0Deg == -90.0)
     // every new registry code roundtrips exactly at spread test points
     for (code <- Seq("EPSG:2193", "EPSG:3034", "EPSG:3411", "EPSG:3412",
-        "EPSG:8858", "EPSG:8859", "ESRI:53008", "EPSG:25828", "EPSG:26910")) {
+        "EPSG:8858", "EPSG:8859", "ESRI:53008", "EPSG:25828", "EPSG:26910",
+        "EPSG:3067", "EPSG:2180", "EPSG:31287", "EPSG:6931", "EPSG:6932",
+        "EPSG:3574", "EPSG:3575")) {
       val crs = fromString(code)
       val pts = code match {
         case "EPSG:2193" => Seq((168.0, -46.5), (174.8, -41.3), (178.0, -37.0))
@@ -277,6 +298,12 @@ class TransformSpec extends AnyFunSuite {
         case "EPSG:3412" => Seq((0.0, -70.0), (90.0, -80.0), (-150.0, -55.0))
         case "EPSG:25828" => Seq((-15.0, 28.0), (-9.0, 39.0), (-13.0, 55.0))
         case "EPSG:26910" => Seq((-123.0, 38.0), (-126.0, 49.0), (-120.0, 32.0))
+        case "EPSG:3067" => Seq((21.0, 60.2), (27.0, 65.0), (30.5, 69.5))
+        case "EPSG:2180" => Seq((15.0, 49.5), (19.0, 52.0), (23.8, 54.8))
+        case "EPSG:31287" => Seq((10.0, 47.0), (13.33, 47.5), (16.9, 48.6))
+        case "EPSG:6931" | "EPSG:3574" | "EPSG:3575" =>
+          Seq((-40.0, 45.0), (10.0, 89.0), (135.0, 60.0))
+        case "EPSG:6932" => Seq((0.0, -89.0), (80.0, -50.0), (-150.0, -70.0))
         case _ => Seq((-170.0, -60.0), (0.0, 0.0), (77.7, 44.4))
       }
       for ((lon, lat) <- pts) {

@@ -541,6 +541,55 @@ class TextVectorSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("not a wav at all".getBytes).isEmpty)
   }
 
+  test("WAV chunk walker: extra chunks, odd-sized payloads, truncated data survive parsing") {
+    // a real-world WAV often carries LIST/fact/cue chunks between fmt
+    // and data; the walker must skip unknown chunks (word-aligned) and
+    // still land on fmt + data
+    val base = Multimodal.syntheticWav(7L)
+    val meta = Multimodal.decodeWav(base).get
+    // splice an odd-sized junk chunk after the fmt chunk (offset 36 =
+    // 12-byte RIFF header + 24-byte fmt chunk)
+    val junkBody = Array[Byte](1, 2, 3, 4, 5) // odd length -> pad byte
+    val junk = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++ junkBody ++ Array[Byte](0)
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    // fix the RIFF size field (little-endian u32 at offset 4)
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xFF).toByte; spliced(5) = ((total >> 8) & 0xFF).toByte
+    spliced(6) = ((total >> 16) & 0xFF).toByte; spliced(7) = ((total >> 24) & 0xFF).toByte
+    assert(Multimodal.decodeWav(spliced).contains(meta),
+      "unknown chunk between fmt and data changed the parse")
+    // a truncated data chunk parses the samples that are present
+    val truncated = base.dropRight(10)
+    val tMeta = Multimodal.decodeWav(truncated).get
+    assert(tMeta.sampleRate == meta.sampleRate && tMeta.nFrames < meta.nFrames)
+  }
+
+  test("WAV/AVI feature kernels are stream-transparent (stateless mapPartitions)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-media-stream").toFile
+    val rows = (0L until 30L).map { i =>
+      if (i % 2 == 0) Multimodal.MediaRow(i, "audio", Multimodal.syntheticWav(i))
+      else Multimodal.MediaRow(i, "video", Multimodal.syntheticAvi(i))
+    }
+    val batch = spark.createDataset(rows)
+    batch.toDF().write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("media_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    def stream() = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .as[Multimodal.MediaRow]
+    for ((name, batchDf, streamDf) <- Seq(
+        ("wav", Multimodal.audioFeatures(batch), Multimodal.audioFeatures(stream())),
+        ("avi", Multimodal.videoFeatures(batch), Multimodal.videoFeatures(stream())))) {
+      val q = streamDf.writeStream.format("memory").queryName(s"media_$name")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table(s"media_$name").collect().map(_.toSeq).toSet
+      val want = batchDf.collect().map(_.toSeq).toSet
+      assert(streamed == want && streamed.nonEmpty, s"$name parity")
+    }
+  }
+
   test("AVI: synthetic MJPEG container parses headers, counts frames, decodes real JPEGs") {
     for (id <- Seq(0L, 2L, 5L, 8L, 23L, 777L)) {
       val avi = Multimodal.syntheticAvi(id)
