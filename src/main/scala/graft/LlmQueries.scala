@@ -408,6 +408,20 @@ object LlmQueries {
         .toDF("id_a", "id_b", "hamming")
     }),
 
+    "q_multimodal_dup_clusters" -> ((s, dir) => {
+      // image-level dedup endpoint: perceptual near-dup pairs feed the
+      // same pointer-jumping connected components as text dedup —
+      // cluster_id = min doc id reachable through <= 6-bit Hamming
+      // edges; the operator composition IS the 100 TB shape (banded
+      // pair join, O(log d) label rounds)
+      import s.implicits._
+      val imgs = stagedImages(s, dir)
+      val sigs = Multimodal.imageHashes(imgs.as[Multimodal.MediaRow])
+      val pairs = TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
+        .toDF("id_a", "id_b", "hamming")
+      TextOps.dedupClusters(imgs.select(col("doc_id")), pairs)
+    }),
+
     "q_multimodal_resize" -> ((s, dir) => {
       // pre-staged PNG -> decode -> bilinear resize -> re-encode ->
       // decode again; the oracle predicts source dims analytically and
@@ -530,6 +544,11 @@ object LlmQueries {
 
     "q_len_quantiles" -> ((s, dir) =>
       CorpusOps.lengthQuantiles(docs(s, dir), Seq(0.25, 0.5, 0.75, 0.9))),
+
+    // relative quality threshold: drop each language's shortest
+    // quartile (per-stratum exact percentile, broadcast cutoff table)
+    "q_len_percentile_cut" -> ((s, dir) =>
+      CorpusOps.lengthPercentileCut(docs(s, dir), p = 0.25)),
 
     "q_events_window" -> ((s, dir) => {
       // events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
@@ -664,6 +683,41 @@ object LlmQueries {
        |  FROM pairs
        |) WHERE rn <= $k ORDER BY query_id, cand_id""".stripMargin
   }
+
+  // Shared analytic dHash oracle chain: replays the synthetic PNG's
+  // closed pixel formula and the decode-side integer box-average bit
+  // for bit, ending in d(doc_id, dhash) with the signed bit-63 wrap
+  private val sqlPhashD: String =
+    """img AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 17 AS h
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), cell AS (
+      |  SELECT i.doc_id, i.w, i.h, rr.r, cc.c,
+      |    (cc.c * i.w) // 9 AS x0,
+      |    GREATEST((cc.c * i.w) // 9 + 1, ((cc.c + 1) * i.w) // 9) AS x1,
+      |    (rr.r * i.h) // 8 AS y0,
+      |    GREATEST((rr.r * i.h) // 8 + 1, ((rr.r + 1) * i.h) // 8) AS y1
+      |  FROM img i, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
+      |), g AS (
+      |  SELECT doc_id, r, c,
+      |    SUM(299 * (((x * 31 + y * 7 + doc_id) % 16777216) // 65536)
+      |      + 587 * ((((x * 31 + y * 7 + doc_id) % 16777216) // 256) % 256)
+      |      + 114 * (((x * 31 + y * 7 + doc_id) % 16777216) % 256)) // COUNT(*) AS gval
+      |  FROM cell, unnest(generate_series(y0, y1 - 1)) yy(y),
+      |    unnest(generate_series(x0, x1 - 1)) xx(x)
+      |  GROUP BY 1, 2, 3
+      |), sbits AS (
+      |  SELECT a.doc_id,
+      |    SUM(CASE WHEN a.gval > b.gval
+      |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
+      |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY 1
+      |), d AS (
+      |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
+      |  FROM sbits
+      |)""".stripMargin
 
   /** DuckDB oracle for the ANN recall query: the single-table LSH
     * pipeline and the exact brute-force top-k composed in one
@@ -1437,72 +1491,38 @@ object LlmQueries {
     // decode-side integer box-average and comparison bit for bit,
     // including the signed wrap of bit 63
     "q_multimodal_phash" ->
-      """WITH img AS (
-        |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 17 AS h
-        |  FROM documents WHERE doc_id % 3 = 0
-        |), cell AS (
-        |  SELECT i.doc_id, i.w, i.h, rr.r, cc.c,
-        |    (cc.c * i.w) // 9 AS x0,
-        |    GREATEST((cc.c * i.w) // 9 + 1, ((cc.c + 1) * i.w) // 9) AS x1,
-        |    (rr.r * i.h) // 8 AS y0,
-        |    GREATEST((rr.r * i.h) // 8 + 1, ((rr.r + 1) * i.h) // 8) AS y1
-        |  FROM img i, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
-        |), g AS (
-        |  SELECT doc_id, r, c,
-        |    SUM(299 * (((x * 31 + y * 7 + doc_id) % 16777216) // 65536)
-        |      + 587 * ((((x * 31 + y * 7 + doc_id) % 16777216) // 256) % 256)
-        |      + 114 * (((x * 31 + y * 7 + doc_id) % 16777216) % 256)) // COUNT(*) AS gval
-        |  FROM cell, unnest(generate_series(y0, y1 - 1)) yy(y),
-        |    unnest(generate_series(x0, x1 - 1)) xx(x)
-        |  GROUP BY 1, 2, 3
-        |), s AS (
-        |  SELECT a.doc_id,
-        |    SUM(CASE WHEN a.gval > b.gval
-        |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
-        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
-        |  WHERE a.c < 8
-        |  GROUP BY 1
-        |)
-        |SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
-        |  THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $sqlPhashD
+         |SELECT doc_id, dhash FROM d ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_phash_pairs" ->
-      """WITH img AS (
-        |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 17 AS h
-        |  FROM documents WHERE doc_id % 3 = 0
-        |), cell AS (
-        |  SELECT i.doc_id, i.w, i.h, rr.r, cc.c,
-        |    (cc.c * i.w) // 9 AS x0,
-        |    GREATEST((cc.c * i.w) // 9 + 1, ((cc.c + 1) * i.w) // 9) AS x1,
-        |    (rr.r * i.h) // 8 AS y0,
-        |    GREATEST((rr.r * i.h) // 8 + 1, ((rr.r + 1) * i.h) // 8) AS y1
-        |  FROM img i, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
-        |), g AS (
-        |  SELECT doc_id, r, c,
-        |    SUM(299 * (((x * 31 + y * 7 + doc_id) % 16777216) // 65536)
-        |      + 587 * ((((x * 31 + y * 7 + doc_id) % 16777216) // 256) % 256)
-        |      + 114 * (((x * 31 + y * 7 + doc_id) % 16777216) % 256)) // COUNT(*) AS gval
-        |  FROM cell, unnest(generate_series(y0, y1 - 1)) yy(y),
-        |    unnest(generate_series(x0, x1 - 1)) xx(x)
-        |  GROUP BY 1, 2, 3
-        |), s AS (
-        |  SELECT a.doc_id,
-        |    SUM(CASE WHEN a.gval > b.gval
-        |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
-        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
-        |  WHERE a.c < 8
-        |  GROUP BY 1
-        |), d AS (
-        |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
-        |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
-        |  FROM s
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH $sqlPhashD
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY 1, 2""".stripMargin,
+
+    // image dup clusters: connected components over the banded-Hamming
+    // near-dup pairs (min reachable id), singletons keep their own id
+    "q_multimodal_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlPhashD,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p
+         |),
+         |walk(id, lbl) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+         |)
+         |SELECT i.doc_id, LEAST(i.doc_id, COALESCE(MIN(w.lbl), i.doc_id)) AS cluster_id
+         |FROM img i LEFT JOIN walk w ON w.id = i.doc_id
+         |GROUP BY i.doc_id ORDER BY 1""".stripMargin,
 
     "q_multimodal_resize" ->
       s"""SELECT doc_id, 16 + doc_id % 32 AS src_w, 16 + doc_id % 17 AS src_h,
@@ -1666,6 +1686,17 @@ object LlmQueries {
         |SELECT lang, CAST(k - 1 AS BIGINT) AS pi, ROUND(qs[k], 6) AS q
         |FROM q, unnest(generate_series(1, 4)) u(k)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_len_percentile_cut" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        |), c AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.25) AS cutoff FROM n GROUP BY 1
+        |)
+        |SELECT n.doc_id, n.lang, n.n_chars
+        |FROM n JOIN c USING (lang)
+        |WHERE n.n_chars >= c.cutoff
+        |ORDER BY n.doc_id""".stripMargin,
 
     "q_events_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

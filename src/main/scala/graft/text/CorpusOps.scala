@@ -366,6 +366,34 @@ object CorpusOps {
         round(col("q"), 6).as("q"))
   }
 
+  /** PER-STRATUM PERCENTILE CUT — the relative-threshold quality
+    * filter real pipelines run instead of absolute cutoffs (an
+    * absolute "min 200 chars" means different things in different
+    * languages; "drop each language's shortest quartile" does not):
+    * keep documents whose length clears their OWN stratum's exact
+    * `p`-quantile. The cutoff table is one row per stratum —
+    * broadcast, never a shuffle of the corpus side. The quantile is
+    * Spark's exact `percentile` (linear interpolation, the same
+    * `h = p*(n-1)` definition DuckDB's `quantile_cont` uses), so the
+    * boundary comparison is bit-identical across engines; at 100 TB
+    * swap in `percentile_approx` exactly as [[lengthQuantiles]]
+    * documents.
+    *
+    * Returns (id, stratum, n_chars) for the surviving documents.
+    */
+  def lengthPercentileCut(
+      docs: DataFrame, p: Double, stratumCol: String = "lang",
+      idCol: String = "doc_id", lenCol: String = "n_chars"): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p in (0, 1), got $p")
+    val base = docs.select(col(idCol), col(stratumCol),
+      col(lenCol).cast("long").as(lenCol))
+    val cuts = base.groupBy(col(stratumCol))
+      .agg(expr(s"percentile($lenCol, ${p}d)").as("cutoff"))
+    base.join(broadcast(cuts), stratumCol)
+      .filter(col(lenCol) >= col("cutoff"))
+      .select(col(idCol), col(stratumCol), col(lenCol))
+  }
+
   /** TF-IDF top-k terms per document — the "what is this document
     * about" reduction used for corpus exploration and topic-balanced
     * sampling. score = tf * ln(N / df), ROUNDED to 6 decimals BEFORE
