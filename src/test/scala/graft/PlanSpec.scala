@@ -198,6 +198,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"emit stage not narrow in:\n${p.take(3000)}")
   }
 
+  test("lengthPercentileCut broadcasts the per-stratum cutoff table") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.CorpusOps.lengthPercentileCut(docs, p = 0.25)
+    df.collect()
+    val p = plan(df)
+    // the cutoff table is one row per stratum — it must join by
+    // broadcast; a shuffle of the corpus side against it would be the
+    // wrong shape at any scale. No window anywhere (the percentile is
+    // a grouped aggregate, not a sort-based rank).
+    assert(p.contains("BroadcastHashJoin"), s"cutoff table not broadcast in:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"window sort in the percentile-cut plan:\n${p.take(3000)}")
+  }
+
   test("capPerStratum aggregates with the bounded heap — no per-stratum window sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.text.TextOps.capPerStratum(docs, cap = 10)
