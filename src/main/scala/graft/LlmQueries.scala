@@ -231,6 +231,10 @@ object LlmQueries {
     // span-level duplication signal (chunked substring-dedup stats)
     "q_chunk_dup" -> ((s, dir) => TextOps.chunkDupStats(docs(s, dir), k = 8)),
 
+    // insertion-robust span dedup: content-defined chunk boundaries
+    // (hash-gated gram hash), dup = chunk text in >= 2 distinct docs
+    "q_cdc_chunk_dup" -> ((s, dir) => TextOps.cdcChunkStats(docs(s, dir), k = 8, modulus = 64)),
+
     "q_embed_quantize" -> ((s, dir) =>
       VectorOps.quantizeInt8(embeddings(s, dir))
         .withColumnRenamed("id", "vec_id")),
@@ -1061,6 +1065,37 @@ object LlmQueries {
         |  SELECT doc_id, COUNT(*) AS n_chunks,
         |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
         |  FROM c JOIN dfreq USING (chunk) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+        |  ROUND(COALESCE(n_dup, 0) * 1.0 / GREATEST(COALESCE(n_chunks, 0), 1), 6) AS dup_frac
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // CDC: cut positions replay the engine's 60-bit md5-prefix gram
+    // hash; chunks via LEAD over the start positions; identity = chunk
+    // text md5, dup when df >= 2 across distinct docs
+    "q_cdc_chunk_dup" ->
+      """WITH cuts AS (
+        |  SELECT doc_id, p
+        |  FROM documents, unnest(generate_series(2, LENGTH(text) - 7)) u(p)
+        |  WHERE CAST(concat('0x', substr(md5(substr(text, p, 8)), 1, 15)) AS BIGINT) % 64 = 0
+        |), starts AS (
+        |  SELECT doc_id, 1 AS p FROM documents WHERE LENGTH(text) > 0
+        |  UNION ALL SELECT doc_id, p FROM cuts
+        |), ch AS (
+        |  SELECT s.doc_id,
+        |    md5(substr(d.text, s.p,
+        |      COALESCE(LEAD(s.p) OVER (PARTITION BY s.doc_id ORDER BY s.p),
+        |        LENGTH(d.text) + 1) - s.p)) AS ch
+        |  FROM starts s JOIN documents d USING (doc_id)
+        |), dfreq AS (
+        |  SELECT ch, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1
+        |), agg AS (
+        |  SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM ch JOIN dfreq USING (ch) GROUP BY 1
         |)
         |SELECT d.doc_id,
         |  CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,

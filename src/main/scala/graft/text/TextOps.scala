@@ -694,6 +694,78 @@ object TextOps {
           greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)), 6).as("dup_frac"))
   }
 
+  /** CONTENT-DEFINED CHUNKING span dedup — the insertion-robust
+    * upgrade of [[chunkDupStats]] (Muthitacharoen et al., "A
+    * Low-Bandwidth Network File System", SOSP 2001 — the published CDC
+    * construction): a fixed-size chunker re-aligns every chunk after
+    * one inserted character, so a single edit hides ALL downstream
+    * duplication; content-defined boundaries (cut where the hash of
+    * the local `k`-gram hits `0 mod modulus`) re-synchronize within
+    * one expected chunk length, so shared spans after an edit still
+    * produce identical chunks.
+    *
+    * Boundary rule (deterministic, SQL-replayable): position `p`
+    * (1-based) in `[2, len-k+1]` starts a new chunk when the 60-bit
+    * md5-prefix hash of `substr(p, k)` is `0 mod modulus` — the SAME
+    * gram hash as winnowing ([[tokenHashJvm]]), so the oracle replays
+    * it with `CAST(concat('0x', substr(md5(...),1,15)) AS BIGINT)`.
+    * Expected chunk length ~`modulus` chars. Chunk identity is the
+    * md5 of the chunk TEXT; the dedup join shuffles 32-char digests,
+    * never chunk bodies. A chunk occurrence counts as duplicated when
+    * the same chunk text appears in >= 2 DISTINCT documents.
+    *
+    * Chunking is a row-local mapPartitions (shuffle-free); the df
+    * join is one groupBy bounded by the distinct-chunk count — the
+    * same 100 TB shape as [[chunkDupStats]].
+    *
+    * Returns (id, n_chunks, n_dup_chunks, dup_frac), one row per doc.
+    */
+  def cdcChunkStats(
+      docs: DataFrame, k: Int = 8, modulus: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && modulus >= 1, s"k >= 1 and modulus >= 1, got k=$k m=$modulus")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          val len = if (text == null) 0 else text.length
+          if (len == 0) Iterator.empty
+          else {
+            val starts = scala.collection.mutable.ArrayBuffer(1)
+            var p = 2
+            val lastGram = len - k + 1
+            while (p <= lastGram) {
+              if (tokenHashJvm(md, text.substring(p - 1, p - 1 + k)) % modulus == 0)
+                starts += p
+              p += 1
+            }
+            starts.iterator.zipWithIndex.map { case (s, i) =>
+              val end = if (i + 1 < starts.length) starts(i + 1) else len + 1
+              (id, text.substring(s - 1, end - 1))
+            }
+          }
+        }
+      }.toDF("id", "chunk")
+      // join key = chunk digest: the shuffle carries 32 chars per
+      // occurrence regardless of chunk length
+      .select(col("id"), md5(col("chunk")).as("ch"))
+    val dfreq = chunks.distinct()
+      .groupBy(col("ch")).agg(count(lit(1)).as("df"))
+    val agg = chunks.join(dfreq, "ch")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)) /
+          greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)), 6).as("dup_frac"))
+  }
+
   /** Token counting with a BPE-ish PRE-TOKENIZER: letter runs, digit
     * runs, and single punctuation marks become separate tokens (the
     * GPT-2-style pre-split shape, minus byte-level quirks). The pattern

@@ -214,6 +214,37 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunking re-synchronizes after an insertion; fixed-size chunking does not") {
+    // the defining CDC property: one inserted character shifts every
+    // downstream offset, so position-based chunks all change, but
+    // content-defined boundaries re-synchronize within ~one expected
+    // chunk length and the shared suffix chunks stay identical
+    val rnd = new scala.util.Random(42)
+    val text = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "X" + text // single-char insertion at the front
+    val d = Seq((0L, text), (1L, edited), (2L, "short"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.cdcChunkStats(d, k = 8, modulus = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // both copies recover most of their duplication despite the shift
+    assert(out(0L)._1 >= 5, s"expected several chunks, got ${out(0L)}")
+    assert(out(0L)._3 >= 0.5 && out(1L)._3 >= 0.5,
+      s"CDC failed to re-synchronize: ${out(0L)} vs ${out(1L)}")
+    // the unique short doc has zero dup; the empty doc has zero chunks
+    assert(out(2L) == ((1L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    // contrast: fixed-size chunks of the same pair share nothing after
+    // the shift (whitespace-free text = one token, so compare at the
+    // character-offset level the CDC rule replaces)
+    val fixedA = text.grouped(32).toSet
+    val fixedB = edited.grouped(32).toSet
+    assert((fixedA & fixedB).isEmpty, "fixed chunking unexpectedly survived the insertion")
+    // deterministic
+    val again = TextOps.cdcChunkStats(d, k = 8, modulus = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again == out)
+  }
+
   test("chunkDupStats: hand-computed chunk counts, cross-doc df rule, tail chunk, empty doc") {
     val d = Seq(
       (0L, "a b c d e f g"),     // k=3 -> chunks "a b c","d e f","g" (tail kept)
