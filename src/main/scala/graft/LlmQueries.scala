@@ -241,6 +241,9 @@ object LlmQueries {
 
     "q_text_quality" -> ((s, dir) => TextOps.qualityFeatures(docs(s, dir))),
 
+    // information-density signal: per-doc word-distribution entropy
+    "q_text_entropy" -> ((s, dir) => TextOps.entropyFeatures(docs(s, dir))),
+
     "q_token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
     // exact heavy hitters via mergeable Misra-Gries + exact verify;
@@ -314,6 +317,15 @@ object LlmQueries {
       val d = docs(s, dir)
       CorpusOps.bigramLmScoreHeldOut(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+
+    // DSIR importance weight: likelihood ratio of a target-domain LM
+    // (trained on src0 docs) over a raw-pool LM (src1 docs), per doc
+    "q_dsir_weight" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.dsirLogRatio(d,
+        target = d.filter(col("source") === "src0"),
+        source = d.filter(col("source") === "src1"))
     }),
 
     "q_tfidf_topk" -> ((s, dir) => CorpusOps.tfIdfTopTerms(docs(s, dir), k = 3)),
@@ -1208,6 +1220,22 @@ object LlmQueries {
       s"""WITH $sqlToks
          |SELECT w AS token, COUNT(*) AS cnt FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // entropy via ln(n) - sum(c*ln c)/n — the same one-aggregation
+    // form the engine computes, so rounding behavior matches
+    "q_text_entropy" ->
+      s"""WITH $sqlToks, c AS (
+         |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+         |), a AS (
+         |  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct_words,
+         |         SUM(c * ln(c)) AS clnc, SUM(c * LENGTH(w)) AS chars
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+         |  ROUND(ln(n_words) - clnc / n_words, 6) AS entropy,
+         |  ROUND(chars * 1.0 / n_words, 6) AS mean_word_len
+         |FROM a ORDER BY doc_id""".stripMargin,
+
     // BPE-ish pre-tokenizer: the pattern is RE2-compatible and
     // ASCII-anchored, so DuckDB's RE2 and Java regex split identically
     "q_token_count_bpe" ->
@@ -1443,6 +1471,41 @@ object LlmQueries {
         |  ROUND(AVG(ln((COALESCE(c2.c2, 0) + 1) * 1.0 / (COALESCE(c1.c1, 0) + v.v))), 6) AS lm_score
         |FROM bge LEFT JOIN c2 USING (prev, cur) LEFT JOIN c1 USING (prev) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DSIR: two copies of the held-out LM chain (target = src0 train
+    // set, source = src1), ratio of the per-doc mean log-likelihoods
+    "q_dsir_weight" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT id, source,
+        |         CASE WHEN k = 1 THEN '<s>' ELSE toks[k-1] END AS prev, toks[k] AS cur
+        |  FROM t, unnest(generate_series(1, len(toks))) u(k)
+        |  WHERE len(toks) >= 1
+        |), bgt AS (SELECT * FROM bg WHERE source = 'src0'),
+        |bgs AS (SELECT * FROM bg WHERE source = 'src1'),
+        |c2t AS (SELECT prev, cur, COUNT(*) AS c2 FROM bgt GROUP BY 1, 2),
+        |c1t AS (SELECT prev, COUNT(*) AS c1 FROM bgt GROUP BY 1),
+        |vt AS (SELECT COUNT(DISTINCT cur) AS v FROM bgt),
+        |c2s AS (SELECT prev, cur, COUNT(*) AS c2 FROM bgs GROUP BY 1, 2),
+        |c1s AS (SELECT prev, COUNT(*) AS c1 FROM bgs GROUP BY 1),
+        |vs AS (SELECT COUNT(DISTINCT cur) AS v FROM bgs),
+        |lpt AS (
+        |  SELECT id, COUNT(*) AS n_bigrams,
+        |    ROUND(AVG(ln((COALESCE(c2t.c2, 0) + 1) * 1.0 / (COALESCE(c1t.c1, 0) + vt.v))), 6) AS lp_target
+        |  FROM bg LEFT JOIN c2t USING (prev, cur) LEFT JOIN c1t USING (prev) CROSS JOIN vt
+        |  GROUP BY 1
+        |), lps AS (
+        |  SELECT id,
+        |    ROUND(AVG(ln((COALESCE(c2s.c2, 0) + 1) * 1.0 / (COALESCE(c1s.c1, 0) + vs.v))), 6) AS lp_source
+        |  FROM bg LEFT JOIN c2s USING (prev, cur) LEFT JOIN c1s USING (prev) CROSS JOIN vs
+        |  GROUP BY 1
+        |)
+        |SELECT lpt.id AS doc_id, lpt.n_bigrams, lpt.lp_target, lps.lp_source,
+        |  ROUND(lpt.lp_target - lps.lp_source, 6) AS log_ratio
+        |FROM lpt JOIN lps USING (id) ORDER BY 1""".stripMargin,
 
     // tf-idf top-3 terms; rank on the ROUNDED score (see CorpusOps)
     "q_tfidf_topk" ->

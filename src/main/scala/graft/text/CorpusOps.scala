@@ -163,6 +163,33 @@ object CorpusOps {
       .withColumnRenamed("id", idCol)
   }
 
+  /** DSIR-STYLE importance weight (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — which
+    * weights raw data by the likelihood ratio of a target-domain
+    * n-gram model over a raw-pool n-gram model): per document,
+    * `log_ratio = lp_target - lp_source`, the per-bigram mean
+    * log-likelihood difference under two held-out bigram LMs
+    * ([[bigramLmScoreHeldOut]] trained on `target` and on `source`).
+    * Documents that look like the target domain get positive weight;
+    * sampling proportional to `exp(log_ratio)` is importance
+    * resampling. Pure composition of the existing LM operator — two
+    * broadcast vocab scalars, the count tables shuffle on bigram keys,
+    * nothing new materializes driver-side.
+    *
+    * Returns (id, n_bigrams, lp_target, lp_source, log_ratio); empty
+    * documents (no bigrams) drop, as in the LM operators.
+    */
+  def dsirLogRatio(
+      docs: DataFrame, target: DataFrame, source: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = bigramLmScoreHeldOut(target, docs, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"), col("lm_score").as("lp_target"))
+    val s = bigramLmScoreHeldOut(source, docs, idCol, textCol)
+      .select(col(idCol), col("lm_score").as("lp_source"))
+    t.join(s, Seq(idCol))
+      .withColumn("log_ratio", round(col("lp_target") - col("lp_source"), 6))
+  }
+
   /** EXACT cross-corpus decontamination: drop training documents whose
     * exact content also appears in the eval corpus — the complement of
     * [[contamination]]'s fuzzy n-gram report, used when the policy is

@@ -766,6 +766,36 @@ object TextOps {
           greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)), 6).as("dup_frac"))
   }
 
+  /** Word-distribution ENTROPY features — the information-density
+    * quality signal (low entropy = repetitive/boilerplate text, the
+    * Gopher-family heuristic complementing [[repetitionFeatures]]'
+    * n-gram ratios): per document, the Shannon entropy of the in-doc
+    * word distribution plus mean word length. Entropy uses the
+    * algebraically equivalent `ln(n) - (sum c*ln c)/n` form, so one
+    * grouped aggregation computes it — no per-word probability column,
+    * no second pass for the total. One shuffle on (doc, word) with
+    * map-side partial counts; per-doc state is the distinct-word
+    * count, never the corpus.
+    *
+    * Returns (id, n_words, n_distinct_words, entropy, mean_word_len),
+    * rounded to 6 — documents with no tokens drop (entropy of an
+    * empty distribution is undefined, not zero).
+    */
+  def entropyFeatures(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"),
+        sum(col("c") * length(col("w"))).as("chars"))
+      .select(col("id").as(idCol), col("n_words"), col("n_distinct_words"),
+        round(log(col("n_words").cast("double")) -
+          col("clnc") / col("n_words").cast("double"), 6).as("entropy"),
+        round(col("chars").cast("double") / col("n_words").cast("double"), 6)
+          .as("mean_word_len"))
+
   /** Token counting with a BPE-ish PRE-TOKENIZER: letter runs, digit
     * runs, and single punctuation marks become separate tokens (the
     * GPT-2-style pre-split shape, minus byte-level quirks). The pattern
