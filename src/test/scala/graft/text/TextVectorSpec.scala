@@ -666,6 +666,24 @@ class TextVectorSpec extends AnyFunSuite {
     assert(a.filter(_._2 != "en") == b.filter(_._2 != "en"))
   }
 
+  test("entropy features: closed-form values for degenerate, uniform, and skewed distributions") {
+    val d = Seq(
+      (0L, "spam spam spam spam"),  // one type -> entropy 0
+      (1L, "a bb ccc dddd"),        // uniform over 4 -> ln 4; mean len 2.5
+      (2L, "x x x y"),              // skewed: -(3/4 ln 3/4 + 1/4 ln 1/4)
+      (3L, ""))                     // no tokens -> dropped
+      .toDF("doc_id", "text")
+    val out = TextOps.entropyFeatures(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((4L, 1L, 0.0, 4.0)))
+    assert(out(1L)._1 == 4L && out(1L)._2 == 4L)
+    assert(math.abs(out(1L)._3 - math.log(4.0)) < 1e-6 && out(1L)._4 == 2.5)
+    val skew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(out(2L)._3 - skew) < 1e-6)
+  }
+
   test("repetition features: looping text scores high, distinct text zero, short docs defined") {
     val docsR = Seq(
       (0L, "spam spam spam spam spam spam spam spam"),   // one distinct 3-gram
