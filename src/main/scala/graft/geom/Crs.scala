@@ -956,6 +956,13 @@ object Crs {
   /** Hughes 1980 (the legacy NSIDC sea-ice grids EPSG:3411/3412). */
   val Hughes1980: Ellipsoid = Ellipsoid(6378273.0, 298.279411123064)
 
+  /** UPS lat_ts equivalent of the defining k0 = 0.994 pole scale. */
+  private val UpsLatTs = 81.114517868986
+  private lazy val upsNorth: Crs =
+    PolarStereographic(UpsLatTs, 0.0, 2000000.0, 2000000.0, south = false, WGS84, "EPSG:5041")
+  private lazy val upsSouth: Crs =
+    PolarStereographic(-UpsLatTs, 0.0, 2000000.0, 2000000.0, south = true, WGS84, "EPSG:5042")
+
   /** Registry of well-known EPSG codes for the implemented families,
     * beyond the pattern-matched UTM ranges. Parameters from the public
     * EPSG registry entries.
@@ -987,6 +994,14 @@ object Crs {
       Hughes1980, "EPSG:3411"),
     "EPSG:3412" -> PolarStereographic(-70.0, 0.0, 0.0, 0.0, south = true,
       Hughes1980, "EPSG:3412"),
+    // Universal Polar Stereographic N/S (EPSG Variant A: k0 = 0.994 at
+    // the pole). Our family is Variant B (unit scale at lat_ts); the
+    // two coincide at lat_ts = +-81.114517868986 deg on WGS84
+    // (numerically verified to 1e-12: m/(2t)*sqrt((1+e)^(1+e)(1-e)^(1-e))
+    // = 0.994 there — TransformSpec re-derives it). 32661/32761 are the
+    // legacy aliases for the same grids.
+    "EPSG:5041" -> upsNorth, "EPSG:32661" -> upsNorth,
+    "EPSG:5042" -> upsSouth, "EPSG:32761" -> upsSouth,
     // Swiss national grids (oblique mercator on Bessel 1841)
     "EPSG:21781" -> ch1903Lv03,
     "EPSG:2056" -> ch1903PlusLv95,
@@ -1025,6 +1040,7 @@ object Crs {
       "EPSG:3035 + 6931/6932/3574/3575 (LAEA), EPSG:2154/5069/3034/31287 (LCC), " +
       "EPSG:5070 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
+      "EPSG:5041/5042 + 32661/32761 (UPS), " +
       "EPSG:21781/2056 (Swiss oblique mercator), EPSG:5514 (Krovak East North), " +
       "EPSG:27200 (New Zealand Map Grid), " +
       "SR-ORG:6974 + ESRI:53008 (sinusoidal), " +

@@ -285,6 +285,34 @@ class TransformSpec extends AnyFunSuite {
       assert(math.abs(px2) < 1e-6 && math.abs(py2) < 1e-6, s"$code pole not origin")
     }
     assert(fromString("EPSG:6932").asInstanceOf[LambertAzimuthalEqualArea].lat0Deg == -90.0)
+    // UPS: the registry's lat_ts must reproduce the DEFINING k0 = 0.994
+    // pole scale on WGS84 (Variant A <-> Variant B equivalence):
+    // k_pole = m/(2t) * sqrt((1+e)^(1+e) (1-e)^(1-e)) at lat_ts
+    val ups = fromString("EPSG:5041").asInstanceOf[PolarStereographic]
+    locally {
+      val f = 1 / 298.257223563; val e2u = f * (2 - f); val eu = math.sqrt(e2u)
+      val phi = math.toRadians(ups.latTsDeg)
+      val tU = math.tan(math.Pi / 4 - phi / 2) *
+        math.pow((1 + eu * math.sin(phi)) / (1 - eu * math.sin(phi)), eu / 2)
+      val mU = math.cos(phi) / math.sqrt(1 - e2u * math.sin(phi) * math.sin(phi))
+      val kPole = mU / (2 * tU) *
+        math.sqrt(math.pow(1 + eu, 1 + eu) * math.pow(1 - eu, 1 - eu))
+      assert(math.abs(kPole - 0.994) < 1e-9, s"UPS pole scale $kPole")
+    }
+    // pole at the false origin, both hemispheres; legacy aliases agree
+    val (ux, uy) = ups.fromLonLat(77.0, 90.0)
+    assert(math.abs(ux - 2000000.0) < 1e-6 && math.abs(uy - 2000000.0) < 1e-6)
+    val upsS = fromString("EPSG:5042")
+    val (sx, sy) = upsS.fromLonLat(-12.0, -90.0)
+    assert(math.abs(sx - 2000000.0) < 1e-6 && math.abs(sy - 2000000.0) < 1e-6)
+    assert(fromString("EPSG:32661") eq ups)
+    assert(fromString("EPSG:32761") eq upsS)
+    for ((lon, lat) <- Seq((0.0, 85.0), (120.0, 80.5), (-45.0, 88.0))) {
+      val (x, y) = ups.fromLonLat(lon, lat)
+      val (lon2, lat2) = ups.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"UPS roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
     // every new registry code roundtrips exactly at spread test points
     for (code <- Seq("EPSG:2193", "EPSG:3034", "EPSG:3411", "EPSG:3412",
         "EPSG:8858", "EPSG:8859", "ESRI:53008", "EPSG:25828", "EPSG:26910",
