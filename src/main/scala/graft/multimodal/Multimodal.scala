@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat image/audio/video payloads as
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction as batched per-partition kernels (the Scala
-  * analog of `mapInPandas`: one buffer of rows per call, vectorizable
-  * libraries plug in at the marked stub).
+  * analog of `mapInPandas`: one buffer of rows per call).
   *
-  * Image decode is REAL (javax.imageio: PNG/JPEG/BMP and GIF including
-  * multi-frame animated GIF frame counts). Audio/video decode is a
-  * clearly-marked STUB (no codec libs in this container): it derives
-  * deterministic fake features from the bytes. The Spark-side
-  * plumbing — schema, binary transport, partition batching, feature
-  * schema — is real and tested either way.
+  * Decode is REAL across all three modalities, pure JVM: images via
+  * javax.imageio (PNG/JPEG/BMP and GIF including multi-frame animated
+  * GIF frame counts), audio via a RIFF/WAVE chunk walker that reads
+  * every 16-bit PCM sample, video via an MJPEG-in-AVI walker that
+  * counts movi chunks and decodes the JPEG frames. The checksum STUB
+  * remains only for formats that genuinely require codec libraries
+  * absent from this container (MP3/AAC/H.264...).
   */
 object Multimodal {
 
@@ -285,6 +285,17 @@ object Multimodal {
   @inline private def rdU32(a: Array[Byte], off: Int): Long =
     (a(off) & 0xFFL) | ((a(off + 1) & 0xFFL) << 8) |
       ((a(off + 2) & 0xFFL) << 16) | ((a(off + 3) & 0xFFL) << 24)
+  /** Chunk size at `off`, CLAMPED to the bytes actually present after
+    * the 8-byte header. A malformed size field (u32 up to 4 GiB —
+    * `.toInt` alone would wrap negative) must never move a walker
+    * backwards: every `body + size + pad` advance stays strictly
+    * increasing because the result is in `[0, remaining]`.
+    */
+  @inline private def chunkSize(a: Array[Byte], off: Int): Int = {
+    val raw = rdU32(a, off + 4)
+    val remaining = math.max(a.length - (off + 8), 0).toLong
+    math.min(raw, remaining).toInt
+  }
   @inline private def tagAt(a: Array[Byte], off: Int): String =
     new String(a, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -349,7 +360,7 @@ object Multimodal {
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= payload.length) {
         val tag = tagAt(payload, off)
-        val size = rdU32(payload, off + 4).toInt
+        val size = chunkSize(payload, off)
         val body = off + 8
         if (tag == "fmt " && size >= 16 && body + 16 <= payload.length) {
           fmtOk = rdU16(payload, body) == 1 // PCM
@@ -478,7 +489,7 @@ object Multimodal {
     var moviStart = -1; var moviEnd = -1
     while (off + 12 <= payload.length && moviStart < 0) {
       val tag = tagAt(payload, off)
-      val size = rdU32(payload, off + 4).toInt
+      val size = chunkSize(payload, off)
       if (tag == "LIST" && tagAt(payload, off + 8) == "movi") {
         moviStart = off + 12
         moviEnd = math.min(off + 8 + size, payload.length)
@@ -493,7 +504,7 @@ object Multimodal {
         nextChunk = null
         while (nextChunk == null && p + 8 <= moviEnd) {
           val tag = tagAt(payload, p)
-          val size = rdU32(payload, p + 4).toInt
+          val size = chunkSize(payload, p)
           val body = p + 8
           if (tag.endsWith("dc") || tag.endsWith("db")) {
             nextChunk = java.util.Arrays.copyOfRange(
@@ -524,13 +535,13 @@ object Multimodal {
       var off = 12
       while (off + 12 <= payload.length) {
         val tag = tagAt(payload, off)
-        val size = rdU32(payload, off + 4).toInt
+        val size = chunkSize(payload, off)
         if (tag == "LIST" && tagAt(payload, off + 8) == "hdrl") {
           var p = off + 12
           val end = math.min(off + 8 + size, payload.length)
           while (p + 8 <= end) {
             val t2 = tagAt(payload, p)
-            val s2 = rdU32(payload, p + 4).toInt
+            val s2 = chunkSize(payload, p)
             if (t2 == "avih" && s2 >= 40) {
               w = rdU32(payload, p + 8 + 32).toInt
               h = rdU32(payload, p + 8 + 36).toInt
@@ -539,7 +550,7 @@ object Multimodal {
               val e2 = math.min(p + 8 + s2, payload.length)
               while (q + 8 <= e2) {
                 val t3 = tagAt(payload, q)
-                val s3 = rdU32(payload, q + 4).toInt
+                val s3 = chunkSize(payload, q)
                 if (t3 == "strh" && s3 >= 32 && tagAt(payload, q + 8) == "vids") {
                   val scale = rdU32(payload, q + 8 + 20)
                   val rate = rdU32(payload, q + 8 + 24)

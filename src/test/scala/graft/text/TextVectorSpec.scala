@@ -595,6 +595,40 @@ class TextVectorSpec extends AnyFunSuite {
     assert(tMeta.sampleRate == meta.sampleRate && tMeta.nFrames < meta.nFrames)
   }
 
+  test("RIFF walkers terminate on adversarial size fields and random bytes") {
+    // a u32 chunk size near 4 GiB wraps negative through .toInt — an
+    // unclamped walker would step backwards and loop forever. Sizes
+    // are clamped to the bytes present, so every parse terminates.
+    def withSize(base: Array[Byte], off: Int, size: Long): Array[Byte] = {
+      val b = base.clone()
+      b(off) = (size & 0xFF).toByte; b(off + 1) = ((size >> 8) & 0xFF).toByte
+      b(off + 2) = ((size >> 16) & 0xFF).toByte; b(off + 3) = ((size >> 24) & 0xFF).toByte
+      b
+    }
+    val wav = Multimodal.syntheticWav(3L)
+    // poison the fmt chunk size (offset 16) and the data size (offset 40)
+    for (poison <- Seq(0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL)) {
+      Multimodal.decodeWav(withSize(wav, 16, poison)) // must return, any result
+      Multimodal.decodeWav(withSize(wav, 40, poison))
+    }
+    val avi = Multimodal.syntheticAvi(3L)
+    for (poison <- Seq(0xFFFFFFFFL, 0x80000000L)) {
+      // RIFF size, first LIST size, and a movi chunk size
+      Multimodal.decodeAvi(withSize(avi, 4, poison))
+      Multimodal.decodeAvi(withSize(avi, 16, poison))
+    }
+    // random bytes wearing RIFF headers parse to None, never hang/throw
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val junk = Array.fill(200)(rnd.nextInt(256).toByte)
+      "RIFF".getBytes.copyToArray(junk, 0)
+      "WAVE".getBytes.copyToArray(junk, 8)
+      Multimodal.decodeWav(junk)
+      "AVI ".getBytes.copyToArray(junk, 8)
+      assert(Multimodal.decodeAvi(junk).isEmpty)
+    }
+  }
+
   test("WAV/AVI feature kernels are stream-transparent (stateless mapPartitions)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-media-stream").toFile
     val rows = (0L until 30L).map { i =>
