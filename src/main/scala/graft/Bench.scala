@@ -128,7 +128,11 @@ object Bench {
     // logger too, in case any appender writes to stdout.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    val totalOnly = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"agg":"min","sf":"$sfDir"}"""
+    // Double.toString is locale-independent (the `f` interpolator is
+    // NOT: a comma-decimal locale would print "31,045" and break the
+    // driver's JSON parse of the one line it reads)
+    val total3 = math.rint(total * 1000) / 1000.0
+    val totalOnly = s"""{"metric":"total","value":$total3,"unit":"sec","runs":$Runs,"agg":"min","sf":"$sfDir"}"""
     println(totalOnly)
     Console.out.flush()
   }
