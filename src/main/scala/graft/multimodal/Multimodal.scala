@@ -26,6 +26,15 @@ object Multimodal {
   javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Unified feature row for [[extractFeatures]]. The (width, height,
+    * n_frames) triple is per-modality: images/AVI video report pixel
+    * dims and frame count; RIFF/WAVE audio reports (sample rate,
+    * channels, PCM frame count) in the same slots — documented reuse
+    * rather than a per-modality schema, so one kernel serves mixed
+    * media tables. The dedicated [[audioFeatures]] / [[videoFeatures]]
+    * kernels expose the properly-named per-modality schemas.
+    */
   final case class MediaFeatures(
       doc_id: Long, media_type: String, byte_len: Long,
       checksum: Long, width: Int, height: Int, n_frames: Int)
@@ -545,7 +554,8 @@ object Multimodal {
             if (t2 == "avih" && s2 >= 40) {
               w = rdU32(payload, p + 8 + 32).toInt
               h = rdU32(payload, p + 8 + 36).toInt
-            } else if (t2 == "LIST" && tagAt(payload, p + 8) == "strl") {
+            } else if (t2 == "LIST" && p + 12 <= payload.length &&
+                tagAt(payload, p + 8) == "strl") {
               var q = p + 12
               val e2 = math.min(p + 8 + s2, payload.length)
               while (q + 8 <= e2) {
@@ -632,6 +642,12 @@ object Multimodal {
   /** Batched feature extraction over a binary column — mapPartitions so
     * a real decoder amortizes per-batch setup (model load, codec init)
     * exactly like `mapInPandas` batches Arrow record batches.
+    *
+    * Routing: image magic -> [[decodeImage]]; RIFF/WAVE ->
+    * [[decodeWav]] (slots = sample rate / channels / PCM frames);
+    * RIFF/'AVI ' -> [[decodeAvi]] (pixel dims / frame count); only a
+    * payload that is NONE of the parseable containers falls back to
+    * the checksum stub.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -641,6 +657,9 @@ object Multimodal {
       rows.map { r =>
         val cs = checksum(r.payload) // one byte scan, shared with the stub
         val (w, h, f) = decodeImage(r.payload)
+          .orElse(decodeWav(r.payload).map(a =>
+            (a.sampleRate, a.channels, a.nFrames.toInt)))
+          .orElse(decodeAvi(r.payload).map(v => (v.width, v.height, v.nFrames)))
           .getOrElse(decodeStubFromChecksum(r.media_type, r.payload.length, cs))
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, cs, w, h, f)
       }

@@ -285,8 +285,11 @@ object CorpusOps {
     * prefix over a total order doesn't depend on where partition
     * boundaries land.
     *
-    * Stratum keys are compared as strings (cast internally; returned
-    * as read). Returns (stratum, id, n_tokens, cum_tokens).
+    * CONTRACT: stratum keys are compared AND RETURNED as strings (the
+    * typed two-pass kernel needs one key encoding; a non-string key
+    * column comes back cast — join downstream on the cast value or
+    * re-cast). NULL keys form their own stratum, as the window form
+    * did. Returns (stratum, id, n_tokens, cum_tokens).
     */
   def tokenBudgetPerStratum(
       docs: DataFrame, budget: Long, salt: String = "graft",
@@ -333,12 +336,20 @@ object CorpusOps {
     val bc = spark.sparkContext.broadcast(offsets)
 
     // pass 2: local running sum from the broadcast offset; emit while
-    // the prior total is under budget
+    // the prior total is under budget. The stratum-change detector is
+    // an explicit first-row flag, NOT a null sentinel — a null stratum
+    // key (docs with NULL source) would compare equal to the sentinel
+    // and silently skip its broadcast offset in every partition after
+    // the first, restarting the budget per partition.
     sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first = true
       var curK: String = null
       var cum = 0L
       it.flatMap { case (k, id, n, _) =>
-        if (k != curK) { curK = k; cum = bc.value.getOrElse((pid, k), 0L) }
+        if (first || k != curK) {
+          first = false; curK = k
+          cum = bc.value.getOrElse((pid, k), 0L)
+        }
         val prior = cum
         cum += n
         if (prior < budget) Iterator.single((k, id, n, prior + n)) else Iterator.empty

@@ -188,13 +188,20 @@ object TextOps {
     * keeps banding correct for full-width 64-bit signatures whose sign
     * bit is set (signed shift would smear the sign across high bands).
     */
-  def hammingPairs(sigs: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
+  /** The pigeonhole band explosion [[hammingPairs]] joins on, exposed
+    * so streaming twins can run the identical banding on a readStream
+    * side (a stream-stream inner equi-join on (band, bits) is Spark's
+    * supported append-mode join shape). One definition — the batch
+    * join and any streaming consumer can never drift apart.
+    * Returns (id, sig, band, bits).
+    */
+  def hammingBands(sigs: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
     require(sigBits >= 1 && sigBits <= 64, s"sigBits in [1, 64], got $sigBits")
     require(maxHamming >= 0 && maxHamming < sigBits,
       s"maxHamming in [0, $sigBits), got $maxHamming")
     val bands = maxHamming + 1
     val width = sigBits / bands // trailing band absorbs the remainder bits
-    val banded = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
            |  'band', b,
@@ -203,6 +210,10 @@ object TextOps {
            |    ELSE shiftrightunsigned(sig, b * $width) & ${(1L << width) - 1} END))""".stripMargin))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  def hammingPairs(sigs: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
+    val banded = hammingBands(sigs, sigBits, maxHamming)
     banded.toDF("id_a", "sig_a", "band", "bits")
       .join(banded.toDF("id_b", "sig_b", "band", "bits"), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))

@@ -221,20 +221,14 @@ class StreamSpec extends AnyFunSuite {
       spark.readStream.schema(mediaSchema).parquet(srcDir.getAbsolutePath)
         .as[Multimodal.MediaRow])
 
-    // band both sides exactly as hammingPairs does (7 bands for radius 6
-    // over 64 bits); the distinct/threshold reduction runs on the sink
-    // because append-mode streams can't re-aggregate the joined pairs
-    val bands = 7; val width = 64 / bands
+    // band both sides with the SAME helper hammingPairs joins on (7
+    // bands for radius 6 over 64 bits); the distinct/threshold
+    // reduction runs on the sink because append-mode streams can't
+    // re-aggregate the joined pairs
     def banded(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("doc_id").as("id"), col("dhash").as("sig"),
-        explode(expr(
-          s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
-             |  'band', b,
-             |  'bits', CASE WHEN b = ${bands - 1}
-             |    THEN shiftrightunsigned(dhash, b * $width)
-             |    ELSE shiftrightunsigned(dhash, b * $width) & ${(1L << width) - 1} END))""".stripMargin))
-          .as("bb"))
-        .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      graft.text.TextOps.hammingBands(
+        df.select(col("doc_id").as("id"), col("dhash").as("sig")),
+        sigBits = 64, maxHamming = 6)
     val joined = banded(hashedStream()).toDF("id_a", "sig_a", "band", "bits")
       .join(banded(hashedStream()).toDF("id_b", "sig_b", "band", "bits"), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))

@@ -237,6 +237,32 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(again == out.keySet)
   }
 
+  test("tokenBudgetPerStratum: a NULL stratum spanning partitions keeps ONE running budget") {
+    // regression: the two-pass emit used curK = null as its first-row
+    // sentinel, so a null stratum's rows in partitions after the first
+    // compared equal to the sentinel, skipped their broadcast offset,
+    // and re-filled the budget once per partition
+    val n = 400 // spreads across all range partitions
+    val d = (0L until n).map(i => (i, null: String, "t1 t2 t3")).toDF("doc_id", "source", "text")
+    val out = CorpusOps.tokenBudgetPerStratum(d, budget = 30, salt = "s2")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // 3 tokens/doc, budget 30 -> exactly 10 docs, cum 3,6,...,30; a
+    // per-partition budget restart would emit ~10 docs PER partition
+    assert(out.length == 10, s"null stratum emitted ${out.length} docs")
+    assert(out.map(_._2).sorted.toSeq == (1 to 10).map(_ * 3L))
+    // the selected ids are the 10 smallest salted hashes — independent
+    // of partitioning, so recompute the expectation locally
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def saltedHash(id: Long): Long = {
+      md.reset()
+      val hex = md.digest(s"s2:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = (0L until n).sortBy(i => (saltedHash(i), i)).take(10).toSet
+    assert(out.map(_._1).toSet == expect)
+  }
+
   test("decontaminateBloom is bit-identical to exact decontaminate, false positives included") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val eval_ = docs.filter(col("doc_id") % 10 === 0)
