@@ -68,6 +68,11 @@ object EventOps {
     * so a left event sees a same-instant right event — the `<=`
     * convention, matching a SQL engine's `ASOF JOIN ON l.ts >= r.ts`.
     * Unmatched left events keep null right columns (left semantics).
+    * The streaming twin is
+    * [[graft.streaming.StreamOps.streamingAsofLatest]] (custom
+    * watermark-finalized state — stream-stream joins need a two-sided
+    * time bound, which as-of lacks); StreamSpec pins batch == stream
+    * probe for probe.
     */
   def asofLatest(
       events: DataFrame, leftType: String, rightType: String,

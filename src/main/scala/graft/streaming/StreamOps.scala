@@ -113,6 +113,89 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
       .drop("ts2")
 
+  final case class AsofEv(ts: Long, id: Long, value: Option[Double])
+  final case class AsofBuf(anchors: List[AsofEv], probes: List[AsofEv])
+
+  /** STREAMING AS-OF JOIN — the twin of
+    * [[graft.events.EventOps.asofLatest]], the one event operator
+    * Structured Streaming has no native shape for (stream-stream joins
+    * need a two-sided time BOUND; as-of's "latest right at or before,
+    * however old" has none). Custom state via flatMapGroupsWithState
+    * keyed by user:
+    *
+    *  - right events (anchors) and left events (probes) buffer in
+    *    group state as they arrive;
+    *  - a probe emits exactly once, when the event-time watermark
+    *    passes its timestamp — at that point every anchor at-or-before
+    *    it has arrived, so the match is FINAL (same `<=` convention
+    *    and (ts, id) tie-break as the batch window carry; unmatched
+    *    probes emit null right columns);
+    *  - state stays bounded: anchors at-or-before the watermark
+    *    compact to the single latest one (the only anchor any future
+    *    probe can match), so steady-state is O(1) per user plus
+    *    in-flight events inside the lateness bound;
+    *  - an EventTimeTimeout on the earliest pending probe fires the
+    *    group when the watermark passes it even if the user sends no
+    *    further events.
+    *
+    * Timestamps arrive as int64 micros (the batch harness tick);
+    * `GroupState.getCurrentWatermarkMs` is millis — converted at the
+    * boundary. StreamSpec pins batch == stream row for row.
+    */
+  def streamingAsofLatest(
+      events: DataFrame, leftType: String, rightType: String,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ts2 must SURVIVE the projection: the event-time-timeout check
+    // looks for the watermarked column among the stateful operator's
+    // inputs (the kernel itself never reads it)
+    val base = events.withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", watermark)
+      .filter(col("event_type") === leftType || col("event_type") === rightType)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long"), col("event_id").cast("long"), col("value").cast("double"),
+        col("ts2"))
+      .as[(Long, String, Long, Long, Option[Double], java.sql.Timestamp)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long, Option[Double], java.sql.Timestamp)],
+            state: GroupState[AsofBuf]) =>
+          val st = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          var anchors = st.anchors
+          var probes = st.probes
+          rows.foreach { case (_, typ, ts, id, v, _) =>
+            if (typ == rightType) anchors ::= AsofEv(ts, id, v)
+            else probes ::= AsofEv(ts, id, v)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = probes.partition(_.ts <= wmUs)
+          val out = ready.sortBy(p => (p.ts, p.id)).map { p =>
+            val m = anchors.filter(a => a.ts <= p.ts)
+            val best = if (m.isEmpty) None else Some(m.maxBy(a => (a.ts, a.id)))
+            (p.id, user, p.ts, best.map(_.id), best.map(_.ts), best.flatMap(_.value))
+          }
+          // compact: anchors the watermark passed collapse to the one
+          // any future probe (ts > wm) could still match
+          val (future, past) = anchors.partition(_.ts > wmUs)
+          val keepPast = if (past.isEmpty) Nil else List(past.maxBy(a => (a.ts, a.id)))
+          val next = AsofBuf(future ++ keepPast, pending)
+          if (next.anchors.isEmpty && next.probes.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(next)
+            if (pending.nonEmpty)
+              // +1 ms: the registered timestamp must exceed the current
+              // watermark even when the probe lands in the same
+              // millisecond after micros -> millis truncation
+              state.setTimeoutTimestamp(pending.map(_.ts).min / 1000L + 1L)
+          }
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "ts", "b_event_id", "b_ts", "b_value")
+  }
+
   /** Streaming EXACT dedup with custom state
     * (`flatMapGroupsWithState`): key on the content hash, keep one bit
     * of state per distinct text, emit only the FIRST document carrying

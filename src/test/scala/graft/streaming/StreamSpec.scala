@@ -179,6 +179,65 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.toSet == want)
   }
 
+  test("streaming as-of join matches the batch operator probe for probe") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-stream").toFile
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+      .limit(600)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingAsofLatest(src, "purchase", "click", watermark = "2 hours")
+      .writeStream.format("memory").queryName("asof_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a probe emits only when the watermark passes it: push the
+      // watermark beyond every real event with two far-future sentinel
+      // events (the first raises the watermark, the second triggers the
+      // batch in which the EventTimeTimeouts fire with it). The
+      // sentinels must be of a SURVIVING event type: Catalyst pushes
+      // the type filter below the watermark node, so a filtered-out
+      // type never reaches the watermark-stats collector and the
+      // watermark would stay frozen. A right-typed event on a user no
+      // probe belongs to advances the clock and matches nothing.
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), maxTs + k * 100L * 3600L * 1000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) null else r.getLong(3),
+      if (r.isNullAt(4)) null else r.getLong(4),
+      if (r.isNullAt(5)) null else r.getDouble(5))
+    val streamed = spark.table("asof_stream").collect().map(key).toSet
+    // the batch reference reads BACK the staged directory (minus the
+    // sentinels): re-evaluating `raw.limit(600)` could pick a different
+    // 600-row subset than the one written
+    val staged = spark.read.parquet(srcDir.getAbsolutePath)
+      .filter(col("event_id") >= 0)
+    val batch = graft.events.EventOps.asofLatest(staged, "purchase", "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("b_event_id"), col("b_ts"), col("b_value"))
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
+
   test("text normalization is stream-transparent (codegen column op, no state)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-norm-stream").toFile
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
