@@ -165,9 +165,13 @@ object StreamOps {
           val st = state.getOption.getOrElse(AsofBuf(Nil, Nil))
           var anchors = st.anchors
           var probes = st.probes
+          // two independent ifs, not if/else: when leftType ==
+          // rightType the batch twin unions every event into BOTH
+          // sides (each event self-matches); exclusive routing would
+          // silently emit nothing for that parameterization
           rows.foreach { case (_, typ, ts, id, v, _) =>
             if (typ == rightType) anchors ::= AsofEv(ts, id, v)
-            else probes ::= AsofEv(ts, id, v)
+            if (typ == leftType) probes ::= AsofEv(ts, id, v)
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, pending) = probes.partition(_.ts <= wmUs)

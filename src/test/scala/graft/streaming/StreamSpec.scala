@@ -188,16 +188,13 @@ class StreamSpec extends AnyFunSuite {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
     raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    // read the max BACK from the staged files: re-evaluating the
+    // nondeterministic limit(600) plan could see a different subset
+    val maxTs = spark.read.parquet(srcDir.getAbsolutePath)
+      .agg(max(col("ts"))).head().getLong(0)
 
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val src = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
     val q = StreamOps.streamingAsofLatest(src, "purchase", "click", watermark = "2 hours")
       .writeStream.format("memory").queryName("asof_stream").outputMode("append").start()
     try {
@@ -224,7 +221,8 @@ class StreamSpec extends AnyFunSuite {
       if (r.isNullAt(3)) null else r.getLong(3),
       if (r.isNullAt(4)) null else r.getLong(4),
       if (r.isNullAt(5)) null else r.getDouble(5))
-    val streamed = spark.table("asof_stream").collect().map(key).toSet
+    val streamedRows = spark.table("asof_stream").collect().map(key)
+    val streamed = streamedRows.toSet
     // the batch reference reads BACK the staged directory (minus the
     // sentinels): re-evaluating `raw.limit(600)` could pick a different
     // 600-row subset than the one written
@@ -234,8 +232,42 @@ class StreamSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("b_event_id"), col("b_ts"), col("b_value"))
       .collect().map(key).toSet
+    // exact-count check first: a re-emitted probe would collapse in the
+    // set comparison, so EXACTLY-once needs the raw row count pinned
+    assert(streamedRows.length == batch.size,
+      s"emitted ${streamedRows.length} rows for ${batch.size} probes (duplicate or missing emission)")
     assert(streamed == batch && streamed.nonEmpty,
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
+
+  test("streaming as-of with leftType == rightType self-matches like the batch twin") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-self").toFile
+    val base = 1704000000000000L
+    val evs = Seq(
+      (1L, base + 1000000L, 5L, "click", 1.0, "{}"),
+      (2L, base + 2000000L, 5L, "click", 2.0, "{}"),
+      (3L, base + 3000000L, 5L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    evs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingAsofLatest(src, "click", "click", watermark = "1 second")
+      .writeStream.format("memory").queryName("asof_self").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), base + 3000000L + k * 10000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // an event's best anchor at-or-before itself IS itself (ids unique,
+    // timestamps distinct) — exactly the batch union-both-sides result
+    val got = spark.table("asof_self").filter(col("event_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(5))).toSet
+    assert(got == Set((1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 3L, 3.0)), s"$got")
   }
 
   test("text normalization is stream-transparent (codegen column op, no state)") {
