@@ -735,6 +735,57 @@ object LlmQueries {
       |  FROM sbits
       |)""".stripMargin
 
+  /** Recall-tail CTEs shared by every ANN-recall oracle: expects the
+    * preceding chain to define `e` (the bounded vector table) and
+    * `pairs` (candidate (query_id, cand_id, sim) rows). One
+    * definition, so the brute-force ground truth and tie-breaks can
+    * never drift between the LSH and IVF recall oracles.
+    */
+  private def sqlRecallTail(k: Int): String =
+    s"""ann AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= $k
+       |), bfp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(q.v, c.v) AS sim
+       |  FROM e q, e c WHERE c.vec_id <> q.vec_id
+       |), bf AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |    FROM bfp
+       |  ) WHERE rn <= $k
+       |)
+       |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
+       |       ROUND(COUNT(ann.cand_id) * 1.0 / $k, 6) AS recall
+       |FROM bf LEFT JOIN ann
+       |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** IVF candidate CTE chain (e, cent, sims, assign, probes, pairs) —
+    * shared by the q_embed_ann_ivf top-k oracle and the IVF recall
+    * oracle, mirroring [[VectorOps.ivfTopK]].
+    */
+  private def sqlIvfPairsCte(nlist: Int, nprobe: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $PairLimit
+       |), cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nlist),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS s,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+       |  FROM e, cent c
+       |), assign AS (SELECT vec_id AS cand_id, cid AS list FROM sims WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS list FROM sims WHERE rn <= $nprobe),
+       |pairs AS (
+       |  SELECT p.query_id, a.cand_id, list_cosine_similarity(qe.v, ce.v) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.list = p.list AND a.cand_id <> p.query_id
+       |  JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN e ce ON ce.vec_id = a.cand_id
+       |)""".stripMargin
+
   /** DuckDB oracle for the ANN recall query: the single-table LSH
     * pipeline and the exact brute-force top-k composed in one
     * statement, recall = matched-candidate count per query — mirroring
@@ -757,30 +808,12 @@ object LlmQueries {
        |  FROM e, pl GROUP BY 1
        |), wb AS (
        |  SELECT e.vec_id, e.v, b.bucket FROM e JOIN buck b ON b.vec_id = e.vec_id
-       |), annp AS (
+       |), pairs AS (
        |  SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
        |         list_cosine_similarity(a.v, c.v) AS sim
        |  FROM wb a JOIN wb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
-       |), ann AS (
-       |  SELECT query_id, cand_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
-       |    FROM annp
-       |  ) WHERE rn <= $k
-       |), bfp AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-       |         list_cosine_similarity(q.v, c.v) AS sim
-       |  FROM e q, e c WHERE c.vec_id <> q.vec_id
-       |), bf AS (
-       |  SELECT query_id, cand_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
-       |    FROM bfp
-       |  ) WHERE rn <= $k
-       |)
-       |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
-       |       ROUND(COUNT(ann.cand_id) * 1.0 / $k, 6) AS recall
-       |FROM bf LEFT JOIN ann
-       |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |),
+       |${sqlRecallTail(k)}""".stripMargin
   }
 
   // connected components over the 0.95-jaccard dup pairs as a shared
@@ -827,42 +860,8 @@ object LlmQueries {
     // IVF recall vs exact: same IVF pipeline as q_embed_ann_ivf
     // (nlist=16, nprobe=4), brute-force ground truth, per-query hits
     "q_embed_ann_recall_ivf" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id < $PairLimit
-         |), cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         |sims AS (
-         |  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS s,
-         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
-         |  FROM e, cent c
-         |), assign AS (SELECT vec_id AS cand_id, cid AS list FROM sims WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS list FROM sims WHERE rn <= 4),
-         |pairs AS (
-         |  SELECT p.query_id, a.cand_id, list_cosine_similarity(qe.v, ce.v) AS sim
-         |  FROM probes p
-         |  JOIN assign a ON a.list = p.list AND a.cand_id <> p.query_id
-         |  JOIN e qe ON qe.vec_id = p.query_id
-         |  JOIN e ce ON ce.vec_id = a.cand_id
-         |), ann AS (
-         |  SELECT query_id, cand_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
-         |    FROM pairs
-         |  ) WHERE rn <= 5
-         |), bfp AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |         list_cosine_similarity(q.v, c.v) AS sim
-         |  FROM e q, e c WHERE c.vec_id <> q.vec_id
-         |), bf AS (
-         |  SELECT query_id, cand_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
-         |    FROM bfp
-         |  ) WHERE rn <= 5
-         |)
-         |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
-         |       ROUND(COUNT(ann.cand_id) * 1.0 / 5, 6) AS recall
-         |FROM bf LEFT JOIN ann
-         |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH ${sqlIvfPairsCte(16, 4)},
+         |${sqlRecallTail(5)}""".stripMargin,
 
     // connected components over the 0.95-jaccard dup pairs: cluster_id =
     // min doc id reachable through dup edges (recursive transitive
@@ -1117,23 +1116,7 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_ann_ivf" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id < $PairLimit
-         |), cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         |sims AS (
-         |  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS s,
-         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
-         |  FROM e, cent c
-         |), assign AS (SELECT vec_id AS cand_id, cid AS list FROM sims WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS list FROM sims WHERE rn <= 4),
-         |pairs AS (
-         |  SELECT p.query_id, a.cand_id, list_cosine_similarity(qe.v, ce.v) AS sim
-         |  FROM probes p
-         |  JOIN assign a ON a.list = p.list AND a.cand_id <> p.query_id
-         |  JOIN e qe ON qe.vec_id = p.query_id
-         |  JOIN e ce ON ce.vec_id = a.cand_id
-         |)
+      s"""WITH ${sqlIvfPairsCte(16, 4)}
          |SELECT query_id, cand_id, ROUND(sim, 6) AS sim FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
          |  FROM pairs

@@ -45,7 +45,12 @@ object CfConv {
     // WGS84 (a ~100-200 m shift)
     def ellOr(default: Crs.Ellipsoid): Crs.Ellipsoid =
       (num("semi_major_axis"), num("inverse_flattening")) match {
-        case (Some(a), Some(invF)) => Crs.Ellipsoid(a, invF)
+        case (Some(a), Some(invF)) =>
+          // CF encodes a SPHERICAL earth as inverse_flattening = 0
+          // (WRF et al.); taken literally it would mean f = 1/0 and
+          // NaN coordinates everywhere. invF = +inf gives f = 0 — the
+          // sphere the convention intends.
+          Crs.Ellipsoid(a, if (invF == 0.0) Double.PositiveInfinity else invF)
         case _ => default
       }
     attrs.get("spatial_ref").orElse(attrs.get("crs_wkt")) match {

@@ -507,19 +507,31 @@ object Multimodal {
     }
     if (moviStart < 0) Iterator.empty
     else new Iterator[Array[Byte]] {
-      private var p = moviStart
+      // scan ranges as a stack: interleaved VfW files wrap each
+      // frame group in LIST('rec ') sub-lists — descend into LIST
+      // chunks instead of skipping them, or a standard interleaved
+      // AVI would report zero frames
+      private var ranges = List((moviStart, moviEnd))
       private var nextChunk: Array[Byte] = null
       private def advance(): Unit = {
         nextChunk = null
-        while (nextChunk == null && p + 8 <= moviEnd) {
-          val tag = tagAt(payload, p)
-          val size = chunkSize(payload, p)
-          val body = p + 8
-          if (tag.endsWith("dc") || tag.endsWith("db")) {
-            nextChunk = java.util.Arrays.copyOfRange(
-              payload, body, math.min(body + size, payload.length))
+        while (nextChunk == null && ranges.nonEmpty) {
+          val (p, end) = ranges.head
+          if (p + 8 > end) ranges = ranges.tail
+          else {
+            val tag = tagAt(payload, p)
+            val size = chunkSize(payload, p)
+            val body = p + 8
+            val after = body + size + (size & 1)
+            ranges = (after, end) :: ranges.tail
+            if (tag == "LIST" && size >= 4) {
+              // descend: list body starts after its 4-byte type tag
+              ranges = (body + 4, math.min(body + size, payload.length)) :: ranges
+            } else if (tag.endsWith("dc") || tag.endsWith("db")) {
+              nextChunk = java.util.Arrays.copyOfRange(
+                payload, body, math.min(body + size, payload.length))
+            }
           }
-          p = body + size + (size & 1)
         }
       }
       advance()

@@ -427,7 +427,11 @@ object CorpusOps {
       col(lenCol).cast("long").as(lenCol))
     val cuts = base.groupBy(col(stratumCol))
       .agg(expr(s"percentile($lenCol, ${p}d)").as("cutoff"))
-    base.join(broadcast(cuts), stratumCol)
+      .withColumnRenamed(stratumCol, "_cut_stratum")
+    // null-safe equality: a NULL stratum is its own group in the
+    // aggregate above, so it must also MATCH its own cutoff row — a
+    // plain equi-join would silently drop every null-stratum document
+    base.join(broadcast(cuts), col(stratumCol) <=> col("_cut_stratum"))
       .filter(col(lenCol) >= col("cutoff"))
       .select(col(idCol), col(stratumCol), col(lenCol))
   }

@@ -176,24 +176,18 @@ object TextOps {
     hammingPairs(simhash(docs, idCol, textCol).toDF("id", "sig"),
       sigBits = 60, maxHamming = maxHamming)
 
-  /** Pigeonhole-banded Hamming-radius pair join over ANY (id, sig)
-    * signature table — the generic core of [[simhashPairs]], shared by
-    * perceptual image-hash dedup
-    * ([[graft.multimodal.Multimodal.dHash]] signatures are 64-bit).
-    * `maxHamming + 1` disjoint bit-bands: two signatures within radius
-    * r must agree EXACTLY on at least one band (pigeonhole), so an
-    * equi-join per band finds every pair — candidates scale with
-    * band-bucket occupancy, never corpus². The trailing band absorbs
-    * the `sigBits mod bands` remainder bits. `shiftrightunsigned`
-    * keeps banding correct for full-width 64-bit signatures whose sign
-    * bit is set (signed shift would smear the sign across high bands).
-    */
-  /** The pigeonhole band explosion [[hammingPairs]] joins on, exposed
-    * so streaming twins can run the identical banding on a readStream
-    * side (a stream-stream inner equi-join on (band, bits) is Spark's
-    * supported append-mode join shape). One definition — the batch
-    * join and any streaming consumer can never drift apart.
-    * Returns (id, sig, band, bits).
+  /** The pigeonhole band explosion [[hammingPairs]] joins on:
+    * `maxHamming + 1` disjoint bit-bands — two signatures within
+    * radius r must agree EXACTLY on at least one band (pigeonhole),
+    * so an equi-join per band finds every pair. The trailing band
+    * absorbs the `sigBits mod bands` remainder bits, and
+    * `shiftrightunsigned` keeps banding correct for full-width 64-bit
+    * signatures whose sign bit is set (signed shift would smear the
+    * sign across high bands). Exposed so streaming twins can run the
+    * identical banding on a readStream side (a stream-stream inner
+    * equi-join on (band, bits) is Spark's supported append-mode join
+    * shape) — one definition, so the batch join and any streaming
+    * consumer can never drift apart. Returns (id, sig, band, bits).
     */
   def hammingBands(sigs: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
     require(sigBits >= 1 && sigBits <= 64, s"sigBits in [1, 64], got $sigBits")
@@ -212,6 +206,15 @@ object TextOps {
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
   }
 
+  /** Pigeonhole-banded Hamming-radius pair join over ANY (id, sig)
+    * signature table — the generic core of [[simhashPairs]], shared by
+    * perceptual image-hash dedup
+    * ([[graft.multimodal.Multimodal.dHash]] signatures are 64-bit):
+    * [[hammingBands]] explodes each signature, band-bucket equi-join
+    * generates candidates (they scale with bucket occupancy, never
+    * corpus²), and the exact `bit_count(xor)` filter keeps the result
+    * identical to the exhaustive Hamming join.
+    */
   def hammingPairs(sigs: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
     val banded = hammingBands(sigs, sigBits, maxHamming)
     banded.toDF("id_a", "sig_a", "band", "bits")

@@ -273,6 +273,20 @@ class CfConvSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CfConv.crsFromAttrs(Map(
       "grid_mapping_name" -> "oblique_mercator",
       "azimuth_of_central_line" -> "53.3")))
+    // CF spherical-earth convention: inverse_flattening = 0 means a
+    // SPHERE (WRF et al.), not f = 1/0 — coordinates must stay finite
+    val wrfSphere = CfConv.crsFromAttrs(Map(
+      "grid_mapping_name" -> "lambert_conformal_conic",
+      "standard_parallel" -> "[30.0, 60.0]",
+      "latitude_of_projection_origin" -> "40.0",
+      "longitude_of_central_meridian" -> "-97.0",
+      "semi_major_axis" -> "6370000.0",
+      "inverse_flattening" -> "0")).get
+    val (wx2, wy2) = wrfSphere.fromLonLat(-97.0, 40.0)
+    assert(java.lang.Double.isFinite(wx2) && java.lang.Double.isFinite(wy2),
+      s"spherical LCC produced ($wx2,$wy2)")
+    val (wl, wp) = wrfSphere.toLonLat(wx2, wy2)
+    assert(math.abs(wl - -97.0) < 1e-7 && math.abs(wp - 40.0) < 1e-7)
     // CF single-value standard_parallel accepted for LCC
     val oneSp = CfConv.crsFromAttrs(Map(
       "grid_mapping_name" -> "lambert_conformal_conic",

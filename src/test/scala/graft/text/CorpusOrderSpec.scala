@@ -263,6 +263,22 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet == expect)
   }
 
+  test("lengthPercentileCut keeps null-stratum docs under their own cutoff") {
+    // NULL stratum keys form their own percentile group (the same
+    // contract tokenBudgetPerStratum honors); a plain equi-join on the
+    // stratum would silently drop every null-stratum document
+    val d = Seq(
+      (0L, null: String, 10L), (1L, null: String, 20L),
+      (2L, null: String, 30L), (3L, null: String, 40L),
+      (4L, "en", 5L), (5L, "en", 50L))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = CorpusOps.lengthPercentileCut(d, p = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // null stratum: median of (10,20,30,40) = 25 -> keep 30, 40;
+    // "en": median of (5,50) = 27.5 -> keep 50
+    assert(kept == Set(2L, 3L, 5L), s"$kept")
+  }
+
   test("decontaminateBloom is bit-identical to exact decontaminate, false positives included") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val eval_ = docs.filter(col("doc_id") % 10 === 0)

@@ -595,6 +595,41 @@ class TextVectorSpec extends AnyFunSuite {
     assert(tMeta.sampleRate == meta.sampleRate && tMeta.nFrames < meta.nFrames)
   }
 
+  test("AVI: frames inside LIST('rec ') wrappers decode like bare movi chunks") {
+    // interleaved VfW files wrap frame groups in rec sub-lists; wrap
+    // the whole movi body of a synthetic AVI in one and expect an
+    // identical parse
+    val avi = Multimodal.syntheticAvi(5L)
+    def idxOf(tag: String): Int = {
+      val t = tag.getBytes
+      avi.indices.find(i => i + 4 <= avi.length &&
+        avi(i) == t(0) && avi(i + 1) == t(1) && avi(i + 2) == t(2) && avi(i + 3) == t(3)).get
+    }
+    val moviType = idxOf("movi") // LIST header sits 8 bytes before
+    val listStart = moviType - 8
+    def u32(off: Int): Int =
+      (avi(off) & 0xFF) | ((avi(off + 1) & 0xFF) << 8) |
+        ((avi(off + 2) & 0xFF) << 16) | ((avi(off + 3) & 0xFF) << 24)
+    val oldSize = u32(listStart + 4) // includes the 4-byte 'movi' type
+    val body = java.util.Arrays.copyOfRange(avi, moviType + 4, listStart + 8 + oldSize)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    out.write(avi, 0, listStart) // everything before the movi list
+    out.write("LIST".getBytes); le32(4 + 12 + body.length); out.write("movi".getBytes)
+    out.write("LIST".getBytes); le32(4 + body.length); out.write("rec ".getBytes)
+    out.write(body)
+    val wrapped = out.toByteArray
+    // patch the RIFF size (grew by the 12-byte rec header)
+    val total = wrapped.length - 8
+    wrapped(4) = (total & 0xFF).toByte; wrapped(5) = ((total >> 8) & 0xFF).toByte
+    wrapped(6) = ((total >> 16) & 0xFF).toByte; wrapped(7) = ((total >> 24) & 0xFF).toByte
+    assert(Multimodal.decodeAvi(wrapped) == Multimodal.decodeAvi(avi),
+      "rec-wrapped AVI parsed differently from the bare form")
+  }
+
   test("RIFF walkers terminate on adversarial size fields and random bytes") {
     // a u32 chunk size near 4 GiB wraps negative through .toInt — an
     // unclamped walker would step backwards and loop forever. Sizes
