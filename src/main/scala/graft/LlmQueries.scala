@@ -758,7 +758,7 @@ object LlmQueries {
        |  ) WHERE rn <= $k
        |)
        |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
-       |       ROUND(COUNT(ann.cand_id) * 1.0 / $k, 6) AS recall
+       |       ROUND(COUNT(ann.cand_id) * 1.0 / COUNT(*), 6) AS recall
        |FROM bf LEFT JOIN ann
        |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -1775,7 +1775,7 @@ object LlmQueries {
         |  SELECT lang, quantile_cont(n_chars, 0.25) AS cutoff FROM n GROUP BY 1
         |)
         |SELECT n.doc_id, n.lang, n.n_chars
-        |FROM n JOIN c USING (lang)
+        |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
 

@@ -51,8 +51,23 @@ object CfConv {
           // NaN coordinates everywhere. invF = +inf gives f = 0 — the
           // sphere the convention intends.
           Crs.Ellipsoid(a, if (invF == 0.0) Double.PositiveInfinity else invF)
+        // semi_major_axis WITHOUT inverse_flattening is CF's other
+        // spherical-earth spelling (equivalent to earth_radius) — a
+        // sphere, not the family's default ellipsoid
+        case (Some(a), None) => Crs.Ellipsoid(a, Double.PositiveInfinity)
         case _ => default
       }
+    // CF grid-mapping `towgs84` attribute (appendix F: 3/6/7-value
+    // Bursa-Wolf parameters, position-vector) wraps the projection in
+    // the Helmert datum shift
+    def datumOr(crs: Crs): Crs = {
+      val tow = attrs.get("towgs84").toSeq
+        .flatMap(_.split("[,\\[\\]\\s]+")).flatMap(_.toDoubleOption)
+      if (tow.nonEmpty && tow.exists(_ != 0.0)) {
+        val p = tow.padTo(7, 0.0)
+        Crs.DatumShifted(crs, Crs.Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
+      } else crs
+    }
     attrs.get("spatial_ref").orElse(attrs.get("crs_wkt")) match {
       case Some(wkt) if wkt.contains("EPSG") =>
         // accept "EPSG","NNNN" authority tails in WKT
@@ -159,7 +174,7 @@ object CfConv {
           case "new_zealand_map_grid" => Crs.nzmg
           case other =>
             throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
-        }
+        }.map(datumOr)
     }
   }
 
@@ -274,6 +289,13 @@ object CfConv {
     * cfconv.py:215-221).
     */
   def crsToAttrs(crs: Crs): Attrs = crs match {
+    // datum-shifted grids serialize the base projection's attrs plus
+    // the CF `towgs84` Bursa-Wolf parameter list, and round-trip
+    // through the datumOr hook in crsFromAttrs
+    case d: Crs.DatumShifted =>
+      val h = d.helmert
+      crsToAttrs(d.base) + ("towgs84" ->
+        s"[${h.dx}, ${h.dy}, ${h.dz}, ${h.rxSec}, ${h.rySec}, ${h.rzSec}, ${h.dsPpm}]")
     case Crs.Geographic => Map("grid_mapping_name" -> "latitude_longitude")
     case t: Crs.TransverseMercator => Map(
       "grid_mapping_name" -> "transverse_mercator",

@@ -43,6 +43,13 @@ sealed trait Crs extends Serializable {
     * ones.
     */
   def axisUnit: String = if (isGeographic) "degree" else "metre"
+
+  /** The geodetic ellipsoid whose lon/lat this CRS's
+    * `toLonLat`/`fromLonLat` speak. WGS84 unless a family overrides it
+    * (Bessel/Airy/International grids) — [[Crs.DatumShifted]] uses it
+    * to run the Helmert chain on the correct source ellipsoid.
+    */
+  def ellipsoid: Crs.Ellipsoid = Crs.WGS84
 }
 
 object Crs {
@@ -55,6 +62,140 @@ object Crs {
   }
   val WGS84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
   val GRS80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
+
+  /** 7-parameter Helmert datum transformation TO WGS84 (EPSG method
+    * 9606, POSITION-VECTOR rotation convention — the same semantics as
+    * PROJ's `+towgs84=dx,dy,dz,rx,ry,rz,ds`): translations in metres,
+    * rotations in arc-seconds, scale difference in ppm. Applied in
+    * geocentric Cartesian (ECEF) space; the inverse is the EXACT
+    * inverse of the forward affine map (cofactor 3x3 inversion), so
+    * roundtrips are closed to machine precision rather than relying on
+    * the small-angle negation. Formulas: EPSG Guidance Note 7-2 §4.3.3
+    * and the OS "A guide to coordinate systems in Great Britain"
+    * Annex B (both public).
+    *
+    * The reference gets datum shifts implicitly from pyproj (any
+    * source CRS; reference: xcube_resampling/gridmapping/cfconv.py:
+    * 215-221); this class is the engine's explicit equivalent for the
+    * non-WGS84 grids it implements.
+    */
+  final case class Helmert(
+      dx: Double, dy: Double, dz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double)
+    extends Serializable {
+    @transient private lazy val rx = math.toRadians(rxSec / 3600.0)
+    @transient private lazy val ry = math.toRadians(rySec / 3600.0)
+    @transient private lazy val rz = math.toRadians(rzSec / 3600.0)
+    @transient private lazy val m = 1.0 + dsPpm * 1e-6
+    // exact inverse of M = m * [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]]
+    @transient private lazy val inv: Array[Double] = {
+      val a = Array(m, -m * rz, m * ry, m * rz, m, -m * rx, -m * ry, m * rx, m)
+      val det =
+        a(0) * (a(4) * a(8) - a(5) * a(7)) -
+        a(1) * (a(3) * a(8) - a(5) * a(6)) +
+        a(2) * (a(3) * a(7) - a(4) * a(6))
+      Array(
+        (a(4) * a(8) - a(5) * a(7)) / det, (a(2) * a(7) - a(1) * a(8)) / det,
+        (a(1) * a(5) - a(2) * a(4)) / det,
+        (a(5) * a(6) - a(3) * a(8)) / det, (a(0) * a(8) - a(2) * a(6)) / det,
+        (a(2) * a(3) - a(0) * a(5)) / det,
+        (a(3) * a(7) - a(4) * a(6)) / det, (a(1) * a(6) - a(0) * a(7)) / det,
+        (a(0) * a(4) - a(1) * a(3)) / det)
+    }
+
+    /** source-datum ECEF -> WGS84 ECEF (position vector: +rz rotates
+      * the position vector counterclockwise about +Z, i.e. INCREASES
+      * longitude by rz).
+      */
+    def forward(x: Double, y: Double, z: Double): (Double, Double, Double) = (
+      dx + m * (x - rz * y + ry * z),
+      dy + m * (rz * x + y - rx * z),
+      dz + m * (-ry * x + rx * y + z))
+
+    /** WGS84 ECEF -> source-datum ECEF (exact inverse). */
+    def inverse(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val px = x - dx; val py = y - dy; val pz = z - dz
+      (inv(0) * px + inv(1) * py + inv(2) * pz,
+        inv(3) * px + inv(4) * py + inv(5) * pz,
+        inv(6) * px + inv(7) * py + inv(8) * pz)
+    }
+
+    /** geodetic lon/lat on the SOURCE ellipsoid (h = 0) -> WGS84
+      * geodetic lon/lat (ellipsoidal height discarded — the raster
+      * surface is 2D, exactly as pyproj's 2D transformer behaves).
+      */
+    def toWgs84(srcEll: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y, z) = Helmert.geodeticToEcef(srcEll, lonDeg, latDeg)
+      val (x2, y2, z2) = forward(x, y, z)
+      Helmert.ecefToGeodetic(WGS84, x2, y2, z2)
+    }
+
+    /** WGS84 geodetic lon/lat (h = 0) -> source-ellipsoid geodetic. */
+    def fromWgs84(srcEll: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y, z) = Helmert.geodeticToEcef(WGS84, lonDeg, latDeg)
+      val (x2, y2, z2) = inverse(x, y, z)
+      Helmert.ecefToGeodetic(srcEll, x2, y2, z2)
+    }
+  }
+
+  object Helmert {
+    /** geodetic (h = 0) -> geocentric Cartesian. */
+    def geodeticToEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+      val lam = math.toRadians(lonDeg); val phi = math.toRadians(latDeg)
+      val s = math.sin(phi)
+      val nR = ell.a / math.sqrt(1 - ell.e2 * s * s)
+      (nR * math.cos(phi) * math.cos(lam), nR * math.cos(phi) * math.sin(lam),
+        nR * (1 - ell.e2) * s)
+    }
+
+    /** geocentric Cartesian -> geodetic lon/lat (height discarded).
+      * Fixed-point iteration on phi (converges to machine precision in
+      * a handful of rounds for the |h| < 1 km that datum chains
+      * produce); exact for the sphere (e2 = 0) in one step.
+      */
+    def ecefToGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+      val p = math.hypot(x, y)
+      val lon = math.toDegrees(math.atan2(y, x))
+      if (p < 1e-9) return (lon, math.copySign(90.0, z)) // at the pole axis
+      var phi = math.atan2(z, p * (1 - ell.e2))
+      var i = 0
+      while (i < 10) {
+        val s = math.sin(phi)
+        val nR = ell.a / math.sqrt(1 - ell.e2 * s * s)
+        val h = p / math.cos(phi) - nR
+        val next = math.atan2(z, p * (1 - ell.e2 * nR / (nR + h)))
+        if (math.abs(next - phi) < 1e-15) { phi = next; i = 10 }
+        else { phi = next; i += 1 }
+      }
+      (lon, math.toDegrees(phi))
+    }
+  }
+
+  /** A CRS whose native geodetic datum differs from WGS84: composes the
+    * base projection's native math with a [[Helmert]] shift so that
+    * `toLonLat`/`fromLonLat` speak WGS84 lon/lat — which makes every
+    * cross-CRS chain through [[CrsTransformer]] datum-correct without
+    * touching the projection formulas. `equalsCrs` stays structural:
+    * the wrapped and unwrapped forms are deliberately NOT equal (they
+    * produce coordinates ~100-200 m apart).
+    */
+  final case class DatumShifted(base: Crs, helmert: Helmert) extends Crs {
+    def name: String = base.name
+    // never geographic-interchangeable with WGS84, even over a
+    // geographic base — the both-geographic equality shortcut would
+    // silently skip the datum shift
+    val isGeographic = false
+    override def axisUnit: String = base.axisUnit
+    override def ellipsoid: Ellipsoid = WGS84 // the EXTERNAL interface datum
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val (lon, lat) = base.toLonLat(x, y)
+      helmert.toWgs84(base.ellipsoid, lon, lat)
+    }
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+      val (nLon, nLat) = helmert.fromWgs84(base.ellipsoid, lon, lat)
+      base.fromLonLat(nLon, nLat)
+    }
+  }
 
   case object Geographic extends Crs {
     val name = "EPSG:4326"
@@ -73,6 +214,7 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
 
     private val n = ell.n
     private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
@@ -171,6 +313,7 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
 
     private val e = ell.e
     private val e2 = ell.e2
@@ -179,7 +322,9 @@ object Crs {
 
     private def q(phi: Double): Double = {
       val s = math.sin(phi)
-      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      // sphere limit (e -> 0): the log term -> -2es, so q -> 2 sin phi
+      if (e < 1e-12) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
     }
     private val qp = q(math.Pi / 2)
     private val rq = ell.a * math.sqrt(qp / 2)
@@ -213,10 +358,12 @@ object Crs {
       val lon = lon0 + math.atan2(
         xr * sinCe,
         dd * rho * cosB1 * cosCe - dd * dd * yr * sinB1 * sinCe)
-      // iterate phi from q (Snyder eq. 3-16)
+      // iterate phi from q (Snyder eq. 3-16); on the sphere q = 2 sin
+      // phi so the asin seed is already exact (and the correction term
+      // would be 0/0)
       var phi = math.asin(math.min(1.0, math.max(-1.0, qv / 2)))
       var i = 0
-      while (i < 10) {
+      while (i < 10 && e >= 1e-12) {
         val s = math.sin(phi)
         val oneMinus = 1 - e2 * s * s
         val corr = (oneMinus * oneMinus) / (2 * math.cos(phi)) *
@@ -289,6 +436,7 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
 
     private val e = ell.e
     private val lon0 = math.toRadians(lon0Deg)
@@ -354,15 +502,18 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
 
     private val e = ell.e
     private val e2 = ell.e2
     private val lon0 = math.toRadians(lon0Deg)
 
-    // q(phi), Snyder eq. 3-12 (same authalic form as LAEA)
+    // q(phi), Snyder eq. 3-12 (same authalic form as LAEA; sphere
+    // limit q = 2 sin phi)
     private def qOf(phi: Double): Double = {
       val s = math.sin(phi)
-      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      if (e < 1e-12) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
     }
     // m(phi) = cos phi / sqrt(1 - e^2 sin^2 phi)  (14-15)
     private def mOf(phi: Double): Double = {
@@ -399,9 +550,10 @@ object Crs {
       val theta = math.atan2(sign * xr, sign * yr) // (14-11)
       val qv = (bigC - (rho * rho * nCone * nCone) / (ell.a * ell.a)) / nCone // (14-19)
       // phi from q by the Snyder 3-16 iteration, seeded with asin(q/2)
+      // (exact already on the sphere)
       var phi = math.asin(math.min(1.0, math.max(-1.0, qv / 2)))
       var i = 0
-      while (i < 12) {
+      while (i < 12 && e >= 1e-12) {
         val s = math.sin(phi)
         val oneMinus = 1 - e2 * s * s
         val corr = (oneMinus * oneMinus) / (2 * math.cos(phi)) *
@@ -428,6 +580,7 @@ object Crs {
       lon0Deg: Double, falseEasting: Double, falseNorthing: Double,
       ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
 
     private val e = ell.e
     private val e2 = ell.e2
@@ -440,7 +593,8 @@ object Crs {
 
     private def qOf(phi: Double): Double = {
       val s = math.sin(phi)
-      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      if (e < 1e-12) 2 * s // sphere limit
+      else (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
     }
     private val qp = qOf(math.Pi / 2)
     private val rq = ell.a * math.sqrt(qp / 2.0)
@@ -482,7 +636,7 @@ object Crs {
         else {
           var ph = math.asin(math.min(1.0, math.max(-1.0, qv / 2)))
           var k = 0
-          while (k < 12) {
+          while (k < 12 && e >= 1e-12) {
             val s = math.sin(ph)
             val oneMinus = 1 - e2 * s * s
             val corr = (oneMinus * oneMinus) / (2 * math.cos(ph)) *
@@ -510,6 +664,7 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       south: Boolean, ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
 
     private val e = ell.e
     private val lon0 = math.toRadians(lon0Deg)
@@ -571,6 +726,7 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = Ellipsoid(radius, Double.PositiveInfinity)
     private val lon0 = math.toRadians(lon0Deg)
 
     def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
@@ -613,6 +769,7 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
     private val e = ell.e
     private val e2 = ell.e2
     private val phi0 = math.toRadians(lat0Deg)
@@ -689,6 +846,7 @@ object Crs {
       falseEasting: Double, falseNorthing: Double,
       ell: Ellipsoid, override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
     private val e = ell.e
     private val e2 = ell.e2
     private val phiC = math.toRadians(latCDeg)
@@ -772,6 +930,7 @@ object Crs {
     */
   final case class NewZealandMapGrid(override val name: String) extends Crs {
     val isGeographic = false
+    override def ellipsoid: Ellipsoid = Ellipsoid(6378388.0, 297.0) // International 1924
     private val a = 6378388.0 // International 1924
     private val phi0 = math.toRadians(-41.0)
     private val lam0 = math.toRadians(173.0)
@@ -875,11 +1034,41 @@ object Crs {
     }
   }
 
-  /** NZGD49 / New Zealand Map Grid. */
+  /** NZGD49 / New Zealand Map Grid (NATIVE datum form — the registry
+    * serves the datum-shifted wrapper).
+    */
   val nzmg: Crs = NewZealandMapGrid("EPSG:27200")
 
   /** Bessel 1841 (the Swiss and Czech/Slovak national grids). */
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
+
+  // ---- published towgs84 datum parameters (position vector, metres /
+  // arc-seconds / ppm) for the non-WGS84 grids the engine implements.
+  // Values are the EPSG-registered transformations historically shipped
+  // in PROJ's EPSG init table — i.e. what pyproj applies when no
+  // distortion grid is installed.
+
+  /** S-JTSK -> WGS84 (EPSG transformation 1622, the PROJ default for
+    * EPSG:5514): geocentric translation only.
+    */
+  val SJtskToWgs84: Helmert = Helmert(589.0, 76.0, 480.0, 0, 0, 0, 0)
+
+  /** CH1903/CH1903+ -> WGS84 (EPSG 1676/1766 — the Zimmerwald-derived
+    * translation that DEFINES CH1903+; PROJ applies it to both LV03
+    * and LV95).
+    */
+  val Ch1903ToWgs84: Helmert = Helmert(674.374, 15.056, 405.346, 0, 0, 0, 0)
+
+  /** NZGD49 -> WGS84 (EPSG transformation 1564, 7-parameter). */
+  val Nzgd49ToWgs84: Helmert = Helmert(59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993)
+
+  /** MGI (Austria) -> WGS84 (EPSG transformation 1618, 7-parameter). */
+  val MgiToWgs84: Helmert = Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
+
+  /** OSGB36 -> WGS84 (EPSG transformation 1314 — the OS's published
+    * national 7-parameter set, ~2 m point accuracy vs the OSTN grid).
+    */
+  val Osgb36ToWgs84: Helmert = Helmert(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489)
 
   /** S-JTSK / Krovak East North (EPSG:5514): lonC 24°50' E Greenwich
     * (42°30' E Ferro), latC 49°30', azimuth 30°17'17.3031",
@@ -978,9 +1167,11 @@ object Crs {
     "EPSG:3976" -> PolarStereographic(-70.0, 0.0, 0.0, 0.0, south = true, WGS84, "EPSG:3976"),
     // Arctic Polar Stereographic (lat_ts 71N, lon0 0)
     "EPSG:3995" -> PolarStereographic(71.0, 0.0, 0.0, 0.0, south = false, WGS84, "EPSG:3995"),
-    // OSGB36 / British National Grid (transverse mercator on Airy 1830)
-    "EPSG:27700" -> TransverseMercator(-2.0, 49.0, 0.9996012717, 400000.0, -100000.0,
-      Airy1830, "EPSG:27700"),
+    // OSGB36 / British National Grid (transverse mercator on Airy
+    // 1830, datum-shifted to WGS84 via the OS national Helmert set)
+    "EPSG:27700" -> DatumShifted(
+      TransverseMercator(-2.0, 49.0, 0.9996012717, 400000.0, -100000.0,
+        Airy1830, "EPSG:27700"), Osgb36ToWgs84),
     // NZGD2000 / New Zealand Transverse Mercator 2000
     "EPSG:2193" -> TransverseMercator(173.0, 0.0, 0.9996, 1600000.0, 10000000.0,
       GRS80, "EPSG:2193"),
@@ -1002,22 +1193,25 @@ object Crs {
     // legacy aliases for the same grids.
     "EPSG:5041" -> upsNorth, "EPSG:32661" -> upsNorth,
     "EPSG:5042" -> upsSouth, "EPSG:32761" -> upsSouth,
-    // Swiss national grids (oblique mercator on Bessel 1841)
-    "EPSG:21781" -> ch1903Lv03,
-    "EPSG:2056" -> ch1903PlusLv95,
-    // Czech/Slovak S-JTSK (Krovak East North)
-    "EPSG:5514" -> krovakEastNorth,
-    // NZGD49 / New Zealand Map Grid (complex-series conformal)
-    "EPSG:27200" -> nzmg,
+    // Swiss national grids (oblique mercator on Bessel 1841, shifted
+    // to WGS84 by the Zimmerwald translation)
+    "EPSG:21781" -> DatumShifted(ch1903Lv03, Ch1903ToWgs84),
+    "EPSG:2056" -> DatumShifted(ch1903PlusLv95, Ch1903ToWgs84),
+    // Czech/Slovak S-JTSK (Krovak East North on Bessel 1841)
+    "EPSG:5514" -> DatumShifted(krovakEastNorth, SJtskToWgs84),
+    // NZGD49 / New Zealand Map Grid (complex-series conformal on
+    // International 1924, 7-parameter shift to WGS84)
+    "EPSG:27200" -> DatumShifted(nzmg, Nzgd49ToWgs84),
     // ETRS89 / TM35FIN (Finland single-zone TM)
     "EPSG:3067" -> TransverseMercator(27.0, 0.0, 0.9996, 500000.0, 0.0,
       GRS80, "EPSG:3067"),
     // ETRS89 / Poland CS92 (single-zone TM, negative false northing)
     "EPSG:2180" -> TransverseMercator(19.0, 0.0, 0.9993, 500000.0, -5300000.0,
       GRS80, "EPSG:2180"),
-    // MGI / Austria Lambert (LCC on Bessel 1841)
-    "EPSG:31287" -> LambertConformalConic(49.0, 46.0, 47.5, 13.0 + 20.0 / 60,
-      400000.0, 400000.0, Bessel1841, "EPSG:31287"),
+    // MGI / Austria Lambert (LCC on Bessel 1841, 7-parameter shift)
+    "EPSG:31287" -> DatumShifted(
+      LambertConformalConic(49.0, 46.0, 47.5, 13.0 + 20.0 / 60,
+        400000.0, 400000.0, Bessel1841, "EPSG:31287"), MgiToWgs84),
     // EASE-Grid 2.0 North / South (polar LAEA on WGS84)
     "EPSG:6931" -> LambertAzimuthalEqualArea(0.0, 90.0, 0.0, 0.0, WGS84, "EPSG:6931"),
     "EPSG:6932" -> LambertAzimuthalEqualArea(0.0, -90.0, 0.0, 0.0, WGS84, "EPSG:6932"),
@@ -1097,7 +1291,7 @@ object Crs {
       case "GRS80" => GRS80
       case _ => WGS84
     }
-    kv.getOrElse("proj", "?") match {
+    val base = kv.getOrElse("proj", "?") match {
       case "longlat" | "latlong" | "lonlat" => Geographic
       case "merc" if num("a", WGS84.a) == WGS84.a => WebMercator
       case "utm" =>
@@ -1164,6 +1358,14 @@ object Crs {
       case other => throw new IllegalArgumentException(
         s"unsupported proj string (+proj=$other): $s; $SupportedMsg")
     }
+    // +towgs84=dx,dy,dz[,rx,ry,rz,ds] wraps the projection with the
+    // PROJ-semantics (position vector) Helmert datum shift; an all-zero
+    // spec means "already WGS84" and stays unwrapped
+    kv.get("towgs84").map(_.split(",").map(_.trim.toDouble).padTo(7, 0.0)) match {
+      case Some(p) if p.exists(_ != 0.0) =>
+        DatumShifted(base, Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
+      case _ => base
+    }
   }
 
   /** Pragmatic WKT1/WKT2 reader: extracts PROJECTION / PARAMETER /
@@ -1196,7 +1398,7 @@ object Crs {
     val lon0 = p(Seq("central_meridian", "longitude_of_origin", "longitude_of_natural_origin", "longitude_of_center"), 0)
     val lat0 = p(Seq("latitude_of_origin", "latitude_of_natural_origin", "latitude_of_center"), 0)
     val fe = p(Seq("false_easting"), 0); val fn = p(Seq("false_northing"), 0)
-    projection.map(_.toLowerCase.replace(' ', '_')) match {
+    val base = projection.map(_.toLowerCase.replace(' ', '_')) match {
       case None if upper.contains("GEOGCS") || upper.contains("GEOGCRS") => Geographic
       case Some(proj) if proj.contains("transverse_mercator") =>
         TransverseMercator(lon0, lat0, p(Seq("scale_factor", "scale_factor_at_natural_origin"), 1.0),
@@ -1254,6 +1456,13 @@ object Crs {
         WebMercator
       case other => throw new IllegalArgumentException(
         s"unsupported WKT (projection = ${other.getOrElse("none")}); $SupportedMsg")
+    }
+    // WKT1 TOWGS84[dx,dy,dz,rx,ry,rz,ds] carries the datum shift
+    """TOWGS84\s*\[([^\]]*)\]""".r.findFirstMatchIn(wkt)
+      .map(_.group(1).split(",").flatMap(_.trim.toDoubleOption).padTo(7, 0.0)) match {
+      case Some(p) if p.exists(_ != 0.0) =>
+        DatumShifted(base, Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
+      case _ => base
     }
   }
 }

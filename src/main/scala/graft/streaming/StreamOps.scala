@@ -174,7 +174,13 @@ object StreamOps {
             if (typ == leftType) probes ::= AsofEv(ts, id, v)
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, pending) = probes.partition(_.ts <= wmUs)
+          // STRICTLY below the watermark: Spark only guarantees events
+          // strictly older than the watermark are dropped, so an anchor
+          // with ts == wm can still arrive in a later batch — a probe
+          // finalized at == would miss it and diverge from the batch
+          // asofLatest at the exact boundary (one extra batch of
+          // latency buys boundary-exact parity)
+          val (ready, pending) = probes.partition(_.ts < wmUs)
           val out = ready.sortBy(p => (p.ts, p.id)).map { p =>
             val m = anchors.filter(a => a.ts <= p.ts)
             val best = if (m.isEmpty) None else Some(m.maxBy(a => (a.ts, a.id)))

@@ -229,7 +229,10 @@ object CorpusOps {
       train: DataFrame, eval: DataFrame, fpp: Double = 0.01,
       idCol: String = "doc_id", textCol: String = "text",
       expectedItems: Option[Long] = None): DataFrame = {
-    val spark = train.sparkSession
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
     val evalHashes = eval.select(
       md5(coalesce(col(textCol), lit(""))).as("eval_hash")).distinct()
     // The md5+distinct pipeline has three consumers: the sizing count,
@@ -240,24 +243,42 @@ object CorpusOps {
     // cache entry outlives the call. Callers that already know the
     // eval cardinality pass `expectedItems` and skip the count job
     // entirely (one eager pass).
-    val bf = expectedItems match {
-      case Some(n) =>
-        evalHashes.stat.bloomFilter("eval_hash", math.max(n, 1L), fpp)
+    //
+    // NATIVE bloom path (no Scala UDF anywhere): the filter is built by
+    // Catalyst's BloomFilterAggregate over xxhash64(eval_hash) and
+    // probed by BloomFilterMightContain — the same expression pair
+    // Spark's own injected runtime filters use, with real doGenCode, so
+    // the train-side prefilter stays inside whole-stage codegen. The
+    // serialized filter rides the task binary (itself torrent-broadcast
+    // by the scheduler), exactly like an injected runtime filter's
+    // subquery result.
+    def buildBloom(n: Long): Array[Byte] = {
+      val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+      val agg = new BloomFilterAggregate(
+        GraftExpressionBridge.expression(xxhash64(col("eval_hash"))),
+        Literal(n), Literal(numBits)).toAggregateExpression()
+      val row = evalHashes.select(GraftExpressionBridge.column(agg).as("bf")).head()
+      if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+    }
+    val bloomBytes = expectedItems match {
+      case Some(n) => buildBloom(math.max(n, 1L))
       case None =>
         val cached = evalHashes.persist()
-        try {
-          val n = math.max(cached.count(), 1L)
-          cached.stat.bloomFilter("eval_hash", n, fpp)
-        } finally cached.unpersist()
+        try buildBloom(math.max(cached.count(), 1L))
+        finally cached.unpersist()
     }
-    val bcBf = spark.sparkContext.broadcast(bf)
     val hashed = train.withColumn("train_hash", md5(coalesce(col(textCol), lit(""))))
-    val mightContain = udf((h: String) => bcBf.value.mightContainString(h))
+    // an EMPTY eval set aggregates to a null filter: nothing can be
+    // contaminated, the train set is clean as-is
+    if (bloomBytes == null) return hashed.drop("train_hash")
+    val mightContain = GraftExpressionBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftExpressionBridge.expression(xxhash64(col("train_hash")))))
     // definite keeps: bloom miss = provably not in the eval set
-    val clean = hashed.filter(!mightContain(col("train_hash")))
+    val clean = hashed.filter(!mightContain)
     // candidates: exact verification by anti-join (shuffle, not
     // broadcast — the eval side is big by assumption here)
-    val verified = hashed.filter(mightContain(col("train_hash")))
+    val verified = hashed.filter(mightContain)
       .join(evalHashes.hint("shuffle_hash"),
         col("train_hash") === col("eval_hash"), "left_anti")
     clean.unionByName(verified).drop("train_hash")

@@ -467,8 +467,12 @@ object VectorOps {
 
   /** Per-query |approx ∩ exact| over a (query_id, cand_id, …) approx
     * result: left-join the brute-force top-k against it and count
-    * matches. Every query point appears (the brute side always has k
-    * rows per query), so zero-recall queries report 0, not absence.
+    * matches. Every query point appears (the brute side has a row per
+    * exact neighbor), so zero-recall queries report 0, not absence.
+    * The denominator is the PER-QUERY brute row count, not the constant
+    * k: with fewer than k+1 vectors in the corpus the exact top-k has
+    * fewer rows, and dividing by k would cap recall below 1 for a
+    * perfect ANN result.
     */
   private def recallAgainstBrute(
       approx: DataFrame, embeddings: DataFrame, k: Int,
@@ -478,7 +482,8 @@ object VectorOps {
       .select(col("query_id"), col("cand_id"))
     brute.join(ann, Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))
-      .agg(count(col("hit")).as("n_hits"))
-      .withColumn("recall", round(col("n_hits") / k, 6))
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_exact"))
+      .withColumn("recall", round(col("n_hits") / col("n_exact"), 6))
+      .drop("n_exact")
   }
 }

@@ -111,6 +111,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast in:\n${p.take(3000)}")
   }
 
+  test("decontaminateBloom probes with the native bloom expression — no ScalaUDF in the plan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.CorpusOps.decontaminateBloom(
+      docs, docs.filter(col("doc_id") % 50 === 0))
+    df.collect()
+    val p = plan(df)
+    // the prefilter must be BloomFilterAggregate + BloomFilterMightContain
+    // (both with real doGenCode, like Spark's injected runtime filters) —
+    // a Scala UDF would break whole-stage codegen on the full train scan
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("pythonudf"),
+      s"UDF in the bloom prefilter plan:\n${p.take(3000)}")
+    assert(p.contains("might_contain"), s"native bloom probe missing in:\n${p.take(3000)}")
+  }
+
   test("global-order operators plan no single-partition window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     for (df <- Seq(

@@ -269,6 +269,48 @@ class CfConvSpec extends AnyFunSuite {
       assert(math.abs(x1 - x2) < tol && math.abs(y1 - y2) < tol,
         s"${crs.name}: ($x1,$y1) vs ($x2,$y2)")
     }
+    // datum-shifted grids carry the CF `towgs84` Bursa-Wolf attribute
+    // and round-trip wrapper-exact (not just projection-exact): the
+    // re-parsed CRS applies the same Helmert chain, so WGS84 lon/lat
+    // agrees to 1e-9 — no 100-200 m datum skew can hide in the attrs
+    for ((code, pt) <- Seq(
+        ("EPSG:5514", (14.4208, 50.0875)), ("EPSG:21781", (8.5417, 47.3769)),
+        ("EPSG:27200", (174.76, -36.85)), ("EPSG:27700", (-0.1276, 51.5072)))) {
+      val crs = Crs.fromString(code).asInstanceOf[Crs.DatumShifted]
+      val attrs = CfConv.crsToAttrs(crs)
+      assert(attrs.contains("towgs84"), s"$code attrs missing towgs84")
+      val parsed = CfConv.crsFromAttrs(attrs).get
+      assert(parsed.isInstanceOf[Crs.DatumShifted], s"$code re-parse lost the datum")
+      val (x1, y1) = crs.fromLonLat(pt._1, pt._2)
+      val (x2, y2) = parsed.fromLonLat(pt._1, pt._2)
+      assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9,
+        s"$code: ($x1,$y1) vs ($x2,$y2)")
+      val (l1, p1) = crs.toLonLat(x1, y1)
+      val (l2, p2) = parsed.toLonLat(x1, y1)
+      assert(math.abs(l1 - l2) < 1e-9 && math.abs(p1 - p2) < 1e-9)
+    }
+    // ADVICE r6: semi_major_axis alone (no inverse_flattening) is CF's
+    // spherical-earth spelling — must parse as a sphere, not fall back
+    // to the family default ellipsoid
+    val sphereOnly = CfConv.crsFromAttrs(Map(
+      "grid_mapping_name" -> "lambert_azimuthal_equal_area",
+      "longitude_of_projection_origin" -> "10.0",
+      "latitude_of_projection_origin" -> "52.0",
+      "semi_major_axis" -> "6371000.0")).get
+    val sphereExplicit = CfConv.crsFromAttrs(Map(
+      "grid_mapping_name" -> "lambert_azimuthal_equal_area",
+      "longitude_of_projection_origin" -> "10.0",
+      "latitude_of_projection_origin" -> "52.0",
+      "semi_major_axis" -> "6371000.0",
+      "inverse_flattening" -> "0")).get
+    val (sx1, sy1) = sphereOnly.fromLonLat(12.0, 50.0)
+    val (sx2, sy2) = sphereExplicit.fromLonLat(12.0, 50.0)
+    assert(math.abs(sx1 - sx2) < 1e-9 && math.abs(sy1 - sy2) < 1e-9,
+      s"semi_major-only must be the same sphere: ($sx1,$sy1) vs ($sx2,$sy2)")
+    val (gx1, gy1) = Crs.LambertAzimuthalEqualArea(10.0, 52.0, 0.0, 0.0, Crs.GRS80, "grs80")
+      .fromLonLat(12.0, 50.0)
+    assert(math.hypot(sx1 - gx1, sy1 - gy1) > 100.0,
+      "sphere must NOT silently be the GRS80 family default")
     // genuinely oblique azimuth refuses loudly
     intercept[IllegalArgumentException](CfConv.crsFromAttrs(Map(
       "grid_mapping_name" -> "oblique_mercator",

@@ -192,7 +192,8 @@ class TransformSpec extends AnyFunSuite {
     import Crs._
     assert(fromString("EPSG:5070") == conusAlbers)
     assert(fromString("ESRI:102003") == usaContiguousAlbers)
-    val bng = fromString("EPSG:27700").asInstanceOf[TransverseMercator]
+    // 27700 is served datum-shifted; the projection math lives in base
+    val bng = fromString("EPSG:27700").asInstanceOf[DatumShifted].base.asInstanceOf[TransverseMercator]
     assert(bng.ell == Airy1830 && bng.lon0Deg == -2.0 && bng.falseNorthing == -100000.0)
     // BNG true origin (2W, 49N) maps to (400000, -100000)
     val (bx, by) = bng.fromLonLat(-2.0, 49.0)
@@ -272,7 +273,7 @@ class TransformSpec extends AnyFunSuite {
     assert(tm35.ell == GRS80 && tm35.lon0Deg == 27.0 && tm35.k0 == 0.9996)
     val cs92 = fromString("EPSG:2180").asInstanceOf[TransverseMercator]
     assert(cs92.lon0Deg == 19.0 && cs92.falseNorthing == -5300000.0)
-    val austria = fromString("EPSG:31287").asInstanceOf[LambertConformalConic]
+    val austria = fromString("EPSG:31287").asInstanceOf[DatumShifted].base.asInstanceOf[LambertConformalConic]
     assert(austria.ell == Bessel1841 && austria.lat1Deg == 49.0 && austria.lat2Deg == 46.0)
     // Vienna lands near the published MGI/Lambert neighborhood
     val (vx, vy) = austria.fromLonLat(16.3738, 48.2082)
@@ -345,7 +346,9 @@ class TransformSpec extends AnyFunSuite {
 
   test("Swiss oblique mercator: Bern origin exact, city anchors, conformal scale, LV95 offset, parse routes") {
     import Crs._
-    val lv03 = fromString("EPSG:21781")
+    // native-datum projection math (the registry serves the
+    // datum-shifted wrapper; its own goldens live in the datum test)
+    val lv03 = fromString("EPSG:21781").asInstanceOf[DatumShifted].base
     // the projection center maps to the false origin EXACTLY (l = 0,
     // b = b0 by construction of K)
     val (bx, by) = lv03.fromLonLat(7.0 + 26.0 / 60 + 22.5 / 3600, 46.0 + 57.0 / 60 + 8.66 / 3600)
@@ -369,7 +372,7 @@ class TransformSpec extends AnyFunSuite {
     assert(math.abs(se / sn - 1.0) < 5e-3, s"anisotropy se=$se sn=$sn")
     assert(math.abs(sn - 1.0) < 5e-3, s"scale at center $sn")
     // LV95 is LV03 shifted by exactly (+2 000 000, +1 000 000)
-    val lv95 = fromString("EPSG:2056")
+    val lv95 = fromString("EPSG:2056").asInstanceOf[DatumShifted].base
     for ((lon, lat) <- Seq((7.0, 46.0), (8.5417, 47.3769), (9.8, 46.5))) {
       val (a3, b3) = lv03.fromLonLat(lon, lat)
       val (a5, b5) = lv95.fromLonLat(lon, lat)
@@ -409,7 +412,7 @@ class TransformSpec extends AnyFunSuite {
 
   test("Krovak East North: Prague anchor, negative axes, conformal scale, exact roundtrip, parse routes") {
     import Crs._
-    val kr = fromString("EPSG:5514")
+    val kr = fromString("EPSG:5514").asInstanceOf[DatumShifted].base
     // Prague city centre in S-JTSK East North: approx (-743 km, -1043 km)
     val (px, py) = kr.fromLonLat(14.4208, 50.0875)
     assert(math.abs(px - -743000.0) < 5000 && math.abs(py - -1043500.0) < 5000,
@@ -462,7 +465,7 @@ class TransformSpec extends AnyFunSuite {
 
   test("NZMG: origin exact, isometric series exact, design scale profile, conformal, roundtrip, parse routes") {
     import Crs._
-    val nz = fromString("EPSG:27200")
+    val nz = fromString("EPSG:27200").asInstanceOf[DatumShifted].base
     // the false origin IS the projection center (z = 0 -> zeta = 0)
     val (ox, oy) = nz.fromLonLat(173.0, -41.0)
     assert(math.abs(ox - 2510000.0) < 1e-6 && math.abs(oy - 6023150.0) < 1e-6,
@@ -582,6 +585,145 @@ class TransformSpec extends AnyFunSuite {
       val (lon2, lat2) = wm.toLonLat(px, py)
       assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
     }
+  }
+
+  test("Helmert datum shifts: convention pins, cross-check goldens, wrapped registry grids, parse routes") {
+    import Crs._
+    // ---- convention pins (closed form) -------------------------------
+    // translation-only: ECEF moves by exactly (dx,dy,dz); exact inverse
+    val tr = Helmert(589.0, 76.0, 480.0, 0, 0, 0, 0)
+    val (ex, ey, ez) = Helmert.geodeticToEcef(Bessel1841, 14.5, 50.0)
+    val (fx, fy, fz) = tr.forward(ex, ey, ez)
+    assert(fx - ex == 589.0 && fy - ey == 76.0 && fz - ez == 480.0)
+    val (bx, by, bz) = tr.inverse(fx, fy, fz)
+    assert(math.abs(bx - ex) < 1e-9 && math.abs(by - ey) < 1e-9 && math.abs(bz - ez) < 1e-9)
+    // position-vector rotation: +rz INCREASES longitude by rz (this is
+    // the PROJ +towgs84 / EPSG 9606 convention; the coordinate-frame
+    // convention would decrease it — the classic sign trap)
+    val rot = Helmert(0, 0, 0, 0, 0, 1.0, 0)
+    val (rl, rp) = rot.toWgs84(WGS84, 10.0, 0.0)
+    assert(math.abs(rl - (10.0 + 1.0 / 3600.0)) < 1e-10, s"rz=+1sec moved lon to $rl")
+    assert(math.abs(rp - 0.0) < 1e-10)
+    // scale-only: +1 ppm scales the ECEF radius by 1e-6
+    val sc = Helmert(0, 0, 0, 0, 0, 0, 1.0)
+    val (sx, sy, sz) = sc.forward(ex, ey, ez)
+    val r0 = math.sqrt(ex * ex + ey * ey + ez * ez)
+    val r1 = math.sqrt(sx * sx + sy * sy + sz * sz)
+    assert(math.abs(r1 / r0 - (1 + 1e-6)) < 1e-12)
+    // geodetic <-> ECEF closes to machine precision on ellipsoid and sphere
+    for ((ell, lon, lat) <- Seq((WGS84, -0.1276, 51.5072), (Bessel1841, 16.37, 48.21),
+        (Ellipsoid(6371007.181, Double.PositiveInfinity), 45.3, -23.0))) {
+      val (gx, gy, gz) = Helmert.geodeticToEcef(ell, lon, lat)
+      val (lon2, lat2) = Helmert.ecefToGeodetic(ell, gx, gy, gz)
+      assert(math.abs(lon2 - lon) < 1e-12 && math.abs(lat2 - lat) < 1e-12)
+    }
+
+    // ---- cross-implementation goldens --------------------------------
+    // native-datum lon/lat -> WGS84 lon/lat, verified against an
+    // independent Python implementation of the same published EPSG
+    // chain (geodetic->ECEF->Bursa-Wolf->geodetic); the ground-shift
+    // magnitudes match the published figures for each datum (NZGD49 ~
+    // 200 m, CH1903 ~ 165-175 m, S-JTSK ~ 107 m, OSGB36 ~ 125 m)
+    val intl = Ellipsoid(6378388.0, 297.0)
+    val golden = Seq(
+      (SJtskToWgs84, Bessel1841, 14.4208, 50.0875, 14.419778861, 50.086793367),
+      (Ch1903ToWgs84, Bessel1841, 7.439583333333333, 46.95240555555556, 7.438632421, 46.951082772),
+      (Ch1903ToWgs84, Bessel1841, 8.5417, 47.3769, 8.540570856, 47.375536516),
+      (Nzgd49ToWgs84, intl, 174.76, -36.85, 174.760181153, -36.848198098),
+      (Nzgd49ToWgs84, intl, 174.78, -41.29, 174.780164156, -41.288287704),
+      (MgiToWgs84, Bessel1841, 16.37, 48.21, 16.368795838, 48.209499092),
+      (Osgb36ToWgs84, Airy1830, -0.1276, 51.5072, -0.129206316, 51.507710347))
+    for ((h, ell, lon, lat, wantLon, wantLat) <- golden) {
+      val (gotLon, gotLat) = h.toWgs84(ell, lon, lat)
+      assert(math.abs(gotLon - wantLon) < 1e-8 && math.abs(gotLat - wantLat) < 1e-8,
+        s"toWgs84($lon,$lat) -> ($gotLon,$gotLat) want ($wantLon,$wantLat)")
+      // OSGB36's longitude shift is the famous "the WGS84 zero meridian
+      // is ~100 m east of the Airy meridian" fact: WGS84 lon is WEST of
+      // the native lon by ~5.5 arc-sec everywhere in Britain
+      // the 2D chain pins h = 0 on each side's own ellipsoid, so the
+      // roundtrip closes to ~1 mm (the height discarded between datums
+      // re-enters scaled by e^2), not machine epsilon — same behavior
+      // as a 2D pyproj transformer
+      val (backLon, backLat) = h.fromWgs84(ell, gotLon, gotLat)
+      assert(math.abs(backLon - lon) < 1e-7 && math.abs(backLat - lat) < 1e-7,
+        s"datum roundtrip ($lon,$lat) -> ($backLon,$backLat)")
+    }
+
+    // ---- wrapped registry grids --------------------------------------
+    // every non-WGS84 grid is served datum-shifted; projected coords are
+    // unchanged native values, lon/lat is WGS84; shift magnitude at a
+    // city anchor sits in the documented band for that datum
+    val cases = Seq(
+      ("EPSG:5514", 14.4208, 50.0875, 60.0, 160.0),
+      ("EPSG:21781", 8.5417, 47.3769, 120.0, 220.0),
+      ("EPSG:2056", 8.5417, 47.3769, 120.0, 220.0),
+      ("EPSG:27200", 174.76, -36.85, 150.0, 250.0),
+      ("EPSG:31287", 16.37, 48.21, 60.0, 160.0),
+      ("EPSG:27700", -0.1276, 51.5072, 80.0, 170.0))
+    for ((code, nLon, nLat, loM, hiM) <- cases) {
+      val wrapped = fromString(code).asInstanceOf[DatumShifted]
+      val base = wrapped.base
+      // projected coords of the native-datum anchor are the native math
+      val (pxW, pyW) = base.fromLonLat(nLon, nLat)
+      // the wrapper's toLonLat must equal base.toLonLat pushed through
+      // the Helmert chain
+      val (wLon, wLat) = wrapped.toLonLat(pxW, pyW)
+      val (eLon, eLat) = wrapped.helmert.toWgs84(base.ellipsoid, nLon, nLat)
+      assert(math.abs(wLon - eLon) < 1e-9 && math.abs(wLat - eLat) < 1e-9, s"$code chain")
+      // ground displacement in the documented band
+      val dM = math.hypot((wLat - nLat) * 111132.95,
+        (wLon - nLon) * 111319.49 * math.cos(math.toRadians(nLat)))
+      assert(dM > loM && dM < hiM, s"$code datum shift $dM m outside [$loM,$hiM]")
+      // full wrapped roundtrip closes to mm (the 2D chain discards
+      // ellipsoidal height between datums — see the geodetic goldens)
+      val (rx2, ry2) = wrapped.fromLonLat(wLon, wLat)
+      assert(math.abs(rx2 - pxW) < 5e-3 && math.abs(ry2 - pyW) < 5e-3, s"$code xy roundtrip")
+      // the wrapper is NOT crs-equal to its native form (a ~100-200 m
+      // coordinate difference must never be elided as identity)
+      assert(!wrapped.equalsCrs(base) && !base.equalsCrs(wrapped))
+    }
+
+    // ---- cross-datum chained transform -------------------------------
+    // S-JTSK grid -> WGS84 UTM33N must include the datum leg: it differs
+    // from the naive (datum-less) chain by the documented ~100 m skew
+    val tf = CrsTransformer(fromString("EPSG:5514"), utm(33, north = true))
+    val naive = CrsTransformer(krovakEastNorth, utm(33, north = true))
+    val (kx, ky) = krovakEastNorth.fromLonLat(14.4208, 50.0875)
+    val (ux, uy) = tf.transformPoint(kx, ky)
+    val (nx, ny) = naive.transformPoint(kx, ky)
+    val skew = math.hypot(ux - nx, uy - ny)
+    assert(skew > 60 && skew < 160, s"datum leg moved UTM point by $skew m")
+    // and the datum-aware UTM position is the Helmert-shifted lon/lat
+    val (wgsLon, wgsLat) = SJtskToWgs84.toWgs84(Bessel1841, 14.4208, 50.0875)
+    val (wantX, wantY) = utm(33, north = true).fromLonLat(wgsLon, wgsLat)
+    assert(math.abs(ux - wantX) < 1e-6 && math.abs(uy - wantY) < 1e-6)
+
+    // ---- parse routes ------------------------------------------------
+    // +towgs84 wraps; all-zero spec stays unwrapped
+    val viaProj = fromProjString(
+      "+proj=krovak +ellps=bessel +towgs84=589,76,480").asInstanceOf[DatumShifted]
+    assert(viaProj.helmert == SJtskToWgs84)
+    val (vLon, vLat) = viaProj.toLonLat(kx, ky)
+    val (gLon, gLat) = fromString("EPSG:5514").toLonLat(kx, ky)
+    assert(math.abs(vLon - gLon) < 1e-9 && math.abs(vLat - gLat) < 1e-9)
+    assert(!fromProjString("+proj=krovak +ellps=bessel +towgs84=0,0,0")
+      .isInstanceOf[DatumShifted])
+    // WKT TOWGS84[...] wraps with the same semantics
+    val viaWkt = fromWkt(
+      """PROJCS["S-JTSK / Krovak East North",GEOGCS["S-JTSK",DATUM["S_JTSK",
+        |SPHEROID["Bessel 1841",6377397.155,299.1528128],
+        |TOWGS84[589,76,480,0,0,0,0]]],
+        |PROJECTION["Krovak"],
+        |PARAMETER["latitude_of_center",49.5],
+        |PARAMETER["longitude_of_center",24.83333333333333],
+        |PARAMETER["azimuth",30.28813972222222],
+        |PARAMETER["pseudo_standard_parallel_1",78.5],
+        |PARAMETER["scale_factor",0.9999],
+        |PARAMETER["false_easting",0],PARAMETER["false_northing",0]]""".stripMargin)
+      .asInstanceOf[DatumShifted]
+    assert(viaWkt.helmert == SJtskToWgs84)
+    val (wkLon, wkLat) = viaWkt.toLonLat(kx, ky)
+    assert(math.abs(wkLon - gLon) < 1e-7 && math.abs(wkLat - gLat) < 1e-7)
   }
 
   test("roundtrip transform preserves geometry within tolerance") {
