@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   *    payloads) are staged BEFORE the timed region, so no query pays
   *    one-time staging costs;
   *  - each query runs once untimed (codegen, AQE warm-up, broadcast)
-  *    then `Runs` timed executions, reporting the MINIMUM — a single
-  *    timed run is hostage to whatever GC pause or external contention
-  *    coincides with it;
+  *    then `Runs` timed executions, reporting the MEDIAN (the min rides
+  *    along in `queries_min` for trend continuity with rounds <= 6) —
+  *    min-of-3 could not tame a loaded machine (round 6 recorded two
+  *    same-code totals 13% apart); the median of 5 is robust to the
+  *    one-off GC pause AND to the one-off lucky run;
   *  - between queries, a hygiene step drops leaked cache/checkpoint
   *    blocks: `System.gc()` is what lets Spark's ContextCleaner (weak-
   *    reference based) actually reclaim shuffle files, broadcasts, and
@@ -26,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   *    is visible next to it instead of needing a forensic rerun.
   */
 object Bench {
-  val Runs = 3
+  val Runs = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,33 +76,41 @@ object Bench {
       Thread.sleep(50)
     }
 
-    final case class QStat(sec: Double, gcMs: Long, heapStartMb: Long, heapEndMb: Long)
+    final case class QStat(sec: Double, minSec: Double, gcMs: Long,
+        heapStartMb: Long, heapEndMb: Long)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       hygiene()
       val heap0 = heapMb()
       val gc0 = gcMillis()
       timeOnce(fn) // warm-up run (plans, codegen, broadcast)
-      var best = Double.MaxValue
+      val times = new Array[Double](Runs)
       var failed = false
       var r = 0
       while (r < Runs && !failed) {
         val t = timeOnce(fn)
-        if (t < 0) failed = true else if (t < best) best = t
+        if (t < 0) failed = true else times(r) = t
         r += 1
       }
-      val stat = QStat(if (failed) -1.0 else best, gcMillis() - gc0, heap0, heapMb())
+      val stat = if (failed) QStat(-1.0, -1.0, gcMillis() - gc0, heap0, heapMb())
+      else {
+        val sorted = times.sorted
+        QStat(sorted(Runs / 2), sorted(0), gcMillis() - gc0, heap0, heapMb())
+      }
       name -> stat
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, v) => s"\"" + k + "\":" + v.minSec }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, v) => s"\"" + k + "\":" + v.gcMs }
       .mkString("{", ",", "}")
     val heaps = results.map { case (k, v) => s"\"" + k + "\":[" + v.heapStartMb + "," + v.heapEndMb + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"min","queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
+    val totalMin = results.map(_._2.minSec).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
@@ -113,14 +123,14 @@ object Bench {
     // "parsed": null again), so the absolute last line must be total-ONLY
     // (<200 bytes): a tail capture of any size ends with one complete
     // parseable JSON object carrying the headline number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","queries":$qs,"sf":"$sfDir"}""")
     // Cross-round trend: one self-contained JSONL line per bench run so
     // regressions are greppable without reconstructing them from the
     // per-round artifacts.
     try {
       val trend = new java.io.FileWriter("BENCH_TREND.jsonl", true)
       val ts = java.time.Instant.now().toString
-      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"min","sf":"$sfDir","queries":$qs}""" + "\n")
+      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"sf":"$sfDir","queries":$qs}""" + "\n")
       finally trend.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the final line: its shutdown logging must not
@@ -132,7 +142,7 @@ object Bench {
     // NOT: a comma-decimal locale would print "31,045" and break the
     // driver's JSON parse of the one line it reads)
     val total3 = math.rint(total * 1000) / 1000.0
-    val totalOnly = s"""{"metric":"total","value":$total3,"unit":"sec","runs":$Runs,"agg":"min","sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":$total3,"unit":"sec","runs":$Runs,"agg":"median","sf":"$sfDir"}"""
     println(totalOnly)
     Console.out.flush()
   }

@@ -1212,6 +1212,22 @@ object Crs {
     "EPSG:31287" -> DatumShifted(
       LambertConformalConic(49.0, 46.0, 47.5, 13.0 + 20.0 / 60,
         400000.0, 400000.0, Bessel1841, "EPSG:31287"), MgiToWgs84),
+    // US State Plane (NAD83, METRE-based codes — the ftUS variants are
+    // deliberately absent: this engine's projected unit is metres):
+    // New York Long Island / Maryland / South Carolina LCC zones,
+    // Arizona Central TM zone. Parameters from the public EPSG
+    // registry entries.
+    "EPSG:32118" -> LambertConformalConic(40.0 + 40.0 / 60, 41.0 + 2.0 / 60,
+      40.0 + 10.0 / 60, -74.0, 300000.0, 0.0, GRS80, "EPSG:32118"),
+    "EPSG:26985" -> LambertConformalConic(38.3, 39.45, 37.0 + 40.0 / 60, -77.0,
+      400000.0, 0.0, GRS80, "EPSG:26985"),
+    "EPSG:32133" -> LambertConformalConic(32.5, 34.0 + 50.0 / 60, 31.0 + 50.0 / 60,
+      -81.0, 609600.0, 0.0, GRS80, "EPSG:32133"),
+    "EPSG:26949" -> TransverseMercator(-(111.0 + 55.0 / 60), 31.0, 0.9999,
+      213360.0, 0.0, GRS80, "EPSG:26949"),
+    // NAD83 / Alaska Albers (the statewide equal-area grid)
+    "EPSG:3338" -> AlbersEqualAreaConic(55.0, 65.0, 50.0, -154.0, 0.0, 0.0,
+      GRS80, "EPSG:3338"),
     // EASE-Grid 2.0 North / South (polar LAEA on WGS84)
     "EPSG:6931" -> LambertAzimuthalEqualArea(0.0, 90.0, 0.0, 0.0, WGS84, "EPSG:6931"),
     "EPSG:6932" -> LambertAzimuthalEqualArea(0.0, -90.0, 0.0, 0.0, WGS84, "EPSG:6932"),
@@ -1231,8 +1247,10 @@ object Crs {
     "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
       "EPSG:326xx/327xx + 258xx (ETRS89) + 269xx (NAD83) (UTM), " +
       "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), EPSG:3067/2180 (national TM), " +
-      "EPSG:3035 + 6931/6932/3574/3575 (LAEA), EPSG:2154/5069/3034/31287 (LCC), " +
-      "EPSG:5070 + ESRI:102003 (Albers), " +
+      "EPSG:3035 + 6931/6932/3574/3575 (LAEA), " +
+      "EPSG:2154/5069/3034/31287 + 32118/26985/32133 (state plane) (LCC), " +
+      "EPSG:26949 (state plane TM), " +
+      "EPSG:5070 + 3338 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
       "EPSG:5041/5042 + 32661/32761 (UPS), " +
       "EPSG:21781/2056 (Swiss oblique mercator), EPSG:5514 (Krovak East North), " +

@@ -224,8 +224,22 @@ object Multimodal {
     * RIFF/WAVE audio through [[decodeWav]]; MJPEG-in-AVI video through
     * [[decodeAvi]] — all pure-JVM REAL parsers.
     */
-  def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
+  def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
+    requireNotRealContainer(payload, -1L)
     decodeStubFromChecksum(mediaType, payload.length, checksum(payload))
+  }
+
+  /** The stub contract, enforced loudly: a payload carrying a REAL
+    * container magic (PNG/GIF/JPEG/BMP, RIFF/WAVE, RIFF/AVI) must never
+    * reach the checksum stub — if its real parser returned None the
+    * payload is corrupt, and silently faking dimensions would hide it.
+    */
+  def requireNotRealContainer(payload: Array[Byte], docId: Long): Unit =
+    if (looksLikeImage(payload) || looksLikeWav(payload) || looksLikeAvi(payload))
+      throw new IllegalArgumentException(
+        s"payload${if (docId >= 0) s" for doc $docId" else ""} carries a real container " +
+          "magic but failed its real parser; refusing the checksum stub — corrupt " +
+          "media fails loudly, never silently fakes dimensions")
 
   /** [[decodeStub]] with the checksum precomputed — lets callers that
     * already scanned the bytes (feature extraction) avoid a second
@@ -672,7 +686,10 @@ object Multimodal {
           .orElse(decodeWav(r.payload).map(a =>
             (a.sampleRate, a.channels, a.nFrames.toInt)))
           .orElse(decodeAvi(r.payload).map(v => (v.width, v.height, v.nFrames)))
-          .getOrElse(decodeStubFromChecksum(r.media_type, r.payload.length, cs))
+          .getOrElse {
+            requireNotRealContainer(r.payload, r.doc_id)
+            decodeStubFromChecksum(r.media_type, r.payload.length, cs)
+          }
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, cs, w, h, f)
       }
     }

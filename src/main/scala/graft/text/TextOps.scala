@@ -734,13 +734,20 @@ object TextOps {
     *
     * Returns (id, n_chunks, n_dup_chunks, dup_frac), one row per doc.
     */
-  def cdcChunkStats(
+  /** The CDC chunking KERNEL alone — (id, chunk-digest) rows from the
+    * content-defined boundary rule. Row-local mapPartitions with no
+    * state, so it is stream-transparent: the same body runs unmodified
+    * on a readStream source (StreamSpec pins batch == stream); the
+    * cross-document df/dedup aggregation in [[cdcChunkStats]] is the
+    * batch-side (or windowed-streaming) consumer of these rows.
+    */
+  def cdcChunks(
       docs: DataFrame, k: Int = 8, modulus: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && modulus >= 1, s"k >= 1 and modulus >= 1, got k=$k m=$modulus")
     val spark = docs.sparkSession
     import spark.implicits._
-    val chunks = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, text) =>
@@ -765,6 +772,12 @@ object TextOps {
       // join key = chunk digest: the shuffle carries 32 chars per
       // occurrence regardless of chunk length
       .select(col("id"), md5(col("chunk")).as("ch"))
+  }
+
+  def cdcChunkStats(
+      docs: DataFrame, k: Int = 8, modulus: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = cdcChunks(docs, k, modulus, idCol, textCol)
     val dfreq = chunks.distinct()
       .groupBy(col("ch")).agg(count(lit(1)).as("df"))
     val agg = chunks.join(dfreq, "ch")

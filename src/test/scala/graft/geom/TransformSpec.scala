@@ -587,6 +587,60 @@ class TransformSpec extends AnyFunSuite {
     }
   }
 
+  test("US State Plane (metre) + Alaska Albers registry entries: defining properties, city anchors, roundtrips") {
+    import Crs._
+    // LCC zones: the DEFINING property is unit scale on each standard
+    // parallel — wrong registry parameters cannot pass this
+    for ((code, sp1, sp2, lons) <- Seq(
+        ("EPSG:32118", 40.0 + 40.0 / 60, 41.0 + 2.0 / 60, Seq(-74.5, -73.5)),
+        ("EPSG:26985", 38.3, 39.45, Seq(-77.8, -76.2)),
+        ("EPSG:32133", 32.5, 34.0 + 50.0 / 60, Seq(-82.0, -80.0)))) {
+      val crs = fromString(code)
+      for (lat <- Seq(sp1, sp2); lon <- lons) {
+        val (kM, kP) = scaleFactors(crs, lon, lat)
+        assert(math.abs(kM - 1.0) < 1e-6 && math.abs(kP - 1.0) < 1e-6,
+          s"$code scale at ($lon,$lat): $kM/$kP")
+      }
+    }
+    // NY Long Island: the central meridian is 74W with FE 300 km;
+    // lower Manhattan sits ~0.5 km west of it and ~61 km north of the
+    // 40°10' origin parallel
+    val nyli = fromString("EPSG:32118")
+    val (mx, my) = nyli.fromLonLat(-74.006, 40.7128)
+    assert(math.abs(mx - 299500.0) < 1500 && math.abs(my - 60600.0) < 1500,
+      s"Manhattan EPSG:32118 ($mx,$my)")
+    // Arizona Central TM: central meridian 111°55'W maps to FE exactly
+    val azc = fromString("EPSG:26949")
+    val (ax, ay) = azc.fromLonLat(-(111.0 + 55.0 / 60), 31.0)
+    assert(math.abs(ax - 213360.0) < 1e-6 && math.abs(ay) < 1e-6)
+    // Phoenix lands in the published neighborhood (~207 km E, ~265 km N)
+    val (px, py) = azc.fromLonLat(-112.074, 33.4484)
+    assert(math.abs(px - 213360.0) < 20000 && math.abs(py - 271000.0) < 8000,
+      s"Phoenix EPSG:26949 ($px,$py)")
+    // Alaska Albers: origin anchor and Anchorage neighborhood
+    val ak = fromString("EPSG:3338")
+    val (ox, oy) = ak.fromLonLat(-154.0, 50.0)
+    assert(math.abs(ox) < 1e-6 && math.abs(oy) < 1e-6)
+    val (anx, any2) = ak.fromLonLat(-149.9003, 61.2181)
+    assert(math.abs(anx - 220000.0) < 10000 && math.abs(any2 - 1254000.0) < 10000,
+      s"Anchorage EPSG:3338 ($anx,$any2)")
+    // exact roundtrips across each zone
+    for ((code, pts) <- Seq(
+        ("EPSG:32118", Seq((-74.0, 40.7), (-72.7, 41.05))),
+        ("EPSG:26985", Seq((-77.0, 39.0), (-76.0, 38.4))),
+        ("EPSG:32133", Seq((-81.0, 33.8), (-79.9, 32.8))),
+        ("EPSG:26949", Seq((-111.9, 33.4), (-112.3, 34.6))),
+        ("EPSG:3338", Seq((-154.0, 60.0), (-135.0, 58.0), (-165.0, 65.0))))) {
+      val crs = fromString(code)
+      for ((lon, lat) <- pts) {
+        val (x, y) = crs.fromLonLat(lon, lat)
+        val (lon2, lat2) = crs.toLonLat(x, y)
+        assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+          s"$code roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+      }
+    }
+  }
+
   test("Helmert datum shifts: convention pins, cross-check goldens, wrapped registry grids, parse routes") {
     import Crs._
     // ---- convention pins (closed form) -------------------------------

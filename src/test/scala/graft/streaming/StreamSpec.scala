@@ -340,6 +340,35 @@ class StreamSpec extends AnyFunSuite {
       s"streamed ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("CDC chunking is stream-transparent (per-document kernel, no state)") {
+    // the content-defined chunker is a stateless per-document
+    // mapPartitions kernel, so the SAME operator body runs unmodified
+    // on a readStream source; the cross-document df aggregation of
+    // cdcChunkStats is the batch-side consumer of these rows
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.cdcChunks(src, k = 8, modulus = 64)
+      .writeStream.format("memory").queryName("cdc_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    // multiset parity: the same chunk text can occur twice in one doc,
+    // so compare sorted sequences, not sets
+    val streamed = spark.table("cdc_stream").collect().map(key).sorted.toSeq
+    val batch = graft.text.TextOps.cdcChunks(docs, k = 8, modulus = 64)
+      .collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("winnowing fingerprints are stream-transparent (per-document kernel, no state)") {
     // winnowing became a stateless per-document mapPartitions kernel,
     // so the SAME operator body runs unmodified on a readStream source

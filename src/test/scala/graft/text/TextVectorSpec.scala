@@ -77,6 +77,28 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rounds <= 10, s"expected ~log2(32)+slack rounds, got $rounds")
   }
 
+  test("dedup clustering: round count is scale-stable from sf0.01 to sf0.1 (10x corpus)") {
+    // the O(log diameter) claim, measured against real data at two
+    // scales: rounds depend on component DIAMETER, not corpus size, so
+    // a 10x corpus (500 -> 5000 docs, the largest generated SF) may add
+    // at most one round of slack. Pairs come from the banded MinHash
+    // LSH route (the 100 TB pair path — never the all-pairs token
+    // join, which does not scale past the harness subset).
+    def roundsAt(dir: String): Int = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val pairs = TextOps.minhashLshPairs(d, numHashes = 64, bands = 16, threshold = 0.95)
+      TextOps.dedupClustersWithRounds(d, pairs)._2
+    }
+    val rSmall = roundsAt("/root/testdata/sf0.01")
+    val rBig = roundsAt("/root/testdata/sf0.1")
+    assert(rBig <= rSmall + 1,
+      s"rounds grew with corpus size: sf0.01=$rSmall, sf0.1=$rBig — " +
+        "pointer jumping should keep rounds ~log(diameter), not ~log(n)")
+    // sanity floor: clustering actually ran (>= 2 rounds: one hooking
+    // round plus the convergence-detection round)
+    assert(rSmall >= 2 && rBig >= 2, s"degenerate round counts $rSmall/$rBig")
+  }
+
   test("winnowing fingerprints: shared-substring guarantee, rightmost-min rule, short docs excluded") {
     val k = 8; val w = 4
     val shared = "zqxwvuts rqponml" // 16 chars >= k + w - 1 = 11
@@ -531,6 +553,23 @@ class TextVectorSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     assert(feats(1).width == 21 && feats(1).height == 19 && feats(1).n_frames == 1)
     assert(feats(0).width == 16 + math.floorMod(Multimodal.checksum(txt), 64).toInt) // stub dims
+  }
+
+  test("stub route refuses real-container payloads loudly (corrupt media never fakes dims)") {
+    // a payload with a real container magic whose parse FAILS is
+    // corrupt media — the stub must throw, not silently fabricate
+    // checksum dimensions (README codec contract)
+    val corruptPng = Multimodal.syntheticPng(9L).take(20) // magic intact, body gone
+    assert(Multimodal.looksLikeImage(corruptPng) && Multimodal.decodeImage(corruptPng).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.decodeStub("image", corruptPng))
+    val media = spark.createDataset(Seq(Multimodal.MediaRow(9L, "image", corruptPng)))
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(media).collect())
+    assert(ex.getMessage.contains("refusing the checksum stub") ||
+      Option(ex.getCause).exists(_.getMessage.contains("refusing the checksum stub")))
+    // genuinely non-container bytes still stub fine
+    val (w, _, _) = Multimodal.decodeStub("audio", "plain bytes".getBytes("UTF-8"))
+    assert(w >= 16)
   }
 
   test("animated GIF: synthetic multi-frame payload decodes to its real frame count") {
