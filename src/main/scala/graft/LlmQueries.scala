@@ -146,6 +146,18 @@ object LlmQueries {
     "q_dedup_jaccard" -> ((s, dir) =>
       TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95)),
 
+    // DIRECTED containment (|A∩B|/|A|): catches small-doc-inside-big-doc
+    // duplication that symmetric Jaccard structurally misses
+    "q_dedup_containment" -> ((s, dir) =>
+      TextOps.containmentPairs(tokTable(s, dir), 0.8)),
+
+    // measured banding quality: precision of LSH candidates + recall of
+    // verified pairs vs the exact join — the text-dedup analog of
+    // q_embed_ann_recall
+    "q_dedup_lsh_quality" -> ((s, dir) =>
+      TextOps.lshPairQuality(docs(s, dir).filter(col("doc_id") < PairLimit),
+        numHashes = 64, bands = 16, threshold = 0.95)),
+
     "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
 
     "q_dedup_simhash_pairs" -> ((s, dir) =>
@@ -240,6 +252,12 @@ object LlmQueries {
         .withColumnRenamed("id", "vec_id")),
 
     "q_text_quality" -> ((s, dir) => TextOps.qualityFeatures(docs(s, dir))),
+
+    // context-window chunking: size-64 windows advancing by 48 tokens
+    // (16-token overlap) — long-document preparation for a fixed-context
+    // model; narrow/stream-transparent
+    "q_text_windows" -> ((s, dir) =>
+      TextOps.contextWindows(docs(s, dir), size = 64, stride = 48)),
 
     // information-density signal: per-doc word-distribution entropy
     "q_text_entropy" -> ((s, dir) => TextOps.entropyFeatures(docs(s, dir))),
@@ -592,11 +610,17 @@ object LlmQueries {
     * 128-bit product mod 2^61 (2^61 divides 2^64), i.e. HUGEINT-mod;
     * band buckets are md5 strings in both engines.
     */
-  private def sqlMinhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+  /** Shared CTE chain for the MinHash banding oracles: token table →
+    * signatures → band buckets → candidate pairs → sizes → candidate
+    * intersections. Reused by the LSH pair oracle and the banding
+    * quality oracle so their candidate stages are literally the same
+    * SQL.
+    */
+  private def sqlMinhashCtes(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
     val coefValues = TextOps.minhashCoefficients(numHashes).zipWithIndex
       .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
-    s"""WITH tokw AS (
+    s"""tokw AS (
        |  SELECT DISTINCT doc_id AS id, w FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
        |    FROM documents WHERE doc_id < $PairLimit
@@ -624,12 +648,40 @@ object LlmQueries {
        |  JOIN tokw ta ON ta.id = c.id_a
        |  JOIN tokw tb ON tb.id = c.id_b AND tb.w = ta.w
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+  }
+
+  private def sqlMinhashLsh(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${sqlMinhashCtes(numHashes, bands)}
        |SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $threshold
        |ORDER BY 1, 2""".stripMargin
-  }
+
+  /** Banding quality: the same cand/inter CTEs plus the full exact
+    * pair join, reduced to one summary row of counts + ratios.
+    */
+  private def sqlLshQuality(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${sqlMinhashCtes(numHashes, bands)},
+       |lsh AS (
+       |  SELECT id_a, id_b
+       |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $threshold
+       |), exact0 AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+       |  FROM tokw a JOIN tokw b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT id_a, id_b
+       |  FROM exact0 JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $threshold
+       |)
+       |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       |       (SELECT COUNT(*) FROM cand) AS n_cand,
+       |       (SELECT COUNT(*) FROM lsh) AS n_pairs,
+       |       ROUND((SELECT COUNT(*) FROM lsh) * 1.0 /
+       |             GREATEST((SELECT COUNT(*) FROM cand), 1), 6) AS precision,
+       |       ROUND((SELECT COUNT(*) FROM lsh) * 1.0 /
+       |             GREATEST((SELECT COUNT(*) FROM exact), 1), 6) AS recall""".stripMargin
 
   /** DuckDB oracle for the LSH ANN top-k: the hyperplanes are a
     * deterministic sin lattice, interpolated bit-exactly from the JVM's
@@ -853,6 +905,41 @@ object LlmQueries {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
+
+    // banding quality: same candidate CTEs as q_dedup_minhash_lsh plus
+    // the full exact pair join, reduced to one summary row
+    "q_dedup_lsh_quality" -> sqlLshQuality(64, 16, 0.95),
+
+    // directed containment over the same distinct token sets
+    "q_dedup_containment" ->
+      s"""WITH tok0 AS (
+         |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), tok AS (SELECT DISTINCT id, w FROM tok0),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.id <> b.id GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, ROUND(c * 1.0 / sa.sz, 6) AS containment
+         |FROM inter JOIN sizes sa ON sa.id = id_a
+         |WHERE c * 1.0 / sa.sz >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    // context windows: same tokenization, same window-count formula,
+    // md5 of the space-joined slice
+    "q_text_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, k AS win_id, k * 48 + 1 AS start_pos,
+        |       LEAST(64, n - k * 48) AS n_tokens,
+        |       md5(array_to_string(list_slice(toks, CAST(k * 48 + 1 AS BIGINT), LEAST(k * 48 + 64, n)), ' ')) AS win_hash
+        |FROM s, unnest(generate_series(0, (GREATEST(n - 64, 0) + 47) // 48)) u(k)
+        |ORDER BY 1, 2""".stripMargin,
     "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
     "q_embed_ann_mlsh" -> sqlAnnLshMulti(8, 64, 5, 2),
     "q_embed_ann_recall" -> sqlAnnRecall(8, 64, 5),

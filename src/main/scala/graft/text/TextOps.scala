@@ -111,6 +111,76 @@ object TextOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Token-set CONTAINMENT join (directed): emits (id_a, id_b,
+    * containment) for every ORDERED pair with
+    * C(A→B) = |A ∩ B| / |A| >= threshold — the subset-detection signal
+    * Jaccard structurally misses: a 50-token doc fully quoted inside a
+    * 5000-token doc has J ≈ 0.01 but C = 1.0. The standard scrape-dedup
+    * companion to resemblance (Broder 1997 distinguishes exactly these
+    * two: "resemblance" and "containment").
+    *
+    * Prefix filtering applies to the CONTAINED side only (the bound is
+    * on |A|): A must share one of its |A| - ceil(t·|A|) + 1 rarest
+    * tokens with B, so each A probes the token index by its rare end;
+    * the containing side cannot be size-pruned (containment is
+    * asymmetric — B may be arbitrarily large). Candidates verify with
+    * the exact intersection, so results equal the unpruned join.
+    */
+  def containmentPairs(tok: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val prefixA = tok.join(dfreq, "w")
+      .withColumn("rnk", row_number().over(W.partitionBy(col("id")).orderBy(col("df"), col("w"))))
+      .join(sizes, "id")
+      // same fp-overshoot guard as the Jaccard prefix
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("id"), col("w"))
+    val cand = prefixA.as("a").join(tok.toDF("bid", "w"), "w")
+      .filter(col("id") =!= col("bid"))
+      .select(col("id").as("id_a"), col("bid").as("id_b")).distinct()
+    val inter = cand
+      .join(tok.toDF("id_a", "w"), "id_a")
+      .join(tok.toDF("id_b", "w"), Seq("id_b", "w"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .withColumn("containment", col("inter") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+  }
+
+  /** CONTEXT-WINDOW chunking — slice each document's token stream into
+    * training windows of `size` tokens advancing by `stride` (overlap =
+    * size - stride), the standard long-document preparation for a
+    * fixed-context model. Window count is 1 + ceil(max(0, n-size) /
+    * stride) — the last window is the first one reaching the document
+    * end (no fully-redundant tail windows). Purely row-local (explode +
+    * slice — narrow, shuffle-free, stream-transparent); emits
+    * (id, win_id, start_pos, n_tokens, win_hash) where win_hash is the
+    * md5 of the space-joined window text (windows stay verifiable
+    * without shipping their bodies).
+    */
+  def contextWindows(
+      docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size >= 1 and stride >= 1, got size=$size stride=$stride")
+    docs.select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size_(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("win_id", explode(sequence(lit(0L),
+        expr(s"(greatest(n - $size, 0) + ${stride - 1}) div $stride"))))
+      .withColumn("start_pos", col("win_id") * stride + 1)
+      .withColumn("win", slice(col("toks"), col("start_pos").cast("int"), lit(size)))
+      .select(col("id").as(idCol), col("win_id"), col("start_pos"),
+        size_(col("win")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("win"))).as("win_hash"))
+  }
+
+  // org.apache.spark.sql.functions.size under an alias: `size` the
+  // identifier collides with operator parameters named size
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** 60-bit md5-prefix token hash computed JVM-side — byte-identical
     * to the SQL form `conv(substr(md5(w),1,15),16,10)`.
     */
@@ -263,16 +333,28 @@ object TextOps {
   def minhashLshPairs(
       docs: DataFrame, numHashes: Int, bands: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the ONE corpus pass everything derives from
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
+    val cand = minhashLshCandidatesFromTok(tok, numHashes, bands)
+    verifyJaccardCandidates(tok, cand, threshold)
+  }
+
+  /** The LSH CANDIDATE stage of [[minhashLshPairs]] alone — banding
+    * bucket-join output before exact verification. Exposed so the
+    * banding's measured quality (precision of its candidates, recall of
+    * its verified pairs vs the exact join) is a queryable number, the
+    * same accounting [[graft.vector.VectorOps]] does for ANN recall.
+    */
+  private[graft] def minhashLshCandidatesFromTok(
+      tok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val spark = docs.sparkSession
+    val spark = tok.sparkSession
     import spark.implicits._
     val aCoef = new Array[Long](numHashes)
     val bCoef = new Array[Long](numHashes)
     minhashCoefficients(numHashes).zipWithIndex
       .foreach { case ((a, b), k) => aCoef(k) = a; bCoef(k) = b }
-    // the ONE corpus pass everything derives from
-    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
     // signature kernel over a primitive Array[Long] of the doc's
     // distinct token hashes — tight while-loops, no per-element boxing
     val sigs = tok.select(col("id"), tokenHash(col("w")).as("h"))
@@ -300,10 +382,17 @@ object TextOps {
         b => md5(concat_ws(",", concat(lit("b"), b.cast("string")),
           concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
             v => v.cast("string"))))))).as("bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // exact Jaccard on candidate pairs only: two narrow joins on id
+  }
+
+  /** Exact-Jaccard verification of a candidate pair table — the shared
+    * tail of the LSH and prefix-filter routes: two narrow joins on id,
+    * identical output to the unpruned join restricted to `cand`.
+    */
+  private def verifyJaccardCandidates(
+      tok: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(tok.toDF("id_a", "w"), "id_a")
@@ -315,6 +404,33 @@ object TextOps {
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Measured LSH dedup QUALITY — one summary row pinning what the
+    * banding actually buys: `n_exact` (pairs the exact prefix-filtered
+    * join finds), `n_cand` (LSH bucket-join candidates), `n_pairs`
+    * (candidates surviving exact verification — the operator's output),
+    * `precision` = n_pairs / n_cand (how much verification work the
+    * banding wastes), `recall` = n_pairs / n_exact (what fraction of
+    * true pairs the banding surfaces at all). Turns the textbook
+    * S-curve promise of (bands, rows) into a measured number, exactly
+    * like the ANN recall queries do for LSH/IVF vector search. All
+    * three counts come from single-row aggregates broadcast into one
+    * output row — no driver-side actions.
+    */
+  def lshPairQuality(
+      docs: DataFrame, numHashes: Int, bands: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = tokenTable(docs, idCol, textCol)
+    val exact = jaccardPairsFromTokens(tok, threshold).select(col("id_a"), col("id_b"))
+    val cand = minhashLshCandidatesFromTok(tok, numHashes, bands)
+    val verified = verifyJaccardCandidates(tok, cand, threshold)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_pairs")))
+      .select(col("n_exact"), col("n_cand"), col("n_pairs"),
+        round(col("n_pairs") / greatest(col("n_cand"), lit(1L)), 6).as("precision"),
+        round(col("n_pairs") / greatest(col("n_exact"), lit(1L)), 6).as("recall"))
   }
 
   /** Dedup CLUSTERING: connected components over a near-duplicate pair

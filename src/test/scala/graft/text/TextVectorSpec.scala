@@ -56,6 +56,58 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs: subset doc detected where jaccard misses it; direction is honored") {
+    val big = (0 until 40).map(i => s"uniq$i").mkString(" ")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),                    // 4 tokens
+      (1L, s"alpha beta gamma delta $big"),              // superset, 44 tokens
+      (2L, "totally unrelated content here")).toDF("doc_id", "text")
+    val tok = TextOps.tokenTable(docs)
+    val pairs = TextOps.containmentPairs(tok, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 0 is fully inside doc 1: C(0->1) = 1.0; the reverse direction
+    // C(1->0) = 4/44 and doc 2 matches nothing
+    assert(pairs == Set((0L, 1L, 1.0)), s"$pairs")
+    // the same pair is invisible to Jaccard at any useful threshold:
+    // J(0,1) = 4/44 ≈ 0.09
+    val jac = TextOps.jaccardPairsFromTokens(tok, 0.5).collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
+  test("context windows: count formula, stride overlap, clamped tail, no redundant windows") {
+    def mk(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, mk(10)),   // n < size -> exactly 1 window of 10
+      (1L, mk(16)),   // n == size -> 1 window
+      (2L, mk(17)),   // one token past -> 2 windows (tail clamped)
+      (3L, mk(40)),   // 1 + ceil(24/12) = 3 windows
+      (4L, ""))       // empty -> no rows
+      .toDF("doc_id", "text")
+    val w = TextOps.contextWindows(docs, size = 16, stride = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = w.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(0L).map(t => (t._3, t._4)).toSeq == Seq((1L, 10L)))
+    assert(byDoc(1L).map(t => (t._3, t._4)).toSeq == Seq((1L, 16L)))
+    assert(byDoc(2L).map(t => (t._3, t._4)).toSeq == Seq((1L, 16L), (13L, 5L)))
+    assert(byDoc(3L).map(t => (t._3, t._4)).toSeq == Seq((1L, 16L), (13L, 16L), (25L, 16L)))
+    assert(!byDoc.contains(4L))
+    // overlap: consecutive windows share size - stride = 4 tokens
+    val h = TextOps.contextWindows(docs.filter(col("doc_id") === 3L), 16, 12)
+      .select(col("win_hash")).collect().map(_.getString(0))
+    assert(h.distinct.length == h.length, "windows must differ")
+  }
+
+  test("lshPairQuality: verified pairs never exceed candidates or exact pairs; ratios consistent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val row = TextOps.lshPairQuality(docs, numHashes = 64, bands = 16, threshold = 0.95).head()
+    val (nExact, nCand, nPairs) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nPairs <= nCand, s"verified $nPairs > candidates $nCand")
+    assert(nPairs <= nExact, s"verified pairs are a subset of exact pairs: $nPairs > $nExact")
+    assert(math.abs(row.getDouble(3) - nPairs.toDouble / math.max(nCand, 1)) < 1e-6)
+    assert(math.abs(row.getDouble(4) - nPairs.toDouble / math.max(nExact, 1)) < 1e-6)
+  }
+
   test("dedup clustering: transitive chains collapse to the min id, singletons keep their own") {
     val docs = Seq.tabulate(7)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
     // chain 0-1-2 (0~1, 1~2 but NOT 0~2 directly), pair 4-6, singleton 3, 5
