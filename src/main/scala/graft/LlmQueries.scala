@@ -171,6 +171,24 @@ object LlmQueries {
 
     "q_dedup_clusters" -> ((s, dir) => clustersFresh(s, dir)),
 
+    // cluster-size histogram over the shared clustering result — the
+    // dup-structure report (how much mass sits in big dup families)
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      clusterMemo.getOrElse(dir, clustersFresh(s, dir))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
+
+    // incremental ingestion: the second half of the corpus arrives as
+    // an increment and probes the first half's band-bucket index —
+    // cross-side candidates only, never a base self-join
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < PairLimit)
+      TextOps.incrementalLshPairs(
+        d.filter(col("doc_id") < PairLimit / 2),
+        d.filter(col("doc_id") >= PairLimit / 2),
+        numHashes = 64, bands = 16, threshold = 0.95)
+    }),
+
     "q_dedup_keep" -> ((s, dir) =>
       // the end-to-end endpoint: ids kept after near-dup collapse —
       // a keeper filter over the shared clustering result (computed
@@ -258,6 +276,10 @@ object LlmQueries {
     // model; narrow/stream-transparent
     "q_text_windows" -> ((s, dir) =>
       TextOps.contextWindows(docs(s, dir), size = 64, stride = 48)),
+
+    // per-source lexical diversity (type-token ratio) — the corpus
+    // health report a mixing decision reads
+    "q_source_diversity" -> ((s, dir) => TextOps.sourceDiversity(docs(s, dir))),
 
     // information-density signal: per-doc word-distribution entropy
     "q_text_entropy" -> ((s, dir) => TextOps.entropyFeatures(docs(s, dir))),
@@ -616,7 +638,9 @@ object LlmQueries {
     * quality oracle so their candidate stages are literally the same
     * SQL.
     */
-  private def sqlMinhashCtes(numHashes: Int, bands: Int): String = {
+  private def sqlMinhashCtes(
+      numHashes: Int, bands: Int,
+      candCond: String = "a.id < b.id"): String = {
     val rows = numHashes / bands
     val coefValues = TextOps.minhashCoefficients(numHashes).zipWithIndex
       .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
@@ -640,7 +664,7 @@ object LlmQueries {
        |  FROM sig, range(0, $bands) t(b)
        |), cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND $candCond
        |), sizes AS (SELECT id, COUNT(*) AS sz FROM tokw GROUP BY 1),
        |inter AS (
        |  SELECT c.id_a, c.id_b, COUNT(*) AS c
@@ -909,6 +933,40 @@ object LlmQueries {
     // banding quality: same candidate CTEs as q_dedup_minhash_lsh plus
     // the full exact pair join, reduced to one summary row
     "q_dedup_lsh_quality" -> sqlLshQuality(64, 16, 0.95),
+
+    // incremental dedup: identical signature/banding CTEs, but cand is
+    // the CROSS-side join (increment ids >= 250 probe base ids < 250)
+    "q_dedup_incremental" ->
+      s"""WITH ${sqlMinhashCtes(64, 16,
+             s"a.id >= ${PairLimit / 2} AND b.id < ${PairLimit / 2}")}
+         |SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
+         |ORDER BY 1, 2""".stripMargin,
+
+    // cluster-size histogram over the same recursive closure
+    "q_dedup_cluster_sizes" ->
+      s"""$sqlClustersCte
+         |SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-source type-token ratio (token OCCURRENCES, not distinct
+    // per doc — mirrors the engine's explode without distinct)
+    "q_source_diversity" ->
+      """WITH occ AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types FROM occ GROUP BY 1
+        |)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |       COALESCE(ANY_VALUE(a.n_tokens), 0) AS n_tokens,
+        |       COALESCE(ANY_VALUE(a.n_types), 0) AS n_types,
+        |       ROUND(COALESCE(ANY_VALUE(a.n_types), 0) * 1.0 /
+        |             GREATEST(COALESCE(ANY_VALUE(a.n_tokens), 0), 1), 6) AS ttr
+        |FROM documents d LEFT JOIN agg a ON a.source = d.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // directed containment over the same distinct token sets
     "q_dedup_containment" ->

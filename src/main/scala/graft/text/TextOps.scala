@@ -181,6 +181,29 @@ object TextOps {
   // identifier collides with operator parameters named size
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  /** Per-SOURCE lexical diversity report — corpus-health numbers a
+    * mixing decision reads before setting rates: document count, total
+    * token occurrences, distinct token types, and the type-token ratio
+    * (low TTR = repetitive/boilerplate-heavy source). Two grouped
+    * aggregations — (source, w) partials then per-source rollup — both
+    * map-side combined; per-source state is the type count, never the
+    * token stream.
+    */
+  def sourceDiversity(
+      docs: DataFrame, strataCol: String = "source", textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(strataCol).as("source"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    docs.groupBy(col(strataCol).as("source")).agg(count(lit(1)).as("n_docs"))
+      .join(occ, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(coalesce(col("n_types"), lit(0L)) /
+          greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)), 6).as("ttr"))
+  }
+
   /** 60-bit md5-prefix token hash computed JVM-side — byte-identical
     * to the SQL form `conv(substr(md5(w),1,15),16,10)`.
     */
@@ -347,6 +370,20 @@ object TextOps {
     */
   private[graft] def minhashLshCandidatesFromTok(
       tok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = minhashBandBuckets(tok, numHashes, bands)
+    banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** (id, bucket) band rows of the MinHash signatures — the indexable
+    * unit of the LSH route. Exposed separately so candidate generation
+    * can be SELF-join (dedup within one corpus) or CROSS-join (an
+    * increment probing an existing corpus index in
+    * [[incrementalLshPairs]]).
+    */
+  private[graft] def minhashBandBuckets(
+      tok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val spark = tok.sparkSession
@@ -377,14 +414,40 @@ object TextOps {
         }
         (id, sig)
       }.toDF("id", "sig")
-    val banded = sigs.select(col("id"), explode(
+    sigs.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", concat(lit("b"), b.cast("string")),
           concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
             v => v.cast("string"))))))).as("bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** INCREMENTAL dedup — the daily-ingestion shape: near-dup pairs
+    * between an `incoming` increment and an existing `base` corpus,
+    * WITHOUT re-pairing base against itself. At 100 TB this is the
+    * difference between O(increment · bands) bucket probes against a
+    * precomputed index and re-running the full corpus self-join per
+    * ingest: base band buckets are computed once (in practice persisted
+    * as the corpus index and read back; recomputed here since the
+    * harness is stateless), the increment's buckets probe them by
+    * equi-join, and only cross-side candidates are exact-verified.
+    * Caller contract: ids are disjoint across sides (enforced loudly by
+    * the != filter only dropping self-ids).
+    *
+    * Output: (id_a = incoming doc, id_b = base doc, jaccard >= t).
+    */
+  def incrementalLshPairs(
+      base: DataFrame, incoming: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokB = tokenTable(base, idCol, textCol)
+    val tokI = tokenTable(incoming, idCol, textCol)
+    val cand = minhashBandBuckets(tokI, numHashes, bands).toDF("id_a", "bucket")
+      .join(minhashBandBuckets(tokB, numHashes, bands).toDF("id_b", "bucket"), "bucket")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verification reads each side's tokens from the union table (ids
+    // are disjoint, so the union is a partition, not a merge)
+    verifyJaccardCandidates(tokI.union(tokB).distinct(), cand, threshold)
   }
 
   /** Exact-Jaccard verification of a candidate pair table — the shared

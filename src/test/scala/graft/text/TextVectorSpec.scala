@@ -108,6 +108,26 @@ class TextVectorSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(4) - nPairs.toDouble / math.max(nExact, 1)) < 1e-6)
   }
 
+  test("incremental LSH pairs: cross-side only, equal to the cross-side slice of the full self-join") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val base = all.filter(col("doc_id") < 100)
+    val inc = all.filter(col("doc_id") >= 100)
+    val got = TextOps.incrementalLshPairs(base, inc, 64, 16, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // direction: id_a is always the increment, id_b always the base
+    assert(got.forall { case (a, b, _) => a >= 100 && b < 100 }, "cross-side direction")
+    // the increment probe finds EXACTLY the cross-side slice of the
+    // full self-join (per-doc signatures don't depend on the corpus, so
+    // banding agrees between the two routes)
+    val full = TextOps.minhashLshPairs(all, 64, 16, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossSlice = full.filter { case (a, b, _) => a < 100 && b >= 100 }
+      .map { case (a, b, j) => (b, a, j) }.toSet // reorient to (inc, base)
+    assert(got.toSet == crossSlice && got.nonEmpty,
+      s"got ${got.length} cross pairs vs slice ${crossSlice.size}")
+  }
+
   test("dedup clustering: transitive chains collapse to the min id, singletons keep their own") {
     val docs = Seq.tabulate(7)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
     // chain 0-1-2 (0~1, 1~2 but NOT 0~2 directly), pair 4-6, singleton 3, 5
