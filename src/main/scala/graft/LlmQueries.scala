@@ -23,6 +23,10 @@ object LlmQueries {
   val MixRates: Map[String, Double] =
     Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
 
+  // fixed probe vocabulary for the BM25 retrieval query — terms known
+  // to appear in the synthetic corpus with varied document frequency
+  val Bm25Query: Seq[String] = Seq("spark", "filter", "join", "window", "merge")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -369,6 +373,23 @@ object LlmQueries {
     }),
 
     "q_tfidf_topk" -> ((s, dir) => CorpusOps.tfIdfTopTerms(docs(s, dir), k = 3)),
+
+    // BM25 retrieval against a fixed probe vocabulary — the top-20
+    // corpus documents for a 5-term query
+    "q_bm25_topk" -> ((s, dir) =>
+      CorpusOps.bm25TopK(docs(s, dir), Bm25Query, k = 20)),
+
+    // temperature-flattened source mixing weights (alpha = 0.7)
+    "q_source_temperature" -> ((s, dir) =>
+      TextOps.temperatureMixWeights(docs(s, dir), alpha = 0.7)),
+
+    // per-doc trigram novelty of the odd-id half against the even-id
+    // half's gram set — the "how much new text" ingest signal
+    "q_novelty_ngrams" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.crossCorpusNovelty(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1), n = 3)
+    }),
 
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
@@ -1653,6 +1674,69 @@ object LlmQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, w ASC) AS rank
         |  FROM s
         |) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25 (Lucene idf shape) against the fixed 5-term probe; every
+    // double literal spelled with e0 so DuckDB computes in DOUBLE, not
+    // DECIMAL, and the arithmetic tree parenthesized exactly like the
+    // engine's column expression
+    "q_bm25_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents
+         |), dl AS (SELECT id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |         (SELECT SUM(dl)::DOUBLE / COUNT(*)::DOUBLE FROM dl) AS avgdl
+         |), tf AS (
+         |  SELECT id, w, COUNT(*) AS tf FROM tok
+         |  WHERE w IN (${Bm25Query.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2
+         |), dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT id, ROUND(SUM(
+         |    ln(((n_docs - df)::DOUBLE + 0.5e0) / (df::DOUBLE + 0.5e0) + 1.0e0) *
+         |      (tf::DOUBLE * ${1.2 + 1.0}e0) /
+         |      (tf::DOUBLE + 1.2e0 * ((${1.0 - 0.75}e0) + 0.75e0 * dl::DOUBLE / avgdl))), 6) AS score
+         |  FROM tf JOIN dfq USING (w) JOIN dl USING (id) CROSS JOIN stats GROUP BY 1
+         |)
+         |SELECT id AS doc_id, score FROM scored ORDER BY score DESC, id LIMIT 20""".stripMargin,
+
+    // temperature mixing weights, alpha = 0.7; exact integer token
+    // counts, doubles rounded at 6
+    "q_source_temperature" ->
+      """WITH ps AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT SUM(n_tokens) AS total_tokens FROM ps),
+        |raw AS (
+        |  SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         n_tokens::DOUBLE / total_tokens::DOUBLE AS p_raw,
+        |         POWER(n_tokens::DOUBLE / total_tokens::DOUBLE, 0.7e0) AS p_pow
+        |  FROM ps CROSS JOIN tot
+        |), z AS (SELECT SUM(p_pow) AS z FROM raw)
+        |SELECT source, n_docs, n_tokens, ROUND(p_raw, 6) AS p_raw,
+        |       ROUND(p_pow / z, 6) AS p_temp, ROUND(p_pow / z / p_raw, 6) AS boost
+        |FROM raw CROSS JOIN z ORDER BY 1""".stripMargin,
+
+    // trigram novelty: odd-id docs probe the even-id half's distinct
+    // gram set; distinct on the gram STRING first (then hash) exactly
+    // like shingleTable + tokenHash
+    "q_novelty_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, doc_id % 2 AS side,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT id, side, array_to_string(toks[k:k+2], ' ') AS w
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+        |  WHERE len(toks) >= 3
+        |), sh AS (SELECT DISTINCT id, side, w FROM sh0),
+        |shh AS (SELECT id, side, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM sh),
+        |baseg AS (SELECT DISTINCT h FROM shh WHERE side = 0),
+        |incg AS (SELECT id, h FROM shh WHERE side = 1)
+        |SELECT i.id AS doc_id, COUNT(*) AS n_grams, COUNT(b.h) AS n_seen,
+        |       ROUND(1.0e0 - COUNT(b.h)::DOUBLE / COUNT(*)::DOUBLE, 6) AS novelty
+        |FROM incg i LEFT JOIN baseg b USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // concat-and-chunk packing over doc_id order, capacity 256
     "q_seq_pack" ->

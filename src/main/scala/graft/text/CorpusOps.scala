@@ -489,4 +489,51 @@ object CorpusOps {
       .select(col("id").as(idCol), col("w").as("term"), col("tf"),
         col("score"), col("rank").cast("long").as("rank"))
   }
+
+  /** BM25 top-k retrieval — score every document against a bag of
+    * query terms with the Lucene-shape BM25 (idf = ln((N - df + 0.5) /
+    * (df + 0.5) + 1), so idf is always positive) and return the k
+    * best-scoring documents. This is the retrieval half of a RAG /
+    * training-example-selection pipeline: "which documents in a 100 TB
+    * corpus best match this probe".
+    *
+    * Shape: the token stream is filtered to the query vocabulary
+    * BEFORE the tf groupBy, so per-(doc, term) state is bounded by
+    * |query| per document, not the corpus vocabulary; document length
+    * and (N, avgdl) come from one full-corpus pass whose result is a
+    * per-doc long and two broadcast scalars; df is an aggregation over
+    * the already-tiny tf table. The final top-k is orderBy + limit —
+    * Spark plans TakeOrderedAndProject (per-partition heaps + driver
+    * merge of k rows), never a global sort. avgdl is the exact
+    * long-sum divided as double (not `avg`) so the scalar is
+    * bit-identical to the oracle's SUM/COUNT.
+    *
+    * Scores are ROUNDED to 6 decimals before ranking (ties then break
+    * by doc id) for the same cross-engine reproducibility reason as
+    * [[tfIdfTopTerms]].
+    */
+  def bm25TopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tok = docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
+    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg((sum(col("dl")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl")))
+    val tf = tok.filter(col("w").isin(queryTerms: _*))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "w")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id")).agg(round(sum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .select(col("id").as(idCol), col("score"))
+  }
 }

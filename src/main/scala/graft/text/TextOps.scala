@@ -204,6 +204,72 @@ object TextOps {
           greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)), 6).as("ttr"))
   }
 
+  /** Temperature-scaled source mixing weights — the multinomial
+    * up/down-sampling rates (mC4/XLM-R shape) that flatten a skewed
+    * source distribution: p_temp(s) ∝ p_raw(s)^alpha with
+    * p_raw(s) = source token share, alpha in (0, 1]. alpha = 1 keeps
+    * the natural distribution; alpha → 0 approaches uniform. `boost`
+    * = p_temp / p_raw is the per-source sampling-rate multiplier a
+    * mixing job applies (> 1 up-samples the tail, < 1 down-samples the
+    * head).
+    *
+    * Shape: one exploded-token aggregation to per-source token counts
+    * (map-side combined), then two broadcast scalars (total tokens,
+    * normalizer Σ p^alpha) over a |sources|-row table — nothing here
+    * grows with corpus size except the first scan. Shares exact
+    * integer token counts with the oracle; the doubles are rounded to
+    * 6 decimals.
+    */
+  def temperatureMixWeights(
+      docs: DataFrame, alpha: Double = 0.7,
+      strataCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val perSource = docs
+      .select(col(strataCol).as("source"), size_(tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
+    val raw = perSource.crossJoin(broadcast(total))
+      .withColumn("p_raw", col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("p_pow", pow(col("p_raw"), lit(alpha)))
+    val norm = raw.agg(sum(col("p_pow")).as("z"))
+    raw.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p_raw"), 6).as("p_raw"),
+        round(col("p_pow") / col("z"), 6).as("p_temp"),
+        round(col("p_pow") / col("z") / col("p_raw"), 6).as("boost"))
+  }
+
+  /** Cross-corpus n-gram NOVELTY — per incoming document, the fraction
+    * of its distinct word n-grams never seen in the base corpus. The
+    * data-curation dual of [[incrementalLshPairs]]: incremental dedup
+    * asks "is this an old document", novelty asks "how much NEW text
+    * does it add" (novelty ≈ 0 → boilerplate/recombination; ≈ 1 →
+    * genuinely fresh), the signal an ingest decision reads when
+    * near-dup thresholds don't fire.
+    *
+    * Shape: both sides reduce to distinct (id, gram-hash) tables; the
+    * base side further collapses to its DISTINCT gram set (the corpus
+    * index — in production precomputed and persisted). One left
+    * equi-join on the 60-bit md5 gram hash — narrow fixed-width
+    * shuffle keys instead of full gram strings — then a per-doc count
+    * rollup. A hash collision would count a novel gram as seen on both
+    * engines identically, so parity is unaffected.
+    */
+  def crossCorpusNovelty(
+      base: DataFrame, incoming: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val baseGrams = shingleTable(base, n, idCol, textCol)
+      .select(tokenHash(col("w")).as("h")).distinct()
+      .withColumn("seen", lit(1))
+    shingleTable(incoming, n, idCol, textCol)
+      .select(col("id"), tokenHash(col("w")).as("h"))
+      .join(baseGrams, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("seen")).as("n_seen"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** 60-bit md5-prefix token hash computed JVM-side — byte-identical
     * to the SQL form `conv(substr(md5(w),1,15),16,10)`.
     */

@@ -244,6 +244,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("(i#") && p.contains("(j#"), s"clip not columnar in:\n${p.take(2000)}")
   }
 
+  test("bm25 top-k plans TakeOrdered (no global sort) and broadcasts df + corpus stats") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.CorpusOps.bm25TopK(docs, LlmQueries.Bm25Query, k = 20)
+    df.collect()
+    val p = plan(df)
+    // top-k must be per-partition heaps + driver merge of k rows —
+    // a global Sort before Limit would materialize the whole corpus
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n${p.take(3000)}")
+    // df table (|query| rows) and (N, avgdl) scalars ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastNestedLoopJoin"), s"stats not broadcast in:\n${p.take(3000)}")
+  }
+
+  test("temperature mix weights: scalar joins broadcast, no window, one corpus scan aggregation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.temperatureMixWeights(docs, alpha = 0.7)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), s"window in the mix-weights plan:\n${p.take(3000)}")
+    // total-tokens and normalizer are 1-row broadcasts over the
+    // |sources|-row table — nothing after the first agg touches the corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"scalars not broadcast in:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n${p.take(3000)}")
+  }
+
+  test("cross-corpus novelty joins on the gram hash — equi-join, never cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.crossCorpusNovelty(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1), n = 3)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in novelty plan:\n${p.take(3000)}")
+    assert(p.contains("Join") && p.contains("h#"),
+      s"gram-hash equi-join missing in:\n${p.take(3000)}")
+  }
+
   test("cosine_sim registers as a SQL function backed by the codegen'd native expression") {
     graft.functions.GraftFunctions.register(spark)
     Seq((Array(1.0, 0.0), Array(1.0, 0.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))

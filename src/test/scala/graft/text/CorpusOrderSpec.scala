@@ -15,6 +15,66 @@ class CorpusOrderSpec extends AnyFunSuite {
 
   private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("bm25 scores match a hand-rolled scorer and rank by rounded score") {
+    val d = docsDf(
+      0L -> "spark join join window",       // tf(join)=2, dl=4
+      1L -> "spark filter sort merge scan", // dl=5
+      2L -> "sort scan batch group",        // no query terms -> absent
+      3L -> "join")                         // dl=1
+    val q = Seq("spark", "join")
+    val out = CorpusOps.bm25TopK(d, q, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent scorer: same formula, plain Scala
+    val toks = Map(0L -> Seq("spark", "join", "join", "window"),
+      1L -> Seq("spark", "filter", "sort", "merge", "scan"),
+      2L -> Seq("sort", "scan", "batch", "group"), 3L -> Seq("join"))
+    val n = 4.0
+    val avgdl = toks.values.map(_.size).sum.toDouble / 4.0
+    val dfq = q.map(t => t -> toks.values.count(_.contains(t))).toMap
+    def score(id: Long): Double = {
+      val s = q.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - dfq(t) + 0.5) / (dfq(t) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+      }.sum
+      math.rint(s * 1e6) / 1e6
+    }
+    assert(out.keySet == Set(0L, 1L, 3L), "doc 2 has no query term")
+    for (id <- out.keySet)
+      assert(math.abs(out(id) - score(id)) < 1e-9, s"doc $id: ${out(id)} vs ${score(id)}")
+  }
+
+  test("temperature mixing weights: p_temp sums to 1, flattening boosts the tail, alpha=1 is identity") {
+    val d = Seq.tabulate(40)(i =>
+      (i.toLong, if (i < 36) "w " * 20 + "w" else "w", if (i < 36) "head" else "tail"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.temperatureMixWeights(d, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (_, _, pRawH, pTempH, boostH) = out("head")
+    val (_, _, pRawT, pTempT, boostT) = out("tail")
+    assert(math.abs(pTempH + pTempT - 1.0) < 1e-5)
+    assert(pRawT < 0.01 && pTempT > pRawT && boostT > 1.0, "tail up-sampled")
+    assert(pTempH < pRawH && boostH < 1.0, "head down-sampled")
+    val id = TextOps.temperatureMixWeights(d, alpha = 1.0)
+      .collect().map(r => r.getDouble(5))
+    assert(id.forall(b => math.abs(b - 1.0) < 1e-6), "alpha=1 keeps the natural rates")
+  }
+
+  test("cross-corpus novelty: fully-seen docs score 0, disjoint docs 1, mixed the exact fraction") {
+    val base = docsDf(0L -> "a b c d e")      // grams: "a b c","b c d","c d e"
+    val inc = docsDf(
+      1L -> "a b c d e",                      // all 3 grams in base -> 0
+      2L -> "x y z w",                        // 2 grams, none seen -> 1
+      3L -> "a b c q r s",                    // 4 grams, 1 seen -> 0.75
+      4L -> "a b")                            // too short: absent
+    val out = TextOps.crossCorpusNovelty(base, inc, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 0.0)), 2L -> ((2L, 0L, 1.0)), 3L -> ((4L, 1L, 0.75))))
+  }
+
   // ---- contamination ----
 
   test("contamination counts distinct shared n-grams against the eval set") {
