@@ -391,6 +391,36 @@ object LlmQueries {
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1), n = 3)
     }),
 
+    // hybrid retrieval: the BM25 lexical top-50 fused with the
+    // embedding-cosine top-50 of probe vector 0 by reciprocal-rank
+    // fusion (vec_id aligns with doc_id in the synthetic corpus, as a
+    // doc-embedding table would)
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = CorpusOps.bm25TopK(docs(s, dir), Bm25Query, k = 50)
+        .select(col("doc_id"), col("score"))
+      val e = embeddings(s, dir)
+      val vec = VectorOps.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
+        .select(col("cand_id").as("doc_id"), col("sim").as("score"))
+      CorpusOps.rrfFuse(Seq(lex, vec), k0 = 60, k = 20)
+    }),
+
+    // quality-aware keeper over the shared clustering result: keep the
+    // LONGEST member of each dup cluster (ties -> min id), not the
+    // min-id member
+    "q_dedup_keep_best" -> ((s, dir) =>
+      TextOps.keepBestPerCluster(
+        clusterMemo.getOrElse(dir, clustersFresh(s, dir)),
+        docs(s, dir).select(col("doc_id"), col("n_chars").as("quality")))),
+
+    // hashed-feature linear classifier margin (fasttext-shaped quality
+    // scoring; deterministic hash weights so the oracle reproduces them)
+    "q_quality_classifier" -> ((s, dir) =>
+      TextOps.hashedClassifierScore(docs(s, dir))),
+
+    // tokenizer fertility per source (BPE-ish subwords per whitespace
+    // word; chars per subword)
+    "q_token_fertility" -> ((s, dir) => TextOps.tokenFertility(docs(s, dir))),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
@@ -1737,6 +1767,92 @@ object LlmQueries {
         |SELECT i.id AS doc_id, COUNT(*) AS n_grams, COUNT(b.h) AS n_seen,
         |       ROUND(1.0e0 - COUNT(b.h)::DOUBLE / COUNT(*)::DOUBLE, 6) AS novelty
         |FROM incg i LEFT JOIN baseg b USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hybrid RRF: the BM25 CTE chain (top-50, ranks over the ROUNDED
+    // score) fused with the cosine top-50 of probe vector 0 (selected
+    // by unrounded sim like the TopK aggregator, then re-ranked over
+    // the rounded sim exactly like the engine's rrfFuse input)
+    "q_hybrid_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents
+         |), dl AS (SELECT id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |         (SELECT SUM(dl)::DOUBLE / COUNT(*)::DOUBLE FROM dl) AS avgdl
+         |), tf AS (
+         |  SELECT id, w, COUNT(*) AS tf FROM tok
+         |  WHERE w IN (${Bm25Query.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2
+         |), dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |bm AS (
+         |  SELECT id, ROUND(SUM(
+         |    ln(((n_docs - df)::DOUBLE + 0.5e0) / (df::DOUBLE + 0.5e0) + 1.0e0) *
+         |      (tf::DOUBLE * ${1.2 + 1.0}e0) /
+         |      (tf::DOUBLE + 1.2e0 * ((${1.0 - 0.75}e0) + 0.75e0 * dl::DOUBLE / avgdl))), 6) AS score
+         |  FROM tf JOIN dfq USING (w) JOIN dl USING (id) CROSS JOIN stats GROUP BY 1
+         |), lex50 AS (SELECT id, score FROM bm ORDER BY score DESC, id LIMIT 50),
+         |lexr AS (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM lex50
+         |), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sims AS (
+         |  SELECT c.vec_id AS id, list_cosine_similarity(q0.v, c.v) AS sim
+         |  FROM e c, (SELECT v FROM e WHERE vec_id = 0) q0 WHERE c.vec_id <> 0
+         |), vec50 AS (SELECT id, ROUND(sim, 6) AS score FROM sims ORDER BY sim DESC, id LIMIT 50),
+         |vecr AS (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM vec50
+         |), u AS (
+         |  SELECT id, 1.0e0 / (60 + rank) AS contrib FROM lexr
+         |  UNION ALL SELECT id, 1.0e0 / (60 + rank) FROM vecr
+         |)
+         |SELECT id AS doc_id, COUNT(*) AS n_lists, ROUND(SUM(contrib), 6) AS rrf_score
+         |FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // quality-aware keeper: argmax n_chars per cluster, ties -> min id
+    "q_dedup_keep_best" ->
+      s"""$sqlClustersCte
+         |SELECT cluster_id, keep_id, best_quality, cluster_size FROM (
+         |  SELECT c.cluster_id, d.doc_id AS keep_id, d.n_chars AS best_quality,
+         |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+         |  FROM clusters c JOIN documents d USING (doc_id)
+         |) WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // hashed linear classifier: integer weight sum (order-free), one
+    // final double division -> bit-identical margin
+    "q_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |         SUM(CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 1001 - 500) AS int_sum
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1
+        |)
+        |SELECT t.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+        |       CAST(COALESCE(s.int_sum, 0) AS BIGINT) AS int_sum,
+        |       ROUND(CASE WHEN s.n_tokens IS NULL THEN 0.0e0
+        |             ELSE s.int_sum::DOUBLE / (500.0e0 * s.n_tokens::DOUBLE) END, 6) AS margin,
+        |       (CASE WHEN s.n_tokens IS NULL THEN 0.0e0
+        |             ELSE s.int_sum::DOUBLE / (500.0e0 * s.n_tokens::DOUBLE) END) > 0.0e0 AS keep
+        |FROM t LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // tokenizer fertility: exact integer sums, ratios as single
+    // divisions of the BIGINT sums
+    "q_token_fertility" ->
+      s"""WITH per AS (
+         |  SELECT source AS stratum,
+         |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws,
+         |         len(regexp_extract_all(text, '${graft.text.TextOps.BpeishPattern}')) AS bpe,
+         |         LENGTH(text) AS ch
+         |  FROM documents
+         |)
+         |SELECT stratum, COUNT(*) AS n_docs,
+         |       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+         |       ROUND(CAST(SUM(bpe) AS BIGINT)::DOUBLE / CAST(SUM(ws) AS BIGINT)::DOUBLE, 6) AS fertility,
+         |       ROUND(CAST(SUM(ch) AS BIGINT)::DOUBLE / CAST(SUM(bpe) AS BIGINT)::DOUBLE, 6) AS chars_per_token
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // concat-and-chunk packing over doc_id order, capacity 256
     "q_seq_pack" ->

@@ -536,4 +536,41 @@ object CorpusOps {
       .orderBy(col("score").desc, col("id").asc).limit(k)
       .select(col("id").as(idCol), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * several ranked retrieval lists: fused(d) = Σ_lists 1 / (k0 +
+    * rank_list(d)). The standard hybrid-retrieval combiner — e.g. a
+    * lexical BM25 ranking fused with an embedding-cosine ranking — that
+    * needs no score calibration because only RANKS enter the sum.
+    *
+    * Each input is a (id, score) table that is ALREADY a top-k result
+    * (tens of rows, the output of [[bm25TopK]] or
+    * [[graft.vector.VectorOps.bruteForceTopK]]): the rank window and
+    * the union here run over k-row inputs, bounded by the fusion width,
+    * never by the corpus — at 100 TB the expensive part is producing
+    * the per-route rankings, and each route's own top-k is already
+    * heap-aggregated. Ranks are computed over the rounded input scores
+    * (ties broken by id) so both engines rank identical values; the
+    * fused score is rounded to 6 decimals before the final ordering for
+    * the same cross-engine determinism as [[bm25TopK]].
+    *
+    * Returns the fused top-k: (id, n_lists hit, rrf_score).
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], k0: Int = 60, k: Int = 20,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    val ranked = rankings.map { r =>
+      r.select(col(idCol).as("id"), col("score"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id").asc)))
+        .select(col("id"), (lit(1.0) / (lit(k0) + col("rank"))).as("contrib"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"), round(sum(col("contrib")), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id").asc).limit(k)
+      .select(col("id").as(idCol), col("n_lists"), col("rrf_score"))
+  }
 }

@@ -270,6 +270,101 @@ object TextOps {
         round(lit(1.0) - col("n_seen") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Quality-aware dedup keeper: instead of the min-id keeper of
+    * [[dedupClusters]], keep the HIGHEST-QUALITY member of every dup
+    * cluster (the production policy: when five near-copies of a page
+    * exist, keep the longest / best-scored one, not the one with the
+    * smallest crawl id). Ties break to the smallest id so the choice
+    * is deterministic.
+    *
+    * Shape: one equi-join of the cluster table with the per-doc quality
+    * table on the doc id, then a single groupBy(cluster) whose
+    * aggregate is a lexicographic struct-min — `min(struct(-quality,
+    * id))` — which partial-aggregates map-side like any min; no window,
+    * no per-cluster sort. Cluster count and member counts ride the
+    * same aggregate.
+    *
+    * `quality`: (idCol, quality) with a numeric quality column —
+    * bigger is better.
+    */
+  def keepBestPerCluster(
+      clusters: DataFrame, quality: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    clusters.join(quality.select(col(idCol), col("quality")), idCol)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((col("quality") * -1).as("negq"), col(idCol).as("id"))).as("best"))
+      .select(col("cluster_id"), col("best.id").as("keep_id"),
+        (col("best.negq") * -1).as("best_quality"), col("cluster_size"))
+
+  /** Hashed-feature linear classifier scoring — the fasttext-shaped
+    * quality-classifier pass every pretraining pipeline runs (Brown et
+    * al. 2020 §A; Joulin et al. 2016): score a document as the mean of
+    * per-token weights looked up by the HASHING TRICK (Weinberger et
+    * al. 2009), keep docs above a margin threshold. Here the weight of
+    * hash bucket h is the deterministic `(h mod buckets) - (buckets-1)/2`
+    * ramp — a stand-in with the exact production plan shape (in a real
+    * deployment the bucket->weight array is learned offline and
+    * broadcast; the lookup cost and data movement are identical) that
+    * keeps the oracle able to reproduce every weight from md5 alone.
+    *
+    * Exactness across engines: the per-doc accumulation is an INTEGER
+    * sum of `(h mod buckets) - (buckets-1)/2` (order-free, no float
+    * addition), and the margin is one final division by
+    * `halfRange * n_tokens` — so the double is produced by a single
+    * identical operation on identical integers in both engines.
+    *
+    * Fully narrow: tokenize, fold, divide — no explode, no shuffle;
+    * stream-transparent (usable unchanged under readStream).
+    */
+  def hashedClassifierScore(
+      docs: DataFrame, buckets: Int = 1001, threshold: Double = 0.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets >= 3 && buckets % 2 == 1, s"odd buckets >= 3, got $buckets")
+    val half = (buckets - 1) / 2
+    val toks = tokens(col(textCol))
+    val isum = aggregate(toks, lit(0L),
+      (acc, w) => acc + (pmod(tokenHash(w), lit(buckets.toLong)) - lit(half.toLong)))
+    val n = size(toks).cast("long")
+    docs.select(col(idCol), n.as("n_tokens"), isum.as("int_sum"))
+      .withColumn("margin",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("int_sum").cast("double") /
+            (lit(half.toDouble) * col("n_tokens").cast("double"))))
+      .select(col(idCol), col("n_tokens"), col("int_sum"),
+        round(col("margin"), 6).as("margin"),
+        (col("margin") > threshold).as("keep"))
+  }
+
+  /** Tokenizer fertility per stratum — BPE-ish subword tokens emitted
+    * per whitespace word, and characters per subword token: the
+    * corpus-health metric that decides whether a tokenizer is
+    * efficient on each source/language (fertility near 1 = words
+    * mostly survive whole; high fertility = heavy fragmentation, more
+    * compute per effective word).
+    *
+    * One narrow pass computes both token counts per document with the
+    * same tokenizers as [[tokens]] and [[tokenCountsBpe]]
+    * ([[BpeishPattern]]); one partial-aggregated groupBy(stratum)
+    * sums exact integers; the two ratios are single divisions of those
+    * integer sums, bit-identical cross-engine.
+    */
+  def tokenFertility(
+      docs: DataFrame, strataCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(strataCol).as("stratum"),
+      size(tokens(col(textCol))).cast("long").as("ws"),
+      size(expr(s"regexp_extract_all($textCol, '$BpeishPattern', 0)")).cast("long").as("bpe"),
+      length(col(textCol)).cast("long").as("ch"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"), sum(col("ch")).as("n_chars_sum"))
+      .select(col("stratum"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars_sum").cast("double") / col("bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+
   /** 60-bit md5-prefix token hash computed JVM-side — byte-identical
     * to the SQL form `conv(substr(md5(w),1,15),16,10)`.
     */

@@ -271,6 +271,42 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation in:\n${p.take(3000)}")
   }
 
+  test("hashed classifier is fully narrow — zero exchanges, stream-transparent") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.hashedClassifierScore(docs)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"shuffle in the classifier plan:\n${p.take(3000)}")
+  }
+
+  test("token fertility partial-aggregates; keepBest uses the struct-min agg, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fert = graft.text.TextOps.tokenFertility(docs)
+    fert.collect()
+    val pf = plan(fert)
+    assert("HashAggregate".r.findAllIn(pf).size >= 2,
+      s"no partial aggregation in fertility plan:\n${pf.take(3000)}")
+    val clusters = docs.limit(50).select(col("doc_id"), (col("doc_id") / 10).cast("long").as("cluster_id"))
+    val kb = graft.text.TextOps.keepBestPerCluster(
+      clusters, docs.select(col("doc_id"), col("n_chars").as("quality")))
+    kb.collect()
+    val pk = plan(kb)
+    assert(!pk.contains("Window"), s"window in keepBest plan (struct-min expected):\n${pk.take(3000)}")
+  }
+
+  test("rrf fusion ends in TakeOrdered — per-partition heaps, no global sort of the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val lex = graft.text.CorpusOps.bm25TopK(docs, LlmQueries.Bm25Query, k = 50)
+      .select(col("doc_id"), col("score"))
+    val vec = graft.vector.VectorOps.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
+      .select(col("cand_id").as("doc_id"), col("sim").as("score"))
+    val df = graft.text.CorpusOps.rrfFuse(Seq(lex, vec), k0 = 60, k = 20)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in rrf plan:\n${p.take(3000)}")
+  }
+
   test("cross-corpus novelty joins on the gram hash — equi-join, never cartesian") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.text.TextOps.crossCorpusNovelty(

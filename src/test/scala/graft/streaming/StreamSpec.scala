@@ -369,6 +369,33 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("hashed classifier scoring is stream-transparent (narrow column op, no state)") {
+    // the classifier is tokenize -> integer fold -> divide with zero
+    // exchanges (PlanSpec-asserted), so the SAME operator body runs
+    // unmodified on a readStream source
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-clf-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.hashedClassifierScore(src)
+      .writeStream.format("memory").queryName("clf_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val streamed = spark.table("clf_stream").collect().map(key).sorted.toSeq
+    val batch = graft.text.TextOps.hashedClassifierScore(docs)
+      .collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("winnowing fingerprints are stream-transparent (per-document kernel, no state)") {
     // winnowing became a stateless per-document mapPartitions kernel,
     // so the SAME operator body runs unmodified on a readStream source

@@ -75,6 +75,64 @@ class CorpusOrderSpec extends AnyFunSuite {
       1L -> ((3L, 3L, 0.0)), 2L -> ((2L, 0L, 1.0)), 3L -> ((4L, 1L, 0.75))))
   }
 
+  test("rrf fusion sums 1/(k0+rank) across lists and ranks by rounded fused score") {
+    // list A ranks: 10, 20, 30; list B ranks: 20, 30, 40
+    val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((20L, 9.0), (30L, 8.0), (40L, 7.0)).toDF("doc_id", "score")
+    val out = CorpusOps.rrfFuse(Seq(a, b), k0 = 60, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def rrf(rs: Int*) = math.rint(rs.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    assert(out == Map(
+      10L -> ((1L, rrf(1))), 20L -> ((2L, rrf(2, 1))),
+      30L -> ((2L, rrf(3, 2))), 40L -> ((1L, rrf(3)))))
+    // doc 20 (rank 2 + rank 1) must out-score doc 10 (rank 1 alone)
+    assert(out(20L)._2 > out(10L)._2)
+  }
+
+  test("keepBestPerCluster keeps the argmax-quality member, ties to min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 7L), (5L, 7L), (6L, 1L))
+      .toDF("doc_id", "quality")
+    val out = TextOps.keepBestPerCluster(clusters, quality)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 99L, 3L)),  // best quality wins over min id
+      4L -> ((4L, 7L, 2L)),   // quality tie -> min id
+      6L -> ((6L, 1L, 1L))))  // singleton keeps itself
+  }
+
+  test("hashed classifier margin equals the JVM-hash recomputation; empty doc scores 0") {
+    val d = Seq((0L, "alpha beta gamma delta"), (1L, "alpha alpha alpha"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.hashedClassifierScore(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def margin(ws: Seq[String]): (Long, Double) = {
+      val s = ws.map(w => TextOps.tokenHashJvm(md, w) % 1001 - 500).sum
+      (s, math.rint(s / (500.0 * ws.size) * 1e6) / 1e6)
+    }
+    val (s0, m0) = margin(Seq("alpha", "beta", "gamma", "delta"))
+    val (s1, m1) = margin(Seq("alpha", "alpha", "alpha"))
+    assert(out(0L) == ((4L, s0, m0, s0 > 0)))
+    assert(out(1L) == ((3L, s1, m1, s1 > 0)))
+    assert(out(2L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("token fertility counts subword fragmentation per stratum") {
+    val d = Seq(
+      (0L, "hello world", "a"),        // ws 2, bpe 2, ch 11
+      (1L, "don't stop-now", "a"),     // ws 2, bpe: don ' t stop - now = 6, ch 14
+      (2L, "x2y", "b"))                // ws 1, bpe: x 2 y = 3, ch 3
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.tokenFertility(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("a") == ((2L, 4L, 8L, 2.0, math.rint(25.0 / 8 * 1e6) / 1e6)))
+    assert(out("b") == ((1L, 1L, 3L, 3.0, 1.0)))
+  }
+
   // ---- contamination ----
 
   test("contamination counts distinct shared n-grams against the eval set") {
