@@ -421,6 +421,16 @@ object LlmQueries {
     // word; chars per subword)
     "q_token_fertility" -> ((s, dir) => TextOps.tokenFertility(docs(s, dir))),
 
+    // per-doc duplicate-text mass: fraction of each doc's distinct
+    // 5-grams that occur in >= 2 documents corpus-wide
+    "q_dup_gram_mass" -> ((s, dir) => TextOps.dupGramMass(docs(s, dir), n = 5, minDf = 2)),
+
+    // measured int8-quantization recall: symmetric quantized cosine
+    // top-5 vs the float-exact top-5, per query
+    "q_quantize_recall" -> ((s, dir) =>
+      VectorOps.quantizedRecallAtK(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit), k = 5)),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
@@ -1836,6 +1846,43 @@ object LlmQueries {
         |       (CASE WHEN s.n_tokens IS NULL THEN 0.0e0
         |             ELSE s.int_sum::DOUBLE / (500.0e0 * s.n_tokens::DOUBLE) END) > 0.0e0 AS keep
         |FROM t LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // duplicate-gram mass: distinct (id, gram-hash) like the engine's
+    // shingleTable + tokenHash, df over hashes, per-doc rollup
+    "q_dup_gram_mass" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT id, array_to_string(toks[k:k+4], ' ') AS w
+        |  FROM t, unnest(generate_series(1, len(toks) - 4)) u(k)
+        |  WHERE len(toks) >= 5
+        |), sh AS (
+        |  SELECT DISTINCT id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  FROM sh0
+        |), dfq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT id AS doc_id, COUNT(*) AS n_grams,
+        |       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |       ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE, 6) AS dup_frac
+        |FROM sh JOIN dfq USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // int8-quantization recall: dequantized vectors feed the same
+    // all-pairs cosine CTE `pairs` the other recall oracles use
+    "q_quantize_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id < $PairLimit
+         |), sc AS (
+         |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0e0 AS s FROM e
+         |), dq AS (
+         |  SELECT vec_id, CASE WHEN s = 0.0e0 THEN list_transform(v, x -> 0.0e0)
+         |                      ELSE list_transform(v, x -> floor(x / s + 0.5e0) * s) END AS v
+         |  FROM sc
+         |), pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         list_cosine_similarity(q.v, c.v) AS sim
+         |  FROM dq q, dq c WHERE c.vec_id <> q.vec_id
+         |), ${sqlRecallTail(5)}""".stripMargin,
 
     // tokenizer fertility: exact integer sums, ratios as single
     // divisions of the BIGINT sums

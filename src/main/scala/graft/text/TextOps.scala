@@ -365,6 +365,39 @@ object TextOps {
         round(col("n_chars_sum").cast("double") / col("bpe_tokens").cast("double"), 6)
           .as("chars_per_token"))
 
+  /** Corpus-wide DUPLICATE-TEXT MASS per document — the fraction of a
+    * document's distinct word n-grams that occur in `minDf`-or-more
+    * documents: the per-document "how much of this text exists
+    * elsewhere" signal behind exact-substring train-set dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") at n-gram granularity. Near-dup joins report PAIRS; this
+    * reports each document's duplicated mass even when no single
+    * partner crosses a pair threshold (boilerplate smeared across
+    * thousands of pages).
+    *
+    * Shape at 100 TB: distinct (doc, gram-hash) → gram document
+    * frequency (one partial-aggregated groupBy on the 60-bit hash) →
+    * one hash equi-join back → per-doc rollup. Everything is keyed by
+    * the fixed-width gram hash; nothing is pairwise. Gram-hash
+    * collisions fold identically in both engines (the oracle hashes
+    * the same way), so parity is unaffected.
+    *
+    * Documents shorter than n tokens have no grams and are absent.
+    */
+  def dupGramMass(
+      docs: DataFrame, n: Int = 5, minDf: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = shingleTable(docs, n, idCol, textCol)
+      .select(col("id"), tokenHash(col("w")).as("h")).distinct()
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams") / col("n_grams"), 6).as("dup_frac"))
+  }
+
   /** 60-bit md5-prefix token hash computed JVM-side — byte-identical
     * to the SQL form `conv(substr(md5(w),1,15),16,10)`.
     */

@@ -486,4 +486,35 @@ object VectorOps {
       .withColumn("recall", round(col("n_hits") / col("n_exact"), 6))
       .drop("n_exact")
   }
+
+  /** Vectors rounded through the int8 grid of [[quantizeInt8]] and
+    * DEQUANTIZED back to doubles — `floor(x/scale + 0.5) * scale`,
+    * all-zero vectors pass through as zeros. Narrow per-row transform;
+    * the representable values are exactly what a quantized index
+    * stores, so search over these measures the quantizer, not a
+    * reimplementation of it.
+    */
+  def dequantizedInt8(
+      embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .select(col(idCol), transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(floor(x / col("scale") + lit(0.5)) * col("scale"))).as(vecCol))
+
+  /** Measured recall cost of int8 scalar quantization: exact cosine
+    * top-k over the DEQUANTIZED vectors (both query and candidate
+    * sides quantized — the symmetric-search setting of a quantized
+    * index) joined against the float-exact top-k, recall per query.
+    * The int8 sibling of [[annRecallAtK]]: "int8 is nearly lossless
+    * for cosine ranking" becomes a per-query measured number.
+    */
+  def quantizedRecallAtK(
+      embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val deq = dequantizedInt8(embeddings, idCol, vecCol)
+    recallAgainstBrute(
+      bruteForceTopK(deq, deq, k, idCol, vecCol), embeddings, k, idCol, vecCol)
+  }
 }

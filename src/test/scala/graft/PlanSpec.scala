@@ -307,6 +307,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in rrf plan:\n${p.take(3000)}")
   }
 
+  test("dup-gram mass: df join is a hash equi-join on the gram hash, aggregates partially") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.dupGramMass(docs, n = 5, minDf = 2)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in dup-gram plan:\n${p.take(3000)}")
+    assert(p.contains("Join") && p.contains("h#"),
+      s"gram-hash equi-join missing in:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n${p.take(3000)}")
+  }
+
   test("cross-corpus novelty joins on the gram hash — equi-join, never cartesian") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.text.TextOps.crossCorpusNovelty(

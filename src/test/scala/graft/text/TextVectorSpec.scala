@@ -476,6 +476,45 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ANN recall too low: $recall")
   }
 
+  test("dupGramMass: hand-computed dup fractions, short docs absent, collision-free fixture") {
+    import spark.implicits._
+    // doc 0 and 1 share "a b c d e" (one 5-gram); doc 2 is disjoint;
+    // doc 3 too short for any 5-gram
+    val d = Seq(
+      (0L, "a b c d e x y"),   // grams: abcde, bcdex, cdexy -> 1 of 3 dup
+      (1L, "a b c d e"),       // grams: abcde -> 1 of 1 dup
+      (2L, "p q r s t u"),     // grams: pqrst, qrstu -> 0 of 2
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val out = TextOps.dupGramMass(d, n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      0L -> ((3L, 1L, math.rint(1.0 / 3 * 1e6) / 1e6)),
+      1L -> ((1L, 1L, 1.0)),
+      2L -> ((2L, 0L, 0.0))))
+  }
+
+  test("quantized recall: perfect on well-separated vectors; dequantization is the int8 grid") {
+    import spark.implicits._
+    // axis-aligned, well-separated directions: int8 rounding cannot
+    // reorder cosine ranks, so symmetric quantized search has recall 1
+    val vs = Seq.tabulate(12) { i =>
+      val v = Array.fill(4)(0.05f); v(i % 4) = 1.0f; v((i + 1) % 4) = 0.3f * (1 + i / 4)
+      (i.toLong, v)
+    }
+    val e = vs.toDF("vec_id", "embedding")
+    val rec = VectorOps.quantizedRecallAtK(e, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rec.size == 12 && rec.values.forall(_ == 1.0), s"recall dropped: $rec")
+    // dequantized values sit exactly on the scale * integer grid
+    val deq = VectorOps.dequantizedInt8(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- vs) {
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      val expected = v.map(x => math.floor(x / scale + 0.5) * scale).toSeq
+      assert(deq(id) == expected, s"vec $id off-grid")
+    }
+  }
+
   test("int8 quantization: |q| <= 127, max component hits +-127, zero vectors to zeros, error bounded") {
     val vecs = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f, 0.1f)),   // max |v| = 1.0 -> that dim = -127
