@@ -431,6 +431,12 @@ object LlmQueries {
       VectorOps.quantizedRecallAtK(
         embeddings(s, dir).filter(col("vec_id") < PairLimit), k = 5)),
 
+    // IVF inverted-list balance: per-list member count + load factor
+    // vs perfect balance — the list-skew health check of the IVF index
+    "q_ivf_balance" -> ((s, dir) =>
+      VectorOps.ivfListStats(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit), nlist = 16)),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
@@ -1883,6 +1889,14 @@ object LlmQueries {
          |         list_cosine_similarity(q.v, c.v) AS sim
          |  FROM dq q, dq c WHERE c.vec_id <> q.vec_id
          |), ${sqlRecallTail(5)}""".stripMargin,
+
+    // IVF list balance: same assignment CTE as the IVF top-k oracle,
+    // one aggregation over `assign`
+    "q_ivf_balance" ->
+      s"""WITH ${sqlIvfPairsCte(16, 4)}
+         |SELECT list AS list_id, COUNT(*) AS n_vectors,
+         |       ROUND(COUNT(*) * 16 / (SELECT COUNT(*) FROM assign), 6) AS load_factor
+         |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // tokenizer fertility: exact integer sums, ratios as single
     // divisions of the BIGINT sums

@@ -207,6 +207,28 @@ object VectorOps {
   def ivfTopK(
       embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assign = ivfRanked(embeddings, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
+    val probes = ivfRanked(embeddings, nlist, nprobe, idCol, vecCol).toDF("query_id", "list")
+
+    val cand = probes.join(assign, "list").filter(col("query_id") =!= col("cand_id"))
+    val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
+    val rer = cand.join(q, "query_id").join(c, "cand_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    topKPerQuery(rer, k).drop("rank")
+  }
+
+  /** Shared IVF coarse-quantizer kernel: per vector, the `limit`
+    * nearest of the first-`nlist` deterministic centroids as (id,
+    * centroid-id) rows — argmax cosine, ties to the smaller centroid
+    * id. `limit = 1` is the list assignment, `limit = nprobe` a
+    * query's probe set. One narrow pass against the broadcast
+    * centroid table.
+    */
+  private def ivfRanked(
+      embeddings: DataFrame, nlist: Int, limit: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.select(col(idCol).cast("long").as("id"),
@@ -214,10 +236,7 @@ object VectorOps {
     val centroids = e.filter(col("id") < nlist)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val centB = spark.sparkContext.broadcast(centroids)
-
-    // per-vector centroid similarities -> assignment (rank 1) and the
-    // query's probe set (ranks 1..nprobe); tie-break by centroid id
-    def ranked(limit: Int) = e.as[(Long, Array[Double])].mapPartitions { rows =>
+    e.as[(Long, Array[Double])].mapPartitions { rows =>
       val cents = centB.value
       rows.flatMap { case (id, v) =>
         var nv = 0.0
@@ -234,15 +253,32 @@ object VectorOps {
         sims.sortBy { case (cid, s) => (-s, cid) }.take(limit)
           .map { case (cid, _) => (id, cid) }
       }
-    }
-    val assign = ranked(1).toDF("cand_id", "list")
-    val probes = ranked(nprobe).toDF("query_id", "list")
+    }.toDF("id", "cid")
+  }
 
-    val cand = probes.join(assign, "list").filter(col("query_id") =!= col("cand_id"))
-    val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
-    val rer = cand.join(q, "query_id").join(c, "cand_id")
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    topKPerQuery(rer, k).drop("rank")
+  /** IVF inverted-list BALANCE report — the standing scale hazard of
+    * an IVF index is list skew: a hot list makes every probe that
+    * touches it pay its full length, and at cluster scale one
+    * oversized list is a straggler task. Reports, per list, the
+    * member count and its load factor versus perfect balance
+    * (`n_vectors * nlist / total`; 1.0 = balanced, >> 1 = hot).
+    * Centroids that capture no vectors are absent — their absence
+    * (count vs `nlist`) is itself the degenerate-quantizer signal.
+    *
+    * Cost: the same narrow assignment pass as [[ivfTopK]] plus one
+    * `nlist`-row aggregation — nothing pairwise; runnable as a cheap
+    * health check before committing to an index build.
+    */
+  def ivfListStats(
+      embeddings: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = ivfRanked(embeddings, nlist, 1, idCol, vecCol)
+    val total = assign.agg(count(lit(1)).as("total"))
+    assign.groupBy(col("cid").as("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(total))
+      .select(col("list_id"), col("n_vectors"),
+        round(col("n_vectors") * lit(nlist.toLong) / col("total"), 6).as("load_factor"))
   }
 
   /** MULTI-TABLE LSH ANN top-k — the recall-recovery construction the

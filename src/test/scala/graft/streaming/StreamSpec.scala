@@ -369,6 +369,35 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stratified sampling is stream-transparent (hash-deterministic keep decision, no state)") {
+    // the keep decision is a pure hash of (id, salt) against the
+    // stratum's rate — no state, no global pass — so the SAME mixing
+    // operator runs unmodified over a stream of arriving documents
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mix-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang")).filter(col("doc_id") < 120)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+
+    val rates = Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
+    val q = graft.text.TextOps.stratifiedSample(src, rates, defaultRate = 1.0, salt = "mix1")
+      .select(col("doc_id"), col("lang"))
+      .writeStream.format("memory").queryName("mix_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val streamed = spark.table("mix_stream").collect().map(key).sorted.toSeq
+    val batch = graft.text.TextOps.stratifiedSample(docs, rates, defaultRate = 1.0, salt = "mix1")
+      .select(col("doc_id"), col("lang")).collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("hashed classifier scoring is stream-transparent (narrow column op, no state)") {
     // the classifier is tokenize -> integer fold -> divide with zero
     // exchanges (PlanSpec-asserted), so the SAME operator body runs

@@ -476,6 +476,22 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ANN recall too low: $recall")
   }
 
+  test("ivfListStats: counts sum to corpus size, load factors average 1, hot list flagged") {
+    import spark.implicits._
+    // 2 centroids (vec 0 -> x-axis, vec 1 -> y-axis); 6 of the 8
+    // remaining vectors hug the x-axis -> list 0 is hot
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)), (4L, Array(0.7f, 0.3f)),
+      (5L, Array(0.95f, 0.05f)), (6L, Array(0.85f, 0.1f)), (7L, Array(0.75f, 0.2f)),
+      (8L, Array(0.1f, 0.9f)), (9L, Array(0.2f, 0.8f)))
+    val out = graft.vector.VectorOps.ivfListStats(vs.toDF("vec_id", "embedding"), nlist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 == 7L && out(1L)._1 == 3L, s"unexpected assignment: $out")
+    assert(out(0L)._2 == 1.4 && out(1L)._2 == 0.6)
+    assert(out.values.map(_._1).sum == 10L)
+  }
+
   test("dupGramMass: hand-computed dup fractions, short docs absent, collision-free fixture") {
     import spark.implicits._
     // doc 0 and 1 share "a b c d e" (one 5-gram); doc 2 is disjoint;
