@@ -437,6 +437,18 @@ object LlmQueries {
       VectorOps.ivfListStats(
         embeddings(s, dir).filter(col("vec_id") < PairLimit), nlist = 16)),
 
+    // product-quantization codes: 64 dims -> 4 subspace codes against
+    // deterministic per-subspace codebooks
+    "q_pq_encode" -> ((s, dir) =>
+      VectorOps.pqEncode(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit), m = 4, ks = 16)),
+
+    // measured PQ recall: ADC top-5 over the 4-code representation vs
+    // the exact squared-L2 brute top-5
+    "q_pq_recall" -> ((s, dir) =>
+      VectorOps.pqRecallAtK(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit), m = 4, ks = 16, k = 5)),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
@@ -928,6 +940,40 @@ object LlmQueries {
        |  JOIN e qe ON qe.vec_id = p.query_id
        |  JOIN e ce ON ce.vec_id = a.cand_id
        |)""".stripMargin
+
+  /** PQ encode CTE chain (e, subs, cent, vsub, d2t, enc) mirroring
+    * [[VectorOps.pqEncode]]: deterministic per-subspace codebooks from
+    * the first `ks` vectors, squared-L2 argmin with dims folded in
+    * ascending order (bit-identical to the engine kernel's loop), ties
+    * to the smaller centroid id. `d2t` doubles as the per-query ADC
+    * LUT in the recall oracle.
+    */
+  private def sqlPqEncCte(m: Int, ks: Int): String = {
+    val sd = 64 / m
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $PairLimit
+       |), subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |cent AS (
+       |  SELECT s.sub, e.vec_id AS cid,
+       |         array_slice(e.v, s.sub * $sd + 1, s.sub * $sd + $sd) AS cv
+       |  FROM e, subs s WHERE e.vec_id < $ks
+       |), vsub AS (
+       |  SELECT e.vec_id, s.sub,
+       |         array_slice(e.v, s.sub * $sd + 1, s.sub * $sd + $sd) AS sv
+       |  FROM e, subs s
+       |), d2t AS (
+       |  SELECT v.vec_id, v.sub, c.cid,
+       |         list_sum(list_transform(generate_series(1, $sd),
+       |           i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS d2
+       |  FROM vsub v JOIN cent c ON c.sub = v.sub
+       |), enc AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM d2t
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
 
   /** DuckDB oracle for the ANN recall query: the single-table LSH
     * pipeline and the exact brute-force top-k composed in one
@@ -1897,6 +1943,44 @@ object LlmQueries {
          |SELECT list AS list_id, COUNT(*) AS n_vectors,
          |       ROUND(COUNT(*) * 16 / (SELECT COUNT(*) FROM assign), 6) AS load_factor
          |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PQ encode: per-subspace squared-L2 argmin against the
+    // deterministic codebooks; d2 sums fold dims in ascending order
+    // exactly like the engine kernel
+    "q_pq_encode" -> s"WITH ${sqlPqEncCte(4, 16)}\nSELECT vec_id, sub, code FROM enc ORDER BY 1, 2",
+
+    // PQ recall: ADC = the m LUT entries summed in subspace order
+    // (ordered list fold == the engine's fixed left-to-right fold);
+    // brute side = ordered elementwise squared-L2
+    "q_pq_recall" ->
+      s"""WITH ${sqlPqEncCte(4, 16)},
+         |adc0 AS (
+         |  SELECT l.vec_id AS query_id, en.vec_id AS cand_id,
+         |         list_sum(list(l.d2 ORDER BY l.sub)) AS dist
+         |  FROM enc en JOIN d2t l ON l.sub = en.sub AND l.cid = en.code
+         |    AND l.vec_id <> en.vec_id
+         |  GROUP BY 1, 2
+         |), ann AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rn
+         |    FROM adc0
+         |  ) WHERE rn <= 5
+         |), bfp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS dist
+         |  FROM e a, e b WHERE b.vec_id <> a.vec_id
+         |), bf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rn
+         |    FROM bfp
+         |  ) WHERE rn <= 5
+         |)
+         |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
+         |       ROUND(COUNT(ann.cand_id) * 1.0 / COUNT(*), 6) AS recall
+         |FROM bf LEFT JOIN ann
+         |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // tokenizer fertility: exact integer sums, ratios as single
     // divisions of the BIGINT sums

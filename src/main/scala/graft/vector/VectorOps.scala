@@ -523,6 +523,153 @@ object VectorOps {
       .drop("n_exact")
   }
 
+  /** PRODUCT-QUANTIZATION codes (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * d dims into `m` subspaces, quantize each subvector to its nearest
+    * of `ks` per-subspace centroids (squared L2, ties to the smaller
+    * centroid id), emit one (vec_id, sub, code) row per subspace. The
+    * memory step of billion-scale ANN — a d-dim float vector becomes m
+    * small codes.
+    *
+    * Deterministic codebooks for oracle reproducibility: subspace j's
+    * centroids are the j-subvectors of the first `ks` vectors (the
+    * same externally-supplied-centroids convention as [[ivfTopK]]; a
+    * production index trains them with [[kmeansAssign]] per subspace).
+    * All distance sums run in ascending dim order, so every double is
+    * bit-reproducible by a SQL engine folding the same order.
+    *
+    * Shape: codebooks are m·ks·(d/m) doubles — driver-held and
+    * broadcast; encoding is ONE narrow pass (no explode, no shuffle
+    * before the final exploded projection).
+    */
+  def pqEncode(
+      embeddings: DataFrame, m: Int = 4, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCodes(embeddings, m, ks, idCol, vecCol)
+      .select(col("id").as(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col(idCol), col("sub").cast("long").as("sub"), col("code").cast("long").as("code"))
+
+  /** (id, codes array) form of [[pqEncode]] — the narrow kernel. */
+  private def pqCodes(
+      embeddings: DataFrame, m: Int, ks: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = e.filter(col("id") < ks).as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(cents.length == ks, s"need the first $ks vectors as PQ codebook seeds")
+    val dims = cents.head._2.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sd = dims / m
+    val centB = spark.sparkContext.broadcast(cents.map(_._2))
+    e.as[(Long, Array[Double])].mapPartitions { rows =>
+      val cb = centB.value
+      rows.map { case (id, v) =>
+        val codes = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            var d2 = 0.0
+            var i = 0
+            while (i < sd) {
+              val diff = v(j * sd + i) - cb(c)(j * sd + i)
+              d2 += diff * diff
+              i += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c } // strict < keeps min cid on ties
+            c += 1
+          }
+          codes(j) = best
+          j += 1
+        }
+        (id, codes)
+      }
+    }.toDF("id", "codes")
+  }
+
+  /** Measured PQ recall: ADC (asymmetric distance computation) top-k
+    * over the m-code representation versus the exact squared-L2 brute
+    * top-k. The query keeps its float vector; each candidate costs m
+    * table lookups into the query's per-subspace distance LUT instead
+    * of a d-dim scan — the compute step of billion-scale ANN, with its
+    * recall loss reported per query instead of asserted.
+    *
+    * Shape: the LUT table is |queries| · m · ks doubles on the
+    * broadcast side (queries are a bounded probe set, like
+    * [[bruteForceTopK]]); candidates carry only their m codes. The ADC
+    * sum is a fixed left-to-right fold over the m lookups (codegen'd
+    * column arithmetic, no HOF), so the double is reproducible by any
+    * engine adding in the same order.
+    */
+  def pqRecallAtK(
+      embeddings: DataFrame, m: Int = 4, ks: Int = 16, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = e.filter(col("id") < ks).as[(Long, Array[Double])].collect().sortBy(_._1)
+    val dims = cents.head._2.length
+    val sd = dims / m
+    val centB = spark.sparkContext.broadcast(cents.map(_._2))
+
+    // per-query LUT: lut[j*ks + c] = ||q_j - cent_{j,c}||^2, dims in order
+    val luts = e.as[(Long, Array[Double])].mapPartitions { rows =>
+      val cb = centB.value
+      rows.map { case (id, v) =>
+        val lut = new Array[Double](m * cb.length)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < cb.length) {
+            var d2 = 0.0
+            var i = 0
+            while (i < sd) {
+              val diff = v(j * sd + i) - cb(c)(j * sd + i)
+              d2 += diff * diff
+              i += 1
+            }
+            lut(j * cb.length + c) = d2
+            c += 1
+          }
+          j += 1
+        }
+        (id, lut)
+      }
+    }.toDF("query_id", "lut")
+
+    val codes = pqCodes(embeddings, m, ks, idCol, vecCol).toDF("cand_id", "codes")
+    // ADC = lut[0*ks+code_0] + ... + lut[(m-1)*ks+code_{m-1}], fixed fold order
+    val dist = (0 until m).map { j =>
+      element_at(col("lut"), (lit(j * ks) + element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val adc = codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", -dist)
+    val adcTop = topKPerQuery(adc, k).select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+
+    // exact squared-L2 brute top-k: ordered elementwise fold (HOF
+    // aggregate is a left fold in element order — same sum as a SQL
+    // list_transform + ordered list_sum)
+    val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
+    val bruteD = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", -aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    val brute = topKPerQuery(bruteD, k).select(col("query_id"), col("cand_id"))
+
+    brute.join(adcTop, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_exact"))
+      .withColumn("recall", round(col("n_hits") / col("n_exact"), 6))
+      .drop("n_exact")
+  }
+
   /** Vectors rounded through the int8 grid of [[quantizeInt8]] and
     * DEQUANTIZED back to doubles — `floor(x/scale + 0.5) * scale`,
     * all-zero vectors pass through as zeros. Narrow per-row transform;

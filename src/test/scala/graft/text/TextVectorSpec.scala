@@ -476,6 +476,41 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ANN recall too low: $recall")
   }
 
+  test("pqEncode: codes pick the nearest per-subspace centroid; codebook vectors encode to themselves") {
+    import spark.implicits._
+    // dims=4, m=2, ks=2: codebook = vectors 0 and 1; vectors 2..3 sit
+    // near known centroids in each 2-dim subspace
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.1f, 0.1f, 0.1f)),  // sub0 -> cent0, sub1 -> cent1
+      (3L, Array(0.9f, 0.9f, 0.9f, 0.9f)))  // sub0 -> cent1, sub1 -> cent0
+    val out = graft.vector.VectorOps.pqEncode(vs.toDF("vec_id", "embedding"), m = 2, ks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 0L, (0L, 1L) -> 0L,   // self-encode (codebook row 0)
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L,
+      (2L, 0L) -> 0L, (2L, 1L) -> 1L,
+      (3L, 0L) -> 1L, (3L, 1L) -> 0L))
+  }
+
+  test("pqRecallAtK: recall 1 when clusters align with the codebook; per-query rows complete") {
+    import spark.implicits._
+    // two groups of exact copies of the two codebook vectors: within a
+    // group both the exact and the ADC distance are 0 (ties -> min
+    // cand_id on BOTH sides), across groups both are ~2 — so every
+    // query must recover its exact top-k bit for bit
+    val base = Seq(Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val vs = (0 until 10).map(i => (i.toLong, base(i % 2).clone()))
+    val rec = graft.vector.VectorOps.pqRecallAtK(
+      vs.toDF("vec_id", "embedding"), m = 2, ks = 2, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rec.size == 10)
+    // within-group neighbors share a code; cross-group ADC distance is
+    // far larger, so the exact top-3 (all within-group) is recovered
+    assert(rec.values.forall(_ == 1.0), s"ADC lost exact neighbors: $rec")
+  }
+
   test("ivfListStats: counts sum to corpus size, load factors average 1, hot list flagged") {
     import spark.implicits._
     // 2 centroids (vec 0 -> x-axis, vec 1 -> y-axis); 6 of the 8
