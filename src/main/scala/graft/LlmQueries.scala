@@ -449,6 +449,20 @@ object LlmQueries {
       VectorOps.pqRecallAtK(
         embeddings(s, dir).filter(col("vec_id") < PairLimit), m = 4, ks = 16, k = 5)),
 
+    // IVF-PQ: coarse probing bounds the candidates, ADC bounds the
+    // per-candidate cost — combined recall vs the exact L2 top-5
+    "q_ivfpq_recall" -> ((s, dir) =>
+      VectorOps.ivfPqRecallAtK(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        nlist = 16, nprobe = 4, m = 4, ks = 16, k = 5)),
+
+    // degree histogram of the symmetrized LSH kNN graph — the
+    // connectivity health report of the semantic neighbor graph
+    "q_knn_degree" -> ((s, dir) =>
+      VectorOps.knnDegreeHistogram(
+        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+          numPlanes = 8, dims = 64, k = 5))),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
@@ -790,12 +804,16 @@ object LlmQueries {
     * deterministic sin lattice, interpolated bit-exactly from the JVM's
     * values, so buckets and reranks are fully reproducible in SQL.
     */
-  private def sqlAnnLsh(numPlanes: Int, dims: Int, k: Int): String = {
+  /** Single-table LSH ANN CTE chain ending in `ann` (query_id,
+    * cand_id, sim rank ≤ k) — shared by the ANN top-k oracle and the
+    * kNN-degree oracle.
+    */
+  private def sqlAnnTopCte(numPlanes: Int, dims: Int, k: Int): String = {
     val planeValues = (for {
       p <- 0 until numPlanes
       dim <- 0 until dims
     } yield s"($p, $dim, ${d(VectorOps.planeComponent(p, dim))})").mkString(", ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings WHERE vec_id < $PairLimit
        |), pc(p, dd, comp) AS (VALUES $planeValues),
@@ -811,12 +829,18 @@ object LlmQueries {
        |  SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
        |         list_cosine_similarity(a.v, c.v) AS sim
        |  FROM wb a JOIN wb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
-       |)
-       |SELECT query_id, cand_id, ROUND(sim, 6) AS sim FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
-       |  FROM pairs
-       |) WHERE rn <= $k ORDER BY query_id, cand_id""".stripMargin
+       |), ann AS (
+       |  SELECT query_id, cand_id, sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= $k
+       |)""".stripMargin
   }
+
+  private def sqlAnnLsh(numPlanes: Int, dims: Int, k: Int): String =
+    s"""WITH ${sqlAnnTopCte(numPlanes, dims, k)}
+       |SELECT query_id, cand_id, ROUND(sim, 6) AS sim
+       |FROM ann ORDER BY query_id, cand_id""".stripMargin
 
   /** DuckDB oracle for the multi-table LSH ANN: per-table plane
     * lattices at disjoint offsets, per-table bucket joins, candidates
@@ -1959,6 +1983,59 @@ object LlmQueries {
          |         list_sum(list(l.d2 ORDER BY l.sub)) AS dist
          |  FROM enc en JOIN d2t l ON l.sub = en.sub AND l.cid = en.code
          |    AND l.vec_id <> en.vec_id
+         |  GROUP BY 1, 2
+         |), ann AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rn
+         |    FROM adc0
+         |  ) WHERE rn <= 5
+         |), bfp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS dist
+         |  FROM e a, e b WHERE b.vec_id <> a.vec_id
+         |), bf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rn
+         |    FROM bfp
+         |  ) WHERE rn <= 5
+         |)
+         |SELECT bf.query_id, COUNT(ann.cand_id) AS n_hits,
+         |       ROUND(COUNT(ann.cand_id) * 1.0 / COUNT(*), 6) AS recall
+         |FROM bf LEFT JOIN ann
+         |  ON ann.query_id = bf.query_id AND ann.cand_id = bf.cand_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // kNN degree histogram: same LSH ann CTE as q_embed_ann_lsh,
+    // UNION-symmetrized edges, two bounded aggregations
+    "q_knn_degree" ->
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS node, cand_id AS peer FROM ann
+         |  UNION
+         |  SELECT cand_id AS node, query_id AS peer FROM ann
+         |), deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY 1)
+         |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IVF-PQ recall: the PQ encode CTEs + prefixed IVF probe CTEs;
+    // ADC restricted to probed-list candidates, brute L2 ground truth
+    "q_ivfpq_recall" ->
+      s"""WITH ${sqlPqEncCte(4, 16)},
+         |icent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |isims AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |  FROM e, icent c
+         |), iassign AS (SELECT vec_id AS cand_id, cid AS list FROM isims WHERE rn = 1),
+         |iprobes AS (SELECT vec_id AS query_id, cid AS list FROM isims WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.cand_id
+         |  FROM iprobes p JOIN iassign a ON a.list = p.list AND a.cand_id <> p.query_id
+         |), adc0 AS (
+         |  SELECT c.query_id, c.cand_id, list_sum(list(l.d2 ORDER BY l.sub)) AS dist
+         |  FROM cand c
+         |  JOIN enc en ON en.vec_id = c.cand_id
+         |  JOIN d2t l ON l.vec_id = c.query_id AND l.sub = en.sub AND l.cid = en.code
          |  GROUP BY 1, 2
          |), ann AS (
          |  SELECT query_id, cand_id FROM (

@@ -608,6 +608,79 @@ object VectorOps {
   def pqRecallAtK(
       embeddings: DataFrame, m: Int = 4, ks: Int = 16, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = pqCodes(embeddings, m, ks, idCol, vecCol).toDF("cand_id", "codes")
+    // ADC = lut[0*ks+code_0] + ... + lut[(m-1)*ks+code_{m-1}], fixed fold order
+    val dist = (0 until m).map { j =>
+      element_at(col("lut"), (lit(j * ks) + element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val adc = codes.crossJoin(broadcast(pqLuts(embeddings, m, ks, idCol, vecCol)))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", -dist)
+    val adcTop = topKPerQuery(adc, k).select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    pqBruteRecall(embeddings, adcTop, k, idCol, vecCol)
+  }
+
+  /** Degree histogram of the SYMMETRIZED kNN graph built from an ANN
+    * top-k result ((query_id, cand_id, …) rows): undirected edges =
+    * query→cand ∪ cand→query deduplicated, degree per node, node count
+    * per degree. The connectivity report a semantic-graph consumer
+    * (label propagation, graph dedup, cluster prepass) reads before
+    * trusting the graph: a degree histogram collapsed toward 0 means
+    * the ANN index is missing edges; a fat tail means hub nodes that
+    * will dominate propagation cost. Nodes with no edges at all are
+    * absent (their count = corpus − Σ n_nodes).
+    *
+    * Cost beyond the ANN result itself: one distinct over ≤ 2·n·k
+    * edge rows and two bounded aggregations — nothing touches vectors.
+    */
+  def knnDegreeHistogram(ann: DataFrame): DataFrame =
+    ann.select(col("query_id").as("node"), col("cand_id").as("peer"))
+      .unionByName(ann.select(col("cand_id").as("node"), col("query_id").as("peer")))
+      .distinct()
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** IVF-PQ recall — the composition every billion-scale index
+    * actually ships (FAISS `IVFPQ`; Jégou et al. 2011 §V): coarse IVF
+    * probing bounds WHICH candidates are scored, PQ/ADC bounds WHAT
+    * scoring a candidate costs, and this reports what the two
+    * approximations together give up versus the exact squared-L2
+    * top-k, per query.
+    *
+    * Candidates = the `nprobe` nearest inverted lists per query
+    * ([[ivfTopK]]'s probe join — shuffles on the list id, never
+    * all-pairs); each candidate is scored by the m-lookup ADC fold of
+    * [[pqRecallAtK]]. Same deterministic codebooks and tie rules, so
+    * the DuckDB oracle reproduces every distance bit for bit.
+    */
+  def ivfPqRecallAtK(
+      embeddings: DataFrame, nlist: Int, nprobe: Int,
+      m: Int = 4, ks: Int = 16, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = ivfRanked(embeddings, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
+    val probes = ivfRanked(embeddings, nlist, nprobe, idCol, vecCol).toDF("query_id", "list")
+    val cand = probes.join(assign, "list")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    val codes = pqCodes(embeddings, m, ks, idCol, vecCol).toDF("cand_id", "codes")
+    val dist = (0 until m).map { j =>
+      element_at(col("lut"), (lit(j * ks) + element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val adc = cand.join(codes, "cand_id")
+      .join(pqLuts(embeddings, m, ks, idCol, vecCol), "query_id")
+      .withColumn("sim", -dist)
+    val adcTop = topKPerQuery(adc, k).select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    pqBruteRecall(embeddings, adcTop, k, idCol, vecCol)
+  }
+
+  /** Per-query ADC lookup table against the [[pqCodes]] codebooks:
+    * lut[j·ks + c] = ‖q_j − cent_{j,c}‖², dims folded in ascending
+    * order. m·ks doubles per query — the broadcastable probe-side
+    * state of a PQ search.
+    */
+  private def pqLuts(
+      embeddings: DataFrame, m: Int, ks: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.select(col(idCol).cast("long").as("id"),
@@ -616,9 +689,7 @@ object VectorOps {
     val dims = cents.head._2.length
     val sd = dims / m
     val centB = spark.sparkContext.broadcast(cents.map(_._2))
-
-    // per-query LUT: lut[j*ks + c] = ||q_j - cent_{j,c}||^2, dims in order
-    val luts = e.as[(Long, Array[Double])].mapPartitions { rows =>
+    e.as[(Long, Array[Double])].mapPartitions { rows =>
       val cb = centB.value
       rows.map { case (id, v) =>
         val lut = new Array[Double](m * cb.length)
@@ -641,20 +712,17 @@ object VectorOps {
         (id, lut)
       }
     }.toDF("query_id", "lut")
+  }
 
-    val codes = pqCodes(embeddings, m, ks, idCol, vecCol).toDF("cand_id", "codes")
-    // ADC = lut[0*ks+code_0] + ... + lut[(m-1)*ks+code_{m-1}], fixed fold order
-    val dist = (0 until m).map { j =>
-      element_at(col("lut"), (lit(j * ks) + element_at(col("codes"), j + 1) + 1).cast("int"))
-    }.reduce(_ + _)
-    val adc = codes.crossJoin(broadcast(luts))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", -dist)
-    val adcTop = topKPerQuery(adc, k).select(col("query_id"), col("cand_id"), lit(1).as("hit"))
-
-    // exact squared-L2 brute top-k: ordered elementwise fold (HOF
-    // aggregate is a left fold in element order — same sum as a SQL
-    // list_transform + ordered list_sum)
+  /** Exact squared-L2 brute top-k joined against an approximate
+    * (query_id, cand_id, hit) top-k: per-query n_hits + recall with
+    * the per-query exact row count as denominator.
+    */
+  private def pqBruteRecall(
+      embeddings: DataFrame, approxTop: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
     val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
     val bruteD = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
@@ -662,8 +730,7 @@ object VectorOps {
         zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
     val brute = topKPerQuery(bruteD, k).select(col("query_id"), col("cand_id"))
-
-    brute.join(adcTop, Seq("query_id", "cand_id"), "left")
+    brute.join(approxTop, Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_exact"))
       .withColumn("recall", round(col("n_hits") / col("n_exact"), 6))

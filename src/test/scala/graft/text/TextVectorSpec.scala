@@ -511,6 +511,28 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rec.values.forall(_ == 1.0), s"ADC lost exact neighbors: $rec")
   }
 
+  test("knnDegreeHistogram: symmetrization dedups reciprocal edges, histogram hand-checked") {
+    import spark.implicits._
+    // directed 2-NN lists: 0->{1,2}, 1->{0,2}, 2->{0,1}, 3->{0,2}
+    // undirected edges: 0-1, 0-2, 1-2, 0-3, 2-3  -> degrees 0:3 1:2 2:3 3:2
+    val ann = Seq((0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 1L), (3L, 0L), (3L, 2L))
+      .toDF("query_id", "cand_id")
+    val out = graft.vector.VectorOps.knnDegreeHistogram(ann)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("ivfPqRecallAtK: recall 1 when IVF lists and PQ codes align with the groups") {
+    import spark.implicits._
+    val base = Seq(Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val vs = (0 until 10).map(i => (i.toLong, base(i % 2).clone()))
+    val rec = graft.vector.VectorOps.ivfPqRecallAtK(
+      vs.toDF("vec_id", "embedding"), nlist = 2, nprobe = 1, m = 2, ks = 2, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rec.size == 10)
+    assert(rec.values.forall(_ == 1.0), s"IVF-PQ lost exact neighbors: $rec")
+  }
+
   test("ivfListStats: counts sum to corpus size, load factors average 1, hot list flagged") {
     import spark.implicits._
     // 2 centroids (vec 0 -> x-axis, vec 1 -> y-axis); 6 of the 8
