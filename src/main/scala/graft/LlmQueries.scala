@@ -699,6 +699,11 @@ object LlmQueries {
     "q_len_percentile_cut" -> ((s, dir) =>
       CorpusOps.lengthPercentileCut(docs(s, dir), p = 0.25)),
 
+    // HLL distinct-shingle estimate per source, reported WITH the
+    // exact count and measured relative error (integer-exact register
+    // sum -> bit-identical estimate across engines)
+    "q_hll_distinct_grams" -> ((s, dir) => TextOps.hllDistinctGrams(docs(s, dir), n = 3)),
+
     "q_events_window" -> ((s, dir) => {
       // events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
       // (spark.sql.legacy.parquet.nanosAsLong in the session), convert
@@ -2345,6 +2350,49 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // HLL registers: same 60-bit md5 hash as the engine; idx = low 8
+    // bits, rho = 53 - bitlength of the 52-bit window (bin() prints
+    // without leading zeros in both engines); register sum folded in
+    // INTEGER space (sum of 2^(53-M_j)) so the estimate is
+    // bit-identical, not merely close
+    "q_hll_distinct_grams" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source, array_to_string(toks[k:k+2], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+        |  WHERE len(toks) >= 3
+        |), hh AS (
+        |  SELECT source, g, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM sh
+        |), regs AS (
+        |  SELECT source, h & 255 AS idx,
+        |         MAX(CASE WHEN h >> 8 = 0 THEN 53
+        |                  ELSE 53 - length(bin(h >> 8)) END) AS m_reg
+        |  FROM hh GROUP BY 1, 2
+        |), per AS (
+        |  SELECT source, COUNT(*) AS m_present,
+        |         SUM(CAST(1 AS BIGINT) << CAST(53 - m_reg AS INT)) AS s_present
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT source, 256 - m_present AS v_zero,
+        |         0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0 * 9007199254740992.0e0
+        |           / CAST(s_present + (256 - m_present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS e_raw
+        |  FROM per
+        |), fin AS (
+        |  SELECT source,
+        |         CASE WHEN v_zero > 0 AND e_raw <= 640.0e0
+        |              THEN 256.0e0 * ln(256.0e0 / CAST(v_zero AS DOUBLE))
+        |              ELSE e_raw END AS est
+        |  FROM est
+        |), ex AS (
+        |  SELECT source, COUNT(DISTINCT g) AS exact_grams FROM hh GROUP BY 1
+        |)
+        |SELECT ex.source, ex.exact_grams, ROUND(fin.est, 4) AS hll_est,
+        |       ROUND(abs(fin.est - exact_grams) / exact_grams, 4) AS rel_err
+        |FROM fin JOIN ex USING (source) ORDER BY 1""".stripMargin,
 
     "q_events_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

@@ -1429,4 +1429,71 @@ object TextOps {
       size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
   }
+
+  /** HyperLogLog distinct-shingle estimate per source (Flajolet et al.
+    * 2007, "HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm", AofA; small-range linear-counting
+    * correction from the same paper §4) — the cardinality sketch a
+    * 100 TB pipeline uses where COUNT(DISTINCT) is unaffordable: the
+    * register table IS a map-side-combinable `groupBy(source, idx)
+    * .agg(max(rho))`, so the shuffle carries at most sources × 2^p
+    * rows no matter how many tokens were scanned, and register tables
+    * from independent corpus slices merge by the same `max`.
+    *
+    * Determinism (so the DuckDB oracle reproduces the ESTIMATE bit for
+    * bit, not just approximately): the hash is the portable 60-bit md5
+    * prefix; idx = low 8 bits, rho = leading-zero rank of the
+    * remaining 52-bit window via `53 - length(bin(w))` (both engines'
+    * `bin` prints without leading zeros); and the harmonic-mean
+    * denominator Σ 2^-M_j is summed in INTEGER space as
+    * Σ 2^(53-M_j) ≤ 2^61 — float summation order across registers
+    * would otherwise make the last bits shuffle-order-dependent.
+    *
+    * Reports the estimate alongside the exact distinct count (one
+    * extra aggregation, affordable at test SF) and the relative error
+    * — the sketch sold with its measured accuracy, same contract as
+    * the ANN recall queries.
+    *
+    * Returns (source, exact_grams, hll_est, rel_err).
+    */
+  def hllDistinctGrams(
+      docs: DataFrame, n: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val m = 256 // p = 8 registers; rse ~ 1.04/sqrt(m) ~ 6.5%
+    val ws = tokens(col(textCol))
+    val shingles = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val g = docs.select(col(srcCol).as("source"), explode(shingles).as("g"))
+    val h = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+    val regs = g.select(col("source"),
+        h.bitwiseAND(lit(255L)).cast("int").as("idx"),
+        shiftrightunsigned(h, 8).as("wv"))
+      .withColumn("rho",
+        when(col("wv") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("wv")))))
+      .groupBy(col("source"), col("idx"))
+      .agg(max(col("rho")).as("m_reg"))
+    val per = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("m_present"),
+        // integer-exact Σ 2^(53 - M_j) over the PRESENT registers
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_reg AS INT))")).as("s_present"))
+      // absent registers contribute 2^-0 = 1 = 2^53/2^53 each
+      .withColumn("v_zero", lit(m.toLong) - col("m_present"))
+      .withColumn("s_int", col("s_present") + col("v_zero") * lit(1L << 53))
+      // alpha_m * m^2 * 2^53 / S  — multiplication order fixed to match
+      // the SQL oracle text exactly (each product rounds once)
+      .withColumn("e_raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(9007199254740992.0) / col("s_int").cast("double"))
+      .withColumn("est",
+        when(col("v_zero") > 0 && col("e_raw") <= lit(640.0),
+          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw")))
+    val exact = g.groupBy(col("source")).agg(countDistinct(col("g")).as("exact_grams"))
+    per.join(exact, "source")
+      .select(col("source"), col("exact_grams"),
+        round(col("est"), 4).as("hll_est"),
+        round(abs(col("est") - col("exact_grams")) / col("exact_grams"), 4).as("rel_err"))
+  }
 }

@@ -1017,4 +1017,36 @@ class TextVectorSpec extends AnyFunSuite {
     val d3 = out.find(_.getLong(0) == 3L).get
     assert(d3.getString(1) == "de" && d3.getLong(2) == 0L)
   }
+
+  test("hllDistinctGrams: exact counts right, error within sketch bound, short docs drop out") {
+    // src0: 400 distinct trigrams from a rolling token stream; src1:
+    // small (12 grams -> linear-counting range); src2: only a too-short
+    // doc, so it must be ABSENT from the output (no grams at all)
+    val longText = (0 until 402).map(i => s"w${i * 7 % 997}").mkString(" ")
+    val d = Seq(
+      (0L, "src0", longText),
+      (1L, "src1", "a b c d e f g h i j k l m n"),
+      (2L, "src2", "x y")).toDF("doc_id", "source", "text")
+    val rows = TextOps.hllDistinctGrams(d, n = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("src0", "src1"), s"src2 must be absent: ${rows.keySet}")
+    assert(rows("src0")._1 == 400L && rows("src1")._1 == 12L)
+    // m=256 -> rse ~6.5%; allow 3 sigma on the large source, and the
+    // linear-counting regime on the tiny one is typically tighter
+    assert(rows("src0")._3 < 0.20, s"src0 rel_err too high: ${rows("src0")}")
+    assert(rows("src1")._3 < 0.30, s"src1 rel_err too high: ${rows("src1")}")
+  }
+
+  test("hllDistinctGrams: estimate is partitioning-invariant (mergeable registers)") {
+    val d = Seq.tabulate(40) { i =>
+      (i.toLong, s"s${i % 2}", (0 until 20).map(j => s"t${(i * 31 + j * 7) % 211}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.hllDistinctGrams(df, n = 3).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val a = run(d.repartition(1))
+    val b = run(d.repartition(13, col("doc_id")))
+    assert(a == b, s"estimate depends on partitioning:\n$a\n$b")
+    assert(a.forall(_._3 > 0.0))
+  }
 }
