@@ -463,6 +463,13 @@ object LlmQueries {
         VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
           numPlanes = 8, dims = 64, k = 5))),
 
+    // PageRank over the symmetrized LSH kNN graph: integer-exact
+    // power iteration (3 rounds, damping 0.85, ranks in 1e-12 units)
+    "q_knn_pagerank" -> ((s, dir) =>
+      VectorOps.knnPageRank(
+        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+          numPlanes = 8, dims = 64, k = 5), iters = 3)),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
@@ -698,6 +705,16 @@ object LlmQueries {
     // quartile (per-stratum exact percentile, broadcast cutoff table)
     "q_len_percentile_cut" -> ((s, dir) =>
       CorpusOps.lengthPercentileCut(docs(s, dir), p = 0.25)),
+
+    // MinHash estimator error: slot-agreement Jaccard estimate vs the
+    // exact token-set Jaccard on every LSH candidate pair
+    "q_minhash_est" -> ((s, dir) =>
+      TextOps.minhashJaccardEst(docs(s, dir).filter(col("doc_id") < PairLimit),
+        numHashes = 64, bands = 16)),
+
+    // count-min sketch token frequencies: top-50 exact counts vs the
+    // 4x512 sketch estimate; overest >= 0 always (CMS only over-counts)
+    "q_cms_freq" -> ((s, dir) => TextOps.cmsTokenFreq(docs(s, dir), d = 4, w = 512, topK = 50)),
 
     // HLL distinct-shingle estimate per source, reported WITH the
     // exact count and measured relative error (integer-exact register
@@ -2022,6 +2039,51 @@ object LlmQueries {
          |), deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY 1)
          |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // kNN PageRank: same LSH ann CTE; 3 unrolled integer power
+    // iterations (BIGINT // division, order-free sums) -> rank_units
+    // is bit-exact, no float-summation wobble to tolerate
+    "q_knn_pagerank" ->
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS src, cand_id AS dst FROM ann
+         |  UNION
+         |  SELECT cand_id AS src, query_id AS dst FROM ann
+         |), nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |outdeg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+         |p AS (
+         |  SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS base,
+         |         15 * (CAST(1000000000000 AS BIGINT) // COUNT(*)) // 100 AS tele
+         |  FROM nodes
+         |),
+         |r0 AS (SELECT node, (SELECT base FROM p) AS r FROM nodes),
+         |s1 AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+         |  FROM sym e JOIN r0 r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+         |  GROUP BY 1
+         |), r1 AS (
+         |  SELECT n.node, (SELECT tele FROM p) + 85 * COALESCE(s.s, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN s1 s ON s.node = n.node
+         |),
+         |s2 AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+         |  FROM sym e JOIN r1 r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+         |  GROUP BY 1
+         |), r2 AS (
+         |  SELECT n.node, (SELECT tele FROM p) + 85 * COALESCE(s.s, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN s2 s ON s.node = n.node
+         |),
+         |s3 AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+         |  FROM sym e JOIN r2 r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+         |  GROUP BY 1
+         |), r3 AS (
+         |  SELECT n.node, (SELECT tele FROM p) + 85 * COALESCE(s.s, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN s3 s ON s.node = n.node
+         |)
+         |SELECT r3.node, d.deg AS degree, r3.r AS rank_units,
+         |       ROUND(r3.r / 1.0e12, 9) AS pr
+         |FROM r3 JOIN outdeg d ON d.src = r3.node ORDER BY 1""".stripMargin,
+
     // IVF-PQ recall: the PQ encode CTEs + prefixed IVF probe CTEs;
     // ADC restricted to probed-list candidates, brute L2 ground truth
     "q_ivfpq_recall" ->
@@ -2350,6 +2412,55 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // MinHash estimator error: same signature/candidate CTEs as the
+    // LSH oracle; n_eq joins the mh rows pairwise on k; exact side is
+    // the candidates-only intersection join (LEFT + COALESCE so a
+    // no-common-token candidate still reports est vs 0)
+    "q_minhash_est" ->
+      s"""WITH ${sqlMinhashCtes(64, 16)},
+         |neq AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(SUM(CASE WHEN ma.mn = mb.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+         |  FROM cand c
+         |  JOIN mh ma ON ma.id = c.id_a
+         |  JOIN mh mb ON mb.id = c.id_b AND mb.k = ma.k
+         |  GROUP BY 1, 2
+         |)
+         |SELECT n.id_a, n.id_b, n.n_eq,
+         |       ROUND(n.n_eq / 64.0e0, 6) AS est_j,
+         |       ROUND(COALESCE(i.c, 0) * 1.0e0 / (sa.sz + sb.sz - COALESCE(i.c, 0)), 6) AS exact_j,
+         |       ROUND(abs(n.n_eq / 64.0e0
+         |                 - COALESCE(i.c, 0) * 1.0e0 / (sa.sz + sb.sz - COALESCE(i.c, 0))), 6) AS abs_err
+         |FROM neq n
+         |LEFT JOIN inter i ON i.id_a = n.id_a AND i.id_b = n.id_b
+         |JOIN sizes sa ON sa.id = n.id_a
+         |JOIN sizes sb ON sb.id = n.id_b
+         |ORDER BY 1, 2""".stripMargin,
+
+    // CMS cells: one 60-bit md5 per distinct token, row j's bucket =
+    // 9-bit window j; cell sums and the min-over-rows probe are all
+    // integer -> bit-exact
+    "q_cms_freq" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT w, COUNT(*) AS cnt FROM tk GROUP BY 1
+        |), hashed AS (
+        |  SELECT w, cnt, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  FROM counts
+        |), cells AS (
+        |  SELECT j, (h >> (j * 9)) & 511 AS idx, CAST(SUM(cnt) AS BIGINT) AS cell
+        |  FROM hashed CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2
+        |), top AS (
+        |  SELECT w, cnt, h FROM hashed ORDER BY cnt DESC, w ASC LIMIT 50
+        |)
+        |SELECT t.w AS token, t.cnt AS exact_cnt, MIN(c.cell) AS cms_est,
+        |       MIN(c.cell) - t.cnt AS overest
+        |FROM top t CROSS JOIN range(0, 4) r(j)
+        |JOIN cells c ON c.j = r.j AND c.idx = (t.h >> (r.j * 9)) & 511
+        |GROUP BY 1, 2 ORDER BY 2 DESC, 1""".stripMargin,
 
     // HLL registers: same 60-bit md5 hash as the engine; idx = low 8
     // bits, rho = 53 - bitlength of the 52-bit window (bin() prints

@@ -576,10 +576,11 @@ object TextOps {
     * increment probing an existing corpus index in
     * [[incrementalLshPairs]]).
     */
-  private[graft] def minhashBandBuckets(
-      tok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+  /** (id, sig) MinHash signature rows over a [[tokenTable]] — the
+    * shared kernel of the banding route and the estimator-error
+    * report.
+    */
+  private[graft] def minhashSignatures(tok: DataFrame, numHashes: Int): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
     val aCoef = new Array[Long](numHashes)
@@ -588,7 +589,7 @@ object TextOps {
       .foreach { case ((a, b), k) => aCoef(k) = a; bCoef(k) = b }
     // signature kernel over a primitive Array[Long] of the doc's
     // distinct token hashes — tight while-loops, no per-element boxing
-    val sigs = tok.select(col("id"), tokenHash(col("w")).as("h"))
+    tok.select(col("id"), tokenHash(col("w")).as("h"))
       .groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
       .as[(Long, Array[Long])]
       .map { case (id, hs) =>
@@ -608,6 +609,13 @@ object TextOps {
         }
         (id, sig)
       }.toDF("id", "sig")
+  }
+
+  private[graft] def minhashBandBuckets(
+      tok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(tok, numHashes)
     sigs.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", concat(lit("b"), b.cast("string")),
@@ -1428,6 +1436,109 @@ object TextOps {
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
+  }
+
+  /** MinHash Jaccard ESTIMATOR error, measured: for every LSH
+    * candidate pair, the signature-agreement estimate
+    * `|{k : sig_a[k] = sig_b[k]}| / numHashes` (Broder 1997, "On the
+    * resemblance and containment of documents" — slot-agreement
+    * probability equals the Jaccard resemblance) next to the exact
+    * token-set Jaccard, plus the absolute error. The dedup queries
+    * USE the estimator; this query reports how good it actually is —
+    * the same sold-with-its-accuracy contract as the ANN recall and
+    * sketch queries.
+    *
+    * Cost shape at scale: signatures and candidates both come from the
+    * ONE distinct (id, token) table (shared shuffle subtree, reused
+    * exchange); the exact-Jaccard verification joins only the LSH
+    * CANDIDATES back to their token sets — cost scales with candidate
+    * count, never corpus^2.
+    *
+    * Returns (id_a, id_b, n_eq, est_j, exact_j, abs_err).
+    */
+  def minhashJaccardEst(
+      docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = tokenTable(docs, idCol, textCol)
+    val sigs = minhashSignatures(tok, numHashes)
+    val cand = minhashLshCandidatesFromTok(tok, numHashes, bands)
+    val nEq = cand
+      .join(sigs.as("sa"), col("id_a") === col("sa.id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sa.sig"), col("sb.sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_eq"))
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(tok.as("ta"), col("id_a") === col("ta.id"))
+      .join(tok.as("tb"), col("id_b") === col("tb.id") && col("ta.w") === col("tb.w"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    val est = col("n_eq") / lit(numHashes.toDouble)
+    nEq.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("c"))
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .select(col("id_a"), col("id_b"), col("n_eq"),
+        round(est, 6).as("est_j"),
+        round(col("c") * lit(1.0) / (col("za.sz") + col("zb.sz") - col("c")), 6).as("exact_j"),
+        round(abs(est - col("c") * lit(1.0) / (col("za.sz") + col("zb.sz") - col("c"))), 6)
+          .as("abs_err"))
+  }
+
+  /** Count-min sketch over corpus token frequencies (Cormode &
+    * Muthukrishnan 2005, "An improved data stream summary: the
+    * count-min sketch and its applications", J. Algorithms), reported
+    * against the exact counts of the `topK` most frequent tokens so
+    * the sketch ships with its measured overestimate — the same
+    * accuracy-first contract as the HLL and ANN-recall queries.
+    *
+    * Scale shape: the token scan partial-aggregates map-side into
+    * (token, cnt) — one shuffle keyed by token, the same shuffle an
+    * exact word count needs — and the d×w sketch is then a SECOND
+    * tiny aggregation over at most d × distinct-tokens rows into
+    * d × w cells. The sketch (2 048 cells here) is mergeable across
+    * corpus slices by cell-wise SUM, and the top-K probe joins
+    * against it broadcast — nothing in the probe path scales with
+    * corpus size. CMS guarantees est >= exact always (only hash
+    * collisions ADD), and est <= exact + eps*N with prob 1-delta for
+    * w = ceil(e/eps), d = ceil(ln 1/delta).
+    *
+    * Determinism: ONE md5 per distinct token (60-bit prefix), row j's
+    * bucket = bits [9j, 9j+9) of that hash (w = 512 = 2^9, d <= 6 fits
+    * 54 bits) — disjoint bit windows of one strong hash rather than d
+    * separate hashes, so the oracle reproduces every cell integer-
+    * exactly with the same single-md5 recipe.
+    *
+    * Returns the topK rows (token, exact_cnt, cms_est, overest),
+    * overest = cms_est - exact_cnt >= 0.
+    */
+  def cmsTokenFreq(
+      docs: DataFrame, d: Int = 4, w: Int = 512, topK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(w == 512, "bucket derivation is specialized to w = 512 (9-bit windows)")
+    require(d >= 1 && d <= 6, s"d must be in [1,6] to fit 9-bit windows in 54 bits, got $d")
+    val counts = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val hashed = counts.select(col("w"), col("cnt"), h.as("h"))
+    // sketch cells: for each row j, bucket = 9-bit window j of h
+    // d is tiny and static -> unroll the row structs at plan-build
+    // time (the Scala shift wrappers want literal shift amounts)
+    def rowStructs = array((0 until d).map { j =>
+      struct(lit(j).as("j"),
+        shiftrightunsigned(col("h"), j * 9).bitwiseAND(lit(511L)).cast("int").as("idx"))
+    }: _*)
+    val cells = hashed.select(col("cnt"), explode(rowStructs).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.idx").as("idx"))
+      .agg(sum(col("cnt")).as("cell"))
+    val top = hashed
+      .orderBy(col("cnt").desc, col("w").asc).limit(topK)
+      .select(col("w"), col("cnt"), explode(rowStructs).as("p"))
+      .select(col("w"), col("cnt"), col("p.j").as("j"), col("p.idx").as("idx"))
+    top.join(broadcast(cells), Seq("j", "idx"))
+      .groupBy(col("w").as("token"), col("cnt").as("exact_cnt"))
+      .agg(min(col("cell")).as("cms_est"))
+      .withColumn("overest", col("cms_est") - col("exact_cnt"))
   }
 
   /** HyperLogLog distinct-shingle estimate per source (Flajolet et al.

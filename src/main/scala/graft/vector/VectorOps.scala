@@ -767,4 +767,56 @@ object VectorOps {
     recallAgainstBrute(
       bruteForceTopK(deq, deq, k, idCol, vecCol), embeddings, k, idCol, vecCol)
   }
+
+  /** PageRank over the symmetrized kNN graph (Page et al. 1999, "The
+    * PageRank citation ranking") — centrality over the semantic
+    * neighbor graph surfaces hub documents (dense near-dup regions,
+    * boilerplate attractors) that degree alone under-ranks. Damping
+    * 0.85, `iters` fixed power-iteration rounds.
+    *
+    * Each round is ONE join (ranks onto edge sources) + ONE shuffle
+    * aggregation (contribution sum by destination) — the canonical
+    * Pregel-as-join shape; nothing iterates on the driver, and the
+    * per-round shuffle is keyed by node id exactly like a groupBy.
+    * Nodes appear iff they touch an edge (symmetric edges mean every
+    * node has in- AND out-degree >= 1, so no dangling mass); vectors
+    * the LSH gave no candidate pair at all are not ranked.
+    *
+    * INTEGER arithmetic throughout: ranks live in units of 1e-12
+    * (SCALE = 10^12), contributions and the damping update use
+    * integral DIV, so every sum is order-free and the result is
+    * bit-identical across partitionings and engines — no
+    * float-summation-order wobble, the same determinism contract as
+    * the HLL register sum. Mass leaks a few units per DIV (floor), so
+    * ranks sum to slightly UNDER 10^12 — deterministic, documented.
+    *
+    * Returns (node, degree, rank_units, pr) — rank_units the exact
+    * BIGINT, pr = rank_units/1e12 rounded to 9 for readability.
+    */
+  def knnPageRank(ann: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val edges = ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+      .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+      .distinct()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // scalar aggregate (node count), not a row collect
+    require(n > 0, "empty graph: ANN produced no candidate pairs")
+    val Scale = 1000000000000L
+    val base = Scale / n
+    val tele = 15L * base / 100L
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = nodes.select(col("node"), lit(base).as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = rank.join(outdeg, rank("node") === outdeg("src"))
+        .select(col("node").as("csrc"), expr("r DIV deg").as("contrib"))
+      val inSum = edges.join(contrib, edges("src") === col("csrc"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      rank = nodes.join(inSum, nodes("node") === inSum("dst"), "left")
+        .select(col("node"),
+          (lit(tele) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
+    }
+    rank.join(outdeg, rank("node") === outdeg("src"))
+      .select(col("node"), col("deg").as("degree"), col("r").as("rank_units"),
+        round(col("r") / lit(1.0e12), 9).as("pr"))
+  }
 }

@@ -1018,6 +1018,79 @@ class TextVectorSpec extends AnyFunSuite {
     assert(d3.getString(1) == "de" && d3.getLong(2) == 0L)
   }
 
+  test("cmsTokenFreq: exact top counts, est >= exact always, tie-break and limit honored") {
+    val d = Seq(
+      (0L, "alpha alpha alpha beta beta gamma"),
+      (1L, "alpha beta delta delta"),
+      (2L, "epsilon zeta")).toDF("doc_id", "text")
+    val out = TextOps.cmsTokenFreq(d, d = 4, w = 512, topK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact counts: alpha 4, beta 3, delta 2, then gamma/epsilon/zeta 1
+    // (limit 4 cuts at delta; ties below never enter)
+    val m = out.map(t => t._1 -> t._2).toMap
+    assert(m == Map("alpha" -> 4L, "beta" -> 3L, "delta" -> 2L, "epsilon" -> 1L),
+      s"top-4 wrong: ${out.toSeq}")
+    assert(out.forall(t => t._3 >= t._2 && t._4 == t._3 - t._2), s"CMS under-counted: ${out.toSeq}")
+  }
+
+  test("cmsTokenFreq: single-row sketch over a wide vocabulary must show collisions (overest > 0)") {
+    // 2000 distinct tokens into 512 buckets with d = 1: the probed
+    // bucket almost surely holds other tokens, so SOME top token
+    // over-estimates; with d = 4 the same corpus should overestimate
+    // strictly less in total (more rows to take the min over)
+    val docs = Seq.tabulate(100) { i =>
+      (i.toLong, (0 until 40).map(j => s"tok${(i * 40 + j) % 2000}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def total(dd: Int) = TextOps.cmsTokenFreq(docs, d = dd, w = 512, topK = 50)
+      .agg(sum(col("overest"))).collect()(0).getLong(0)
+    val o1 = total(1); val o4 = total(4)
+    assert(o1 > 0L, "d=1 over 2000 tokens should collide somewhere in the top 50")
+    assert(o4 <= o1, s"more sketch rows must not increase overestimate: d4=$o4 d1=$o1")
+  }
+
+  test("knnPageRank: matches an in-test integer power iteration exactly; hub outranks leaves") {
+    // star 0-{1,2,3} plus a 4-5 pair: hub 0 must outrank the leaves,
+    // and every rank_units must equal the reference integer recursion
+    val ann = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L)).toDF("query_id", "cand_id")
+    val out = VectorOps.knnPageRank(ann, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // reference: same symmetric edges, same integer ops
+    val edges = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 4L -> 5L).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = 1000000000000L / nodes.size
+    val tele = 15L * base / 100L
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 0 until 3) {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(n => n -> (tele + 85L * s.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(out.keySet == nodes.toSet)
+    for (n <- nodes) {
+      assert(out(n)._1 == deg(n), s"degree($n)")
+      assert(out(n)._2 == r(n), s"rank_units($n): got ${out(n)._2}, want ${r(n)}")
+    }
+    assert(out(0L)._2 > out(1L)._2, "hub must outrank leaf")
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2, "symmetric leaves must tie")
+  }
+
+  test("minhashJaccardEst: exact dups estimate 1.0, error bounded, est consistent with n_eq") {
+    val out = TextOps.minhashJaccardEst(docsDf, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.contains((0L, 1L)), s"exact dup pair missing from candidates: ${out.keySet}")
+    val (nEq01, est01, exact01, err01) = out((0L, 1L))
+    assert(nEq01 == 64L && est01 == 1.0 && exact01 == 1.0 && err01 == 0.0)
+    for (((a, b), (nEq, est, exact, err)) <- out) {
+      assert(nEq >= 0L && nEq <= 64L)
+      assert(est == math.rint(nEq / 64.0 * 1e6) / 1e6, s"est_j not n_eq/64 for ($a,$b)")
+      // 64-hash estimator: sd <= 1/(2*sqrt(64)) = 0.0625; 5 sigma guard
+      assert(err <= 0.35, s"estimator error implausibly large for ($a,$b): est=$est exact=$exact")
+    }
+  }
+
   test("hllDistinctGrams: exact counts right, error within sketch bound, short docs drop out") {
     // src0: 400 distinct trigrams from a rolling token stream; src1:
     // small (12 grams -> linear-counting range); src2: only a too-short
