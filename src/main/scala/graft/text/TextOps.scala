@@ -1570,22 +1570,55 @@ object TextOps {
   def hllDistinctGrams(
       docs: DataFrame, n: Int = 3,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
-    require(n >= 1, s"shingle size must be >= 1, got $n")
     val m = 256 // p = 8 registers; rse ~ 1.04/sqrt(m) ~ 6.5%
     val ws = tokens(col(textCol))
     val shingles = when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
     val g = docs.select(col(srcCol).as("source"), explode(shingles).as("g"))
+    val regs = hllShingleRegisters(docs, n, srcCol, textCol)
+    val per = hllEstimate(regs)
+    val exact = g.groupBy(col("source")).agg(countDistinct(col("g")).as("exact_grams"))
+    per.join(exact, "source")
+      .select(col("source"), col("exact_grams"),
+        round(col("est"), 4).as("hll_est"),
+        round(abs(col("est") - col("exact_grams")) / col("exact_grams"), 4).as("rel_err"))
+  }
+
+  /** The register table of [[hllDistinctGrams]] — (source, idx, m_reg)
+    * rows, at most sources × 256 of them. Split out because `max` is a
+    * streaming-legal aggregation: the SAME expression tree runs over a
+    * `readStream` source in complete mode, which is the incremental-
+    * ingestion shape of the sketch (registers today = registers
+    * yesterday merged with today's increment, no recount). Finalize
+    * with [[hllEstimate]].
+    */
+  def hllShingleRegisters(
+      docs: DataFrame, n: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val ws = tokens(col(textCol))
+    val shingles = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val g = docs.select(col(srcCol).as("source"), explode(shingles).as("g"))
     val h = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-    val regs = g.select(col("source"),
+    g.select(col("source"),
         h.bitwiseAND(lit(255L)).cast("int").as("idx"),
         shiftrightunsigned(h, 8).as("wv"))
       .withColumn("rho",
         when(col("wv") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("wv")))))
       .groupBy(col("source"), col("idx"))
       .agg(max(col("rho")).as("m_reg"))
-    val per = regs.groupBy(col("source"))
+  }
+
+  /** Finalize an HLL register table into (source, est) — the harmonic
+    * mean in integer space plus the small-range linear-counting
+    * correction, exactly as documented on [[hllDistinctGrams]].
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 256
+    regs.groupBy(col("source"))
       .agg(count(lit(1)).as("m_present"),
         // integer-exact Σ 2^(53 - M_j) over the PRESENT registers
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_reg AS INT))")).as("s_present"))
@@ -1601,10 +1634,6 @@ object TextOps {
         when(col("v_zero") > 0 && col("e_raw") <= lit(640.0),
           lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
           .otherwise(col("e_raw")))
-    val exact = g.groupBy(col("source")).agg(countDistinct(col("g")).as("exact_grams"))
-    per.join(exact, "source")
-      .select(col("source"), col("exact_grams"),
-        round(col("est"), 4).as("hll_est"),
-        round(abs(col("est") - col("exact_grams")) / col("exact_grams"), 4).as("rel_err"))
+      .select(col("source"), col("est"))
   }
 }

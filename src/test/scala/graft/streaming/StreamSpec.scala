@@ -449,4 +449,36 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("HLL registers stream as a complete-mode max aggregation; finalize equals batch estimate") {
+    // the register table IS a streaming-legal groupBy+max — the
+    // incremental-ingestion shape of the cardinality sketch: streamed
+    // registers merged across micro-batches must finalize to the SAME
+    // estimate as one batch pass (mergeability is the whole point)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-hll-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).filter(col("doc_id") < 150)
+    // two parquet files -> at least two input splits for the stream
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1) // force multi-batch register merging
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.hllShingleRegisters(src, n = 3)
+      .writeStream.format("memory").queryName("hll_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def est(regs: org.apache.spark.sql.DataFrame) =
+      graft.text.TextOps.hllEstimate(regs).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    val streamed = est(spark.table("hll_stream"))
+    val batch = est(graft.text.TextOps.hllShingleRegisters(docs, n = 3))
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed registers diverge from batch:\n$streamed\n$batch")
+  }
 }
