@@ -721,6 +721,12 @@ object LlmQueries {
     // sum -> bit-identical estimate across engines)
     "q_hll_distinct_grams" -> ((s, dir) => TextOps.hllDistinctGrams(docs(s, dir), n = 3)),
 
+    // ordered funnel view -> click -> purchase, each step within 24h
+    // of the previous, earliest-completion semantics, integer nanos
+    "q_events_funnel" -> ((s, dir) =>
+      graft.events.EventOps.funnel(s.read.parquet(s"$dir/events.parquet"),
+        steps = Seq("view", "click", "purchase"), within = 86400000000000L)),
+
     "q_events_window" -> ((s, dir) => {
       // events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
       // (spark.sql.legacy.parquet.nanosAsLong in the session), convert
@@ -2504,6 +2510,33 @@ object LlmQueries {
         |SELECT ex.source, ex.exact_grams, ROUND(fin.est, 4) AS hll_est,
         |       ROUND(abs(fin.est - exact_grams) / exact_grams, 4) AS rel_err
         |FROM fin JOIN ex USING (source) ORDER BY 1""".stripMargin,
+
+    // funnel: per-step min-qualifying-time recursion unrolled; all
+    // comparisons in integer epoch nanos (epoch_ns == the engine's
+    // nanosAsLong read), one final double division
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts FROM events
+        |), s0 AS (
+        |  SELECT u, MIN(ts) AS tp FROM ev WHERE t = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.u, MIN(e.ts) AS tp FROM ev e JOIN s0 p ON p.u = e.u
+        |  WHERE e.t = 'click' AND e.ts > p.tp AND e.ts - p.tp <= 86400000000000
+        |  GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.u, MIN(e.ts) AS tp FROM ev e JOIN s1 p ON p.u = e.u
+        |  WHERE e.t = 'purchase' AND e.ts > p.tp AND e.ts - p.tp <= 86400000000000
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT 0 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s0) AS n_users
+        |  UNION ALL
+        |  SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+        |  UNION ALL
+        |  SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+        |)
+        |SELECT step_idx, step, n_users,
+        |       ROUND(n_users * 1.0e0 / (SELECT n_users FROM c WHERE step_idx = 0), 6) AS conv
+        |FROM c ORDER BY 1""".stripMargin,
 
     "q_events_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

@@ -205,4 +205,57 @@ object EventOps {
       .groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Ordered funnel: how many users complete step 1, then step 2
+    * strictly after it within `within` ticks of it, then step 3
+    * relative to step 2, and so on — EARLIEST-completion semantics
+    * (each step binds to the MIN qualifying timestamp given the
+    * previous step's bound time), the standard greedy funnel of the
+    * product-analytics engines.
+    *
+    * Plan shape: one pass per step over ONLY that step's events —
+    * `filter(type = step)` prunes at the scan — joined to the previous
+    * step's one-row-per-user table on the user key and re-minimized.
+    * Every intermediate is at most one row per user, every comparison
+    * is integer tick arithmetic (no calendar math, no floats until the
+    * final conversion ratio), so results are bit-stable under any
+    * partitioning. At 100 TB this is k hash-joins on user_id over
+    * step-pruned scans — the funnel never materializes per-user event
+    * arrays the way collect_list approaches do, so a power user with
+    * millions of events costs the same as anyone else past the scan.
+    *
+    * Returns (step_idx, step, n_users, conv) — conv is the fraction of
+    * step-1 completers still present, rounded to 6.
+    */
+  def funnel(
+      events: DataFrame, steps: Seq[String], within: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(within > 0, s"within must be positive, got $within")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).cast("long").as("ts"))
+    var cur = ev.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("ts")).as("tprev"))
+    var acc = cur.select(lit(0).as("step_idx"), col("u"))
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      cur = ev.filter(col("t") === s).as("e")
+        .join(cur.as("p"), col("e.u") === col("p.u"))
+        .filter(col("e.ts") > col("tprev") && col("e.ts") - col("tprev") <= within)
+        .groupBy(col("e.u").as("u")).agg(min(col("e.ts")).as("tprev"))
+      acc = acc.unionByName(cur.select(lit(i + 1).as("step_idx"), col("u")))
+    }
+    val perStep = acc.groupBy(col("step_idx")).agg(count(lit(1)).as("n_users"))
+    val names = events.sparkSession.createDataFrame(
+      steps.zipWithIndex.map { case (s, i) => (i, s) }).toDF("step_idx", "step")
+    val first = perStep.filter(col("step_idx") === 0)
+      .select(col("n_users").as("n_first"))
+    // LEFT from the step list so a step nobody reached reports 0, not
+    // a silently missing row
+    broadcast(names).join(perStep, Seq("step_idx"), "left")
+      .na.fill(0L, Seq("n_users"))
+      .crossJoin(broadcast(first))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users") * lit(1.0) / col("n_first"), 6).as("conv"))
+  }
 }

@@ -192,4 +192,32 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(0L) == 17.5 && out(1L) == 25.0)
     assert(math.abs(out(2L) - 37.0) < 1e-9)
   }
+
+  test("funnel: earliest-completion binding, strict ordering, window cutoffs, zero-reached step") {
+    // user 1: view@10 click@20 purchase@25          -> completes all
+    // user 2: view@10 click@200 (outside within=50) -> stops at view
+    // user 3: click@5 view@10 (click BEFORE view)   -> stops at view
+    // user 4: view@10 click@15 purchase@15          -> purchase NOT > click, stops at click
+    // user 5: no view at all                        -> never enters
+    // EARLIEST binding: user 6 view@10 click@11 click@100 purchase@90
+    //   -> click binds at 11, purchase@90 within 50 of 11? 90-11=79 > 50 -> stops at click.
+    //   (latest-binding would have passed; pins the greedy semantics)
+    val e = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 25L),
+      (2L, "view", 10L), (2L, "click", 200L),
+      (3L, "click", 5L), (3L, "view", 10L),
+      (4L, "view", 10L), (4L, "click", 15L), (4L, "purchase", 15L),
+      (5L, "click", 10L), (5L, "purchase", 20L),
+      (6L, "view", 10L), (6L, "click", 11L), (6L, "click", 100L), (6L, "purchase", 90L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventOps.funnel(e, Seq("view", "click", "purchase"), within = 50L)
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0) == (("view", 5L, 1.0)))
+    assert(out(1) == (("click", 3L, 0.6)))      // users 1, 4, 6
+    assert(out(2) == (("purchase", 1L, 0.2)))   // user 1 only
+    // a step NOBODY reaches still reports a 0 row
+    val out2 = EventOps.funnel(e, Seq("view", "purchase", "signup"), within = 50L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out2(2) == 0L, s"unreached step must report 0: $out2")
+  }
 }
