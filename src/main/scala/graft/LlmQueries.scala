@@ -706,6 +706,10 @@ object LlmQueries {
     "q_len_percentile_cut" -> ((s, dir) =>
       CorpusOps.lengthPercentileCut(docs(s, dir), p = 0.25)),
 
+    // cross-source trigram overlap matrix: intersection, Jaccard,
+    // containment for every unordered source pair (mirror detector)
+    "q_source_overlap" -> ((s, dir) => TextOps.sourceOverlapMatrix(docs(s, dir), n = 3)),
+
     // MinHash estimator error: slot-agreement Jaccard estimate vs the
     // exact token-set Jaccard on every LSH candidate pair
     "q_minhash_est" -> ((s, dir) =>
@@ -2418,6 +2422,33 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // source overlap: distinct (source, gram-hash) table, hash-keyed
+    // self-join for intersections, full grid LEFT so zero-overlap
+    // pairs report 0
+    "q_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source,
+        |         CAST(concat('0x', substr(md5(array_to_string(toks[k:k+2], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+        |  WHERE len(toks) >= 3
+        |), sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT za.source AS src_a, zb.source AS src_b,
+        |       COALESCE(c.n_common, 0) AS n_common,
+        |       ROUND(COALESCE(c.n_common, 0) * 1.0e0
+        |             / (za.sz + zb.sz - COALESCE(c.n_common, 0)), 6) AS jaccard,
+        |       ROUND(COALESCE(c.n_common, 0) * 1.0e0 / LEAST(za.sz, zb.sz), 6) AS containment
+        |FROM sizes za JOIN sizes zb ON za.source < zb.source
+        |LEFT JOIN common c ON c.src_a = za.source AND c.src_b = zb.source
+        |ORDER BY 1, 2""".stripMargin,
 
     // MinHash estimator error: same signature/candidate CTEs as the
     // LSH oracle; n_eq joins the mh rows pairwise on k; exact side is

@@ -1438,6 +1438,52 @@ object TextOps {
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
   }
 
+  /** Cross-source n-gram overlap matrix: for every unordered source
+    * pair, the distinct-shingle intersection size, Jaccard, and
+    * containment (|A∩B| / min(|A|,|B|)) — the corpus-composition
+    * diagnostic that tells you two "different" sources are actually
+    * mirrors (high containment) before you weight them independently
+    * in a mixing plan.
+    *
+    * Scale shape: the (source, gram-hash) DISTINCT table
+    * partial-aggregates map-side; the self-join is keyed on the HASH
+    * (not the source), so it shuffles each distinct gram once and its
+    * output is bounded by the cross-source duplicate mass, never
+    * |corpus|². The final matrix is |sources|² rows, assembled LEFT
+    * from the size table's cross product so zero-overlap pairs report
+    * 0 explicitly rather than vanishing.
+    *
+    * Returns (src_a, src_b, n_common, jaccard, containment), src_a <
+    * src_b.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame, n: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val ws = tokens(col(textCol))
+    val shingles = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val sh = docs.select(col(srcCol).as("source"), explode(shingles).as("g"))
+      .select(col("source"), tokenHash(col("g")).as("h")).distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val grid = sizes.as("za").crossJoin(sizes.as("zb"))
+      .filter(col("za.source") < col("zb.source"))
+      .select(col("za.source").as("src_a"), col("zb.source").as("src_b"),
+        col("za.sz").as("sz_a"), col("zb.sz").as("sz_b"))
+    grid.join(common, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common") * lit(1.0) / (col("sz_a") + col("sz_b") - col("n_common")), 6)
+          .as("jaccard"),
+        round(col("n_common") * lit(1.0) / least(col("sz_a"), col("sz_b")), 6)
+          .as("containment"))
+  }
+
   /** MinHash Jaccard ESTIMATOR error, measured: for every LSH
     * candidate pair, the signature-agreement estimate
     * `|{k : sig_a[k] = sig_b[k]}| / numHashes` (Broder 1997, "On the

@@ -1048,6 +1048,22 @@ class TextVectorSpec extends AnyFunSuite {
     assert(o4 <= o1, s"more sketch rows must not increase overestimate: d4=$o4 d1=$o1")
   }
 
+  test("sourceOverlapMatrix: hand-computed intersections, zero pairs present, gramless source absent") {
+    val d = Seq(
+      (0L, "sa", "a b c d"),   // grams: "a b c", "b c d"
+      (1L, "sb", "a b c x"),   // grams: "a b c", "b c x"
+      (2L, "sc", "p q r"),     // gram:  "p q r"
+      (3L, "sd", "x y")        // no trigram -> source absent entirely
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceOverlapMatrix(d, n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(("sa", "sb"), ("sa", "sc"), ("sb", "sc")), s"grid wrong: ${out.keySet}")
+    assert(out(("sa", "sb")) == ((1L, math.rint(1.0 / 3 * 1e6) / 1e6, 0.5)))
+    assert(out(("sa", "sc")) == ((0L, 0.0, 0.0)))
+    assert(out(("sb", "sc")) == ((0L, 0.0, 0.0)))
+  }
+
   test("knnPageRank: matches an in-test integer power iteration exactly; hub outranks leaves") {
     // star 0-{1,2,3} plus a 4-5 pair: hub 0 must outrank the leaves,
     // and every rank_units must equal the reference integer recursion
