@@ -344,4 +344,49 @@ class PlanSpec extends AnyFunSuite {
     assert(new graft.functions.GraftExtensions().isInstanceOf[
       org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
+
+  test("CMS probe joins the 2048-cell sketch broadcast; token count partial-aggregates") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.cmsTokenFreq(docs, d = 4, w = 512, topK = 50)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n${p.take(2000)}")
+    // top-K is TakeOrdered (per-partition heaps), not a global Sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-K not TakeOrdered:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n${p.take(2000)}")
+  }
+
+  test("funnel: every step join is a hash equi-join on the user key, no cartesian on data") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.events.EventOps.funnel(
+      ev, Seq("view", "click", "purchase"), within = 86400000000000L)
+    df.collect()
+    val p = plan(df)
+    // the only BNL/cartesian allowed is the final 1-row conversion
+    // scalar; the per-step joins must be equi-joins
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"no equi-join found:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian on data:\n${p.take(2000)}")
+  }
+
+  test("source overlap: intersection is an equi-join on the gram hash, grid side broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.sourceOverlapMatrix(docs, n = 3)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian on data:\n${p.take(2000)}")
+    // the |sources|^2 grid is the broadcast side of its joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"grid not broadcast:\n${p.take(2000)}")
+  }
+
+  test("kNN PageRank iterations stay equi-joins; rank exchange is keyed by node") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 64)
+    val ann = VectorOps.annTopK(e, numPlanes = 8, dims = 64, k = 5)
+    val df = VectorOps.knnPageRank(ann, iters = 3)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in pagerank:\n${p.take(2000)}")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty)
+  }
 }
