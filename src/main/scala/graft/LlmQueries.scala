@@ -710,6 +710,21 @@ object LlmQueries {
     // containment for every unordered source pair (mirror detector)
     "q_source_overlap" -> ((s, dir) => TextOps.sourceOverlapMatrix(docs(s, dir), n = 3)),
 
+    // leakage-safe split over the shared dup clustering: split keyed
+    // by CLUSTER hash so near-dup families never straddle train/test;
+    // per-split doc and cluster counts
+    "q_leakage_split" -> ((s, dir) =>
+      TextOps.leakageSafeSplit(
+        clusterMemo.getOrElse(dir, clustersFresh(s, dir)),
+        testPct = 10, valPct = 10, salt = "split1")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))),
+
+    // corpus novelty curve: distinct trigrams per arrival batch of 50
+    // docs, split into first-seen-here vs carried-over
+    "q_novelty_curve" -> ((s, dir) => TextOps.noveltyCurve(docs(s, dir), n = 3, bucketSize = 50L)),
+
     // MinHash estimator error: slot-agreement Jaccard estimate vs the
     // exact token-set Jaccard on every LSH candidate pair
     "q_minhash_est" -> ((s, dir) =>
@@ -2422,6 +2437,43 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // leakage-safe split: same clusters CTE as q_dedup_clusters; the
+    // split is the salted md5 of the cluster id mod 100
+    "q_leakage_split" ->
+      s"""$sqlClustersCte,
+         |assign AS (
+         |  SELECT doc_id, cluster_id,
+         |         CAST(concat('0x', substr(md5('split1:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM clusters
+         |), sp AS (
+         |  SELECT doc_id, cluster_id,
+         |         CASE WHEN bucket < 10 THEN 'test'
+         |              WHEN bucket < 20 THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM assign
+         |)
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // novelty curve: distinct (batch, gram-hash), min-batch first
+    // occurrence, per-batch new-vs-carried rollup — all integer until
+    // the final fraction
+    "q_novelty_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id // 50 AS bucket,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT bucket,
+        |         CAST(concat('0x', substr(md5(array_to_string(toks[k:k+2], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+        |  WHERE len(toks) >= 3
+        |), f AS (SELECT h, MIN(bucket) AS first_b FROM sh GROUP BY 1)
+        |SELECT sh.bucket, COUNT(*) AS n_grams,
+        |       CAST(SUM(CASE WHEN f.first_b = sh.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       ROUND(SUM(CASE WHEN f.first_b = sh.bucket THEN 1 ELSE 0 END) * 1.0e0 / COUNT(*), 6) AS frac_new
+        |FROM sh JOIN f USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // source overlap: distinct (source, gram-hash) table, hash-keyed
     // self-join for intersections, full grid LEFT so zero-overlap

@@ -1438,6 +1438,66 @@ object TextOps {
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
   }
 
+  /** Leakage-safe train/val/test split: the split is a deterministic
+    * hash of the CLUSTER id, not the document id, so an entire
+    * near-dup family lands on one side — the standard guard against
+    * test-set contamination via near-duplicates (a doc-keyed split
+    * puts two 95%-identical documents in train and test and the eval
+    * silently measures memorization). Percentages are integer bucket
+    * cuts of a salted 60-bit hash mod 100.
+    *
+    * Narrow shape: one equi-join of the assignment onto the cluster
+    * table, then a hash of the cluster key — no shuffle beyond the
+    * join; split fractions approach the requested percentages as
+    * cluster count grows (cluster-granular, necessarily).
+    *
+    * Returns (doc_id, cluster_id, split).
+    */
+  def leakageSafeSplit(
+      clusters: DataFrame, testPct: Int = 10, valPct: Int = 10,
+      salt: String = "split1"): DataFrame = {
+    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
+      s"bad split percentages: test=$testPct val=$valPct")
+    val bucket = tokenHash(concat(lit(salt), lit(":"), col("cluster_id").cast("string"))) % 100
+    clusters.select(col("doc_id"), col("cluster_id"),
+      when(bucket < testPct, "test")
+        .when(bucket < testPct + valPct, "val")
+        .otherwise("train").as("split"))
+  }
+
+  /** Corpus novelty curve: order documents by arrival (id bucketed
+    * into batches of `bucketSize`) and report, per batch, how many of
+    * its distinct n-grams are NEW — first seen in that batch — vs
+    * carried over. The "is the crawl still finding new content"
+    * diagnostic; the curve flattening toward 0 is the empirical
+    * saturation signal that drives stop/dedup decisions at ingest.
+    *
+    * First-occurrence without any sequential scan: min-bucket per
+    * gram hash is ONE map-side-combinable aggregation, joined back to
+    * the per-batch distinct table on the hash — two shuffles total,
+    * both keyed by the gram hash, regardless of batch count.
+    *
+    * Returns (bucket, n_grams, n_new, frac_new).
+    */
+  def noveltyCurve(
+      docs: DataFrame, n: Int = 3, bucketSize: Long = 100L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && bucketSize >= 1, s"bad params: n=$n bucketSize=$bucketSize")
+    val ws = tokens(col(textCol))
+    val shingles = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val g = docs.select(expr(s"$idCol DIV $bucketSize").as("bucket"),
+        explode(shingles).as("g"))
+      .select(col("bucket"), tokenHash(col("g")).as("h")).distinct()
+    val first = g.groupBy(col("h")).agg(min(col("bucket")).as("first_b"))
+    g.join(first, "h")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_b") === col("bucket"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("frac_new", round(col("n_new") * lit(1.0) / col("n_grams"), 6))
+  }
+
   /** Cross-source n-gram overlap matrix: for every unordered source
     * pair, the distinct-shingle intersection size, Jaccard, and
     * containment (|A∩B| / min(|A|,|B|)) — the corpus-composition

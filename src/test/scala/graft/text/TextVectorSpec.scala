@@ -1048,6 +1048,42 @@ class TextVectorSpec extends AnyFunSuite {
     assert(o4 <= o1, s"more sketch rows must not increase overestimate: d4=$o4 d1=$o1")
   }
 
+  test("leakageSafeSplit: whole clusters move together; splits are the salted bucket cuts") {
+    // 3 clusters: {0,1,2} -> 0, {3,4} -> 3, {5} -> 5
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = TextOps.leakageSafeSplit(clusters, testPct = 30, valPct = 30, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 6)
+    // no cluster straddles: every member of a cluster has ITS split
+    val byCluster = out.groupBy(_._2).map { case (c, rows) => c -> rows.map(_._3).distinct }
+    assert(byCluster.values.forall(_.size == 1), s"cluster straddles splits: $byCluster")
+    // the split IS the salted 60-bit md5 bucket of the cluster id
+    def bucketOf(c: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s1:$c".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    for ((_, c, s) <- out) {
+      val b = bucketOf(c)
+      val want = if (b < 30) "test" else if (b < 60) "val" else "train"
+      assert(s == want, s"cluster $c bucket $b: got $s want $want")
+    }
+  }
+
+  test("noveltyCurve: first batch all-new, later batch splits into new vs carried grams") {
+    val d = Seq(
+      (0L, "a b c"),       // bucket 0: gram abc
+      (1L, "a b c d"),     // bucket 0: abc, bcd
+      (2L, "a b c x"),     // bucket 1: abc (carried), bcx (new)
+      (3L, "b c d e")      // bucket 1: bcd (carried), cde (new)
+    ).toDF("doc_id", "text")
+    val out = TextOps.noveltyCurve(d, n = 3, bucketSize = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((2L, 2L, 1.0)), s"bucket 0: ${out(0L)}")
+    assert(out(1L) == ((4L, 2L, 0.5)), s"bucket 1: ${out(1L)}")
+  }
+
   test("sourceOverlapMatrix: hand-computed intersections, zero pairs present, gramless source absent") {
     val d = Seq(
       (0L, "sa", "a b c d"),   // grams: "a b c", "b c d"
