@@ -368,6 +368,15 @@ object Queries {
         Raster.pixelsToOracleDf(clipped)
           .select(col("j").cast("long"), col("i").cast("long"), col("value"))
       }),
+      // zonal statistics over the null grid: 3 bboxes (one partially
+      // off-grid, one overlapping another), NaN cells skipped
+      "q_zonal_stats" -> ((s, dir) => {
+        val px = Raster.pixelsFromDf(gridN(s, dir))
+        SpatialOps.zonalStats(px, gmSrc, Seq(
+          (0L, (50.2, 57.0, 51.0, 58.0)),
+          (1L, (51.0, 57.5, 52.4, 59.9)),
+          (2L, (49.0, 56.0, 50.4, 57.2))))
+      }),
       "q_select_vars" -> ((s, dir) => {
         val li = lineitem(s, dir)
         val px = li.select(col("l_returnflag").as("varName"), lit(0).as("band"),
@@ -645,6 +654,19 @@ object Queries {
       "q_affine_upscale_bilinear" -> sqlUpBilinear,
       "q_affine_subset_shift" -> sqlShift,
       "q_affine_downscale_mean" -> sqlDownMean,
+      "q_zonal_stats" ->
+        s"""$sqlGridN, zones(zone_id, xmin, ymin, xmax, ymax) AS (VALUES
+           |  (CAST(0 AS BIGINT), 50.2e0, 57.0e0, 51.0e0, 58.0e0),
+           |  (CAST(1 AS BIGINT), 51.0e0, 57.5e0, 52.4e0, 59.9e0),
+           |  (CAST(2 AS BIGINT), 49.0e0, 56.0e0, 50.4e0, 57.2e0))
+           |SELECT zone_id, COUNT(*) AS n_px, SUM(value) AS sum_v,
+           |       ROUND(SUM(value) / COUNT(*), 6) AS mean_v,
+           |       MIN(value) AS min_v, MAX(value) AS max_v
+           |FROM gridn g JOIN zones z
+           |  ON ${gmSrc.xMin} + (g.i + 0.5) * ${gmSrc.xRes} BETWEEN z.xmin AND z.xmax
+           | AND ${gmSrc.yMax} - (g.j + 0.5) * ${gmSrc.yRes} BETWEEN z.ymin AND z.ymax
+           |WHERE g.value IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_clip_bbox" ->
         s"""$sqlGridN
            |SELECT j, i, value FROM gridn

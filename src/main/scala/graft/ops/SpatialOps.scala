@@ -72,4 +72,48 @@ object SpatialOps {
     coords.agg(
       min(col("x")).as("x_min"), min(col("y")).as("y_min"),
       max(col("x")).as("x_max"), max(col("y")).as("y_max"))
+
+  /** Zonal statistics: per-zone count/sum/mean/min/max of pixel values
+    * whose CENTER falls inside the zone's xy bbox — the raster×vector
+    * aggregation every EO pipeline runs after resampling (not in the
+    * reference's operator set; the natural next consumer of its
+    * outputs). Nulls (NaN cells) are skipped, matching the NaN-skip
+    * float semantics of the window reducers.
+    *
+    * Scale shape: the zone table is BROADCAST and the raster is
+    * scanned ONCE for all zones (a per-zone clip loop would rescan
+    * the raster |zones| times); the join emits a row per (pixel,
+    * covering zone) and partial-aggregates map-side, so the shuffle
+    * carries at most |zones| × partitions rows. Pixels covered by k
+    * overlapping zones count toward all k (standard zonal semantics).
+    *
+    * Returns (zone_id, n_px, sum_v, mean_v, min_v, max_v).
+    */
+  def zonalStats(
+      px: Dataset[Pixel], gm: GridMapping,
+      zones: Seq[(Long, (Double, Double, Double, Double))]): DataFrame = {
+    require(zones.nonEmpty, "zonalStats needs at least one zone")
+    val spark = px.sparkSession
+    import spark.implicits._
+    val zdf = zones.map { case (id, (x0, y0, x1, y1)) => (id, x0, y0, x1, y1) }
+      .toDF("zone_id", "xmin", "ymin", "xmax", "ymax")
+    // pixel-center coordinates as Column arithmetic (same closed form
+    // as GridMapping.ijToXyTransform), codegen-friendly
+    val xc = lit(gm.xMin) + (col("i") + lit(0.5)) * lit(gm.xRes)
+    val yc =
+      if (gm.isJAxisUp) lit(gm.yMin) + (col("j") + lit(0.5)) * lit(gm.yRes)
+      else lit(gm.yMax) - (col("j") + lit(0.5)) * lit(gm.yRes)
+    px.toDF()
+      .filter(!isnan(col("value")))
+      .withColumn("xc", xc).withColumn("yc", yc)
+      .join(broadcast(zdf),
+        col("xc") >= col("xmin") && col("xc") <= col("xmax") &&
+        col("yc") >= col("ymin") && col("yc") <= col("ymax"))
+      .groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("value")).as("sum_v"),
+        round(sum(col("value")) / count(lit(1)), 6).as("mean_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+  }
 }

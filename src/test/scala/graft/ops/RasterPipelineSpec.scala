@@ -310,4 +310,26 @@ class RasterPipelineSpec extends AnyFunSuite {
     // every output tile kept its slice's timestamp
     assert(withTime.filter(org.apache.spark.sql.functions.col("band_time").isNull).count() == 0)
   }
+
+  test("zonalStats: hand-computed zones, NaN skipped, overlap double-counts, off-grid zone clips") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 4x4 grid, res 1.0, xMin 0, yMax 4 (j-down): center of (j,i) is
+    // (i+0.5, 3.5-j). values = j*4+i, except (0,0) -> NaN
+    val gm = GridMapping.regular(4, 4, 0.0, 0.0, 1.0, 1.0, Crs.Geographic, Some((4, 4)))
+    val pxDf = (for (j <- 0 until 4; i <- 0 until 4) yield
+      (j, i, if (j == 0 && i == 0) None else Some((j * 4 + i).toDouble)))
+      .toDF("j", "i", "value")
+    val px = graft.model.Raster.pixelsFromDf(pxDf)
+    val out = graft.ops.SpatialOps.zonalStats(px, gm, Seq(
+      (0L, (0.0, 2.0, 2.0, 4.0)),   // top-left 2x2: cells (0,0)NaN,(0,1),(1,0),(1,1) -> 1,4,5
+      (1L, (0.0, 0.0, 4.0, 4.0)),   // whole grid minus the NaN: sum 0..15 - 0 = 120, n=15
+      (2L, (3.0, -5.0, 9.0, 1.0)))) // bottom-right 1x1: cell (3,3) = 15
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(0L) == ((3L, 10.0, math.rint(10.0 / 3 * 1e6) / 1e6, 1.0, 5.0)), s"zone0: ${out(0L)}")
+    assert(out(1L) == ((15L, 120.0, 8.0, 1.0, 15.0)), s"zone1: ${out(1L)}")
+    assert(out(2L) == ((1L, 15.0, 15.0, 15.0, 15.0)), s"zone2: ${out(2L)}")
+  }
 }
