@@ -710,6 +710,16 @@ object LlmQueries {
     // containment for every unordered source pair (mirror detector)
     "q_source_overlap" -> ((s, dir) => TextOps.sourceOverlapMatrix(docs(s, dir), n = 3)),
 
+    // source spread of each dup family (>= 2 members): how many
+    // distinct sources feed the same near-dup cluster — doc-level
+    // mirror evidence, complementing the gram-level overlap matrix
+    "q_cluster_source_spread" -> ((s, dir) =>
+      clusterMemo.getOrElse(dir, clustersFresh(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+        .filter(col("n_docs") >= 2)),
+
     // leakage-safe split over the shared dup clustering: split keyed
     // by CLUSTER hash so near-dup families never straddle train/test;
     // per-split doc and cluster counts
@@ -2437,6 +2447,15 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // cluster source spread: clusters CTE + documents join, families
+    // of >= 2 only
+    "q_cluster_source_spread" ->
+      s"""$sqlClustersCte
+         |SELECT c.cluster_id, COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT d.source) AS n_sources
+         |FROM clusters c JOIN documents d USING (doc_id)
+         |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin,
 
     // leakage-safe split: same clusters CTE as q_dedup_clusters; the
     // split is the salted md5 of the cluster id mod 100

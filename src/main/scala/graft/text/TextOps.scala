@@ -1647,6 +1647,31 @@ object TextOps {
       .withColumn("overest", col("cms_est") - col("exact_cnt"))
   }
 
+  /** CMS cells computed directly from token OCCURRENCES — ONE
+    * aggregation (`groupBy(j, idx).count`), which is the streaming-
+    * legal increment path of the sketch: the same expression tree runs
+    * over a `readStream` source in complete mode and the cells merge
+    * across micro-batches by the aggregation itself. Produces
+    * IDENTICAL cells to [[cmsTokenFreq]]'s count-then-sum route (sum
+    * over per-token counts == count over occurrences); the batch query
+    * keeps that route because it hashes only DISTINCT tokens.
+    */
+  def cmsCells(
+      docs: DataFrame, d: Int = 4, w: Int = 512,
+      textCol: String = "text"): DataFrame = {
+    require(w == 512, "bucket derivation is specialized to w = 512 (9-bit windows)")
+    require(d >= 1 && d <= 6, s"d must be in [1,6] to fit 9-bit windows in 54 bits, got $d")
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .select(array((0 until d).map { j =>
+        struct(lit(j).as("j"),
+          shiftrightunsigned(h, j * 9).bitwiseAND(lit(511L)).cast("int").as("idx"))
+      }: _*).as("rs"))
+      .select(explode(col("rs")).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.idx").as("idx"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** HyperLogLog distinct-shingle estimate per source (Flajolet et al.
     * 2007, "HyperLogLog: the analysis of a near-optimal cardinality
     * estimation algorithm", AofA; small-range linear-counting

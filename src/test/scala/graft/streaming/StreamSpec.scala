@@ -450,6 +450,32 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("CMS cells stream as a complete-mode count aggregation, equal to the batch cells") {
+    // the occurrence-path sketch is ONE streaming-legal aggregation;
+    // micro-batched cells must equal the batch cells exactly (counts
+    // merge by the aggregation itself)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cms-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.cmsCells(src, d = 4, w = 512)
+      .writeStream.format("memory").queryName("cms_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getInt(1), r.getLong(2))
+    val streamed = spark.table("cms_stream").collect().map(key).sorted.toSeq
+    val batch = graft.text.TextOps.cmsCells(docs, d = 4, w = 512).collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("HLL registers stream as a complete-mode max aggregation; finalize equals batch estimate") {
     // the register table IS a streaming-legal groupBy+max — the
     // incremental-ingestion shape of the cardinality sketch: streamed

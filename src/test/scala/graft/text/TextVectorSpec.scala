@@ -1033,6 +1033,25 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 >= t._2 && t._4 == t._3 - t._2), s"CMS under-counted: ${out.toSeq}")
   }
 
+  test("cmsCells (occurrence path) equals the count-then-sum cells of cmsTokenFreq's route") {
+    val d = Seq(
+      (0L, "alpha alpha beta gamma gamma gamma"),
+      (1L, "alpha beta beta delta")).toDF("doc_id", "text")
+    val occ = TextOps.cmsCells(d, d = 4, w = 512)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // independent recomputation: per-token exact counts scattered into
+    // the same 9-bit windows
+    val counts = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 3L, "delta" -> 1L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    for ((w, c) <- counts) {
+      val h = java.lang.Long.parseLong(
+        md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      for (j <- 0 until 4) want((j, ((h >>> (j * 9)) & 511L).toInt)) += c
+    }
+    assert(occ == want.toMap, s"cells diverge:\n$occ\n$want")
+  }
+
   test("cmsTokenFreq: single-row sketch over a wide vocabulary must show collisions (overest > 0)") {
     // 2000 distinct tokens into 512 buckets with d = 1: the probed
     // bucket almost surely holds other tokens, so SOME top token
