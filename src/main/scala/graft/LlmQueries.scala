@@ -750,6 +750,12 @@ object LlmQueries {
     // sum -> bit-identical estimate across engines)
     "q_hll_distinct_grams" -> ((s, dir) => TextOps.hllDistinctGrams(docs(s, dir), n = 3)),
 
+    // weekly retention cohorts anchored on signup: per (cohort week,
+    // offset 0..4), distinct active users and retention fraction
+    "q_events_retention" -> ((s, dir) =>
+      graft.events.EventOps.retentionCohorts(s.read.parquet(s"$dir/events.parquet"),
+        anchorType = "signup", bucket = 604800000000000L, maxOffset = 4)),
+
     // ordered funnel view -> click -> purchase, each step within 24h
     // of the previous, earliest-completion semantics, integer nanos
     "q_events_funnel" -> ((s, dir) =>
@@ -2612,6 +2618,27 @@ object LlmQueries {
         |SELECT ex.source, ex.exact_grams, ROUND(fin.est, 4) AS hll_est,
         |       ROUND(abs(fin.est - exact_grams) / exact_grams, 4) AS rel_err
         |FROM fin JOIN ex USING (source) ORDER BY 1""".stripMargin,
+
+    // retention: integer // bucket math on epoch nanos mirrors the
+    // engine's DIV; distinct (user, week) activity, cohort by first
+    // signup week
+    "q_events_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts FROM events
+        |), cohort AS (
+        |  SELECT u, MIN(ts) // 604800000000000 AS cb FROM ev WHERE t = 'signup' GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT u, ts // 604800000000000 AS w FROM ev
+        |), sizes AS (SELECT cb, COUNT(*) AS n_cohort FROM cohort GROUP BY 1),
+        |r AS (
+        |  SELECT c.cb, a.w - c.cb AS k, COUNT(*) AS n_active
+        |  FROM act a JOIN cohort c ON c.u = a.u
+        |  WHERE a.w - c.cb BETWEEN 0 AND 4
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.cb AS cohort_bucket, r.k, r.n_active, s.n_cohort,
+        |       ROUND(r.n_active * 1.0e0 / s.n_cohort, 6) AS retention
+        |FROM r JOIN sizes s ON s.cb = r.cb ORDER BY 1, 2""".stripMargin,
 
     // funnel: per-step min-qualifying-time recursion unrolled; all
     // comparisons in integer epoch nanos (epoch_ns == the engine's

@@ -206,6 +206,42 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Retention cohorts: users are cohorted by the bucket of their
+    * FIRST `anchorType` event (e.g. signup week); for each cohort and
+    * offset k, the fraction of the cohort with ANY activity k buckets
+    * later. The companion report to [[funnel]] — activation tells you
+    * who converted, retention tells you who stayed.
+    *
+    * All bucket math is integral `DIV` on the raw ticks, so cohort
+    * keys and offsets are bit-stable. Three aggregations, all keyed
+    * (user, then (user,bucket) distinct, then (cohort,offset)) — no
+    * windows, no per-user arrays; a power user contributes at most
+    * `maxOffset + 1` distinct activity rows past the dedup.
+    *
+    * Returns (cohort_bucket, k, n_active, n_cohort, retention); k = 0
+    * rows are the cohort definition itself (retention 1.0 whenever the
+    * anchor event is also activity, which it is here).
+    */
+  def retentionCohorts(
+      events: DataFrame, anchorType: String, bucket: Long, maxOffset: Int,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucket > 0 && maxOffset >= 0, s"bad params: bucket=$bucket maxOffset=$maxOffset")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).cast("long").as("ts"))
+    val cohort = ev.filter(col("t") === anchorType)
+      .groupBy(col("u")).agg(expr(s"min(ts) DIV $bucket").as("cb"))
+    val act = ev.select(col("u"), expr(s"ts DIV $bucket").as("w")).distinct()
+    val sizes = cohort.groupBy(col("cb")).agg(count(lit(1)).as("n_cohort"))
+    act.join(cohort, "u")
+      .withColumn("k", col("w") - col("cb"))
+      .filter(col("k") >= 0 && col("k") <= maxOffset)
+      .groupBy(col("cb"), col("k")).agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cb")
+      .select(col("cb").as("cohort_bucket"), col("k"), col("n_active"), col("n_cohort"),
+        round(col("n_active") * lit(1.0) / col("n_cohort"), 6).as("retention"))
+  }
+
   /** Ordered funnel: how many users complete step 1, then step 2
     * strictly after it within `within` ticks of it, then step 3
     * relative to step 2, and so on — EARLIEST-completion semantics

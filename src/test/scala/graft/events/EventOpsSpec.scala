@@ -193,6 +193,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(math.abs(out(2L) - 37.0) < 1e-9)
   }
 
+  test("retentionCohorts: first-anchor cohorting, distinct weekly activity, non-anchored users excluded") {
+    val e = Seq(
+      (1L, "signup", 50L), (1L, "click", 55L), (1L, "view", 150L), (1L, "click", 250L),
+      (4L, "signup", 70L),                       // cohort 0, never returns
+      (2L, "signup", 120L), (2L, "click", 125L), // cohort 1
+      (3L, "click", 10L)                         // no signup -> excluded
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventOps.retentionCohorts(e, "signup", bucket = 100L, maxOffset = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)),   // both cohort-0 users active in week 0
+      (0L, 1L) -> ((1L, 2L, 0.5)),   // only user 1 returns in week 1
+      (0L, 2L) -> ((1L, 2L, 0.5)),
+      (1L, 0L) -> ((1L, 1L, 1.0))), s"got $out")
+  }
+
   test("funnel: earliest-completion binding, strict ordering, window cutoffs, zero-reached step") {
     // user 1: view@10 click@20 purchase@25          -> completes all
     // user 2: view@10 click@200 (outside within=50) -> stops at view
