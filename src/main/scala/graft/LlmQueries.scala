@@ -275,6 +275,10 @@ object LlmQueries {
 
     "q_text_quality" -> ((s, dir) => TextOps.qualityFeatures(docs(s, dir))),
 
+    // Gopher hard-gate rule bundle: thresholded quality rules + the
+    // conjunction keep bit (the form pipelines actually gate on)
+    "q_gopher_rules" -> ((s, dir) => TextOps.gopherRules(docs(s, dir))),
+
     // context-window chunking: size-64 windows advancing by 48 tokens
     // (16-token overlap) — long-document preparation for a fixed-context
     // model; narrow/stream-transparent
@@ -1528,6 +1532,33 @@ object LlmQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // gopher rules: same tokenization + stopword list as the quality
+    // oracle; mean word length = summed token lengths / count
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(toks) AS BIGINT) AS n_words,
+        |    ROUND(CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS DOUBLE)
+        |          / GREATEST(LEN(toks), 1), 6) AS mean_word_len,
+        |    ROUND(LEN(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0e0
+        |          / GREATEST(LEN(toks), 1), 6) AS frac_alpha,
+        |    CAST(LEN(list_intersect(list_distinct(toks),
+        |         ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS n_stop_distinct
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
+        |       n_words >= 20 AND n_words <= 100000 AS ok_words,
+        |       mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0 AS ok_mean_len,
+        |       frac_alpha >= 0.8e0 AS ok_alpha,
+        |       n_stop_distinct >= 2 AS ok_stop,
+        |       (n_words >= 20 AND n_words <= 100000)
+        |         AND (mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0)
+        |         AND frac_alpha >= 0.8e0 AND n_stop_distinct >= 2 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (

@@ -936,6 +936,46 @@ object TextOps {
         .as("punct_ratio"))
   }
 
+  /** Gopher-style rule bundle (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher" §A1.1 / MassiveText filters, public): the
+    * THRESHOLDED form of the quality features — each rule reports
+    * pass/fail and `keep` is their conjunction, which is how
+    * production pipelines actually consume quality signals (hard
+    * gates, not scores). Rules: word-count bounds, mean-word-length
+    * band, alphabetic-word fraction floor, distinct-stopword floor.
+    * Fully narrow (per-row column ops, no shuffle, stream-
+    * transparent).
+    *
+    * Returns (doc_id, n_words, mean_word_len, frac_alpha,
+    * n_stop_distinct, ok_words, ok_mean_len, ok_alpha, ok_stop, keep).
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Long = 20L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minFracAlpha: Double = 0.8, minStopDistinct: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stop = lit(Stopwords.toArray)
+    val nw = size(toks).cast("long")
+    // total word chars == doc length minus separators: count directly
+    val wordChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val meanLen = round(wordChars.cast("double") / greatest(nw, lit(1L)).cast("double"), 6)
+    val fracAlpha = round(
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") /
+        greatest(nw, lit(1L)).cast("double"), 6)
+    val nStop = size(array_intersect(array_distinct(toks), stop)).cast("long")
+    docs.select(col(idCol), nw.as("n_words"), meanLen.as("mean_word_len"),
+        fracAlpha.as("frac_alpha"), nStop.as("n_stop_distinct"))
+      .withColumn("ok_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_alpha", col("frac_alpha") >= minFracAlpha)
+      .withColumn("ok_stop", col("n_stop_distinct") >= minStopDistinct)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
   /** Token counting: corpus-level token frequencies (the
     * tokenize->explode->count shape of a BPE-corpus scan).
     */

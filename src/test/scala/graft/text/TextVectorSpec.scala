@@ -1033,6 +1033,29 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 >= t._2 && t._4 == t._3 - t._2), s"CMS under-counted: ${out.toSeq}")
   }
 
+  test("gopherRules: each gate fires independently; keep is the conjunction") {
+    val d = Seq(
+      // passes all: 20 short alpha words incl. 2 stopwords
+      (0L, (Seq("the", "of") ++ (1 to 18).map(i => s"word$i")).mkString(" ")),
+      // too few words
+      (1L, "the of alpha beta"),
+      // mean word length too high: 20 long words + stopwords
+      (2L, (Seq("the", "of") ++ (1 to 18).map(_ => "superlongtokenhere123")).mkString(" ")),
+      // not enough alphabetic words: mostly numbers
+      (3L, (Seq("the", "of", "abc") ++ (1 to 17).map(i => (i * 11).toString)).mkString(" ")),
+      // only one distinct stopword
+      (4L, (Seq("the") ++ (1 to 19).map(i => s"word$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    assert(out(0L) == ((true, true, true, true, true)), s"doc0: ${out(0L)}")
+    assert(out(1L)._1 == false && out(1L)._5 == false)
+    assert(out(2L)._2 == false && out(2L)._5 == false, s"doc2: ${out(2L)}")
+    assert(out(3L)._3 == false && out(3L)._5 == false, s"doc3: ${out(3L)}")
+    assert(out(4L)._4 == false && out(4L)._5 == false, s"doc4: ${out(4L)}")
+  }
+
   test("cmsCells (occurrence path) equals the count-then-sum cells of cmsTokenFreq's route") {
     val d = Seq(
       (0L, "alpha alpha beta gamma gamma gamma"),
