@@ -714,6 +714,12 @@ object LlmQueries {
     // containment for every unordered source pair (mirror detector)
     "q_source_overlap" -> ((s, dir) => TextOps.sourceOverlapMatrix(docs(s, dir), n = 3)),
 
+    // threshold sweep: pair/doc counts at 0.7/0.8/0.9/0.95 from ONE
+    // similarity join at the lowest threshold (dedup tuning report)
+    "q_dedup_threshold_sweep" -> ((s, dir) =>
+      TextOps.dedupThresholdSweep(docs(s, dir).filter(col("doc_id") < PairLimit),
+        thresholds = Seq(0.7, 0.8, 0.9, 0.95))),
+
     // source spread of each dup family (>= 2 members): how many
     // distinct sources feed the same near-dup cluster — doc-level
     // mirror evidence, complementing the gram-level overlap matrix
@@ -2484,6 +2490,35 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // threshold sweep: the q_dedup_jaccard pair CTE at base 0.7
+    // (unrounded base filter, rounded bucket compare — mirrors the
+    // engine exactly), VALUES thresholds, two rollups
+    "q_dedup_threshold_sweep" ->
+      s"""WITH tok0 AS (
+         |  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), tok AS (SELECT DISTINCT id, w FROM tok0),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS j
+         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.7
+         |), th(threshold) AS (VALUES (0.7e0), (0.8e0), (0.9e0), (0.95e0)),
+         |wt AS (
+         |  SELECT t.threshold, p.id_a, p.id_b FROM pairs p JOIN th t ON p.j >= t.threshold
+         |), np AS (SELECT threshold, COUNT(*) AS n_pairs FROM wt GROUP BY 1),
+         |nd AS (
+         |  SELECT threshold, COUNT(*) AS n_docs FROM (
+         |    SELECT DISTINCT threshold, id FROM (
+         |      SELECT threshold, unnest([id_a, id_b]) AS id FROM wt))
+         |  GROUP BY 1
+         |)
+         |SELECT np.threshold, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd USING (threshold) ORDER BY 1""".stripMargin,
 
     // cluster source spread: clusters CTE + documents join, families
     // of >= 2 only

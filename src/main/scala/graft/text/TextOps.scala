@@ -1478,6 +1478,34 @@ object TextOps {
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
   }
 
+  /** Near-dup threshold sweep: pair and affected-doc counts at each
+    * candidate Jaccard threshold, computed from ONE similarity join at
+    * the lowest threshold (the sweep is how you TUNE the dedup
+    * threshold before committing a 100 TB pass; rerunning the join per
+    * candidate would multiply the dominant cost by |thresholds|).
+    * Pairs are bucketed by their ROUNDED jaccard (the emitted value),
+    * so the report is consistent with what the pair queries output.
+    *
+    * Returns (threshold, n_pairs, n_docs) — n_docs the count of
+    * distinct documents touched by at least one pair at that
+    * threshold.
+    */
+  def dedupThresholdSweep(
+      docs: DataFrame, thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9, 0.95),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty, "sweep needs at least one threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = jaccardPairs(docs, thresholds.min, idCol, textCol)
+    val th = broadcast(thresholds.toDF("threshold"))
+    val wt = pairs.join(th, col("jaccard") >= col("threshold"))
+    val nPairs = wt.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = wt.select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, "threshold")
+  }
+
   /** Leakage-safe train/val/test split: the split is a deterministic
     * hash of the CLUSTER id, not the document id, so an entire
     * near-dup family lands on one side — the standard guard against

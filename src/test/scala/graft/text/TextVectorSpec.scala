@@ -1090,6 +1090,15 @@ class TextVectorSpec extends AnyFunSuite {
     assert(o4 <= o1, s"more sketch rows must not increase overestimate: d4=$o4 d1=$o1")
   }
 
+  test("dedupThresholdSweep: one join at base threshold, correct bucket counts at each cut") {
+    val out = TextOps.dedupThresholdSweep(docsDf, thresholds = Seq(0.7, 0.85, 1.0))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // jaccards: (0,1)=1.0, (0,2)=(1,2)=7/9, (0,4)=(1,4)=8/9, (2,4)=7/10
+    assert(out(0.7) == ((6L, 4L)), s"t=0.7: ${out(0.7)}")
+    assert(out(0.85) == ((3L, 3L)), s"t=0.85: ${out(0.85)}")
+    assert(out(1.0) == ((1L, 2L)), s"t=1.0: ${out(1.0)}")
+  }
+
   test("leakageSafeSplit: whole clusters move together; splits are the salted bucket cuts") {
     // 3 clusters: {0,1,2} -> 0, {3,4} -> 3, {5} -> 5
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L))
