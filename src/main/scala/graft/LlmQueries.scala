@@ -714,6 +714,9 @@ object LlmQueries {
     // containment for every unordered source pair (mirror detector)
     "q_source_overlap" -> ((s, dir) => TextOps.sourceOverlapMatrix(docs(s, dir), n = 3)),
 
+    // top-20 bigram collocations with PMI (fixed ln-chain arithmetic)
+    "q_bigram_pmi" -> ((s, dir) => TextOps.bigramPmi(docs(s, dir), minCount = 5L, topK = 20)),
+
     // threshold sweep: pair/doc counts at 0.7/0.8/0.9/0.95 from ONE
     // similarity join at the lowest threshold (dedup tuning report)
     "q_dedup_threshold_sweep" -> ((s, dir) =>
@@ -2490,6 +2493,31 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // bigram PMI: adjacent-pair and unigram counts, the same fixed
+    // ln-chain; top-20 by (count, pair)
+    "q_bigram_pmi" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+        |), bg AS (
+        |  SELECT toks[k] AS w1, toks[k+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) u(k)
+        |  WHERE len(toks) >= 2
+        |), uni AS (
+        |  SELECT w, COUNT(*) AS cu FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+        |), big AS (
+        |  SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), tot AS (
+        |  SELECT (SELECT CAST(SUM(cu) AS BIGINT) FROM uni) AS n_u,
+        |         (SELECT COUNT(*) FROM bg) AS n_b
+        |), top AS (
+        |  SELECT b.w1, b.w2, b.c_ab, ua.cu AS c_a, ub.cu AS c_b
+        |  FROM big b JOIN uni ua ON ua.w = b.w1 JOIN uni ub ON ub.w = b.w2
+        |  ORDER BY b.c_ab DESC, b.w1 ASC, b.w2 ASC LIMIT 20
+        |)
+        |SELECT w1, w2, c_ab,
+        |       ROUND(ln(c_ab) + ln(n_u) + ln(n_u) - ln(c_a) - ln(c_b) - ln(n_b), 6) AS pmi
+        |FROM top, tot ORDER BY c_ab DESC, w1, w2""".stripMargin,
 
     // threshold sweep: the q_dedup_jaccard pair CTE at base 0.7
     // (unrounded base filter, rounded bucket compare — mirrors the

@@ -1478,6 +1478,47 @@ object TextOps {
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
   }
 
+  /** Top-K bigram collocations by frequency with pointwise mutual
+    * information (Church & Hanks 1990): PMI of adjacent word pairs
+    * against independent unigram draws — the collocation/phrase-mining
+    * primitive (tokenizer-vocab candidates, boilerplate-phrase
+    * detection). Two counting aggregations (bigrams, unigrams) + two
+    * broadcast scalar totals; top-K is TakeOrdered on (count, pair).
+    *
+    * PMI is computed as a FIXED left-to-right chain of ln terms
+    * (`ln c_ab + ln N_u + ln N_u - ln c_a - ln c_b - ln N_b`) rather
+    * than one big integer ratio — the products overflow int64 at
+    * corpus scale, and the fixed chain keeps every intermediate
+    * deterministic for the oracle compare.
+    *
+    * Returns (w1, w2, c_ab, pmi), the topK most frequent bigrams with
+    * count >= minCount.
+    */
+  def bigramPmi(
+      docs: DataFrame, minCount: Long = 5L, topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad params: minCount=$minCount topK=$topK")
+    val ws = tokens(col(textCol))
+    val bigrams = docs.select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          k => struct(element_at(ws, k + 1).as("w1"), element_at(ws, k + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val uni = docs.select(explode(ws).as("w")).groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nU = uni.agg(sum(col("cu")).as("n_u"))
+    val totB = bigrams.agg(count(lit(1)).as("n_b"))
+    big
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c_a"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c_b"), "w2")
+      .crossJoin(broadcast(nU)).crossJoin(broadcast(totB))
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc).limit(topK)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab")) + log(col("n_u")) + log(col("n_u"))
+          - log(col("c_a")) - log(col("c_b")) - log(col("n_b")), 6).as("pmi"))
+  }
+
   /** Near-dup threshold sweep: pair and affected-doc counts at each
     * candidate Jaccard threshold, computed from ONE similarity join at
     * the lowest threshold (the sweep is how you TUNE the dedup

@@ -1090,6 +1090,18 @@ class TextVectorSpec extends AnyFunSuite {
     assert(o4 <= o1, s"more sketch rows must not increase overestimate: d4=$o4 d1=$o1")
   }
 
+  test("bigramPmi: hand-computed counts and ln-chain PMI, minCount prunes, short docs contribute none") {
+    val d = Seq((0L, "a b a b a b"), (1L, "a b a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.bigramPmi(d, minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // uni: a=6 b=6 x=1 -> n_u=13; bigrams: (a,b)x6 (b,a)x4 -> n_b=10;
+    // minCount 5 keeps only (a,b)
+    assert(out.keySet == Set(("a", "b")), s"got ${out.keySet}")
+    val want = math.log(6) + math.log(13) + math.log(13) -
+      math.log(6) - math.log(6) - math.log(10)
+    assert(out(("a", "b")) == ((6L, math.rint(want * 1e6) / 1e6)), s"pmi: ${out(("a", "b"))}")
+  }
+
   test("dedupThresholdSweep: one join at base threshold, correct bucket counts at each cut") {
     val out = TextOps.dedupThresholdSweep(docsDf, thresholds = Seq(0.7, 0.85, 1.0))
       .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
