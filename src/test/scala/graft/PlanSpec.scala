@@ -380,6 +380,35 @@ class PlanSpec extends AnyFunSuite {
       s"grid not broadcast:\n${p.take(2000)}")
   }
 
+  test("bigram PMI: top-K is TakeOrdered; scalar totals broadcast, never cartesian on data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.bigramPmi(docs, minCount = 5L, topK = 20)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-K not TakeOrdered:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian on data:\n${p.take(2000)}")
+  }
+
+  test("threshold sweep: bucket join broadcasts the threshold list, base join stays equi") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 100)
+    val df = graft.text.TextOps.dedupThresholdSweep(docs, thresholds = Seq(0.7, 0.9))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian on data:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"threshold list not broadcast:\n${p.take(2000)}")
+  }
+
+  test("retention cohorts: three keyed aggregations, joins on the user key only") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.events.EventOps.retentionCohorts(
+      ev, "signup", bucket = 604800000000000L, maxOffset = 4)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(2000)}")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty)
+  }
+
   test("kNN PageRank iterations stay equi-joins; rank exchange is keyed by node") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 64)
     val ann = VectorOps.annTopK(e, numPlanes = 8, dims = 64, k = 5)
