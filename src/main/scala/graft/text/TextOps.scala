@@ -1599,12 +1599,18 @@ object TextOps {
     val g = docs.select(expr(s"$idCol DIV $bucketSize").as("bucket"),
         explode(shingles).as("g"))
       .select(col("bucket"), tokenHash(col("g")).as("h")).distinct()
-    val first = g.groupBy(col("h")).agg(min(col("bucket")).as("first_b"))
-    g.join(first, "h")
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_b") === col("bucket"), 1L).otherwise(0L)).as("n_new"))
-      .withColumn("frac_new", round(col("n_new") * lit(1.0) / col("n_grams"), 6))
+    // n_new per bucket needs NO join back to the big gram table: the
+    // min-bucket aggregation already assigns each gram to exactly one
+    // bucket, so its per-bucket count IS the new-gram count — two
+    // bounded aggregations over the distinct table instead of a
+    // gram-keyed hash join of it against itself
+    val nGrams = g.groupBy(col("bucket")).agg(count(lit(1)).as("n_grams"))
+    val nNew = g.groupBy(col("h")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    nGrams.join(nNew, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new")) // a batch can be 100% carried-over
+      .select(col("bucket"), col("n_grams"), col("n_new"),
+        round(col("n_new") * lit(1.0) / col("n_grams"), 6).as("frac_new"))
   }
 
   /** Cross-source n-gram overlap matrix: for every unordered source

@@ -450,6 +450,30 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("gopher rule gates are stream-transparent (narrow per-row op, no state)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-gopher-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.gopherRules(src)
+      .select(col("doc_id"), col("keep"), col("n_words"))
+      .writeStream.format("memory").queryName("gopher_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getBoolean(1), r.getLong(2))
+    val streamed = spark.table("gopher_stream").collect().map(key).sorted.toSeq
+    val batch = graft.text.TextOps.gopherRules(docs)
+      .select(col("doc_id"), col("keep"), col("n_words")).collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("CMS cells stream as a complete-mode count aggregation, equal to the batch cells") {
     // the occurrence-path sketch is ONE streaming-legal aggregation;
     // micro-batched cells must equal the batch cells exactly (counts
