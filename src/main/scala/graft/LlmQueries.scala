@@ -717,6 +717,23 @@ object LlmQueries {
     // top-20 bigram collocations with PMI (fixed ln-chain arithmetic)
     "q_bigram_pmi" -> ((s, dir) => TextOps.bigramPmi(docs(s, dir), minCount = 5L, topK = 20)),
 
+    // COMPOSED training-prep endpoint: gopher hard gates -> dup-cluster
+    // keepers (min-id) -> leakage-safe split, reported per split as
+    // (n_docs, n_words) — one lazy DAG through three library operators
+    "q_training_prep" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < PairLimit)
+      val kept = TextOps.gopherRules(d).filter(col("keep"))
+        .select(col("doc_id"), col("n_words"))
+      val clusters = clusterMemo.getOrElse(dir, clustersFresh(s, dir))
+      val keepers = clusters.filter(col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"))
+      val split = TextOps.leakageSafeSplit(clusters, testPct = 10, valPct = 10,
+        salt = "split1").select(col("doc_id"), col("split"))
+      kept.join(keepers, "doc_id").join(split, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+    }),
+
     // threshold sweep: pair/doc counts at 0.7/0.8/0.9/0.95 from ONE
     // similarity join at the lowest threshold (dedup tuning report)
     "q_dedup_threshold_sweep" -> ((s, dir) =>
@@ -2493,6 +2510,36 @@ object LlmQueries {
         |FROM n JOIN c ON n.lang IS NOT DISTINCT FROM c.lang
         |WHERE n.n_chars >= c.cutoff
         |ORDER BY n.doc_id""".stripMargin,
+
+    // training prep: gopher gate CTE + clusters CTE + salted split,
+    // keepers = fixed-point rows (cluster_id == doc_id)
+    "q_training_prep" ->
+      s"""$sqlClustersCte,
+         |gf AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < $PairLimit
+         |), gates AS (
+         |  SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_words
+         |  FROM gf
+         |  WHERE LEN(toks) >= 20 AND LEN(toks) <= 100000
+         |    AND ROUND(CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS DOUBLE)
+         |              / GREATEST(LEN(toks), 1), 6) BETWEEN 3.0e0 AND 10.0e0
+         |    AND ROUND(LEN(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0e0
+         |              / GREATEST(LEN(toks), 1), 6) >= 0.8e0
+         |    AND LEN(list_intersect(list_distinct(toks),
+         |            ['the','a','of','and','to','in','is','for','on','with'])) >= 2
+         |), sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split
+         |  FROM (SELECT doc_id, cluster_id,
+         |          CAST(concat('0x', substr(md5('split1:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+         |        FROM clusters)
+         |)
+         |SELECT sp.split, COUNT(*) AS n_docs, CAST(SUM(g.n_words) AS BIGINT) AS n_words
+         |FROM gates g
+         |JOIN clusters c ON c.doc_id = g.doc_id AND c.cluster_id = c.doc_id
+         |JOIN sp ON sp.doc_id = g.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bigram PMI: adjacent-pair and unigram counts, the same fixed
     // ln-chain; top-20 by (count, pair)
