@@ -550,6 +550,17 @@ object LlmQueries {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "q_multimodal_patches" -> ((s, dir) => {
+      // ViT patch prep over the REAL decode: 8x8 patch channel-sums,
+      // integer-exact; the oracle replays the synthetic pixel formula
+      import s.implicits._
+      Multimodal.patchIntensitySums(
+        stagedImages(s, dir).filter(col("doc_id") < PairLimit).as[Multimodal.MediaRow],
+        patch = 8)
+        .select(col("doc_id"), col("pj").cast("long").as("pj"),
+          col("pi").cast("long").as("pi"), col("px_sum"))
+    }),
+
     "q_multimodal_phash" -> ((s, dir) => {
       // REAL decode -> integer box-average 9x8 luma grid -> 64-bit
       // dHash; the oracle replays the synthetic PNG's closed pixel
@@ -2298,6 +2309,24 @@ object LlmQueries {
       """SELECT doc_id, 16 + doc_id % 32 AS width, 16 + doc_id % 17 AS height,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    // patch sums replayed analytically from the synthetic pixel
+    // formula (x*31 + y*7 + id) & 0xFFFFFF; full 8x8 patches only
+    "q_multimodal_patches" ->
+      s"""WITH img AS (
+         |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 17 AS h
+         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < $PairLimit
+         |), px AS (
+         |  SELECT i.doc_id, ys.y // 8 AS pj, xs.x // 8 AS pi,
+         |         ((xs.x * 31 + ys.y * 7 + i.doc_id) & 16777215) AS v
+         |  FROM img i,
+         |       unnest(generate_series(0, i.h - 1)) ys(y),
+         |       unnest(generate_series(0, i.w - 1)) xs(x)
+         |  WHERE ys.y < (i.h // 8) * 8 AND xs.x < (i.w // 8) * 8
+         |)
+         |SELECT doc_id, pj, pi,
+         |       CAST(SUM(((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) AS BIGINT) AS px_sum
+         |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // dHash replayed analytically: the synthetic PNG pixel at (x, y) is
     // (x*31 + y*7 + id) mod 2^24 packed RGB; the oracle reproduces the

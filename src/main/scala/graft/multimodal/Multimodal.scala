@@ -216,6 +216,51 @@ object Multimodal {
     }.toDF("doc_id", "dhash")
   }
 
+  /** ViT-style patch grid over REAL image decode: each full
+    * `patch`×`patch` tile of the decoded image reduced to its integer
+    * channel-sum Σ(r+g+b) — the patch-embedding preprocessing shape
+    * (image → patch grid → per-patch features) with the decode done by
+    * the real javax.imageio path, not a stub. Integer sums make the
+    * result bit-exact for the analytic oracle. Edge remainders that
+    * don't fill a patch are dropped (standard ViT behavior: crop to a
+    * multiple of the patch size).
+    *
+    * Per-partition flatMap — decode cost stays on the executors, no
+    * shuffle until the caller aggregates.
+    *
+    * Returns (doc_id, pj, pi, px_sum) rows.
+    */
+  def patchIntensitySums(media: Dataset[MediaRow], patch: Int = 8): DataFrame = {
+    require(patch >= 1, s"patch must be >= 1, got $patch")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val img = try {
+          val in = new java.io.ByteArrayInputStream(m.payload)
+          Option(javax.imageio.ImageIO.read(in))
+        } catch { case _: java.io.IOException => None }
+        img.toSeq.flatMap { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          for (pj <- 0 until h / patch; pi <- 0 until w / patch) yield {
+            var s = 0L
+            var y = pj * patch
+            while (y < (pj + 1) * patch) {
+              var x = pi * patch
+              while (x < (pi + 1) * patch) {
+                val v = im.getRGB(x, y)
+                s += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            (m.doc_id, pj, pi, s)
+          }
+        }
+      }
+    }.toDF("doc_id", "pj", "pi", "px_sum")
+  }
+
   /** STUB decoder — now ONLY for payloads that are genuinely not a
     * container this engine can parse (compressed codecs: MP3/AAC/H.264
     * etc., which need codec libraries absent from this container, or

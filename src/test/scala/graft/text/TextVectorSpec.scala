@@ -1090,6 +1090,27 @@ class TextVectorSpec extends AnyFunSuite {
     assert(o4 <= o1, s"more sketch rows must not increase overestimate: d4=$o4 d1=$o1")
   }
 
+  test("patchIntensitySums: real PNG decode reproduces the analytic patch sums; edge remainders dropped") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L) // id 0: 16x16 -> 2x2 patches; id 7: 23x23 -> 2x2 (7px remainders dropped)
+    val media = ids.map(id => Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)))
+      .toDS()
+    val out = Multimodal.patchIntensitySums(media, patch = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    def expected(id: Long, pj: Int, pi: Int): Long = {
+      var s = 0L
+      for (y <- pj * 8 until pj * 8 + 8; x <- pi * 8 until pi * 8 + 8) {
+        val v = (x * 31 + y * 7 + id) & 0xFFFFFF
+        s += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+      }
+      s
+    }
+    val wantKeys = for (id <- ids; pj <- 0 until 2; pi <- 0 until 2) yield (id, pj, pi)
+    assert(out.keySet == wantKeys.toSet, s"patch grid wrong: ${out.keySet}")
+    for ((id, pj, pi) <- wantKeys)
+      assert(out((id, pj, pi)) == expected(id, pj, pi), s"patch ($id,$pj,$pi)")
+  }
+
   test("bigramPmi: hand-computed counts and ln-chain PMI, minCount prunes, short docs contribute none") {
     val d = Seq((0L, "a b a b a b"), (1L, "a b a b a b"), (2L, "x")).toDF("doc_id", "text")
     val out = TextOps.bigramPmi(d, minCount = 5L, topK = 10)
