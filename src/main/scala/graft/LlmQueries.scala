@@ -633,6 +633,15 @@ object LlmQueries {
           col("frame_w"), col("frame_h"))
     }),
 
+    "q_multimodal_wav_energy" -> ((s, dir) => {
+      // windowed PCM energy (256-sample frames, integer Σ s²) over
+      // the real RIFF walk; analytic oracle replays the sample formula
+      import s.implicits._
+      Multimodal.wavWindowEnergy(stagedWavs(s, dir).as[Multimodal.MediaRow], window = 256)
+        .select(col("doc_id"), col("win").cast("long").as("win"),
+          col("n_samples").cast("long").as("n_samples"), col("energy"))
+    }),
+
     "q_multimodal_wav" -> ((s, dir) => {
       // REAL RIFF/WAVE parse: fmt chunk (rate/channels/bits) + every
       // 16-bit PCM sample decoded into a sum of absolute amplitudes;
@@ -2395,6 +2404,20 @@ object LlmQueries {
     // the id; sum_abs replays the synthetic 16-bit PCM sample formula
     // ((i*2347 + id*17) mod 65536) - 32768 over every interleaved
     // sample index
+    // windowed energy: same analytic sample formula, 256-sample
+    // windows, integer sum of squares
+    "q_multimodal_wav_energy" ->
+      """WITH a AS (
+        |  SELECT doc_id, (200 + doc_id % 300) * (1 + doc_id % 2) AS total
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), sm AS (
+        |  SELECT doc_id, k.i // 256 AS win,
+        |         ((k.i * 2347 + doc_id * 17) % 65536) - 32768 AS s
+        |  FROM a, unnest(generate_series(0, a.total - 1)) k(i)
+        |)
+        |SELECT doc_id, win, COUNT(*) AS n_samples, CAST(SUM(s * s) AS BIGINT) AS energy
+        |FROM sm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_multimodal_wav" ->
       """WITH a AS (
         |  SELECT doc_id,

@@ -455,6 +455,64 @@ object Multimodal {
       }
     }
 
+  /** Windowed PCM energy over the REAL RIFF/WAVE parse: the decoded
+    * 16-bit sample stream cut into `window`-sample frames, each
+    * reduced to Σ s² — the framing step every audio featurizer (VAD,
+    * loudness normalization, spectral prep) runs first. Sums of
+    * int32 squares in int64 — exact, no float in sight; the trailing
+    * partial window is emitted with its own sample count.
+    *
+    * Per-partition flatMap like the other media kernels: parse cost
+    * on the executors, rows = ceil(samples/window) per clip.
+    *
+    * Returns (doc_id, win, n_samples, energy) rows.
+    */
+  def wavWindowEnergy(media: Dataset[MediaRow], window: Int = 256): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val p = m.payload
+        if (!looksLikeWav(p)) Seq.empty
+        else {
+          // locate the data chunk with the same walk as decodeWav
+          var off = 12
+          var dataOff = -1; var dataLen = 0
+          var bits = 0; var fmtOk = false
+          while (off + 8 <= p.length) {
+            val tag = tagAt(p, off)
+            val size = chunkSize(p, off)
+            val body = off + 8
+            if (tag == "fmt " && size >= 16 && body + 16 <= p.length) {
+              fmtOk = rdU16(p, body) == 1
+              bits = rdU16(p, body + 14)
+            } else if (tag == "data") {
+              dataOff = body; dataLen = math.min(size, p.length - body)
+            }
+            off = body + size + (size & 1)
+          }
+          if (!fmtOk || bits != 16 || dataOff < 0) Seq.empty
+          else {
+            val total = (dataLen & ~1) / 2
+            (0 until (total + window - 1) / window).map { w =>
+              val from = w * window
+              val until = math.min(from + window, total)
+              var s = 0L
+              var k = from
+              while (k < until) {
+                val v = (rdU16(p, dataOff + 2 * k) << 16) >> 16
+                s += v.toLong * v
+                k += 1
+              }
+              (m.doc_id, w, until - from, s)
+            }
+          }
+        }
+      }
+    }.toDF("doc_id", "win", "n_samples", "energy")
+  }
+
   final case class AviMeta(
       width: Int, height: Int, nFrames: Int, fps: Int,
       frame0Width: Int, frame0Height: Int)
