@@ -679,12 +679,12 @@ object LlmQueries {
             .cast("decimal(18,6)")).cast("double").as("revenue"))),
 
     "q_events_sessionize" -> ((s, dir) =>
-      // 4-hour inactivity gap. ts arrives as int64 nanos; `div` is
-      // exact integer floor-division to micros — the precision DuckDB
-      // reads TIMESTAMP(NANOS) at, so both engines compare equal ticks
+      // 4-hour inactivity gap. toMicros normalizes whichever physical
+      // ts type the driver shipped (int64 nanos or timestamp[us]) to
+      // the integer micro ticks DuckDB's epoch_us(ts) produces, so
+      // both engines compare equal ticks
       graft.events.EventOps.sessionize(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("ts div 1000")),
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
         gap = 4L * 3600 * 1000000L)
         .withColumnRenamed("start_ts", "start_us")
         .withColumnRenamed("end_ts", "end_us")),
@@ -694,8 +694,8 @@ object LlmQueries {
       // before it (left semantics: purchases without a prior click keep
       // null right columns); micros for cross-engine tick equality
       graft.events.EventOps.asofLatest(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("ts div 1000")), "purchase", "click")
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        "purchase", "click")
         .withColumnRenamed("ts", "ts_us")
         .withColumnRenamed("b_ts", "b_ts_us")),
 
@@ -704,8 +704,8 @@ object LlmQueries {
     // is pinned in StreamSpec
     "q_events_interval" -> ((s, dir) =>
       graft.events.EventOps.intervalJoin(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("ts div 1000")), "purchase", "click",
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        "purchase", "click",
         window = 3600L * 1000000L)
         .withColumnRenamed("l_ts", "l_ts_us")
         .withColumnRenamed("r_ts", "r_ts_us")),
@@ -717,8 +717,8 @@ object LlmQueries {
     // (6h = 21.6e9 micro ticks)
     "q_events_resample" -> ((s, dir) =>
       graft.events.EventOps.resampleEvents(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("ts div 1000")), step = 21600L * 1000000L)
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        step = 21600L * 1000000L)
         .withColumnRenamed("tick_ts", "tick_us")
         .withColumn("value", round(col("value"), 6))),
 
@@ -801,24 +801,27 @@ object LlmQueries {
     "q_hll_distinct_grams" -> ((s, dir) => TextOps.hllDistinctGrams(docs(s, dir), n = 3)),
 
     // weekly retention cohorts anchored on signup: per (cohort week,
-    // offset 0..4), distinct active users and retention fraction
+    // offset 0..4), distinct active users and retention fraction;
+    // bucket math in integer MICRO ticks (1 week = 6.048e11 us) —
+    // identical buckets to the old nano form since ns = us * 1000
     "q_events_retention" -> ((s, dir) =>
-      graft.events.EventOps.retentionCohorts(s.read.parquet(s"$dir/events.parquet"),
-        anchorType = "signup", bucket = 604800000000000L, maxOffset = 4)),
+      graft.events.EventOps.retentionCohorts(
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        anchorType = "signup", bucket = 604800000000L, maxOffset = 4)),
 
     // ordered funnel view -> click -> purchase, each step within 24h
-    // of the previous, earliest-completion semantics, integer nanos
+    // of the previous, earliest-completion semantics, integer micros
     "q_events_funnel" -> ((s, dir) =>
-      graft.events.EventOps.funnel(s.read.parquet(s"$dir/events.parquet"),
-        steps = Seq("view", "click", "purchase"), within = 86400000000000L)),
+      graft.events.EventOps.funnel(
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        steps = Seq("view", "click", "purchase"), within = 86400000000L)),
 
     "q_events_window" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
-      // (spark.sql.legacy.parquet.nanosAsLong in the session), convert
-      // to a timestamp for the tumbling window, output epoch millis so
-      // the comparison is integer-exact across engines
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts2", timestamp_micros((col("ts") / 1000).cast("long")))
+      // normalize ts to long micros whatever the physical parquet type,
+      // convert to a timestamp for the tumbling window, output epoch
+      // millis so the comparison is integer-exact across engines
+      val ev = graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet"))
+        .withColumn("ts2", timestamp_micros(col("ts")))
       ev.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
@@ -2812,16 +2815,16 @@ object LlmQueries {
         |       ROUND(abs(fin.est - exact_grams) / exact_grams, 4) AS rel_err
         |FROM fin JOIN ex USING (source) ORDER BY 1""".stripMargin,
 
-    // retention: integer // bucket math on epoch nanos mirrors the
+    // retention: integer // bucket math on epoch micros mirrors the
     // engine's DIV; distinct (user, week) activity, cohort by first
     // signup week
     "q_events_retention" ->
       """WITH ev AS (
-        |  SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts FROM events
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts FROM events
         |), cohort AS (
-        |  SELECT u, MIN(ts) // 604800000000000 AS cb FROM ev WHERE t = 'signup' GROUP BY 1
+        |  SELECT u, MIN(ts) // 604800000000 AS cb FROM ev WHERE t = 'signup' GROUP BY 1
         |), act AS (
-        |  SELECT DISTINCT u, ts // 604800000000000 AS w FROM ev
+        |  SELECT DISTINCT u, ts // 604800000000 AS w FROM ev
         |), sizes AS (SELECT cb, COUNT(*) AS n_cohort FROM cohort GROUP BY 1),
         |r AS (
         |  SELECT c.cb, a.w - c.cb AS k, COUNT(*) AS n_active
@@ -2834,20 +2837,20 @@ object LlmQueries {
         |FROM r JOIN sizes s ON s.cb = r.cb ORDER BY 1, 2""".stripMargin,
 
     // funnel: per-step min-qualifying-time recursion unrolled; all
-    // comparisons in integer epoch nanos (epoch_ns == the engine's
-    // nanosAsLong read), one final double division
+    // comparisons in integer epoch micros (epoch_us == the engine's
+    // toMicros ticks), one final double division
     "q_events_funnel" ->
       """WITH ev AS (
-        |  SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts FROM events
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts FROM events
         |), s0 AS (
         |  SELECT u, MIN(ts) AS tp FROM ev WHERE t = 'view' GROUP BY 1
         |), s1 AS (
         |  SELECT e.u, MIN(e.ts) AS tp FROM ev e JOIN s0 p ON p.u = e.u
-        |  WHERE e.t = 'click' AND e.ts > p.tp AND e.ts - p.tp <= 86400000000000
+        |  WHERE e.t = 'click' AND e.ts > p.tp AND e.ts - p.tp <= 86400000000
         |  GROUP BY 1
         |), s2 AS (
         |  SELECT e.u, MIN(e.ts) AS tp FROM ev e JOIN s1 p ON p.u = e.u
-        |  WHERE e.t = 'purchase' AND e.ts > p.tp AND e.ts - p.tp <= 86400000000000
+        |  WHERE e.t = 'purchase' AND e.ts > p.tp AND e.ts - p.tp <= 86400000000
         |  GROUP BY 1
         |), c AS (
         |  SELECT 0 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s0) AS n_users

@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** SCHEMA-ADAPTIVE tick normalization: the `events` table has shipped
+    * `ts` as int64 nanoseconds (parquet TIMESTAMP(NANOS) surfaced as a
+    * long via `spark.sql.legacy.parquet.nanosAsLong`) and as parquet
+    * timestamp[us] (surfaced as TIMESTAMP or TIMESTAMP_NTZ depending on
+    * isAdjustedToUTC / `inferTimestampNTZ`). Every operator below wants
+    * one thing: plain int64 MICROSECOND ticks, the precision every
+    * engine in the cross-check can represent exactly. This adapter
+    * inspects the physical type once (driver-side schema lookup, no
+    * action) and rewrites the column; unknown types fail loudly rather
+    * than silently producing seconds (a bare `cast("long")` on a
+    * timestamp would). NTZ→timestamp is wall-clock-preserving under the
+    * harness's UTC session timezone.
+    */
+  def toMicros(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn(tsCol, expr(s"$tsCol div 1000")) // int64 nanos
+      case org.apache.spark.sql.types.TimestampType =>
+        events.withColumn(tsCol, unix_micros(col(tsCol)))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn(tsCol, unix_micros(col(tsCol).cast("timestamp")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$tsCol: expected int64 nanos or a timestamp type, got $other")
+    }
+
   /** GAP-BASED SESSIONIZATION: a user's events, ordered by time, split
     * into sessions wherever the gap to the previous event exceeds
     * `gap` (in the ts column's own units); per session, the count / span / value sum a funnel or

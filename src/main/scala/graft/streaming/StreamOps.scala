@@ -15,17 +15,18 @@ object StreamOps {
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("ts", LongType), // int64 micro ticks (EventOps.toMicros)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The shared transform: nanos -> timestamp, 1h tumbling window per
-    * event_type, count + sum.
+  /** The shared transform: micros -> timestamp, 1h tumbling window per
+    * event_type, count + sum. Callers normalize the raw parquet ts
+    * with [[graft.events.EventOps.toMicros]] before staging.
     */
   def windowedAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
-    val ts = events.withColumn("ts2", timestamp_micros((col("ts") / 1000).cast("long")))
+    val ts = events.withColumn("ts2", timestamp_micros(col("ts")))
     val wm = if (withWatermark) ts.withWatermark("ts2", "2 hours") else ts
     wm.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))

@@ -143,8 +143,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("event operators shuffle ONCE on the user key") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+    val ev = graft.events.EventOps.toMicros(spark.read.parquet(s"$dir/events.parquet"))
     // sessionize: the window exchange on user_id is the only shuffle —
     // the session aggregate's (user, session) grouping is satisfied by
     // the existing user partitioning (subset clustering), and the asof
@@ -357,9 +356,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("funnel: every step join is a hash equi-join on the user key, no cartesian on data") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.events.EventOps.toMicros(spark.read.parquet(s"$dir/events.parquet"))
     val df = graft.events.EventOps.funnel(
-      ev, Seq("view", "click", "purchase"), within = 86400000000000L)
+      ev, Seq("view", "click", "purchase"), within = 86400000000L)
     df.collect()
     val p = plan(df)
     // the only BNL/cartesian allowed is the final 1-row conversion
@@ -400,9 +399,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("retention cohorts: three keyed aggregations, joins on the user key only") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.events.EventOps.toMicros(spark.read.parquet(s"$dir/events.parquet"))
     val df = graft.events.EventOps.retentionCohorts(
-      ev, "signup", bucket = 604800000000000L, maxOffset = 4)
+      ev, "signup", bucket = 604800000000L, maxOffset = 4)
     df.collect()
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(2000)}")

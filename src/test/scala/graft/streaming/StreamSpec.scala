@@ -10,7 +10,8 @@ class StreamSpec extends AnyFunSuite {
   test("streaming windowed agg over events matches the batch result") {
     // stage the events parquet into a stream-source directory
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     batch.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
 
     val q = StreamOps.streamFromDir(spark, srcDir.getAbsolutePath)
@@ -94,8 +95,8 @@ class StreamSpec extends AnyFunSuite {
   test("sessionize agrees with Spark's built-in session_window on real events") {
     // independent implementation cross-check: the lag/running-sum plan
     // vs Catalyst's native session-window merge, same 4h gap
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+    val ev = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val ours = graft.events.EventOps.sessionize(ev, gap = 4L * 3600 * 1000000L)
       .collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(2), r.getLong(4))).toSet // (user, start, n, end)
@@ -110,13 +111,13 @@ class StreamSpec extends AnyFunSuite {
 
   test("streaming sessionization matches the batch operator session for session") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-stream").toFile
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
-    val ev = raw.withColumn("ts", expr("ts div 1000"))
+    val ev = raw
     val src = spark.readStream
       .schema(StreamOps.eventsSchema)
       .parquet(srcDir.getAbsolutePath)
-      .withColumn("ts", expr("ts div 1000"))
     val q = StreamOps.streamingSessionize(src)
       .writeStream.format("memory").queryName("sess_stream")
       .outputMode("complete").start()
@@ -132,12 +133,12 @@ class StreamSpec extends AnyFunSuite {
 
   test("stream-stream interval join matches the batch inequality join row for row") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-join-stream").toFile
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
     val src = spark.readStream
       .schema(StreamOps.eventsSchema)
       .parquet(srcDir.getAbsolutePath)
-      .withColumn("ts", expr("ts div 1000"))
     val q = StreamOps.streamingIntervalJoin(src, "purchase", "click", "1 hour")
       .writeStream.format("memory").queryName("ij_stream").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
@@ -145,7 +146,7 @@ class StreamSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     val streamed = spark.table("ij_stream").collect().map(key).toSet
     // batch mirror: plain inequality join on the same micros ticks
-    val ev = raw.withColumn("tsu", expr("ts div 1000"))
+    val ev = raw.withColumn("tsu", col("ts"))
     val l = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("l_event_id"), col("user_id"), col("tsu").as("l_ts"))
     val r = ev.filter(col("event_type") === "click")
@@ -161,8 +162,8 @@ class StreamSpec extends AnyFunSuite {
 
   test("streaming event dedup drops redelivered ids, keeps exactly the distinct set") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-evdedup-stream").toFile
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .limit(500)
     // simulate at-least-once delivery: every event shipped twice
     raw.unionByName(raw).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
@@ -182,8 +183,8 @@ class StreamSpec extends AnyFunSuite {
   test("streaming as-of join matches the batch operator probe for probe") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-stream").toFile
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .limit(600)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
