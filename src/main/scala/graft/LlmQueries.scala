@@ -27,6 +27,16 @@ object LlmQueries {
   // to appear in the synthetic corpus with varied document frequency
   val Bm25Query: Seq[String] = Seq("spark", "filter", "join", "window", "merge")
 
+  // target mixture for the epoch-scheduling query: varied weights over
+  // src0..src15; src16..src19 deliberately ABSENT to exercise the
+  // dropped-source (ratio 0) path. All weights are dyadic rationals so
+  // the Scala map-order sum is exact and equals the SQL literal.
+  val EpochWeights: Map[String, Double] =
+    Map("src0" -> 3.0, "src1" -> 2.0, "src2" -> 2.0, "src3" -> 1.5,
+      "src4" -> 1.0, "src5" -> 1.0, "src6" -> 1.0, "src7" -> 1.0,
+      "src8" -> 1.0, "src9" -> 1.0, "src10" -> 0.5, "src11" -> 0.5,
+      "src12" -> 0.5, "src13" -> 0.5, "src14" -> 0.5, "src15" -> 0.25)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -476,7 +486,36 @@ object LlmQueries {
 
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
+    // packing-efficiency report: per training sequence, docs touching /
+    // starting — the fragmentation health check of the packing run
+    "q_pack_bins" -> ((s, dir) => OrderOps.packBinStats(docs(s, dir), capacity = 256)),
+
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
+
+    // span-dedup REWRITE: every duplicated chunk occurrence except the
+    // global first (by doc_id, chunk idx) dropped, survivors reassembled
+    "q_dedup_rewrite" -> ((s, dir) => TextOps.dedupChunksRewrite(docs(s, dir), k = 8)),
+
+    // per-source boilerplate: chunks in >= 3 distinct docs of the SAME
+    // source, per-doc boilerplate mass
+    "q_boilerplate" -> ((s, dir) => TextOps.boilerplateChunkStats(docs(s, dir), k = 8, minDf = 3)),
+
+    // one BPE tokenizer-training merge round: top-20 adjacent char
+    // pairs by word-frequency-weighted count
+    "q_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(docs(s, dir), topK = 20)),
+
+    // epoch scheduling: target source mixture -> deterministic integer
+    // per-doc repeat counts (expected token mass == target)
+    "q_epoch_repeats" -> ((s, dir) =>
+      CorpusOps.epochRepeats(docs(s, dir), EpochWeights,
+        budgetTokens = 100000L, salt = "epoch1")),
+
+    // hard-negative mining: top-5 most-similar DIFFERENT-label
+    // candidates per query vector (contrastive-training negatives)
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      VectorOps.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
 
     "q_shard_manifest" -> ((s, dir) => {
       // exercises the SINK path end-to-end: write the sharded training
@@ -2279,6 +2318,138 @@ object LlmQueries {
         |  CAST(cum // 256 AS BIGINT) AS start_bin,
         |  CAST((cum + GREATEST(n_tokens, 1) - 1) // 256 AS BIGINT) AS end_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // packing-efficiency: same window cumsum as the q_seq_pack oracle
+    // (an INDEPENDENT implementation of the engine's distributed
+    // prefix sum), bins exploded per doc span
+    "q_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t
+        |), b AS (
+        |  SELECT CAST(cum // 256 AS BIGINT) AS start_bin,
+        |         CAST((cum + GREATEST(n_tokens, 1) - 1) // 256 AS BIGINT) AS end_bin
+        |  FROM c
+        |), e AS (
+        |  SELECT start_bin, unnest(generate_series(start_bin, end_bin)) AS bin FROM b
+        |)
+        |SELECT bin, COUNT(*) AS n_docs_touching,
+        |  CAST(SUM(CASE WHEN start_bin = bin THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // span-dedup rewrite: first occurrence per chunk text by global
+    // (doc_id, chunk idx) order via row_number; survivors string_agg'd
+    // back in document order
+    "q_dedup_rewrite" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, k AS cidx, array_to_string(toks[(k*8+1):((k+1)*8)], ' ') AS chunk
+        |  FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) u(k)
+        |  WHERE len(toks) > 0
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+        |  FROM c
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |    string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cidx) AS text_kept
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(text_kept, '') AS text_kept
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source boilerplate: chunk document-frequency WITHIN a source
+    // >= 3 flags boilerplate; per-doc mass
+    "q_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, array_to_string(toks[(k*8+1):((k+1)*8)], ' ') AS chunk
+        |  FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) u(k)
+        |  WHERE len(toks) > 0
+        |), boiler AS (
+        |  SELECT source, chunk FROM (
+        |    SELECT source, chunk, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY 1, 2
+        |  ) WHERE df >= 3
+        |), agg AS (
+        |  SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM c LEFT JOIN boiler b ON b.source = c.source AND b.chunk = c.chunk
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.source,
+        |  CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler_chunks,
+        |  ROUND(COALESCE(n_boiler, 0) * 1.0 / GREATEST(COALESCE(n_chunks, 0), 1), 6) AS boiler_frac
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // BPE merge round: pair counts over the vocabulary weighted by
+    // word frequency; deterministic (count desc, left, right) cut
+    "q_bpe_pairs" ->
+      """WITH occ AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |), v AS (SELECT w, COUNT(*) AS wc FROM occ GROUP BY 1),
+        |p AS (
+        |  SELECT substring(w, CAST(k AS INT), 1) AS left_sym,
+        |         substring(w, CAST(k + 1 AS INT), 1) AS right_sym,
+        |         CAST(SUM(wc) AS BIGINT) AS pair_count
+        |  FROM v, unnest(generate_series(1, len(w) - 1)) u(k)
+        |  WHERE len(w) >= 2 GROUP BY 1, 2
+        |)
+        |SELECT * FROM p
+        |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin,
+
+    // epoch scheduling: ratio arithmetic replayed in the SAME order
+    // (w / wsum * budget / actual), md5-uniform extra-repeat draw
+    "q_epoch_repeats" -> {
+      val wValues = EpochWeights.toSeq.sorted
+        .map { case (s, w) => s"('$s', ${d(w)})" }.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+         |  FROM documents
+         |), w(source, w) AS (VALUES $wValues),
+         |a AS (SELECT source, SUM(n_tokens) AS actual FROM t GROUP BY 1),
+         |r AS (
+         |  SELECT a.source,
+         |    COALESCE(w.w, 0.0) / 17.25 * 100000.0 / CAST(a.actual AS DOUBLE) AS ratio
+         |  FROM a LEFT JOIN w USING (source)
+         |)
+         |SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(FLOOR(ratio) + CASE WHEN
+         |    CAST(CAST(concat('0x', substr(md5('epoch1:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976.0 < ratio - FLOOR(ratio)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         |FROM t JOIN r USING (source) ORDER BY t.doc_id""".stripMargin
+    },
+
+    // hard negatives: the cosine-topk oracle with the cross-label
+    // predicate fused in
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM q, e c WHERE c.vec_id <> q.vec_id AND c.label <> q.label
+        |)
+        |SELECT query_id, cand_id, ROUND(sim, 6) AS sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+        |  FROM s
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // deterministic salted-hash training order
     "q_corpus_shuffle" ->

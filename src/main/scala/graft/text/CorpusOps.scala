@@ -573,4 +573,57 @@ object CorpusOps {
       .orderBy(col("rrf_score").desc, col("id").asc).limit(k)
       .select(col("id").as(idCol), col("n_lists"), col("rrf_score"))
   }
+
+  /** EPOCH REPEAT-FACTOR SCHEDULING — materialize a target source
+    * mixture as integer per-document repeat counts (the "epochs per
+    * source" table of Llama/Gopher-style data recipes): source `s`
+    * with relative weight `w_s` should contribute `budget * w_s / Σw`
+    * tokens, so each of its documents repeats `ratio_s =
+    * target_s / actual_s` times — the integer floor for everyone, plus
+    * one extra repeat for a `frac(ratio_s)` hash-selected fraction, so
+    * the EXPECTED token mass matches the target exactly while every
+    * decision stays deterministic (same salted 60-bit md5 uniform as
+    * [[graft.text.TextOps.stratifiedSample]] — reproducible across
+    * runs, engines, and cluster sizes; changing the salt redraws).
+    * Sources absent from `weights` get ratio 0 — dropped, loudly
+    * visible as n_repeats = 0 rather than silently passed through.
+    *
+    * One aggregation per source (actual token mass), then a broadcast
+    * of the per-source ratio table onto the corpus scan — per-doc cost
+    * is a hash and a compare; nothing driver-side grows with data
+    * (the ratio table is |sources| rows).
+    *
+    * Returns (id, source, n_tokens, n_repeats).
+    */
+  def epochRepeats(
+      docs: DataFrame, weights: Map[String, Double], budgetTokens: Long,
+      salt: String = "epoch", idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0), "bad weights")
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wsum = weights.values.sum
+    val wdf = weights.toSeq.toDF(srcCol, "w")
+    val base = docs.select(col(idCol).cast("long").as("id"), col(srcCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    // fixed arithmetic order (w / wsum * budget, then / actual): each
+    // product rounds once, so the SQL oracle reproduces the doubles
+    // bit for bit
+    val ratios = base.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("actual_tokens"))
+      .join(broadcast(wdf), Seq(srcCol), "left")
+      .withColumn("ratio",
+        coalesce(col("w"), lit(0.0)) / lit(wsum) * lit(budgetTokens.toDouble) /
+          col("actual_tokens").cast("double"))
+      .select(col(srcCol), col("ratio"))
+    val u = TextOps.tokenHash(concat_ws(":", lit(salt), col("id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    base.join(broadcast(ratios), Seq(srcCol))
+      .withColumn("n_repeats",
+        floor(col("ratio")) +
+          when(u < col("ratio") - floor(col("ratio")), 1L).otherwise(0L))
+      .select(col("id").as(idCol), col(srcCol), col("n_tokens"),
+        col("n_repeats").cast("long").as("n_repeats"))
+  }
 }

@@ -151,4 +151,27 @@ object OrderOps {
       }
     }.toDF(idCol, "pos")
   }
+
+  /** PACKING-EFFICIENCY REPORT over [[packSequences]]: per training
+    * sequence (bin), how many documents touch it and how many START in
+    * it — the fragmentation/utilization health check of a packing run
+    * (a bin touched by one long document is a contiguous span; a bin
+    * where many short documents start is attention-mask-heavy). The
+    * per-doc bin span explodes `sequence(start_bin, end_bin)` — cost
+    * is total bins touched, linear in corpus tokens / capacity — and
+    * one groupBy on the bin id rolls it up.
+    *
+    * Returns (bin, n_docs_touching, n_docs_starting), one row per bin.
+    */
+  def packBinStats(
+      docs: DataFrame, capacity: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      reliable: Boolean = false): DataFrame =
+    packSequences(docs, capacity, idCol, textCol, reliable)
+      .select(col("start_bin"),
+        explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs_touching"),
+        sum(when(col("start_bin") === col("bin"), 1L).otherwise(0L))
+          .as("n_docs_starting"))
 }

@@ -1882,4 +1882,156 @@ object TextOps {
           .otherwise(col("e_raw")))
       .select(col("source"), col("est"))
   }
+
+  /** (id, cidx, chunk) occurrence rows: consecutive `k`-token chunks
+    * per document (tail chunk kept), 0-based chunk index — the shared
+    * splitter under the span-dedup family. All codegen'd column ops
+    * (sequence/transform/slice/posexplode), no UDF.
+    */
+  private def chunkOccurrences(
+      docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nChunks = ((size(toks) + (k - 1)) / k).cast("int")
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .otherwise(array())
+    docs.select(col(idCol).cast("long").as("id"), posexplode(chunks))
+      .select(col("id"), col("pos").cast("long").as("cidx"), col("col").as("chunk"))
+  }
+
+  /** CHUNK-DEDUP REWRITE — the remove-and-reassemble form of span
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2021, at chunk granularity): every occurrence of
+    * a duplicated chunk EXCEPT the global first (ordered by (doc_id,
+    * chunk index)) is dropped, and each document is re-emitted as its
+    * surviving chunks in order — [[chunkDupStats]] measures the
+    * duplication; this operator actually removes it.
+    *
+    * First-occurrence selection is `min(struct(id, cidx))` per chunk
+    * digest — one groupBy bounded by the DISTINCT-chunk count, joined
+    * back on the 32-char md5 (never shuffling chunk bodies twice).
+    * Reassembly is one groupBy per document whose collect_list is
+    * bounded by that document's own chunk count — per-doc state, the
+    * same bound as holding the document text itself, so the shape
+    * holds at 100 TB. No window over the corpus, no cartesian.
+    *
+    * Returns (id, n_chunks, n_kept, text_kept); documents reduced to
+    * nothing (or empty to begin with) keep an empty `text_kept`.
+    */
+  def dedupChunksRewrite(
+      docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"chunk size must be >= 1, got $k")
+    val occ = chunkOccurrences(docs, k, idCol, textCol)
+      .withColumn("h", md5(col("chunk")))
+    val first = occ.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("cidx"))).as("f"))
+      .select(col("h"), col("f.id").as("fid"), col("f.cidx").as("fcidx"))
+    val flagged = occ.join(first, "h")
+      .withColumn("keep", col("id") === col("fid") && col("cidx") === col("fcidx"))
+    val agg = flagged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls of the non-kept rows; array_sort
+        // on struct(cidx, chunk) restores document order
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("cidx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("text_kept"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** PER-SOURCE BOILERPLATE detection (the CCNet/C4 per-domain pass):
+    * a chunk is boilerplate WITHIN a source when it appears in >=
+    * `minDf` distinct documents of that source — headers, footers,
+    * navigation text repeated across a site. Per document: how much of
+    * it is its own source's boilerplate, the gating signal for
+    * template-heavy pages that corpus-WIDE dedup underweights (a
+    * boilerplate chunk on 50 pages of one site is 98% removable even
+    * if no other source carries it).
+    *
+    * Two aggregations, both bounded: distinct (source, chunk, doc)
+    * then (source, chunk) document frequency, and the per-doc rollup.
+    * The boilerplate join key is (source, md5) — fixed-width, never
+    * chunk bodies.
+    *
+    * Returns (id, source, n_chunks, n_boiler_chunks, boiler_frac).
+    */
+  def boilerplateChunkStats(
+      docs: DataFrame, k: Int, minDf: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val src = docs.select(col(idCol).cast("long").as("id"), col(srcCol))
+    val occ = chunkOccurrences(docs, k, idCol, textCol)
+      .withColumn("h", md5(col("chunk"))).drop("chunk")
+      .join(src, "id")
+    val boiler = occ.select(col(srcCol), col("h"), col("id")).distinct()
+      .groupBy(col(srcCol), col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col(srcCol), col("h"), lit(1).as("is_boiler"))
+    val agg = occ.join(boiler, Seq(srcCol, "h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler_chunks"))
+    src.join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol), col(srcCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_boiler_chunks"), lit(0L)).as("n_boiler_chunks"),
+        round(coalesce(col("n_boiler_chunks"), lit(0L)) /
+          greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)), 6).as("boiler_frac"))
+  }
+
+  /** BPE MERGE-PAIR CELLS, occurrence path — adjacent character-pair
+    * counts over every token occurrence: ONE aggregation, so the same
+    * body is streaming-legal (complete-mode groupBy) and micro-batched
+    * cells merge to exactly the batch counts. The batch-side
+    * [[bpePairStats]] uses the vocabulary-compressed two-stage form;
+    * both compute the identical pair counts (pair count weighted by
+    * word frequency == pair count over occurrences).
+    */
+  def bpePairCells(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("left_sym"),
+          col("w").substr(i + lit(1), lit(1)).as("right_sym")))).as("p"))
+      .groupBy(col("p.left_sym").as("left_sym"), col("p.right_sym").as("right_sym"))
+      .agg(count(lit(1)).as("pair_count"))
+
+  /** BPE MERGE-PAIR STATISTICS — one round of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count every adjacent
+    * symbol pair weighted by word frequency and rank the top merge
+    * candidates. Symbols are single characters (round 1 of the merge
+    * loop; later rounds would rewrite the vocabulary and repeat).
+    *
+    * The corpus pass compresses to the VOCABULARY first (groupBy word
+    * — at 100 TB the distinct-word table is orders of magnitude
+    * smaller than the token stream, and the pair explode then runs
+    * per distinct word, not per occurrence); top-K is TakeOrdered
+    * (per-partition heaps), never a global sort. Deterministic
+    * tie-break: (count desc, left, right).
+    *
+    * Returns topK rows of (left_sym, right_sym, pair_count).
+    */
+  def bpePairStats(
+      docs: DataFrame, topK: Int, textCol: String = "text"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("l"),
+          col("w").substr(i + lit(1), lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(topK)
+  }
 }

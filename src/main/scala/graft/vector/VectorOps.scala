@@ -54,6 +54,34 @@ object VectorOps {
     topKPerQuery(joined, k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/retrieval training: for each
+    * query vector, the k most-similar candidates of a DIFFERENT label
+    * — near misses that look like the query but aren't its class, the
+    * examples a contrastive loss learns the most from (DPR/Contriever
+    * recipe). Same broadcast scan-and-heap shape as [[bruteForceTopK]]
+    * with the label-mismatch predicate fused into the join: candidates
+    * of the query's own label never enter the heap, so k hard
+    * negatives survive per query regardless of class balance.
+    *
+    * Returns (query_id, cand_id, sim, rank), rank 1-based.
+    */
+  def hardNegatives(
+      embeddings: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cand = embeddings.select(col(idCol).as("cand_id"),
+      col(labelCol).as("cand_label"),
+      col(vecCol).cast("array<double>").as("cand_vec"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"),
+      col(vecCol).cast("array<double>").as("query_vec"))
+    val joined = cand.join(broadcast(qs),
+        col("query_id") =!= col("cand_id") &&
+          col("cand_label") =!= col("query_label"))
+      .withColumn("sim", cosine(col("query_vec"), col("cand_vec")))
+    topKPerQuery(joined, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed sinusoidal lattice — cheap, portable, and reproducible in
     * SQL if ever needed.

@@ -398,6 +398,37 @@ class PlanSpec extends AnyFunSuite {
       s"threshold list not broadcast:\n${p.take(2000)}")
   }
 
+  test("dedup rewrite: keyed first-occurrence agg + equi-join on the chunk digest, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 150)
+    val df = graft.text.TextOps.dedupChunksRewrite(docs, k = 8)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(2000)}")
+    // first-occurrence selection must be an aggregation, never a
+    // corpus-wide row_number window (single-task sort at scale)
+    assert(!p.contains("Window"), s"window in rewrite plan:\n${p.take(2000)}")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"no equi-join:\n${p.take(2000)}")
+  }
+
+  test("epoch repeats: per-source ratio table broadcast onto the corpus scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.CorpusOps.epochRepeats(docs, LlmQueries.EpochWeights, 100000L)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"ratio table not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(2000)}")
+  }
+
+  test("bpe pair stats: vocabulary-compressed partial agg, top-K is TakeOrdered") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.TextOps.bpePairStats(docs, topK = 20)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-K not TakeOrdered:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n${p.take(2000)}")
+  }
+
   test("retention cohorts: three keyed aggregations, joins on the user key only") {
     val ev = graft.events.EventOps.toMicros(spark.read.parquet(s"$dir/events.parquet"))
     val df = graft.events.EventOps.retentionCohorts(

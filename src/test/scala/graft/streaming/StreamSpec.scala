@@ -501,6 +501,35 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("BPE pair cells stream as a complete-mode count aggregation, equal to the batch counts") {
+    // the occurrence-path pair counting is ONE streaming-legal
+    // aggregation; micro-batched cells must equal the batch-side
+    // vocabulary-compressed counts exactly (same math, different plan —
+    // an independent cross-check of the two formulations)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-bpe-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.bpePairCells(src)
+      .writeStream.format("memory").queryName("bpe_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1), r.getLong(2))
+    val streamed = spark.table("bpe_stream").collect().map(key).sorted.toSeq
+    // batch side uses the VOCABULARY-compressed two-stage form
+    val batch = graft.text.TextOps.bpePairStats(docs, topK = Int.MaxValue)
+      .collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("HLL registers stream as a complete-mode max aggregation; finalize equals batch estimate") {
     // the register table IS a streaming-legal groupBy+max — the
     // incremental-ingestion shape of the cardinality sketch: streamed
