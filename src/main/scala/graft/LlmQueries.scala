@@ -484,6 +484,13 @@ object LlmQueries {
         VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
           numPlanes = 8, dims = 64, k = 5), iters = 3)),
 
+    // triangle count + local clustering coefficient of the kNN graph —
+    // community-structure health (near-dup families close triangles)
+    "q_knn_triangles" -> ((s, dir) =>
+      VectorOps.knnTriangles(
+        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+          numPlanes = 8, dims = 64, k = 5))),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     // packing-efficiency report: per training sequence, docs touching /
@@ -2198,6 +2205,33 @@ object LlmQueries {
          |  SELECT cand_id AS node, query_id AS peer FROM ann
          |), deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY 1)
          |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // triangles: node-iterator wedge join over the canonical a < b
+    // edge set of the same ann CTE, closed on the (v, w) edge key
+    "q_knn_triangles" ->
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS a, cand_id AS b FROM ann
+         |  UNION
+         |  SELECT cand_id AS a, query_id AS b FROM ann
+         |), und AS (SELECT a, b FROM sym WHERE a < b),
+         |tri AS (
+         |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+         |), pn AS (
+         |  SELECT node, COUNT(*) AS n_tri FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri
+         |  ) GROUP BY 1
+         |), deg AS (SELECT a AS node, COUNT(*) AS degree FROM sym GROUP BY 1)
+         |SELECT d.node, d.degree,
+         |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN ROUND(COALESCE(n_tri, 0) * 2.0 / (d.degree * (d.degree - 1)), 6)
+         |    ELSE 0.0 END AS clustering_coeff
+         |FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node""".stripMargin,
 
     // kNN PageRank: same LSH ann CTE; 3 unrolled integer power
     // iterations (BIGINT // division, order-free sums) -> rank_units

@@ -668,6 +668,43 @@ object VectorOps {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 
+  /** kNN-graph TRIANGLE COUNT + local clustering coefficient — the
+    * community-structure health check of the semantic neighbor graph
+    * (a high coefficient means near-dup families and topical clusters;
+    * a vanishing one means the ANN parameters produced a random-ish
+    * graph). Node-iterator triangle enumeration (Suri &
+    * Vassilvitskii, WWW 2011 shape): canonical `a < b` edges, wedges
+    * joined per shared endpoint, closed by one more equi-join on the
+    * (v, w) edge key. Per-node wedge fan-out is bounded by degree^2 <=
+    * (2k)^2 — a constant per node at any corpus size, so the whole
+    * report is three bounded equi-joins, never all-pairs.
+    *
+    * coefficient = 2*triangles / (degree * (degree - 1)), 0 when
+    * degree < 2. Returns (node, degree, n_triangles, clustering_coeff).
+    */
+  def knnTriangles(ann: DataFrame): DataFrame = {
+    val sym = ann.select(col("query_id").as("a"), col("cand_id").as("b"))
+      .unionByName(ann.select(col("cand_id").as("a"), col("query_id").as("b")))
+      .distinct()
+    val und = sym.filter(col("a") < col("b"))
+    val wedges = und.select(col("a").as("u"), col("b").as("v"))
+      .join(und.select(col("a").as("u"), col("b").as("w")), "u")
+      .filter(col("v") < col("w"))
+    val tri = wedges.join(
+      und.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(coalesce(col("n_tri"), lit(0L)) * lit(2.0) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
   /** IVF-PQ recall — the composition every billion-scale index
     * actually ships (FAISS `IVFPQ`; Jégou et al. 2011 §V): coarse IVF
     * probing bounds WHICH candidates are scored, PQ/ADC bounds WHAT

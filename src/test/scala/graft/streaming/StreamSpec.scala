@@ -475,6 +475,32 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("context windows are stream-transparent (narrow column op, no state)") {
+    // size/stride chunking is pure per-row column math — the long-doc
+    // preparation step runs unmodified over a readStream source
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-win-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 80)
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.text.TextOps.contextWindows(src, size = 64, stride = 48)
+      .writeStream.format("memory").queryName("win_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    val streamed = spark.table("win_stream").collect().map(key).sorted.toSeq
+    val batch = graft.text.TextOps.contextWindows(docs, size = 64, stride = 48)
+      .collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("CMS cells stream as a complete-mode count aggregation, equal to the batch cells") {
     // the occurrence-path sketch is ONE streaming-legal aggregation;
     // micro-batched cells must equal the batch cells exactly (counts

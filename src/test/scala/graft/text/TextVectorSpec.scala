@@ -1258,4 +1258,18 @@ class TextVectorSpec extends AnyFunSuite {
     assert(a == b, s"estimate depends on partitioning:\n$a\n$b")
     assert(a.forall(_._3 > 0.0))
   }
+
+  test("knnTriangles on a hand graph: counts and coefficients exact") {
+    // directed ann rows for the undirected graph {1-2, 2-3, 1-3, 3-4}:
+    // one triangle (1,2,3), node 4 pendant. Direction and duplicates
+    // must not matter (symmetrize + distinct).
+    val ann = Seq((1L, 2L), (3L, 2L), (1L, 3L), (4L, 3L), (2L, 1L))
+      .toDF("query_id", "cand_id")
+    val out = VectorOps.knnTriangles(ann).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 0.333333)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
 }
