@@ -511,6 +511,22 @@ object LlmQueries {
     // pairs by word-frequency-weighted count
     "q_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(docs(s, dir), topK = 20)),
 
+    // robust per-source outlier gate on doc length: Iglewicz-Hoaglin
+    // modified z-score from exact per-source median/MAD
+    "q_robust_outliers" -> ((s, dir) => CorpusOps.robustOutliers(docs(s, dir))),
+
+    // snapshot diff vs a simulated next release: every 5th doc
+    // removed, every 7th survivor edited, %11==3 re-added as new ids
+    "q_corpus_diff" -> ((s, dir) => {
+      val a = docs(s, dir)
+      val b = a.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, reverse(col("text"))).otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 11 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      CorpusOps.corpusDiff(a, b)
+    }),
+
     // epoch scheduling: target source mixture -> deterministic integer
     // per-doc repeat counts (expected token mass == target)
     "q_epoch_repeats" -> ((s, dir) =>
@@ -2446,6 +2462,45 @@ object LlmQueries {
         |)
         |SELECT * FROM p
         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin,
+
+    // robust outliers: quantile_cont == the engine's exact percentile;
+    // z and the flag computed from the ROUNDED z in both engines
+    "q_robust_outliers" ->
+      """WITH n AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |m AS (SELECT source, quantile_cont(x, 0.5) AS med FROM n GROUP BY 1),
+        |w AS (SELECT n.*, m.med FROM n JOIN m USING (source)),
+        |d AS (SELECT source, quantile_cont(abs(x - med), 0.5) AS mad FROM w GROUP BY 1),
+        |f AS (
+        |  SELECT w.doc_id, w.source, w.x, w.med, d.mad,
+        |    CASE WHEN d.mad > 0 THEN ROUND(0.6745 * (w.x - w.med) / d.mad, 6)
+        |         ELSE 0.0 END AS z
+        |  FROM w JOIN d USING (source)
+        |)
+        |SELECT doc_id, source, x, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+        |  z, abs(z) > 3.5 AS is_outlier
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // snapshot diff: same simulated release replayed (reverse() is
+    // identical in both engines); digests compared, never bodies
+    "q_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        |b AS (
+        |  SELECT doc_id, md5(text) AS h_new FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END AS text
+        |    FROM documents WHERE doc_id % 5 <> 0
+        |    UNION ALL
+        |    SELECT doc_id + 1000000 AS doc_id, text
+        |    FROM documents WHERE doc_id % 11 = 3
+        |  )
+        |)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY 1""".stripMargin,
 
     // epoch scheduling: ratio arithmetic replayed in the SAME order
     // (w / wsum * budget / actual), md5-uniform extra-repeat draw

@@ -574,6 +574,74 @@ object CorpusOps {
       .select(col("id").as(idCol), col("n_lists"), col("rrf_score"))
   }
 
+  /** ROBUST OUTLIER GATING (Iglewicz & Hoaglin modified z-score, NIST
+    * handbook form): per stratum, the exact median and MAD (median
+    * absolute deviation) of a numeric quality feature, and per
+    * document `z = 0.6745 * (x - median) / MAD`, flagged when |z| >
+    * `cut` (3.5 is the published default). Median/MAD resist the very
+    * outliers being hunted — a mean/stddev gate moves with every spam
+    * blob it should be catching.
+    *
+    * Two exact-percentile aggregations per stratum (the same
+    * `percentile` kernel as [[lengthQuantiles]], which DuckDB's
+    * `quantile_cont` replays bit-for-bit) and one broadcast of the
+    * |strata|-row cutoff table back onto the scan — no window, no
+    * per-stratum single-task sort. Degenerate strata (MAD = 0: more
+    * than half the documents share the median value) report z = 0 —
+    * no division blow-up, documents pass.
+    *
+    * Returns (id, stratum, x, med, mad, z, is_outlier).
+    */
+  def robustOutliers(
+      docs: DataFrame, cut: Double = 3.5, stratumCol: String = "source",
+      idCol: String = "doc_id", xCol: String = "n_chars"): DataFrame = {
+    require(cut > 0, s"cut must be positive, got $cut")
+    val base = docs.select(col(idCol).cast("long").as("id"), col(stratumCol),
+      col(xCol).cast("double").as("x"))
+    val med = base.groupBy(col(stratumCol))
+      .agg(expr("percentile(x, 0.5d)").as("med"))
+      .withColumnRenamed(stratumCol, "_s")
+    val withMed = base.join(broadcast(med), col(stratumCol) <=> col("_s")).drop("_s")
+    val mad = withMed.withColumn("adev", abs(col("x") - col("med")))
+      .groupBy(col(stratumCol))
+      .agg(expr("percentile(adev, 0.5d)").as("mad"))
+      .withColumnRenamed(stratumCol, "_s")
+    withMed.join(broadcast(mad), col(stratumCol) <=> col("_s")).drop("_s")
+      .withColumn("z",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (col("x") - col("med")) / col("mad"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("id").as(idCol), col(stratumCol), col("x"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("z"), (abs(col("z")) > cut).as("is_outlier"))
+  }
+
+  /** CORPUS SNAPSHOT DIFF — the dataset-versioning primitive: given
+    * two snapshots of a corpus, classify every document id as `added`
+    * (only in the new snapshot), `removed` (only in the old),
+    * `changed` (both, different content), or `unchanged`. Content
+    * identity is the md5 of the text, so the full-outer join carries
+    * two 32-char digests per id, never document bodies — the shape
+    * that diffs a 100 TB snapshot pair with one id-keyed shuffle.
+    *
+    * Returns (id, status); aggregate downstream for the release-notes
+    * counts.
+    */
+  def corpusDiff(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = oldSnap.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h_old"))
+    val b = newSnap.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** EPOCH REPEAT-FACTOR SCHEDULING — materialize a target source
     * mixture as integer per-document repeat counts (the "epochs per
     * source" table of Llama/Gopher-style data recipes): source `s`

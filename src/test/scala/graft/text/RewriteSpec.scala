@@ -109,6 +109,30 @@ class RewriteSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 1L))) // docs 1,2 touch bin 1; doc 2 starts there
   }
 
+  test("robustOutliers: hand-computed median/MAD/z; MAD-degenerate stratum reports z = 0") {
+    val docs = Seq(
+      // stratum A: x = 1,2,3,4,100 -> med 3, adev {2,1,0,1,97} med 1
+      (1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L), (5L, "A", 100L),
+      // stratum B: all equal -> MAD 0 -> z 0, never outliers
+      (6L, "B", 7L), (7L, "B", 7L), (8L, "B", 7L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = CorpusOps.robustOutliers(docs, cut = 3.5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((3.0, 1.0, -1.349, false)))
+    assert(out(5L) == ((3.0, 1.0, 65.4265, true))) // 0.6745 * 97
+    assert(out(3L) == ((3.0, 1.0, 0.0, false)))
+    Seq(6L, 7L, 8L).foreach(id => assert(out(id) == ((7.0, 0.0, 0.0, false))))
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged by content digest") {
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta"), (3L, "GAMMA2"), (9L, "new")).toDF("doc_id", "text")
+    val out = CorpusOps.corpusDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 9L -> "added"))
+  }
+
   test("hardNegatives never returns a candidate of the query's own label") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = e.select(col("vec_id"), col("label")).collect()
