@@ -368,6 +368,26 @@ object Queries {
         Raster.pixelsToOracleDf(clipped)
           .select(col("j").cast("long"), col("i").cast("long"), col("value"))
       }),
+      // temporal compositing: 12-band time stack (band = l_suppkey %
+      // 12) reduced in 3-band buckets, deterministic null pattern
+      // exercising the NaN-skip; per-band sums are integer-valued
+      // doubles, so every aggregate is bit-stable across engines
+      "q_temporal_composite" -> ((s, dir) => {
+        val li = lineitem(s, dir)
+        val stack = li.select(lit("v").as("varName"),
+            (col("l_suppkey") % 12).cast("int").as("band"),
+            (col("l_orderkey") % W).cast("int").as("j"),
+            (col("l_partkey") % W).cast("int").as("i"),
+            col("l_quantity").as("value"))
+          .groupBy(col("varName"), col("band"), col("j"), col("i"))
+          .agg(sum(col("value")).as("value"))
+          .select(col("varName"), col("band"), col("j"), col("i"),
+            when((col("band") * 31 + col("j") * 7 + col("i")) % 23 === 0, lit(null))
+              .otherwise(col("value")).as("value"))
+        graft.ops.TemporalOp.compositeStats(stack, bucket = 3)
+          .select(col("bucket"), col("j").cast("long"), col("i").cast("long"),
+            col("n_obs"), col("mean_v"), col("min_v"), col("max_v"))
+      }),
       // zonal statistics over the null grid: 3 bboxes (one partially
       // off-grid, one overlapping another), NaN cells skipped
       "q_zonal_stats" -> ((s, dir) => {
@@ -654,6 +674,22 @@ object Queries {
       "q_affine_upscale_bilinear" -> sqlUpBilinear,
       "q_affine_subset_shift" -> sqlShift,
       "q_affine_downscale_mean" -> sqlDownMean,
+      "q_temporal_composite" ->
+        s"""WITH s0 AS (
+           |  SELECT l_suppkey % 12 AS band, l_orderkey % $W AS j, l_partkey % $W AS i,
+           |         SUM(l_quantity) AS v
+           |  FROM lineitem GROUP BY 1, 2, 3
+           |), stack AS (
+           |  SELECT band, j, i,
+           |    CASE WHEN (band * 31 + j * 7 + i) % 23 = 0 THEN NULL ELSE v END AS value
+           |  FROM s0
+           |)
+           |SELECT CAST(band // 3 AS INT) AS bucket, j, i,
+           |  COUNT(value) AS n_obs,
+           |  ROUND(SUM(value) / COUNT(value), 6) AS mean_v,
+           |  MIN(value) AS min_v, MAX(value) AS max_v
+           |FROM stack GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
       "q_zonal_stats" ->
         s"""$sqlGridN, zones(zone_id, xmin, ymin, xmax, ymax) AS (VALUES
            |  (CAST(0 AS BIGINT), 50.2e0, 57.0e0, 51.0e0, 58.0e0),
