@@ -515,6 +515,27 @@ object LlmQueries {
     // modified z-score from exact per-source median/MAD
     "q_robust_outliers" -> ((s, dir) => CorpusOps.robustOutliers(docs(s, dir))),
 
+    // Matryoshka truncation recall: top-5 with the first 16 of 64
+    // dims vs the exact full-dimension top-5
+    "q_mrl_recall" -> ((s, dir) =>
+      VectorOps.truncatedRecallAtK(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit), dims = 16, k = 5)),
+
+    // one-row dataset card: the release-notes summary a corpus ships
+    // with — size, composition breadth, exact-dup mass, token stats
+    "q_dataset_card" -> ((s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      .withColumn("dup_doc_frac",
+        round((col("n_docs") - col("n_distinct_texts")) * lit(1.0) / col("n_docs"), 6))
+      .withColumn("avg_doc_tokens",
+        round(col("n_tokens") * lit(1.0) / col("n_docs"), 6))),
+
     // snapshot diff vs a simulated next release: every 5th doc
     // removed, every 7th survivor edited, %11==3 re-added as new ids
     "q_corpus_diff" -> ((s, dir) => {
@@ -2462,6 +2483,39 @@ object LlmQueries {
         |)
         |SELECT * FROM p
         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin,
+
+    // MRL truncation recall: truncated-space pairs (v[1:16]) ranked,
+    // recall vs the full-dimension brute top-k from the shared tail
+    "q_mrl_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id < $PairLimit
+         |), t AS (SELECT vec_id, v[1:16] AS v FROM e),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         list_cosine_similarity(q.v, c.v) AS sim
+         |  FROM t q, t c WHERE c.vec_id <> q.vec_id
+         |), ${sqlRecallTail(5)}""".stripMargin,
+
+    // dataset card: plain aggregates, one row
+    "q_dataset_card" ->
+      """WITH t AS (
+        |  SELECT source, lang, n_chars, md5(text) AS h,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+        |  FROM documents
+        |), a AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    COUNT(DISTINCT h) AS n_distinct_texts
+        |  FROM t
+        |)
+        |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars, n_distinct_texts,
+        |  ROUND((n_docs - n_distinct_texts) * 1.0 / n_docs, 6) AS dup_doc_frac,
+        |  ROUND(n_tokens * 1.0 / n_docs, 6) AS avg_doc_tokens
+        |FROM a""".stripMargin,
 
     // robust outliers: quantile_cont == the engine's exact percentile;
     // z and the flag computed from the ROUNDED z in both engines

@@ -1508,7 +1508,12 @@ object TextOps {
     val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
     val nU = uni.agg(sum(col("cu")).as("n_u"))
-    val totB = bigrams.agg(count(lit(1)).as("n_b"))
+    // total bigram occurrences = Σ max(n_tokens - 1, 0): a narrow scan
+    // over doc lengths, NOT a second corpus-wide bigram explode — same
+    // integer, one less pass over the token stream
+    val totB = docs
+      .select(greatest(size(ws) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("n_b"))
     big
       .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c_a"), "w1")
       .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c_b"), "w2")

@@ -833,6 +833,25 @@ object VectorOps {
       bruteForceTopK(deq, deq, k, idCol, vecCol), embeddings, k, idCol, vecCol)
   }
 
+  /** MATRYOSHKA truncation recall (Kusupati et al. 2022, MRL):
+    * retrieval quality when only the FIRST `dims` components of every
+    * vector are kept — the "can I store a quarter of the vector and
+    * keep my recall" measurement that decides storage tier sizing.
+    * Top-k over the truncated vectors (cosine renormalizes, so this is
+    * genuine truncated-space retrieval) against the exact
+    * full-dimension top-k; same broadcast scan-and-heap shape and
+    * per-query denominator as [[quantizedRecallAtK]].
+    */
+  def truncatedRecallAtK(
+      embeddings: DataFrame, dims: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val trunc = embeddings.select(col(idCol),
+      slice(col(vecCol).cast("array<double>"), 1, dims).as(vecCol))
+    recallAgainstBrute(bruteForceTopK(trunc, trunc, k, idCol, vecCol),
+      embeddings, k, idCol, vecCol)
+  }
+
   /** PageRank over the symmetrized kNN graph (Page et al. 1999, "The
     * PageRank citation ranking") — centrality over the semantic
     * neighbor graph surfaces hub documents (dense near-dup regions,
