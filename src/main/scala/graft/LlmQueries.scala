@@ -39,6 +39,18 @@ object LlmQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Simulated next corpus release, shared by the snapshot-diff and
+    * drift queries (and replayed verbatim in their oracles): every 5th
+    * doc removed, every 7th survivor's text reversed, %11==3 re-added
+    * under new ids.
+    */
+  private def nextRelease(a: DataFrame): DataFrame =
+    a.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, reverse(col("text"))).otherwise(col("text")))
+      .unionByName(a.filter(col("doc_id") % 11 === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -538,15 +550,21 @@ object LlmQueries {
 
     // snapshot diff vs a simulated next release: every 5th doc
     // removed, every 7th survivor edited, %11==3 re-added as new ids
-    "q_corpus_diff" -> ((s, dir) => {
-      val a = docs(s, dir)
-      val b = a.filter(col("doc_id") % 5 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0, reverse(col("text"))).otherwise(col("text")))
-        .unionByName(a.filter(col("doc_id") % 11 === 3)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      CorpusOps.corpusDiff(a, b)
-    }),
+    "q_corpus_diff" -> ((s, dir) =>
+      CorpusOps.corpusDiff(docs(s, dir), nextRelease(docs(s, dir)))),
+
+    // per-source unigram drift between the same snapshot pair:
+    // JS divergence in integer 1e-12 nats (order-free sum)
+    "q_source_drift" -> ((s, dir) =>
+      CorpusOps.sourceDrift(docs(s, dir), nextRelease(docs(s, dir)))),
+
+    // materialized epoch stream: repeat counts -> one row per copy at
+    // a deterministic global shuffle position
+    "q_epoch_stream" -> ((s, dir) =>
+      OrderOps.epochStream(
+        CorpusOps.epochRepeats(docs(s, dir), EpochWeights,
+          budgetTokens = 100000L, salt = "epoch1"),
+        salt = "estream")),
 
     // epoch scheduling: target source mixture -> deterministic integer
     // per-doc repeat counts (expected token mass == target)
@@ -917,6 +935,35 @@ object LlmQueries {
     * literal).
     */
   private def d(v: Double): String = s"'$v'::DOUBLE"
+
+  /** Epoch-repeats CTE chain ending in `rep(doc_id, source, n_tokens,
+    * n_repeats)` — shared by the q_epoch_repeats oracle and the
+    * q_epoch_stream oracle built on top of it. Ratio arithmetic in the
+    * SAME order as [[graft.text.CorpusOps.epochRepeats]]
+    * (w / wsum * budget / actual — each product rounds once).
+    */
+  private lazy val sqlEpochRepeatsCte: String = {
+    val wValues = EpochWeights.toSeq.sorted
+      .map { case (s, w) => s"('$s', ${d(w)})" }.mkString(", ")
+    s"""t AS (
+       |  SELECT doc_id, source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM documents
+       |), w(source, w) AS (VALUES $wValues),
+       |a AS (SELECT source, SUM(n_tokens) AS actual FROM t GROUP BY 1),
+       |r AS (
+       |  SELECT a.source,
+       |    COALESCE(w.w, 0.0) / 17.25 * 100000.0 / CAST(a.actual AS DOUBLE) AS ratio
+       |  FROM a LEFT JOIN w USING (source)
+       |),
+       |rep AS (
+       |  SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(FLOOR(ratio) + CASE WHEN
+       |      CAST(CAST(concat('0x', substr(md5('epoch1:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+       |        / 1152921504606846976.0 < ratio - FLOOR(ratio)
+       |      THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+       |  FROM t JOIN r USING (source)
+       |)""".stripMargin
+  }
 
   /** DuckDB oracle for the minhash-LSH dedup: signatures are exactly
     * reproducible because the token hash is an md5 prefix and the
@@ -2558,26 +2605,73 @@ object LlmQueries {
 
     // epoch scheduling: ratio arithmetic replayed in the SAME order
     // (w / wsum * budget / actual), md5-uniform extra-repeat draw
-    "q_epoch_repeats" -> {
-      val wValues = EpochWeights.toSeq.sorted
-        .map { case (s, w) => s"('$s', ${d(w)})" }.mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id, source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
-         |  FROM documents
-         |), w(source, w) AS (VALUES $wValues),
-         |a AS (SELECT source, SUM(n_tokens) AS actual FROM t GROUP BY 1),
-         |r AS (
-         |  SELECT a.source,
-         |    COALESCE(w.w, 0.0) / 17.25 * 100000.0 / CAST(a.actual AS DOUBLE) AS ratio
-         |  FROM a LEFT JOIN w USING (source)
+    "q_epoch_repeats" ->
+      s"""WITH $sqlEpochRepeatsCte
+         |SELECT doc_id, source, n_tokens, n_repeats
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // epoch stream: explode the repeats, global position by the same
+    // salted (id, rep) md5 order the engine range-partitions on
+    "q_epoch_stream" ->
+      s"""WITH $sqlEpochRepeatsCte,
+         |s AS (
+         |  SELECT doc_id, CAST(k AS BIGINT) AS rep_idx
+         |  FROM rep, unnest(generate_series(1, n_repeats)) u(k)
+         |  WHERE n_repeats > 0
          |)
-         |SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(FLOOR(ratio) + CASE WHEN
-         |    CAST(CAST(concat('0x', substr(md5('epoch1:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
-         |      / 1152921504606846976.0 < ratio - FLOOR(ratio)
-         |    THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
-         |FROM t JOIN r USING (source) ORDER BY t.doc_id""".stripMargin
-    },
+         |SELECT doc_id, rep_idx,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY
+         |    md5('estream:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep_idx AS VARCHAR)))
+         |    - 1 AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id, rep_idx""".stripMargin,
+
+    // source drift: per-term JS summands computed by ONE fixed double
+    // expression, floored into 1e-12 units -> order-free integer sum
+    "q_source_drift" ->
+      """WITH a AS (SELECT source, text FROM documents),
+        |b AS (
+        |  SELECT source, CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT source, text FROM documents WHERE doc_id % 11 = 3
+        |),
+        |co AS (
+        |  SELECT source, w, COUNT(*) AS c_old FROM (
+        |    SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM a
+        |  ) GROUP BY 1, 2
+        |),
+        |cn AS (
+        |  SELECT source, w, COUNT(*) AS c_new FROM (
+        |    SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM b
+        |  ) GROUP BY 1, 2
+        |),
+        |j AS (
+        |  SELECT COALESCE(co.source, cn.source) AS source, COALESCE(co.w, cn.w) AS w,
+        |         COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+        |  FROM co FULL OUTER JOIN cn ON co.source = cn.source AND co.w = cn.w
+        |),
+        |ta AS (
+        |  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_old
+        |  FROM a GROUP BY 1
+        |),
+        |tb AS (
+        |  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_new
+        |  FROM b GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT j.source,
+        |    CAST(FLOOR((
+        |      CASE WHEN c_old > 0 THEN 0.5 * (c_old * 1.0 / n_old) *
+        |        ln((c_old * 1.0 / n_old) / (((c_old * 1.0 / n_old) + (c_new * 1.0 / n_new)) / 2.0))
+        |      ELSE 0.0 END
+        |      + CASE WHEN c_new > 0 THEN 0.5 * (c_new * 1.0 / n_new) *
+        |        ln((c_new * 1.0 / n_new) / (((c_old * 1.0 / n_old) + (c_new * 1.0 / n_new)) / 2.0))
+        |      ELSE 0.0 END
+        |    ) * 1e12) AS BIGINT) AS t
+        |  FROM j JOIN ta ON ta.source = j.source JOIN tb ON tb.source = j.source
+        |)
+        |SELECT source, COUNT(*) AS n_terms, CAST(SUM(t) AS BIGINT) AS js_e12
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // hard negatives: the cosine-topk oracle with the cross-label
     // predicate fused in

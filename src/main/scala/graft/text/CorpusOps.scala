@@ -642,6 +642,58 @@ object CorpusOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** SOURCE DRIFT DETECTION — Jensen-Shannon divergence between two
+    * snapshots' per-source unigram distributions, the dataset-
+    * monitoring number that flags "this crawl's src7 changed
+    * character" before a model trains on it. JS (base e, in [0,
+    * ln 2]) over the union vocabulary:
+    * `0.5*Σ p·ln(p/m) + 0.5*Σ q·ln(q/m)`, `m = (p+q)/2`.
+    *
+    * Every per-term summand is computed by ONE fixed double
+    * expression (identical in the SQL oracle) and then FLOORED into
+    * 1e-12 units, so the cross-vocabulary sum is an integer sum —
+    * order-free and bit-identical across partitionings and engines,
+    * the same determinism contract as the PageRank ranks. Truncation
+    * loses at most one 1e-12 unit per term, deterministic.
+    *
+    * Two token aggregations (one per snapshot), a full-outer join on
+    * (source, term), broadcast per-source totals, one final keyed
+    * sum. Sources must appear in BOTH snapshots to have two
+    * distributions; others are dropped (an inner join on totals —
+    * appearance/disappearance is [[corpusDiff]]'s job).
+    *
+    * Returns (source, n_terms, js_e12) — js in 1e-12 nats.
+    */
+  def sourceDrift(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, tag: String) =
+      df.select(col(srcCol), explode(TextOps.tokens(col(textCol))).as("w"))
+        .groupBy(col(srcCol), col("w")).agg(count(lit(1)).as(s"c_$tag"))
+    def totals(df: DataFrame, tag: String) =
+      df.select(col(srcCol), size(TextOps.tokens(col(textCol))).cast("long").as("n"))
+        .groupBy(col(srcCol)).agg(sum(col("n")).as(s"n_$tag"))
+    val joined = counts(oldSnap, "old")
+      .join(counts(newSnap, "new"), Seq(srcCol, "w"), "full_outer")
+      .select(col(srcCol), col("w"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val tot = totals(oldSnap, "old").join(totals(newSnap, "new"), Seq(srcCol))
+    // fixed arithmetic order, mirrored verbatim in the oracle:
+    // p = c * 1.0 / n ; m = (p + q) / 2.0 ; term in 1e-12 units
+    val p = col("c_old") * lit(1.0) / col("n_old")
+    val q = col("c_new") * lit(1.0) / col("n_new")
+    val m = (p + q) / lit(2.0)
+    val term = floor(
+      (when(col("c_old") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("c_new") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))) *
+        lit(1e12)).cast("long")
+    joined.join(broadcast(tot), Seq(srcCol))
+      .select(col(srcCol), term.as("t"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("t")).as("js_e12"))
+  }
+
   /** EPOCH REPEAT-FACTOR SCHEDULING — materialize a target source
     * mixture as integer per-document repeat counts (the "epochs per
     * source" table of Llama/Gopher-style data recipes): source `s`

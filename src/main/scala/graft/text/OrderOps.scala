@@ -152,6 +152,47 @@ object OrderOps {
     }.toDF(idCol, "pos")
   }
 
+  /** EPOCH-STREAM MATERIALIZATION — turn
+    * [[graft.text.CorpusOps.epochRepeats]]' integer repeat counts into
+    * the actual training stream: one row per (document, repeat) with a
+    * deterministic global shuffle position, so the r-th copy of a
+    * document lands at a reproducible place in the epoch and the
+    * copies are SPREAD (the salted hash keys on (id, repeat), never
+    * clumping a document's repeats together the way epoch-major
+    * concatenation does). Same range-partition + per-partition prefix
+    * count machinery as [[shuffleOrder]] — no global single-task sort.
+    *
+    * Input needs (idCol, n_repeats); returns (id, rep_idx, pos), pos
+    * 0-based over the whole stream.
+    */
+  def epochStream(
+      repeats: DataFrame, salt: String = "estream",
+      idCol: String = "doc_id", reliable: Boolean = false): DataFrame = {
+    val spark = repeats.sparkSession
+    import spark.implicits._
+    val base = repeats.filter(col("n_repeats") > 0)
+      .select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("rep_idx"))
+      .select(col("id"), col("rep_idx"),
+        md5(concat_ws(":", lit(salt), col("id").cast("string"),
+          col("rep_idx").cast("string"))).as("skey"))
+    val sorted = rangeSorted(base, col("skey"), reliable).as[(Long, Long, String)]
+    val partials = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.size.toLong)
+      }.collect().toMap
+    val offsets = exclusiveOffsets(partials, sorted.rdd.getNumPartitions)
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = bc.value(pid)
+      it.map { case (id, rep, _) =>
+        val r = (id, rep, pos)
+        pos += 1
+        r
+      }
+    }.toDF(idCol, "rep_idx", "pos")
+  }
+
   /** PACKING-EFFICIENCY REPORT over [[packSequences]]: per training
     * sequence (bin), how many documents touch it and how many START in
     * it — the fragmentation/utilization health check of a packing run

@@ -133,6 +133,34 @@ class RewriteSpec extends AnyFunSuite {
     assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 9L -> "added"))
   }
 
+  test("epochStream: one row per repeat, positions are a 0-based permutation, partition-invariant") {
+    val reps = Seq((1L, "A", 10L, 2L), (2L, "A", 10L, 0L), (3L, "B", 5L, 1L))
+      .toDF("doc_id", "source", "n_tokens", "n_repeats")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      OrderOps.epochStream(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val out = run(reps)
+    assert(out.map(x => (x._1, x._2)) == Seq((1L, 1L), (1L, 2L), (3L, 1L)))
+    assert(out.map(_._3).sorted == Seq(0L, 1L, 2L))
+    assert(run(reps.repartition(7)) == out, "positions depend on input partitioning")
+  }
+
+  test("sourceDrift: identical snapshots diverge 0; disjoint vocabularies approach ln 2") {
+    val a = Seq((1L, "A", "x y z"), (2L, "A", "x y"), (3L, "B", "p q")).toDF("doc_id", "source", "text")
+    val zero = CorpusOps.sourceDrift(a, a).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(zero == Map("A" -> 0L, "B" -> 0L))
+    // disjoint vocab: JS = ln 2 exactly; floored terms lose < 1 unit each
+    val b = Seq((1L, "A", "u v w"), (3L, "B", "r s")).toDF("doc_id", "source", "text")
+    val far = CorpusOps.sourceDrift(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ln2e12 = (math.log(2.0) * 1e12).toLong
+    far.foreach { case (src, (nTerms, js)) =>
+      assert(js <= ln2e12 && js >= ln2e12 - nTerms,
+        s"$src: js=$js outside [ln2*1e12 - $nTerms, ln2*1e12]")
+    }
+  }
+
   test("hardNegatives never returns a candidate of the query's own label") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = e.select(col("vec_id"), col("label")).collect()
