@@ -558,6 +558,19 @@ object LlmQueries {
     "q_source_drift" -> ((s, dir) =>
       CorpusOps.sourceDrift(docs(s, dir), nextRelease(docs(s, dir)))),
 
+    // event-mix drift: 6h-bucket event-type distributions compared
+    // (JS, integer 1e-12 nats) against the previous bucket
+    "q_events_drift" -> ((s, dir) =>
+      graft.events.EventOps.eventTypeDrift(
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        bucket = 21600L * 1000000L)),
+
+    // curriculum order: length-decile buckets, shuffled within bucket,
+    // global easy-to-hard positions
+    "q_curriculum" -> ((s, dir) =>
+      OrderOps.curriculumOrder(docs(s, dir), nBuckets = 10,
+        scoreCol = "n_chars", salt = "curr1")),
+
     // materialized epoch stream: repeat counts -> one row per copy at
     // a deterministic global shuffle position
     "q_epoch_stream" -> ((s, dir) =>
@@ -2624,6 +2637,53 @@ object LlmQueries {
          |    md5('estream:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep_idx AS VARCHAR)))
          |    - 1 AS BIGINT) AS pos
          |FROM s ORDER BY doc_id, rep_idx""".stripMargin,
+
+    // event-mix drift: same integer-JS contract as q_source_drift;
+    // bucket pairs formed by the b+1 self-join
+    "q_events_drift" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 21600000000 AS b, event_type AS t FROM events),
+        |c AS (SELECT b, t, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(cur.b, pv.b + 1) AS b, COALESCE(cur.t, pv.t) AS t,
+        |         COALESCE(cur.c, 0) AS c_cur, COALESCE(pv.c, 0) AS c_prev
+        |  FROM c cur FULL OUTER JOIN c pv ON cur.b = pv.b + 1 AND cur.t = pv.t
+        |),
+        |f AS (
+        |  SELECT j.b,
+        |    CAST(FLOOR((
+        |      CASE WHEN c_prev > 0 THEN 0.5 * (c_prev * 1.0 / np.n) *
+        |        ln((c_prev * 1.0 / np.n) / (((c_prev * 1.0 / np.n) + (c_cur * 1.0 / nc.n)) / 2.0))
+        |      ELSE 0.0 END
+        |      + CASE WHEN c_cur > 0 THEN 0.5 * (c_cur * 1.0 / nc.n) *
+        |        ln((c_cur * 1.0 / nc.n) / (((c_prev * 1.0 / np.n) + (c_cur * 1.0 / nc.n)) / 2.0))
+        |      ELSE 0.0 END
+        |    ) * 1e12) AS BIGINT) AS term
+        |  FROM j JOIN tot nc ON nc.b = j.b JOIN tot np ON np.b = j.b - 1
+        |)
+        |SELECT b AS bucket_id, COUNT(*) AS n_types, CAST(SUM(term) AS BIGINT) AS js_e12
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // curriculum: decile cutoffs ROUND(q,6) == the engine's driver
+    // rounding; order key lpad(bucket) || ':' || md5 replayed
+    "q_curriculum" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM documents
+        |), b AS (
+        |  SELECT d.doc_id,
+        |    CAST((SELECT COUNT(*) FROM unnest((SELECT qs FROM c)) u(q)
+        |          WHERE CAST(d.n_chars AS DOUBLE) >= ROUND(q, 6)) AS INT) AS bucket
+        |  FROM documents d
+        |), s AS (
+        |  SELECT doc_id, bucket,
+        |    lpad(CAST(bucket AS VARCHAR), 2, '0') || ':' ||
+        |      md5('curr1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM b
+        |)
+        |SELECT doc_id, bucket,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY skey) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // source drift: per-term JS summands computed by ONE fixed double
     // expression, floored into 1e-12 units -> order-free integer sum

@@ -268,6 +268,52 @@ object EventOps {
         round(col("n_active") * lit(1.0) / col("n_cohort"), 6).as("retention"))
   }
 
+  /** EVENT-MIX DRIFT between consecutive time buckets: the event-type
+    * distribution of each `bucket`-tick window compared (Jensen-
+    * Shannon, base e) against the PREVIOUS window's — the live
+    * monitoring number that flags "the traffic mix just changed"
+    * (bot floods, instrument dropouts) before downstream counts do.
+    *
+    * Same integer determinism contract as
+    * [[graft.text.CorpusOps.sourceDrift]]: each per-type summand is
+    * one fixed double expression floored into 1e-12 units, so sums
+    * are order-free and bit-identical across engines. Plan: one
+    * (bucket, type) count aggregation, a self equi-join stepping
+    * bucket k onto k-1 (full outer per type inside the pair), one
+    * keyed sum — everything hash-partitioned, nothing windowed.
+    *
+    * Returns (bucket_id, n_types, js_e12) for every bucket with a
+    * predecessor bucket present in the data.
+    */
+  def eventTypeDrift(
+      events: DataFrame, bucket: Long,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val counts = events
+      .select(expr(s"$tsCol div $bucket").as("b"), col(typeCol).as("t"))
+      .groupBy(col("b"), col("t")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("b")).agg(sum(col("c")).as("n"))
+    val prev = counts.select((col("b") + 1).as("b"), col("t"), col("c").as("c_prev"))
+    val prevTot = totals.select((col("b") + 1).as("b"), col("n").as("n_prev"))
+    val joined = counts.withColumnRenamed("c", "c_cur")
+      .join(prev, Seq("b", "t"), "full_outer")
+      .select(col("b"), col("t"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"),
+        coalesce(col("c_prev"), lit(0L)).as("c_prev"))
+    val p = col("c_prev") * lit(1.0) / col("n_prev")
+    val q = col("c_cur") * lit(1.0) / col("n")
+    val m = (p + q) / lit(2.0)
+    val term = floor(
+      (when(col("c_prev") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("c_cur") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))) *
+        lit(1e12)).cast("long")
+    joined.join(totals, Seq("b")).join(prevTot, Seq("b"))
+      .select(col("b"), term.as("term"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_types"), sum(col("term")).as("js_e12"))
+      .select(col("b").as("bucket_id"), col("n_types"), col("js_e12"))
+  }
+
   /** Ordered funnel: how many users complete step 1, then step 2
     * strictly after it within `within` ticks of it, then step 3
     * relative to step 2, and so on — EARLIEST-completion semantics

@@ -193,6 +193,62 @@ object OrderOps {
     }.toDF(idCol, "rep_idx", "pos")
   }
 
+  /** CURRICULUM ORDERING — easy-to-hard training order (Bengio et al.
+    * 2009): documents are bucketed by exact quantiles of a difficulty
+    * score (here any numeric column — length, perplexity, quality) and
+    * laid out bucket-major, deterministically shuffled WITHIN each
+    * bucket by the salted id hash. The order key is the string
+    * `zero-padded bucket ++ ":" ++ md5(salt:id)` — lexicographic order
+    * IS (bucket asc, hash) in both engines' binary collation, so the
+    * same range-partition + prefix-count machinery as [[shuffleOrder]]
+    * produces global positions with no single-task sort.
+    *
+    * Cutoffs are the exact `percentile` quantiles ROUNDED to 6
+    * decimals before the bucket comparison — both engines compute the
+    * identical rounded cutoff, so bucket assignment is bit-stable
+    * (comparing on raw interpolated doubles would gamble on the last
+    * ulp). Driver state is nBuckets-1 doubles.
+    *
+    * Returns (id, bucket, pos), pos 0-based over the corpus.
+    */
+  def curriculumOrder(
+      docs: DataFrame, nBuckets: Int = 10, scoreCol: String = "n_chars",
+      salt: String = "curr", idCol: String = "doc_id",
+      reliable: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cutoffs = docs
+      .agg(expr(s"percentile($scoreCol, array(${fracs.mkString("d,")}d))").as("qs"))
+      .head().getSeq[Double](0)
+      // half-up at 6 decimals — the same rounding ROUND(q, 6) applies
+      // in the SQL oracle (scores are non-negative here)
+      .map(c => math.floor(c * 1e6 + 0.5) / 1e6)
+    val bucketCol = cutoffs
+      .map(c => when(col(scoreCol).cast("double") >= lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    val base = docs.select(col(idCol).cast("long").as("id"), bucketCol.as("bucket"))
+      .select(col("id"), col("bucket"),
+        concat(format_string("%02d", col("bucket")), lit(":"),
+          md5(concat_ws(":", lit(salt), col("id").cast("string")))).as("skey"))
+    val sorted = rangeSorted(base, col("skey"), reliable).as[(Long, Int, String)]
+    val partials = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.size.toLong)
+      }.collect().toMap
+    val offsets = exclusiveOffsets(partials, sorted.rdd.getNumPartitions)
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = bc.value(pid)
+      it.map { case (id, bucket, _) =>
+        val r = (id, bucket, pos)
+        pos += 1
+        r
+      }
+    }.toDF(idCol, "bucket", "pos")
+  }
+
   /** PACKING-EFFICIENCY REPORT over [[packSequences]]: per training
     * sequence (bin), how many documents touch it and how many START in
     * it — the fragmentation/utilization health check of a packing run

@@ -237,4 +237,29 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(out2(2) == 0L, s"unreached step must report 0: $out2")
   }
+
+  test("eventTypeDrift: uniform -> all-one-type bucket pair, gap buckets dropped") {
+    // bucket 0 (ts 0..9): a,a,b,b; bucket 1 (10..19): a,a,a,a;
+    // bucket 2 empty; bucket 3 (30..39): a -> only bucket 1 has a
+    // predecessor present
+    val e = Seq(
+      (1L, "a", 0L), (2L, "a", 3L), (3L, "b", 5L), (4L, "b", 9L),
+      (5L, "a", 10L), (6L, "a", 12L), (7L, "a", 15L), (8L, "a", 19L),
+      (9L, "a", 30L)
+    ).toDF("event_id", "event_type", "ts")
+    val out = EventOps.eventTypeDrift(e, bucket = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(1L), s"unexpected buckets: ${out.toSeq}")
+    val (_, nTypes, js) = out.head
+    assert(nTypes == 2L)
+    // replay the kernel's exact double math term by term
+    def term(cp: Long, np: Long, cc: Long, nc: Long): Long = {
+      val p = cp * 1.0 / np; val q = cc * 1.0 / nc; val m = (p + q) / 2.0
+      val t = (if (cp > 0) 0.5 * p * math.log(p / m) else 0.0) +
+        (if (cc > 0) 0.5 * q * math.log(q / m) else 0.0)
+      math.floor(t * 1e12).toLong
+    }
+    assert(js == term(2, 4, 4, 4) + term(2, 4, 0, 4), s"js=$js")
+    assert(js > 0)
+  }
 }

@@ -161,6 +161,21 @@ class RewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumOrder: bucket-major layout, within-bucket shuffle, partition-invariant") {
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("doc_id", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      OrderOps.curriculumOrder(df, nBuckets = 2, scoreCol = "n_chars")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val out = run(docs)
+    // median 25 -> docs 1,2 bucket 0; 3,4 bucket 1; bucket-major means
+    // bucket 0 holds positions {0,1} and bucket 1 holds {2,3}
+    assert(out.map(x => x._1 -> x._2).toMap == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    assert(out.filter(_._2 == 0).map(_._3).sorted == Seq(0L, 1L))
+    assert(out.filter(_._2 == 1).map(_._3).sorted == Seq(2L, 3L))
+    assert(run(docs.repartition(5)) == out, "positions depend on input partitioning")
+  }
+
   test("hardNegatives never returns a candidate of the query's own label") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = e.select(col("vec_id"), col("label")).collect()
