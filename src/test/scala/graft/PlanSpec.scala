@@ -429,6 +429,33 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n${p.take(2000)}")
   }
 
+  test("drift operators: keyed joins only, totals broadcast, no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sd = graft.text.CorpusOps.sourceDrift(docs, docs.filter(col("doc_id") % 2 === 0))
+    sd.collect()
+    val p1 = plan(sd)
+    assert(!p1.contains("CartesianProduct"), s"cartesian in sourceDrift:\n${p1.take(2000)}")
+    assert(p1.contains("BroadcastHashJoin"), s"totals not broadcast:\n${p1.take(2000)}")
+    val ev = graft.events.EventOps.toMicros(spark.read.parquet(s"$dir/events.parquet"))
+    val ed = graft.events.EventOps.eventTypeDrift(ev, bucket = 21600L * 1000000L)
+    ed.collect()
+    val p2 = plan(ed)
+    assert(!p2.contains("CartesianProduct"), s"cartesian in eventTypeDrift:\n${p2.take(2000)}")
+  }
+
+  test("order materializers assign positions without a corpus-wide window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cur = graft.text.OrderOps.curriculumOrder(docs, nBuckets = 4)
+    cur.collect()
+    assert(!plan(cur).contains("Window"),
+      "curriculumOrder must use the range-partition prefix machinery, not row_number")
+    val es = graft.text.OrderOps.epochStream(
+      graft.text.CorpusOps.epochRepeats(docs, LlmQueries.EpochWeights, 100000L))
+    es.collect()
+    assert(!plan(es).contains("Window"),
+      "epochStream must use the range-partition prefix machinery, not row_number")
+  }
+
   test("retention cohorts: three keyed aggregations, joins on the user key only") {
     val ev = graft.events.EventOps.toMicros(spark.read.parquet(s"$dir/events.parquet"))
     val df = graft.events.EventOps.retentionCohorts(
