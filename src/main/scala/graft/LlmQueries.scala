@@ -261,6 +261,17 @@ object LlmQueries {
       VectorOps.annTopKMulti(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         numPlanes = 8, dims = 64, k = 5, tables = 2)),
 
+    // multi-probe LSH: the other recall-recovery dial — one index,
+    // each query probes its bucket + the 8 Hamming-1 flips
+    "q_embed_ann_mprobe" -> ((s, dir) =>
+      VectorOps.annTopKMultiProbe(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        numPlanes = 8, dims = 64, k = 5)),
+
+    // measured multi-probe recall vs brute-force ground truth
+    "q_embed_ann_recall_mp" -> ((s, dir) =>
+      VectorOps.multiProbeRecallAtK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        numPlanes = 8, dims = 64, k = 5)),
+
     "q_embed_ann_ivf" -> ((s, dir) =>
       VectorOps.ivfTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         nlist = 16, nprobe = 4, k = 5)),
@@ -1101,6 +1112,52 @@ object LlmQueries {
        |SELECT query_id, cand_id, ROUND(sim, 6) AS sim
        |FROM ann ORDER BY query_id, cand_id""".stripMargin
 
+  /** Multi-probe LSH CTE chain through `pairs`: the single-index
+    * buckets of [[sqlAnnTopCte]] plus a probe set per query = own
+    * bucket ∪ the numPlanes Hamming-1 flips, mirroring
+    * [[VectorOps.annTopKMultiProbe]].
+    */
+  private def sqlAnnMpPairsCte(numPlanes: Int, dims: Int): String = {
+    val planeValues = (for {
+      p <- 0 until numPlanes
+      dim <- 0 until dims
+    } yield s"($p, $dim, ${d(VectorOps.planeComponent(p, dim))})").mkString(", ")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $PairLimit
+       |), pc(p, dd, comp) AS (VALUES $planeValues),
+       |pl AS (SELECT p, list(comp ORDER BY dd) AS pv FROM pc GROUP BY p),
+       |buck AS (
+       |  SELECT e.vec_id,
+       |         SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+       |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+       |  FROM e, pl GROUP BY 1
+       |), probes AS (
+       |  SELECT vec_id, bucket FROM buck
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << pl.p) AS bucket
+       |  FROM buck b, pl
+       |), pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(qe.v, ce.v) AS sim
+       |  FROM probes q
+       |  JOIN buck c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |  JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN e ce ON ce.vec_id = c.vec_id
+       |)""".stripMargin
+  }
+
+  private def sqlAnnMultiProbe(numPlanes: Int, dims: Int, k: Int): String =
+    s"""WITH ${sqlAnnMpPairsCte(numPlanes, dims)},
+       |ann AS (
+       |  SELECT query_id, cand_id, sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= $k
+       |)
+       |SELECT query_id, cand_id, ROUND(sim, 6) AS sim
+       |FROM ann ORDER BY query_id, cand_id""".stripMargin
+
   /** DuckDB oracle for the multi-table LSH ANN: per-table plane
     * lattices at disjoint offsets, per-table bucket joins, candidates
     * unioned distinct, exact rerank — mirroring [[VectorOps.annTopKMulti]].
@@ -1396,6 +1453,10 @@ object LlmQueries {
         |ORDER BY 1, 2""".stripMargin,
     "q_embed_ann_lsh" -> sqlAnnLsh(8, 64, 5),
     "q_embed_ann_mlsh" -> sqlAnnLshMulti(8, 64, 5, 2),
+    "q_embed_ann_mprobe" -> sqlAnnMultiProbe(8, 64, 5),
+    "q_embed_ann_recall_mp" ->
+      s"""WITH ${sqlAnnMpPairsCte(8, 64)},
+         |${sqlRecallTail(5)}""".stripMargin,
     "q_embed_ann_recall" -> sqlAnnRecall(8, 64, 5),
 
     // IVF recall vs exact: same IVF pipeline as q_embed_ann_ivf

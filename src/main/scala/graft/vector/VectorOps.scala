@@ -499,6 +499,43 @@ object VectorOps {
     topKPerQuery(joined, k).drop("rank")
   }
 
+  /** MULTI-PROBE LSH ANN (Lv et al., VLDB 2007): each query probes its
+    * OWN bucket plus the `numPlanes` buckets at Hamming distance 1
+    * (one sign bit flipped) — the recall-recovery dial that costs
+    * probe-factor candidates instead of extra index tables/memory
+    * (multi-TABLE LSH builds T independent indexes; multi-probe
+    * re-reads the one index T+1 ways). A candidate lives in exactly
+    * one bucket and the probe set is distinct, so no candidate
+    * dedup is needed; the probe explode is numPlanes+1 rows per
+    * query, joined on the bucket key like the single-probe route.
+    */
+  def annTopKMultiProbe(
+      embeddings: DataFrame, numPlanes: Int, dims: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(embeddings, numPlanes, dims, idCol, vecCol)
+    val withB = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .join(b, idCol)
+    val probeList = array(
+      (col("bucket") +: (0 until numPlanes)
+        .map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val a = withB.select(col(idCol).as("query_id"), col("v").as("qv"),
+      explode(probeList).as("bucket"))
+    val c = withB.select(col(idCol).as("cand_id"), col("v").as("cv"), col("bucket"))
+    val joined = a.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    topKPerQuery(joined, k).drop("rank")
+  }
+
+  /** [[annRecallAtK]] for the multi-probe route — the measured recall
+    * recovery of Hamming-1 probing over the same single index.
+    */
+  def multiProbeRecallAtK(
+      embeddings: DataFrame, numPlanes: Int, dims: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    recallAgainstBrute(
+      annTopKMultiProbe(embeddings, numPlanes, dims, k, idCol, vecCol),
+      embeddings, k, idCol, vecCol)
+
   /** Recall accounting for the LSH ANN route: per query point, how many
     * of the exact brute-force top-k the bucketed [[annTopK]] recovered.
     * Turns "recall < 1 by construction" from a caveat into a measured

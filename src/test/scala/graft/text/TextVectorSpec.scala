@@ -1259,6 +1259,21 @@ class TextVectorSpec extends AnyFunSuite {
     assert(a.forall(_._3 > 0.0))
   }
 
+  test("multi-probe LSH dominates single-probe recall (candidate superset)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    def mean(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect().map(_.getAs[Double]("recall"))
+      rows.sum / rows.length
+    }
+    val single = mean(VectorOps.annRecallAtK(e, numPlanes = 8, dims = 64, k = 5))
+    val mp = mean(VectorOps.multiProbeRecallAtK(e, numPlanes = 8, dims = 64, k = 5))
+    // the probe set contains the query's own bucket, so the candidate
+    // set is a superset and per-query hits can only grow
+    assert(mp >= single, s"multi-probe $mp < single $single")
+    assert(mp > 0.0)
+  }
+
   test("knnTriangles on a hand graph: counts and coefficients exact") {
     // directed ann rows for the undirected graph {1-2, 2-3, 1-3, 3-4}:
     // one triangle (1,2,3), node 4 pendant. Direction and duplicates
