@@ -793,6 +793,21 @@ object LlmQueries {
           col("frame0_h").cast("long").as("frame0_h"))
     }),
 
+    // salted skew join: revenue per order priority through the
+    // (key, salt) spread join — the oracle is the UNSALTED join, so
+    // the check proves the skew pattern changes nothing
+    "q_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.JoinUtils.saltedEquiJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
     "q_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -2992,6 +3007,13 @@ object LlmQueries {
         |  ROUND(AVG(l_quantity), 6) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // salted join: the PLAIN join — salting must be invisible
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // sessionization: identical lag/running-sum windows; epoch_us(ts)
     // = the engine's `ts div 1000` floor of the int64 nanos

@@ -527,6 +527,46 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming exact-dedup state survives a checkpointed restart (exactly-once across restarts)") {
+    // the production streaming concern: a query dies mid-corpus and
+    // restarts from its checkpoint — recovered flatMapGroupsWithState
+    // state must keep suppressing contents already emitted BEFORE the
+    // restart, and already-committed output must not re-emit
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ck-src").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ck-out").toFile
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-state").toFile
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def start() = StreamOps.streamingExactDedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.getAbsolutePath))
+      .toDF("text_hash", "doc_id")
+      .writeStream.format("parquet")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append").start()
+
+    // phase 1: first half of the corpus
+    all.filter(col("doc_id") < 250).write.mode("append").parquet(srcDir.getAbsolutePath)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: second half PLUS a full replay of the first (every
+    // phase-1 content redelivered after the restart)
+    all.write.mode("append").parquet(srcDir.getAbsolutePath)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map(r => r.getString(0)).toSeq
+    val wantDistinct = all.select(md5(col("text"))).distinct().count()
+    assert(out.size.toLong == wantDistinct,
+      s"${out.size} emissions for $wantDistinct distinct contents (state lost or output replayed)")
+    assert(out.distinct.size == out.size, "a content hash was emitted twice across the restart")
+  }
+
   test("BPE pair cells stream as a complete-mode count aggregation, equal to the batch counts") {
     // the occurrence-path pair counting is ONE streaming-legal
     // aggregation; micro-batched cells must equal the batch-side
