@@ -390,6 +390,13 @@ object LlmQueries {
       CorpusOps.contamination(d, d.filter(col("doc_id") % 50 === 0), n = 5)
     }),
 
+    // span localization: WHERE the eval grams matched (1-based token
+    // positions) so the span can be cut instead of dropping the doc
+    "q_contamination_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.contaminationSpans(d, d.filter(col("doc_id") % 50 === 0), n = 5)
+    }),
+
     "q_lm_score" -> ((s, dir) => CorpusOps.bigramLmScore(docs(s, dir))),
 
     // held-out LM: train on even ids, score the odd ids (CCNet shape);
@@ -2000,6 +2007,35 @@ object LlmQueries {
         |FROM qual q JOIN keep USING (doc_id)
         |WHERE q.n_tokens >= 20
         |ORDER BY q.doc_id""".stripMargin,
+
+    // span localization: same gram construction WITH positions kept
+    "q_contamination_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks, CAST(k AS BIGINT) AS p,
+        |         array_to_string(toks[k:k+4], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 4)) u(k)
+        |  WHERE len(toks) >= 5
+        |), ev AS (SELECT DISTINCT g FROM g WHERE id % 50 = 0),
+        |tot AS (SELECT id, COUNT(*) AS n_gram_occs, ANY_VALUE(n_toks) AS n_toks FROM g GROUP BY 1),
+        |hits AS (
+        |  SELECT id, COUNT(*) AS n_hits, MIN(p) AS first_hit_pos, MAX(p) AS last_hit_pos
+        |  FROM g JOIN ev USING (g) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(tot.n_toks, 0) AS n_toks,
+        |  COALESCE(tot.n_gram_occs, 0) AS n_gram_occs,
+        |  COALESCE(hits.n_hits, 0) AS n_hits,
+        |  hits.first_hit_pos, hits.last_hit_pos,
+        |  CASE WHEN hits.n_hits IS NOT NULL
+        |    THEN ROUND((hits.last_hit_pos - hits.first_hit_pos + 5) * 1.0 / tot.n_toks, 6)
+        |    ELSE 0.0 END AS span_frac
+        |FROM documents d
+        |LEFT JOIN tot ON tot.id = d.doc_id
+        |LEFT JOIN hits ON hits.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // contamination: distinct word-5-grams of each doc vs the distinct
     // gram set of the every-50th-doc "eval suite"

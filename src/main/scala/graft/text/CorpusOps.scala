@@ -62,6 +62,50 @@ object CorpusOps {
           .as("contamination_ratio"))
   }
 
+  /** CONTAMINATION SPAN LOCALIZATION — the surgical companion to
+    * [[contamination]]: WHERE in each training document the eval-suite
+    * n-grams matched (1-based token positions), so a pipeline can CUT
+    * the contaminated span instead of dropping the whole document —
+    * the fix-up pass after decontamination flags a long document for
+    * one quoted benchmark question. `posexplode` carries each gram's
+    * start position; the eval gram set broadcasts exactly as in
+    * [[contamination]], and the rollup is one per-doc aggregation.
+    *
+    * Returns (id, n_toks, n_gram_occs, n_hits, first_hit_pos,
+    * last_hit_pos, span_frac): positions NULL and span_frac 0 for
+    * clean documents; span_frac = (last - first + n) / n_toks, the
+    * "how many tokens would cutting the whole contaminated span
+    * cost" number.
+    */
+  def contaminationSpans(
+      train: DataFrame, eval: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val g = train.select(col(idCol).as("id"), size(toks).cast("long").as("n_toks"),
+        posexplode(shingles(col(textCol), n)))
+      .select(col("id"), col("n_toks"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("g"))
+    val evalG = eval.select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    val totals = g.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_gram_occs"), first(col("n_toks")).as("n_toks"))
+    val hits = g.join(broadcast(evalG), "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("p")).as("first_hit_pos"), max(col("p")).as("last_hit_pos"))
+    train.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_gram_occs"), lit(0L)).as("n_gram_occs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_pos"), col("last_hit_pos"),
+        when(col("n_hits").isNotNull,
+          round((col("last_hit_pos") - col("first_hit_pos") + n) * lit(1.0) /
+            col("n_toks"), 6))
+          .otherwise(lit(0.0)).as("span_frac"))
+  }
+
   /** BIGRAM-LANGUAGE-MODEL document scoring — the CCNet-style quality
     * signal: train an add-one-smoothed bigram model on the corpus
     * itself and score every document by its mean token log-probability

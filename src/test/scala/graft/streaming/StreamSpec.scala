@@ -527,6 +527,30 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("JSON field stats stream as a complete-mode aggregation, equal to the batch stats") {
+    // one streaming-legal groupBy over the codegen'd path extraction:
+    // the semi-structured sidecar parse runs unmodified on a stream
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-json-stream").toFile
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    raw.repartition(2).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val src = spark.readStream
+      .schema(StreamOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = graft.events.EventOps.jsonFieldStats(src)
+      .writeStream.format("memory").queryName("json_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.table("json_stream").collect().map(key).sorted.toSeq
+    val batch = graft.events.EventOps.jsonFieldStats(raw).collect().map(key).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming exact-dedup state survives a checkpointed restart (exactly-once across restarts)") {
     // the production streaming concern: a query dies mid-corpus and
     // restarts from its checkpoint — recovered flatMapGroupsWithState
