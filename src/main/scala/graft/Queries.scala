@@ -426,6 +426,14 @@ object Queries {
       // ReprojectGoldenSpec pyproj-parity goldens.
       "q_reproject_nearest" -> ((s, dir) => reprojectQuery(s, dir, Interp.NEAREST)),
       "q_reproject_bilinear" -> ((s, dir) => reprojectQuery(s, dir, Interp.BILINEAR)),
+      // the float-default method chain's triangular kernel
+      // (reproject.py:285-314): same stencil as bilinear, two-triangle
+      // blend split on u+v<1. The frac cycle keeps u+v >= 0.1 from the
+      // split boundary, and its NaN-set equals bilinear's (both
+      // branches read v01 and v10; the extra corner can only be
+      // out-of-extent when one of those already is), so the oracle's
+      // 4-way inner join drops exactly the fill rows
+      "q_reproject_triangular" -> ((s, dir) => reprojectQuery(s, dir, Interp.TRIANGULAR)),
       // j-axis-up on BOTH sides: source tiles flip through
       // RasterOps.flipJ (normalize), target rows scan bottom-up through
       // the kernel's jUp branch
@@ -519,17 +527,31 @@ object Queries {
        |ORDER BY h.j, h.i""".stripMargin
   }
 
-  /** Oracle for the bilinear reproject: same fractional-index mapping
-    * as the nearest oracle, then the kernel's exact 4-neighbor blend
-    * (`vu0 + v*(vu1 - vu0)` with `vu = v0 + u*(v1 - v0)`), mirrored
-    * operation-for-operation so the doubles are bit-identical before
-    * ROUND. Fractional parts cycle {.05,.25,.45,.65,.85} — never 0 —
-    * so the kernel's floor/ceil stencil is always (i0, i0+1) and a NaN
-    * fill (any neighbor out of extent) maps to the inner joins
-    * dropping the row.
+  /** Oracle for the interpolating reprojects: same fractional-index
+    * mapping as the nearest oracle, then the kernel's exact blend —
+    * bilinear's 4-neighbor `vu0 + v*(vu1 - vu0)` (reproject.py:315-328)
+    * or triangular's two-triangle split on `u + v < 1`
+    * (reproject.py:285-314) — mirrored operation-for-operation so the
+    * doubles are bit-identical before ROUND. Fractional parts cycle
+    * {.05,.25,.45,.65,.85} — never 0, and pairwise sums stay >= 0.1
+    * from 1 — so the kernel's floor/ceil stencil is always (i0, i0+1)
+    * and the triangle split is fp-stable. A NaN fill (any stencil
+    * neighbor out of extent) maps to the inner joins dropping the row;
+    * for triangular this is exact because both branches read v01 and
+    * v10, whose extent membership implies the remaining corner's.
     */
-  private def sqlReprojectBilinear: String = {
+  private def sqlReprojectInterp(bilinear: Boolean): String = {
     val g = gmReproj
+    val body =
+      if (bilinear)
+        """(g00.value + u * (g01.value - g00.value))
+          |    + v * ((g10.value + u * (g11.value - g10.value))
+          |           - (g00.value + u * (g01.value - g00.value)))""".stripMargin
+      else
+        """CASE WHEN u + v < 1.0
+          |    THEN g00.value + u * (g01.value - g00.value) + v * (g10.value - g00.value)
+          |    ELSE g11.value + (1.0 - u) * (g10.value - g11.value) + (1.0 - v) * (g01.value - g11.value)
+          |    END""".stripMargin
     s"""$sqlGrid0, tcells AS (
        |  SELECT r // ${g.width} AS j, r % ${g.width} AS i
        |  FROM range(0, ${g.width * g.height}) t(r)
@@ -544,9 +566,7 @@ object Queries {
        |  FROM f
        |)
        |SELECT b.j, b.i,
-       |  ROUND((g00.value + u * (g01.value - g00.value))
-       |    + v * ((g10.value + u * (g11.value - g10.value))
-       |           - (g00.value + u * (g01.value - g00.value))), 6) AS value
+       |  ROUND($body, 6) AS value
        |FROM b
        |JOIN grid0 g00 ON g00.j = b.j0     AND g00.i = b.i0
        |JOIN grid0 g01 ON g01.j = b.j0     AND g01.i = b.i0 + 1
@@ -664,7 +684,8 @@ object Queries {
 
     coarsenOs ++ Map(
       "q_reproject_nearest" -> sqlReprojectNearest,
-      "q_reproject_bilinear" -> sqlReprojectBilinear,
+      "q_reproject_bilinear" -> sqlReprojectInterp(bilinear = true),
+      "q_reproject_triangular" -> sqlReprojectInterp(bilinear = false),
       "q_reproject_jup" -> sqlReprojectJup,
       "q_rectify_nearest" -> sqlRectifyNearest,
       "q_rectify_bilinear" -> sqlRectifyInterp(bilinear = true),

@@ -359,8 +359,10 @@ object EventOps {
     val first = perStep.filter(col("step_idx") === 0)
       .select(col("n_users").as("n_first"))
     // LEFT from the step list so a step nobody reached reports 0, not
-    // a silently missing row
-    broadcast(names).join(perStep, Seq("step_idx"), "left")
+    // a silently missing row. The hint must sit on perStep: Spark
+    // cannot build the stream-preserved left side of a left-outer
+    // join, and a hint there is silently dropped (HintErrorLogger).
+    names.join(broadcast(perStep), Seq("step_idx"), "left")
       .na.fill(0L, Seq("n_users"))
       .crossJoin(broadcast(first))
       .select(col("step_idx"), col("step"), col("n_users"),

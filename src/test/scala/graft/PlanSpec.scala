@@ -475,4 +475,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in pagerank:\n${p.take(2000)}")
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty)
   }
+
+  test("no broadcast hint sits on an unbuildable join side anywhere in the harness") {
+    // A broadcast hint on the stream-preserved side of an outer join is
+    // silently dropped at strategy time (HintErrorLogger warning + plan
+    // fallback) — the intent bug the round-8 funnel had. Rather than
+    // scraping logs, walk every harness query's OPTIMIZED plan: by then
+    // EliminateResolvedHint has attached hints to their Join nodes, so
+    // an illegal-side hint is directly visible. Buildable sides mirror
+    // Spark's JoinSelection.canBuildBroadcastLeft/Right.
+    import org.apache.spark.sql.catalyst.plans._
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    def buildableLeft(t: JoinType): Boolean = t match {
+      case Inner | Cross | RightOuter => true
+      case _ => false
+    }
+    def buildableRight(t: JoinType): Boolean = t match {
+      case Inner | Cross | LeftOuter | LeftSemi | LeftAnti => true
+      case _: ExistenceJoin => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val joins =
+        try fn(spark, dir).queryExecution.optimizedPlan.collect { case j: Join => j }
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      joins.collect {
+        case j if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) && !buildableLeft(j.joinType))
+            || (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) && !buildableRight(j.joinType)) =>
+          s"$name: ${j.joinType} left=${j.hint.leftHint} right=${j.hint.rightHint}"
+      }
+    }
+    assert(offenders.isEmpty, s"unhonorable broadcast hints:\n${offenders.mkString("\n")}")
+  }
 }
