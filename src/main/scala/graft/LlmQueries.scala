@@ -998,7 +998,9 @@ object LlmQueries {
        |a AS (SELECT source, SUM(n_tokens) AS actual FROM t GROUP BY 1),
        |r AS (
        |  SELECT a.source,
-       |    COALESCE(w.w, 0.0) / 17.25 * 100000.0 / CAST(a.actual AS DOUBLE) AS ratio
+       |    CASE WHEN a.actual > 0
+       |      THEN COALESCE(w.w, 0.0) / 17.25 * 100000.0 / CAST(a.actual AS DOUBLE)
+       |      ELSE 0.0 END AS ratio
        |  FROM a LEFT JOIN w USING (source)
        |),
        |rep AS (
@@ -2019,20 +2021,21 @@ object LlmQueries {
         |  FROM t, unnest(generate_series(1, len(toks) - 4)) u(k)
         |  WHERE len(toks) >= 5
         |), ev AS (SELECT DISTINCT g FROM g WHERE id % 50 = 0),
-        |tot AS (SELECT id, COUNT(*) AS n_gram_occs, ANY_VALUE(n_toks) AS n_toks FROM g GROUP BY 1),
+        |tot AS (SELECT id, COUNT(*) AS n_gram_occs FROM g GROUP BY 1),
         |hits AS (
         |  SELECT id, COUNT(*) AS n_hits, MIN(p) AS first_hit_pos, MAX(p) AS last_hit_pos
         |  FROM g JOIN ev USING (g) GROUP BY 1
         |)
         |SELECT d.doc_id,
-        |  COALESCE(tot.n_toks, 0) AS n_toks,
+        |  COALESCE(CAST(len(t.toks) AS BIGINT), 0) AS n_toks,
         |  COALESCE(tot.n_gram_occs, 0) AS n_gram_occs,
         |  COALESCE(hits.n_hits, 0) AS n_hits,
         |  hits.first_hit_pos, hits.last_hit_pos,
         |  CASE WHEN hits.n_hits IS NOT NULL
-        |    THEN ROUND((hits.last_hit_pos - hits.first_hit_pos + 5) * 1.0 / tot.n_toks, 6)
+        |    THEN ROUND((hits.last_hit_pos - hits.first_hit_pos + 5) * 1.0 / len(t.toks), 6)
         |    ELSE 0.0 END AS span_frac
         |FROM documents d
+        |LEFT JOIN t ON t.id = d.doc_id
         |LEFT JOIN tot ON tot.id = d.doc_id
         |LEFT JOIN hits ON hits.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,

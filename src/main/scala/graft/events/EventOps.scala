@@ -33,6 +33,14 @@ object EventOps {
     * than silently producing seconds (a bare `cast("long")` on a
     * timestamp would). NTZ→timestamp is wall-clock-preserving under the
     * harness's UTC session timezone.
+    *
+    * NOT IDEMPOTENT: a LongType `ts` is BY CONTRACT int64 nanoseconds
+    * (the raw-parquet shape) — a frame already normalized to long
+    * micros is type-indistinguishable from it, and re-applying the
+    * adapter would silently divide again, yielding millisecond ticks.
+    * Normalize exactly once, at the read boundary; everything in this
+    * object and [[graft.streaming.StreamOps]] takes micros from there
+    * on and never calls the adapter internally.
     */
   def toMicros(events: DataFrame, tsCol: String = "ts"): DataFrame =
     events.schema(tsCol).dataType match {
@@ -303,6 +311,9 @@ object EventOps {
     val p = col("c_prev") * lit(1.0) / col("n_prev")
     val q = col("c_cur") * lit(1.0) / col("n")
     val m = (p + q) / lit(2.0)
+    // same ln-ulp caveat as CorpusOps.sourceDrift: the floored 1e-12
+    // units are deterministic per engine, cross-engine only to ±1 unit
+    // per term (ln is not correctly rounded in either libm)
     val term = floor(
       (when(col("c_prev") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
         when(col("c_cur") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))) *

@@ -87,16 +87,20 @@ object CorpusOps {
         col("col").as("g"))
     val evalG = eval.select(explode(shingles(col(textCol), n)).as("g")).distinct()
     val totals = g.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_gram_occs"), first(col("n_toks")).as("n_toks"))
+      .agg(count(lit(1)).as("n_gram_occs"))
     val hits = g.join(broadcast(evalG), "g")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"),
         min(col("p")).as("first_hit_pos"), max(col("p")).as("last_hit_pos"))
-    train.select(col(idCol).as("id"))
+    // n_toks from a direct projection of train — NOT from the gram
+    // rows, which are empty for sub-n-token documents and would
+    // misreport those as 0-token to downstream span-cutting
+    train.select(col(idCol).as("id"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_toks"))
       .join(totals, Seq("id"), "left")
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("n_toks"),
         coalesce(col("n_gram_occs"), lit(0L)).as("n_gram_occs"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("first_hit_pos"), col("last_hit_pos"),
@@ -724,7 +728,15 @@ object CorpusOps {
         coalesce(col("c_new"), lit(0L)).as("c_new"))
     val tot = totals(oldSnap, "old").join(totals(newSnap, "new"), Seq(srcCol))
     // fixed arithmetic order, mirrored verbatim in the oracle:
-    // p = c * 1.0 / n ; m = (p + q) / 2.0 ; term in 1e-12 units
+    // p = c * 1.0 / n ; m = (p + q) / 2.0 ; term in 1e-12 units.
+    // Known residual risk: the one transcendental here (ln) is not
+    // correctly rounded by either JVM Math.log or DuckDB's libm, so a
+    // term landing within ~1 ulp of a 1e-12 unit boundary could floor
+    // differently across engines/platforms — a ±1-unit-per-term bound,
+    // the same tolerance the drift specs assert (js within n_terms
+    // units). The harness hash compare has held across rounds; if it
+    // ever flakes here, relax to the n_terms-bounded compare rather
+    // than chasing libm parity.
     val p = col("c_old") * lit(1.0) / col("n_old")
     val q = col("c_new") * lit(1.0) / col("n_new")
     val m = (p + q) / lit(2.0)
@@ -773,13 +785,18 @@ object CorpusOps {
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
     // fixed arithmetic order (w / wsum * budget, then / actual): each
     // product rounds once, so the SQL oracle reproduces the doubles
-    // bit for bit
+    // bit for bit. A source whose documents are all empty/whitespace
+    // has actual_tokens = 0: dividing would yield Infinity (or NaN at
+    // w = 0) and explode downstream epoch streams — zero-mass sources
+    // get ratio 0 (no tokens to repeat means nothing to schedule)
     val ratios = base.groupBy(col(srcCol))
       .agg(sum(col("n_tokens")).as("actual_tokens"))
       .join(broadcast(wdf), Seq(srcCol), "left")
       .withColumn("ratio",
-        coalesce(col("w"), lit(0.0)) / lit(wsum) * lit(budgetTokens.toDouble) /
-          col("actual_tokens").cast("double"))
+        when(col("actual_tokens") > 0,
+          coalesce(col("w"), lit(0.0)) / lit(wsum) * lit(budgetTokens.toDouble) /
+            col("actual_tokens").cast("double"))
+          .otherwise(lit(0.0)))
       .select(col(srcCol), col("ratio"))
     val u = TextOps.tokenHash(concat_ws(":", lit(salt), col("id").cast("string")))
       .cast("double") / lit(1152921504606846976.0) // 2^60

@@ -193,6 +193,63 @@ object OrderOps {
     }.toDF(idCol, "rep_idx", "pos")
   }
 
+  /** Exact linear-interpolated quantiles of a numeric column WITHOUT
+    * buffering values anywhere: Spark's exact `percentile` aggregate
+    * holds a value->count map in its single merging reducer, which on a
+    * high-cardinality double column at corpus scale is an executor
+    * OOM waiting to happen. Here the sorted multiset is materialized
+    * only as range partitions: count rows per partition (one narrow
+    * pass), locate the <= 2*|fracs| bracketing global row indices
+    * inside whichever partitions own them (a second narrow pass that
+    * emits only those rows), interpolate on the driver. Same
+    * row-index semantics as `percentile`/`quantile_cont`:
+    * pos = frac*(n-1), v[floor]*(ceil-pos) + v[ceil]*(pos-floor).
+    * Driver state: partition counts + the requested values.
+    */
+  private[text] def exactQuantiles(
+      df: DataFrame, scoreCol: String, fracs: Seq[Double],
+      reliable: Boolean = false): Seq[Double] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(scoreCol).cast("double").as("s"))
+    val sorted = rangeSorted(base, col("s"), reliable).as[Double]
+    val partials = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.size.toLong)
+      }.collect().toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = exclusiveOffsets(partials, nParts)
+    val n = partials.valuesIterator.sum
+    require(n > 0, s"exactQuantiles($scoreCol) on an empty frame")
+    val positions = fracs.map(f => f * (n - 1))
+    val wanted = positions
+      .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
+      .distinct.sorted.toArray
+    val bounds = offsets :+ n
+    val bcW = spark.sparkContext.broadcast(wanted)
+    val bcB = spark.sparkContext.broadcast(bounds)
+    val found = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val lo = bcB.value(pid); val hi = bcB.value(pid + 1)
+      val targets = bcW.value.filter(k => k >= lo && k < hi)
+      if (targets.isEmpty) Iterator.empty
+      else {
+        val out = Array.newBuilder[(Long, Double)]
+        var k = lo; var ti = 0
+        while (it.hasNext && ti < targets.length) {
+          val v = it.next()
+          if (k == targets(ti)) { out += ((k, v)); ti += 1 }
+          k += 1
+        }
+        out.result().iterator
+      }
+    }.collect().toMap
+    positions.map { p =>
+      val lo = math.floor(p).toLong; val hi = math.ceil(p).toLong
+      if (lo == hi) found(lo)
+      else found(lo) * (hi - p) + found(hi) * (p - lo)
+    }
+  }
+
   /** CURRICULUM ORDERING — easy-to-hard training order (Bengio et al.
     * 2009): documents are bucketed by exact quantiles of a difficulty
     * score (here any numeric column — length, perplexity, quality) and
@@ -201,13 +258,16 @@ object OrderOps {
     * `zero-padded bucket ++ ":" ++ md5(salt:id)` — lexicographic order
     * IS (bucket asc, hash) in both engines' binary collation, so the
     * same range-partition + prefix-count machinery as [[shuffleOrder]]
-    * produces global positions with no single-task sort.
+    * produces global positions with no single-task sort. The pad
+    * width grows with nBuckets (min 2, matching the SQL oracle's
+    * lpad(...,2)) so a 3-digit bucket can never sort before "11".
     *
-    * Cutoffs are the exact `percentile` quantiles ROUNDED to 6
-    * decimals before the bucket comparison — both engines compute the
-    * identical rounded cutoff, so bucket assignment is bit-stable
-    * (comparing on raw interpolated doubles would gamble on the last
-    * ulp). Driver state is nBuckets-1 doubles.
+    * Cutoffs come from [[exactQuantiles]] (range-partitioned row
+    * lookup — no value-map aggregate anywhere), ROUNDED to 6 decimals
+    * before the bucket comparison — both engines compute the identical
+    * rounded cutoff, so bucket assignment is bit-stable (comparing on
+    * raw interpolated doubles would gamble on the last ulp). Driver
+    * state is nBuckets-1 doubles plus partition counts.
     *
     * Returns (id, bucket, pos), pos 0-based over the corpus.
     */
@@ -219,18 +279,17 @@ object OrderOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val cutoffs = docs
-      .agg(expr(s"percentile($scoreCol, array(${fracs.mkString("d,")}d))").as("qs"))
-      .head().getSeq[Double](0)
+    val cutoffs = exactQuantiles(docs, scoreCol, fracs, reliable)
       // half-up at 6 decimals — the same rounding ROUND(q, 6) applies
       // in the SQL oracle (scores are non-negative here)
       .map(c => math.floor(c * 1e6 + 0.5) / 1e6)
     val bucketCol = cutoffs
       .map(c => when(col(scoreCol).cast("double") >= lit(c), 1).otherwise(0))
       .reduce(_ + _)
+    val padW = math.max(2, (nBuckets - 1).toString.length)
     val base = docs.select(col(idCol).cast("long").as("id"), bucketCol.as("bucket"))
       .select(col("id"), col("bucket"),
-        concat(format_string("%02d", col("bucket")), lit(":"),
+        concat(format_string(s"%0${padW}d", col("bucket")), lit(":"),
           md5(concat_ws(":", lit(salt), col("id").cast("string")))).as("skey"))
     val sorted = rangeSorted(base, col("skey"), reliable).as[(Long, Int, String)]
     val partials = sorted.rdd

@@ -176,6 +176,39 @@ class RewriteSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) == out, "positions depend on input partitioning")
   }
 
+  test("exactQuantiles matches Spark's exact percentile aggregate, duplicates included") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fracs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
+    val expected = docs
+      .agg(expr(s"percentile(n_chars, array(${fracs.mkString("d,")}d))"))
+      .head().getSeq[Double](0)
+    val got = OrderOps.exactQuantiles(docs, "n_chars", fracs)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= math.ulp(e) * 4, s"quantile mismatch: $g vs $e")
+    }
+    // duplicate-heavy small column: interpolation must hit exact rows
+    val dup = Seq(1L, 1L, 1L, 2L, 2L, 3L, 100L).toDF("v").repartition(5)
+    val e2 = dup.agg(expr("percentile(v, array(0.0d,0.5d,1.0d))")).head().getSeq[Double](0)
+    assert(OrderOps.exactQuantiles(dup, "v", Seq(0.0, 0.5, 1.0)) == e2)
+  }
+
+  test("curriculumOrder keeps bucket-major order past 100 buckets (3-digit pad)") {
+    // 202 docs with distinct scores and nBuckets=101: bucket 100 would
+    // zero-pad to "100" while a 2-char pad sorts it before "11" — the
+    // derived pad width keeps positions monotone in bucket
+    val docs = (1L to 202L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+    val out = OrderOps.curriculumOrder(docs, nBuckets = 101, scoreCol = "n_chars")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val maxPosPerBucket = out.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).max }
+    val minPosPerBucket = out.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).min }
+    maxPosPerBucket.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(maxPosPerBucket(a) < minPosPerBucket(b),
+          s"bucket $a overlaps bucket $b in the global order")
+      case _ =>
+    }
+  }
+
   test("hardNegatives never returns a candidate of the query's own label") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = e.select(col("vec_id"), col("label")).collect()
