@@ -344,6 +344,20 @@ object LlmQueries {
     // in CorpusOrderSpec
     "q_text_compress" -> ((s, dir) => TextOps.compressionRatio(docs(s, dir))),
 
+    // the hash-matched companion that shrinks q_text_compress's oracle
+    // blind spot: the REAL deflate kernel's raw_len (UTF-8 bytes from
+    // the same mapPartitions pass) joined with char-level stats, all
+    // SQL-expressible — only the deflate output itself stays
+    // golden-gated
+    "q_text_compress_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.compressionRatio(d).select(col("doc_id"), col("raw_len"))
+        .join(d.select(col("doc_id"),
+          length(col("text")).cast("long").as("char_len"),
+          size(array_distinct(split(col("text"), ""))).cast("long")
+            .as("n_distinct_chars")), "doc_id")
+    }),
+
     // quota capping: at most 15 docs per source (sources hold 25+ at
     // every SF, so the cap BINDS), salted-hash order; heap-aggregated
     // (no window sort — PlanSpec-asserted shape)
@@ -1949,6 +1963,17 @@ object LlmQueries {
         |FROM t JOIN g USING (doc_id)
         |LEFT JOIN dg USING (doc_id) LEFT JOIN tp USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // compress-stats companion: raw_len is the deflate kernel's UTF-8
+    // byte count (crosschecked against octet_length), char/distinct
+    // stats straight off the text — the SQL-expressible face of
+    // q_text_compress
+    "q_text_compress_stats" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS raw_len,
+        |  CAST(length(text) AS BIGINT) AS char_len,
+        |  CAST(len(list_distinct(string_split(text, ''))) AS BIGINT) AS n_distinct_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // PII scrub: same augmentation, same RE2/Java-identical regexes,
     // sequential replacement mirrored stage for stage ('g' = global,
