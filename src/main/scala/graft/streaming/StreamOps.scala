@@ -207,6 +207,162 @@ object StreamOps {
       .toDF("event_id", "user_id", "ts", "b_event_id", "b_ts", "b_value")
   }
 
+  final case class FunnelBuf(depth: Int, tprev: Long, pending: List[(Long, String)])
+
+  /** STREAMING FUNNEL DEPTH — the twin of
+    * [[graft.events.EventOps.funnel]]'s per-user step chain. A user's
+    * funnel depth is never final on an unbounded stream (a future
+    * event can always extend the chain), so the streaming form emits
+    * MONOTONE depth updates in Update mode: one (user, step_idx) row
+    * whenever the finalized chain advances; the row for a user's
+    * maximum step_idx is the batch funnel's per-user contribution, and
+    * `n_users(i) = |{users with max step_idx >= i}|` reproduces the
+    * batch aggregate at any cut point.
+    *
+    * Exactness under out-of-order arrival: the batch chain is
+    * `tprev(i+1) = min ts of step i+1 events with tprev(i) < ts <=
+    * tprev(i) + within`, which equals greedy advancement over the
+    * user's events in ascending-ts order — so events buffer in group
+    * state until the watermark passes them (no earlier event can then
+    * arrive), and only that finalized, sorted prefix drives the chain.
+    * State is the chain cursor (depth, tprev) plus the in-flight
+    * buffer, bounded by the lateness horizon; a completed user drains
+    * arrivals with no buffering.
+    */
+  def streamingFunnelDepth(
+      events: DataFrame, steps: Seq[String], within: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(within > 0, s"within must be positive, got $within")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val base = events.withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", watermark)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long"), col("ts2"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+            state: GroupState[FunnelBuf]) =>
+          val st = state.getOption.getOrElse(FunnelBuf(0, Long.MinValue, Nil))
+          var pending = st.pending
+          rows.foreach { case (_, typ, ts, _) =>
+            // a fully-converted user's chain cannot extend: drain
+            if (st.depth < steps.length) pending ::= ((ts, typ))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // strictly below the watermark, as in streamingAsofLatest:
+          // an event AT the watermark can still arrive in a later batch
+          val (ready, hold) = pending.partition(_._1 < wmUs)
+          var depth = st.depth
+          var tprev = st.tprev
+          ready.sortBy(_._1).foreach { case (ts, typ) =>
+            if (depth < steps.length && stepIdx(typ) == depth &&
+                (depth == 0 || (ts > tprev && ts - tprev <= within))) {
+              depth += 1
+              tprev = ts
+            }
+          }
+          val out =
+            if (depth > st.depth) Iterator.single((user, depth - 1)) else Iterator.empty
+          val next = FunnelBuf(depth, tprev, if (depth >= steps.length) Nil else hold)
+          if (next.pending.isEmpty && next.depth == 0) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(next)
+            if (next.pending.nonEmpty)
+              state.setTimeoutTimestamp(next.pending.map(_._1).min / 1000L + 1L)
+          }
+          out
+      }
+      .toDF("user_id", "step_idx")
+  }
+
+  final case class RetentionBuf(
+      minAnchor: Option[Long], emitted: Long, pending: List[Long])
+
+  /** STREAMING RETENTION FACTS — the twin of
+    * [[graft.events.EventOps.retentionCohorts]]: one APPEND-mode row
+    * per (user, cohort_bucket, k) the first time that retention fact
+    * becomes FINAL, i.e. exactly the distinct (user, offset) pairs the
+    * batch operator counts; `groupBy(cohort_bucket, k).count()`
+    * downstream reproduces n_active (and k = 0 is the cohort size,
+    * since the anchor event is itself activity).
+    *
+    * Finality logic: a user's cohort is the MINIMUM anchor timestamp,
+    * so it is final once the watermark passes the current minimum (any
+    * later-arriving anchor would have ts >= watermark >= min). Until
+    * then activity buffers. Activity seen before ANY anchor is
+    * dropped once the watermark passes its bucket — a future anchor's
+    * bucket is >= the watermark's, so such activity could only ever
+    * land at k < 0: the drop is exact, and it bounds state for
+    * anchor-less users. The emitted-offset set is a bitmask (maxOffset
+    * <= 62), so steady-state is O(1) per user plus the in-flight
+    * buffer inside the lateness horizon.
+    */
+  def streamingRetention(
+      events: DataFrame, anchorType: String, bucket: Long, maxOffset: Int,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bucket > 0 && maxOffset >= 0 && maxOffset <= 62,
+      s"bad params: bucket=$bucket maxOffset=$maxOffset")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", watermark)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long"), col("ts2"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+            state: GroupState[RetentionBuf]) =>
+          val st = state.getOption.getOrElse(RetentionBuf(None, 0L, Nil))
+          var minAnchor = st.minAnchor
+          var pending = st.pending
+          rows.foreach { case (_, typ, ts, _) =>
+            if (typ == anchorType && !minAnchor.exists(_ <= ts)) minAnchor = Some(ts)
+            pending ::= ts
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var emitted = st.emitted
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val cohortFinal = minAnchor.exists(_ < wmUs)
+          if (cohortFinal) {
+            val cb = Math.floorDiv(minAnchor.get, bucket)
+            val (ready, hold) = pending.partition(_ < wmUs)
+            ready.foreach { ts =>
+              val k = Math.floorDiv(ts, bucket) - cb
+              if (k >= 0 && k <= maxOffset && (emitted & (1L << k)) == 0L) {
+                emitted |= 1L << k
+                out += ((cb, k, user))
+              }
+            }
+            pending = hold
+          } else if (minAnchor.isEmpty) {
+            // no anchor yet: future anchors sit at bucket >= the
+            // watermark's, so activity in strictly-older buckets can
+            // only produce k < 0 — drop it (exact, bounds state)
+            val wmBucket = Math.floorDiv(wmUs, bucket)
+            pending = pending.filter(ts => Math.floorDiv(ts, bucket) >= wmBucket)
+          }
+          val next = RetentionBuf(minAnchor, emitted, pending)
+          if (next.minAnchor.isEmpty && next.pending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(next)
+            val wake = (next.pending ++ next.minAnchor.filter(_ => !cohortFinal)).minOption
+            wake.foreach(w => state.setTimeoutTimestamp(w / 1000L + 1L))
+          }
+          out.iterator
+      }
+      .toDF("cohort_bucket", "k", "user_id")
+  }
+
   /** Streaming EXACT dedup with custom state
     * (`flatMapGroupsWithState`): key on the content hash, keep one bit
     * of state per distinct text, emit only the FIRST document carrying

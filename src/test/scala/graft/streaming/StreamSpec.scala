@@ -651,4 +651,97 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty,
       s"streamed registers diverge from batch:\n$streamed\n$batch")
   }
+
+  test("streaming funnel depth updates reproduce the batch funnel counts") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-funnel-stream").toFile
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .limit(800)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val maxTs = spark.read.parquet(srcDir.getAbsolutePath)
+      .agg(max(col("ts"))).head().getLong(0)
+
+    val steps = Seq("view", "click", "purchase")
+    val within = 86400000000L
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingFunnelDepth(src, steps, within, watermark = "2 hours")
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark beyond every real event (sentinels must be a
+      // step type to survive the filter; user -1 is excluded below)
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), maxTs + k * 100L * 3600L * 1000000L, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // depth updates are monotone: per-user max step_idx is final depth
+    val depths = spark.table("funnel_stream")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id")).agg(max(col("step_idx")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val staged = spark.read.parquet(srcDir.getAbsolutePath)
+      .filter(col("event_id") >= 0)
+    val batch = graft.events.EventOps.funnel(staged, steps, within)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(batch.values.exists(_ > 0), "degenerate fixture: nobody enters the funnel")
+    steps.indices.foreach { i =>
+      val streamedN = depths.count(_._2 >= i).toLong
+      assert(streamedN == batch(i),
+        s"step $i: streamed $streamedN users vs batch ${batch(i)}")
+    }
+  }
+
+  test("streaming retention facts reproduce the batch cohort table") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-retention-stream").toFile
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .limit(800)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    raw.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val maxTs = spark.read.parquet(srcDir.getAbsolutePath)
+      .agg(max(col("ts"))).head().getLong(0)
+
+    val bucket = 604800000000L // 7 days of micros
+    val maxOffset = 4
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingRetention(src, "signup", bucket, maxOffset,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), maxTs + k * 100L * 3600L * 1000000L, -1L, "signup", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamedRows = spark.table("retention_stream")
+      .filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly-once per (user, cohort, k): the append facts must be unique
+    assert(streamedRows.length == streamedRows.distinct.length,
+      "duplicate retention fact emitted")
+    val streamed = streamedRows.groupBy(r => (r._1, r._2))
+      .map { case (ck, xs) => ck -> xs.length.toLong }
+    val staged = spark.read.parquet(srcDir.getAbsolutePath)
+      .filter(col("event_id") >= 0)
+    val batch = graft.events.EventOps.retentionCohorts(staged, "signup", bucket, maxOffset)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed facts diverge from batch:\n$streamed\nvs\n$batch")
+  }
 }
