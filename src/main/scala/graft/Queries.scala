@@ -48,6 +48,17 @@ object Queries {
   // rectify target for the synthetic rotated swath
   val gmRectify: GridMapping =
     GridMapping.regular(W, W, 49.5, 56.0, 0.1, 0.1, Crs.Geographic, Some((16, 16)))
+  // the same swath/target pair translated +128.8 degrees so the swath
+  // CROSSES the antimeridian (lon ~178.5..182): identical geometry in
+  // index space, so every fp margin of the 50-degree fixture carries
+  // over; the target lives in lon-360 space (xMax > 180 => isLon360)
+  val AntiLonShift = 128.8
+  val gmSrcAnti: GridMapping =
+    GridMapping.regular(W, W, 50.0 + AntiLonShift, 56.8, 0.1, 0.1,
+      Crs.Geographic, Some((16, 16)))
+  val gmRectifyAnti: GridMapping =
+    GridMapping.regular(W, W, 49.5 + AntiLonShift, 56.0, 0.1, 0.1,
+      Crs.Geographic, Some((16, 16)))
   // inset 12x12 rectify target for the INTERPOLATING gathers: origin
   // chosen (numerically searched) so every accepted pixel's fractional
   // source index stays >= 8.4e-3 from an integer and the triangular
@@ -72,7 +83,7 @@ object Queries {
   private val tileCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.Dataset[graft.model.Tile]]
   private val rectifyInputCache =
-    scala.collection.concurrent.TrieMap.empty[String,
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean),
       (org.apache.spark.sql.Dataset[graft.model.Tile], org.apache.spark.sql.Dataset[graft.model.Tile])]
 
   /** Dense 32x32 grid; missing cells -> 0.0. */
@@ -208,17 +219,29 @@ object Queries {
   /** The cached synthetic-swath rectify inputs (data + rotated 2D coord
     * tiles) for one sfDir — staged once per dir (like gridTiles) so the
     * bench times the rectify pipeline, not input staging.
+    *
+    * The antimeridian variant shifts the swath by [[AntiLonShift]],
+    * STORES the lons signed (178.5 stays, 181.2 becomes -178.8 — the
+    * [-180, 180] convention swath products ship in), and re-normalizes
+    * through the engine's [[SpatialOps.toLon360]] before rectifying
+    * onto the lon-360 target. Both hops are bit-exact for |lon| in
+    * [128, 256) (360 is a multiple of that binade's ulp), so the
+    * oracle replays them verbatim.
     */
-  private def rectifyInputs(s: SparkSession, dir: String)
+  private def rectifyInputs(s: SparkSession, dir: String, anti: Boolean = false)
       : (org.apache.spark.sql.Dataset[graft.model.Tile], org.apache.spark.sql.Dataset[graft.model.Tile]) =
-    rectifyInputCache.getOrElseUpdate(dir, {
-      val irr = gmSrc.copy(isRegular = false)
+    rectifyInputCache.getOrElseUpdate((dir, anti), {
+      val irr = (if (anti) gmSrcAnti else gmSrc).copy(isRegular = false)
       val px = Raster.pixelsFromDf(grid0(s, dir))
       val ang = 0.1
       val cosA = math.cos(ang); val sinA = math.sin(ang)
+      val lon0 = if (anti) 50.0 + AntiLonShift else 50.0
+      val x360 = lit(lon0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1
+      val xSigned = when(x360 > 180.0, x360 - 360.0).otherwise(x360)
+      val xCol = if (anti) SpatialOps.toLon360(xSigned) else x360
       val coordPx = coordsDf(s).select(
         col("j").cast("int"), col("i").cast("int"),
-        (lit(50.0) + (col("i") + 0.5) * cosA * 0.1 - (col("j") + 0.5) * sinA * 0.1).as("x"),
+        xCol.as("x"),
         (lit(60.0) - (col("j") + 0.5) * cosA * 0.1 - (col("i") + 0.5) * sinA * 0.1).as("y"))
       import s.implicits._
       // both coord images through ONE pixelsToTiles shuffle
@@ -240,6 +263,8 @@ object Queries {
     gridTiles(s, dir, useNullGrid = true).count()
     val (dataTiles, coordTiles) = rectifyInputs(s, dir)
     dataTiles.count(); coordTiles.count()
+    val (dataAnti, coordAnti) = rectifyInputs(s, dir, anti = true)
+    dataAnti.count(); coordAnti.count()
   }
 
   /** Synthetic-swath rectify through the real pipeline: 32x32 grid with
@@ -248,9 +273,9 @@ object Queries {
     */
   private def rectifyQuery(
       s: SparkSession, dir: String, interp: Int, dstGm: GridMapping,
-      roundDigits: Int): DataFrame = {
-    val irr = gmSrc.copy(isRegular = false)
-    val (dataTiles, coordTilesBoth) = rectifyInputs(s, dir)
+      roundDigits: Int, anti: Boolean = false): DataFrame = {
+    val irr = (if (anti) gmSrcAnti else gmSrc).copy(isRegular = false)
+    val (dataTiles, coordTilesBoth) = rectifyInputs(s, dir, anti)
     // equal res (scale 1.0) so the bench measures the rasterize +
     // gather pipeline, not the (separately golden-tested) prepass
     val pol = Map("v" -> VarPolicy(interp, Reducers.Mean, false, Double.NaN, F64))
@@ -446,6 +471,12 @@ object Queries {
         affineQuery(s, dir, gmUp, Interp.BILINEAR, Reducers.Mean,
           useNullGrid = true, recoverNan = true)),
       "q_rectify_nearest" -> ((s, dir) => rectifyQuery(s, dir, Interp.NEAREST, gmRectify, 6)),
+      // dateline-crossing swath: signed lons normalized to [0, 360)
+      // through SpatialOps.toLon360, rectified onto a lon-360 target
+      // (coords.py:144-149 semantics); geometry identical to
+      // q_rectify_nearest in index space
+      "q_rectify_antimeridian" -> ((s, dir) =>
+        rectifyQuery(s, dir, Interp.NEAREST, gmRectifyAnti, 6, anti = true)),
       // interpolating gathers on the inset target (see gmRectifyInt):
       // the rasterized lookup is fp-noisy (~1e-13 vs the closed form),
       // so these round to 4 digits — measured >= 8e-8 absolute margin
@@ -499,19 +530,29 @@ object Queries {
     * is the kernel's `frac > 0.5` step. Margins verified: every target
     * center is >= 4e-5 from a 0.5-rounding boundary and >= 9e-3 from
     * the acceptance boundary, far beyond fp noise.
+    *
+    * The antimeridian variant's engine side stores the SOURCE coords
+    * signed and re-normalizes via toLon360 — a subtract/add of 360
+    * that is bit-exact for |lon| in [128, 256) (360 is a multiple of
+    * that binade's ulp), so the lon-360 coords equal the direct
+    * closed form and the oracle is simply the rotation inverse
+    * translated by [[AntiLonShift]]; every index-space margin above
+    * carries over unchanged.
     */
-  private def sqlRectifyNearest: String = {
+  private def sqlRectifyNearest(anti: Boolean = false): String = {
     val ang = 0.1
     val c = math.cos(ang); val s = math.sin(ang)
-    val dst = gmRectify
+    val dst = if (anti) gmRectifyAnti else gmRectify
+    val lon0 = if (anti) 50.0 + AntiLonShift else 50.0
+    val xNorm = s"(${d(dst.xMin)} + (i + 0.5) * ${d(dst.xRes)})"
     s"""$sqlGrid0, tcells AS (
        |  SELECT r // ${dst.width} AS j, r % ${dst.width} AS i
        |  FROM range(0, ${dst.width * dst.height}) t(r)
        |), f AS (
        |  SELECT j, i,
-       |    ${d(c)} * ((${d(dst.xMin)} + (i + 0.5) * ${d(dst.xRes)} - 50.0) / 0.1)
+       |    ${d(c)} * (($xNorm - ${d(lon0)}) / 0.1)
        |      + ${d(s)} * ((60.0 - (${d(dst.yMax)} - (j + 0.5) * ${d(dst.yRes)})) / 0.1) - 0.5 AS fi,
-       |    -${d(s)} * ((${d(dst.xMin)} + (i + 0.5) * ${d(dst.xRes)} - 50.0) / 0.1)
+       |    -${d(s)} * (($xNorm - ${d(lon0)}) / 0.1)
        |      + ${d(c)} * ((60.0 - (${d(dst.yMax)} - (j + 0.5) * ${d(dst.yRes)})) / 0.1) - 0.5 AS fj
        |  FROM tcells
        |), hit AS (
@@ -687,7 +728,8 @@ object Queries {
       "q_reproject_bilinear" -> sqlReprojectInterp(bilinear = true),
       "q_reproject_triangular" -> sqlReprojectInterp(bilinear = false),
       "q_reproject_jup" -> sqlReprojectJup,
-      "q_rectify_nearest" -> sqlRectifyNearest,
+      "q_rectify_nearest" -> sqlRectifyNearest(),
+      "q_rectify_antimeridian" -> sqlRectifyNearest(anti = true),
       "q_rectify_bilinear" -> sqlRectifyInterp(bilinear = true),
       "q_rectify_triangular" -> sqlRectifyInterp(bilinear = false),
       "q_affine_nanrec" -> sqlAffineNanrec,
