@@ -1225,6 +1225,15 @@ object Crs {
       -81.0, 609600.0, 0.0, GRS80, "EPSG:32133"),
     "EPSG:26949" -> TransverseMercator(-(111.0 + 55.0 / 60), 31.0, 0.9999,
       213360.0, 0.0, GRS80, "EPSG:26949"),
+    // NAD83 / Texas Central
+    "EPSG:32139" -> LambertConformalConic(31.0 + 53.0 / 60, 30.0 + 7.0 / 60,
+      29.0 + 40.0 / 60, -(100.0 + 20.0 / 60), 700000.0, 3000000.0, GRS80, "EPSG:32139"),
+    // NAD83 / California zone 3
+    "EPSG:26943" -> LambertConformalConic(38.0 + 26.0 / 60, 37.0 + 4.0 / 60,
+      36.5, -120.5, 2000000.0, 500000.0, GRS80, "EPSG:26943"),
+    // NAD83 / Alabama East
+    "EPSG:26929" -> TransverseMercator(-(85.0 + 50.0 / 60), 30.5, 0.99996,
+      200000.0, 0.0, GRS80, "EPSG:26929"),
     // NAD83 / Alaska Albers (the statewide equal-area grid)
     "EPSG:3338" -> AlbersEqualAreaConic(55.0, 65.0, 50.0, -154.0, 0.0, 0.0,
       GRS80, "EPSG:3338"),
@@ -1248,8 +1257,8 @@ object Crs {
       "EPSG:326xx/327xx + 258xx (ETRS89) + 269xx (NAD83) (UTM), " +
       "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), EPSG:3067/2180 (national TM), " +
       "EPSG:3035 + 6931/6932/3574/3575 (LAEA), " +
-      "EPSG:2154/5069/3034/31287 + 32118/26985/32133 (state plane) (LCC), " +
-      "EPSG:26949 (state plane TM), " +
+      "EPSG:2154/5069/3034/31287 + 32118/26985/32133/32139/26943 (state plane) (LCC), " +
+      "EPSG:26949/26929 (state plane TM), " +
       "EPSG:5070 + 3338 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +
       "EPSG:5041/5042 + 32661/32761 (UPS), " +

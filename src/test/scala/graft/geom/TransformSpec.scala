@@ -594,7 +594,9 @@ class TransformSpec extends AnyFunSuite {
     for ((code, sp1, sp2, lons) <- Seq(
         ("EPSG:32118", 40.0 + 40.0 / 60, 41.0 + 2.0 / 60, Seq(-74.5, -73.5)),
         ("EPSG:26985", 38.3, 39.45, Seq(-77.8, -76.2)),
-        ("EPSG:32133", 32.5, 34.0 + 50.0 / 60, Seq(-82.0, -80.0)))) {
+        ("EPSG:32133", 32.5, 34.0 + 50.0 / 60, Seq(-82.0, -80.0)),
+        ("EPSG:32139", 30.0 + 7.0 / 60, 31.0 + 53.0 / 60, Seq(-101.5, -99.0)),
+        ("EPSG:26943", 37.0 + 4.0 / 60, 38.0 + 26.0 / 60, Seq(-122.0, -119.5)))) {
       val crs = fromString(code)
       for (lat <- Seq(sp1, sp2); lon <- lons) {
         val (kM, kP) = scaleFactors(crs, lon, lat)
@@ -617,6 +619,27 @@ class TransformSpec extends AnyFunSuite {
     val (px, py) = azc.fromLonLat(-112.074, 33.4484)
     assert(math.abs(px - 213360.0) < 20000 && math.abs(py - 271000.0) < 8000,
       s"Phoenix EPSG:26949 ($px,$py)")
+    // Texas Central: grid origin anchors at (FE, FN) exactly; Austin
+    // sits ~249 km east of the 100°20'W meridian, ~67 km north of 29°40'
+    val txc = fromString("EPSG:32139")
+    val (tox, toy) = txc.fromLonLat(-(100.0 + 20.0 / 60), 29.0 + 40.0 / 60)
+    assert(math.abs(tox - 700000.0) < 1e-6 && math.abs(toy - 3000000.0) < 1e-6)
+    val (aux, auy) = txc.fromLonLat(-97.7431, 30.2672)
+    assert(math.abs(aux - 949000.0) < 10000 && math.abs(auy - 3067000.0) < 10000,
+      s"Austin EPSG:32139 ($aux,$auy)")
+    // California zone 3: Fresno ~64 km east of 120.5°W, ~26 km north of 36.5°
+    val ca3 = fromString("EPSG:26943")
+    val (fx, fy) = ca3.fromLonLat(-119.787, 36.7378)
+    assert(math.abs(fx - 2063600.0) < 8000 && math.abs(fy - 526400.0) < 8000,
+      s"Fresno EPSG:26943 ($fx,$fy)")
+    // Alabama East TM: central meridian 85°50'W maps to FE exactly;
+    // Montgomery ~44 km west of it, ~208 km north of the 30.5° origin
+    val ale = fromString("EPSG:26929")
+    val (aox, aoy) = ale.fromLonLat(-(85.0 + 50.0 / 60), 30.5)
+    assert(math.abs(aox - 200000.0) < 1e-6 && math.abs(aoy) < 1e-6)
+    val (mgx, mgy) = ale.fromLonLat(-86.3, 32.38)
+    assert(math.abs(mgx - 156100.0) < 6000 && math.abs(mgy - 208400.0) < 6000,
+      s"Montgomery EPSG:26929 ($mgx,$mgy)")
     // Alaska Albers: origin anchor and Anchorage neighborhood
     val ak = fromString("EPSG:3338")
     val (ox, oy) = ak.fromLonLat(-154.0, 50.0)
@@ -630,6 +653,9 @@ class TransformSpec extends AnyFunSuite {
         ("EPSG:26985", Seq((-77.0, 39.0), (-76.0, 38.4))),
         ("EPSG:32133", Seq((-81.0, 33.8), (-79.9, 32.8))),
         ("EPSG:26949", Seq((-111.9, 33.4), (-112.3, 34.6))),
+        ("EPSG:32139", Seq((-97.74, 30.27), (-99.5, 31.2))),
+        ("EPSG:26943", Seq((-119.79, 36.74), (-121.5, 37.5))),
+        ("EPSG:26929", Seq((-86.3, 32.38), (-85.4, 31.5))),
         ("EPSG:3338", Seq((-154.0, 60.0), (-135.0, 58.0), (-165.0, 65.0))))) {
       val crs = fromString(code)
       for ((lon, lat) <- pts) {

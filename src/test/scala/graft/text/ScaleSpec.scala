@@ -1,0 +1,58 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Structural scale-slope proofs for the CC/join-heavy operators,
+  * measured on a 10x in-memory replica built by
+  * [[graft.ScaleData.replicateDocuments]] (token-disjoint copies: the
+  * corpus-growth model, not duplication blow-up). Wall-clock slopes
+  * live in SCALE.md; these specs pin the underlying WORK metrics —
+  * candidate-pair counts and label-propagation rounds — which are what
+  * actually decide whether the operators survive 100 TB, and which are
+  * immune to machine-load noise.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val d1 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+  lazy val d10 = graft.ScaleData.replicateDocuments(d1, 10).persist()
+
+  test("MinHash LSH candidate pairs grow linearly under 10x corpus replication") {
+    // copies are token-disjoint, so each of the 10 shards reproduces
+    // exactly the 1x verified pair set and nothing across shards: the
+    // 10x count must be 10x the 1x count up to band-collision noise
+    val p1 = TextOps.minhashLshPairs(d1, numHashes = 64, bands = 16, threshold = 0.95).count()
+    val p10 = TextOps.minhashLshPairs(d10, numHashes = 64, bands = 16, threshold = 0.95).count()
+    assert(p1 > 0, "degenerate fixture: no near-dup pairs at 1x")
+    assert(p10 <= 10 * p1 + math.max(10L, p1 / 10),
+      s"LSH pairs superlinear: $p1 at 1x but $p10 at 10x — bucket blow-up")
+    assert(p10 >= 10 * p1 - math.max(10L, p1 / 10),
+      s"LSH pairs sublinear: $p1 at 1x but $p10 at 10x — replica lost pairs")
+  }
+
+  test("containment candidate pairs grow linearly under 10x corpus replication") {
+    def cand(df: org.apache.spark.sql.DataFrame): Long =
+      TextOps.containmentPairs(TextOps.tokenTable(df), 0.8).count()
+    val c1 = cand(d1)
+    val c10 = cand(d10)
+    assert(c1 > 0, "degenerate fixture: no containment pairs at 1x")
+    assert(c10 <= 10 * c1 + math.max(10L, c1 / 10),
+      s"containment pairs superlinear: $c1 at 1x vs $c10 at 10x — prefix filter not binding")
+  }
+
+  test("dedup CC rounds are scale-stable under 10x corpus replication") {
+    // pointer jumping converges in O(log diameter); replication adds
+    // shards, not diameter, so at most one round of slack
+    def roundsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val pairs = TextOps.minhashLshPairs(df, numHashes = 64, bands = 16, threshold = 0.95)
+      TextOps.dedupClustersWithRounds(df, pairs)._2
+    }
+    val r1 = roundsOf(d1)
+    val r10 = roundsOf(d10)
+    assert(r1 >= 2 && r10 >= 2, s"degenerate round counts $r1/$r10")
+    assert(r10 <= r1 + 1,
+      s"CC rounds grew with corpus size: 1x=$r1, 10x=$r10 — rounds must track diameter, not n")
+  }
+}
