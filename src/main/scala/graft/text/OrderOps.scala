@@ -211,7 +211,10 @@ object OrderOps {
       reliable: Boolean = false): Seq[Double] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // drop nulls like the percentile aggregate does (a null-scored row
+    // would otherwise shift every row index by sorting first)
     val base = df.select(col(scoreCol).cast("double").as("s"))
+      .filter(col("s").isNotNull)
     val sorted = rangeSorted(base, col("s"), reliable).as[Double]
     val partials = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
