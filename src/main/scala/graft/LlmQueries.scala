@@ -411,6 +411,11 @@ object LlmQueries {
       CorpusOps.contaminationSpans(d, d.filter(col("doc_id") % 50 === 0), n = 5)
     }),
 
+    // ExactSubstr (Lee et al. 2022): corpus-wide duplicated 8-token
+    // runs merged into maximal per-document spans
+    "q_dup_substring_spans" -> ((s, dir) =>
+      CorpusOps.dupSubstringSpans(docs(s, dir), n = 8)),
+
     "q_lm_score" -> ((s, dir) => CorpusOps.bigramLmScore(docs(s, dir))),
 
     // held-out LM: train on even ids, score the odd ids (CCNet shape);
@@ -1963,6 +1968,29 @@ object LlmQueries {
         |FROM t JOIN g USING (doc_id)
         |LEFT JOIN dg USING (doc_id) LEFT JOIN tp USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // ExactSubstr spans: anchors sorted per doc, so coverage intervals
+    // [p, p+7] merge exactly when p <= prev_p + 8 — the LAG gaps-and-
+    // islands below is per-document only, mirroring the engine's
+    // per-doc kernel
+    "q_dup_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT id, CAST(k AS BIGINT) AS p, array_to_string(toks[k:k+7], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(k)
+        |  WHERE len(toks) >= 8
+        |), dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
+        |a AS (SELECT id, p FROM g JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT id, p, SUM(CASE WHEN prev_p IS NULL OR p > prev_p + 8 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY id ORDER BY p) AS grp
+        |  FROM (SELECT id, p, LAG(p) OVER (PARTITION BY id ORDER BY p) AS prev_p FROM a)
+        |)
+        |SELECT id AS doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end,
+        |  COUNT(*) AS n_anchors
+        |FROM isl GROUP BY id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     // compress-stats companion: raw_len is the deflate kernel's UTF-8
     // byte count (crosschecked against octet_length), char/distinct

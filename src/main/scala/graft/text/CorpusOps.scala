@@ -110,6 +110,62 @@ object CorpusOps {
           .otherwise(lit(0.0)).as("span_frac"))
   }
 
+  /** EXACT-SUBSTRING DUPLICATION SPANS — the ExactSubstr signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: every position where
+    * a document shares an `n`-token run with ANY other occurrence in
+    * the corpus (another document, or a repeat inside the same one),
+    * merged per document into maximal covered spans — the spans a
+    * substring-level dedup pass cuts, where document-level dedup
+    * (which needs near-total overlap) sees nothing.
+    *
+    * An anchor at position p covers tokens [p, p+n-1]; anchors whose
+    * coverage overlaps or touches merge. Since positions arrive
+    * sorted, a new span starts exactly when p > prev_p + n.
+    *
+    * Shape at 100 TB: one corpus-wide n-gram count aggregation
+    * (vocabulary-sized, partial map-side combine), an equi-join of the
+    * gram stream back on the duplicated-gram set, and a per-document
+    * merge kernel over that document's sorted anchor positions —
+    * state bounded by document length, no corpus-wide window (the SQL
+    * oracle's gaps-and-islands window is per-document only).
+    *
+    * Returns (id, span_start, span_end, n_anchors), 1-based inclusive
+    * token positions, ordered within each document.
+    */
+  def dupSubstringSpans(
+      docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val g = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(shingles(col(textCol), n)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
+    val dupGrams = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    g.join(dupGrams, "g")
+      .select(col("id"), col("p")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
+        val ps = rows.map(_._2).toArray
+        java.util.Arrays.sort(ps)
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        var i = 0
+        while (i < ps.length) {
+          val start = ps(i)
+          var last = start
+          var cnt = 1L
+          while (i + 1 < ps.length && ps(i + 1) <= last + n) {
+            i += 1; last = ps(i); cnt += 1
+          }
+          out += ((id, start, last + n - 1, cnt))
+          i += 1
+        }
+        out.result()
+      }
+      .toDF(idCol, "span_start", "span_end", "n_anchors")
+  }
+
   /** BIGRAM-LANGUAGE-MODEL document scoring — the CCNet-style quality
     * signal: train an add-one-smoothed bigram model on the corpus
     * itself and score every document by its mean token log-probability

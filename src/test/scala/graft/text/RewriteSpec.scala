@@ -176,6 +176,31 @@ class RewriteSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) == out, "positions depend on input partitioning")
   }
 
+  test("dupSubstringSpans: cross-doc shared runs, self-repeats, and span merging") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),        // shares a..h with doc 2
+      (2L, "x a b c d e f g h y"),        // the shared run sits at p=2
+      (3L, "m m m m m m m m m m"),        // self-repeating: anchors 1,2,3 merge
+      (4L, "p q r s t u v w")             // unique 8-run: no spans
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dupSubstringSpans(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 1L, 8L, 1L),   // "a b c d e f g h" at p=1
+      (2L, 2L, 9L, 1L),   // same run at p=2
+      (3L, 1L, 10L, 3L)), // anchors 1..3 cover tokens 1..10
+      s"got $out")
+    // two distant duplicated runs in one doc stay separate spans
+    val far = Seq(
+      (10L, "a b c d e f g h 1 2 3 4 5 6 7 8 9 10 11 12 a b c d e f g h"),
+      (11L, "a b c d e f g h z")
+    ).toDF("doc_id", "text")
+    val spans10 = CorpusOps.dupSubstringSpans(far, n = 8)
+      .filter(col("doc_id") === 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(spans10 == Seq((1L, 8L), (21L, 28L)), s"got $spans10")
+  }
+
   test("exactQuantiles matches Spark's exact percentile aggregate, duplicates included") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fracs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
