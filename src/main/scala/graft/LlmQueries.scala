@@ -51,8 +51,25 @@ object LlmQueries {
         when(col("doc_id") % 7 === 0, reverse(col("text"))).otherwise(col("text")))
       .unionByName(a.filter(col("doc_id") % 11 === 3)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+  /** Schema-adaptive embeddings read (same contract as
+    * EventOps.toMicros for event ticks): the vector ops and their
+    * encoders want `array<float>`; a driver regeneration that ships
+    * `array<double>` (or any numeric element) is folded back to float
+    * here, and anything non-numeric fails loudly instead of surfacing
+    * as encoder errors deep inside a query.
+    */
+  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/embeddings.parquet")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => df
+      case org.apache.spark.sql.types.ArrayType(
+          _: org.apache.spark.sql.types.NumericType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding: expected an array of a numeric type, got $other")
+    }
+  }
 
   // Multimodal FIXTURES (synthetic PNGs / video payloads) are staged
   // into a persisted per-sfDir table OUTSIDE any timed region — the
