@@ -476,6 +476,18 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty)
   }
 
+  test("dup substring spans: keyed equi-join on the gram, per-doc kernel, no corpus-wide window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.text.CorpusOps.dupSubstringSpans(docs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"),
+      s"corpus-wide window in dupSubstringSpans:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(2000)}")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "gram join must be an equi-join")
+  }
+
   test("no broadcast hint sits on an unbuildable join side anywhere in the harness") {
     // A broadcast hint on the stream-preserved side of an outer join is
     // silently dropped at strategy time (HintErrorLogger warning + plan
