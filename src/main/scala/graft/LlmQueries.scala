@@ -433,6 +433,11 @@ object LlmQueries {
     "q_dup_substring_spans" -> ((s, dir) =>
       CorpusOps.dupSubstringSpans(docs(s, dir), n = 8)),
 
+    // the cut step: keep-one-occurrence rewrite (deterministic
+    // min-(id,p) keeper per duplicated gram), rebuilt text hash-matched
+    "q_dup_substring_rewrite" -> ((s, dir) =>
+      CorpusOps.dupSubstringRewrite(docs(s, dir), n = 8)),
+
     "q_lm_score" -> ((s, dir) => CorpusOps.bigramLmScore(docs(s, dir))),
 
     // held-out LM: train on even ids, score the odd ids (CCNet shape);
@@ -2008,6 +2013,44 @@ object LlmQueries {
         |SELECT id AS doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end,
         |  COUNT(*) AS n_anchors
         |FROM isl GROUP BY id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // ExactSubstr rewrite: keeper key id*1e6+p taken by the same MIN in
+    // both engines; token kept unless covered by a duplicated anchor
+    // and by no keeper anchor; text rebuilt from kept tokens in order
+    "q_dup_substring_rewrite" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT id, CAST(k AS BIGINT) AS p, array_to_string(toks[k:k+7], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(k)
+        |  WHERE len(toks) >= 8
+        |), occ AS (
+        |  SELECT g, COUNT(*) AS c, MIN(id * 1000000 + p) AS kk FROM g GROUP BY g
+        |), a AS (
+        |  SELECT g.id, g.p, (g.id * 1000000 + g.p = occ.kk) AS keeper
+        |  FROM g JOIN occ USING (g) WHERE occ.c > 1
+        |), pos AS (
+        |  SELECT id, CAST(k AS BIGINT) AS tp, toks[k] AS w
+        |  FROM t, unnest(generate_series(1, len(toks))) u(k)
+        |), fl AS (
+        |  SELECT pos.id, pos.tp, ANY_VALUE(pos.w) AS w,
+        |    COUNT(a.p) > 0 AS covered,
+        |    COALESCE(BOOL_OR(a.keeper), FALSE) AS kept
+        |  FROM pos LEFT JOIN a ON a.id = pos.id AND pos.tp BETWEEN a.p AND a.p + 7
+        |  GROUP BY pos.id, pos.tp
+        |), agg AS (
+        |  SELECT id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN covered AND NOT kept THEN 1 ELSE 0 END) AS n_removed,
+        |    string_agg(CASE WHEN covered AND NOT kept THEN NULL ELSE w END, ' ' ORDER BY tp)
+        |      AS new_text
+        |  FROM fl GROUP BY id
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(agg.new_text, '') AS new_text
+        |FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // compress-stats companion: raw_len is the deflate kernel's UTF-8
     // byte count (crosschecked against octet_length), char/distinct

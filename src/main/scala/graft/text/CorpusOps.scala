@@ -166,6 +166,78 @@ object CorpusOps {
       .toDF(idCol, "span_start", "span_end", "n_anchors")
   }
 
+  /** EXACT-SUBSTRING DEDUP REWRITE — the cut step over
+    * [[dupSubstringSpans]]' signal (Lee et al. 2022 keep-one-occurrence
+    * semantics, made deterministic and engine-reproducible): every
+    * duplicated `n`-gram names ONE global keeper occurrence — the
+    * lexicographically smallest (id, p), encoded as the scalar
+    * `id * 1e6 + p` so both engines take the same MIN (positions are
+    * bounded by document length << 1e6; ids up to ~9e12 stay exact in
+    * a long) — and a token is cut iff some duplicated anchor covers it
+    * but no KEEPER anchor does. The keeper document keeps its run; all
+    * other occurrences lose theirs; partial overlaps cut partially.
+    *
+    * Shape at 100 TB: the same gram-count aggregation + equi-join as
+    * [[dupSubstringSpans]], one per-document collect_list of that
+    * document's anchors (bounded by document length, like every
+    * per-doc kernel here), and a narrow row-local rebuild. The SQL
+    * oracle's BETWEEN range join is per-document too — the engine
+    * never runs one.
+    *
+    * Returns (id, n_tokens, n_removed, new_text) — new_text is the
+    * kept tokens joined by single spaces (both engines rebuild from
+    * the token stream, so original whitespace is normalized away).
+    */
+  def dupSubstringRewrite(
+      docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val g = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(shingles(col(textCol), n)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
+    val occ = g.groupBy(col("g"))
+      .agg(count(lit(1)).as("c"),
+        min(col("id") * 1000000L + col("p")).as("kk"))
+      .filter(col("c") > 1)
+      .select(col("g"), col("kk"))
+    val anchors = g.join(occ, "g")
+      .select(col("id"), col("p"),
+        (col("id") * 1000000L + col("p") === col("kk")).as("keeper"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("p").as("_1"), col("keeper").as("_2"))).as("a"))
+    docs.select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .join(anchors, Seq("id"), "left")
+      .as[(Long, Seq[String], Option[Seq[(Long, Boolean)]])]
+      .map { case (id, toks, aOpt) =>
+        val len = toks.length
+        val covered = new Array[Boolean](len)
+        val kept = new Array[Boolean](len)
+        aOpt.getOrElse(Nil).foreach { case (p, keeper) =>
+          var t = (p - 1).toInt
+          val end = math.min(len, t + n)
+          while (t < end) {
+            covered(t) = true
+            if (keeper) kept(t) = true
+            t += 1
+          }
+        }
+        var removed = 0L
+        val sb = new StringBuilder
+        var t = 0
+        while (t < len) {
+          if (covered(t) && !kept(t)) removed += 1
+          else {
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(toks(t))
+          }
+          t += 1
+        }
+        (id, len.toLong, removed, sb.toString)
+      }
+      .toDF(idCol, "n_tokens", "n_removed", "new_text")
+  }
+
   /** BIGRAM-LANGUAGE-MODEL document scoring — the CCNet-style quality
     * signal: train an add-one-smoothed bigram model on the corpus
     * itself and score every document by its mean token log-probability

@@ -201,6 +201,23 @@ class RewriteSpec extends AnyFunSuite {
     assert(spans10 == Seq((1L, 8L), (21L, 28L)), s"got $spans10")
   }
 
+  test("dupSubstringRewrite keeps exactly the global keeper occurrence, cuts the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // keeper of the shared run (min id)
+      (2L, "x a b c d e f g h y"),  // loses its copy of a..h
+      (3L, "m m m m m m m m m m"),  // self-repeat: keeper anchor p=1 keeps m1..m8
+      (4L, "p q r s t u v w")       // untouched
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dupSubstringRewrite(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 0L, "a b c d e f g h i j")), s"got ${out(1L)}")
+    assert(out(2L) == ((10L, 8L, "x y")), s"got ${out(2L)}")
+    // doc 3: anchors p=1 (keeper),2,3; tokens 9,10 covered only by
+    // non-keepers -> cut; tokens 1..8 covered by the keeper -> kept
+    assert(out(3L) == ((10L, 2L, "m m m m m m m m")), s"got ${out(3L)}")
+    assert(out(4L) == ((8L, 0L, "p q r s t u v w")), s"got ${out(4L)}")
+  }
+
   test("exactQuantiles matches Spark's exact percentile aggregate, duplicates included") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fracs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
