@@ -1994,13 +1994,15 @@ object LlmQueries {
     // ExactSubstr spans: anchors sorted per doc, so coverage intervals
     // [p, p+7] merge exactly when p <= prev_p + 8 — the LAG gaps-and-
     // islands below is per-document only, mirroring the engine's
-    // per-doc kernel
+    // per-doc kernel. Grams key on the 60-bit md5 prefix, the same
+    // shuffle-thinning hash the engine and the other gram oracles use
     "q_dup_substring_spans" ->
       """WITH t AS (
         |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents
         |), g AS (
-        |  SELECT id, CAST(k AS BIGINT) AS p, array_to_string(toks[k:k+7], ' ') AS g
+        |  SELECT id, CAST(k AS BIGINT) AS p,
+        |    CAST(concat('0x', substr(md5(array_to_string(toks[k:k+7], ' ')), 1, 15)) AS BIGINT) AS g
         |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(k)
         |  WHERE len(toks) >= 8
         |), dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
@@ -2022,7 +2024,8 @@ object LlmQueries {
         |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents
         |), g AS (
-        |  SELECT id, CAST(k AS BIGINT) AS p, array_to_string(toks[k:k+7], ' ') AS g
+        |  SELECT id, CAST(k AS BIGINT) AS p,
+        |    CAST(concat('0x', substr(md5(array_to_string(toks[k:k+7], ' ')), 1, 15)) AS BIGINT) AS g
         |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(k)
         |  WHERE len(toks) >= 8
         |), occ AS (

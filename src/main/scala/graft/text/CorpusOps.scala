@@ -128,7 +128,12 @@ object CorpusOps {
     * gram stream back on the duplicated-gram set, and a per-document
     * merge kernel over that document's sorted anchor positions —
     * state bounded by document length, no corpus-wide window (the SQL
-    * oracle's gaps-and-islands window is per-document only).
+    * oracle's gaps-and-islands window is per-document only). Grams
+    * key on the 60-bit md5 prefix ([[TextOps.tokenHash]]) rather than
+    * the n-token string, thinning the shuffle ~6x; a prefix collision
+    * would spuriously mark both runs duplicated — the same accepted
+    * odds (~n_grams^2 / 2^61) as the dup-gram-mass and minhash
+    * operators, and the identical hash is replayed in the oracle.
     *
     * Returns (id, span_start, span_end, n_anchors), 1-based inclusive
     * token positions, ordered within each document.
@@ -138,9 +143,17 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the gram stream feeds BOTH the count aggregation and the join
+    // probe: localCheckpoint materializes the explode once (blocks are
+    // freed by the ContextCleaner when the result is dropped, the
+    // RectifyOp treatment) instead of letting Catalyst re-run the
+    // shingle explode per consumer — the multi-consumer-explode trap
+    // the bigram LM hit
     val g = docs.select(col(idCol).cast("long").as("id"),
         posexplode(shingles(col(textCol), n)))
-      .select(col("id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
+      .select(col("id"), (col("pos") + 1).cast("long").as("p"),
+        TextOps.tokenHash(col("col")).as("g"))
+      .localCheckpoint()
     val dupGrams = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("g"))
     g.join(dupGrams, "g")
@@ -193,9 +206,13 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // one materialized gram stream for both consumers (see
+    // dupSubstringSpans)
     val g = docs.select(col(idCol).cast("long").as("id"),
         posexplode(shingles(col(textCol), n)))
-      .select(col("id"), (col("pos") + 1).cast("long").as("p"), col("col").as("g"))
+      .select(col("id"), (col("pos") + 1).cast("long").as("p"),
+        TextOps.tokenHash(col("col")).as("g"))
+      .localCheckpoint()
     val occ = g.groupBy(col("g"))
       .agg(count(lit(1)).as("c"),
         min(col("id") * 1000000L + col("p")).as("kk"))
