@@ -2016,9 +2016,10 @@ object LlmQueries {
         |  COUNT(*) AS n_anchors
         |FROM isl GROUP BY id, grp ORDER BY doc_id, span_start""".stripMargin,
 
-    // ExactSubstr rewrite: keeper key id*1e6+p taken by the same MIN in
-    // both engines; token kept unless covered by a duplicated anchor
-    // and by no keeper anchor; text rebuilt from kept tokens in order
+    // ExactSubstr rewrite: keeper = lexicographic MIN(ROW(id, p)) in
+    // both engines (no arithmetic cap on document length); token kept
+    // unless covered by a duplicated anchor and by no keeper anchor;
+    // text rebuilt from kept tokens in order
     "q_dup_substring_rewrite" ->
       """WITH t AS (
         |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -2029,9 +2030,9 @@ object LlmQueries {
         |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(k)
         |  WHERE len(toks) >= 8
         |), occ AS (
-        |  SELECT g, COUNT(*) AS c, MIN(id * 1000000 + p) AS kk FROM g GROUP BY g
+        |  SELECT g, COUNT(*) AS c, MIN(ROW(id, p)) AS kk FROM g GROUP BY g
         |), a AS (
-        |  SELECT g.id, g.p, (g.id * 1000000 + g.p = occ.kk) AS keeper
+        |  SELECT g.id, g.p, (ROW(g.id, g.p) = occ.kk) AS keeper
         |  FROM g JOIN occ USING (g) WHERE occ.c > 1
         |), pos AS (
         |  SELECT id, CAST(k AS BIGINT) AS tp, toks[k] AS w

@@ -27,7 +27,11 @@ object ScaleData {
         when(col("k") === 0, col("text"))
           .otherwise(concat_ws(" ",
             transform(split(col("text"), " "),
-              t => when(t === "", t).otherwise(concat(t, col("k")))))).as("text"),
+              // '§' cannot appear in the driver corpus's tokens, so a
+              // tagged token can never collide with an original (a bare
+              // digit suffix could: 'a12' == 'a1'+'2')
+              t => when(t === "", t)
+                .otherwise(concat(t, lit("§"), col("k")))))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 

@@ -297,6 +297,12 @@ object CfConv {
       crsToAttrs(d.base) + ("towgs84" ->
         s"[${h.dx}, ${h.dy}, ${h.dz}, ${h.rxSec}, ${h.rySec}, ${h.rzSec}, ${h.dsPpm}]")
     case Crs.Geographic => Map("grid_mapping_name" -> "latitude_longitude")
+    // CF grid_mapping attrs carry no linear-unit slot; writing a ftUS
+    // grid as if its coords were metres would silently corrupt every
+    // consumer, so fail loudly — convert to the metre base first
+    case u: Crs.UnitScaled => throw new IllegalArgumentException(
+      s"CF grid_mapping serialization is metre-based; ${u.name} uses " +
+        s"'${u.axisUnit}' — transform the grid to its metre twin (${u.base.name}) first")
     case t: Crs.TransverseMercator => Map(
       "grid_mapping_name" -> "transverse_mercator",
       "longitude_of_central_meridian" -> t.lon0Deg.toString,

@@ -427,6 +427,31 @@ object Crs {
       if (l > 180.0) l - 360.0 else if (l < -180.0) l + 360.0 else l
   }
 
+  /** US survey foot (EPSG unit code 9003): exactly 1200/3937 m. */
+  val UsSurveyFoot: Double = 1200.0 / 3937.0
+
+  /** A projected CRS whose grid axes are a NON-METRE linear unit — the
+    * ftUS US State Plane zone codes. EPSG defines each such zone as
+    * the corresponding metre-based zone with grid coordinates
+    * expressed in the zone's working unit, so the wrapper is exactly
+    * that: scale to metres on the way in, unscale on the way out. The
+    * published ftUS false origins fall out of the division exactly
+    * (EPSG:2263's 984 250 ftUS = 300 000 m / (1200/3937)).
+    */
+  final case class UnitScaled(base: Crs, unitToMetre: Double,
+      unitName: String, override val name: String) extends Crs {
+    require(unitToMetre > 0.0, s"bad unit scale $unitToMetre")
+    val isGeographic = false
+    override def axisUnit: String = unitName
+    override def ellipsoid: Ellipsoid = base.ellipsoid
+    def toLonLat(x: Double, y: Double): (Double, Double) =
+      base.toLonLat(x * unitToMetre, y * unitToMetre)
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y) = base.fromLonLat(lon, lat)
+      (x / unitToMetre, y / unitToMetre)
+    }
+  }
+
   /** Lambert Conformal Conic, 2 standard parallels (Snyder 1987, USGS
     * PP 1395, pp. 104-110, eqs. 15-1..15-11 ellipsoidal form) — the
     * standard regional-model projection (e.g. EPSG:2154 Lambert-93).
@@ -1212,8 +1237,9 @@ object Crs {
     "EPSG:31287" -> DatumShifted(
       LambertConformalConic(49.0, 46.0, 47.5, 13.0 + 20.0 / 60,
         400000.0, 400000.0, Bessel1841, "EPSG:31287"), MgiToWgs84),
-    // US State Plane (NAD83, METRE-based codes — the ftUS variants are
-    // deliberately absent: this engine's projected unit is metres):
+    // US State Plane (NAD83): metre-based codes, plus the working-unit
+    // ftUS twins via [[UnitScaled]] (EPSG defines a ftUS zone as the
+    // metre zone's coordinates re-expressed in US survey feet).
     // New York Long Island / Maryland / South Carolina LCC zones,
     // Arizona Central TM zone. Parameters from the public EPSG
     // registry entries.
@@ -1234,6 +1260,21 @@ object Crs {
     // NAD83 / Alabama East
     "EPSG:26929" -> TransverseMercator(-(85.0 + 50.0 / 60), 30.5, 0.99996,
       200000.0, 0.0, GRS80, "EPSG:26929"),
+    // ftUS State Plane zones: New York Long Island, California zone 5,
+    // Tennessee (published ftUS false origins 984250 / 6561666.667 +
+    // 1640416.667 / 1968500 = the metre values over 1200/3937 exactly)
+    "EPSG:2263" -> UnitScaled(
+      LambertConformalConic(40.0 + 40.0 / 60, 41.0 + 2.0 / 60,
+        40.0 + 10.0 / 60, -74.0, 300000.0, 0.0, GRS80, "EPSG:32118"),
+      UsSurveyFoot, "US survey foot", "EPSG:2263"),
+    "EPSG:2229" -> UnitScaled(
+      LambertConformalConic(34.0 + 2.0 / 60, 35.0 + 28.0 / 60,
+        33.5, -118.0, 2000000.0, 500000.0, GRS80, "EPSG:26945"),
+      UsSurveyFoot, "US survey foot", "EPSG:2229"),
+    "EPSG:2274" -> UnitScaled(
+      LambertConformalConic(35.0 + 15.0 / 60, 36.0 + 25.0 / 60,
+        34.0 + 20.0 / 60, -86.0, 600000.0, 0.0, GRS80, "EPSG:32136"),
+      UsSurveyFoot, "US survey foot", "EPSG:2274"),
     // NAD83 / Alaska Albers (the statewide equal-area grid)
     "EPSG:3338" -> AlbersEqualAreaConic(55.0, 65.0, 50.0, -154.0, 0.0, 0.0,
       GRS80, "EPSG:3338"),
@@ -1258,6 +1299,7 @@ object Crs {
       "EPSG:27700 (British National Grid), EPSG:2193 (NZTM2000), EPSG:3067/2180 (national TM), " +
       "EPSG:3035 + 6931/6932/3574/3575 (LAEA), " +
       "EPSG:2154/5069/3034/31287 + 32118/26985/32133/32139/26943 (state plane) (LCC), " +
+      "EPSG:2263/2229/2274 (state plane LCC, ftUS), " +
       "EPSG:26949/26929 (state plane TM), " +
       "EPSG:5070 + 3338 + ESRI:102003 (Albers), " +
       "EPSG:3413/3031/3976/3995 + 3411/3412 (polar stereographic), " +

@@ -356,11 +356,86 @@ object StreamOps {
           } else {
             state.update(next)
             val wake = (next.pending ++ next.minAnchor.filter(_ => !cohortFinal)).minOption
-            wake.foreach(w => state.setTimeoutTimestamp(w / 1000L + 1L))
+            // clamp to the watermark: the minimum buffered timestamp can
+            // sit BELOW it (pre-anchor activity buffered while the anchor
+            // is still >= watermark, or retained same-bucket activity) and
+            // Spark throws for event-time timeouts below the watermark
+            wake.foreach(w => state.setTimeoutTimestamp(
+              math.max(w / 1000L + 1L, state.getCurrentWatermarkMs() + 1L)))
           }
           out.iterator
       }
       .toDF("cohort_bucket", "k", "user_id")
+  }
+
+  final case class SpanBuf(maxTs: Long, positions: List[Long])
+
+  /** STREAMING EXACT-SUBSTRING SPANS — the twin of
+    * [[graft.text.CorpusOps.dupSubstringSpans]] for the realistic
+    * deployment shape: the duplicated-gram set is built from the
+    * historical corpus in BATCH ([[graft.text.CorpusOps.dupGramSet]])
+    * and arriving documents are tagged against it. The gram explode
+    * and the hash are the shared batch column expressions; the
+    * duplicated-gram membership check is a STREAM-STATIC equi-join
+    * (stateless per microbatch — Spark shuffles or broadcasts the
+    * static side like any batch join, so the set never has to fit on
+    * one node); the per-document anchor merge is
+    * `flatMapGroupsWithState` keyed on doc id, finalized by event-time
+    * timeout once the watermark passes the document's timestamp —
+    * state is one position list bounded by document length, exactly
+    * the batch kernel's footprint.
+    *
+    * Emits (doc_id, span_start, span_end, n_anchors) in Append mode —
+    * identical rows to the batch operator restricted to grams
+    * duplicated in the REFERENCE corpus (a self-join of the live
+    * stream against its own history is the batch operator re-run, not
+    * a streaming op).
+    */
+  def streamingDupSubstringSpans(
+      docs: DataFrame, dupGrams: DataFrame, n: Int = 8,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val anchorStream = docs
+      .withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", watermark)
+      .select(col("doc_id").cast("long").as("id"), col("ts").cast("long"),
+        col("ts2"), posexplode(graft.text.CorpusOps.shingles(col("text"), n)))
+      .select(col("id"), col("ts"), (col("pos") + 1).cast("long").as("p"),
+        graft.text.TextOps.tokenHash(col("col")).as("g"), col("ts2"))
+      .join(dupGrams.select(col("g")), "g") // stream-static inner join
+      .select(col("id"), col("ts"), col("p"), col("ts2"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    anchorStream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[SpanBuf]) =>
+          if (state.hasTimedOut) {
+            // watermark passed every buffered anchor's timestamp: the
+            // document's gram set is final — merge and emit
+            val ps = state.get.positions.toArray
+            state.remove()
+            graft.text.CorpusOps.mergeAnchors(ps, n)
+              .map { case (s, e, c) => (id, s, e, c) }.iterator
+          } else {
+            val st = state.getOption.getOrElse(SpanBuf(Long.MinValue, Nil))
+            var maxTs = st.maxTs
+            var positions = st.positions
+            rows.foreach { case (_, ts, p, _) =>
+              if (ts > maxTs) maxTs = ts
+              positions ::= p
+            }
+            state.update(SpanBuf(maxTs, positions))
+            // wake once the watermark passes the doc's latest gram;
+            // clamped — buffered timestamps can sit below the current
+            // watermark and Spark rejects a wake time that does
+            state.setTimeoutTimestamp(
+              math.max(maxTs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+      .toDF("doc_id", "span_start", "span_end", "n_anchors")
   }
 
   /** Streaming EXACT dedup with custom state

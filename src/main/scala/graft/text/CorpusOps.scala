@@ -16,7 +16,7 @@ object CorpusOps {
     * fewer than n tokens (same construction as the shingle join in
     * [[TextOps.ngramJaccardPairs]]).
     */
-  private def shingles(textCol: Column, n: Int): Column = {
+  private[graft] def shingles(textCol: Column, n: Int): Column = {
     val ws = TextOps.tokens(textCol)
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
@@ -138,6 +138,47 @@ object CorpusOps {
     * Returns (id, span_start, span_end, n_anchors), 1-based inclusive
     * token positions, ordered within each document.
     */
+  /** The corpus's DUPLICATED-GRAM SET — every `n`-gram hash occurring
+    * more than once (any document, any position). This is the static
+    * side of the ExactSubstr family: [[dupSubstringSpans]] joins the
+    * gram stream against it, and the streaming twin
+    * ([[graft.streaming.StreamOps.streamingDupSubstringSpans]]) uses
+    * it as the stream-static join side — the realistic deployment,
+    * where the set is built from the historical corpus in batch and
+    * arriving documents are tagged against it.
+    */
+  def dupGramSet(
+      docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(posexplode(shingles(col(textCol), n)))
+      .select(TextOps.tokenHash(col("col")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+
+  /** Merge one document's sorted duplicated-anchor positions into
+    * maximal covered spans: an anchor at p covers [p, p+n-1]; anchors
+    * whose coverage overlaps or touches merge, so a new span starts
+    * exactly when p > prev_p + n. Returns (span_start, span_end,
+    * n_anchors), 1-based inclusive. Shared by the batch kernel and the
+    * streaming state finalizer — document-length-bounded either way.
+    */
+  private[graft] def mergeAnchors(ps: Array[Long], n: Int): Seq[(Long, Long, Long)] = {
+    java.util.Arrays.sort(ps)
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    var i = 0
+    while (i < ps.length) {
+      val start = ps(i)
+      var last = start
+      var cnt = 1L
+      while (i + 1 < ps.length && ps(i + 1) <= last + n) {
+        i += 1; last = ps(i); cnt += 1
+      }
+      out += ((start, last + n - 1, cnt))
+      i += 1
+    }
+    out.result()
+  }
+
   def dupSubstringSpans(
       docs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -160,21 +201,8 @@ object CorpusOps {
       .select(col("id"), col("p")).as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
-        val ps = rows.map(_._2).toArray
-        java.util.Arrays.sort(ps)
-        val out = Seq.newBuilder[(Long, Long, Long, Long)]
-        var i = 0
-        while (i < ps.length) {
-          val start = ps(i)
-          var last = start
-          var cnt = 1L
-          while (i + 1 < ps.length && ps(i + 1) <= last + n) {
-            i += 1; last = ps(i); cnt += 1
-          }
-          out += ((id, start, last + n - 1, cnt))
-          i += 1
-        }
-        out.result()
+        mergeAnchors(rows.map(_._2).toArray, n)
+          .map { case (s, e, c) => (id, s, e, c) }.iterator
       }
       .toDF(idCol, "span_start", "span_end", "n_anchors")
   }
@@ -183,11 +211,12 @@ object CorpusOps {
     * [[dupSubstringSpans]]' signal (Lee et al. 2022 keep-one-occurrence
     * semantics, made deterministic and engine-reproducible): every
     * duplicated `n`-gram names ONE global keeper occurrence — the
-    * lexicographically smallest (id, p), encoded as the scalar
-    * `id * 1e6 + p` so both engines take the same MIN (positions are
-    * bounded by document length << 1e6; ids up to ~9e12 stay exact in
-    * a long) — and a token is cut iff some duplicated anchor covers it
-    * but no KEEPER anchor does. The keeper document keeps its run; all
+    * lexicographically smallest (id, p), taken as `min(struct(id, p))`
+    * (Spark orders structs field-by-field; DuckDB's `MIN(ROW(id, p))`
+    * is the same lexicographic MIN, so both engines agree with no
+    * arithmetic encoding and no cap on document length) — and a token
+    * is cut iff some duplicated anchor covers it but no KEEPER anchor
+    * does. The keeper document keeps its run; all
     * other occurrences lose theirs; partial overlaps cut partially.
     *
     * Shape at 100 TB: the same gram-count aggregation + equi-join as
@@ -215,12 +244,12 @@ object CorpusOps {
       .localCheckpoint()
     val occ = g.groupBy(col("g"))
       .agg(count(lit(1)).as("c"),
-        min(col("id") * 1000000L + col("p")).as("kk"))
+        min(struct(col("id"), col("p"))).as("kk"))
       .filter(col("c") > 1)
       .select(col("g"), col("kk"))
     val anchors = g.join(occ, "g")
       .select(col("id"), col("p"),
-        (col("id") * 1000000L + col("p") === col("kk")).as("keeper"))
+        (struct(col("id"), col("p")) === col("kk")).as("keeper"))
       .groupBy(col("id"))
       .agg(collect_list(struct(col("p").as("_1"), col("keeper").as("_2"))).as("a"))
     docs.select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("toks"))

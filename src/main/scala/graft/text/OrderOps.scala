@@ -203,7 +203,7 @@ object OrderOps {
     * inside whichever partitions own them (a second narrow pass that
     * emits only those rows), interpolate on the driver. Same
     * row-index semantics as `percentile`/`quantile_cont`:
-    * pos = frac*(n-1), v[floor]*(ceil-pos) + v[ceil]*(pos-floor).
+    * pos = frac*(n-1), v[floor] + (v[ceil]-v[floor])*(pos-floor).
     * Driver state: partition counts + the requested values.
     */
   private[text] def exactQuantiles(
@@ -216,11 +216,16 @@ object OrderOps {
     val base = df.select(col(scoreCol).cast("double").as("s"))
       .filter(col("s").isNotNull)
     val sorted = rangeSorted(base, col("s"), reliable).as[Double]
-    val partials = sorted.rdd
+    // ONE sort-shuffle for both passes: materialize the range-sorted
+    // partitions once (disk-only — the frame is corpus-sized) so the
+    // count pass and the extraction pass don't each re-sort
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val partials = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         Iterator.single(pid -> it.size.toLong)
       }.collect().toMap
-    val nParts = sorted.rdd.getNumPartitions
+    val nParts = sortedRdd.getNumPartitions
     val offsets = exclusiveOffsets(partials, nParts)
     val n = partials.valuesIterator.sum
     require(n > 0, s"exactQuantiles($scoreCol) on an empty frame")
@@ -231,7 +236,7 @@ object OrderOps {
     val bounds = offsets :+ n
     val bcW = spark.sparkContext.broadcast(wanted)
     val bcB = spark.sparkContext.broadcast(bounds)
-    val found = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val found = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       val lo = bcB.value(pid); val hi = bcB.value(pid + 1)
       val targets = bcW.value.filter(k => k >= lo && k < hi)
       if (targets.isEmpty) Iterator.empty
@@ -246,10 +251,14 @@ object OrderOps {
         out.result().iterator
       }
     }.collect().toMap
+    sortedRdd.unpersist(blocking = false)
     positions.map { p =>
       val lo = math.floor(p).toLong; val hi = math.ceil(p).toLong
       if (lo == hi) found(lo)
-      else found(lo) * (hi - p) + found(hi) * (p - lo)
+      // lower + (higher - lower) * frac — operation-for-operation the
+      // form both Spark percentile and DuckDB quantile_cont evaluate,
+      // so cutoffs are bit-identical across engines
+      else found(lo) + (found(hi) - found(lo)) * (p - lo)
     }
   }
 

@@ -667,6 +667,50 @@ class TransformSpec extends AnyFunSuite {
     }
   }
 
+  test("ftUS State Plane zones: published false origins, metre-twin identity, roundtrips") {
+    import Crs._
+    // the published ftUS false origins are the EPSG-registry defining
+    // values; hitting them EXACTLY pins both the unit constant
+    // (1200/3937) and the underlying metre parameters at once
+    for ((code, lon0, lat0, feFt, fnFt) <- Seq(
+        ("EPSG:2263", -74.0, 40.0 + 10.0 / 60, 984250.0, 0.0),
+        ("EPSG:2229", -118.0, 33.5, 6561666.0 + 2.0 / 3, 1640416.0 + 2.0 / 3),
+        ("EPSG:2274", -86.0, 34.0 + 20.0 / 60, 1968500.0, 0.0))) {
+      val crs = fromString(code)
+      val (x, y) = crs.fromLonLat(lon0, lat0)
+      assert(math.abs(x - feFt) < 1e-6 && math.abs(y - fnFt) < 1e-6,
+        s"$code false origin: ($x,$y) vs ($feFt,$fnFt)")
+      assert(crs.axisUnit == "US survey foot")
+    }
+    // a ftUS zone IS its metre twin rescaled: same point, exact ratio
+    val ftZone = fromString("EPSG:2263")
+    val mZone = fromString("EPSG:32118")
+    for ((lon, lat) <- Seq((-74.006, 40.7128), (-72.7, 41.05))) {
+      val (xf, yf) = ftZone.fromLonLat(lon, lat)
+      val (xm, ym) = mZone.fromLonLat(lon, lat)
+      assert(math.abs(xf * UsSurveyFoot - xm) < 1e-9 * math.abs(xm) + 1e-9 &&
+        math.abs(yf * UsSurveyFoot - ym) < 1e-9 * math.abs(ym) + 1e-9,
+        s"EPSG:2263 vs 32118 at ($lon,$lat): ($xf,$yf) ftUS vs ($xm,$ym) m")
+    }
+    // exact roundtrips across each ftUS zone
+    for ((code, pts) <- Seq(
+        ("EPSG:2263", Seq((-74.0, 40.7), (-72.7, 41.05))),
+        ("EPSG:2229", Seq((-118.24, 34.05), (-119.7, 34.42))),
+        ("EPSG:2274", Seq((-86.78, 36.17), (-84.0, 35.2))))) {
+      val crs = fromString(code)
+      for ((lon, lat) <- pts) {
+        val (x, y) = crs.fromLonLat(lon, lat)
+        val (lon2, lat2) = crs.toLonLat(x, y)
+        assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+          s"$code roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+      }
+    }
+    // CF grid_mapping has no linear-unit slot: serializing a ftUS grid
+    // must fail loudly, not silently claim metres
+    intercept[IllegalArgumentException](
+      graft.geom.CfConv.crsToAttrs(ftZone))
+  }
+
   test("Helmert datum shifts: convention pins, cross-check goldens, wrapped registry grids, parse routes") {
     import Crs._
     // ---- convention pins (closed form) -------------------------------

@@ -744,4 +744,107 @@ class StreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch,
       s"streamed facts diverge from batch:\n$streamed\nvs\n$batch")
   }
+
+  test("retention survives buffered activity below the watermark (timeout clamp)") {
+    import spark.implicits._
+    // the hazard the parity spec's one-jump sentinel cannot reach:
+    // user 7's anchor-less activity sits in the SAME bucket as the
+    // watermark (so the state-bounding drop retains it) but BELOW the
+    // watermark itself, so the re-armed wake time (min buffered ts)
+    // is below the watermark — unclamped, Spark's setTimeoutTimestamp
+    // throws and kills the query on the post-watermark-advance rebatch
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ret-clamp").toFile
+    val day = 86400000000L
+    // align t0 to 1h past a 7-day bucket boundary: a +1d watermark
+    // mover then lands the watermark in t0's own bucket, above t0
+    val t0 = Math.floorDiv(1700000000000000L, 7 * day) * (7 * day) + 3600000000L
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (eid, ts, uid, typ) => (eid, ts, uid, typ, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+
+    // batch 1: user 7 activity only + a same-bucket watermark mover
+    write(Seq((1L, t0, 7L, "click"), (2L, t0 + day, 99L, "click")))
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingRetention(src, "signup",
+        bucket = 7 * day, maxOffset = 4, watermark = "2 hours")
+      .writeStream.format("memory").queryName("ret_clamp_stream")
+      .outputMode("append").start()
+    try {
+      // watermark advances to t0+1d-2h: the rebatch fires user 7's
+      // timeout with t0 still buffered (same bucket) — the re-arm
+      // that used to throw happens right here
+      q.processAllAvailable()
+      // batch 2: the anchor arrives ABOVE the watermark while t0 sits
+      // below it — the with-data re-arm path of the same hazard
+      write(Seq((3L, t0 + 20 * day, 7L, "signup")))
+      q.processAllAvailable()
+      // finalize everything
+      for (k <- 1 to 2) {
+        write(Seq((-(k.toLong), t0 + (40 + k) * day, -1L, "signup")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("ret_clamp_stream")
+      .filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 7's cohort anchors at t0+20d; the pre-anchor click is k < 0
+    // (dropped by both engines); the anchor itself is k = 0 activity
+    val expectedCohort = Math.floorDiv(t0 + 20 * day, 7 * day)
+    assert(streamed == Set((expectedCohort, 0L, 7L)),
+      s"unexpected retention facts: $streamed")
+  }
+
+  test("streaming ExactSubstr spans against a static dup-gram set reproduce the batch spans") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-substr-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        // deterministic event time: one doc per second from an epoch
+        (lit(1700000000000000L) + col("doc_id") * 1000000L).as("ts"))
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val maxTs = docs.agg(max(col("ts"))).head().getLong(0)
+
+    // the static side: duplicated-gram set built from the same corpus
+    // in batch (the historical-corpus deployment shape)
+    val dupGrams = graft.text.CorpusOps.dupGramSet(docs, n = 8).persist()
+    assert(dupGrams.count() > 0, "degenerate fixture: no duplicated grams")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)))
+    val src = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingDupSubstringSpans(src, dupGrams, n = 8,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("substr_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinels push the watermark beyond every real document so the
+      // event-time timeouts finalize all buffered state (two hops, as
+      // in the retention spec; filtered out of the compare by id < 0)
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), "a b", maxTs + k * 100L * 3600L * 1000000L))
+          .toDF("doc_id", "text", "ts")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("substr_stream")
+      .filter(col("doc_id") >= 0).collect().map(key).sorted.toSeq
+    // batch twin over the same corpus: the dup-gram set was built from
+    // exactly these documents, so the restriction is vacuous and the
+    // rows must match one for one
+    val batch = graft.text.CorpusOps.dupSubstringSpans(
+        docs.select(col("doc_id"), col("text")), n = 8)
+      .collect().map(key).sorted.toSeq
+    dupGrams.unpersist()
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} spans vs batch ${batch.size}")
+  }
 }

@@ -42,6 +42,23 @@ class ScaleSpec extends AnyFunSuite {
       s"containment pairs superlinear: $c1 at 1x vs $c10 at 10x — prefix filter not binding")
   }
 
+  test("ExactSubstr duplicated-anchor count grows linearly under 10x corpus replication") {
+    // copies are token-disjoint, so duplicated n-gram structure exists
+    // WITHIN each shard only: each shard reproduces the 1x anchor set
+    // exactly and the 10x total must be 10x the 1x total (slack for
+    // 60-bit gram-hash collision noise across shards)
+    def anchors(df: org.apache.spark.sql.DataFrame): Long =
+      CorpusOps.dupSubstringSpans(df, n = 8)
+        .agg(sum("n_anchors")).head.getLong(0)
+    val a1 = anchors(d1)
+    val a10 = anchors(d10)
+    assert(a1 > 0, "degenerate fixture: no duplicated anchors at 1x")
+    assert(a10 <= 10 * a1 + math.max(10L, a1 / 10),
+      s"ExactSubstr anchors superlinear: $a1 at 1x vs $a10 at 10x — cross-shard gram leakage")
+    assert(a10 >= 10 * a1 - math.max(10L, a1 / 10),
+      s"ExactSubstr anchors sublinear: $a1 at 1x vs $a10 at 10x — replica lost duplication structure")
+  }
+
   test("dedup CC rounds are scale-stable under 10x corpus replication") {
     // pointer jumping converges in O(log diameter); replication adds
     // shards, not diameter, so at most one round of slack
