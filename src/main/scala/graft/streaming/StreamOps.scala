@@ -401,7 +401,9 @@ object StreamOps {
       .withColumn("ts2", timestamp_micros(col("ts")))
       .withWatermark("ts2", watermark)
       .select(col("doc_id").cast("long").as("id"), col("ts").cast("long"),
-        col("ts2"), posexplode(graft.text.CorpusOps.shingles(col("text"), n)))
+        col("ts2"), graft.text.TextOps.tokens(col("text")).as("toks"))
+      .select(col("id"), col("ts"), col("ts2"),
+        posexplode(graft.text.CorpusOps.shinglesOf(col("toks"), n)))
       .select(col("id"), col("ts"), (col("pos") + 1).cast("long").as("p"),
         graft.text.TextOps.tokenHash(col("col")).as("g"), col("ts2"))
       .join(dupGrams.select(col("g")), "g") // stream-static inner join

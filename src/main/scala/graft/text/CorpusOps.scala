@@ -16,12 +16,18 @@ object CorpusOps {
     * fewer than n tokens (same construction as the shingle join in
     * [[TextOps.ngramJaccardPairs]]).
     */
-  private[graft] def shingles(textCol: Column, n: Int): Column = {
-    val ws = TextOps.tokens(textCol)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
-      .otherwise(array())
-  }
+  /** Inline-text shingle convenience — ONLY for frames already known
+    * to hold short documents (the eval/benchmark side of the
+    * contamination checks): the tokenization re-runs per gram inside
+    * the lambda. Length-unbounded corpora go through
+    * [[TextOps.shinglesOf]] over a pre-projected token array.
+    */
+  private[graft] def shingles(textCol: Column, n: Int): Column =
+    shinglesOf(TextOps.tokens(textCol), n)
+
+  /** See [[TextOps.shinglesOf]] (bound-attribute contract). */
+  private[graft] def shinglesOf(ws: Column, n: Int): Column =
+    TextOps.shinglesOf(ws, n)
 
   /** BENCHMARK-CONTAMINATION detection: for every training document,
     * how many of its distinct word n-grams also occur in an evaluation
@@ -44,8 +50,10 @@ object CorpusOps {
       train: DataFrame, eval: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val trainG = train
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(shinglesOf(col("toks"), n)).as("g"))
       .distinct()
+    // eval side is benchmark-sized: inline shingles is fine there
     val evalG = eval.select(explode(shingles(col(textCol), n)).as("g")).distinct()
     val totals = trainG.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val hits = trainG.join(broadcast(evalG), "g")
@@ -81,8 +89,9 @@ object CorpusOps {
       train: DataFrame, eval: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val g = train.select(col(idCol).as("id"), size(toks).cast("long").as("n_toks"),
-        posexplode(shingles(col(textCol), n)))
+    val g = train.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(shinglesOf(col("toks"), n)))
       .select(col("id"), col("n_toks"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("g"))
     val evalG = eval.select(explode(shingles(col(textCol), n)).as("g")).distinct()
@@ -150,7 +159,8 @@ object CorpusOps {
   def dupGramSet(
       docs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(posexplode(shingles(col(textCol), n)))
+    docs.select(TextOps.tokens(col(textCol)).as("toks"))
+      .select(posexplode(shinglesOf(col("toks"), n)))
       .select(TextOps.tokenHash(col("col")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("g"))
@@ -189,12 +199,17 @@ object CorpusOps {
     // freed by the ContextCleaner when the result is dropped, the
     // RectifyOp treatment) instead of letting Catalyst re-run the
     // shingle explode per consumer — the multi-consumer-explode trap
-    // the bigram LM hit
+    // the bigram LM hit. SERIALIZED storage: the stream is the largest
+    // single materialization in the engine (corpus x 3 longs), and
+    // deserialized row caching evicted under the 10x harness already —
+    // serialized blocks pack ~5x tighter and spill to disk gracefully
     val g = docs.select(col(idCol).cast("long").as("id"),
-        posexplode(shingles(col(textCol), n)))
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), posexplode(shinglesOf(col("toks"), n)))
       .select(col("id"), (col("pos") + 1).cast("long").as("p"),
         TextOps.tokenHash(col("col")).as("g"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dupGrams = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("g"))
     g.join(dupGrams, "g")
@@ -238,10 +253,12 @@ object CorpusOps {
     // one materialized gram stream for both consumers (see
     // dupSubstringSpans)
     val g = docs.select(col(idCol).cast("long").as("id"),
-        posexplode(shingles(col(textCol), n)))
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), posexplode(shinglesOf(col("toks"), n)))
       .select(col("id"), (col("pos") + 1).cast("long").as("p"),
         TextOps.tokenHash(col("col")).as("g"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val occ = g.groupBy(col("g"))
       .agg(count(lit(1)).as("c"),
         min(struct(col("id"), col("p"))).as("kk"))
@@ -255,7 +272,11 @@ object CorpusOps {
     docs.select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .join(anchors, Seq("id"), "left")
       .as[(Long, Seq[String], Option[Seq[(Long, Boolean)]])]
-      .map { case (id, toks, aOpt) =>
+      .map { case (id, toksSeq, aOpt) =>
+        // the Seq decodes as a List: positional access is O(i), so
+        // indexing it in the rebuild loop would be O(len^2) — flatten
+        // to an array once (the 1M-token RewriteSpec case pins this)
+        val toks = toksSeq.toArray
         val len = toks.length
         val covered = new Array[Boolean](len)
         val kept = new Array[Boolean](len)

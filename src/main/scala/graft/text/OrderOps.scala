@@ -136,13 +136,18 @@ object OrderOps {
     val base = docs.select(col(idCol).cast("long").as("id"),
       md5(concat_ws(":", lit(salt), col(idCol).cast("string"))).as("skey"))
     val sorted = rangeSorted(base, col("skey"), reliable).as[(Long, String)]
-    val partials = sorted.rdd
+    // one RDD instance for both passes: rangeSorted's eager
+    // localCheckpoint holds the sorted partitions as blocks, so the
+    // count pass and the position pass both read them — the corpus is
+    // sorted exactly once
+    val sortedRdd = sorted.rdd
+    val partials = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         Iterator.single(pid -> it.size.toLong)
       }.collect().toMap
-    val offsets = exclusiveOffsets(partials, sorted.rdd.getNumPartitions)
+    val offsets = exclusiveOffsets(partials, sortedRdd.getNumPartitions)
     val bc = spark.sparkContext.broadcast(offsets)
-    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var pos = bc.value(pid)
       it.map { case (id, _) =>
         val r = (id, pos)
@@ -177,13 +182,16 @@ object OrderOps {
         md5(concat_ws(":", lit(salt), col("id").cast("string"),
           col("rep_idx").cast("string"))).as("skey"))
     val sorted = rangeSorted(base, col("skey"), reliable).as[(Long, Long, String)]
-    val partials = sorted.rdd
+    // one RDD instance: both passes read the checkpointed sorted
+    // blocks (see shuffleOrder)
+    val sortedRdd = sorted.rdd
+    val partials = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         Iterator.single(pid -> it.size.toLong)
       }.collect().toMap
-    val offsets = exclusiveOffsets(partials, sorted.rdd.getNumPartitions)
+    val offsets = exclusiveOffsets(partials, sortedRdd.getNumPartitions)
     val bc = spark.sparkContext.broadcast(offsets)
-    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var pos = bc.value(pid)
       it.map { case (id, rep, _) =>
         val r = (id, rep, pos)
@@ -216,11 +224,11 @@ object OrderOps {
     val base = df.select(col(scoreCol).cast("double").as("s"))
       .filter(col("s").isNotNull)
     val sorted = rangeSorted(base, col("s"), reliable).as[Double]
-    // ONE sort-shuffle for both passes: materialize the range-sorted
-    // partitions once (disk-only — the frame is corpus-sized) so the
-    // count pass and the extraction pass don't each re-sort
+    // ONE sort-shuffle for both passes: rangeSorted's eager
+    // localCheckpoint materializes the sorted partitions, and sharing
+    // one RDD instance makes both passes read those blocks (the
+    // listener spec in RewriteSpec pins "exactly one shuffle write")
     val sortedRdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val partials = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         Iterator.single(pid -> it.size.toLong)
@@ -251,7 +259,6 @@ object OrderOps {
         out.result().iterator
       }
     }.collect().toMap
-    sortedRdd.unpersist(blocking = false)
     positions.map { p =>
       val lo = math.floor(p).toLong; val hi = math.ceil(p).toLong
       if (lo == hi) found(lo)

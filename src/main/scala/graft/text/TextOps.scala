@@ -22,6 +22,22 @@ object TextOps {
   def tokenHash(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
+  /** Word n-gram array over an ALREADY-MATERIALIZED token-array column
+    * (empty when the document has fewer than n tokens).
+    *
+    * `ws` MUST be a bound attribute (projected in its own select), not
+    * an inline `tokens(text)` expression: expressions inside a
+    * higher-order-function lambda get no subexpression elimination, so
+    * an inline tokenization would re-split the text once PER GRAM —
+    * O(len^2) per document, a measured 3 s -> >500 s blow-up on a
+    * single 200k-token document. Every corpus-scale shingle consumer
+    * projects `tokens(text).as("toks")` first and passes `col("toks")`.
+    */
+  private[graft] def shinglesOf(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Exact deduplication: one row per distinct text, keeper = min id,
     * plus duplicate count. Hash-groupBy shape — one shuffle on the text
     * hash; at scale group on md5(text) rather than the full text to
@@ -69,15 +85,11 @@ object TextOps {
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ws = tokens(col(textCol))
-    val shingles = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
-      .otherwise(array())
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     jaccardFromTok(
-      docs.select(col(idCol).as("id"), explode(shingles).as("w")).distinct(),
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), explode(shinglesOf(col("toks"), n)).as("w")).distinct(),
       threshold)
-  }
 
   /** Prefix-filtered set-similarity join over a distinct (id, w)
     * element table (see [[jaccardPairs]] for the filtering argument).
@@ -852,13 +864,9 @@ object TextOps {
     * similarity passes shingle the corpus once.
     */
   def shingleTable(
-      docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ws = tokens(col(textCol))
-    val shingles = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
-      .otherwise(array())
-    docs.select(col(idCol).as("id"), explode(shingles).as("w")).distinct()
-  }
+      docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(shinglesOf(col("toks"), n)).as("w")).distinct()
 
   /** EXACT verification of a near-duplicate CANDIDATE table — the
     * text-side analog of the vector path's `cosineVerifyPairs`: join
@@ -1105,15 +1113,17 @@ object TextOps {
       docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1, s"chunk size must be >= 1, got $k")
-    val toks = tokens(col(textCol))
     // ceil(n/k) chunk starts; guard the empty doc (sequence(0,-1)
-    // would DESCEND, not produce an empty array)
-    val nChunks = ((size(toks) + (k - 1)) / k).cast("int") // ceil(n/k); Column / is double
-    val chunks = when(size(toks) > 0,
+    // would DESCEND, not produce an empty array). toks is bound in its
+    // own select first (the shinglesOf contract: an inline expression
+    // would re-tokenize per chunk inside the lambda)
+    val nChunks = ((size(col("toks")) + (k - 1)) / k).cast("int") // ceil(n/k); Column / is double
+    val chunks = when(size(col("toks")) > 0,
       transform(sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+        i => concat_ws(" ", slice(col("toks"), i * k + 1, lit(k)))))
       .otherwise(array())
-    val c = docs.select(col(idCol).cast("long").as("id"), explode(chunks).as("chunk"))
+    val c = docs.select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(chunks).as("chunk"))
     val dfreq = c.select(col("id"), col("chunk")).distinct()
       .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
     val agg = c.join(dfreq, "chunk")
@@ -1499,9 +1509,11 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(minCount >= 1 && topK >= 1, s"bad params: minCount=$minCount topK=$topK")
     val ws = tokens(col(textCol))
-    val bigrams = docs.select(explode(when(size(ws) >= 2,
-        transform(sequence(lit(0), size(ws) - 2),
-          k => struct(element_at(ws, k + 1).as("w1"), element_at(ws, k + 2).as("w2"))))
+    val tokTab = docs.select(ws.as("toks"))
+    val bigrams = tokTab.select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          k => struct(element_at(col("toks"), k + 1).as("w1"),
+            element_at(col("toks"), k + 2).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val uni = docs.select(explode(ws).as("w")).groupBy(col("w")).agg(count(lit(1)).as("cu"))
@@ -1597,12 +1609,9 @@ object TextOps {
       docs: DataFrame, n: Int = 3, bucketSize: Long = 100L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1 && bucketSize >= 1, s"bad params: n=$n bucketSize=$bucketSize")
-    val ws = tokens(col(textCol))
-    val shingles = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
     val g = docs.select(expr(s"$idCol DIV $bucketSize").as("bucket"),
-        explode(shingles).as("g"))
+        tokens(col(textCol)).as("toks"))
+      .select(col("bucket"), explode(shinglesOf(col("toks"), n)).as("g"))
       .select(col("bucket"), tokenHash(col("g")).as("h")).distinct()
     // n_new per bucket needs NO join back to the big gram table: the
     // min-bucket aggregation already assigns each gram to exactly one
@@ -1640,11 +1649,8 @@ object TextOps {
       docs: DataFrame, n: Int = 3,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    val ws = tokens(col(textCol))
-    val shingles = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val sh = docs.select(col(srcCol).as("source"), explode(shingles).as("g"))
+    val sh = docs.select(col(srcCol).as("source"), tokens(col(textCol)).as("toks"))
+      .select(col("source"), explode(shinglesOf(col("toks"), n)).as("g"))
       .select(col("source"), tokenHash(col("g")).as("h")).distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
@@ -1822,11 +1828,8 @@ object TextOps {
       docs: DataFrame, n: Int = 3,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     val m = 256 // p = 8 registers; rse ~ 1.04/sqrt(m) ~ 6.5%
-    val ws = tokens(col(textCol))
-    val shingles = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val g = docs.select(col(srcCol).as("source"), explode(shingles).as("g"))
+    val g = docs.select(col(srcCol).as("source"), tokens(col(textCol)).as("toks"))
+      .select(col("source"), explode(shinglesOf(col("toks"), n)).as("g"))
     val regs = hllShingleRegisters(docs, n, srcCol, textCol)
     val per = hllEstimate(regs)
     val exact = g.groupBy(col("source")).agg(countDistinct(col("g")).as("exact_grams"))
@@ -1848,11 +1851,8 @@ object TextOps {
       docs: DataFrame, n: Int = 3,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    val ws = tokens(col(textCol))
-    val shingles = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val g = docs.select(col(srcCol).as("source"), explode(shingles).as("g"))
+    val g = docs.select(col(srcCol).as("source"), tokens(col(textCol)).as("toks"))
+      .select(col("source"), explode(shinglesOf(col("toks"), n)).as("g"))
     val h = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
     g.select(col("source"),
         h.bitwiseAND(lit(255L)).cast("int").as("idx"),
@@ -1895,13 +1895,14 @@ object TextOps {
     */
   private def chunkOccurrences(
       docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nChunks = ((size(toks) + (k - 1)) / k).cast("int")
-    val chunks = when(size(toks) > 0,
+    // toks bound first — the shinglesOf contract
+    val nChunks = ((size(col("toks")) + (k - 1)) / k).cast("int")
+    val chunks = when(size(col("toks")) > 0,
       transform(sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+        i => concat_ws(" ", slice(col("toks"), i * k + 1, lit(k)))))
       .otherwise(array())
-    docs.select(col(idCol).cast("long").as("id"), posexplode(chunks))
+    docs.select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), posexplode(chunks))
       .select(col("id"), col("pos").cast("long").as("cidx"), col("col").as("chunk"))
   }
 

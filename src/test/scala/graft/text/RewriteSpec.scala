@@ -218,6 +218,27 @@ class RewriteSpec extends AnyFunSuite {
     assert(out(4L) == ((8L, 0L, "p q r s t u v w")), s"got ${out(4L)}")
   }
 
+  test("dupSubstringRewrite keeper selection survives >=1M-token documents (struct keeper, no arithmetic cap)") {
+    // adversarial construction for the retired id*1e6+p encoding: the
+    // shared run sits at p = 1,000,050 in doc 10 and p = 50 in doc 11,
+    // so the old scalar keys collided EXACTLY (10*1e6 + 1000050 ==
+    // 11*1e6 + 50) and keeper selection was undefined; the struct
+    // keeper orders (10, 1000050) < (11, 50) lexicographically, so doc
+    // 10 keeps its run and doc 11 loses its copy
+    val run = (0 until 8).map(k => s"dup$k").mkString(" ")
+    val filler1 = (0 until 1000049).map(k => s"a$k").mkString(" ")
+    val tail1 = (0 until 16).map(k => s"z$k").mkString(" ")
+    val filler2 = (0 until 49).map(k => s"b$k").mkString(" ")
+    val docs = Seq(
+      (10L, s"$filler1 $run $tail1"),
+      (11L, s"$filler2 $run")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dupSubstringRewrite(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((1000073L, 0L)), s"keeper doc mutilated: ${out(10L)}")
+    assert(out(11L) == ((57L, 8L)), s"duplicate occurrence not cut: ${out(11L)}")
+  }
+
   test("exactQuantiles matches Spark's exact percentile aggregate, duplicates included") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fracs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
@@ -225,13 +246,45 @@ class RewriteSpec extends AnyFunSuite {
       .agg(expr(s"percentile(n_chars, array(${fracs.mkString("d,")}d))"))
       .head().getSeq[Double](0)
     val got = OrderOps.exactQuantiles(docs, "n_chars", fracs)
+    // bit-exact: the interpolation is lower + (higher-lower)*frac,
+    // operation-for-operation the form percentile evaluates
     got.zip(expected).foreach { case (g, e) =>
-      assert(math.abs(g - e) <= math.ulp(e) * 4, s"quantile mismatch: $g vs $e")
+      assert(java.lang.Double.doubleToLongBits(g) == java.lang.Double.doubleToLongBits(e),
+        s"quantile mismatch: $g vs $e")
     }
     // duplicate-heavy small column: interpolation must hit exact rows
     val dup = Seq(1L, 1L, 1L, 2L, 2L, 3L, 100L).toDF("v").repartition(5)
     val e2 = dup.agg(expr("percentile(v, array(0.0d,0.5d,1.0d))")).head().getSeq[Double](0)
     assert(OrderOps.exactQuantiles(dup, "v", Seq(0.0, 0.5, 1.0)) == e2)
+  }
+
+  test("exactQuantiles sorts the corpus exactly once (one shuffle write across both passes)") {
+    // the count pass and the bracketing-row pass both read the
+    // eagerly-localCheckpointed sorted partitions; if either pass
+    // re-derived the sort, a second exchange would write shuffle data
+    val shuffleWriteStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.taskMetrics != null &&
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
+          shuffleWriteStages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      OrderOps.exactQuantiles(docs, "n_chars", Seq(0.25, 0.5, 0.75))
+      // listener events are async: poll until the count is stable
+      var last = -1
+      var spins = 0
+      while (spins < 20 && shuffleWriteStages.get != last) {
+        last = shuffleWriteStages.get
+        Thread.sleep(250)
+        spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(shuffleWriteStages.get == 1,
+      s"expected exactly 1 shuffle-write stage, saw ${shuffleWriteStages.get}")
   }
 
   test("curriculumOrder keeps bucket-major order past 100 buckets (3-digit pad)") {
