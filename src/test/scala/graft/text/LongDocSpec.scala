@@ -1,0 +1,73 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Long-document canary: every corpus-scale per-document operator runs
+  * over 200k-token documents — the book/concatenation regime real
+  * pretraining corpora contain and the sf* fixtures (≈500-token docs)
+  * never exercise.
+  *
+  * Round 10 found two O(len^2)-per-document defects this battery would
+  * have caught as hangs (a 200k-token document took >500 s through the
+  * old shingle path, 3 s through the fixed one): tokenization
+  * re-evaluated per gram inside a transform lambda, and List indexing
+  * in the ExactSubstr rebuild kernel. Each case asserts a cheap
+  * structural invariant; the REAL assertion is that the suite
+  * completes at all — any reintroduced length-quadratic path turns
+  * one of these cases into a multi-hour hang.
+  */
+class LongDocSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nTok = 200000
+  // two long docs sharing one 8-token run (so the dedup family has
+  // signal), plus a short doc (empty-edge coverage)
+  private lazy val docs = {
+    val run = (0 until 8).map(k => s"shared$k").mkString(" ")
+    val d1 = (0 until nTok).map(k => s"a$k").mkString(" ") + " " + run
+    val d2 = run + " " + (0 until nTok).map(k => s"b$k").mkString(" ")
+    Seq((1L, d1, "web"), (2L, d2, "book"), (3L, "tiny doc", "web"))
+      .toDF("doc_id", "text", "source").persist()
+  }
+
+  test("shingle/gram family is token-linear on 200k-token documents") {
+    val sh = TextOps.shingleTable(docs, n = 8)
+    assert(sh.count() > 2L * (nTok - 8))
+    val spans = CorpusOps.dupSubstringSpans(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet == Set((1L, nTok + 1L, nTok + 8L), (2L, 1L, 8L)),
+      s"unexpected spans: ${spans.mkString(",")}")
+    val rw = CorpusOps.dupSubstringRewrite(docs, n = 8)
+      .select(col("doc_id"), col("n_removed"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // keeper = lexicographically first occurrence (doc 1 end-run)
+    assert(rw(1L) == 0L && rw(2L) == 8L, s"rewrite cut wrong spans: $rw")
+  }
+
+  test("counting/scoring family is token-linear on 200k-token documents") {
+    assert(TextOps.bigramPmi(docs, minCount = 1, topK = 5).count() == 5)
+    val nc = TextOps.noveltyCurve(docs, n = 3, bucketSize = 2)
+    assert(nc.count() >= 1)
+    assert(TextOps.sourceOverlapMatrix(docs, n = 3).count() == 1)
+    assert(TextOps.hllShingleRegisters(docs, n = 3).count() <= 2 * 256)
+    val rep = TextOps.repetitionFeatures(docs).filter(col("doc_id") === 1L)
+      .select(col("n_grams3")).head().getLong(0)
+    assert(rep == nTok + 8 - 2)
+    assert(TextOps.fingerprints(docs).count() == 3)
+  }
+
+  test("chunk/window family is token-linear on 200k-token documents") {
+    val w = TextOps.contextWindows(docs, size = 64, stride = 48)
+    assert(w.filter(col("doc_id") === 1L).count() >= (nTok / 48).toLong)
+    val cd = TextOps.chunkDupStats(docs, k = 32)
+    assert(cd.count() == 3)
+    val cont = CorpusOps.contamination(
+      docs, Seq((100L, (0 until 40).map(k => s"a$k").mkString(" "))).toDF("doc_id", "text"),
+      n = 8)
+    val hit = cont.filter(col("doc_id") === 1L).select(col("n_hits")).head().getLong(0)
+    assert(hit == 33L, s"expected 33 contaminated grams, got $hit") // 40 - 8 + 1
+  }
+}
