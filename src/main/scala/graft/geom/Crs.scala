@@ -1430,10 +1430,32 @@ object Crs {
     // +towgs84=dx,dy,dz[,rx,ry,rz,ds] wraps the projection with the
     // PROJ-semantics (position vector) Helmert datum shift; an all-zero
     // spec means "already WGS84" and stays unwrapped
-    kv.get("towgs84").map(_.split(",").map(_.trim.toDouble).padTo(7, 0.0)) match {
-      case Some(p) if p.exists(_ != 0.0) =>
-        DatumShifted(base, Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
-      case _ => base
+    val shifted =
+      kv.get("towgs84").map(_.split(",").map(_.trim.toDouble).padTo(7, 0.0)) match {
+        case Some(p) if p.exists(_ != 0.0) =>
+          DatumShifted(base, Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
+        case _ => base
+      }
+    // +units / +to_meter re-express the OUTPUT grid coordinates in a
+    // non-metre linear unit (PROJ semantics: +x_0/+y_0 stay metres, so
+    // the metre-parameterized base above is already correct and only
+    // the outer coordinate space scales). Silently ignoring the token
+    // would hand back metre coordinates for a feet grid — wrong by 3x
+    // with no error — so unknown units fail loudly instead.
+    val unitFactor: Option[(Double, String)] =
+      kv.get("to_meter").map(v => (v.toDouble, s"to_meter=$v"))
+        .orElse(kv.get("units").map {
+          case "m" | "meter" | "metre" => (1.0, "metre")
+          case "us-ft" => (UsSurveyFoot, "US survey foot")
+          case "ft" => (0.3048, "foot")
+          case other => throw new IllegalArgumentException(
+            s"unsupported +units=$other (supported: m, ft, us-ft, or an explicit " +
+              s"+to_meter=<factor>): $s")
+        })
+    unitFactor match {
+      case Some((f, uname)) if !shifted.isGeographic && f != 1.0 =>
+        UnitScaled(shifted, f, uname, s.trim)
+      case _ => shifted
     }
   }
 
@@ -1466,7 +1488,24 @@ object Crs {
       .findFirstMatchIn(wkt).map(m => Option(m.group(1)).getOrElse(m.group(2)))
     val lon0 = p(Seq("central_meridian", "longitude_of_origin", "longitude_of_natural_origin", "longitude_of_center"), 0)
     val lat0 = p(Seq("latitude_of_origin", "latitude_of_natural_origin", "latitude_of_center"), 0)
-    val fe = p(Seq("false_easting"), 0); val fn = p(Seq("false_northing"), 0)
+    // the projected CS's linear unit: the LAST UNIT/LENGTHUNIT token (a
+    // PROJCS lists the geographic degree unit first, its own linear
+    // unit last). WKT expresses false_easting/false_northing IN that
+    // unit — unlike proj strings — so length parameters convert to
+    // metres for the base projection and the grid wraps in UnitScaled.
+    // A degree-factor match means a bare GEOGCS: no linear unit at all.
+    val (unitF, unitName) =
+      """(?:LENGTHUNIT|UNIT)\s*\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)""".r
+        .findAllMatchIn(wkt).toSeq.lastOption match {
+        case Some(m) =>
+          val f = m.group(2).toDouble
+          if (math.abs(f - 1.0) < 1e-12 ||
+              math.abs(f - 0.017453292519943295) < 1e-9) (1.0, "metre")
+          else (f, m.group(1))
+        case None => (1.0, "metre")
+      }
+    val fe = p(Seq("false_easting"), 0) * unitF
+    val fn = p(Seq("false_northing"), 0) * unitF
     val base = projection.map(_.toLowerCase.replace(' ', '_')) match {
       case None if upper.contains("GEOGCS") || upper.contains("GEOGCRS") => Geographic
       case Some(proj) if proj.contains("transverse_mercator") =>
@@ -1527,12 +1566,16 @@ object Crs {
         s"unsupported WKT (projection = ${other.getOrElse("none")}); $SupportedMsg")
     }
     // WKT1 TOWGS84[dx,dy,dz,rx,ry,rz,ds] carries the datum shift
-    """TOWGS84\s*\[([^\]]*)\]""".r.findFirstMatchIn(wkt)
+    val shifted = """TOWGS84\s*\[([^\]]*)\]""".r.findFirstMatchIn(wkt)
       .map(_.group(1).split(",").flatMap(_.trim.toDoubleOption).padTo(7, 0.0)) match {
       case Some(p) if p.exists(_ != 0.0) =>
         DatumShifted(base, Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
       case _ => base
     }
+    // non-metre linear unit: grid coordinates live in that unit
+    if (unitF != 1.0 && !shifted.isGeographic)
+      UnitScaled(shifted, unitF, unitName, "WKT")
+    else shifted
   }
 }
 

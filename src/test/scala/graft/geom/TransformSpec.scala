@@ -711,6 +711,55 @@ class TransformSpec extends AnyFunSuite {
       graft.geom.CfConv.crsToAttrs(ftZone))
   }
 
+  test("proj-string and WKT linear units: honored, never silently dropped") {
+    import Crs._
+    // PROJ semantics: +x_0/+y_0 stay metres, +units converts the
+    // OUTPUT grid — so this string IS EPSG:2263 and must hit the
+    // published ftUS false origin exactly
+    val ps = fromProjString("+proj=lcc +lat_1=40.666666666666664 +lat_2=41.03333333333333 " +
+      "+lat_0=40.166666666666664 +lon_0=-74 +x_0=300000 +y_0=0 +ellps=GRS80 +units=us-ft")
+    val (px, py) = ps.fromLonLat(-74.0, 40.0 + 10.0 / 60)
+    assert(math.abs(px - 984250.0) < 1e-5 && math.abs(py) < 1e-5,
+      s"proj-string ftUS false origin: ($px,$py)")
+    assert(ps.axisUnit == "US survey foot")
+    // unknown unit token: loud failure, not metre fallback
+    intercept[IllegalArgumentException](
+      fromProjString("+proj=lcc +lat_1=40 +lat_0=40 +lon_0=-74 +units=link"))
+    // +to_meter generic route
+    val tm = fromProjString("+proj=tmerc +lon_0=-111.91666666666667 +lat_0=31 " +
+      "+k=0.9999 +x_0=213360 +y_0=0 +ellps=GRS80 +to_meter=0.3048006096012192")
+    val (tx, ty) = tm.fromLonLat(-(111.0 + 55.0 / 60), 31.0)
+    assert(math.abs(tx - 213360.0 / 0.3048006096012192) < 1e-5 && math.abs(ty) < 1e-5,
+      s"to_meter false origin: ($tx,$ty)")
+
+    // WKT semantics: false_easting/false_northing are IN the CS unit —
+    // this is EPSG:2263's published WKT1 shape
+    val wkt = """PROJCS["NAD83 / New York Long Island (ftUS)",
+      |  GEOGCS["NAD83", DATUM["North_American_Datum_1983",
+      |    SPHEROID["GRS 1980",6378137,298.257222101]],
+      |    UNIT["degree",0.0174532925199433]],
+      |  PROJECTION["Lambert_Conformal_Conic_2SP"],
+      |  PARAMETER["standard_parallel_1",41.0333333333333],
+      |  PARAMETER["standard_parallel_2",40.6666666666667],
+      |  PARAMETER["latitude_of_origin",40.1666666666667],
+      |  PARAMETER["central_meridian",-74],
+      |  PARAMETER["false_easting",984250],
+      |  PARAMETER["false_northing",0],
+      |  UNIT["US survey foot",0.304800609601219]]""".stripMargin
+    val wz = fromWkt(wkt)
+    val (wx, wy) = wz.fromLonLat(-74.0, 40.0 + 10.0 / 60)
+    assert(math.abs(wx - 984250.0) < 1e-4 && math.abs(wy) < 1e-4,
+      s"WKT ftUS false origin: ($wx,$wy)")
+    // agreement with the registry zone away from the origin too
+    val reg = fromString("EPSG:2263")
+    for ((lon, lat) <- Seq((-74.006, 40.7128), (-72.7, 41.05))) {
+      val (ax, ay) = wz.fromLonLat(lon, lat)
+      val (bx, by) = reg.fromLonLat(lon, lat)
+      assert(math.abs(ax - bx) < 1e-4 && math.abs(ay - by) < 1e-4,
+        s"WKT vs registry EPSG:2263 at ($lon,$lat): ($ax,$ay) vs ($bx,$by)")
+    }
+  }
+
   test("Helmert datum shifts: convention pins, cross-check goldens, wrapped registry grids, parse routes") {
     import Crs._
     // ---- convention pins (closed form) -------------------------------
