@@ -79,7 +79,15 @@ object Bench {
     final case class QStat(sec: Double, minSec: Double, gcMs: Long,
         heapStartMb: Long, heapEndMb: Long)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=q_pq_recall,q_ivfpq_recall). The
+    // driver never sets it; a filtered run skips the BENCH_TREND append
+    // so partial totals can't pollute the cross-round trend.
+    val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       hygiene()
       val heap0 = heapMb()
       val gc0 = gcMillis()
@@ -127,7 +135,7 @@ object Bench {
     // Cross-round trend: one self-contained JSONL line per bench run so
     // regressions are greppable without reconstructing them from the
     // per-round artifacts.
-    try {
+    try if (onlyQueries.isEmpty) {
       val trend = new java.io.FileWriter("BENCH_TREND.jsonl", true)
       val ts = java.time.Instant.now().toString
       try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"sf":"$sfDir","queries":$qs}""" + "\n")

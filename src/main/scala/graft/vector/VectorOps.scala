@@ -38,6 +38,25 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** One eager materialization of a recall-evaluation cohort. Every
+    * `*RecallAtK` operator reads its input 3-6 times (index build,
+    * probe set, codes, LUTs, exact ground truth), and each read as a
+    * raw plan re-scans the source — at harness scale that is 3-6
+    * parquet scans per operator, at cluster scale 3-6 source reads of
+    * the SAME bounded cohort. The contract of the recall operators is
+    * that their input IS a bounded evaluation cohort (the brute-force
+    * ground-truth side makes anything else quadratic anyway), so one
+    * local checkpoint of the projected (id, vec) pair is the right
+    * trade at every scale: consumers become block reads, and the
+    * casts they apply on top fold into no-ops. Determinism unchanged
+    * (same rows, same values, same arithmetic downstream).
+    */
+  private def cachedEmb(
+      embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol).cast("long").as(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+      .localCheckpoint(true)
+
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), scan all candidates and keep the k best. Linear in the
     * table size; the broadcast side is the bounded query set.
@@ -235,10 +254,11 @@ object VectorOps {
   def ivfTopK(
       embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol).cast("long").as("id"),
+    val emb = cachedEmb(embeddings, idCol, vecCol)
+    val e = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val assign = ivfRanked(embeddings, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
-    val probes = ivfRanked(embeddings, nlist, nprobe, idCol, vecCol).toDF("query_id", "list")
+    val assign = ivfRanked(emb, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
+    val probes = ivfRanked(emb, nlist, nprobe, idCol, vecCol).toDF("query_id", "list")
 
     val cand = probes.join(assign, "list").filter(col("query_id") =!= col("cand_id"))
     val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
@@ -531,10 +551,12 @@ object VectorOps {
     */
   def multiProbeRecallAtK(
       embeddings: DataFrame, numPlanes: Int, dims: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = cachedEmb(embeddings, idCol, vecCol)
     recallAgainstBrute(
-      annTopKMultiProbe(embeddings, numPlanes, dims, k, idCol, vecCol),
-      embeddings, k, idCol, vecCol)
+      annTopKMultiProbe(e, numPlanes, dims, k, idCol, vecCol),
+      e, k, idCol, vecCol)
+  }
 
   /** Recall accounting for the LSH ANN route: per query point, how many
     * of the exact brute-force top-k the bucketed [[annTopK]] recovered.
@@ -551,20 +573,24 @@ object VectorOps {
     */
   def annRecallAtK(
       embeddings: DataFrame, numPlanes: Int, dims: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = cachedEmb(embeddings, idCol, vecCol)
     recallAgainstBrute(
-      annTopK(embeddings, numPlanes, dims, k, idCol, vecCol),
-      embeddings, k, idCol, vecCol)
+      annTopK(e, numPlanes, dims, k, idCol, vecCol),
+      e, k, idCol, vecCol)
+  }
 
   /** [[annRecallAtK]] for the IVF route: recall of [[ivfTopK]]'s
     * probe-bounded candidates against the exact top-k.
     */
   def ivfRecallAtK(
       embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = cachedEmb(embeddings, idCol, vecCol)
     recallAgainstBrute(
-      ivfTopK(embeddings, nlist, nprobe, k, idCol, vecCol),
-      embeddings, k, idCol, vecCol)
+      ivfTopK(e, nlist, nprobe, k, idCol, vecCol),
+      e, k, idCol, vecCol)
+  }
 
   /** Per-query |approx ∩ exact| over a (query_id, cand_id, …) approx
     * result: left-join the brute-force top-k against it and count
@@ -673,16 +699,17 @@ object VectorOps {
   def pqRecallAtK(
       embeddings: DataFrame, m: Int = 4, ks: Int = 16, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codes = pqCodes(embeddings, m, ks, idCol, vecCol).toDF("cand_id", "codes")
+    val emb = cachedEmb(embeddings, idCol, vecCol)
+    val codes = pqCodes(emb, m, ks, idCol, vecCol).toDF("cand_id", "codes")
     // ADC = lut[0*ks+code_0] + ... + lut[(m-1)*ks+code_{m-1}], fixed fold order
     val dist = (0 until m).map { j =>
       element_at(col("lut"), (lit(j * ks) + element_at(col("codes"), j + 1) + 1).cast("int"))
     }.reduce(_ + _)
-    val adc = codes.crossJoin(broadcast(pqLuts(embeddings, m, ks, idCol, vecCol)))
+    val adc = codes.crossJoin(broadcast(pqLuts(emb, m, ks, idCol, vecCol)))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", -dist)
     val adcTop = topKPerQuery(adc, k).select(col("query_id"), col("cand_id"), lit(1).as("hit"))
-    pqBruteRecall(embeddings, adcTop, k, idCol, vecCol)
+    pqBruteRecall(emb, adcTop, k, idCol, vecCol)
   }
 
   /** Degree histogram of the SYMMETRIZED kNN graph built from an ANN
@@ -759,20 +786,21 @@ object VectorOps {
       embeddings: DataFrame, nlist: Int, nprobe: Int,
       m: Int = 4, ks: Int = 16, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assign = ivfRanked(embeddings, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
-    val probes = ivfRanked(embeddings, nlist, nprobe, idCol, vecCol).toDF("query_id", "list")
+    val emb = cachedEmb(embeddings, idCol, vecCol)
+    val assign = ivfRanked(emb, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
+    val probes = ivfRanked(emb, nlist, nprobe, idCol, vecCol).toDF("query_id", "list")
     val cand = probes.join(assign, "list")
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"))
-    val codes = pqCodes(embeddings, m, ks, idCol, vecCol).toDF("cand_id", "codes")
+    val codes = pqCodes(emb, m, ks, idCol, vecCol).toDF("cand_id", "codes")
     val dist = (0 until m).map { j =>
       element_at(col("lut"), (lit(j * ks) + element_at(col("codes"), j + 1) + 1).cast("int"))
     }.reduce(_ + _)
     val adc = cand.join(codes, "cand_id")
-      .join(pqLuts(embeddings, m, ks, idCol, vecCol), "query_id")
+      .join(pqLuts(emb, m, ks, idCol, vecCol), "query_id")
       .withColumn("sim", -dist)
     val adcTop = topKPerQuery(adc, k).select(col("query_id"), col("cand_id"), lit(1).as("hit"))
-    pqBruteRecall(embeddings, adcTop, k, idCol, vecCol)
+    pqBruteRecall(emb, adcTop, k, idCol, vecCol)
   }
 
   /** Per-query ADC lookup table against the [[pqCodes]] codebooks:
@@ -828,9 +856,9 @@ object VectorOps {
     val q = e.toDF("query_id", "qv"); val c = e.toDF("cand_id", "cv")
     val bruteD = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", -aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      // codegen'd ascending fold of (q_i - c_i)^2 — numerically
+      // identical to the aggregate(zip_with(...)) HOF form it replaces
+      .withColumn("sim", -graft.functions.SquaredL2Distance.sqL2(col("qv"), col("cv")))
     val brute = topKPerQuery(bruteD, k).select(col("query_id"), col("cand_id"))
     brute.join(approxTop, Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))
@@ -865,9 +893,10 @@ object VectorOps {
   def quantizedRecallAtK(
       embeddings: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val deq = dequantizedInt8(embeddings, idCol, vecCol)
+    val e = cachedEmb(embeddings, idCol, vecCol)
+    val deq = dequantizedInt8(e, idCol, vecCol)
     recallAgainstBrute(
-      bruteForceTopK(deq, deq, k, idCol, vecCol), embeddings, k, idCol, vecCol)
+      bruteForceTopK(deq, deq, k, idCol, vecCol), e, k, idCol, vecCol)
   }
 
   /** MATRYOSHKA truncation recall (Kusupati et al. 2022, MRL):
@@ -883,10 +912,11 @@ object VectorOps {
       embeddings: DataFrame, dims: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
-    val trunc = embeddings.select(col(idCol),
-      slice(col(vecCol).cast("array<double>"), 1, dims).as(vecCol))
+    val e = cachedEmb(embeddings, idCol, vecCol)
+    val trunc = e.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
     recallAgainstBrute(bruteForceTopK(trunc, trunc, k, idCol, vecCol),
-      embeddings, k, idCol, vecCol)
+      e, k, idCol, vecCol)
   }
 
   /** PageRank over the symmetrized kNN graph (Page et al. 1999, "The
