@@ -582,6 +582,10 @@ object LlmQueries {
     // pairs by word-frequency-weighted count
     "q_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(docs(s, dir), topK = 20)),
 
+    // the full iterative BPE training loop: 10 merge rounds over the
+    // frequency-weighted vocabulary, returning the learned merge table
+    "q_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), merges = 10)),
+
     // robust per-source outlier gate on doc length: Iglewicz-Hoaglin
     // modified z-score from exact per-source median/MAD
     "q_robust_outliers" -> ((s, dir) => CorpusOps.robustOutliers(docs(s, dir))),
@@ -1294,6 +1298,72 @@ object LlmQueries {
       |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
       |  FROM sbits
       |)""".stripMargin
+
+  /** Oracle for [[graft.text.TextOps.bpeTrain]]: the iterative merge
+    * loop UNROLLED as `merges` CTE stages. Stage i derives from the
+    * previous symbol table s(i-1): pair counts (p_i), the winning pair
+    * under the (count DESC, left, right) total order (t_i), candidate
+    * positions (c_i), the greedy leftmost non-overlapping selection —
+    * odd ranks within runs of consecutive candidate positions (sel_i)
+    * — and the rewritten symbol table (s_i: merged symbol at a
+    * selection start, consumed right-neighbors dropped, positions
+    * renumbered). The final SELECT unions the `merges` one-row winner
+    * tables into the learned merge table.
+    */
+  private def sqlBpeTrain(merges: Int): String = {
+    // every stage CTE is MATERIALIZED: the merge chain references each
+    // previous stage several times, and inlining (DuckDB's default)
+    // would re-expand the base scan exponentially in the merge count
+    val sb = new StringBuilder
+    sb.append(
+      """WITH occ AS MATERIALIZED (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |), v AS MATERIALIZED (SELECT w, COUNT(*) AS wc FROM occ GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT w, wc, CAST(k AS BIGINT) AS pos,
+        |         substring(w, CAST(k AS INT), 1) AS sym
+        |  FROM v, unnest(generate_series(1, len(w))) u(k)
+        |)""".stripMargin)
+    for (i <- 1 to merges) {
+      val p = i - 1
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt
+        |  FROM s$p a JOIN s$p b ON a.w = b.w AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2
+        |),
+        |t$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |c$i AS MATERIALIZED (
+        |  SELECT a.w, a.pos
+        |  FROM s$p a JOIN s$p b ON a.w = b.w AND b.pos = a.pos + 1, t$i
+        |  WHERE a.sym = t$i.l AND b.sym = t$i.r
+        |),
+        |sel$i AS MATERIALIZED (
+        |  SELECT w, pos FROM (
+        |    SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+        |    FROM (SELECT w, pos,
+        |            pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+        |          FROM c$i)
+        |  ) WHERE rk % 2 = 1
+        |),
+        |s$i AS MATERIALIZED (
+        |  SELECT s.w, s.wc,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY s.pos) AS BIGINT) AS pos,
+        |         CASE WHEN m.pos IS NOT NULL THEN (SELECT l || r FROM t$i)
+        |              ELSE s.sym END AS sym
+        |  FROM s$p s
+        |  LEFT JOIN sel$i m ON s.w = m.w AND s.pos = m.pos
+        |  LEFT JOIN sel$i q ON s.w = q.w AND s.pos = q.pos + 1
+        |  WHERE q.pos IS NULL
+        |)""".stripMargin)
+    }
+    sb.append((1 to merges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, cnt AS pair_count FROM t$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank"))
+    sb.toString
+  }
 
   /** Recall-tail CTEs shared by every ANN-recall oracle: expects the
     * preceding chain to define `e` (the bounded vector table) and
@@ -2758,6 +2828,11 @@ object LlmQueries {
         |  ROUND(COALESCE(n_boiler, 0) * 1.0 / GREATEST(COALESCE(n_chunks, 0), 1), 6) AS boiler_frac
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // full BPE training loop: the merge stages are unrolled as CTE
+    // blocks (DuckDB replays each round's pair count, winner pick,
+    // greedy non-overlap selection, and vocabulary rewrite exactly)
+    "q_bpe_train" -> sqlBpeTrain(10),
 
     // BPE merge round: pair counts over the vocabulary weighted by
     // word frequency; deterministic (count desc, left, right) cut

@@ -1,0 +1,80 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[TextOps.bpeTrain]] — hand-computed merge tables pinning the three
+  * behaviors SQL-level compare can miss at corpus scale: greedy
+  * leftmost non-overlapping application inside same-symbol runs,
+  * early exhaustion (fewer learnable merges than requested), and the
+  * deterministic (count DESC, left, right) winner tie-break. The
+  * corpus-scale result is hash-matched against the unrolled-CTE
+  * DuckDB oracle (`q_bpe_train`).
+  */
+class BpeTrainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docsOf(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private def table(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Long)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("same-symbol runs merge leftmost-first, then cascade") {
+    // "aaaa": (a,a) occurs at 3 positions; greedy non-overlap applies
+    // positions 1 and 3 -> (aa)(aa); round 2 merges (aa,aa) once;
+    // round 3 finds no pairs and stops even though merges=5
+    val out = table(TextOps.bpeTrain(docsOf("aaaa"), merges = 5))
+    assert(out === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
+  test("odd-length run keeps its trailing symbol") {
+    // "aaaaa": candidates at 4 positions, applied at 1 and 3 ->
+    // (aa)(aa)a; round 2: (aa,aa)=1 beats (aa,a)=1 on the left
+    // tie-break? both pairs are ('aa','aa') and ('aa','a'):
+    // counts 1 and 1, tie-break left equal, right 'a' < 'aa'
+    // -> ('aa','a') wins -> (aa)(aaa)?? No: merging (aa,a) consumes
+    // the SECOND 'aa' and the trailing 'a' -> symbols (aa)(aa a).
+    val out = table(TextOps.bpeTrain(docsOf("aaaaa"), merges = 2))
+    assert(out(0) === ((1L, "a", "a", 4L)))
+    // round 2: symbols are aa,aa,a -> pairs (aa,aa)=1 and (aa,a)=1;
+    // tie-break orders ('aa','a') before ('aa','aa')
+    assert(out(1) === ((2L, "aa", "a", 1L)))
+  }
+
+  test("winner tie-break is (count DESC, left, right)") {
+    // (a,b) and (c,d) both count 2 -> lexicographically smaller left
+    // symbol wins round 1
+    val out = table(TextOps.bpeTrain(docsOf("ab cd", "ab cd"), merges = 1))
+    assert(out === Seq((1L, "a", "b", 2L)))
+  }
+
+  test("frequency weighting uses word counts, not distinct words") {
+    // "xy" appears 3 times, "zz" twice: (x,y)=3 beats (z,z)=2
+    val out = table(TextOps.bpeTrain(docsOf("xy xy zz", "xy zz"), merges = 2))
+    assert(out(0) === ((1L, "x", "y", 3L)))
+    assert(out(1) === ((2L, "z", "z", 2L)))
+  }
+
+  test("merged symbols participate in later rounds") {
+    // "abab": (a,b)=2 -> (ab)(ab); round 2 merges (ab,ab)=1
+    val out = table(TextOps.bpeTrain(docsOf("abab"), merges = 3))
+    assert(out === Seq((1L, "a", "b", 2L), (2L, "ab", "ab", 1L)))
+  }
+
+  test("winning-pair counts never increase across rounds") {
+    // merging (a,b) can only shrink other pairs' counts and creates
+    // pairs bounded by the number of applied merges, so the learned
+    // table's counts are non-increasing — asserted on real corpus data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = table(TextOps.bpeTrain(docs, merges = 8)).map(_._4)
+    assert(counts.size === 8)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"counts increased: $counts")
+  }
+}
