@@ -585,6 +585,7 @@ object LlmQueries {
     // the full iterative BPE training loop: 10 merge rounds over the
     // frequency-weighted vocabulary, returning the learned merge table
     "q_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), merges = 10)),
+    "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(docs(s, dir), merges = 10)),
 
     // robust per-source outlier gate on doc length: Iglewicz-Hoaglin
     // modified z-score from exact per-source median/MAD
@@ -1310,7 +1311,38 @@ object LlmQueries {
     * renumbered). The final SELECT unions the `merges` one-row winner
     * tables into the learned merge table.
     */
-  private def sqlBpeTrain(merges: Int): String = {
+  private def sqlBpeTrain(merges: Int): String =
+    sqlBpeChain(merges) + (1 to merges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, cnt AS pair_count FROM t$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
+  /** Oracle for [[graft.text.TextOps.bpeEncode]]: the same unrolled
+    * merge chain, then the final symbol table s(merges) collapses to
+    * the word → token-count vocabulary and the corpus word stream
+    * joins it — mirroring the engine's broadcast vocabulary join.
+    */
+  private def sqlBpeEncode(merges: Int): String =
+    sqlBpeChain(merges) + s""",
+      |vt AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS nt FROM s$merges GROUP BY 1
+      |),
+      |docw AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents
+      |)
+      |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(vt.nt) AS BIGINT) AS n_bpe_tokens,
+      |       ROUND(SUM(vt.nt) * 1.0 / COUNT(*), 6) AS bpe_fertility
+      |FROM docw d JOIN vt ON d.w = vt.w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The unrolled BPE merge-chain CTE prefix (occ, v, s0, then
+    * p_i/t_i/c_i/sel_i/s_i per round) shared by the train and encode
+    * oracles — one definition, so the learned merges and the encoding
+    * can never disagree on greedy-application semantics.
+    */
+  private def sqlBpeChain(merges: Int): String = {
     // every stage CTE is MATERIALIZED: the merge chain references each
     // previous stage several times, and inlining (DuckDB's default)
     // would re-expand the base scan exponentially in the merge count
@@ -1358,10 +1390,6 @@ object LlmQueries {
         |  WHERE q.pos IS NULL
         |)""".stripMargin)
     }
-    sb.append((1 to merges).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, " +
-          s"r AS right_sym, cnt AS pair_count FROM t$i")
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank"))
     sb.toString
   }
 
@@ -2833,6 +2861,7 @@ object LlmQueries {
     // blocks (DuckDB replays each round's pair count, winner pick,
     // greedy non-overlap selection, and vocabulary rewrite exactly)
     "q_bpe_train" -> sqlBpeTrain(10),
+    "q_bpe_encode" -> sqlBpeEncode(10),
 
     // BPE merge round: pair counts over the vocabulary weighted by
     // word frequency; deterministic (count desc, left, right) cut

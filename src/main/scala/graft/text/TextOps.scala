@@ -2078,6 +2078,24 @@ object TextOps {
     */
   def bpeTrain(
       docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearn(docs, merges, textCol)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The shared BPE merge loop: returns BOTH artifacts of tokenizer
+    * training — the learned merge table ([[bpeTrain]]'s output) and
+    * the final vocabulary symbol table (word → its symbols after all
+    * merges), which IS the encoder: applying the merge list to any
+    * in-vocabulary word in rank order yields exactly its final symbol
+    * array, so [[bpeEncode]] can tokenize the corpus by a vocabulary
+    * join instead of re-running the merge loop per occurrence.
+    */
+  private[text] def bpeLearn(
+      docs: DataFrame, merges: Int, textCol: String = "text")
+    : (Seq[(Long, String, String, Long)],
+       org.apache.spark.sql.Dataset[(String, Array[String], Long)]) = {
     require(merges >= 1 && merges <= 64, s"merges must be in [1,64], got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2095,14 +2113,14 @@ object TextOps {
         // split into code points (not UTF-16 units) — the same
         // character semantics as substring() in both engines
         val syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-        (syms, c)
+        (w, syms, c)
       }
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     var round = 1
     while (round <= merges && !exhausted) {
-      val top = words.flatMap { case (syms, c) =>
+      val top = words.flatMap { case (_, syms, c) =>
           (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
         }.toDF("l", "r", "wc")
         .groupBy(col("l"), col("r")).agg(sum(col("wc")).as("cnt"))
@@ -2114,7 +2132,7 @@ object TextOps {
         val cnt = top(0).getLong(2)
         learned += ((round.toLong, l, r, cnt))
         val merged = l + r
-        words = words.map { case (syms, c) =>
+        words = words.map { case (w, syms, c) =>
           // greedy leftmost non-overlapping application — Sennrich's
           // reference semantics for same-symbol runs ("aaa" + (a,a)
           // -> "(aa)a"), and exactly what the oracle's odd-rank-in-run
@@ -2126,12 +2144,46 @@ object TextOps {
               out += merged; i += 2
             } else { out += syms(i); i += 1 }
           }
-          (out.toArray, c)
+          (w, out.toArray, c)
         }.localCheckpoint() // cut per-round lineage, like the CC rounds
       }
       round += 1
     }
-    learned.toSeq
-      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    (learned.toSeq, words)
+  }
+
+  /** BPE CORPUS ENCODING — tokenize the corpus under a tokenizer
+    * trained on it ([[bpeTrain]], Sennrich et al. 2016) and report the
+    * per-document token budget: word count, BPE token count, and
+    * fertility (BPE tokens per word) — the numbers a training-data
+    * pipeline needs to size epochs and packing under the REAL
+    * tokenizer rather than a whitespace proxy.
+    *
+    * Shape at 100 TB: the merge loop runs on the vocabulary (see
+    * [[bpeLearn]]); encoding is then ONE corpus word-stream scan
+    * joined against the broadcast word → token-count vocabulary (the
+    * vocabulary is distinct-words-sized — always the small side) and
+    * one per-document aggregation. No per-occurrence merge work: a
+    * word's encoding under BPE depends only on the word, so it is
+    * computed once per DISTINCT word by construction.
+    *
+    * Returns (doc_id, n_words, n_bpe_tokens, bpe_fertility), one row
+    * per document with at least one token.
+    */
+  def bpeEncode(
+      docs: DataFrame, merges: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = bpeLearn(docs, merges, textCol)._2
+      .map { case (w, syms, _) => (w, syms.length.toLong) }
+      .toDF("w", "nt")
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe_tokens"))
+      .select(col("id").as(idCol), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") * lit(1.0) / col("n_words"), 6)
+          .as("bpe_fertility"))
   }
 }

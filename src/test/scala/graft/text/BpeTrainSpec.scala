@@ -67,6 +67,24 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Seq((1L, "a", "b", 2L), (2L, "ab", "ab", 1L)))
   }
 
+  test("bpeEncode counts tokens under the learned merges") {
+    // corpus "abab ab cd", "ab": vocab abab(1) ab(2) cd(1).
+    // round 1: (a,b)=4 -> abab=[ab,ab], ab=[ab], cd unchanged;
+    // round 2: pairs (ab,ab)=1 (c,d)=1, tie-break left 'ab' < 'c'
+    // -> abab=[abab]. Final token counts: abab->1, ab->1, cd->2.
+    val out = TextOps.bpeEncode(docsOf("abab ab cd", "ab"), merges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(out === Seq((0L, 3L, 4L, 1.333333), (1L, 1L, 1L, 1.0)))
+  }
+
+  test("bpeEncode fertility is 1.0 when every word fully merges") {
+    // single distinct word -> merges collapse it to one symbol
+    val out = TextOps.bpeEncode(docsOf("abcd abcd", "abcd"), merges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out === Seq((0L, 2L), (1L, 1L)))
+  }
+
   test("winning-pair counts never increase across rounds") {
     // merging (a,b) can only shrink other pairs' counts and creates
     // pairs bounded by the number of applied merges, so the learned
