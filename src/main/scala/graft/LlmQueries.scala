@@ -201,6 +201,13 @@ object LlmQueries {
       TextOps.lshPairQuality(docs(s, dir).filter(col("doc_id") < PairLimit),
         numHashes = 64, bands = 16, threshold = 0.95)),
 
+    // banding DESIGN sweep: the same quality accounting across band
+    // counts from ONE materialized signature table — the knob-tuning
+    // pass a 100 TB dedup run does on a sample before committing
+    "q_dedup_lsh_sweep" -> ((s, dir) =>
+      TextOps.lshBandSweep(docs(s, dir).filter(col("doc_id") < PairLimit),
+        numHashes = 64, bandsList = Seq(8, 16, 32), threshold = 0.95)),
+
     "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
 
     "q_dedup_simhash_pairs" -> ((s, dir) =>
@@ -1071,10 +1078,12 @@ object LlmQueries {
     * quality oracle so their candidate stages are literally the same
     * SQL.
     */
-  private def sqlMinhashCtes(
-      numHashes: Int, bands: Int,
-      candCond: String = "a.id < b.id"): String = {
-    val rows = numHashes / bands
+  /** The band-independent MinHash prefix (tokw, toks, coef, mh, sig)
+    * — shared by the single-config chain and the band sweep, which
+    * derives every band count from the ONE `sig` table exactly like
+    * the engine's materialized signature table.
+    */
+  private def sqlMinhashSigCtes(numHashes: Int): String = {
     val coefValues = TextOps.minhashCoefficients(numHashes).zipWithIndex
       .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
     s"""tokw AS (
@@ -1092,21 +1101,38 @@ object LlmQueries {
        |  FROM toks, coef GROUP BY 1, 2
        |), sig AS (
        |  SELECT id, list(mn ORDER BY k) AS sg FROM mh GROUP BY 1
-       |), banded AS (
+       |)""".stripMargin
+  }
+
+  /** Per-band-count CTE suffix (banded/cand/inter, names suffixed so a
+    * sweep can instantiate several): the banding projection of `sig`,
+    * the bucket self-join, and candidate verification counts.
+    */
+  private def sqlBandCtes(
+      numHashes: Int, bands: Int, sfx: String,
+      candCond: String = "a.id < b.id"): String = {
+    val rows = numHashes / bands
+    s"""banded$sfx AS (
        |  SELECT id, md5('b' || b || ',' || array_to_string(list_slice(sg, b*$rows+1, b*$rows+$rows), ',')) AS bucket
        |  FROM sig, range(0, $bands) t(b)
-       |), cand AS (
+       |), cand$sfx AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND $candCond
-       |), sizes AS (SELECT id, COUNT(*) AS sz FROM tokw GROUP BY 1),
-       |inter AS (
+       |  FROM banded$sfx a JOIN banded$sfx b ON a.bucket = b.bucket AND $candCond
+       |), inter$sfx AS (
        |  SELECT c.id_a, c.id_b, COUNT(*) AS c
-       |  FROM cand c
+       |  FROM cand$sfx c
        |  JOIN tokw ta ON ta.id = c.id_a
        |  JOIN tokw tb ON tb.id = c.id_b AND tb.w = ta.w
        |  GROUP BY 1, 2
        |)""".stripMargin
   }
+
+  private def sqlMinhashCtes(
+      numHashes: Int, bands: Int,
+      candCond: String = "a.id < b.id"): String =
+    sqlMinhashSigCtes(numHashes) + ",\n" +
+      sqlBandCtes(numHashes, bands, "", candCond) + ",\n" +
+      "sizes AS (SELECT id, COUNT(*) AS sz FROM tokw GROUP BY 1)"
 
   private def sqlMinhashLsh(numHashes: Int, bands: Int, threshold: Double): String =
     s"""WITH ${sqlMinhashCtes(numHashes, bands)}
@@ -1139,6 +1165,47 @@ object LlmQueries {
        |             GREATEST((SELECT COUNT(*) FROM cand), 1), 6) AS precision,
        |       ROUND((SELECT COUNT(*) FROM lsh) * 1.0 /
        |             GREATEST((SELECT COUNT(*) FROM exact), 1), 6) AS recall""".stripMargin
+
+  /** Oracle for [[graft.text.TextOps.lshBandSweep]]: the shared sig
+    * prefix, one banded/cand/inter suffix per band count, the shared
+    * exact join, and a UNION ALL of per-band summary rows.
+    */
+  private def sqlLshBandSweep(
+      numHashes: Int, bandsList: Seq[Int], threshold: Double): String = {
+    val perBand = bandsList.map(b =>
+      sqlBandCtes(numHashes, b, s"_$b")).mkString(",\n")
+    val rows = bandsList.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  (SELECT COUNT(*) FROM cand_$b) AS n_cand,
+         |  (SELECT COUNT(*) FROM lsh_$b) AS n_pairs,
+         |  ROUND((SELECT COUNT(*) FROM lsh_$b) * 1.0 /
+         |        GREATEST((SELECT COUNT(*) FROM cand_$b), 1), 6) AS precision,
+         |  ROUND((SELECT COUNT(*) FROM lsh_$b) * 1.0 /
+         |        GREATEST((SELECT COUNT(*) FROM exact), 1), 6) AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val lshCtes = bandsList.map { b =>
+      s"""lsh_$b AS (
+         |  SELECT id_a, id_b
+         |  FROM inter_$b JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $threshold
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${sqlMinhashSigCtes(numHashes)},
+       |$perBand,
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM tokw GROUP BY 1),
+       |$lshCtes,
+       |exact0 AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+       |  FROM tokw a JOIN tokw b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT id_a, id_b
+       |  FROM exact0 JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $threshold
+       |)
+       |$rows
+       |ORDER BY bands""".stripMargin
+  }
 
   /** DuckDB oracle for the LSH ANN top-k: the hyperplanes are a
     * deterministic sin lattice, interpolated bit-exactly from the JVM's
@@ -1549,6 +1616,7 @@ object LlmQueries {
     // banding quality: same candidate CTEs as q_dedup_minhash_lsh plus
     // the full exact pair join, reduced to one summary row
     "q_dedup_lsh_quality" -> sqlLshQuality(64, 16, 0.95),
+    "q_dedup_lsh_sweep" -> sqlLshBandSweep(64, Seq(8, 16, 32), 0.95),
 
     // incremental dedup: identical signature/banding CTEs, but cand is
     // the CROSS-side join (increment ids >= 250 probe base ids < 250)

@@ -624,10 +624,18 @@ object TextOps {
   }
 
   private[graft] def minhashBandBuckets(
-      tok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+      tok: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandBucketsFromSigs(minhashSignatures(tok, numHashes), numHashes, bands)
+
+  /** Band the (id, sig) signature table into (id, bucket) rows —
+    * split out of [[minhashBandBuckets]] so a banding SWEEP can derive
+    * every band count from ONE materialized signature table instead of
+    * re-running the minhash kernel per configuration.
+    */
+  private[graft] def bandBucketsFromSigs(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(tok, numHashes)
     sigs.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", concat(lit("b"), b.cast("string")),
@@ -706,6 +714,55 @@ object TextOps {
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(verified.agg(count(lit(1)).as("n_pairs")))
       .select(col("n_exact"), col("n_cand"), col("n_pairs"),
+        round(col("n_pairs") / greatest(col("n_cand"), lit(1L)), 6).as("precision"),
+        round(col("n_pairs") / greatest(col("n_exact"), lit(1L)), 6).as("recall"))
+  }
+
+  /** LSH BANDING SWEEP — [[lshPairQuality]] across several band
+    * counts at once: the S-curve design tool that picks (bands, rows)
+    * for a corpus-scale dedup run. One row per band count with the
+    * candidate volume, verified-pair count, precision, and recall
+    * against the shared exact join — more bands = more candidates =
+    * higher recall and lower precision; the sweep turns that textbook
+    * trade-off into measured numbers on YOUR corpus before the
+    * expensive full-corpus run commits to a configuration.
+    *
+    * Shape at 100 TB (run on a bounded sample, like every quality
+    * probe here): the token table and the `numHashes`-wide signature
+    * table are each materialized ONCE (`localCheckpoint`); a band
+    * count then costs only its banding projection, bucket self-join,
+    * and candidate-bounded verification — the minhash kernel and the
+    * corpus scan are NOT re-run per configuration. The exact join
+    * (the sweep's denominator) is computed once and broadcast into
+    * every row.
+    *
+    * Returns (bands, n_exact, n_cand, n_pairs, precision, recall),
+    * one row per requested band count.
+    */
+  def lshBandSweep(
+      docs: DataFrame, numHashes: Int = 64,
+      bandsList: Seq[Int] = Seq(8, 16, 32), threshold: Double = 0.95,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bandsList.nonEmpty, "sweep needs at least one band count")
+    require(bandsList.distinct == bandsList, s"duplicate band counts: $bandsList")
+    bandsList.foreach(b => require(b >= 1 && numHashes % b == 0,
+      s"bands must divide numHashes: $b vs $numHashes"))
+    val tok = tokenTable(docs, idCol, textCol).localCheckpoint()
+    val sigs = minhashSignatures(tok, numHashes).localCheckpoint()
+    val exactCnt = jaccardPairsFromTokens(tok, threshold)
+      .agg(count(lit(1)).as("n_exact"))
+    val perBand = bandsList.map { b =>
+      val banded = bandBucketsFromSigs(sigs, numHashes, b)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      val verified = verifyJaccardCandidates(tok, cand, threshold)
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_pairs")))
+        .select(lit(b.toLong).as("bands"), col("n_cand"), col("n_pairs"))
+    }.reduce(_ unionAll _)
+    perBand.crossJoin(broadcast(exactCnt))
+      .select(col("bands"), col("n_exact"), col("n_cand"), col("n_pairs"),
         round(col("n_pairs") / greatest(col("n_cand"), lit(1L)), 6).as("precision"),
         round(col("n_pairs") / greatest(col("n_exact"), lit(1L)), 6).as("recall"))
   }

@@ -108,6 +108,28 @@ class TextVectorSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(4) - nPairs.toDouble / math.max(nExact, 1)) < 1e-6)
   }
 
+  test("lshBandSweep: per-band rows equal the single-config quality; recall monotone in bands") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val sweep = TextOps.lshBandSweep(docs, numHashes = 64,
+        bandsList = Seq(8, 16, 32), threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the 16-band sweep row must agree exactly with lshPairQuality's
+    // single-config accounting — the sweep is the same computation
+    // derived from one shared signature table
+    val q = TextOps.lshPairQuality(docs, numHashes = 64, bands = 16,
+      threshold = 0.95).head()
+    assert(sweep(16L) === ((q.getLong(0), q.getLong(1), q.getLong(2))))
+    // more bands = shorter band rows = more collisions: candidate and
+    // verified counts are monotone non-decreasing in the band count,
+    // and n_exact is one shared denominator
+    val Seq(b8, b16, b32) = Seq(8L, 16L, 32L).map(sweep)
+    assert(b8._1 == b16._1 && b16._1 == b32._1, "shared exact count")
+    assert(b8._2 <= b16._2 && b16._2 <= b32._2, s"candidates not monotone: $sweep")
+    assert(b8._3 <= b16._3 && b16._3 <= b32._3, s"verified not monotone: $sweep")
+  }
+
   test("incremental LSH pairs: cross-side only, equal to the cross-side slice of the full self-join") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 200)
