@@ -569,6 +569,13 @@ object LlmQueries {
         VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
           numPlanes = 8, dims = 64, k = 5))),
 
+    // label-propagation communities over the kNN graph: 4 synchronous
+    // neighbor-majority rounds, ties to the smallest label
+    "q_knn_labelprop" -> ((s, dir) =>
+      VectorOps.knnLabelPropagation(
+        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+          numPlanes = 8, dims = 64, k = 5), iters = 4)),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     // packing-efficiency report: per training sequence, docs touching /
@@ -593,6 +600,10 @@ object LlmQueries {
     // frequency-weighted vocabulary, returning the learned merge table
     "q_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), merges = 10)),
     "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(docs(s, dir), merges = 10)),
+
+    // WordPiece-style greedy longest-match inference under the same
+    // trained pieces: token budget + [UNK]s where greedy gets stuck
+    "q_wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(docs(s, dir), merges = 10)),
 
     // robust per-source outlier gate on doc length: Iglewicz-Hoaglin
     // modified z-score from exact per-source median/MAD
@@ -1404,6 +1415,53 @@ object LlmQueries {
       |FROM docw d JOIN vt ON d.w = vt.w
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for [[graft.text.TextOps.wordpieceEncode]]: the same
+    * unrolled merge chain yields the piece inventory (distinct final
+    * symbols), then a RECURSIVE walk advances one greedy
+    * longest-match step per iteration over each distinct word —
+    * join the candidate pieces, keep MAX(len(sym)); a word whose walk
+    * ends before len(w)+1 got stuck (no piece matched — the join
+    * form drops it) and is an [UNK] word. nt is monotone in pos, so
+    * MAX(nt) at the terminal row is the token count. (Join+GROUP BY
+    * rather than a correlated MAX subquery: DuckDB 1.0.0 silently
+    * returns no recursive-step rows when a correlated subquery in
+    * the recursive term scans a CTE chained after a MATERIALIZED
+    * one; the aggregate-join form binds correctly.)
+    */
+  private def sqlWordpieceEncode(merges: Int): String =
+    "WITH RECURSIVE " + sqlBpeChain(merges).stripPrefix("WITH ") + s""",
+      |vocabp AS MATERIALIZED (SELECT DISTINCT sym FROM s$merges),
+      |wr AS MATERIALIZED (SELECT w FROM v),
+      |walk AS (
+      |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS nt FROM wr
+      |  UNION ALL
+      |  SELECT w, pos + ml, nt + 1 FROM (
+      |    SELECT wk.w, wk.pos, wk.nt, MAX(len(vp.sym)) AS ml
+      |    FROM walk wk JOIN vocabp vp
+      |      ON substring(wk.w, CAST(wk.pos AS INT), len(vp.sym)) = vp.sym
+      |    WHERE wk.pos <= len(wk.w)
+      |    GROUP BY 1, 2, 3
+      |  )
+      |),
+      |wct AS MATERIALIZED (
+      |  SELECT w,
+      |    CASE WHEN MAX(pos) = len(w) + 1 THEN MAX(nt)
+      |         ELSE CAST(1 AS BIGINT) END AS nt,
+      |    CASE WHEN MAX(pos) = len(w) + 1 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(1 AS BIGINT) END AS unk
+      |  FROM walk GROUP BY w
+      |),
+      |docw AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents
+      |)
+      |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(c.nt) AS BIGINT) AS n_wp_tokens,
+      |       CAST(SUM(c.unk) AS BIGINT) AS n_unk_words,
+      |       ROUND(SUM(c.nt) * 1.0 / COUNT(*), 6) AS wp_fertility
+      |FROM docw d JOIN wct c ON c.w = d.w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The unrolled BPE merge-chain CTE prefix (occ, v, s0, then
     * p_i/t_i/c_i/sel_i/s_i per round) shared by the train and encode
     * oracles — one definition, so the learned merges and the encoding
@@ -1457,6 +1515,44 @@ object LlmQueries {
         |  WHERE q.pos IS NULL
         |)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** Oracle for [[graft.vector.VectorOps.knnLabelPropagation]]: the
+    * shared ann CTE symmetrized, then `iters` unrolled rounds of
+    * (vote count by (dst, label) → per-node argmax with ties to the
+    * smallest label). The engine's `max(struct(votes, -label))`
+    * aggregation and this ROW_NUMBER (votes DESC, label ASC) pick the
+    * same winner — both are the lexicographic max of (votes, -label).
+    */
+  private def sqlKnnLabelProp(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS src, cand_id AS dst FROM ann
+         |  UNION
+         |  SELECT cand_id AS src, query_id AS dst FROM ann
+         |),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+         |c$i AS (
+         |  SELECT e.dst, l.lbl, COUNT(*) AS c
+         |  FROM sym e JOIN l$p l ON l.node = e.src GROUP BY 1, 2
+         |),
+         |l$i AS (
+         |  SELECT dst AS node, lbl FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c$i
+         |  ) WHERE rn = 1
+         |)""".stripMargin)
+    }
+    sb.append(s""",
+       |sizes AS (SELECT lbl, COUNT(*) AS comm_size FROM l$iters GROUP BY 1)
+       |SELECT l$iters.node, l$iters.lbl AS community, s.comm_size
+       |FROM l$iters JOIN sizes s ON s.lbl = l$iters.lbl ORDER BY 1""".stripMargin)
     sb.toString
   }
 
@@ -2773,6 +2869,10 @@ object LlmQueries {
          |       ROUND(r3.r / 1.0e12, 9) AS pr
          |FROM r3 JOIN outdeg d ON d.src = r3.node ORDER BY 1""".stripMargin,
 
+    // label propagation: same ann CTE; 4 unrolled neighbor-majority
+    // rounds, per-node argmax via (votes DESC, label ASC) row_number
+    "q_knn_labelprop" -> sqlKnnLabelProp(4),
+
     // IVF-PQ recall: the PQ encode CTEs + prefixed IVF probe CTEs;
     // ADC restricted to probed-list candidates, brute L2 ground truth
     "q_ivfpq_recall" ->
@@ -2930,6 +3030,7 @@ object LlmQueries {
     // greedy non-overlap selection, and vocabulary rewrite exactly)
     "q_bpe_train" -> sqlBpeTrain(10),
     "q_bpe_encode" -> sqlBpeEncode(10),
+    "q_wordpiece_encode" -> sqlWordpieceEncode(10),
 
     // BPE merge round: pair counts over the vocabulary weighted by
     // word frequency; deterministic (count desc, left, right) cut

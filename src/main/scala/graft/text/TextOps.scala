@@ -2243,4 +2243,72 @@ object TextOps {
         round(col("n_bpe_tokens") * lit(1.0) / col("n_words"), 6)
           .as("bpe_fertility"))
   }
+
+  /** WORDPIECE-STYLE GREEDY ENCODING — tokenize the corpus by greedy
+    * longest-match-first against the BPE-trained piece inventory
+    * (Schuster & Nakajima, ICASSP 2012; the inference rule BERT ships,
+    * Devlin et al. 2019; linear-time variant analyzed in Song et al.
+    * 2021, "Fast WordPiece Tokenization"). Greedy inference and
+    * merge-order inference ([[bpeEncode]]) usually agree but are NOT
+    * the same function: greedy can overshoot with a long piece
+    * harvested from another word and then fail mid-word — classic
+    * WordPiece maps such words to ONE [UNK] token, and this report
+    * counts them, which is exactly the signal for choosing between
+    * the two inference rules for a deployment.
+    *
+    * The piece inventory is the distinct symbols of the final BPE
+    * vocabulary table — bounded by (distinct characters + `merges`),
+    * a tokenizer-sized artifact, so it travels as a broadcast value
+    * (the k-centroids pattern, not a data-sized collect). The greedy
+    * walk runs once per DISTINCT word (row-local, over code points —
+    * the same character semantics as [[bpeLearn]] and both engines'
+    * `substring`); the corpus is then ONE word-stream scan joined
+    * against the broadcast word → count table, identical in shape to
+    * [[bpeEncode]].
+    *
+    * Returns (doc_id, n_words, n_wp_tokens, n_unk_words,
+    * wp_fertility), one row per document with at least one token;
+    * an [UNK] word contributes 1 to both n_wp_tokens and n_unk_words.
+    */
+  def wordpieceEncode(
+      docs: DataFrame, merges: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bpeLearn(docs, merges, textCol)._2
+    // distinct surviving symbols: |chars| + <= merges strings — small
+    // by construction (NOT corpus-sized), hence safe to collect
+    val pieces = words.flatMap(_._2).distinct().collect()
+    val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
+    val bcVocab = spark.sparkContext.broadcast((pieces.toSet, maxCp))
+    val wc = words.map { case (w, _, _) =>
+      val (vocab, mx) = bcVocab.value
+      val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      var i = 0
+      var nt = 0L
+      var stuck = false
+      while (i < cps.length && !stuck) {
+        // longest-match-first: try the longest piece that fits, back
+        // off one code point at a time
+        var j = math.min(mx, cps.length - i)
+        var matched = 0
+        while (j >= 1 && matched == 0) {
+          if (vocab.contains(cps.slice(i, i + j).mkString)) matched = j
+          j -= 1
+        }
+        if (matched == 0) stuck = true
+        else { nt += 1; i += matched }
+      }
+      if (stuck) (w, 1L, 1L) else (w, nt, 0L)
+    }.toDF("w", "nt", "unk")
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(wc), "w")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_wp_tokens"),
+        sum(col("unk")).as("n_unk_words"))
+      .select(col("id").as(idCol), col("n_words"), col("n_wp_tokens"),
+        col("n_unk_words"),
+        round(col("n_wp_tokens") * lit(1.0) / col("n_words"), 6)
+          .as("wp_fertility"))
+  }
 }

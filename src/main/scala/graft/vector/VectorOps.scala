@@ -970,4 +970,56 @@ object VectorOps {
       .select(col("node"), col("deg").as("degree"), col("r").as("rank_units"),
         round(col("r") / lit(1.0e12), 9).as("pr"))
   }
+
+  /** LABEL-PROPAGATION COMMUNITIES over the symmetrized kNN graph
+    * (Raghavan, Albert & Kumara 2007, "Near linear time algorithm to
+    * detect community structures in large-scale networks") — the
+    * community layer between connected components (which only sees
+    * edge existence, so one stray LSH edge fuses two topics) and
+    * modularity methods (which don't map to bounded relational
+    * rounds): every node starts as its own label and repeatedly
+    * adopts the most frequent label among its neighbors, so dense
+    * near-dup families and topical clusters converge to one label
+    * while thin bridges between them don't carry the vote.
+    *
+    * DETERMINISTIC synchronous variant: all nodes update together for
+    * exactly `iters` rounds (the classic algorithm's random visit
+    * order and random tie-break are replaced by a fixed round count
+    * and a ties-to-SMALLEST-label rule), so the result is a pure
+    * function of the graph — bit-identical across partitionings and
+    * engines, the same determinism contract as the integer PageRank.
+    *
+    * Each round is ONE equi-join (labels onto edge sources) + ONE
+    * (dst, label) vote count + ONE per-node argmax aggregation —
+    * `max(struct(votes, -label))`, no window. All shuffles are keyed
+    * by node id; per-round data is edge-sized (≤ 2·n·k rows), so at
+    * 100 TB this is `iters` Pregel-as-join rounds exactly like CC and
+    * PageRank. The edge list is materialized once (`localCheckpoint`)
+    * instead of letting Catalyst re-run the ANN candidate generation
+    * in all `iters`+2 consumers. Symmetric edges mean every node has
+    * in-degree ≥ 1, so every node is re-labeled every round (the
+    * node's own current label does NOT vote — pure neighbor majority).
+    *
+    * Returns (node, community, comm_size): the node's label after
+    * `iters` rounds and that label's population.
+    */
+  def knnLabelPropagation(ann: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val edges = ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+      .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 0 until iters) {
+      lab = edges.join(lab, edges("src") === lab("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+    }
+    val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    lab.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("comm_size"))
+  }
 }

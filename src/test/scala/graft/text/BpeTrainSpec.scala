@@ -78,6 +78,31 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Seq((0L, 3L, 4L, 1.333333), (1L, 1L, 1L, 1.0)))
   }
 
+  test("wordpieceEncode agrees with bpeEncode when greedy never overshoots") {
+    // same corpus as the bpeEncode case: final symbols {abab, ab, c, d};
+    // greedy: abab->[abab], ab->[ab], cd->[c][d] — the BPE counts
+    val out = TextOps.wordpieceEncode(docsOf("abab ab cd", "ab"), merges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(out === Seq((0L, 3L, 4L, 0L, 1.333333), (1L, 1L, 1L, 0L, 1.0)))
+  }
+
+  test("wordpieceEncode maps a greedy-stuck word to one [UNK]") {
+    // merges=3 learns (a,b), (c,d), (ab,c) -> final segmentations
+    // abcd=[ab,cd], ab=[ab], cd=[cd], abc=[abc]; piece inventory
+    // {ab, cd, abc} has no standalone 'd', so greedy on "abcd" takes
+    // the overshooting "abc" and then sticks -> [UNK] (nt=1, unk=1),
+    // where merge-order inference happily emits [ab, cd]
+    val docs = docsOf("abcd ab ab cd cd abc")
+    val wp = TextOps.wordpieceEncode(docs, merges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(wp === Seq((0L, 6L, 6L, 1L, 1.0)))
+    val bpe = TextOps.bpeEncode(docs, merges = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(bpe === Seq((6L, 7L)), "merge-order inference must still encode abcd as [ab, cd]")
+  }
+
   test("bpeEncode fertility is 1.0 when every word fully merges") {
     // single distinct word -> merges collapse it to one symbol
     val out = TextOps.bpeEncode(docsOf("abcd abcd", "abcd"), merges = 3)

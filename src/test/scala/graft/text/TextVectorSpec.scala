@@ -1234,6 +1234,36 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2, "symmetric leaves must tie")
   }
 
+  test("knnLabelPropagation: matches an in-test synchronous LPA; bridged triangles separate") {
+    // two triangles bridged by one edge: LPA must keep them as two
+    // communities (CC would fuse them through the bridge), and every
+    // label must equal the reference synchronous recursion
+    val ann = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+      .toDF("query_id", "cand_id")
+    val out = VectorOps.knnLabelPropagation(ann, iters = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: same symmetric edges, neighbor majority, ties to min
+    val edges = Seq(0L -> 1L, 0L -> 2L, 1L -> 2L, 3L -> 4L, 3L -> 5L, 4L -> 5L, 2L -> 3L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val nodes = edges.map(_._1).distinct.sorted
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 0 until 4) {
+      lbl = nodes.map { n =>
+        val votes = edges.filter(_._2 == n).map { case (src, _) => lbl(src) }
+          .groupBy(identity).map { case (l, v) => (l, v.size) }
+        n -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    assert(out.keySet == nodes.toSet)
+    for (n <- nodes)
+      assert(out(n)._1 == lbl(n), s"label($n): got ${out(n)._1}, want ${lbl(n)}")
+    val comms = out.groupBy(_._2._1).view.mapValues(_.keySet).toMap
+    assert(comms.keySet.size == 2, s"expected 2 communities, got $comms")
+    assert(comms.values.toSet == Set(Set(0L, 1L, 2L), Set(3L, 4L, 5L)),
+      s"triangles must separate across the bridge: $comms")
+    for ((n, (_, sz)) <- out) assert(sz == 3L, s"comm_size($n)")
+  }
+
   test("minhashJaccardEst: exact dups estimate 1.0, error bounded, est consistent with n_eq") {
     val out = TextOps.minhashJaccardEst(docsDf, numHashes = 64, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
