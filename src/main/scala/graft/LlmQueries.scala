@@ -576,6 +576,13 @@ object LlmQueries {
         VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
           numPlanes = 8, dims = 64, k = 5), iters = 4)),
 
+    // 6-core peel of the kNN graph: 6 synchronous peel rounds, each
+    // node tagged with the round that removed it (0 = in the core)
+    "q_knn_kcore" -> ((s, dir) =>
+      VectorOps.knnKCore(
+        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+          numPlanes = 8, dims = 64, k = 5), k = 6, rounds = 6)),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     // packing-efficiency report: per training sequence, docs touching /
@@ -1553,6 +1560,45 @@ object LlmQueries {
        |sizes AS (SELECT lbl, COUNT(*) AS comm_size FROM l$iters GROUP BY 1)
        |SELECT l$iters.node, l$iters.lbl AS community, s.comm_size
        |FROM l$iters JOIN sizes s ON s.lbl = l$iters.lbl ORDER BY 1""".stripMargin)
+    sb.toString
+  }
+
+  /** Oracle for [[graft.vector.VectorOps.knnKCore]]: the shared ann
+    * CTE symmetrized, then `rounds` unrolled peel stages — s_i keeps
+    * nodes whose degree among s_{i-1} survivors is >= k (a node with
+    * no surviving edge is absent from the degree table and thus
+    * peeled), r_i anti-joins out the nodes stage i dropped. The final
+    * LEFT JOIN tags every node with its removal stage (0 = core).
+    */
+  private def sqlKnnKCore(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS src, cand_id AS dst FROM ann
+         |  UNION
+         |  SELECT cand_id AS src, query_id AS dst FROM ann
+         |),
+         |s0 AS (SELECT DISTINCT src AS node FROM sym)""".stripMargin)
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb.append(s""",
+         |d$i AS (
+         |  SELECT e.src AS node, COUNT(*) AS c
+         |  FROM sym e JOIN s$p a ON a.node = e.src JOIN s$p b ON b.node = e.dst
+         |  GROUP BY 1
+         |),
+         |s$i AS (SELECT node FROM d$i WHERE c >= $k),
+         |r$i AS (
+         |  SELECT a.node, CAST($i AS BIGINT) AS removed_round
+         |  FROM s$p a LEFT JOIN s$i b ON b.node = a.node WHERE b.node IS NULL
+         |)""".stripMargin)
+    }
+    val rem = (1 to rounds).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    sb.append(s""",
+       |rem AS ($rem)
+       |SELECT n.node, COALESCE(rem.removed_round, 0) AS removed_round
+       |FROM s0 n LEFT JOIN rem ON rem.node = n.node ORDER BY 1""".stripMargin)
     sb.toString
   }
 
@@ -2872,6 +2918,10 @@ object LlmQueries {
     // label propagation: same ann CTE; 4 unrolled neighbor-majority
     // rounds, per-node argmax via (votes DESC, label ASC) row_number
     "q_knn_labelprop" -> sqlKnnLabelProp(4),
+
+    // k-core: same ann CTE; 6 unrolled peel stages (surviving-degree
+    // count -> >= k filter), removed_round via per-stage anti joins
+    "q_knn_kcore" -> sqlKnnKCore(6, 6),
 
     // IVF-PQ recall: the PQ encode CTEs + prefixed IVF probe CTEs;
     // ADC restricted to probed-list candidates, brute L2 ground truth

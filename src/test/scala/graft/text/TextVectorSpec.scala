@@ -1264,6 +1264,22 @@ class TextVectorSpec extends AnyFunSuite {
     for ((n, (_, sz)) <- out) assert(sz == 3L, s"comm_size($n)")
   }
 
+  test("knnKCore: peel cascade removes the pendant chain round by round, keeps the clique") {
+    // 4-clique {0,1,2,3} + pendant chain 3-4-5. k=2: round 1 peels 5
+    // (degree 1), round 2 peels 4 (its only surviving neighbor is 3),
+    // the clique survives as the 2-core
+    val ann = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("query_id", "cand_id")
+    val out = VectorOps.knnKCore(ann, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 1L))
+    // k=4: only node 3 (degree 4) survives round 1, then has no
+    // surviving edges -> peeled round 2; nothing is a 4-core
+    val out4 = VectorOps.knnKCore(ann, k = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out4 === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("minhashJaccardEst: exact dups estimate 1.0, error bounded, est consistent with n_eq") {
     val out = TextOps.minhashJaccardEst(docsDf, numHashes = 64, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
