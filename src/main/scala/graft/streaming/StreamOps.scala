@@ -469,4 +469,51 @@ object StreamOps {
           }
       }
   }
+
+  /** STREAMING WORDPIECE ENCODING — the deployment shape of
+    * [[graft.text.TextOps.wordpieceEncode]]: the piece inventory is
+    * trained in batch on the historical corpus (the artifact a
+    * tokenizer ships) and arriving documents are encoded against it.
+    * The batch operator amortizes the greedy walk per DISTINCT word
+    * via a vocabulary join; a stream cannot see "distinct words of
+    * the corpus", so the twin walks per occurrence instead — which
+    * makes it STATELESS (one row in, one row out, no shuffle, no
+    * state store, Append-legal with any sink) and also total: a word
+    * the training corpus never saw simply walks against the same
+    * piece set and degrades to [UNK] exactly where batch re-training
+    * would. Same kernel ([[graft.text.TextOps.greedyPieceCount]]),
+    * same output schema, so batch and stream rows match one for one
+    * on a shared corpus.
+    */
+  def streamingWordpieceEncode(
+      docs: DataFrame, pieces: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pieces.nonEmpty, "empty piece inventory")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = pieces.toSet
+    val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
+    val bc = spark.sparkContext.broadcast((vocab, maxCp))
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val (v, mx) = bc.value
+        // row-local equivalent of TextOps.tokens (split ' ', drop empties)
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) Iterator.empty
+        else {
+          var nw = 0L; var nt = 0L; var unk = 0L
+          ws.foreach { w =>
+            val (c, u) = graft.text.TextOps.greedyPieceCount(w, v, mx)
+            nw += 1; nt += c; unk += u
+          }
+          // HALF_UP to 6 decimals — the same rounding Spark's round()
+          // applies in the batch operator (rint would be half-even)
+          Iterator.single((id, nw, nt, unk,
+            BigDecimal(nt * 1.0 / nw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+      .toDF(idCol, "n_words", "n_wp_tokens", "n_unk_words", "wp_fertility")
+  }
 }

@@ -2270,6 +2270,51 @@ object TextOps {
     * wp_fertility), one row per document with at least one token;
     * an [UNK] word contributes 1 to both n_wp_tokens and n_unk_words.
     */
+  /** The greedy longest-match-first walk over ONE word's code points:
+    * returns (piece_count, unk) where unk = 1 iff no piece matched at
+    * some position (classic WordPiece then emits ONE [UNK] for the
+    * whole word, so piece_count is 1 too). Row-local and shared by
+    * the batch encoder ([[wordpieceEncode]], once per distinct word)
+    * and the streaming twin
+    * ([[graft.streaming.StreamOps.streamingWordpieceEncode]], per
+    * occurrence — stateless, so it needs no vocabulary join).
+    */
+  private[graft] def greedyPieceCount(
+      w: String, vocab: Set[String], maxCp: Int): (Long, Long) = {
+    val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var i = 0
+    var nt = 0L
+    while (i < cps.length) {
+      // longest-match-first: try the longest piece that fits, back
+      // off one code point at a time
+      var j = math.min(maxCp, cps.length - i)
+      var matched = 0
+      while (j >= 1 && matched == 0) {
+        if (vocab.contains(cps.slice(i, i + j).mkString)) matched = j
+        j -= 1
+      }
+      if (matched == 0) return (1L, 1L)
+      nt += 1
+      i += matched
+    }
+    (nt, 0L)
+  }
+
+  /** The trained PIECE INVENTORY — the distinct symbols of the final
+    * BPE vocabulary table, sorted: the artifact a greedy (WordPiece)
+    * tokenizer ships and the static side of the streaming twin
+    * ([[graft.streaming.StreamOps.streamingWordpieceEncode]]).
+    * Bounded by (distinct characters + `merges`) — tokenizer-sized,
+    * never corpus-sized.
+    */
+  def wordpiecePieces(
+      docs: DataFrame, merges: Int = 10, textCol: String = "text"): Array[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearn(docs, merges, textCol)._2
+      .flatMap(_._2).distinct().collect().sorted
+  }
+
   def wordpieceEncode(
       docs: DataFrame, merges: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -2283,23 +2328,8 @@ object TextOps {
     val bcVocab = spark.sparkContext.broadcast((pieces.toSet, maxCp))
     val wc = words.map { case (w, _, _) =>
       val (vocab, mx) = bcVocab.value
-      val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-      var i = 0
-      var nt = 0L
-      var stuck = false
-      while (i < cps.length && !stuck) {
-        // longest-match-first: try the longest piece that fits, back
-        // off one code point at a time
-        var j = math.min(mx, cps.length - i)
-        var matched = 0
-        while (j >= 1 && matched == 0) {
-          if (vocab.contains(cps.slice(i, i + j).mkString)) matched = j
-          j -= 1
-        }
-        if (matched == 0) stuck = true
-        else { nt += 1; i += matched }
-      }
-      if (stuck) (w, 1L, 1L) else (w, nt, 0L)
+      val (nt, unk) = greedyPieceCount(w, vocab, mx)
+      (w, nt, unk)
     }.toDF("w", "nt", "unk")
     docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
       .join(broadcast(wc), "w")

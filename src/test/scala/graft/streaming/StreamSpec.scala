@@ -847,4 +847,36 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch,
       s"streamed ${streamed.size} spans vs batch ${batch.size}")
   }
+
+  test("streaming WordPiece encoding against batch-trained pieces reproduces the batch report") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-wp-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    // static side: the piece inventory trained in batch on the same
+    // corpus (the historical-corpus deployment shape)
+    val pieces = graft.text.TextOps.wordpiecePieces(docs, merges = 10)
+    assert(pieces.nonEmpty)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingWordpieceEncode(src, pieces.toSeq)
+      .writeStream.format("memory").queryName("wp_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("wp_stream").collect().map(key).sorted.toSeq
+    // batch twin: trained on exactly this corpus, so rows must match
+    // one for one (per-distinct-word join vs per-occurrence walk)
+    val batch = graft.text.TextOps.wordpieceEncode(docs, merges = 10)
+      .collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
 }
