@@ -72,4 +72,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(r10 <= r1 + 1,
       s"CC rounds grew with corpus size: 1x=$r1, 10x=$r10 — rounds must track diameter, not n")
   }
+
+  test("tokenizer piece inventory is vocabulary-bounded under 10x corpus replication") {
+    // the artifact the BPE/WordPiece family ships (and broadcasts) is
+    // the piece inventory; at 100 TB it must stay bounded by
+    // (distinct characters + merges), NOT grow with the corpus. The
+    // 10x replica mints at most the tag alphabet ('§' + 10 digits) of
+    // new characters, so the inventory must grow by at most that
+    // plus the fixed merge budget.
+    import spark.implicits._
+    def chars(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("text")).as[String]
+        .flatMap(t => t.codePoints().toArray.filter(_ != ' ').toSeq)
+        .distinct().count()
+    val p1 = TextOps.wordpiecePieces(d1, merges = 10).length
+    val p10 = TextOps.wordpiecePieces(d10, merges = 10).length
+    val c1 = chars(d1)
+    val c10 = chars(d10)
+    assert(p1 >= 2 && p10 >= 2, s"degenerate inventories $p1/$p10")
+    assert(p1 <= c1 + 10, s"1x inventory $p1 exceeds chars+merges ${c1 + 10}")
+    assert(p10 <= c10 + 10, s"10x inventory $p10 exceeds chars+merges ${c10 + 10}")
+    assert(c10 - c1 <= 11,
+      s"replica minted ${c10 - c1} new characters — more than the tag alphabet")
+  }
 }
