@@ -105,4 +105,48 @@ class PropertySpec extends AnyFunSuite {
       assert(got.getOrElse(id, Set.empty) == want, s"doc $id '$text'")
     }
   }
+
+  test("greedy piece walk matches an independent recursive matcher on random vocabularies") {
+    // differential test: the imperative code-point walk in
+    // TextOps.greedyPieceCount vs a structurally different recursive
+    // prefix matcher, over random words and random vocabularies
+    // (including ones missing single characters, so the [UNK] path is
+    // exercised, and overshoot-prone long pieces)
+    import graft.text.TextOps
+    val genWord = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genPiece = for {
+      n <- Gen.choose(2, 4)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genVocab = for {
+      k <- Gen.choose(0, 6)
+      ps <- Gen.listOfN(k, genPiece)
+      singles <- Gen.someOf(Seq("a", "b", "c"))
+    } yield (ps ++ singles).toSet
+    def ref(w: String, vocab: Set[String]): (Long, Long) = {
+      val maxLen = vocab.map(_.length).max
+      def go(rest: String, acc: Long): (Long, Long) =
+        if (rest.isEmpty) (acc, 0L)
+        else (math.min(maxLen, rest.length) to 1 by -1).iterator
+          .map(rest.take).find(vocab.contains) match {
+            case Some(p) => go(rest.drop(p.length), acc + 1)
+            case None => (1L, 1L)
+          }
+      go(w, 0L)
+    }
+    var unks = 0
+    samples(Gen.zip(genWord, genVocab), 300).zipWithIndex.foreach {
+      case ((w, vocab), i) if vocab.nonEmpty =>
+        val mx = vocab.map(_.length).max
+        val want = ref(w, vocab)
+        assert(TextOps.greedyPieceCount(w, vocab, mx) === want,
+          s"case $i: w=$w vocab=$vocab")
+        if (want._2 == 1L) unks += 1
+      case _ => ()
+    }
+    assert(unks > 0, "degenerate sample: the [UNK] path was never exercised")
+  }
 }

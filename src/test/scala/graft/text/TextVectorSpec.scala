@@ -1280,6 +1280,28 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out4 === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("knnKCore: cores nest and every core member keeps >= k in-core neighbors") {
+    // pseudo-random 30-node graph: the (k+1)-core must sit inside the
+    // k-core, and each k-core member must have >= k neighbors that are
+    // themselves in the core (the defining property, checked against
+    // the raw edge list rather than the operator's own arithmetic)
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val ann = es.toDF("query_id", "cand_id")
+    val sym = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val core = (2 to 4).map { k =>
+      k -> VectorOps.knnKCore(ann, k = k, rounds = 12)
+        .collect().filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
+    }.toMap
+    assert(core(2).nonEmpty, "degenerate fixture: empty 2-core")
+    assert(core(3).subsetOf(core(2)) && core(4).subsetOf(core(3)),
+      s"cores must nest: ${core.view.mapValues(_.size).toMap}")
+    for (k <- 2 to 4; n <- core(k))
+      assert(sym.count { case (s, d) => s == n && core(k)(d) } >= k,
+        s"node $n in the $k-core has fewer than $k in-core neighbors")
+  }
+
   test("minhashJaccardEst: exact dups estimate 1.0, error bounded, est consistent with n_eq") {
     val out = TextOps.minhashJaccardEst(docsDf, numHashes = 64, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
