@@ -548,6 +548,14 @@ object LlmQueries {
         embeddings(s, dir).filter(col("vec_id") < PairLimit),
         nlist = 16, nprobe = 4, m = 4, ks = 16, k = 5)),
 
+    // IVF nprobe sweep: recall@5 at nprobe 1/2/4/8 from ONE scored
+    // candidate table (each candidate carries its probe rank) and one
+    // shared brute-force ground truth — the index tuning table
+    "q_ivf_probe_sweep" -> ((s, dir) =>
+      VectorOps.ivfProbeSweep(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit),
+        nlist = 16, probesList = Seq(1, 2, 4, 8), k = 5)),
+
     // degree histogram of the symmetrized LSH kNN graph — the
     // connectivity health report of the semantic neighbor graph
     "q_knn_degree" -> ((s, dir) =>
@@ -1713,6 +1721,62 @@ object LlmQueries {
        |  JOIN e qe ON qe.vec_id = p.query_id
        |  JOIN e ce ON ce.vec_id = a.cand_id
        |)""".stripMargin
+
+  /** Oracle for [[graft.vector.VectorOps.ivfProbeSweep]]: the IVF
+    * CTEs with the probe rank kept on each candidate, ONE scored
+    * table and ONE brute-force ground truth (both MATERIALIZED — all
+    * probe levels read them), then per level a `prank <= p` filter +
+    * per-query top-k + one summary row, unioned.
+    */
+  private def sqlIvfProbeSweep(nlist: Int, probesList: Seq[Int], k: Int): String = {
+    val maxP = probesList.max
+    val annLevels = probesList.map { p =>
+      s""",
+         |ann$p AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+         |    FROM scored WHERE prank <= $p
+         |  ) WHERE rn <= $k
+         |)""".stripMargin
+    }.mkString
+    val levels = probesList.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  CAST(COUNT(a$p.cand_id) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  ROUND(COUNT(a$p.cand_id) * 1.0 / COUNT(*), 6) AS recall
+         |FROM bf LEFT JOIN ann$p a$p
+         |  ON a$p.query_id = bf.query_id AND a$p.cand_id = bf.cand_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $PairLimit
+       |), cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nlist),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+       |  FROM e, cent c
+       |), assign AS (SELECT vec_id AS cand_id, cid AS list FROM sims WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS list, rn AS prank FROM sims WHERE rn <= $maxP),
+       |scored AS MATERIALIZED (
+       |  SELECT p.query_id, a.cand_id, p.prank, list_cosine_similarity(qe.v, ce.v) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.list = p.list AND a.cand_id <> p.query_id
+       |  JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN e ce ON ce.vec_id = a.cand_id
+       |),
+       |bfp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(q.v, c.v) AS sim
+       |  FROM e q, e c WHERE c.vec_id <> q.vec_id
+       |),
+       |bf AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |    FROM bfp
+       |  ) WHERE rn <= $k
+       |)$annLevels
+       |$levels""".stripMargin
+  }
 
   /** PQ encode CTE chain (e, subs, cent, vsub, d2t, enc) mirroring
     * [[VectorOps.pqEncode]]: deterministic per-subspace codebooks from
@@ -2979,6 +3043,10 @@ object LlmQueries {
     // label propagation: same ann CTE; 4 unrolled neighbor-majority
     // rounds, per-node argmax via (votes DESC, label ASC) row_number
     "q_knn_labelprop" -> sqlKnnLabelProp(4),
+
+    // IVF nprobe sweep: shared scored/ground-truth CTEs, one top-k +
+    // summary row per probe level
+    "q_ivf_probe_sweep" -> sqlIvfProbeSweep(16, Seq(1, 2, 4, 8), 5),
 
     // k-core: same ann CTE; 6 unrolled peel stages (surviving-degree
     // count -> >= k filter), removed_round via per-stage anti joins

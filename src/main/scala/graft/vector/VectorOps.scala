@@ -276,6 +276,15 @@ object VectorOps {
     */
   private def ivfRanked(
       embeddings: DataFrame, nlist: Int, limit: Int,
+      idCol: String, vecCol: String): DataFrame =
+    ivfRankedWithRank(embeddings, nlist, limit, idCol, vecCol).drop("r")
+
+  /** [[ivfRanked]] plus the 1-based probe rank `r` of each centroid —
+    * the column the nprobe SWEEP filters on, so one max-nprobe pass
+    * serves every probe level.
+    */
+  private def ivfRankedWithRank(
+      embeddings: DataFrame, nlist: Int, limit: Int,
       idCol: String, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -299,9 +308,9 @@ object VectorOps {
           (cid, dot / (normV * math.sqrt(nc)))
         }
         sims.sortBy { case (cid, s) => (-s, cid) }.take(limit)
-          .map { case (cid, _) => (id, cid) }
+          .zipWithIndex.map { case ((cid, _), i) => (id, cid, (i + 1).toLong) }
       }
-    }.toDF("id", "cid")
+    }.toDF("id", "cid", "r")
   }
 
   /** IVF inverted-list BALANCE report — the standing scale hazard of
@@ -327,6 +336,59 @@ object VectorOps {
       .crossJoin(broadcast(total))
       .select(col("list_id"), col("n_vectors"),
         round(col("n_vectors") * lit(nlist.toLong) / col("total"), 6).as("load_factor"))
+  }
+
+  /** IVF nprobe SWEEP — recall@k at several probe counts from ONE
+    * shared pass, the tuning table an index operator reads to pick
+    * nprobe (the recall/latency dial of IVF, Jégou et al. 2011 §5):
+    * candidates and their exact cosines are computed ONCE at the
+    * MAXIMUM probe count, each carrying the probe rank of the list
+    * that produced it (a candidate lives in exactly one list, so the
+    * rank is unique per pair); the nprobe=p level is then a FILTER
+    * (`prank <= p`) plus the bounded per-query top-k aggregation —
+    * never a re-scan, never a second cosine. Same single-
+    * materialization shape as the LSH band sweep; the brute-force
+    * ground truth is likewise shared by all levels. Monotone by
+    * construction: level p's candidate set contains level p-1's.
+    *
+    * Returns one summary row per probe count: (nprobe, n_hits,
+    * n_exact, recall) with recall = n_hits/n_exact micro-averaged
+    * over all query points (the per-query brute row count convention
+    * of [[recallAgainstBrute]] — short corpora don't cap below 1).
+    */
+  def ivfProbeSweep(
+      embeddings: DataFrame, nlist: Int, probesList: Seq[Int], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probesList.nonEmpty, "sweep needs at least one probe count")
+    require(probesList.distinct == probesList, s"duplicate probe counts: $probesList")
+    probesList.foreach(p => require(p >= 1 && p <= nlist,
+      s"nprobe must be in [1,$nlist]: $p"))
+    val emb = cachedEmb(embeddings, idCol, vecCol)
+    val maxP = probesList.max
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assign = ivfRanked(emb, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
+    val probes = ivfRankedWithRank(emb, nlist, maxP, idCol, vecCol)
+      .toDF("query_id", "list", "prank")
+    val q = e.toDF("query_id", "qv")
+    val c = e.toDF("cand_id", "cv")
+    val scored = probes.join(assign, "list")
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(q, "query_id").join(c, "cand_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("cand_id"), col("prank"), col("sim"))
+      .localCheckpoint() // one scored table serves every level
+    val brute = bruteForceTopK(emb, emb, k, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+      .localCheckpoint() // one ground truth serves every level
+    probesList.map { p =>
+      val ann = topKPerQuery(scored.filter(col("prank") <= p), k)
+        .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+      brute.join(ann, Seq("query_id", "cand_id"), "left")
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_exact"))
+        .select(lit(p.toLong).as("nprobe"), col("n_hits"), col("n_exact"),
+          round(col("n_hits") / col("n_exact"), 6).as("recall"))
+    }.reduce(_ unionAll _)
   }
 
   /** MULTI-TABLE LSH ANN top-k — the recall-recovery construction the

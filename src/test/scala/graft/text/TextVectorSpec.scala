@@ -555,6 +555,23 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rec.values.forall(_ == 1.0), s"IVF-PQ lost exact neighbors: $rec")
   }
 
+  test("ivfProbeSweep: recall monotone in nprobe, exact when every list is probed") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val out = VectorOps.ivfProbeSweep(e, nlist = 16, probesList = Seq(1, 4, 16), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 16L))
+    // one shared ground truth: n_exact identical across levels
+    assert(out.map(_._3).distinct.length == 1)
+    // candidate sets nest, so recall is monotone non-decreasing
+    assert(out.sliding(2).forall { case Array(a, b) => a._4 <= b._4 },
+      s"recall not monotone: $out")
+    // probing all 16 lists scans every candidate -> exactly brute force
+    assert(out.last._4 == 1.0, s"full probe must be exact: ${out.last}")
+    assert(out.head._4 < 1.0, "degenerate fixture: nprobe=1 already exact")
+  }
+
   test("ivfListStats: counts sum to corpus size, load factors average 1, hot list flagged") {
     import spark.implicits._
     // 2 centroids (vec 0 -> x-axis, vec 1 -> y-axis); 6 of the 8
