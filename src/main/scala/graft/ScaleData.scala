@@ -82,6 +82,14 @@ object ScaleData {
     // user shift keeps per-user event counts constant (10x users, not
     // 10x events per user — growth, not skew amplification)
     write(replicateKeyed(read("events"), factor, Seq("event_id", "user_id")), "events")
+    // dimension tables pass through VERBATIM: o_custkey/l_suppkey are
+    // not shifted by the fact replication, so the original dims keep
+    // referential integrity — each customer simply carries factor x
+    // orders (fact growth against fixed dimensions, the realistic
+    // warehouse growth shape)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      try write(read(t), t)
+      catch { case _: Throwable => () } // tolerate dirs without TPC-H dims
     spark.stop()
   }
 }
