@@ -82,9 +82,14 @@ object Bench {
     // Optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_BENCH_FILTER=q_pq_recall,q_ivfpq_recall). The
     // driver never sets it; a filtered run skips the BENCH_TREND append
-    // so partial totals can't pollute the cross-round trend.
+    // AND redirects the default artifact to BENCH_PARTIAL.json (unless
+    // an output path was given explicitly) so a partial total can't
+    // masquerade as a full-run BENCH_LAST.json either.
     val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val effectiveOut =
+      if (onlyQueries.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) outPath
+      else "BENCH_PARTIAL.json"
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -120,7 +125,7 @@ object Bench {
     val totalMin = results.map(_._2.minSec).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
     try {
-      val w = new java.io.PrintWriter(outPath)
+      val w = new java.io.PrintWriter(effectiveOut)
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     println(line)

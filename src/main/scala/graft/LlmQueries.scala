@@ -1743,7 +1743,7 @@ object LlmQueries {
       s"""SELECT CAST($p AS BIGINT) AS nprobe,
          |  CAST(COUNT(a$p.cand_id) AS BIGINT) AS n_hits,
          |  CAST(COUNT(*) AS BIGINT) AS n_exact,
-         |  ROUND(COUNT(a$p.cand_id) * 1.0 / COUNT(*), 6) AS recall
+         |  ROUND(COUNT(a$p.cand_id) * 1.0 / GREATEST(COUNT(*), 1), 6) AS recall
          |FROM bf LEFT JOIN ann$p a$p
          |  ON a$p.query_id = bf.query_id AND a$p.cand_id = bf.cand_id""".stripMargin
     }.mkString("\nUNION ALL\n")

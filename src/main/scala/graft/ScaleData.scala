@@ -86,10 +86,12 @@ object ScaleData {
     // not shifted by the fact replication, so the original dims keep
     // referential integrity — each customer simply carries factor x
     // orders (fact growth against fixed dimensions, the realistic
-    // warehouse growth shape)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
-      try write(read(t), t)
-      catch { case _: Throwable => () } // tolerate dirs without TPC-H dims
+    // warehouse growth shape). Skip-by-existence, not a catch-all:
+    // a write failure (disk full, permissions) must still fail loudly
+    // rather than silently produce a dim-less replica
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")
+         if new java.io.File(s"$src/$t.parquet").exists())
+      write(read(t), t)
     spark.stop()
   }
 }

@@ -157,8 +157,7 @@ object CorpusOps {
     * arriving documents are tagged against it.
     */
   def dupGramSet(
-      docs: DataFrame, n: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame =
     docs.select(TextOps.tokens(col(textCol)).as("toks"))
       .select(posexplode(shinglesOf(col("toks"), n)))
       .select(TextOps.tokenHash(col("col")).as("g"))

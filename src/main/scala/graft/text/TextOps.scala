@@ -575,12 +575,19 @@ object TextOps {
     * same accounting [[graft.vector.VectorOps]] does for ANN recall.
     */
   private[graft] def minhashLshCandidatesFromTok(
-      tok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val banded = minhashBandBuckets(tok, numHashes, bands)
+      tok: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    candidatesFromBanded(minhashBandBuckets(tok, numHashes, bands))
+
+  /** Canonical (id_a < id_b, deduplicated) candidate pairs from an
+    * (id, bucket) band table — ONE definition of the bucket self-join,
+    * shared by the single-config route and the band-count sweep so the
+    * sweep can never silently measure a different candidate set than
+    * the operator it tunes.
+    */
+  private def candidatesFromBanded(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-  }
 
   /** (id, bucket) band rows of the MinHash signatures — the indexable
     * unit of the LSH route. Exposed separately so candidate generation
@@ -752,10 +759,7 @@ object TextOps {
     val exactCnt = jaccardPairsFromTokens(tok, threshold)
       .agg(count(lit(1)).as("n_exact"))
     val perBand = bandsList.map { b =>
-      val banded = bandBucketsFromSigs(sigs, numHashes, b)
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      val cand = candidatesFromBanded(bandBucketsFromSigs(sigs, numHashes, b))
       val verified = verifyJaccardCandidates(tok, cand, threshold)
       cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(verified.agg(count(lit(1)).as("n_pairs")))
@@ -2324,6 +2328,9 @@ object TextOps {
     // distinct surviving symbols: |chars| + <= merges strings — small
     // by construction (NOT corpus-sized), hence safe to collect
     val pieces = words.flatMap(_._2).distinct().collect()
+    // loud gate instead of .max throwing bare on an empty array: an
+    // empty inventory means the corpus had no tokens at all
+    require(pieces.nonEmpty, "empty piece inventory: corpus has no tokens")
     val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
     val bcVocab = spark.sparkContext.broadcast((pieces.toSet, maxCp))
     val wc = words.map { case (w, _, _) =>

@@ -253,8 +253,16 @@ object VectorOps {
     */
   def ivfTopK(
       embeddings: DataFrame, nlist: Int, nprobe: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val emb = cachedEmb(embeddings, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKOn(cachedEmb(embeddings, idCol, vecCol), nlist, nprobe, k, idCol, vecCol)
+
+  /** [[ivfTopK]] over an ALREADY-CACHED cohort — the recall wrapper
+    * passes its own `cachedEmb` frame here so the cohort is
+    * materialized once, not checkpointed a second time per run.
+    */
+  private def ivfTopKOn(
+      emb: DataFrame, nlist: Int, nprobe: Int, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val assign = ivfRanked(emb, nlist, 1, idCol, vecCol).toDF("cand_id", "list")
@@ -387,7 +395,10 @@ object VectorOps {
       brute.join(ann, Seq("query_id", "cand_id"), "left")
         .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_exact"))
         .select(lit(p.toLong).as("nprobe"), col("n_hits"), col("n_exact"),
-          round(col("n_hits") / col("n_exact"), 6).as("recall"))
+          // greatest(...,1): a degenerate cohort with no ground-truth
+          // rows reports a defined 0, not 0/0 = null (the lshBandSweep
+          // convention; the oracle guards identically)
+          round(col("n_hits") / greatest(col("n_exact"), lit(1L)), 6).as("recall"))
     }.reduce(_ unionAll _)
   }
 
@@ -650,7 +661,7 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = cachedEmb(embeddings, idCol, vecCol)
     recallAgainstBrute(
-      ivfTopK(e, nlist, nprobe, k, idCol, vecCol),
+      ivfTopKOn(e, nlist, nprobe, k, idCol, vecCol),
       e, k, idCol, vecCol)
   }
 
