@@ -932,6 +932,33 @@ object LlmQueries {
           col("o_orderpriority"), col("rev_d").cast("double").as("revenue"))
     }),
 
+    // TPC-H Q18 shape: large-volume orders — the aggregate-filtered
+    // SEMI-join (the qualifying-key side is fact-sized at 100 TB, so
+    // it stays a shuffle semi-join on the order key; nothing here is
+    // broadcast by hint). l_quantity is integer-valued, so its double
+    // sums are exact regardless of partial-aggregation order.
+    "q_tpch_q18" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 250).select(col("l_orderkey").as("bk"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      li.join(big, col("l_orderkey") === col("bk"), "left_semi")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
     // TPC-H Q5 shape: regional revenue by supplier nation — the
     // 6-table join with the co-nationality condition. Only the
     // guaranteed-tiny dims (region-filtered nation) are broadcast
@@ -3632,6 +3659,18 @@ object LlmQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // Q18: aggregate-filtered semi-join; integer-valued quantity sums
+    // are exact doubles in both engines
+    "q_tpch_q18" ->
+      """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice, SUM(l_quantity) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 2""".stripMargin,
 
     // Q5: regional revenue by supplier nation with the co-nationality
     // condition; exact decimal sum cast to double at the edge

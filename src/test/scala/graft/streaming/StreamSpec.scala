@@ -851,8 +851,11 @@ class StreamSpec extends AnyFunSuite {
   test("streaming WordPiece encoding against batch-trained pieces reproduces the batch report") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-wp-stream").toFile
+    // plus a token-less document: BOTH paths must drop it (batch: no
+    // word rows to join; streaming: empty split -> no output row)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, "   ")).toDF("doc_id", "text"))
     docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
 
     // static side: the piece inventory trained in batch on the same
@@ -878,5 +881,6 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(key).sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch,
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(!streamed.exists(_._1 == -1L), "token-less document must produce no row")
   }
 }
