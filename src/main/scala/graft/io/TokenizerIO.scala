@@ -1,0 +1,99 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Tokenizer artifact storage — the piece a training-data pipeline
+  * SHIPS after tokenizer training (Sennrich et al. 2016 artifacts:
+  * the ordered merge list + the vocabulary), persisted as parquet
+  * with a JSON sidecar pinning the training parameters (the TileIO
+  * sidecar convention).
+  *
+  * Layout:
+  *   <path>/merges/   (merge_rank, left_sym, right_sym, pair_count)
+  *   <path>/vocab/    (w, syms: array<string>, wc)
+  *   <path>/tokenizer.json   {"format": 1, "merges": N}
+  *
+  * The stored vocabulary IS the encoder for every word the training
+  * corpus contained (a word's BPE encoding depends only on the word),
+  * and the distinct stored symbols are the greedy-inference piece
+  * inventory for everything else — so [[encodeStored]] tokenizes a
+  * NEW corpus without re-running the merge loop: known words by
+  * broadcast vocabulary join (exact merge-order counts), unseen words
+  * by the shared greedy walk ([[TextOps.greedyPieceCount]], [UNK]
+  * where greedy gets stuck). At 100 TB both artifact tables are
+  * tokenizer-sized (distinct words / distinct symbols), never
+  * corpus-sized; encoding stays ONE word-stream scan.
+  */
+object TokenizerIO {
+
+  /** Train on `docs` ([[TextOps.bpeTrain]]'s loop) and persist both
+    * artifact tables + the sidecar.
+    */
+  def writeTokenizer(
+      docs: DataFrame, merges: Int, path: String,
+      textCol: String = "text"): Unit = {
+    TextOps.bpeTrain(docs, merges, textCol).write
+      .mode(SaveMode.Overwrite).parquet(s"$path/merges")
+    TextOps.bpeVocabTable(docs, merges, textCol).write
+      .mode(SaveMode.Overwrite).parquet(s"$path/vocab")
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(s"$path/tokenizer.json"),
+      s"""{"format": 1, "merges": $merges}""")
+  }
+
+  def readMerges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/merges")
+
+  def readVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vocab")
+
+  /** The stored greedy-inference piece inventory (sorted, distinct
+    * final symbols) — tokenizer-sized, safe to collect/broadcast.
+    */
+  def readPieces(spark: SparkSession, path: String): Array[String] = {
+    import spark.implicits._
+    readVocab(spark, path).select(explode(col("syms")).as("sym"))
+      .distinct().as[String].collect().sorted
+  }
+
+  /** Encode a corpus under the STORED tokenizer: per document,
+    * (n_words, n_tokens, n_oov_words, n_unk_words, fertility) where
+    * known words take their exact stored encoding length, out-of-
+    * vocabulary words fall back to the greedy piece walk, and a
+    * greedy-stuck word counts one [UNK] token. One word-stream scan
+    * joined against the broadcast word → count table.
+    */
+  def encodeStored(
+      spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val known = readVocab(spark, path)
+      .select(col("w"), size(col("syms")).cast("long").as("nt_known"))
+    val pieces = readPieces(spark, path)
+    require(pieces.nonEmpty, s"empty piece inventory at $path")
+    val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
+    val bc = spark.sparkContext.broadcast((pieces.toSet, maxCp))
+    docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(broadcast(known), Seq("w"), "left")
+      .as[(String, Long, Option[Long])]
+      .map { case (w, id, ntKnown) =>
+        val (v, mx) = bc.value
+        ntKnown match {
+          case Some(nt) => (id, nt, 0L, 0L)
+          case None =>
+            val (nt, unk) = TextOps.greedyPieceCount(w, v, mx)
+            (id, nt, 1L, unk)
+        }
+      }
+      .toDF("id", "nt", "oov", "unk")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"),
+        sum(col("oov")).as("n_oov_words"), sum(col("unk")).as("n_unk_words"))
+      .select(col("id").as(idCol), col("n_words"), col("n_tokens"),
+        col("n_oov_words"), col("n_unk_words"),
+        round(col("n_tokens") * lit(1.0) / col("n_words"), 6).as("fertility"))
+  }
+}

@@ -2304,6 +2304,19 @@ object TextOps {
     (nt, 0L)
   }
 
+  /** The trained VOCABULARY TABLE — (w, syms, wc): every distinct
+    * corpus word, its symbol array after all merges (= its exact BPE
+    * encoding), and its corpus frequency. With the merge table
+    * ([[bpeTrain]]) this is the complete tokenizer artifact;
+    * [[graft.io.TokenizerIO]] persists both.
+    */
+  def bpeVocabTable(
+      docs: DataFrame, merges: Int = 10, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearn(docs, merges, textCol)._2.toDF("w", "syms", "wc")
+  }
+
   /** The trained PIECE INVENTORY — the distinct symbols of the final
     * BPE vocabulary table, sorted: the artifact a greedy (WordPiece)
     * tokenizer ships and the static side of the streaming twin

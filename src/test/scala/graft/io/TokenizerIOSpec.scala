@@ -1,0 +1,62 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.text.TextOps
+
+/** [[TokenizerIO]] — the shipped-tokenizer roundtrip: stored merges
+  * equal the training output, stored-vocab encoding of the training
+  * corpus equals live [[TextOps.bpeEncode]], and a NEW corpus encodes
+  * with greedy fallback ([UNK] where greedy sticks) without re-running
+  * the merge loop.
+  */
+class TokenizerIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docsOf(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("tokenizer artifact round-trips; stored encoding matches live bpeEncode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val train = docsOf("abab ab cd", "ab")
+    TokenizerIO.writeTokenizer(train, merges = 2, dir)
+    // merges table identical to live training
+    val storedMerges = TokenizerIO.readMerges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val liveMerges = TextOps.bpeTrain(train, merges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(storedMerges == liveMerges && storedMerges.nonEmpty)
+    // sidecar exists and pins the merge count
+    val side = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/tokenizer.json"))
+    assert(side.contains("\"merges\": 2"))
+    // stored-vocab encoding of the training corpus == live bpeEncode
+    // (every word known -> 0 OOV, 0 UNK)
+    val stored = TokenizerIO.encodeStored(spark, dir, train)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val live = TextOps.bpeEncode(train, merges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(stored.map(t => (t._1, t._2, t._3, t._6)) == live)
+    assert(stored.forall(t => t._4 == 0L && t._5 == 0L), s"no OOV/UNK on training corpus: $stored")
+  }
+
+  test("stored tokenizer encodes an unseen corpus by greedy fallback, [UNK] when stuck") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok2").toString
+    // same construction as the BpeTrainSpec stuck case: pieces {ab, cd, abc}
+    TokenizerIO.writeTokenizer(docsOf("abcd ab ab cd cd abc"), merges = 3, dir)
+    assert(TokenizerIO.readPieces(spark, dir).toSeq == Seq("ab", "abc", "cd"))
+    // new corpus: "abcd" is KNOWN (exact [ab,cd] = 2); "cdab" is OOV but
+    // greedy-covered ([cd][ab] = 2); "abca" is OOV and greedy-stuck
+    // ("abc" then no piece for "a") -> one [UNK]
+    val out = TokenizerIO.encodeStored(spark, dir, docsOf("abcd cdab abca"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == Seq((0L, 3L, 5L, 2L, 1L, 1.666667)), s"got $out")
+  }
+}
