@@ -591,6 +591,13 @@ object LlmQueries {
         VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
           numPlanes = 8, dims = 64, k = 5), k = 6, rounds = 6)),
 
+    // degree assortativity of the kNN graph: exact integer Pearson
+    // terms, one identical double division at the edge
+    "q_knn_assortativity" -> ((s, dir) =>
+      VectorOps.knnAssortativity(
+        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
+          numPlanes = 8, dims = 64, k = 5))),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     // packing-efficiency report: per training sequence, docs touching /
@@ -3078,6 +3085,31 @@ object LlmQueries {
     // k-core: same ann CTE; 6 unrolled peel stages (surviving-degree
     // count -> >= k filter), removed_round via per-stage anti joins
     "q_knn_kcore" -> sqlKnnKCore(6, 6),
+
+    // assortativity: same ann CTE; HUGEINT-exact Pearson sums, the
+    // same double combination and guard as the engine
+    "q_knn_assortativity" ->
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS src, cand_id AS dst FROM ann
+         |  UNION
+         |  SELECT cand_id AS src, query_id AS dst FROM ann
+         |), deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY 1),
+         |terms AS (
+         |  SELECT COUNT(*) AS n,
+         |         SUM(a.d) AS sx, SUM(b.d) AS sy, SUM(a.d * b.d) AS sxy,
+         |         SUM(a.d * a.d) AS sxx, SUM(b.d * b.d) AS syy
+         |  FROM sym e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_edges,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+         |         OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+         |       THEN NULL
+         |       ELSE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  END AS assortativity
+         |FROM terms""".stripMargin,
 
     // IVF-PQ recall: the PQ encode CTEs + prefixed IVF probe CTEs;
     // ADC restricted to probed-list candidates, brute L2 ground truth

@@ -1122,6 +1122,60 @@ object VectorOps {
     * node, or 0 for nodes still in the core after `rounds` rounds. A
     * node with no surviving edge has degree 0 and is peeled (k >= 1).
     */
+  /** DEGREE ASSORTATIVITY of the symmetrized kNN graph (Newman 2002,
+    * "Assortative mixing in networks", Phys. Rev. Lett. 89): the
+    * Pearson correlation of the degrees at the two ends of every
+    * directed edge — positive when hubs link to hubs (a rich-club of
+    * boilerplate/near-dup attractors), negative when hubs link to
+    * leaves (star-like neighborhoods around template documents). The
+    * one-number structural summary read next to the degree histogram
+    * and clustering coefficient before trusting graph-based dedup.
+    *
+    * EXACT integer accounting: degrees are counts and every Pearson
+    * term (n, Σx, Σxy, Σx², …) is a sum of integer products,
+    * accumulated in decimal(38,0) (order-free, overflow-safe at any
+    * corpus size — DuckDB mirrors with HUGEINT-backed sums), so both
+    * engines reach the identical exact terms and apply one identical
+    * double division at the edge. Undirected symmetry makes Σx = Σy,
+    * but both are computed — the general form stays correct if the
+    * edge table ever loses symmetry.
+    *
+    * Cost: the degree aggregation + two node-keyed joins + one global
+    * aggregate. Returns one row (n_edges, assortativity); NULL when
+    * every node has the same degree (zero variance).
+    */
+  def knnAssortativity(ann: DataFrame): DataFrame = {
+    val sym = ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+      .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val dec = "decimal(38,0)"
+    val terms = sym
+      .join(deg.select(col("src"), col("d").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("y")), "dst")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    // Pearson terms combine in DOUBLE over the exact decimal sums
+    // (a decimal product n*Σxy can exceed 38 digits at extreme scale
+    // and would null out; double combination is deterministic — both
+    // engines round the same exact integers the same IEEE way)
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+    terms.select(col("n").cast("long").as("n_edges"),
+        (nD * sxyD - sxD * syD).as("num"),
+        (nD * sxxD - sxD * sxD).as("da"),
+        (nD * syyD - syD * syD).as("db"))
+      .select(col("n_edges"),
+        when(col("da") === 0.0 || col("db") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("num") / sqrt(col("da") * col("db")), 6))
+          .as("assortativity"))
+  }
+
   def knnKCore(ann: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 12, s"rounds must be in [1,12], got $rounds")

@@ -1297,6 +1297,31 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out4 === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("knnAssortativity: matches a direct Pearson computation; star is perfectly disassortative") {
+    // star 0-{1,2,3,4}: every edge joins degree 4 to degree 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("query_id", "cand_id")
+    val rStar = VectorOps.knnAssortativity(star).collect()(0)
+    assert(rStar.getLong(0) == 8L && rStar.getDouble(1) == -1.0)
+    // mixed graph: compare against an in-test double-precision Pearson
+    // over the same directed edge list
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val out = VectorOps.knnAssortativity(es.toDF("query_id", "cand_id")).collect()(0)
+    val sym = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val xs = sym.map { case (s, _) => deg(s) }
+    val ys = sym.map { case (_, d) => deg(d) }
+    val n = xs.size.toDouble
+    val num = n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum
+    val den = math.sqrt((n * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+      (n * ys.map(y => y * y).sum - ys.sum * ys.sum))
+    assert(out.getLong(0) == sym.size.toLong)
+    assert(math.abs(out.getDouble(1) - math.rint(num / den * 1e6) / 1e6) < 2e-6,
+      s"got ${out.getDouble(1)}, want ${num / den}")
+    // uniform-degree graph (a 4-cycle) has zero variance -> NULL
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("query_id", "cand_id")
+    assert(VectorOps.knnAssortativity(cyc).collect()(0).isNullAt(1))
+  }
+
   test("knnKCore: cores nest and every core member keeps >= k in-core neighbors") {
     // pseudo-random 30-node graph: the (k+1)-core must sit inside the
     // k-core, and each k-core member must have >= k neighbors that are
