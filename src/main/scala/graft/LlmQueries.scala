@@ -3097,8 +3097,10 @@ object LlmQueries {
          |), deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY 1),
          |terms AS (
          |  SELECT COUNT(*) AS n,
-         |         SUM(a.d) AS sx, SUM(b.d) AS sy, SUM(a.d * b.d) AS sxy,
-         |         SUM(a.d * a.d) AS sxx, SUM(b.d * b.d) AS syy
+         |         SUM(a.d) AS sx, SUM(b.d) AS sy,
+         |         SUM(CAST(a.d AS HUGEINT) * CAST(b.d AS HUGEINT)) AS sxy,
+         |         SUM(CAST(a.d AS HUGEINT) * CAST(a.d AS HUGEINT)) AS sxx,
+         |         SUM(CAST(b.d AS HUGEINT) * CAST(b.d AS HUGEINT)) AS syy
          |  FROM sym e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
          |)
          |SELECT CAST(n AS BIGINT) AS n_edges,

@@ -35,10 +35,11 @@ object TokenizerIO {
   def writeTokenizer(
       docs: DataFrame, merges: Int, path: String,
       textCol: String = "text"): Unit = {
-    TextOps.bpeTrain(docs, merges, textCol).write
-      .mode(SaveMode.Overwrite).parquet(s"$path/merges")
-    TextOps.bpeVocabTable(docs, merges, textCol).write
-      .mode(SaveMode.Overwrite).parquet(s"$path/vocab")
+    // one merge loop produces both artifacts — training is the
+    // expensive part and must not run twice
+    val (mergesDf, vocabDf) = TextOps.bpeArtifacts(docs, merges, textCol)
+    mergesDf.write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
+    vocabDf.write.mode(SaveMode.Overwrite).parquet(s"$path/vocab")
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/tokenizer.json"),
       s"""{"format": 1, "merges": $merges}""")
@@ -71,24 +72,30 @@ object TokenizerIO {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import spark.implicits._
     val known = readVocab(spark, path)
-      .select(col("w"), size(col("syms")).cast("long").as("nt_known"))
+      .select(col("w"), size(col("syms")).cast("long").as("nt"),
+        lit(0L).as("oov"), lit(0L).as("unk"))
     val pieces = readPieces(spark, path)
     require(pieces.nonEmpty, s"empty piece inventory at $path")
     val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
     val bc = spark.sparkContext.broadcast((pieces.toSet, maxCp))
-    docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
-      .join(broadcast(known), Seq("w"), "left")
-      .as[(String, Long, Option[Long])]
-      .map { case (w, id, ntKnown) =>
+    // the greedy walk runs once per DISTINCT out-of-vocabulary word
+    // (the wordpieceEncode shape — never per occurrence), and the
+    // word -> counts table stays bounded by distinct words
+    val oov = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .distinct()
+      .join(known.select(col("w")), Seq("w"), "left_anti")
+      .as[String]
+      .map { w =>
         val (v, mx) = bc.value
-        ntKnown match {
-          case Some(nt) => (id, nt, 0L, 0L)
-          case None =>
-            val (nt, unk) = TextOps.greedyPieceCount(w, v, mx)
-            (id, nt, 1L, unk)
-        }
+        val (nt, unk) = TextOps.greedyPieceCount(w, v, mx)
+        (w, nt, 1L, unk)
       }
-      .toDF("id", "nt", "oov", "unk")
+      .toDF("w", "nt", "oov", "unk")
+    val wc = known.unionByName(oov)
+    // the document id keeps its source type (no long cast) — string-
+    // keyed corpora group and emit unchanged
+    docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(broadcast(wc), "w")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"),
         sum(col("oov")).as("n_oov_words"), sum(col("unk")).as("n_unk_words"))

@@ -2311,10 +2311,23 @@ object TextOps {
     * [[graft.io.TokenizerIO]] persists both.
     */
   def bpeVocabTable(
-      docs: DataFrame, merges: Int = 10, textCol: String = "text"): DataFrame = {
+      docs: DataFrame, merges: Int = 10, textCol: String = "text"): DataFrame =
+    bpeArtifacts(docs, merges, textCol)._2
+
+  /** BOTH tokenizer-training artifacts from ONE merge loop — the
+    * merge table ([[bpeTrain]]'s schema) and the vocabulary table
+    * ([[bpeVocabTable]]'s schema). [[graft.io.TokenizerIO]] persists
+    * both; calling the two single-artifact methods separately would
+    * run the iterative training twice for identical output.
+    */
+  def bpeArtifacts(
+      docs: DataFrame, merges: Int = 10,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLearn(docs, merges, textCol)._2.toDF("w", "syms", "wc")
+    val (learned, words) = bpeLearn(docs, merges, textCol)
+    (learned.toDF("merge_rank", "left_sym", "right_sym", "pair_count"),
+      words.toDF("w", "syms", "wc"))
   }
 
   /** The trained PIECE INVENTORY — the distinct symbols of the final

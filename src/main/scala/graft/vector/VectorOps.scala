@@ -1153,12 +1153,15 @@ object VectorOps {
     val terms = sym
       .join(deg.select(col("src"), col("d").as("x")), "src")
       .join(deg.select(col("src").as("dst"), col("d").as("y")), "dst")
+      // cast BEFORE multiplying: a hub's in-degree is unbounded, and a
+      // long*long product past 2^63 would wrap silently — decimal
+      // products can't (the oracle casts to HUGEINT the same way)
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x").cast(dec)).as("sx"),
         sum(col("y").cast(dec)).as("sy"),
-        sum((col("x") * col("y")).cast(dec)).as("sxy"),
-        sum((col("x") * col("x")).cast(dec)).as("sxx"),
-        sum((col("y") * col("y")).cast(dec)).as("syy"))
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
     // Pearson terms combine in DOUBLE over the exact decimal sums
     // (a decimal product n*Σxy can exceed 38 digits at extreme scale
     // and would null out; double combination is deterministic — both
