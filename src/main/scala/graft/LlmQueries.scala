@@ -3324,6 +3324,15 @@ object LlmQueries {
 
     // robust outliers: quantile_cont == the engine's exact percentile;
     // z and the flag computed from the ROUNDED z in both engines
+    // z rounds via the SHORTEST-DECIMAL idiom, not native ROUND: Spark's
+    // round(double, 6) goes through BigDecimal.valueOf = Double.toString
+    // (shortest repr) then HALF_UP, while DuckDB rounds the scaled
+    // binary — the two disagree when the shortest repr lands exactly on
+    // a .5 boundary the binary value sits an ulp below (first observed
+    // at sf0.1: z = -0.2529375 with binary ...74999999998 rounded to
+    // -0.252938 by Spark, -0.252937 by native ROUND). CAST(z AS
+    // VARCHAR) is DuckDB's shortest repr; rounding IT as a decimal is
+    // exactly Spark's operation. med/mad stay native (exact halves).
     "q_robust_outliers" ->
       """WITH n AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x FROM documents),
         |m AS (SELECT source, quantile_cont(x, 0.5) AS med FROM n GROUP BY 1),
@@ -3331,7 +3340,8 @@ object LlmQueries {
         |d AS (SELECT source, quantile_cont(abs(x - med), 0.5) AS mad FROM w GROUP BY 1),
         |f AS (
         |  SELECT w.doc_id, w.source, w.x, w.med, d.mad,
-        |    CASE WHEN d.mad > 0 THEN ROUND(0.6745 * (w.x - w.med) / d.mad, 6)
+        |    CASE WHEN d.mad > 0
+        |         THEN CAST(ROUND(CAST(CAST(0.6745 * (w.x - w.med) / d.mad AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |         ELSE 0.0 END AS z
         |  FROM w JOIN d USING (source)
         |)
