@@ -45,11 +45,37 @@ object TokenizerIO {
       s"""{"format": 1, "merges": $merges}""")
   }
 
-  def readMerges(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/merges")
+  /** Parse + validate the sidecar before consuming either artifact
+    * table: a missing sidecar means the directory is not a tokenizer
+    * artifact (or a partial write that died before the final file),
+    * and an unknown format version means a newer writer — both must
+    * fail loudly HERE, not as silently-wrong encodings downstream.
+    * Returns the stored merge count.
+    */
+  def storedMergeCount(path: String): Int = {
+    val p = Paths.get(s"$path/tokenizer.json")
+    require(Files.exists(p),
+      s"missing tokenizer sidecar $p — not a tokenizer artifact directory " +
+        "(or an interrupted writeTokenizer)")
+    val s = Files.readString(p)
+    val fmt = """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    require(fmt.contains(1),
+      s"unsupported tokenizer format ${fmt.map(_.toString).getOrElse("<absent>")} " +
+        s"in $p (this reader understands format 1)")
+    val m = """"merges"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    require(m.isDefined, s"tokenizer sidecar $p has no \"merges\" entry")
+    m.get
+  }
 
-  def readVocab(spark: SparkSession, path: String): DataFrame =
+  def readMerges(spark: SparkSession, path: String): DataFrame = {
+    storedMergeCount(path)
+    spark.read.parquet(s"$path/merges")
+  }
+
+  def readVocab(spark: SparkSession, path: String): DataFrame = {
+    storedMergeCount(path)
     spark.read.parquet(s"$path/vocab")
+  }
 
   /** The stored greedy-inference piece inventory (sorted, distinct
     * final symbols) — tokenizer-sized, safe to collect/broadcast.

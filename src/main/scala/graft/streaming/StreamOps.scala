@@ -490,14 +490,22 @@ object StreamOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(pieces.nonEmpty, "empty piece inventory")
     val spark = docs.sparkSession
-    import spark.implicits._
     val vocab = pieces.toSet
     val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
     val bc = spark.sparkContext.broadcast((vocab, maxCp))
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
+    // the document id keeps its SOURCE type (the batch twin's contract —
+    // a string-keyed corpus must not null out through a forced long
+    // cast), carried as a generic column through a row-encoded flatMap
+    val outSchema = StructType(Seq(
+      docs.schema(idCol).copy(name = idCol),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_wp_tokens", LongType, nullable = false),
+      StructField("n_unk_words", LongType, nullable = false),
+      StructField("wp_fertility", DoubleType, nullable = false)))
+    docs.select(col(idCol), col(textCol))
+      .flatMap { (row: org.apache.spark.sql.Row) =>
         val (v, mx) = bc.value
+        val t = if (row.isNullAt(1)) "" else row.getString(1)
         // row-local equivalent of TextOps.tokens (split ' ', drop empties)
         val ws = t.split(" ").filter(_.nonEmpty)
         if (ws.isEmpty) Iterator.empty
@@ -509,11 +517,10 @@ object StreamOps {
           }
           // HALF_UP to 6 decimals — the same rounding Spark's round()
           // applies in the batch operator (rint would be half-even)
-          Iterator.single((id, nw, nt, unk,
+          Iterator.single(org.apache.spark.sql.Row(row.get(0), nw, nt, unk,
             BigDecimal(nt * 1.0 / nw)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
         }
-      }
-      .toDF(idCol, "n_words", "n_wp_tokens", "n_unk_words", "wp_fertility")
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -1096,32 +1096,6 @@ object VectorOps {
       .select(col("node"), col("lbl").as("community"), col("comm_size"))
   }
 
-  /** k-CORE PEEL of the symmetrized kNN graph (Seidman 1983, "Network
-    * structure and minimum degree"; distributed peeling as in
-    * Montresor et al. 2013) — the density layer of the graph family:
-    * degree sees a node, triangles see its closure, the k-core sees
-    * whether it sits in a region that STAYS dense after the thin
-    * periphery is stripped. On a near-dup/semantic graph the k-core
-    * isolates the heavy duplication families that survive any
-    * single-node removal — the structures worth human review before
-    * a dedup cut.
-    *
-    * Iterative peel, `rounds` FIXED synchronous rounds (not
-    * peel-to-fixpoint: a fixed round count makes the result a pure
-    * function of the graph that an unrolled relational oracle can
-    * replay stage for stage; the kNN graph's peel cascade converges
-    * in a handful of rounds — O(peel depth), not O(n) — and a
-    * converged peel is invariant under extra rounds). Per round: keep
-    * edges with BOTH endpoints surviving (two node-keyed equi-joins),
-    * count degrees (one aggregation), drop nodes below `k`
-    * (node-keyed left-anti). Everything is edge- or node-sized and
-    * keyed by node id — the CC/PageRank Pregel-as-join shape; rounds
-    * are `localCheckpoint`ed like the CC rounds so lineage stays flat.
-    *
-    * Returns (node, removed_round): the 1-based round that peeled the
-    * node, or 0 for nodes still in the core after `rounds` rounds. A
-    * node with no surviving edge has degree 0 and is peeled (k >= 1).
-    */
   /** DEGREE ASSORTATIVITY of the symmetrized kNN graph (Newman 2002,
     * "Assortative mixing in networks", Phys. Rev. Lett. 89): the
     * Pearson correlation of the degrees at the two ends of every
@@ -1179,6 +1153,32 @@ object VectorOps {
           .as("assortativity"))
   }
 
+  /** k-CORE PEEL of the symmetrized kNN graph (Seidman 1983, "Network
+    * structure and minimum degree"; distributed peeling as in
+    * Montresor et al. 2013) — the density layer of the graph family:
+    * degree sees a node, triangles see its closure, the k-core sees
+    * whether it sits in a region that STAYS dense after the thin
+    * periphery is stripped. On a near-dup/semantic graph the k-core
+    * isolates the heavy duplication families that survive any
+    * single-node removal — the structures worth human review before
+    * a dedup cut.
+    *
+    * Iterative peel, `rounds` FIXED synchronous rounds (not
+    * peel-to-fixpoint: a fixed round count makes the result a pure
+    * function of the graph that an unrolled relational oracle can
+    * replay stage for stage; the kNN graph's peel cascade converges
+    * in a handful of rounds — O(peel depth), not O(n) — and a
+    * converged peel is invariant under extra rounds). Per round: keep
+    * edges with BOTH endpoints surviving (two node-keyed equi-joins),
+    * count degrees (one aggregation), drop nodes below `k`
+    * (node-keyed left-anti). Everything is edge- or node-sized and
+    * keyed by node id — the CC/PageRank Pregel-as-join shape; rounds
+    * are `localCheckpoint`ed like the CC rounds so lineage stays flat.
+    *
+    * Returns (node, removed_round): the 1-based round that peeled the
+    * node, or 0 for nodes still in the core after `rounds` rounds. A
+    * node with no surviving edge has degree 0 and is peeled (k >= 1).
+    */
   def knnKCore(ann: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 12, s"rounds must be in [1,12], got $rounds")

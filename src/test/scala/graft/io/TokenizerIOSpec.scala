@@ -59,4 +59,23 @@ class TokenizerIOSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
     assert(out == Seq((0L, 3L, 5L, 2L, 1L, 1.666667)), s"got $out")
   }
+
+  test("reads validate the sidecar: absent, foreign-format, and truncated all fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok3").toString
+    TokenizerIO.writeTokenizer(docsOf("abab ab"), merges = 2, dir)
+    assert(TokenizerIO.storedMergeCount(dir) == 2)
+    val side = java.nio.file.Paths.get(s"$dir/tokenizer.json")
+    // a future-format artifact must not be consumed silently
+    java.nio.file.Files.writeString(side, """{"format": 2, "merges": 2}""")
+    val e1 = intercept[IllegalArgumentException](TokenizerIO.readMerges(spark, dir))
+    assert(e1.getMessage.contains("format"))
+    // a truncated sidecar (interrupted write) must not be consumed
+    java.nio.file.Files.writeString(side, """{"format": 1""")
+    val e2 = intercept[IllegalArgumentException](TokenizerIO.readVocab(spark, dir))
+    assert(e2.getMessage.contains("merges"))
+    // a parquet directory that never was a tokenizer artifact
+    java.nio.file.Files.delete(side)
+    val e3 = intercept[IllegalArgumentException](TokenizerIO.readPieces(spark, dir))
+    assert(e3.getMessage.contains("sidecar"))
+  }
 }

@@ -883,4 +883,33 @@ class StreamSpec extends AnyFunSuite {
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
     assert(!streamed.exists(_._1 == -1L), "token-less document must produce no row")
   }
+
+  test("streaming WordPiece encoding preserves a string-keyed corpus id (batch-twin contract)") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-wp-strid").toFile
+    // string-keyed corpus: the batch twin deliberately preserves the
+    // source id type, so the stream must too (a forced long cast would
+    // null-decode here and crash the query)
+    val docs = Seq(("doc-a", "ab abab"), ("doc-b", "ab"), ("doc-c", "   "))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val pieces = graft.text.TextOps.wordpiecePieces(
+      docs.filter(col("doc_id") =!= "doc-c"), merges = 2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingWordpieceEncode(src, pieces.toSeq)
+      .writeStream.format("memory").queryName("wp_stream_strid")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("wp_stream_strid").collect().map(key).sorted.toSeq
+    val batch = graft.text.TextOps.wordpieceEncode(docs, merges = 2)
+      .collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed $streamed vs batch $batch")
+    assert(!streamed.exists(_._1 == "doc-c"), "token-less document must produce no row")
+  }
 }
