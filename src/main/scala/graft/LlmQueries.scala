@@ -18,6 +18,33 @@ object LlmQueries {
   // O(subset^2), independent of scale factor
   val PairLimit = 500
 
+  // SCALE-INVARIANT probe predicates for the bucketed families (LSH
+  // band sweep, kNN graph): a salted-hash selection keeps the eligible
+  // FRACTION constant as the corpus grows — an id-threshold cap selects
+  // a shrinking fraction at larger SF, so the 10x harness measured the
+  // cap thinning, not the operator (SCALE.md r10). md5 of the decimal
+  // id string is bit-identical in Spark and DuckDB, so the oracles
+  // replay the same predicate. Pairwise-QUADRATIC consumers (exact
+  // joins, brute-force recall ground truth) deliberately KEEP the
+  // bounded id cap: their cost must stay O(subset^2) at any SF.
+  val DocProbeSql = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '1'" // 2/16 = 12.5%
+  val VecProbeSql = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '3'" // 4/16 = 25%
+
+  private def docProbe(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(substring(md5(col("doc_id").cast("string")), 1, 1) <= "1")
+
+  private def vecProbe(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) <= "3")
+
+  /** The shared kNN-graph base: LSH ANN top-5 over the hash-fraction
+    * probe (one definition for q_embed_ann_lsh and the six graph
+    * analytics, mirrored by the one `sqlAnnTopCte` on the oracle side).
+    */
+  private def annGraph(s: SparkSession, dir: String): DataFrame =
+    graft.vector.VectorOps.annTopK(vecProbe(s, dir),
+      numPlanes = 8, dims = 64, k = 5)
+
   // per-language keep rates for the stratified-sampling (data-mixing)
   // query; "fr" deliberately absent to exercise the default rate
   val MixRates: Map[String, Double] =
@@ -168,6 +195,22 @@ object LlmQueries {
   private val clusterMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  // One tokenizer TRAINING per bench run, shared by the three
+  // tokenizer queries (same contract as clusterMemo): q_bpe_train runs
+  // the merge loop fresh — its timing measures training — and
+  // refreshes the memo; q_bpe_encode / q_wordpiece_encode derive from
+  // the memoized artifacts. Identical input -> identical artifacts, so
+  // their hashes are unchanged, but at a real corpus each redundant
+  // train is a full corpus scan plus O(merges/batch) vocabulary jobs.
+  private val tokMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def tokArtifactsFresh(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val r = TextOps.bpeArtifacts(docs(s, dir), merges = 10, batch = 8)
+    tokMemo.put(dir, r)
+    r
+  }
+
   private def clustersFresh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < PairLimit)
     val r = TextOps.dedupClusters(d, TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95))
@@ -205,7 +248,7 @@ object LlmQueries {
     // counts from ONE materialized signature table — the knob-tuning
     // pass a 100 TB dedup run does on a sample before committing
     "q_dedup_lsh_sweep" -> ((s, dir) =>
-      TextOps.lshBandSweep(docs(s, dir).filter(col("doc_id") < PairLimit),
+      TextOps.lshBandSweep(docProbe(s, dir),
         numHashes = 64, bandsList = Seq(8, 16, 32), threshold = 0.95)),
 
     "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
@@ -277,9 +320,7 @@ object LlmQueries {
       VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
-    "q_embed_ann_lsh" -> ((s, dir) =>
-      VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
-        numPlanes = 8, dims = 64, k = 5)),
+    "q_embed_ann_lsh" -> ((s, dir) => annGraph(s, dir)),
 
     "q_embed_ann_mlsh" -> ((s, dir) =>
       VectorOps.annTopKMulti(embeddings(s, dir).filter(col("vec_id") < PairLimit),
@@ -559,44 +600,32 @@ object LlmQueries {
     // degree histogram of the symmetrized LSH kNN graph — the
     // connectivity health report of the semantic neighbor graph
     "q_knn_degree" -> ((s, dir) =>
-      VectorOps.knnDegreeHistogram(
-        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
-          numPlanes = 8, dims = 64, k = 5))),
+      VectorOps.knnDegreeHistogram(annGraph(s, dir))),
 
     // PageRank over the symmetrized LSH kNN graph: integer-exact
     // power iteration (3 rounds, damping 0.85, ranks in 1e-12 units)
     "q_knn_pagerank" -> ((s, dir) =>
-      VectorOps.knnPageRank(
-        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
-          numPlanes = 8, dims = 64, k = 5), iters = 3)),
+      VectorOps.knnPageRank(annGraph(s, dir), iters = 3)),
 
     // triangle count + local clustering coefficient of the kNN graph —
     // community-structure health (near-dup families close triangles)
     "q_knn_triangles" -> ((s, dir) =>
-      VectorOps.knnTriangles(
-        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
-          numPlanes = 8, dims = 64, k = 5))),
+      VectorOps.knnTriangles(annGraph(s, dir))),
 
     // label-propagation communities over the kNN graph: 4 synchronous
     // neighbor-majority rounds, ties to the smallest label
     "q_knn_labelprop" -> ((s, dir) =>
-      VectorOps.knnLabelPropagation(
-        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
-          numPlanes = 8, dims = 64, k = 5), iters = 4)),
+      VectorOps.knnLabelPropagation(annGraph(s, dir), iters = 4)),
 
     // 6-core peel of the kNN graph: 6 synchronous peel rounds, each
     // node tagged with the round that removed it (0 = in the core)
     "q_knn_kcore" -> ((s, dir) =>
-      VectorOps.knnKCore(
-        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
-          numPlanes = 8, dims = 64, k = 5), k = 6, rounds = 6)),
+      VectorOps.knnKCore(annGraph(s, dir), k = 6, rounds = 6)),
 
     // degree assortativity of the kNN graph: exact integer Pearson
     // terms, one identical double division at the edge
     "q_knn_assortativity" -> ((s, dir) =>
-      VectorOps.knnAssortativity(
-        VectorOps.annTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
-          numPlanes = 8, dims = 64, k = 5))),
+      VectorOps.knnAssortativity(annGraph(s, dir))),
 
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
@@ -618,14 +647,19 @@ object LlmQueries {
     // pairs by word-frequency-weighted count
     "q_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(docs(s, dir), topK = 20)),
 
-    // the full iterative BPE training loop: 10 merge rounds over the
-    // frequency-weighted vocabulary, returning the learned merge table
-    "q_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), merges = 10)),
-    "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(docs(s, dir), merges = 10)),
+    // the full iterative BPE training loop (batched guarded-prefix
+    // rounds — provably the sequential merge table), returning the
+    // learned merge table and refreshing the shared artifact memo
+    "q_bpe_train" -> ((s, dir) => tokArtifactsFresh(s, dir)._1),
+    "q_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncodeFromVocab(docs(s, dir),
+        tokMemo.getOrElse(dir, tokArtifactsFresh(s, dir))._2)),
 
     // WordPiece-style greedy longest-match inference under the same
     // trained pieces: token budget + [UNK]s where greedy gets stuck
-    "q_wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(docs(s, dir), merges = 10)),
+    "q_wordpiece_encode" -> ((s, dir) =>
+      TextOps.wordpieceEncodeFromVocab(docs(s, dir),
+        tokMemo.getOrElse(dir, tokArtifactsFresh(s, dir))._2)),
 
     // robust per-source outlier gate on doc length: Iglewicz-Hoaglin
     // modified z-score from exact per-source median/MAD
@@ -1204,13 +1238,14 @@ object LlmQueries {
     * derives every band count from the ONE `sig` table exactly like
     * the engine's materialized signature table.
     */
-  private def sqlMinhashSigCtes(numHashes: Int): String = {
+  private def sqlMinhashSigCtes(
+      numHashes: Int, probeCond: String = s"doc_id < $PairLimit"): String = {
     val coefValues = TextOps.minhashCoefficients(numHashes).zipWithIndex
       .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
     s"""tokw AS (
        |  SELECT DISTINCT doc_id AS id, w FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-       |    FROM documents WHERE doc_id < $PairLimit
+       |    FROM documents WHERE $probeCond
        |  )
        |), toks AS (
        |  SELECT DISTINCT id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
@@ -1312,7 +1347,7 @@ object LlmQueries {
          |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $threshold
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${sqlMinhashSigCtes(numHashes)},
+    s"""WITH ${sqlMinhashSigCtes(numHashes, DocProbeSql)},
        |$perBand,
        |sizes AS (SELECT id, COUNT(*) AS sz FROM tokw GROUP BY 1),
        |$lshCtes,
@@ -1343,7 +1378,7 @@ object LlmQueries {
     } yield s"($p, $dim, ${d(VectorOps.planeComponent(p, dim))})").mkString(", ")
     s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings WHERE vec_id < $PairLimit
+       |  FROM embeddings WHERE $VecProbeSql
        |), pc(p, dd, comp) AS (VALUES $planeValues),
        |pl AS (SELECT p, list(comp ORDER BY dd) AS pv FROM pc GROUP BY p),
        |buck AS (

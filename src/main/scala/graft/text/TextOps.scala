@@ -2138,11 +2138,31 @@ object TextOps {
     * round (and therefore the whole table) is deterministic.
     */
   def bpeTrain(
-      docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame = {
+      docs: DataFrame, merges: Int, textCol: String = "text",
+      batch: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLearn(docs, merges, textCol)._1
+    bpeLearn(docs, merges, textCol, batch)._1
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Greedy leftmost non-overlapping application of ONE merge to one
+    * word's symbol array — Sennrich's reference semantics for
+    * same-symbol runs ("aaa" + (a,a) -> "(aa)a"), and exactly what the
+    * oracle's odd-rank-in-run selection computes relationally. Shared
+    * by the merge loop's rewrite (once per distinct word per accepted
+    * merge) — linear in the word length.
+    */
+  private def applyMerge(
+      syms: Array[String], l: String, r: String, merged: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** The shared BPE merge loop: returns BOTH artifacts of tokenizer
@@ -2152,18 +2172,65 @@ object TextOps {
     * in-vocabulary word in rank order yields exactly its final symbol
     * array, so [[bpeEncode]] can tokenize the corpus by a vocabulary
     * join instead of re-running the merge loop per occurrence.
+    *
+    * BATCHED ROUNDS (`batch` > 1): production tokenizers need ~30k
+    * merges, and one Spark round per merge is three orders of
+    * magnitude more driver-scheduled jobs than a cluster should spend
+    * on a vocabulary-sized table. Each round therefore learns up to
+    * `batch` merges, chosen so the output is PROVABLY IDENTICAL to
+    * the sequential loop (batch == 1) — not the usual "parallel BPE"
+    * approximation. The accepted set is the longest PREFIX of the
+    * round's (count DESC, left, right) pair ranking such that each
+    * accepted pair
+    *
+    *  1. shares no symbol with any earlier accepted pair — neither
+    *     its left/right symbols nor its merged string may appear
+    *     among an earlier pair's {left, right, merged}. Applying the
+    *     earlier merges then provably neither destroys nor creates
+    *     occurrences of this pair, so its recorded count is exactly
+    *     its count at its own sequential step;
+    *  2. has count STRICTLY greater than the round's new-pair
+    *     ceiling: applying an earlier accepted merge (l,r) can mint
+    *     new pair types (x, lr) / (lr, y), whose true counts are
+    *     bounded by the weighted TRIGRAM counts (x,l,r) / (l,r,y) —
+    *     measured exactly (one extra vocabulary scan against the
+    *     broadcast candidate set, only when batch > 1), so a later
+    *     accepted pair is guaranteed to outrank every pair the
+    *     earlier merges could have created (sequential would have
+    *     picked the same winner);
+    *  3. follows no accepted pair whose merged string collides with
+    *     an EXISTING symbol (then old pairs involving that symbol
+    *     could gain count mid-batch, which the ceiling cannot see —
+    *     the colliding merge is accepted but closes its batch; the
+    *     driver-side symbol inventory is the initial alphabet plus
+    *     merges so far, tokenizer-sized).
+    *
+    * A prefix (not a skip-ahead) because rejecting pair k and taking
+    * pair k+1 is NOT sequential-safe: pair k's count may have only
+    * decreased below k+1's at its own step. The first-ranked pair is
+    * always accepted, so every round learns at least one merge and
+    * the loop is bounded by `merges` rounds exactly as before; on
+    * dependency-free stretches of the ranking a round learns `batch`
+    * merges and the round count collapses by that factor. The rewrite
+    * applies the accepted merges in rank order inside ONE row-local
+    * pass per word ([[applyMerge]] each — the disjointness makes
+    * per-word sequential identical to global sequential), and one
+    * `localCheckpoint` cuts the round's lineage.
     */
   private[text] def bpeLearn(
-      docs: DataFrame, merges: Int, textCol: String = "text")
+      docs: DataFrame, merges: Int, textCol: String = "text",
+      batch: Int = 1)
     : (Seq[(Long, String, String, Long)],
        org.apache.spark.sql.Dataset[(String, Array[String], Long)]) = {
-    require(merges >= 1 && merges <= 64, s"merges must be in [1,64], got $merges")
+    require(merges >= 1 && merges <= 65536,
+      s"merges must be in [1,65536], got $merges")
+    require(batch >= 1 && batch <= 4096, s"batch must be in [1,4096], got $batch")
     val spark = docs.sparkSession
     import spark.implicits._
     // one corpus scan, compressed to the (word, freq) vocabulary; each
     // word then travels as ONE row holding its symbol array, so a
     // round is one pair-count aggregation (the only shuffle) + a
-    // 1-row collect + an embarrassingly-parallel row-local rewrite.
+    // bounded collect + an embarrassingly-parallel row-local rewrite.
     // (An equivalent per-symbol-row window formulation — the one the
     // DuckDB oracle replays — measured ~3x slower: four shuffles per
     // round against vocabulary-sized data buys nothing.)
@@ -2177,38 +2244,82 @@ object TextOps {
         (w, syms, c)
       }
       .localCheckpoint()
+    // driver-side symbol inventory for guard 3 — initial alphabet
+    // (bounded by distinct code points) + merged strings as learned
+    val inventory = scala.collection.mutable.Set.empty[String]
+    if (batch > 1)
+      inventory ++= words.flatMap(_._2).distinct().collect()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
-    var round = 1
-    while (round <= merges && !exhausted) {
-      val top = words.flatMap { case (_, syms, c) =>
+    while (learned.size < merges && !exhausted) {
+      val want = math.min(batch, merges - learned.size)
+      val cands = words.flatMap { case (_, syms, c) =>
           (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
         }.toDF("l", "r", "wc")
         .groupBy(col("l"), col("r")).agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect() // 1 row: the round's winning pair
-      if (top.isEmpty) exhausted = true
+        .limit(want).collect() // <= batch rows: the round's ranked candidates
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      if (cands.isEmpty) exhausted = true
       else {
-        val l = top(0).getString(0); val r = top(0).getString(1)
-        val cnt = top(0).getLong(2)
-        learned += ((round.toLong, l, r, cnt))
-        val merged = l + r
-        words = words.map { case (w, syms, c) =>
-          // greedy leftmost non-overlapping application — Sennrich's
-          // reference semantics for same-symbol runs ("aaa" + (a,a)
-          // -> "(aa)a"), and exactly what the oracle's odd-rank-in-run
-          // selection computes relationally
-          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-              out += merged; i += 2
-            } else { out += syms(i); i += 1 }
+        // exact per-candidate new-pair ceilings: max weighted trigram
+        // count adjacent to each candidate (x,l,r maxed over x and
+        // l,r,y maxed over y) — one vocabulary scan, <= 2*batch rows out
+        val newPairMax: Map[(String, String), Long] =
+          if (cands.length <= 1) Map.empty
+          else {
+            val candSet = cands.map(t => (t._1, t._2)).toSet
+            val bcC = spark.sparkContext.broadcast(candSet)
+            words.flatMap { case (_, syms, c) =>
+                val cs = bcC.value
+                (0 until syms.length - 2).iterator.flatMap { i =>
+                  val before =
+                    if (cs((syms(i + 1), syms(i + 2))))
+                      Iterator.single((syms(i + 1), syms(i + 2), syms(i), c))
+                    else Iterator.empty
+                  val after =
+                    if (cs((syms(i), syms(i + 1))))
+                      Iterator.single((syms(i), syms(i + 1), syms(i + 2), c))
+                    else Iterator.empty
+                  before ++ after
+                }
+              }.toDF("l", "r", "adj", "wc")
+              .groupBy(col("l"), col("r"), col("adj")).agg(sum(col("wc")).as("cnt"))
+              .groupBy(col("l"), col("r")).agg(max(col("cnt")).as("mx"))
+              .collect()
+              .map(t => ((t.getString(0), t.getString(1)), t.getLong(2)))
+              .toMap
           }
-          (w, out.toArray, c)
+        // guarded-prefix acceptance (see scaladoc): every accepted
+        // pair is exactly what sequential training would pick next
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var ceiling = 0L
+        var open = true
+        for (cand @ (l, r, cnt) <- cands if open) {
+          val merged = l + r
+          val ok = accepted.isEmpty ||
+            (!used(l) && !used(r) && !used(merged) && cnt > ceiling)
+          if (ok) {
+            accepted += cand
+            used += l; used += r; used += merged
+            ceiling = math.max(ceiling, newPairMax.getOrElse((l, r), 0L))
+            // guard 3: a merged string colliding with an existing
+            // symbol closes the batch (old pairs involving it may gain)
+            if (inventory(merged)) open = false
+            inventory += merged
+          } else open = false
+        }
+        for ((l, r, cnt) <- accepted)
+          learned += ((learned.size + 1L, l, r, cnt))
+        val bcM = spark.sparkContext.broadcast(
+          accepted.map { case (l, r, _) => (l, r, l + r) }.toArray)
+        words = words.map { case (w, syms, c) =>
+          var s = syms
+          for ((l, r, m) <- bcM.value) s = applyMerge(s, l, r, m)
+          (w, s, c)
         }.localCheckpoint() // cut per-round lineage, like the CC rounds
       }
-      round += 1
     }
     (learned.toSeq, words)
   }
@@ -2233,12 +2344,23 @@ object TextOps {
     */
   def bpeEncode(
       docs: DataFrame, merges: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      batch: Int = 1): DataFrame =
+    bpeEncodeFromVocab(docs, bpeVocabTable(docs, merges, textCol, batch),
+      idCol, textCol)
+
+  /** [[bpeEncode]] against an ALREADY-TRAINED vocabulary table
+    * ([[bpeVocabTable]]'s / [[graft.io.TokenizerIO.readVocab]]'s
+    * (w, syms, wc) schema) — training is the expensive part and a
+    * pipeline that needs both the merge table and one or more
+    * encodings must run it ONCE ([[bpeArtifacts]]) and derive every
+    * consumer from the artifacts.
+    */
+  def bpeEncodeFromVocab(
+      docs: DataFrame, vocabTable: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vocab = bpeLearn(docs, merges, textCol)._2
-      .map { case (w, syms, _) => (w, syms.length.toLong) }
-      .toDF("w", "nt")
+    val vocab = vocabTable
+      .select(col("w"), size(col("syms")).cast("long").as("nt"))
     docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
       .join(broadcast(vocab), "w")
       .groupBy(col("id"))
@@ -2311,8 +2433,9 @@ object TextOps {
     * [[graft.io.TokenizerIO]] persists both.
     */
   def bpeVocabTable(
-      docs: DataFrame, merges: Int = 10, textCol: String = "text"): DataFrame =
-    bpeArtifacts(docs, merges, textCol)._2
+      docs: DataFrame, merges: Int = 10, textCol: String = "text",
+      batch: Int = 1): DataFrame =
+    bpeArtifacts(docs, merges, textCol, batch)._2
 
   /** BOTH tokenizer-training artifacts from ONE merge loop — the
     * merge table ([[bpeTrain]]'s schema) and the vocabulary table
@@ -2322,10 +2445,10 @@ object TextOps {
     */
   def bpeArtifacts(
       docs: DataFrame, merges: Int = 10,
-      textCol: String = "text"): (DataFrame, DataFrame) = {
+      textCol: String = "text", batch: Int = 1): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (learned, words) = bpeLearn(docs, merges, textCol)
+    val (learned, words) = bpeLearn(docs, merges, textCol, batch)
     (learned.toDF("merge_rank", "left_sym", "right_sym", "pair_count"),
       words.toDF("w", "syms", "wc"))
   }
@@ -2338,28 +2461,46 @@ object TextOps {
     * never corpus-sized.
     */
   def wordpiecePieces(
-      docs: DataFrame, merges: Int = 10, textCol: String = "text"): Array[String] = {
+      docs: DataFrame, merges: Int = 10, textCol: String = "text",
+      batch: Int = 1): Array[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLearn(docs, merges, textCol)._2
+    bpeLearn(docs, merges, textCol, batch)._2
       .flatMap(_._2).distinct().collect().sorted
   }
 
   def wordpieceEncode(
       docs: DataFrame, merges: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      batch: Int = 1): DataFrame =
+    wordpieceEncodeFromVocab(docs, bpeVocabTable(docs, merges, textCol, batch),
+      idCol, textCol)
+
+  /** [[wordpieceEncode]] against an ALREADY-TRAINED vocabulary table —
+    * the greedy-inference sibling of [[bpeEncodeFromVocab]], sharing
+    * one [[bpeArtifacts]] training pass. The piece inventory and the
+    * per-distinct-word greedy walk both come from the vocabulary
+    * table's words, so a word absent from it simply isn't in the
+    * corpus being encoded (the corpus-on-itself contract; for encoding
+    * a NEW corpus under a stored tokenizer use
+    * [[graft.io.TokenizerIO.encodeStored]], which adds the OOV path).
+    */
+  def wordpieceEncodeFromVocab(
+      docs: DataFrame, vocabTable: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = bpeLearn(docs, merges, textCol)._2
+    val words = vocabTable.select(col("w")).as[String]
     // distinct surviving symbols: |chars| + <= merges strings — small
     // by construction (NOT corpus-sized), hence safe to collect
-    val pieces = words.flatMap(_._2).distinct().collect()
+    val pieces = vocabTable.select(explode(col("syms")).as("s"))
+      .distinct().as[String].collect()
     // loud gate instead of .max throwing bare on an empty array: an
     // empty inventory means the corpus had no tokens at all
     require(pieces.nonEmpty, "empty piece inventory: corpus has no tokens")
     val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
     val bcVocab = spark.sparkContext.broadcast((pieces.toSet, maxCp))
-    val wc = words.map { case (w, _, _) =>
+    val wc = words.map { w =>
       val (vocab, mx) = bcVocab.value
       val (nt, unk) = greedyPieceCount(w, vocab, mx)
       (w, nt, unk)

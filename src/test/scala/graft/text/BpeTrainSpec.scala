@@ -110,6 +110,50 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Seq((0L, 2L), (1L, 1L)))
   }
 
+  test("batched rounds reproduce the sequential merge table exactly at the oracle's setting") {
+    // the guarded prefix is DESIGNED to be sequential-equivalent; this
+    // pins it empirically at corpus scale for the q_bpe_train setting
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seqT = table(TextOps.bpeTrain(docs, merges = 10))
+    for (b <- Seq(2, 8, 64))
+      assert(table(TextOps.bpeTrain(docs, merges = 10, batch = b)) === seqT,
+        s"batch=$b diverged from sequential")
+  }
+
+  test("batched == sequential on randomized adversarial corpora (merges AND vocabulary)") {
+    // small alphabet -> dense symbol sharing, same-symbol runs, and
+    // merged-string/symbol collisions — the cases the acceptance
+    // guards exist for. Differential over seeded random corpora.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val alpha = "abcd"
+      val vocabWords = (0 until 24).map(_ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val texts = (0 until 8).map(_ =>
+        (0 until 16).map(_ => vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+      val docs = docsOf(texts: _*)
+      val a = TextOps.bpeLearn(docs, 12, "text", batch = 1)
+      val b = TextOps.bpeLearn(docs, 12, "text", batch = 5)
+      assert(a._1 === b._1, s"trial $trial: merge tables diverged")
+      def vocab(d: org.apache.spark.sql.Dataset[(String, Array[String], Long)]) =
+        d.collect().map { case (w, s, c) => (w, s.toSeq, c) }.sortBy(_._1).toSeq
+      assert(vocab(a._2) === vocab(b._2), s"trial $trial: final vocabularies diverged")
+    }
+  }
+
+  test("merges=1000 exhausts the corpus vocabulary in batched rounds") {
+    // the production-shaped parameter range: the loop must run far past
+    // the old 64-merge cap and stop itself when no pairs remain (every
+    // distinct word collapsed to one symbol)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (m, w) = TextOps.bpeLearn(docs, 1000, "text", batch = 64)
+    assert(m.nonEmpty && m.size < 1000, s"expected exhaustion, learned ${m.size}")
+    assert(m.map(_._1) === (1L to m.size.toLong), "merge ranks must be consecutive")
+    val finals = w.collect()
+    assert(finals.forall(_._2.length == 1),
+      "exhaustion means every distinct word is one symbol")
+  }
+
   test("winning-pair counts never increase across rounds") {
     // merging (a,b) can only shrink other pairs' counts and creates
     // pairs bounded by the number of applied merges, so the learned

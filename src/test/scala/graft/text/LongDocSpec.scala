@@ -59,6 +59,26 @@ class LongDocSpec extends AnyFunSuite {
     assert(TextOps.fingerprints(docs).count() == 3)
   }
 
+  test("tokenizer encoders are char-linear on a 200k-char single-word document") {
+    // ONE pathological 200k-char word: the per-distinct-word loops
+    // (bpeLearn's rewrite + trigram scan, greedyPieceCount's backoff
+    // walk) must stay linear-ish in word length — the same defect
+    // class as round 10's per-gram re-tokenization, which this case
+    // would turn into a hang
+    val giant = "ab" * 100000
+    val tdocs = Seq((1L, giant), (2L, "ab ab cd")).toDF("doc_id", "text")
+    // merges: (a,b) -> (ab,ab) -> (abab,abab) -> (abababab, abababab);
+    // giant collapses 200k chars -> 12500 len-16 symbols
+    val bpe = TextOps.bpeEncode(tdocs, merges = 4, batch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(bpe == Seq((1L, 1L, 12500L), (2L, 3L, 4L)), s"got $bpe")
+    // greedy longest-match over the same pieces: len-16 piece matches
+    // end to end, 0 UNK
+    val wp = TextOps.wordpieceEncode(tdocs, merges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(wp == Seq((1L, 12500L, 0L), (2L, 4L, 0L)), s"got $wp")
+  }
+
   test("chunk/window family is token-linear on 200k-token documents") {
     val w = TextOps.contextWindows(docs, size = 64, stride = 48)
     assert(w.filter(col("doc_id") === 1L).count() >= (nTok / 48).toLong)
