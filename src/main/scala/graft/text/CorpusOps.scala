@@ -570,12 +570,8 @@ object CorpusOps {
     val p = spark.sessionState.conf.numShufflePartitions
     val sorted0 = base.repartitionByRange(p, col("k"), col("h"), col("id"))
       .sortWithinPartitions(col("k"), col("h"), col("id"))
-    val sorted = (if (reliable) {
-      require(spark.sparkContext.getCheckpointDir.isDefined,
-        "reliable=true requires sparkContext.setCheckpointDir(...) pointing at " +
-          "storage that survives executor loss (HDFS/object store on a cluster)")
-      sorted0.checkpoint()
-    } else sorted0.localCheckpoint()).as[(String, Long, Long, Long)]
+    val sorted = graft.model.Lineage.cut(sorted0, reliable)
+      .as[(String, Long, Long, Long)]
 
     // pass 1: per-(partition, stratum) token sums — strata are
     // contiguous inside a sorted partition, so this is a streaming fold

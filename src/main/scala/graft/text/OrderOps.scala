@@ -35,12 +35,7 @@ object OrderOps {
   private def rangeSorted(df: DataFrame, key: Column, reliable: Boolean): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(p, key).sortWithinPartitions(key)
-    if (reliable) {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "reliable=true requires sparkContext.setCheckpointDir(...) pointing at " +
-          "storage that survives executor loss (HDFS/object store on a cluster)")
-      sorted.checkpoint()
-    } else sorted.localCheckpoint()
+    graft.model.Lineage.cut(sorted, reliable)
   }
 
   /** Per-partition exclusive offsets of `partials` (pid -> partition

@@ -791,24 +791,28 @@ object TextOps {
     */
   def dedupClusters(
       docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIterations: Int = 50): DataFrame =
-    dedupClustersWithRounds(docs, pairs, idCol, maxIterations)._1
+      idCol: String = "doc_id", maxIterations: Int = 50,
+      reliable: Boolean = false): DataFrame =
+    dedupClustersWithRounds(docs, pairs, idCol, maxIterations, reliable)._1
 
   /** [[dedupClusters]] plus the number of rounds it ran — exposed so
     * tests can assert the O(log diameter) bound.
     */
   private[graft] def dedupClustersWithRounds(
       docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIterations: Int = 50): (DataFrame, Int) = {
-    // localCheckpoint (not persist) after every round: iterative
+      idCol: String = "doc_id", maxIterations: Int = 50,
+      reliable: Boolean = false): (DataFrame, Int) = {
+    // lineage cut (not persist) after every round: iterative
     // DataFrames otherwise nest the previous round's LOGICAL plan,
     // which grows exponentially and stalls planning long before any
-    // data volume matters
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint()
-    var labels = docs.select(col(idCol).cast("long").as("id"))
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // data volume matters; `reliable` routes the cut to the reliable
+    // checkpoint dir for preemptible clusters (graft.model.Lineage)
+    val edges = graft.model.Lineage.cut(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b"))), reliable)
+    var labels = graft.model.Lineage.cut(
+      docs.select(col(idCol).cast("long").as("id"))
+        .withColumn("lbl", col("id")), reliable)
     def result(df: DataFrame): DataFrame =
       df.select(col("id").as(idCol), col("lbl").as("cluster_id"))
     if (labels.isEmpty) return (result(labels), 0) // sum() over 0 rows is NULL
@@ -831,8 +835,9 @@ object TextOps {
           col("x.lbl") === col("jid"), "left")
         .select(col("x.id").as("id"), coalesce(col("jlbl"), col("x.lbl")).as("lbl"))
       val obs = org.apache.spark.sql.Observation()
-      val chk = next.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lblSum"))
-        .localCheckpoint()
+      val chk = graft.model.Lineage.cut(
+        next.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lblSum")),
+        reliable)
       val s = obs.get("lblSum").asInstanceOf[java.math.BigDecimal]
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -853,8 +858,8 @@ object TextOps {
     */
   def dedupKeepers(
       docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-      maxIterations: Int = 50): DataFrame =
-    dedupClusters(docs, pairs, idCol, maxIterations)
+      maxIterations: Int = 50, reliable: Boolean = false): DataFrame =
+    dedupClusters(docs, pairs, idCol, maxIterations, reliable)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
 

@@ -1076,12 +1076,13 @@ object VectorOps {
     * Returns (node, community, comm_size): the node's label after
     * `iters` rounds and that label's population.
     */
-  def knnLabelPropagation(ann: DataFrame, iters: Int = 4): DataFrame = {
+  def knnLabelPropagation(
+      ann: DataFrame, iters: Int = 4, reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
-    val edges = ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
-      .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val edges = graft.model.Lineage.cut(
+      ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+        .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+        .distinct(), reliable)
     var lab = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 0 until iters) {
@@ -1179,14 +1180,17 @@ object VectorOps {
     * node, or 0 for nodes still in the core after `rounds` rounds. A
     * node with no surviving edge has degree 0 and is peeled (k >= 1).
     */
-  def knnKCore(ann: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+  def knnKCore(
+      ann: DataFrame, k: Int, rounds: Int = 6,
+      reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 12, s"rounds must be in [1,12], got $rounds")
-    val edges = ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
-      .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    val all = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val edges = graft.model.Lineage.cut(
+      ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+        .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+        .distinct(), reliable)
+    val all = graft.model.Lineage.cut(
+      edges.select(col("src").as("node")).distinct(), reliable)
     var surv = all
     var removed: Option[DataFrame] = None
     for (r <- 1 to rounds) {
@@ -1194,8 +1198,8 @@ object VectorOps {
         .join(surv.select(col("node").as("src")), "src")
         .join(surv.select(col("node").as("dst")), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("c"))
-      val next = deg.filter(col("c") >= k)
-        .select(col("src").as("node")).localCheckpoint()
+      val next = graft.model.Lineage.cut(
+        deg.filter(col("c") >= k).select(col("src").as("node")), reliable)
       val dropped = surv.join(next, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("removed_round"))
       removed = Some(removed.fold(dropped)(_.unionByName(dropped)))

@@ -73,6 +73,50 @@ class ScaleSpec extends AnyFunSuite {
       s"CC rounds grew with corpus size: 1x=$r1, 10x=$r10 — rounds must track diameter, not n")
   }
 
+  test("kNN graph work metrics are k-bounded under 10x embedding replication") {
+    // the graph family's per-round work is the edge list (every edge
+    // votes once per LPA round, every edge is touched once per peel
+    // round); annTopK caps candidates at k per query, so the
+    // symmetrized edge list is <= 2k per node BY CONSTRUCTION — the
+    // scale-free sparsity guarantee that makes the Pregel-as-join
+    // rounds linear in corpus size. Pinned at 1x and 10x.
+    val e1 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val e10 = graft.ScaleData.replicateEmbeddings(e1, 10)
+    def edgeStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val ann = graft.vector.VectorOps.annTopK(df, numPlanes = 8, dims = 64, k = 5)
+      val sym = ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+        .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+        .distinct().localCheckpoint()
+      (sym.count(), sym.select("src").distinct().count())
+    }
+    val (ed1, n1) = edgeStats(e1)
+    val (ed10, n10) = edgeStats(e10)
+    assert(ed1 > 0 && ed10 > 0, s"degenerate graphs $ed1/$ed10")
+    assert(ed1 <= 2L * 5 * n1, s"1x vote volume $ed1 exceeds 2k per node ($n1 nodes)")
+    assert(ed10 <= 2L * 5 * n10, s"10x vote volume $ed10 exceeds 2k per node ($n10 nodes)")
+    // per-node volume must not creep with corpus size (hub formation)
+    assert(ed10.toDouble / n10 <= ed1.toDouble / n1 * 1.25 + 1,
+      s"per-node vote volume grew: 1x ${ed1.toDouble / n1}, 10x ${ed10.toDouble / n10}")
+  }
+
+  test("k-core peel depth is scale-stable under 10x embedding replication") {
+    // the peel cascade's depth tracks LOCAL density structure (how many
+    // waves until nothing is below k), not corpus size; replication
+    // adds shards and near-copies, not deeper cascades. The fixed
+    // rounds=6 default is valid at any scale precisely because of this.
+    def depth(df: org.apache.spark.sql.DataFrame): Long = {
+      val ann = graft.vector.VectorOps.annTopK(df, numPlanes = 8, dims = 64, k = 5)
+      graft.vector.VectorOps.knnKCore(ann, k = 6, rounds = 12)
+        .agg(max(col("removed_round"))).head.getLong(0)
+    }
+    val e1 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val d1x = depth(e1)
+    val d10x = depth(graft.ScaleData.replicateEmbeddings(e1, 10))
+    assert(d1x >= 2, s"degenerate peel depth $d1x at 1x")
+    assert(d10x <= d1x + 1,
+      s"peel depth grew with corpus size: 1x=$d1x, 10x=$d10x — cascade must track density, not n")
+  }
+
   test("tokenizer piece inventory is vocabulary-bounded under 10x corpus replication") {
     // the artifact the BPE/WordPiece family ships (and broadcasts) is
     // the piece inventory; at 100 TB it must stay bounded by

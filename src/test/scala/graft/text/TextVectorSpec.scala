@@ -1297,6 +1297,39 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out4 === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("graph family reliable=true routes through checkpoint() and matches localCheckpoint results") {
+    // the OrderOps durability contract extended to the iterative graph
+    // ops: on a preemptible cluster the lineage cut must be able to
+    // land on reliable storage instead of executor-local blocks
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    val ann = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("query_id", "cand_id")
+    // without a checkpoint dir the reliable path must fail LOUDLY
+    // before running anything (Spark's own error fires mid-job)
+    if (prior.isEmpty)
+      intercept[IllegalArgumentException] {
+        VectorOps.knnKCore(ann, k = 2, rounds = 3, reliable = true)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-gckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(VectorOps.knnKCore(ann, k = 2, rounds = 3, reliable = true)) ==
+        rows(VectorOps.knnKCore(ann, k = 2, rounds = 3)),
+        "durable checkpoint changed the k-core result")
+      assert(rows(VectorOps.knnLabelPropagation(ann, iters = 4, reliable = true)) ==
+        rows(VectorOps.knnLabelPropagation(ann, iters = 4)),
+        "durable checkpoint changed the LPA result")
+      val docs = (0L until 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+      assert(rows(TextOps.dedupClusters(docs, pairs, reliable = true)) ==
+        rows(TextOps.dedupClusters(docs, pairs)),
+        "durable checkpoint changed the CC result")
+    } finally prior.foreach(sc.setCheckpointDir)
+  }
+
   test("knnAssortativity: matches a direct Pearson computation; star is perfectly disassortative") {
     // star 0-{1,2,3,4}: every edge joins degree 4 to degree 1 -> r = -1
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("query_id", "cand_id")
