@@ -1033,6 +1033,130 @@ object LlmQueries {
           .cast("decimal(18,6)")).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q6 shape: the forecasting-revenue-change scan — filter +
+    // one global aggregate, NO join. The whole query must collapse to
+    // a parquet scan with every predicate pushed (date, discount band,
+    // quantity) and a two-column read schema; at 100 TB this is the
+    // purest pushdown test in the suite.
+    "q_tpch_q6" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))),
+
+    // TPC-H Q7 shape: bilateral trade volume between two nation BLOCS
+    // (even vs odd nationkey — the synthetic schema keeps the classic
+    // two-sided shape while staying non-degenerate at every SF), by
+    // supplier nation x customer nation x ship year. The two fact
+    // scans join on the order key (shuffle); supplier and the tiny
+    // nation table broadcast; the customer side is left to AQE (Q5's
+    // contract: broadcast at harness scale, shuffle at 100 TB).
+    "q_tpch_q7" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("s_nationkey") % 2 === 0 && col("c_nationkey") % 2 === 1) ||
+          (col("s_nationkey") % 2 === 1 && col("c_nationkey") % 2 === 0))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — which customers
+    // sent the most revenue back in a quarter. Date-filtered orders x
+    // returnflag-filtered lineitem (both predicates on the scans for
+    // pushdown) shuffle-join; customer enrichment left to AQE; nation
+    // broadcast. Top 20 by EXACT decimal revenue, ties by custkey, so
+    // the cut is bit-stable across engines.
+    "q_tpch_q10" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-07-01").cast("timestamp")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("rev_d"))
+        .orderBy(col("rev_d").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_d").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution (the
+    // synthetic schema has no o_comment, so the NOT LIKE exclusion is
+    // dropped — the distribution shape is what's anchored). Orders
+    // aggregate by custkey first (fact-side shuffle), then a LEFT join
+    // from customer keeps zero-order customers in the c_count=0
+    // bucket; the final distribution aggregation is tiny.
+    "q_tpch_q13" -> ((s, dir) => {
+      val cnt = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 shape: promotion revenue share in a quarter — two
+    // exact decimal sums over one date-filtered lineitem x part join,
+    // ONE double division at the edge (both engines divide the same
+    // exact integers). Part is a real dimension (fact/5 rows in
+    // spec-TPC-H): the join side is left to AQE — broadcast here,
+    // shuffle at 100 TB.
+    "q_tpch_q14" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_type"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
+            .as("promo"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).as("total"))
+        .select(round(lit(100.0) * col("promo").cast("double") /
+          col("total").cast("double"), 6).as("promo_revenue_pct"))
+    }),
+
     "q_events_sessionize" -> ((s, dir) =>
       // 4-hour inactivity gap. toMicros normalizes whichever physical
       // ts type the driver shipped (int64 nanos or timestamp[us]) to
@@ -3766,6 +3890,70 @@ object LlmQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q6: pure scan — same decimal-exact revenue discipline
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Q7 (bloc-adapted): even/odd nationkey blocs, both directions
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((s_nationkey % 2 = 0 AND c_nationkey % 2 = 1) OR
+        |       (s_nationkey % 2 = 1 AND c_nationkey % 2 = 0))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Q10: top-20 by the same exact decimal revenue, ties by custkey
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // Q13 (no o_comment in the synthetic schema): order-count
+    // distribution with zero-order customers in the c_count=0 bucket
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COALESCE(cnt, 0) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+        |  ) oc ON c_custkey = o_custkey
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q14: two exact decimal sums, one double division at the edge
+    "q_tpch_q14" ->
+      """SELECT ROUND(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |  6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     // salted join: the PLAIN join — salting must be invisible
     "q_salted_join" ->
