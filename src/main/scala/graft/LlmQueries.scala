@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{CorpusOps, OrderOps, TextOps}
+import graft.text.{CorpusOps, OrderOps, TextOps, UnigramOps}
 import graft.vector.VectorOps
 import graft.multimodal.Multimodal
 
@@ -208,6 +208,20 @@ object LlmQueries {
   private def tokArtifactsFresh(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val r = TextOps.bpeArtifacts(docs(s, dir), merges = 10, batch = 8)
     tokMemo.put(dir, r)
+    r
+  }
+
+  // One unigram-LM TRAINING per bench run, shared by the three unigram
+  // queries (the tokMemo contract): q_unigram_train runs the hard-EM
+  // loop fresh and refreshes the memo; segment/encode derive from the
+  // memoized (vocab, words) artifacts.
+  private val ugMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def ugArtifactsFresh(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val r = UnigramOps.unigramArtifacts(docs(s, dir),
+      maxPieceLen = 4, seedMulti = 32, iters = 2)
+    ugMemo.put(dir, r)
     r
   }
 
@@ -660,6 +674,24 @@ object LlmQueries {
     "q_wordpiece_encode" -> ((s, dir) =>
       TextOps.wordpieceEncodeFromVocab(docs(s, dir),
         tokMemo.getOrElse(dir, tokArtifactsFresh(s, dir))._2)),
+
+    // UNIGRAM-LM tokenizer training (Kudo 2018 hard-EM): substring-
+    // frequency seed, then 2 Viterbi-count rounds over the distinct
+    // words; integer micro-nat costs make the DP oracle-replayable
+    "q_unigram_train" -> ((s, dir) => ugArtifactsFresh(s, dir)._1),
+
+    // the trained model's per-distinct-word Viterbi segmentation —
+    // the DP's most direct externally-checkable face
+    "q_unigram_segment" -> ((s, dir) => {
+      val (v, w) = ugMemo.getOrElse(dir, ugArtifactsFresh(s, dir))
+      UnigramOps.unigramSegmentsFromVocab(w, v, maxPieceLen = 4)
+    }),
+
+    // per-document token budget + total cost under the trained model
+    "q_unigram_encode" -> ((s, dir) => {
+      val (v, w) = ugMemo.getOrElse(dir, ugArtifactsFresh(s, dir))
+      UnigramOps.unigramEncodeFromVocab(docs(s, dir), w, v, maxPieceLen = 4)
+    }),
 
     // robust per-source outlier gate on doc length: Iglewicz-Hoaglin
     // modified z-score from exact per-source median/MAD
@@ -1155,6 +1187,236 @@ object LlmQueries {
             .cast("decimal(18,6)")).as("total"))
         .select(round(lit(100.0) * col("promo").cast("double") /
           col("total").cast("double"), 6).as("promo_revenue_pct"))
+    }),
+
+    // TPC-H Q4 shape: order-priority checking — the EXISTS semi-join.
+    // The qualifying side (returned lineitems) is fact-sized at 100 TB,
+    // so the semi-join must stay a SHUFFLE semi on the order key, never
+    // a broadcast; the date filter sits on the orders scan for pushdown.
+    // (The synthetic lineitem has no commit/receipt dates, so "late"
+    // is proxied by l_returnflag = 'R' — the plan shape is the anchor.)
+    "q_tpch_q4" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val ret = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q8 shape: national market share — the widest join in the
+    // suite (lineitem x orders x customer x nation x region x supplier
+    // x nation2 x part = 8 tables). Dims broadcast (region-filtered
+    // customer-nation map, supplier-nation map, type-filtered part);
+    // the two fact scans shuffle on the order key. The share is two
+    // exact decimal sums per year with one double division at the edge.
+    "q_tpch_q8" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val custNat = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNat = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        // region membership is an existence test — semi-join keeps the
+        // row width down; the side is customer-sized, left to AQE
+        .join(custNat, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,6)"))).as("nat_vol"),
+          sum(vol).as("all_vol"))
+        .select(col("o_year"),
+          round(col("nat_vol").cast("double") / col("all_vol").cast("double"), 6)
+            .as("mkt_share"))
+    }),
+
+    // TPC-H Q12 shape: shipping-priority classification — the two-level
+    // conditional aggregation after one fact-fact join (the synthetic
+    // lineitem has no l_shipmode, so l_linestatus is the class column).
+    // Both filters sit on the lineitem scan; the counts are exact longs.
+    "q_tpch_q12" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "N" &&
+          col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+    }),
+
+    // TPC-H Q15 shape: top supplier — the max-over-aggregated-view
+    // self-comparison. The per-supplier revenue view aggregates ONCE:
+    // `localCheckpoint` materializes the supplier-sized view (the same
+    // shared-table idiom as the LSH sweep), the 1-row max broadcasts
+    // back onto it, and lineitem is never re-scanned for the scalar
+    // (without the cut, the two uses canonicalize differently — the
+    // join adds an isnotnull constraint — and ReuseExchange misses).
+    // The equality cut compares EXACT decimals, so the winner set is
+    // bit-stable across engines.
+    "q_tpch_q15" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val rev = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("total_rev"))
+        .localCheckpoint()
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"))
+      rev.join(broadcast(mx), col("total_rev") === col("mx"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // AVG subquery, decorrelated as an aggregate-then-join. The
+    // threshold is computed from the ALREADY part-filtered lines (a
+    // per-part avg is unchanged by a per-part restriction), so the
+    // aggregation input is brand-selectivity smaller and the threshold
+    // table is filtered-part-cardinality — too big to hint broadcast at
+    // 100 TB, so both joins are left to AQE (broadcast at harness
+    // scale, shuffle at 100 TB). l_quantity is integer-valued so the
+    // avg (exact sum / exact count, one double division) is
+    // bit-identical across engines.
+    "q_tpch_q17" -> ((s, dir) => {
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#5" && col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val liq = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+      val thresh = liq.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_lim"))
+      liq.join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_lim"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 6).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape: discounted revenue under DISJUNCTIVE predicate
+    // bundles — three (brand, size-band, quantity-band) alternatives
+    // OR'd together across the part x lineitem join. The join key stays
+    // an equi-join on p_partkey (the OR is a post-join residual, never
+    // a nested-loop condition); the per-side common bounds are left for
+    // the optimizer's constraint propagation.
+    "q_tpch_q19" -> ((s, dir) => {
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the
+    // semi-join + anti-join pair over the SAME fact with a non-equi
+    // residual (same order, different supplier). Both qualifying sides
+    // are fact-sized, so both stay shuffle joins on the order key with
+    // the suppkey inequality as residual; the supplier name join is the
+    // only broadcast. ("late" proxied by l_returnflag = 'R' as in Q4.)
+    "q_tpch_q21" -> ((s, dir) => {
+      val l1 = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val lAll = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val lRet = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val ordF = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"))
+      l1.join(ordF, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        // some OTHER supplier also shipped in this order...
+        .join(lAll, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        // ...and no OTHER supplier had a returned line
+        .join(lRet, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // TPC-H Q22 shape: global sales opportunity — the NOT EXISTS
+    // anti-join plus a scalar-aggregate threshold (customers above the
+    // positive-balance average with no RECENT orders — the synthetic
+    // generator gives every customer at least one lifetime order, so
+    // the window keeps the anti-join non-degenerate; c_mktsegment
+    // stands in for the phone-prefix country code). The 1-row average
+    // broadcasts onto the customer scan; the anti-join is on the
+    // customer key against the fact-sized orders side (shuffle), with
+    // the date filter pushed to that scan. The threshold divides an
+    // EXACT decimal sum by an exact count, so the double cut is
+    // bit-identical across engines.
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "FURNITURE"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
     }),
 
     "q_events_sessionize" -> ((s, dir) =>
@@ -1785,6 +2047,153 @@ object LlmQueries {
         |)""".stripMargin)
     }
     sb.toString
+  }
+
+  /** The unrolled UNIGRAM-LM training chain shared by the three
+    * unigram oracles ([[graft.text.UnigramOps]]): substring-frequency
+    * seed (all single chars + top-`seedMulti` multis by (freq DESC,
+    * piece ASC)), then per EM round a forward Viterbi DP and a
+    * backward path walk as RECURSIVE CTEs, re-estimation, and the
+    * next integer micro-nat cost table. The DP carries one packed
+    * BIGINT per prefix (`cost*2048 + n_tokens`), so the optimum is a
+    * single integer MIN and the backward step a single MAX(L) — the
+    * exact rule the engine's row-local kernel implements.
+    *
+    * DuckDB 1.0.0 trap (same family as the wordpiece walk's note): a
+    * recursive term that combines an inline `unnest(generate_series)`
+    * lateral with a join to a computed MATERIALIZED CTE silently
+    * produces zero recursive rows. The piece-length range is therefore
+    * a tiny MATERIALIZED `ls` CTE cross-joined instead.
+    *
+    * Emits CTEs through `vocab$iters` (the trained model) plus one
+    * final DP pair f/b`iters+1` under it for the segment/encode faces.
+    */
+  private def sqlUnigramChain(maxLen: Int, seedMulti: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH RECURSIVE occ AS MATERIALIZED (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |),
+        |v AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM occ GROUP BY 1),
+        |subs AS MATERIALIZED (
+        |  SELECT substring(w, CAST(i AS INT), CAST(L AS INT)) AS piece,
+        |         CAST(SUM(wc) AS BIGINT) AS freq
+        |  FROM v, unnest(generate_series(1, len(w))) ui(i),
+        |       unnest(generate_series(1, $maxLen)) ul(L)
+        |  WHERE i + L - 1 <= len(w)
+        |  GROUP BY 1
+        |),
+        |chars0 AS MATERIALIZED (SELECT piece, freq FROM subs WHERE len(piece) = 1),
+        |multi0 AS MATERIALIZED (
+        |  SELECT piece, freq FROM subs WHERE len(piece) >= 2
+        |  ORDER BY freq DESC, piece LIMIT $seedMulti
+        |),
+        |u0 AS MATERIALIZED (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0),
+        |tot0 AS MATERIALIZED (SELECT CAST(SUM(freq) AS DOUBLE) AS tot FROM u0),
+        |vocab0 AS MATERIALIZED (
+        |  SELECT piece, freq,
+        |         CAST(ROUND(1000000 * ln(tot0.tot / freq)) AS BIGINT) AS cost
+        |  FROM u0, tot0
+        |),
+        |ls AS MATERIALIZED (SELECT CAST(unnest(generate_series(1, $maxLen)) AS BIGINT) AS L)""".stripMargin)
+    def dpPair(t: Int, vocab: String): Unit = sb.append(s""",
+        |f$t AS (
+        |  SELECT w, CAST(0 AS BIGINT) AS j, [CAST(0 AS BIGINT)] AS st FROM v
+        |  UNION ALL
+        |  SELECT w, j + 1, list_append(st, bv) FROM (
+        |    SELECT f.w, f.j, ANY_VALUE(f.st) AS st,
+        |           MIN(f.st[CAST(f.j + 2 - ls.L AS INT)] + vc.cost * 2048 + 1) AS bv
+        |    FROM f$t f CROSS JOIN ls
+        |    JOIN $vocab vc ON ls.L <= f.j + 1
+        |      AND substring(f.w, CAST(f.j + 2 - ls.L AS INT), CAST(ls.L AS INT)) = vc.piece
+        |    WHERE f.j < len(f.w)
+        |    GROUP BY f.w, f.j
+        |  )
+        |),
+        |fin$t AS MATERIALIZED (SELECT w, st FROM f$t WHERE j = len(w)),
+        |b$t AS (
+        |  SELECT w, st, CAST(len(w) AS BIGINT) AS j, CAST(NULL AS VARCHAR) AS piece FROM fin$t
+        |  UNION ALL
+        |  SELECT w, st, j - ml, substring(w, CAST(j - ml + 1 AS INT), CAST(ml AS INT)) FROM (
+        |    SELECT b.w, ANY_VALUE(b.st) AS st, b.j, MAX(ls.L) AS ml
+        |    FROM b$t b CROSS JOIN ls
+        |    JOIN $vocab vc ON ls.L <= b.j
+        |      AND substring(b.w, CAST(b.j - ls.L + 1 AS INT), CAST(ls.L AS INT)) = vc.piece
+        |      AND b.st[CAST(b.j - ls.L + 1 AS INT)] + vc.cost * 2048 + 1 = b.st[CAST(b.j + 1 AS INT)]
+        |    WHERE b.j > 0
+        |    GROUP BY b.w, b.j
+        |  )
+        |)""".stripMargin)
+    for (t <- 1 to iters) {
+      dpPair(t, s"vocab${t - 1}")
+      sb.append(s""",
+        |em$t AS MATERIALIZED (
+        |  SELECT b.piece, CAST(SUM(v.wc) AS BIGINT) AS emc
+        |  FROM b$t b JOIN v ON v.w = b.w WHERE b.piece IS NOT NULL GROUP BY 1
+        |),
+        |u$t AS MATERIALIZED (
+        |  SELECT c.piece, COALESCE(e.emc, 0) + 1 AS freq
+        |  FROM chars0 c LEFT JOIN em$t e ON e.piece = c.piece
+        |  UNION ALL
+        |  SELECT m.piece, e.emc AS freq
+        |  FROM vocab${t - 1} m JOIN em$t e ON e.piece = m.piece WHERE len(m.piece) >= 2
+        |),
+        |tot$t AS MATERIALIZED (SELECT CAST(SUM(freq) AS DOUBLE) AS tot FROM u$t),
+        |vocab$t AS MATERIALIZED (
+        |  SELECT piece, freq,
+        |         CAST(ROUND(1000000 * ln(tot$t.tot / freq)) AS BIGINT) AS cost
+        |  FROM u$t, tot$t
+        |)""".stripMargin)
+    }
+    dpPair(iters + 1, s"vocab$iters")
+    sb.toString
+  }
+
+  /** Oracle for [[graft.text.UnigramOps.unigramTrain]]. */
+  private def sqlUnigramTrain(maxLen: Int, seedMulti: Int, iters: Int): String =
+    sqlUnigramChain(maxLen, seedMulti, iters) +
+      s"\nSELECT piece, freq, cost FROM vocab$iters ORDER BY piece"
+
+  /** Oracle for [[graft.text.UnigramOps.unigramSegmentsFromVocab]]:
+    * the backward walk's pieces reassembled left-to-right (the walk
+    * emits a piece at its own start offset, so ORDER BY j ascending is
+    * document order); wcost decoded from the packed final state
+    * (`st // 2048`), nt from the emitted piece count — the two agree
+    * by the packing invariant.
+    */
+  private def sqlUnigramSegment(maxLen: Int, seedMulti: Int, iters: Int): String = {
+    val t = iters + 1
+    sqlUnigramChain(maxLen, seedMulti, iters) + s""",
+      |segs AS MATERIALIZED (
+      |  SELECT b.w, string_agg(b.piece, ' ' ORDER BY b.j) AS seg,
+      |         CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM b$t b WHERE b.piece IS NOT NULL GROUP BY b.w
+      |)
+      |SELECT s.w, v.wc, s.seg, s.nt,
+      |       (f.st[CAST(len(s.w) + 1 AS INT)] // 2048) AS wcost
+      |FROM segs s JOIN v ON v.w = s.w JOIN fin$t f ON f.w = s.w
+      |ORDER BY s.w""".stripMargin
+  }
+
+  /** Oracle for [[graft.text.UnigramOps.unigramEncodeFromVocab]]. */
+  private def sqlUnigramEncode(maxLen: Int, seedMulti: Int, iters: Int): String = {
+    val t = iters + 1
+    sqlUnigramChain(maxLen, seedMulti, iters) + s""",
+      |pw AS MATERIALIZED (
+      |  SELECT b.w, CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM b$t b WHERE b.piece IS NOT NULL GROUP BY b.w
+      |),
+      |docw AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents
+      |)
+      |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(p.nt) AS BIGINT) AS n_ug_tokens,
+      |       CAST(SUM(f.st[CAST(len(d.w) + 1 AS INT)] // 2048) AS BIGINT) AS ug_cost,
+      |       ROUND(SUM(p.nt) * 1.0 / COUNT(*), 6) AS ug_fertility
+      |FROM docw d JOIN pw p ON p.w = d.w JOIN fin$t f ON f.w = d.w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Oracle for [[graft.vector.VectorOps.knnLabelPropagation]]: the
@@ -3431,6 +3840,13 @@ object LlmQueries {
     "q_bpe_encode" -> sqlBpeEncode(10),
     "q_wordpiece_encode" -> sqlWordpieceEncode(10),
 
+    // unigram-LM tokenizer: the hard-EM loop unrolled — per round a
+    // recursive forward Viterbi DP over packed integer composites and
+    // a recursive backward longest-consistent-piece walk
+    "q_unigram_train" -> sqlUnigramTrain(4, 32, 2),
+    "q_unigram_segment" -> sqlUnigramSegment(4, 32, 2),
+    "q_unigram_encode" -> sqlUnigramEncode(4, 32, 2),
+
     // BPE merge round: pair counts over the vocabulary weighted by
     // word frequency; deterministic (count desc, left, right) cut
     "q_bpe_pairs" ->
@@ -3954,6 +4370,121 @@ object LlmQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    // Q4 (returnflag-proxied): EXISTS semi-join + priority counts
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q8: NATION_3's share of STANDARD-part revenue to ASIA customers
+    "q_tpch_q8" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(
+        |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q12 (linestatus-classed): two-level conditional aggregation
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'N'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q15: max-over-view, exact-decimal equality cut
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Q17: correlated avg decorrelated as aggregate-then-join
+    "q_tpch_q17" ->
+      """SELECT ROUND(
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+        |  6) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS t_partkey, 0.2 * AVG(l_quantity) AS qty_lim
+        |      FROM lineitem GROUP BY 1) t ON l_partkey = t_partkey
+        |WHERE p_brand = 'Brand#5' AND p_type = 'ECONOMY'
+        |  AND l_quantity < qty_lim""".stripMargin,
+
+    // Q19: disjunctive predicate bundles over the part join
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q21 (returnflag-proxied): EXISTS + NOT EXISTS on the same fact
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    // Q22 (mktsegment-coded): scalar threshold + NOT EXISTS anti-join
+    "q_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE')),
+        |ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // salted join: the PLAIN join — salting must be invisible
     "q_salted_join" ->

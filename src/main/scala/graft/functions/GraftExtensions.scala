@@ -34,6 +34,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"nfc_normalize takes 1 argument, got ${args.length}")
         NfcNormalize(args.head)
+      }),
+    (FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2Distance].getName, "squared_l2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"squared_l2 takes 2 arguments, got ${args.length}")
+        SquaredL2Distance(args.head, args(1))
       }))
 
   /** Register on a live session (idempotent — re-registration replaces). */

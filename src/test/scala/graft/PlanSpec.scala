@@ -342,6 +342,9 @@ class PlanSpec extends AnyFunSuite {
     // config-time injection path builds the same descriptors
     assert(new graft.functions.GraftExtensions().isInstanceOf[
       org.apache.spark.sql.SparkSessionExtensions => Unit])
+    // squared_l2 rides the same registry: native codegen'd distance
+    val l2 = spark.sql("SELECT squared_l2(a, b) AS d FROM vecs").collect().map(_.getDouble(0))
+    assert(math.abs(l2(0)) < 1e-12 && math.abs(l2(1) - 2.0) < 1e-12, l2.mkString(","))
   }
 
   test("CMS probe joins the 2048-cell sketch broadcast; token count partial-aggregates") {
@@ -486,6 +489,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(2000)}")
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
       "gram join must be an equi-join")
+  }
+
+  test("relational anchors: Q4/Q8/Q21/Q22 semi- and anti-join logical shapes survive optimization") {
+    // The EXISTS / NOT EXISTS family must stay genuine semi/anti joins
+    // after the optimizer runs — a rewrite into an inner join + distinct
+    // or an aggregate would double fact-scan work at 100 TB.
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti => LA, LeftSemi => LS}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def joinTypes(name: String) = LlmQueries.all(name)(spark, dir)
+      .queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joinTypes("q_tpch_q4").contains(LS), "q4 lost its semi-join")
+    assert(joinTypes("q_tpch_q8").contains(LS), "q8 region membership must be a semi-join")
+    val q21 = joinTypes("q_tpch_q21")
+    assert(q21.count(_ == LS) >= 2 && q21.contains(LA),
+      s"q21 needs two semi + one anti, had: $q21")
+    assert(joinTypes("q_tpch_q22").contains(LA), "q22 lost its anti-join")
+  }
+
+  test("relational anchors: Q19 disjunctive residual keeps the part join equi") {
+    // The OR-of-bundles predicate must NOT degrade the p_partkey join
+    // into a nested-loop/cartesian — it is a post-join residual on top
+    // of an equi hash/merge join.
+    val df = LlmQueries.all("q_tpch_q19")(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in q19:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in q19:\n${p.take(2000)}")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "q19 part join must be an equi-join")
+  }
+
+  test("relational anchors: Q15 max-over-view aggregates lineitem exactly once") {
+    // The scalar MAX must come from the SAME materialized per-supplier
+    // view the ranking reads — the checkpointed-view idiom. Without it
+    // the two uses canonicalize differently (the join adds an isnotnull
+    // constraint) and ReuseExchange misses, re-scanning lineitem. After
+    // the checkpoint the final plan reads the materialized view for
+    // both sides and never touches the lineitem file again.
+    val df = LlmQueries.all("q_tpch_q15")(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("lineitem"),
+      s"q15 re-scans lineitem for the max:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"q15 should read the checkpointed view:\n${p.take(3000)}")
   }
 
   test("no broadcast hint sits on an unbuildable join side anywhere in the harness") {
