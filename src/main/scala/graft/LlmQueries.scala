@@ -626,6 +626,11 @@ object LlmQueries {
     "q_knn_triangles" -> ((s, dir) =>
       VectorOps.knnTriangles(annGraph(s, dir))),
 
+    // global transitivity: 3*triangles/wedges from the same canonical
+    // wedge join, wedge sum in decimal(38,0), one double division
+    "q_knn_transitivity" -> ((s, dir) =>
+      VectorOps.knnTransitivity(annGraph(s, dir))),
+
     // label-propagation communities over the kNN graph: 4 synchronous
     // neighbor-majority rounds, ties to the smallest label
     "q_knn_labelprop" -> ((s, dir) =>
@@ -3596,6 +3601,32 @@ object LlmQueries {
          |    THEN ROUND(COALESCE(n_tri, 0) * 2.0 / (d.degree * (d.degree - 1)), 6)
          |    ELSE 0.0 END AS clustering_coeff
          |FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node""".stripMargin,
+
+    // global transitivity: the same canonical wedge join as
+    // q_knn_triangles; wedge sum in HUGEINT (mirrors decimal(38,0)),
+    // exact integer halving, one double division
+    "q_knn_transitivity" ->
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS a, cand_id AS b FROM ann
+         |  UNION
+         |  SELECT cand_id AS a, query_id AS b FROM ann
+         |), und AS (SELECT a, b FROM sym WHERE a < b),
+         |w2 AS (
+         |  SELECT SUM(CAST(d AS HUGEINT) * (CAST(d AS HUGEINT) - 1)) AS wedge2
+         |  FROM (SELECT a, COUNT(*) AS d FROM sym GROUP BY 1)
+         |),
+         |tr AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+         |)
+         |SELECT tr.n_triangles,
+         |  CAST(w2.wedge2 // 2 AS BIGINT) AS n_wedges,
+         |  CASE WHEN w2.wedge2 = 0 THEN NULL
+         |    ELSE ROUND(tr.n_triangles * 6.0 / CAST(w2.wedge2 AS DOUBLE), 6)
+         |  END AS transitivity
+         |FROM tr, w2""".stripMargin,
 
     // kNN PageRank: same LSH ann CTE; 3 unrolled integer power
     // iterations (BIGINT // division, order-free sums) -> rank_units

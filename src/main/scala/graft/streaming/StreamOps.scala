@@ -523,4 +523,50 @@ object StreamOps {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** STREAMING UNIGRAM-LM ENCODING — the deployment shape of
+    * [[graft.text.UnigramOps.unigramEncodeFromVocab]]: the piece-cost
+    * table is trained in batch (the artifact), arriving documents are
+    * Viterbi-segmented against it per OCCURRENCE (a stream cannot see
+    * "distinct words of the corpus"), which makes the twin STATELESS —
+    * one row in, one row out, no shuffle, no state store, Append-legal
+    * with any sink. Same packed-composite kernel
+    * ([[graft.text.UnigramOps.viterbiSegment]]), same output schema
+    * and id-type preservation as the wordpiece twin, so batch and
+    * stream rows match one for one on a shared corpus. A word with a
+    * character outside the trained alphabet fails loudly in BOTH twins
+    * (the kernel's coverage guard) — character coverage is the trained
+    * model's contract, not something a stream can silently relax.
+    */
+  def streamingUnigramEncode(
+      docs: DataFrame, costs: Map[String, Long], maxPieceLen: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(costs.nonEmpty, "empty piece-cost table")
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(costs)
+    val outSchema = StructType(Seq(
+      docs.schema(idCol).copy(name = idCol),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_ug_tokens", LongType, nullable = false),
+      StructField("ug_cost", LongType, nullable = false),
+      StructField("ug_fertility", DoubleType, nullable = false)))
+    docs.select(col(idCol), col(textCol))
+      .flatMap { (row: org.apache.spark.sql.Row) =>
+        val cm = bc.value
+        val t = if (row.isNullAt(1)) "" else row.getString(1)
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) Iterator.empty
+        else {
+          var nw = 0L; var nt = 0L; var cost = 0L
+          ws.foreach { w =>
+            val (_, packed) =
+              graft.text.UnigramOps.viterbiSegment(w, cm, maxPieceLen)
+            nw += 1; nt += packed % 2048L; cost += packed / 2048L
+          }
+          Iterator.single(org.apache.spark.sql.Row(row.get(0), nw, nt, cost,
+            BigDecimal(nt * 1.0 / nw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -79,7 +79,7 @@ object UnigramOps {
     * per-distinct-word kernel of every EM round and of
     * [[unigramSegments]]/[[unigramEncode]].
     */
-  private[text] def viterbiSegment(
+  private[graft] def viterbiSegment(
       w: String, cost: collection.Map[String, Long], maxLen: Int)
     : (List[String], Long) = {
     val cps = codepoints(w)

@@ -1154,6 +1154,47 @@ object VectorOps {
           .as("assortativity"))
   }
 
+  /** GLOBAL TRANSITIVITY of the symmetrized kNN graph (Newman 2003,
+    * "The structure and function of complex networks", eq. 3.3):
+    * 3·triangles / wedges — the one-row corpus-level closure summary
+    * next to [[knnTriangles]]' per-node view, and the single number
+    * that separates "clustered near-dup families" from "random-ish
+    * ANN noise" before trusting downstream graph cuts. Both factors
+    * are exact integers: the triangle count comes from the SAME
+    * canonical wedge join as [[knnTriangles]]; the wedge count
+    * Σ d·(d−1)/2 accumulates in decimal(38,0) (hub-degree squares can
+    * pass 2^63 — the [[knnAssortativity]] overflow rule). One double
+    * division at the edge.
+    */
+  def knnTransitivity(ann: DataFrame): DataFrame = {
+    val sym = ann.select(col("query_id").as("a"), col("cand_id").as("b"))
+      .unionByName(ann.select(col("cand_id").as("a"), col("query_id").as("b")))
+      .distinct()
+    val dec = "decimal(38,0)"
+    // Σ d·(d−1) stays integer-exact in decimal; it is even term-wise,
+    // so the halving below is exact too
+    val wedges = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .agg(sum(col("d").cast(dec) * (col("d").cast(dec) - 1))
+        .cast(dec).as("wedge2"))
+    val und = sym.filter(col("a") < col("b"))
+    val nTri = und.select(col("a").as("u"), col("b").as("v"))
+      .join(und.select(col("a").as("u"), col("b").as("w")), "u")
+      .filter(col("v") < col("w"))
+      .join(und.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // two one-row aggregates — the only sanctioned crossJoin shape
+    nTri.crossJoin(wedges)
+      .select(col("n_triangles"),
+        // wedge2 is even, so the decimal halving is exact (a double
+        // route would hit the Spark-truncates / DuckDB-rounds cast
+        // divergence past 2^53)
+        (col("wedge2") / 2).cast("decimal(38,0)").cast("long").as("n_wedges"),
+        when(col("wedge2") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_triangles") * lit(6.0) / col("wedge2").cast("double"), 6))
+          .as("transitivity"))
+  }
+
   /** k-CORE PEEL of the symmetrized kNN graph (Seidman 1983, "Network
     * structure and minimum degree"; distributed peeling as in
     * Montresor et al. 2013) — the density layer of the graph family:

@@ -912,4 +912,43 @@ class StreamSpec extends AnyFunSuite {
       s"streamed $streamed vs batch $batch")
     assert(!streamed.exists(_._1 == "doc-c"), "token-less document must produce no row")
   }
+
+  test("streaming unigram encoding against the batch-trained model reproduces the batch report") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ug-stream").toFile
+    // plus a token-less document: both paths must drop it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, "   ")).toDF("doc_id", "text"))
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    // static side: the unigram model trained in batch on the same
+    // corpus (the historical-corpus deployment shape)
+    val (vocab, words) = graft.text.UnigramOps.unigramArtifacts(
+      docs, maxPieceLen = 4, seedMulti = 32, iters = 2)
+    val costs = vocab.collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(costs.nonEmpty)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingUnigramEncode(src, costs, maxPieceLen = 4)
+      .writeStream.format("memory").queryName("ug_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("ug_stream").collect().map(key).sorted.toSeq
+    // batch twin: per-distinct-word broadcast join vs the stream's
+    // per-occurrence DP — rows must match one for one
+    val batch = graft.text.UnigramOps.unigramEncodeFromVocab(
+        docs, words, vocab, maxPieceLen = 4)
+      .collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(!streamed.exists(_._1 == -1L), "token-less document must produce no row")
+  }
 }

@@ -1452,4 +1452,22 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 1L, 0.333333)))
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
+
+  test("knnTransitivity on hand graphs: triangle/wedge ratio exact") {
+    // {1-2, 2-3, 1-3, 3-4}: 1 triangle; wedges = Σ d(d-1)/2 over
+    // degrees (2,2,3,1) = 1+1+3+0 = 5 -> transitivity 3/5
+    val ann = Seq((1L, 2L), (3L, 2L), (1L, 3L), (4L, 3L), (2L, 1L))
+      .toDF("query_id", "cand_id")
+    val r = VectorOps.knnTransitivity(ann).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((1L, 5L, 0.6)))
+    // a star has wedges but no triangles -> exactly 0.0, not NULL
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("query_id", "cand_id")
+    val s = VectorOps.knnTransitivity(star).collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2)) == ((0L, 3L, 0.0)))
+    // a complete K4 closes every wedge -> exactly 1.0
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
+      .toDF("query_id", "cand_id")
+    val k = VectorOps.knnTransitivity(k4).collect()(0)
+    assert((k.getLong(0), k.getLong(1), k.getDouble(2)) == ((4L, 12L, 1.0)))
+  }
 }
