@@ -129,4 +129,98 @@ object TokenizerIO {
         col("n_oov_words"), col("n_unk_words"),
         round(col("n_tokens") * lit(1.0) / col("n_words"), 6).as("fertility"))
   }
+
+  // ---------------------------------------------------------------
+  // Unigram-LM artifact (the [[graft.text.UnigramOps]] model): one
+  // piece-cost table + its own sidecar. Layout:
+  //   <path>/pieces/       (piece, freq, cost)
+  //   <path>/unigram.json  {"format": 1, "max_piece_len": L,
+  //                         "seed_multi": N, "iters": K}
+  // ---------------------------------------------------------------
+
+  /** Train a unigram model on `docs` and persist the piece table +
+    * sidecar (the [[writeTokenizer]] contract: one training run, the
+    * sidecar written LAST so a torn write stays detectable).
+    */
+  def writeUnigram(
+      docs: DataFrame, path: String, maxPieceLen: Int = 4,
+      seedMulti: Int = 32, iters: Int = 2, textCol: String = "text"): Unit = {
+    val (vocab, _) = graft.text.UnigramOps.unigramArtifacts(
+      docs, maxPieceLen, seedMulti, iters, textCol)
+    vocab.write.mode(SaveMode.Overwrite).parquet(s"$path/pieces")
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(s"$path/unigram.json"),
+      s"""{"format": 1, "max_piece_len": $maxPieceLen, """ +
+        s""""seed_multi": $seedMulti, "iters": $iters}""")
+  }
+
+  /** Validated sidecar read — the [[storedMergeCount]] contract for
+    * the unigram artifact. Returns the stored max piece length (the
+    * one parameter the DP NEEDS at encode time: costs alone cannot
+    * tell the kernel how far back to look).
+    */
+  def storedUnigramMaxLen(path: String): Int = {
+    val p = Paths.get(s"$path/unigram.json")
+    require(Files.exists(p),
+      s"missing unigram sidecar $p — not a unigram artifact directory " +
+        "(or an interrupted writeUnigram)")
+    val s = Files.readString(p)
+    val fmt = """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    require(fmt.contains(1),
+      s"unsupported unigram format ${fmt.map(_.toString).getOrElse("<absent>")} " +
+        s"in $p (this reader understands format 1)")
+    val m = """"max_piece_len"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    require(m.isDefined, s"unigram sidecar $p has no \"max_piece_len\" entry")
+    m.get
+  }
+
+  def readUnigramPieces(spark: SparkSession, path: String): DataFrame = {
+    storedUnigramMaxLen(path)
+    spark.read.parquet(s"$path/pieces")
+  }
+
+  /** Encode a corpus under the STORED unigram model: per document,
+    * (n_words, n_ug_tokens, n_unk_words, ug_cost, ug_fertility). A
+    * word containing a character OUTSIDE the stored alphabet cannot
+    * be segmented (the model's coverage contract is training-corpus
+    * characters); it counts one [UNK] token at cost 0 — the
+    * [[encodeStored]] fallback convention, checked BEFORE the DP so
+    * the kernel's in-corpus coverage guard stays loud for genuine
+    * corruption. The Viterbi walk runs once per DISTINCT word.
+    */
+  def encodeStoredUnigram(
+      spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val maxLen = storedUnigramMaxLen(path)
+    val costs = readUnigramPieces(spark, path)
+      .select(col("piece"), col("cost")).as[(String, Long)].collect().toMap
+    require(costs.nonEmpty, s"empty piece table at $path")
+    val alphabet: Set[Int] = costs.keySet
+      .filter(p => p.codePointCount(0, p.length) == 1)
+      .map(p => p.codePointAt(0))
+    val bc = spark.sparkContext.broadcast((costs, alphabet))
+    val perWord = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .distinct().as[String]
+      .map { w =>
+        val (cm, alpha) = bc.value
+        if (w.codePoints().toArray.exists(cp => !alpha.contains(cp)))
+          (w, 1L, 0L, 1L)
+        else {
+          val (_, packed) =
+            graft.text.UnigramOps.viterbiSegment(w, cm, maxLen)
+          (w, packed % 2048L, packed / 2048L, 0L)
+        }
+      }
+      .toDF("w", "nt", "wcost", "unk")
+    docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(broadcast(perWord), "w")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_ug_tokens"),
+        sum(col("unk")).as("n_unk_words"), sum(col("wcost")).as("ug_cost"))
+      .select(col("id").as(idCol), col("n_words"), col("n_ug_tokens"),
+        col("n_unk_words"), col("ug_cost"),
+        round(col("n_ug_tokens") * lit(1.0) / col("n_words"), 6)
+          .as("ug_fertility"))
+  }
 }

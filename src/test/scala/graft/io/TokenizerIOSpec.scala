@@ -78,4 +78,50 @@ class TokenizerIOSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](TokenizerIO.readPieces(spark, dir))
     assert(e3.getMessage.contains("sidecar"))
   }
+
+  test("unigram artifact round-trips; stored encoding matches live unigramEncode") {
+    import graft.text.UnigramOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-ug-io").toString
+    val train = docsOf("abab ab cd", "ab cd cd")
+    TokenizerIO.writeUnigram(train, dir, maxPieceLen = 3, seedMulti = 4, iters = 2)
+    // stored piece table identical to live training
+    val stored = TokenizerIO.readUnigramPieces(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val live = UnigramOps.unigramTrain(train, maxPieceLen = 3, seedMulti = 4, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(stored == live && stored.nonEmpty)
+    assert(TokenizerIO.storedUnigramMaxLen(dir) == 3)
+    // stored encoding of the training corpus == live encode, 0 UNK
+    val enc = TokenizerIO.encodeStoredUnigram(spark, dir, train)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val liveEnc = UnigramOps.unigramEncode(train, maxPieceLen = 3, seedMulti = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(enc.map(t => (t._1, t._2, t._3, t._5, t._6)) == liveEnc)
+    assert(enc.forall(_._4 == 0L), s"no UNK on the training corpus: $enc")
+  }
+
+  test("stored unigram encodes unseen words; unknown characters count [UNK]") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ug-io2").toString
+    TokenizerIO.writeUnigram(docsOf("abab ab ab b"), dir,
+      maxPieceLen = 2, seedMulti = 2, iters = 1)
+    // "ba" is unseen but alphabet-covered (DP segments it);
+    // "abx" holds 'x' outside the stored alphabet -> 1 [UNK] at cost 0
+    val out = TokenizerIO.encodeStoredUnigram(spark, dir, docsOf("ba abx ab"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out.length == 1)
+    val (_, nWords, nTok, nUnk, _) = out.head
+    assert(nWords == 3L && nUnk == 1L, s"got $out")
+    assert(nTok >= 3L, s"got $out") // ba >= 1, abx = 1 (UNK), ab >= 1
+    // sidecar validation stays loud
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/unigram.json"), """{"format": 9}""")
+    val e = intercept[IllegalArgumentException](
+      TokenizerIO.readUnigramPieces(spark, dir))
+    assert(e.getMessage.contains("format"))
+  }
 }

@@ -79,6 +79,29 @@ class LongDocSpec extends AnyFunSuite {
     assert(wp == Seq((1L, 12500L, 0L), (2L, 4L, 0L)), s"got $wp")
   }
 
+  test("unigram training is distinct-word-linear when EVERY word is distinct") {
+    // the 200k-token docs have ~400k DISTINCT words — the worst case
+    // for a vocabulary-compressed tokenizer (compression buys nothing,
+    // the substring seed explodes every word). Seeding, the EM round,
+    // and encoding must all stay token-linear; a length-quadratic or
+    // vocab-quadratic path turns this into a hang
+    val enc = UnigramOps.unigramEncode(docs, maxPieceLen = 4,
+        seedMulti = 32, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(enc.map(_._1) == Seq(1L, 2L, 3L))
+    assert(enc.head._2 == nTok + 8L, s"doc-1 word count: ${enc.head}")
+    // the per-word DP bounds word length loudly: a single word past
+    // the packed-composite capacity must fail with the guard, never
+    // silently truncate or wrap
+    val giantWord = Seq((1L, "x" * 4096)).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      UnigramOps.unigramEncode(giantWord, maxPieceLen = 2,
+        seedMulti = 2, iters = 0).collect()
+    }
+    assert(e.getMessage.contains("2047") || Option(e.getCause)
+      .exists(_.getMessage.contains("2047")), s"guard not loud: ${e.getMessage}")
+  }
+
   test("chunk/window family is token-linear on 200k-token documents") {
     val w = TextOps.contextWindows(docs, size = 64, stride = 48)
     assert(w.filter(col("doc_id") === 1L).count() >= (nTok / 48).toLong)

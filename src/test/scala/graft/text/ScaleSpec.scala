@@ -139,4 +139,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(c10 - c1 <= 11,
       s"replica minted ${c10 - c1} new characters — more than the tag alphabet")
   }
+
+  test("unigram piece table is seed-bounded and coverage-complete under 10x replication") {
+    // the unigram artifact is (alphabet + <= seedMulti) pieces BY
+    // CONSTRUCTION — the broadcastable-tokenizer contract that makes
+    // every EM round one flatMap over the distinct words at 100 TB.
+    // Coverage: every single character survives every round (the +1
+    // floor), so every distinct word of the 10x corpus must segment
+    // without the kernel's loud coverage guard firing, and reassemble
+    // to itself.
+    import spark.implicits._
+    def charsOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("text")).as[String]
+        .flatMap(t => t.codePoints().toArray.filter(_ != ' ').toSeq)
+        .distinct().count()
+    def vocabSize(df: org.apache.spark.sql.DataFrame): (Long, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val (vocab, words) = UnigramOps.unigramArtifacts(
+        df, maxPieceLen = 4, seedMulti = 32, iters = 2)
+      (vocab.count(), vocab, words)
+    }
+    val (v1, _, _) = vocabSize(d1)
+    val (v10, vocab10, words10) = vocabSize(d10)
+    val c1 = charsOf(d1); val c10 = charsOf(d10)
+    assert(v1 >= 2 && v10 >= 2, s"degenerate piece tables $v1/$v10")
+    assert(v1 <= c1 + 32, s"1x piece table $v1 exceeds chars+seedMulti ${c1 + 32}")
+    assert(v10 <= c10 + 32, s"10x piece table $v10 exceeds chars+seedMulti ${c10 + 32}")
+    // coverage at 10x: every distinct word segments and reassembles
+    val segs = UnigramOps.unigramSegmentsFromVocab(words10, vocab10, maxPieceLen = 4)
+      .select(col("w"), col("seg")).as[(String, String)].collect()
+    assert(segs.nonEmpty)
+    segs.foreach { case (w, s) =>
+      assert(s.split(" ").mkString === w, s"word $w reassembled as $s")
+    }
+  }
 }
