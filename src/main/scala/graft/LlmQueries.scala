@@ -443,6 +443,12 @@ object LlmQueries {
     "q_source_cap" -> ((s, dir) =>
       TextOps.capPerStratum(docs(s, dir), cap = 15, salt = "cap1")),
 
+    // weighted sampling without replacement (Efraimidis-Spirakis
+    // A-ES): 12 docs per source drawn proportional to n_chars via the
+    // deterministic md5 exponential race; same heap-aggregated shape
+    "q_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSamplePerStratum(docs(s, dir), k = 12, salt = "wsamp1")),
+
     // token-budget mixing: ~800 tokens per source (sources carry ~1350+
     // tokens at every SF, so the budget BINDS)
     "q_token_budget" -> ((s, dir) =>
@@ -630,6 +636,11 @@ object LlmQueries {
     // wedge join, wedge sum in decimal(38,0), one double division
     "q_knn_transitivity" -> ((s, dir) =>
       VectorOps.knnTransitivity(annGraph(s, dir))),
+
+    // link prediction: top-30 non-adjacent pairs by common-neighbor
+    // count + Adamic-Adar (integer nano-unit sums, order-free)
+    "q_knn_linkpred" -> ((s, dir) =>
+      VectorOps.knnLinkPrediction(annGraph(s, dir), topK = 30)),
 
     // label-propagation communities over the kNN graph: 4 synchronous
     // neighbor-majority rounds, ties to the smallest label
@@ -3269,6 +3280,19 @@ object LlmQueries {
         |  FROM documents)
         |WHERE rank_in_stratum <= 15 ORDER BY source, rank_in_stratum""".stripMargin,
 
+    // A-ES weighted sample: the same 52-bit salted draw, u in (0,1)
+    // as (h + 0.5)/2^52, race key ln(u)/w DESC == -ln(u)/w ASC; the
+    // engine's TopK (sim DESC, id ASC) order mirrored exactly
+    "q_weighted_sample" ->
+      """SELECT source, doc_id, rank_in_stratum FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      ln((CAST(concat('0x', substr(md5('wsamp1:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+        |         / 4503599627370496.0) / CAST(n_chars AS DOUBLE) DESC,
+        |      doc_id) AS rank_in_stratum
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rank_in_stratum <= 12 ORDER BY source, rank_in_stratum""".stripMargin,
+
     "q_heavy_hitters" ->
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
@@ -3627,6 +3651,37 @@ object LlmQueries {
          |    ELSE ROUND(tr.n_triangles * 6.0 / CAST(w2.wedge2 AS DOUBLE), 6)
          |  END AS transitivity
          |FROM tr, w2""".stripMargin,
+
+    // link prediction: the same symmetrized CTE; wedge self-join on
+    // the shared neighbor, anti-join out existing edges, integer
+    // nano-unit Adamic-Adar terms (common neighbors have degree >= 2,
+    // so ln never sees 1), the engine's exact (cn, aa, a, b) cut
+    "q_knn_linkpred" ->
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS src, cand_id AS dst FROM ann
+         |  UNION
+         |  SELECT cand_id AS src, query_id AS dst FROM ann
+         |),
+         |deg AS (SELECT src AS z, COUNT(*) AS d FROM sym GROUP BY 1),
+         |wed AS (
+         |  SELECT s1.src AS z, s1.dst AS a, s2.dst AS b
+         |  FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+         |),
+         |cand AS (
+         |  SELECT w.z, w.a, w.b FROM wed w
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sym e WHERE e.src = w.a AND e.dst = w.b
+         |  )
+         |)
+         |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         |       ROUND(CAST(SUM(CAST(ROUND(1e9 / ln(CAST(d.d AS DOUBLE))) AS BIGINT)) AS BIGINT)
+         |             / 1e9, 6) AS aa_score
+         |FROM cand c JOIN deg d ON d.z = c.z
+         |GROUP BY 1, 2
+         |ORDER BY common_neighbors DESC,
+         |  SUM(CAST(ROUND(1e9 / ln(CAST(d.d AS DOUBLE))) AS BIGINT)) DESC, a, b
+         |LIMIT 30""".stripMargin,
 
     // kNN PageRank: same LSH ann CTE; 3 unrolled integer power
     // iterations (BIGINT // division, order-free sums) -> rank_units

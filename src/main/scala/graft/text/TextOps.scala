@@ -1425,6 +1425,46 @@ object TextOps {
       .select(col(keyCol), col("e.id").as(idCol), col("e.rank").as("rank_in_stratum"))
   }
 
+  /** WEIGHTED sampling WITHOUT replacement per stratum — the third
+    * data-mixing primitive ([[stratifiedSample]] keeps a rate,
+    * [[capPerStratum]] a uniform count; this keeps a count drawn with
+    * probability PROPORTIONAL TO A WEIGHT, the "sample by quality
+    * score / token mass" policy). Efraimidis & Spirakis 2006
+    * ("Weighted random sampling with a reservoir", A-ES): each row
+    * draws u ∈ (0,1) and the k largest u^(1/w) win — equivalently the
+    * k SMALLEST -ln(u)/w, the exponential race this implementation
+    * runs. Deterministic: u = (salted 52-bit md5 prefix + 0.5) / 2^52,
+    * so the draw is reproducible across runs, engines, and cluster
+    * sizes, and changing the salt redraws the sample.
+    *
+    * Ranking rides the same bounded-heap [[graft.functions.TopK]]
+    * aggregator as [[capPerStratum]] (fed ln(u)/w, whose DESC order is
+    * the race's ASC order) — map-side partial heaps, at most `k` rows
+    * per (partition, stratum) in the shuffle, never a corpus window
+    * sort. Rows with weight <= 0 cannot be drawn (A-ES is undefined
+    * there) and are excluded up front.
+    *
+    * Returns (stratum, id, rank_in_stratum), rank 1-based in race
+    * order — the [[capPerStratum]] schema.
+    */
+  def weightedSamplePerStratum(
+      docs: DataFrame, k: Int, salt: String = "graft",
+      keyCol: String = "source", idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    // u in (0,1) exactly representable: 52-bit integer + 0.5 over 2^52
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    docs.filter(col(weightCol) > 0)
+      .select(col(keyCol), col(idCol).cast("long").as("id"),
+        (log(u) / col(weightCol).cast("double")).as("s"))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.TopK.topK(k)(col("id"), col("s")).as("top"))
+      .select(col(keyCol), explode(col("top.entries")).as("e"))
+      .select(col(keyCol), col("e.id").as(idCol), col("e.rank").as("rank_in_stratum"))
+  }
+
   /** Repetition features — the boilerplate/degenerate-text signal a
     * pretraining quality filter cuts on: `rep_ratio` = 1 - distinct
     * word-3-grams / total word-3-grams (near 1 for looping text, near

@@ -1195,6 +1195,54 @@ object VectorOps {
           .as("transitivity"))
   }
 
+  /** LINK PREDICTION over the symmetrized kNN graph: common-neighbor
+    * counts and Adamic–Adar scores (Adamic & Adar 2003, "Friends and
+    * neighbors on the Web") for the top-K non-adjacent pairs — the
+    * "edges the ANN index probably MISSED" report: two documents that
+    * share many neighbors are near-dup/same-topic candidates even
+    * though no LSH bucket ever paired them, so this is the recall
+    * patch a dedup pass runs after banding.
+    *
+    * One wedge self-join on the shared neighbor builds all distance-2
+    * pairs (a < b canonical), one LEFT ANTI drops already-adjacent
+    * pairs, one aggregation scores: cn = |Γ(a)∩Γ(b)|,
+    * aa = Σ_z 1/ln(deg z). A common neighbor has degree ≥ 2 by
+    * definition, so ln(deg z) is never 0. The AA terms are INTEGER
+    * nano-units (`round(1e9 / ln d)`) so the sum is order-free and
+    * bit-identical across partitionings and engines — the PageRank
+    * integer contract; the double face is one division at the edge.
+    * Top-K by the total order (cn DESC, aa_units DESC, a, b) via
+    * ordered limit (TakeOrdered — K driver rows, no full sort).
+    *
+    * Scale shape: wedges are degree-bounded (Σ deg² — k-bounded per
+    * node on an ANN graph), the anti-join is edge-keyed, and nothing
+    * is corpus-quadratic.
+    */
+  def knnLinkPrediction(ann: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK must be in [1,10000], got $topK")
+    val sym = ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+      .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("d"))
+    val wedges = sym.select(col("src").as("z"), col("dst").as("a"))
+      .join(sym.select(col("src").as("z"), col("dst").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val und = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    wedges
+      .join(und, Seq("a", "b"), "left_anti")
+      .join(deg, "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1e9) / log(col("d").cast("double"))).cast("long"))
+          .as("aa_units"))
+      .orderBy(col("common_neighbors").desc, col("aa_units").desc,
+        col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("common_neighbors"),
+        round(col("aa_units") / lit(1e9), 6).as("aa_score"))
+  }
+
   /** k-CORE PEEL of the symmetrized kNN graph (Seidman 1983, "Network
     * structure and minimum degree"; distributed peeling as in
     * Montresor et al. 2013) — the density layer of the graph family:

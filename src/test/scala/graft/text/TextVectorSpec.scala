@@ -414,6 +414,44 @@ class TextVectorSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).toSet.subsetOf(more))
   }
 
+  test("weightedSamplePerStratum: A-ES race parity, weight bias, zero-weight exclusion") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 5
+    val got = TextOps.weightedSamplePerStratum(docs, k, salt = "w1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((_, rows) <- got.groupBy(_._1)) {
+      assert(rows.length <= k)
+      assert(rows.map(_._3).sorted.toList == (1L to rows.length).toList)
+    }
+    // parity with the window form of the same exponential race
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat_ws(":", lit("w1"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val s = log((h.cast("double") + lit(0.5)) / lit(4503599627370496.0)) /
+      col("n_chars").cast("double")
+    val want = docs.filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), s.as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assert(got.toSet == want)
+    // the race is weight-biased: one heavy doc among light ones wins
+    // the k=1 draw for the large majority of salts
+    val skew = Seq((0L, "s", 1L), (1L, "s", 1L), (2L, "s", 1L),
+      (3L, "s", 1L), (4L, "s", 10000L)).toDF("doc_id", "source", "n_chars")
+    val wins = (1 to 20).count { i =>
+      TextOps.weightedSamplePerStratum(skew, k = 1, salt = s"b$i")
+        .head().getLong(1) == 4L
+    }
+    assert(wins >= 15, s"heavy doc won only $wins/20 draws")
+    // weight <= 0 rows can never be drawn
+    val z = Seq((0L, "s", 0L), (1L, "s", 5L)).toDF("doc_id", "source", "n_chars")
+    val zs = TextOps.weightedSamplePerStratum(z, k = 2, salt = "w1")
+      .collect().map(_.getLong(1)).toSeq
+    assert(zs == Seq(1L), s"zero-weight row drawn: $zs")
+  }
+
   test("heavyHitterTokens: equals the exact HAVING under real counter eviction; invalid sizing fails loudly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -1451,6 +1489,31 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 1.0)))
     assert(out(3L) == ((3L, 1L, 0.333333)))
     assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("knnLinkPrediction on hand graphs: wedge scores, anti-join, AA units exact") {
+    // path 1-2-3 plus pendant 3-4: non-adjacent distance-2 pairs are
+    // (1,3) via 2 and (2,4) via 3, both with cn=1 and deg(z)=2 ->
+    // aa = round(1e9/ln 2)/1e9 = 1.442695; tie broken by (a,b)
+    val ann = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("query_id", "cand_id")
+    val out = VectorOps.knnLinkPrediction(ann, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 3L, 1L, 1.442695), (2L, 4L, 1L, 1.442695)), s"got $out")
+    // topK cuts on the total order: k=1 keeps the (a,b)-smaller pair
+    val top1 = VectorOps.knnLinkPrediction(ann, topK = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top1 == Seq((1L, 3L)))
+    // adjacent pairs never appear, even with many shared neighbors:
+    // K4 minus nothing — every pair adjacent -> empty report
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
+      .toDF("query_id", "cand_id")
+    assert(VectorOps.knnLinkPrediction(k4, topK = 10).count() == 0L)
+    // two common neighbors beat one: square 1-2-3-4-1 (no diagonals):
+    // (1,3) and (2,4) each have cn=2 and beat nothing else; deg all 2
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("query_id", "cand_id")
+    val sout = VectorOps.knnLinkPrediction(sq, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(sout == Seq((1L, 3L, 2L, 2.885390), (2L, 4L, 2L, 2.885390)), s"got $sout")
   }
 
   test("knnTransitivity on hand graphs: triangle/wedge ratio exact") {
