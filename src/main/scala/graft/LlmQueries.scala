@@ -449,6 +449,11 @@ object LlmQueries {
     "q_weighted_sample" -> ((s, dir) =>
       TextOps.weightedSamplePerStratum(docs(s, dir), k = 12, salt = "wsamp1")),
 
+    // Zipf rank-frequency fit: least squares of ln freq on ln rank
+    // over the top-1000 tokens — integer nano-unit sums in
+    // decimal(38,0), heap-ranked (no vocab-wide window)
+    "q_zipf_fit" -> ((s, dir) => CorpusOps.zipfFit(docs(s, dir), topRanks = 1000)),
+
     // token-budget mixing: ~800 tokens per source (sources carry ~1350+
     // tokens at every SF, so the budget BINDS)
     "q_token_budget" -> ((s, dir) =>
@@ -3279,6 +3284,47 @@ object LlmQueries {
         |      doc_id) AS rank_in_stratum
         |  FROM documents)
         |WHERE rank_in_stratum <= 15 ORDER BY source, rank_in_stratum""".stripMargin,
+
+    // Zipf fit: ranks by (freq DESC, 60-bit token hash ASC) — the
+    // TopK heap's order; nano-unit ln terms summed in HUGEINT, the
+    // engine's exact double-edge arithmetic tree replayed
+    "q_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC,
+        |    CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) ASC) AS rank
+        |  FROM f
+        |),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM (SELECT CAST(ROUND(1e9 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+        |               CAST(ROUND(1e9 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+        |        FROM r WHERE rank <= 1000)
+        |),
+        |e AS (
+        |  SELECT CAST(n AS BIGINT) AS n_ranks,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
+        |  FROM t
+        |)
+        |SELECT n_ranks,
+        |  CASE WHEN dx = 0 THEN NULL ELSE ROUND(num / dx, 6) END AS slope,
+        |  CASE WHEN dx = 0 THEN NULL
+        |    ELSE ROUND((syd - num / dx * sxd) / (nd * 1e9), 6) END AS intercept,
+        |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
+        |    ELSE ROUND(num * num / (dx * dy), 6) END AS r2
+        |FROM e""".stripMargin,
 
     // A-ES weighted sample: the same 52-bit salted draw, u in (0,1)
     // as (h + 0.5)/2^52, race key ln(u)/w DESC == -ln(u)/w ASC; the

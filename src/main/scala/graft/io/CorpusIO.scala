@@ -1,0 +1,89 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL corpus interchange — the de-facto wire format of LLM training
+  * corpora (one JSON document per line: The Pile, RedPajama, Dolma all
+  * ship this way). The raster side has its parquet tile store
+  * ([[TileIO]]); this is the text side's ingest/egress pair, with the
+  * property a 100 TB ingest actually needs: MALFORMED LINES ARE
+  * ACCOUNTED, NOT SILENTLY DROPPED — a crawler's truncated shard or a
+  * mid-line disk error must show up in an ingest report, not vanish.
+  *
+  * Reading uses Spark's PERMISSIVE JSON mode with an explicit schema
+  * (never inference — a schema scan over 100 TB is a full extra pass,
+  * and inference lets one bad shard silently change column types):
+  * parseable lines become typed rows, unparseable lines land intact in
+  * the corrupt-record column for counting/quarantine. Everything is a
+  * line-parallel scan; no shuffle anywhere on the ingest path.
+  */
+object CorpusIO {
+
+  /** The documents-table schema (TESTDATA.md) + the corrupt-line
+    * capture column.
+    */
+  val corruptCol = "_corrupt_record"
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val readSchema: StructType =
+    StructType(docSchema.fields :+ StructField(corruptCol, StringType))
+
+  /** Egress: one JSON object per line, the interchange layout. */
+  def writeJsonl(docs: DataFrame, path: String): Unit =
+    docs.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Ingest with corrupt-line capture: returns every input line as a
+    * row — parsed columns for good lines, NULLs + the raw line in
+    * `_corrupt_record` for bad ones. Callers filter or quarantine;
+    * [[ingestReport]] summarizes.
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** The parsed corpus alone (bad lines dropped — AFTER accounting;
+    * pair with [[ingestReport]] so the drop is never silent).
+    */
+  def readJsonlClean(spark: SparkSession, path: String): DataFrame =
+    readJsonl(spark, path).filter(col(corruptCol).isNull).drop(corruptCol)
+
+  /** The raw text of every unparseable line, for replay or
+    * quarantine. The projection keeps `doc_id` alongside the corrupt
+    * column because Spark (SPARK-38523 contract) refuses a query over
+    * raw JSON whose referenced columns are ONLY the internal corrupt
+    * record column — co-projecting a parsed column is the sanctioned
+    * shape.
+    */
+  def quarantine(lines: DataFrame): DataFrame =
+    lines.filter(col(corruptCol).isNotNull)
+      // coalesce keeps a GENUINE doc_id reference in the plan even if
+      // the caller projects raw_line alone — column pruning cannot
+      // reduce the scan to the corrupt column only (the filter already
+      // guarantees the corrupt branch wins, so values are unchanged)
+      .select(col("doc_id"),
+        coalesce(col(corruptCol), col("doc_id").cast("string")).as("raw_line"))
+
+  /** One-row ingest health report: total lines, parsed lines, corrupt
+    * lines, and parsed lines missing the primary key (a line can be
+    * valid JSON and still lack doc_id — schema-valid but unusable).
+    * One aggregation over the line scan.
+    */
+  def ingestReport(lines: DataFrame): DataFrame =
+    lines.agg(
+      count(lit(1)).as("n_lines"),
+      count(when(col(corruptCol).isNull, 1)).as("n_parsed"),
+      count(col(corruptCol)).as("n_corrupt"),
+      count(when(col(corruptCol).isNull && col("doc_id").isNull, 1))
+        .as("n_missing_id"))
+}

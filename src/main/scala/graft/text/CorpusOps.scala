@@ -997,4 +997,67 @@ object CorpusOps {
       .select(col("id").as(idCol), col(srcCol), col("n_tokens"),
         col("n_repeats").cast("long").as("n_repeats"))
   }
+
+  /** ZIPF RANK-FREQUENCY FIT — the corpus-health diagnostic that
+    * separates natural text (slope ≈ −1, Zipf 1949) from degenerate
+    * corpora: template spam flattens the curve (slope → 0), a
+    * collapsed vocabulary steepens it. Least-squares of ln(freq) on
+    * ln(rank) over the top `topRanks` tokens, with r² alongside —
+    * the pair a corpus-intake gate thresholds on.
+    *
+    * Shape: one token-count aggregation (vocab-sized keys, map-side
+    * combined), then the ranking goes through the bounded-heap
+    * [[graft.functions.TopK]] on ONE group — `topRanks` rows ever
+    * shuffle, never a corpus- or vocab-wide window sort. Ties in
+    * frequency break by the 60-bit token hash (the heap's id), which
+    * the oracle mirrors. DETERMINISM: ln values are integer
+    * nano-units (`round(1e9·ln x)`), their Pearson sums accumulate in
+    * decimal(38,0) (products of two 1e10-unit terms pass 2^63 — the
+    * [[graft.vector.VectorOps.knnAssortativity]] overflow rule), and
+    * the double arithmetic happens once at the edge.
+    *
+    * Returns one row (n_ranks, slope, intercept, r2), 6 dp; slope and
+    * r2 NULL when fewer than 2 ranks survive or the x-variance is 0.
+    */
+  def zipfFit(
+      docs: DataFrame, topRanks: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    require(topRanks >= 2 && topRanks <= 100000,
+      s"topRanks must be in [2,1e5], got $topRanks")
+    val freqs = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(TextOps.tokenHash(col("w")).as("id"),
+        col("freq").cast("double").as("s"), col("freq"))
+    val ranked = freqs
+      .groupBy(lit(1).as("g"))
+      .agg(graft.functions.TopK.topK(topRanks)(col("id"), col("s")).as("top"))
+      .select(explode(col("top.entries")).as("e"))
+      .select(col("e.rank").as("rank"), col("e.sim").cast("long").as("freq"))
+    val dec = "decimal(38,0)"
+    val x = round(lit(1e9) * log(col("rank").cast("double"))).cast("long").cast(dec)
+    val y = round(lit(1e9) * log(col("freq").cast("double"))).cast("long").cast(dec)
+    val terms = ranked.agg(count(lit(1)).cast(dec).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+    terms
+      .select(col("n").cast("long").as("n_ranks"),
+        (nD * sxyD - sxD * syD).as("num"),
+        (nD * sxxD - sxD * sxD).as("dx"),
+        (nD * syyD - syD * syD).as("dy"),
+        sxD.as("sxd"), syD.as("syd"), nD.as("nd"))
+      .select(col("n_ranks"),
+        when(col("dx") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("num") / col("dx"), 6)).as("slope"),
+        // intercept back in ln units: (Σy − slope·Σx) / (1e9·n)
+        when(col("dx") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("syd") - col("num") / col("dx") * col("sxd"))
+            / (col("nd") * lit(1e9)), 6)).as("intercept"),
+        when(col("dx") === 0.0 || col("dy") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("num") * col("num") / (col("dx") * col("dy")), 6))
+          .as("r2"))
+  }
 }

@@ -234,6 +234,27 @@ class PlanSpec extends AnyFunSuite {
       s"no partial heap aggregation in:\n${p.take(3000)}")
   }
 
+  test("weighted sample keeps the heap-aggregate shape; link prediction stays equi-joined") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ws = graft.text.TextOps.weightedSamplePerStratum(docs, k = 5)
+    ws.collect()
+    val pw = plan(ws)
+    assert(!pw.contains("Window"), s"window sort in the A-ES plan:\n${pw.take(3000)}")
+    assert("ObjectHashAggregate".r.findAllIn(pw).size >= 2,
+      s"no partial heap aggregation in:\n${pw.take(3000)}")
+    // link prediction: wedge join, anti-join, and degree join must all
+    // stay hash equi-joins — a BroadcastNestedLoop would be the
+    // corpus-quadratic failure shape
+    val ann = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("query_id", "cand_id")
+    val lp = graft.vector.VectorOps.knnLinkPrediction(ann, topK = 5)
+    lp.collect()
+    val pl = plan(lp)
+    assert(!pl.contains("BroadcastNestedLoop") && !pl.contains("CartesianProduct"),
+      s"non-equi join in the link-prediction plan:\n${pl.take(3000)}")
+    assert(pl.contains("TakeOrdered"),
+      s"top-K not TakeOrdered in:\n${pl.take(3000)}")
+  }
+
   test("clip predicate appears as a pushable filter, not a lambda") {
     val px = graft.model.Raster.pixelsFromDf(Queries.grid0(spark, dir))
     val clipped = graft.ops.SpatialOps.clipPixelsByBbox(px, Queries.gmSrc, 50.5, 57.5, 51.5, 58.5)

@@ -1,0 +1,55 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** [[CorpusIO]] — JSONL interchange roundtrip and the corrupt-line
+  * accounting contract: a truncated/garbage line is counted and
+  * quarantined, never silently dropped, and never perturbs the parse
+  * of its neighbors.
+  */
+class CorpusIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("jsonl roundtrip preserves the documents table exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    CorpusIO.writeJsonl(docs, dir)
+    val back = CorpusIO.readJsonlClean(spark, dir)
+    assert(back.schema.fieldNames.sorted.toSeq ==
+      docs.schema.fieldNames.sorted.toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(key(back).toSeq == key(docs).toSeq)
+  }
+
+  test("corrupt and key-less lines are accounted, good neighbors parse unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl2").toString
+    // hand-written shard: 2 good lines, 1 truncated JSON, 1 garbage,
+    // 1 valid JSON without doc_id
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good one", "lang": "en", "source": "web", "n_chars": 8}""",
+      """{"doc_id": 2, "text": "good two", "lang": "de", "source": "book", "n_chars": 8}""",
+      """{"doc_id": 3, "text": "truncat""",
+      """not json at all""",
+      """{"text": "keyless", "lang": "en", "source": "web", "n_chars": 7}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-00000.json"), lines.mkString("\n"))
+    val all = CorpusIO.readJsonl(spark, dir)
+    val rep = CorpusIO.ingestReport(all).head()
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3)) ==
+      ((5L, 3L, 2L, 1L)), s"report: $rep")
+    // quarantined lines carry their raw text for replay
+    val bad = CorpusIO.quarantine(all)
+      .select(col("raw_line")).collect().map(_.getString(0)).sorted
+    assert(bad.toSeq ==
+      Seq("""{"doc_id": 3, "text": "truncat""", "not json at all").sorted)
+    // the clean view is exactly the two good rows
+    val good = CorpusIO.readJsonlClean(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(good.toSeq == Seq((1L, "good one"), (2L, "good two")))
+  }
+}

@@ -319,4 +319,25 @@ class RewriteSpec extends AnyFunSuite {
     byQ.values.foreach(rows =>
       assert(rows.map(_._3).sorted.toSeq == (1L to rows.size.toLong).toSeq))
   }
+
+  test("zipfFit: exact power law fits slope -1 / r2 1; flat corpus degrades to r2 NULL") {
+    // freq(r) = 12/r exactly at ranks 1..4 -> a perfect ln-ln line of
+    // slope -1 (nano-unit rounding perturbs at 1e-9, invisible at 6 dp)
+    val perfect = Seq((0L,
+      Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    )).map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val r = graft.text.CorpusOps.zipfFit(perfect, topRanks = 10).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
+    // all-equal frequencies: zero y-variance -> slope 0, intercept 0,
+    // r2 undefined (NULL), never NaN/Infinity
+    val flat = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val f = graft.text.CorpusOps.zipfFit(flat, topRanks = 10).head()
+    assert(f.getLong(0) == 4L && f.getDouble(1) == 0.0 && f.getDouble(2) == 0.0)
+    assert(f.isNullAt(3), s"r2 must be NULL, got ${f.get(3)}")
+    // topRanks caps the regression sample
+    val capped = graft.text.CorpusOps.zipfFit(perfect, topRanks = 2).head()
+    assert(capped.getLong(0) == 2L)
+  }
 }
