@@ -724,6 +724,12 @@ object LlmQueries {
       VectorOps.truncatedRecallAtK(
         embeddings(s, dir).filter(col("vec_id") < PairLimit), dims = 16, k = 5)),
 
+    // binary (sign-bit) quantization recall: Hamming ranking expressed
+    // as cosine over +/-1 vectors, vs the float-exact top-5
+    "q_bq_recall" -> ((s, dir) =>
+      VectorOps.binaryRecallAtK(
+        embeddings(s, dir).filter(col("vec_id") < PairLimit), k = 5)),
+
     // one-row dataset card: the release-notes summary a corpus ships
     // with — size, composition breadth, exact-dup mass, token stats
     "q_dataset_card" -> ((s, dir) =>
@@ -4003,6 +4009,23 @@ object LlmQueries {
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |  WHERE vec_id < $PairLimit
          |), t AS (SELECT vec_id, v[1:16] AS v FROM e),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         list_cosine_similarity(q.v, c.v) AS sim
+         |  FROM t q, t c WHERE c.vec_id <> q.vec_id
+         |), ${sqlRecallTail(5)}""".stripMargin,
+
+    // binary quantization recall: sign map to +/-1 (x > 0 in both
+    // engines, zeros to -1), same cosine-ranked recall tail
+    "q_bq_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id < $PairLimit
+         |), t AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM e
+         |),
          |pairs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |         list_cosine_similarity(q.v, c.v) AS sim

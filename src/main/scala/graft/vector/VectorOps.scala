@@ -992,6 +992,31 @@ object VectorOps {
       e, k, idCol, vecCol)
   }
 
+  /** BINARY (1-bit) quantization recall — the most aggressive point
+    * of the compression family (int8 [[quantizedRecallAtK]] is 4x,
+    * Matryoshka [[truncatedRecallAtK]] is dimensional, PQ is
+    * codebooked; sign bits are 32x): every component collapses to its
+    * sign, and candidates rank by Hamming distance. Implemented as
+    * cosine over ±1 vectors, which ranks IDENTICALLY to Hamming
+    * (cos = (d − 2·hamming)/d, strictly decreasing in hamming) — so
+    * the whole measured-recall machinery (broadcast scan-and-heap
+    * top-k, per-query denominator, id tie-break) is reused unchanged
+    * and the oracle replays it with `list_cosine_similarity`.
+    * Symmetric search (both sides quantized), the
+    * [[quantizedRecallAtK]] setting; zero components sign to −1 in
+    * both engines (`x > 0` is false).
+    */
+  def binaryRecallAtK(
+      embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = cachedEmb(embeddings, idCol, vecCol)
+    val bin = e.select(col(idCol),
+      transform(col(vecCol).cast("array<double>"), x =>
+        when(x > 0, lit(1.0)).otherwise(lit(-1.0))).as(vecCol))
+    recallAgainstBrute(bruteForceTopK(bin, bin, k, idCol, vecCol),
+      e, k, idCol, vecCol)
+  }
+
   /** PageRank over the symmetrized kNN graph (Page et al. 1999, "The
     * PageRank citation ranking") — centrality over the semantic
     * neighbor graph surfaces hub documents (dense near-dup regions,

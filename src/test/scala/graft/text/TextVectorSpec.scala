@@ -665,6 +665,41 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("binary quantization recall: Hamming-equivalent ranking, identity on sign vectors") {
+    import spark.implicits._
+    // vectors already +/-1: sign quantization is the identity, so
+    // symmetric binary search must reproduce the exact top-k — recall 1
+    val signs = Seq.tabulate(10) { i =>
+      (i.toLong, Array.tabulate(6)(d => if (((i >> d) & 1) == 1) 1.0f else -1.0f))
+    }.toDF("vec_id", "embedding")
+    val rec1 = VectorOps.binaryRecallAtK(signs, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rec1.size == 10 && rec1.values.forall(_ == 1.0), s"identity recall: $rec1")
+    // the cosine-over-signs ranking IS the Hamming ranking: verify the
+    // reported hit count against a hand Hamming top-k on mixed floats
+    val vs = Seq(
+      (0L, Array(0.9f, -0.2f, 0.3f, -0.7f)),
+      (1L, Array(0.8f, -0.1f, 0.4f, -0.6f)),   // same signs as 0
+      (2L, Array(-0.9f, 0.2f, -0.3f, 0.7f)),   // opposite of 0
+      (3L, Array(0.9f, 0.2f, 0.3f, -0.7f)),    // hamming 1 from 0
+      (4L, Array(0.5f, -0.5f, 0.5f, 0.5f)))    // hamming 1 from 0
+    val e = vs.toDF("vec_id", "embedding")
+    val out = VectorOps.binaryRecallAtK(e, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // query 0's binary top-2: id 1 (hamming 0) then the tie between 3
+    // and 4 (hamming 1) broken by id -> {1, 3}; exact float top-2 of 0
+    // is {1, 3} (cos(0,3) = .9*.9+... > cos(0,4)) -> 2 hits
+    assert(out(0L) == 2L, s"got $out")
+    // real corpus: every query reports, recall in (0, 1]
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val rr = VectorOps.binaryRecallAtK(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rr.length == 100)
+    assert(rr.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    assert(rr.map(_._2).sum / rr.length > 0.2, "binary recall implausibly low")
+  }
+
   test("int8 quantization: |q| <= 127, max component hits +-127, zero vectors to zeros, error bounded") {
     val vecs = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f, 0.1f)),   // max |v| = 1.0 -> that dim = -127
