@@ -58,6 +58,21 @@ object CorpusIO {
   def readJsonlClean(spark: SparkSession, path: String): DataFrame =
     readJsonl(spark, path).filter(col(corruptCol).isNull).drop(corruptCol)
 
+  /** STREAMING ingest of an arriving JSONL corpus (the file-drop
+    * deployment shape: crawler shards land in a directory, the
+    * pipeline tails it). Same explicit schema, same PERMISSIVE
+    * corrupt-line capture — [[ingestReport]] over this frame is a
+    * streaming aggregation whose Complete-mode output converges to
+    * the batch report on the same files (StreamSpec pins the parity),
+    * so ingest health is monitorable WHILE shards arrive, not after.
+    */
+  def readJsonlStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** The raw text of every unparseable line, for replay or
     * quarantine. The projection keeps `doc_id` alongside the corrupt
     * column because Spark (SPARK-38523 contract) refuses a query over

@@ -52,4 +52,31 @@ class CorpusIOSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(good.toSeq == Seq((1L, "good one"), (2L, "good two")))
   }
+
+  test("streaming ingest report converges to the batch report as shards arrive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl3").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/shard-0.json"),
+      Seq(
+        """{"doc_id": 1, "text": "a", "lang": "en", "source": "web", "n_chars": 1}""",
+        """broken line""").mkString("\n"))
+    val q = CorpusIO.ingestReport(CorpusIO.readJsonlStream(spark, dir))
+      .writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // a second shard lands mid-stream: the report must absorb it
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/shard-1.json"),
+        Seq(
+          """{"doc_id": 2, "text": "b", "lang": "de", "source": "book", "n_chars": 1}""",
+          """{"text": "keyless", "lang": "en", "source": "web", "n_chars": 7}""").mkString("\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("jsonl_ingest").head()
+    val batch = CorpusIO.ingestReport(CorpusIO.readJsonl(spark, dir)).head()
+    assert(streamed.toSeq == batch.toSeq, s"stream $streamed vs batch $batch")
+    assert((batch.getLong(0), batch.getLong(1), batch.getLong(2), batch.getLong(3)) ==
+      ((4L, 3L, 1L, 1L)))
+  }
 }
