@@ -730,6 +730,17 @@ object LlmQueries {
       VectorOps.binaryRecallAtK(
         embeddings(s, dir).filter(col("vec_id") < PairLimit), k = 5)),
 
+    // exact integer covariance of the embedding columns: per-partition
+    // Gram accumulation (O(d^2) state, one data pass), upper triangle
+    "q_embed_covariance" -> ((s, dir) =>
+      graft.vector.EmbedStats.embedCovariance(embeddings(s, dir))),
+
+    // PCA spectrum from the same exact covariance (driver Jacobi —
+    // d x d); rows-only: no SQL eigensolver, q_embed_covariance is the
+    // hash-matched companion (the q_text_compress(_stats) pattern)
+    "q_embed_pca" -> ((s, dir) =>
+      graft.vector.EmbedStats.embedPcaSpectrum(embeddings(s, dir), topK = 16)),
+
     // one-row dataset card: the release-notes summary a corpus ships
     // with — size, composition breadth, exact-dup mass, token stats
     "q_dataset_card" -> ((s, dir) =>
@@ -4014,6 +4025,40 @@ object LlmQueries {
          |         list_cosine_similarity(q.v, c.v) AS sim
          |  FROM t q, t c WHERE c.vec_id <> q.vec_id
          |), ${sqlRecallTail(5)}""".stripMargin,
+
+    // exact covariance: the same 2^24 unit quantization (power-of-two
+    // scale, exact in double in both engines). Units quantize with
+    // FLOOR(x + 0.5), Java Math.round's documented form — native
+    // ROUND rounds negative halves AWAY from zero while Java floors
+    // them toward +inf, and float-derived half-units are common (any
+    // component whose last mantissa bit sits below the unit grid).
+    // HUGEINT pair-product sums; shortest-decimal ROUND idiom on the
+    // double edge (see q_robust_outliers)
+    "q_embed_covariance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |         CAST(FLOOR(v[CAST(i AS INT)] * 16777216 + 0.5) AS BIGINT) AS p
+        |  FROM e, unnest(generate_series(1, len(v))) ui(i)
+        |),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        |s AS (SELECT i, SUM(CAST(p AS HUGEINT)) AS si FROM u GROUP BY 1),
+        |g AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |         SUM(CAST(a.p AS HUGEINT) * CAST(b.p AS HUGEINT)) AS spp
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT g.i, g.j, nn.n, CAST(g.spp AS DECIMAL(38,0)) AS spp,
+        |  CAST(ROUND(CAST(CAST(
+        |    CAST(nn.n * g.spp - si.si * sj.si AS DOUBLE)
+        |      / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 16777216.0 * 16777216.0)
+        |    AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cov
+        |FROM g
+        |JOIN s si ON si.i = g.i
+        |JOIN s sj ON sj.i = g.j
+        |CROSS JOIN nn
+        |ORDER BY g.i, g.j""".stripMargin,
 
     // binary quantization recall: sign map to +/-1 (x > 0 in both
     // engines, zeros to -1), same cosine-ranked recall tail

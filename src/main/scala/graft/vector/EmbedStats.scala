@@ -1,0 +1,242 @@
+package graft.vector
+
+import java.math.BigInteger
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-matrix statistics: the EXACT second-moment (Gram)
+  * accumulation every whitening / PCA / OPQ-style rotation pipeline
+  * starts from, and a driver-side eigensolve over the resulting d×d
+  * covariance — the "is my embedding space healthy" band (collapsed
+  * dimensions, dominant directions, effective rank) next to the
+  * recall band.
+  *
+  * DETERMINISM: components quantize to integer units
+  * `round(x · 2^24)` (exact in double — 2^24 is a power of two — and
+  * identical in DuckDB), so every sum is an integer sum: order-free,
+  * bit-identical across partitionings and engines. The only doubles
+  * are the final divisions.
+  *
+  * SCALE SHAPE (the part that matters at 100 TB): the Gram matrix
+  * accumulates PER PARTITION into a d(d+1)/2-long accumulator array —
+  * O(d²) state per partition, ONE traversal of the data, and the
+  * driver fold touches #partitions × d² numbers, never n. The
+  * alternative (posexplode twice + groupBy (i,j)) shuffles n·d² rows
+  * — four orders of magnitude more traffic at d = 64. Long
+  * accumulators flush into BigInteger every 4096 rows so no partition
+  * size can overflow (|p| ≤ 2^25 ⇒ pair products ≤ 2^50 ⇒ 4096 of
+  * them ≤ 2^62).
+  */
+object EmbedStats {
+
+  /** Unit scale: 2^24 (embedding components are float32, |x| small;
+    * the quantization is the determinism contract, documented above).
+    */
+  val UnitScale: Double = 16777216.0
+
+  private val FlushEvery = 4096
+
+  /** One partition's exact partial: row count, per-dim unit sums, and
+    * the upper-triangle pair-product sums, all as big-integer bytes.
+    */
+  private def partitionGram(dims: Int)(rows: Iterator[Seq[Double]])
+    : Iterator[(Long, Array[Array[Byte]], Array[Array[Byte]])] = {
+    val nPairs = dims * (dims + 1) / 2
+    val sLong = new Array[Long](dims)
+    val gLong = new Array[Long](nPairs)
+    val sBig = Array.fill(dims)(BigInteger.ZERO)
+    val gBig = Array.fill(nPairs)(BigInteger.ZERO)
+    var n = 0L
+    var sinceFlush = 0
+    def flush(): Unit = {
+      var i = 0
+      while (i < dims) {
+        sBig(i) = sBig(i).add(BigInteger.valueOf(sLong(i))); sLong(i) = 0L; i += 1
+      }
+      var k = 0
+      while (k < nPairs) {
+        gBig(k) = gBig(k).add(BigInteger.valueOf(gLong(k))); gLong(k) = 0L; k += 1
+      }
+      sinceFlush = 0
+    }
+    val p = new Array[Long](dims)
+    rows.foreach { v =>
+      require(v.length == dims, s"ragged embedding: ${v.length} != $dims dims")
+      var i = 0
+      while (i < dims) { p(i) = math.round(v(i) * UnitScale); i += 1 }
+      var k = 0
+      i = 0
+      while (i < dims) {
+        sLong(i) += p(i)
+        var j = i
+        while (j < dims) { gLong(k) += p(i) * p(j); j += 1; k += 1 }
+        i += 1
+      }
+      n += 1L
+      sinceFlush += 1
+      if (sinceFlush == FlushEvery) flush()
+    }
+    flush()
+    Iterator.single((n, sBig.map(_.toByteArray), gBig.map(_.toByteArray)))
+  }
+
+  /** The exact accumulated moments: (n, s(d), g(d(d+1)/2)) with g in
+    * upper-triangle row-major order. Driver-held — d²-sized, the
+    * centroid-collect contract.
+    */
+  private[graft] def gramMoments(
+      embeddings: DataFrame, idCol: String, vecCol: String)
+    : (Long, Array[BigInteger], Array[BigInteger], Int) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings
+      .select(col(vecCol).cast("array<double>").as("v")).as[Seq[Double]]
+    val dims = vecs.head().length
+    val partials = vecs.mapPartitions(partitionGram(dims)).collect()
+    val nPairs = dims * (dims + 1) / 2
+    val s = Array.fill(dims)(BigInteger.ZERO)
+    val g = Array.fill(nPairs)(BigInteger.ZERO)
+    var n = 0L
+    partials.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0
+      while (i < dims) { s(i) = s(i).add(new BigInteger(ps(i))); i += 1 }
+      var k = 0
+      while (k < nPairs) { g(k) = g(k).add(new BigInteger(pg(k))); k += 1 }
+    }
+    (n, s, g, dims)
+  }
+
+  /** EXACT COVARIANCE matrix of the embedding columns, upper triangle
+    * (i ≤ j): population covariance
+    * `cov_ij = (n·Σpipj − Σpi·Σpj) / (n² · 2^48)` with the numerator
+    * exact in integers and ONE double division at the edge. Returns
+    * (i, j, n, spp, cov) where spp is the exact pair-product sum in
+    * decimal(38,0) — the hash-matchable face; cov the 6-dp double.
+    */
+  def embedCovariance(
+      embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (n, s, g, dims) = gramMoments(embeddings, idCol, vecCol)
+    require(n >= 1, "empty embedding table")
+    val nBig = BigInteger.valueOf(n)
+    val denom = n.toDouble * n.toDouble * UnitScale * UnitScale
+    val rows = new scala.collection.mutable.ArrayBuffer[Row]
+    var k = 0
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val num = nBig.multiply(g(k)).subtract(s(i).multiply(s(j)))
+        val cov = BigDecimal(num.doubleValue / denom)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        rows += Row(i.toLong, j.toLong, n, new java.math.BigDecimal(g(k)), cov)
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("j", LongType),
+      StructField("n", LongType),
+      StructField("spp", DecimalType(38, 0)),
+      StructField("cov", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** Deterministic cyclic-Jacobi eigensolve of a symmetric matrix
+    * (Golub & Van Loan §8.5): fixed (p,q) sweep order, rotations until
+    * the off-diagonal mass is below `eps` or `maxSweeps` sweeps.
+    * Returns (eigenvalues, eigenvectors as columns), sorted by
+    * eigenvalue DESC with ties by original index — a pure function of
+    * the input matrix.
+    */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]], eps: Double = 1e-12, maxSweeps: Int = 64)
+    : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (off() > eps && sweep < maxSweeps) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+          case tt if tt == 0.0 && theta == 0.0 => 1.0
+          case tt => tt
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val sn = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - sn * akq
+          a(k)(q) = sn * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - sn * aqk
+          a(q)(k) = sn * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - sn * vkq
+          v(k)(q) = sn * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toArray,
+      Array.tabulate(d, d)((r, ci) => v(r)(order(ci))))
+  }
+
+  /** PCA spectrum of the embedding space: eigenvalues of the exact
+    * covariance (Jacobi, driver-side — d is tokenizer-small, the
+    * distributed work is [[embedCovariance]]'s one data pass),
+    * explained-variance fractions, and the cumulative curve. The
+    * effective-rank readout that decides Matryoshka truncation tiers
+    * and catches collapsed embedding spaces. Rows-only at the harness
+    * (no SQL eigensolver); [[embedCovariance]] is its hash-matched
+    * companion — the q_text_compress(_stats) pattern.
+    */
+  def embedPcaSpectrum(
+      embeddings: DataFrame, topK: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (n, s, g, dims) = gramMoments(embeddings, idCol, vecCol)
+    require(n >= 2, "need at least 2 vectors for a spectrum")
+    val denom = n.toDouble * n.toDouble * UnitScale * UnitScale
+    val nBig = BigInteger.valueOf(n)
+    val cov = Array.ofDim[Double](dims, dims)
+    var k = 0
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val num = nBig.multiply(g(k)).subtract(s(i).multiply(s(j)))
+        cov(i)(j) = num.doubleValue / denom
+        cov(j)(i) = cov(i)(j)
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    val (eig, _) = jacobiEigen(cov)
+    val total = eig.sum
+    val kk = math.min(topK, dims)
+    var cum = 0.0
+    (0 until kk).map { c =>
+      cum += eig(c)
+      (c.toLong + 1L, eig(c),
+        if (total > 0) eig(c) / total else 0.0,
+        if (total > 0) cum / total else 0.0)
+    }.toDF("component", "eigenvalue", "explained_frac", "cumulative_frac")
+  }
+}
