@@ -86,7 +86,7 @@ object EmbedStats {
     * centroid-collect contract.
     */
   private[graft] def gramMoments(
-      embeddings: DataFrame, idCol: String, vecCol: String)
+      embeddings: DataFrame, vecCol: String)
     : (Long, Array[BigInteger], Array[BigInteger], Int) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -116,10 +116,9 @@ object EmbedStats {
     * decimal(38,0) — the hash-matchable face; cov the 6-dp double.
     */
   def embedCovariance(
-      embeddings: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
-    val (n, s, g, dims) = gramMoments(embeddings, idCol, vecCol)
+    val (n, s, g, dims) = gramMoments(embeddings, vecCol)
     require(n >= 1, "empty embedding table")
     val nBig = BigInteger.valueOf(n)
     val denom = n.toDouble * n.toDouble * UnitScale * UnitScale
@@ -208,10 +207,10 @@ object EmbedStats {
     */
   def embedPcaSpectrum(
       embeddings: DataFrame, topK: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (n, s, g, dims) = gramMoments(embeddings, idCol, vecCol)
+    val (n, s, g, dims) = gramMoments(embeddings, vecCol)
     require(n >= 2, "need at least 2 vectors for a spectrum")
     val denom = n.toDouble * n.toDouble * UnitScale * UnitScale
     val nBig = BigInteger.valueOf(n)
