@@ -521,6 +521,15 @@ object LlmQueries {
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
 
+    // the same held-out split under interpolated Kneser-Ney smoothing
+    // (the KenLM/CCNet family): absolute discount + continuation-
+    // probability interpolation, +1 floor for unseen continuations
+    "q_lm_kneser_ney" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.bigramLmScoreKneserNey(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+
     // DSIR importance weight: likelihood ratio of a target-domain LM
     // (trained on src0 docs) over a raw-pool LM (src1 docs), per doc
     "q_dsir_weight" -> ((s, dir) => {
@@ -3380,6 +3389,42 @@ object LlmQueries {
         |SELECT id AS doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(AVG(ln((COALESCE(c2.c2, 0) + 1) * 1.0 / (COALESCE(c1.c1, 0) + v.v))), 6) AS lm_score
         |FROM bge LEFT JOIN c2 USING (prev, cur) LEFT JOIN c1 USING (prev) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // interpolated Kneser-Ney on the same split: discounted bigram
+    // mass + continuation interpolation, the engine's exact double
+    // arithmetic tree (left-assoc products, one division)
+    "q_lm_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT id, CASE WHEN k = 1 THEN '<s>' ELSE toks[k-1] END AS prev, toks[k] AS cur
+        |  FROM t, unnest(generate_series(1, len(toks))) u(k)
+        |  WHERE len(toks) >= 1
+        |), bgt AS (SELECT * FROM bg WHERE id % 2 = 0),
+        |bge AS (SELECT * FROM bg WHERE id % 2 = 1),
+        |c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM bgt GROUP BY 1, 2),
+        |ctx AS (SELECT prev, SUM(c2) AS c1, CAST(COUNT(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+        |cont AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1r FROM c2 GROUP BY 1),
+        |scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS t, COUNT(DISTINCT cur) AS v FROM c2)
+        |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(ln(p)), 6) AS kn_score
+        |FROM (
+        |  SELECT e.id,
+        |    CASE WHEN COALESCE(x.c1, 0) > 0
+        |      THEN (GREATEST(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+        |            + 0.75 * CAST(x.n1f AS DOUBLE) * e.pc) / CAST(x.c1 AS DOUBLE)
+        |      ELSE e.pc END AS p
+        |  FROM (
+        |    SELECT bge.id, bge.prev, bge.cur,
+        |      CAST(COALESCE(cont.n1r, 0) + 1 AS DOUBLE)
+        |        / CAST(scal.t + scal.v + 1 AS DOUBLE) AS pc
+        |    FROM bge LEFT JOIN cont USING (cur) CROSS JOIN scal
+        |  ) e
+        |  LEFT JOIN c2 ON c2.prev = e.prev AND c2.cur = e.cur
+        |  LEFT JOIN ctx x ON x.prev = e.prev
+        |)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DSIR: two copies of the held-out LM chain (target = src0 train

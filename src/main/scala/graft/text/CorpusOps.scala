@@ -405,6 +405,65 @@ object CorpusOps {
       .withColumnRenamed("id", idCol)
   }
 
+  /** HELD-OUT bigram scoring under interpolated KNESER-NEY smoothing
+    * (Kneser & Ney, ICASSP 1995; the smoothing family KenLM ships and
+    * CCNet's quality filter actually runs, vs the add-one baseline of
+    * [[bigramLmScoreHeldOut]]): absolute discount D off every seen
+    * bigram, the freed mass interpolated with the CONTINUATION
+    * distribution — P(w) proportional to how many distinct contexts w
+    * follows, which is what separates "Francisco" (frequent, one
+    * context) from genuinely productive words.
+    *
+    *   P(w|v) = (max(c(vw)−D, 0) + D·N1+(v·)·Pc(w)) / c(v)   c(v) > 0
+    *   P(w|v) = Pc(w)                                        unseen v
+    *   Pc(w)  = (N1+(·w) + 1) / (T + V + 1)
+    *
+    * with N1+(v·) the distinct continuations of v, N1+(·w) the
+    * distinct contexts of w, T the distinct-bigram-type count, V the
+    * training vocabulary. The +1/(T+V+1) floor on Pc is the one
+    * documented deviation from textbook KN: it makes words the
+    * training corpus never saw well-defined (exact KN assigns them
+    * zero), the same role add-one plays in the baseline scorer.
+    *
+    * Same one-pass shape as the other LM operators: count tables are
+    * vocabulary-sized, the scalar (T, V) broadcast, left joins for
+    * the unseen cases, per-document weighted mean log-probability.
+    */
+  def bigramLmScoreKneserNey(
+      train: DataFrame, docs: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val trainBg = bigramTable(train, idCol, textCol)
+    val c2 = trainBg.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c2"))
+    // per-context totals AND distinct-continuation counts in one pass
+    val ctx = c2.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val contRaw = c2.groupBy(col("cur")).agg(count(lit(1)).as("n1r"))
+    val scal = c2.agg(count(lit(1)).as("t"),
+      countDistinct(col("cur")).as("v"))
+    val d = lit(discount)
+    bigramTable(docs, idCol, textCol)
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(contRaw, Seq("cur"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("pc",
+        (coalesce(col("n1r"), lit(0L)) + 1).cast("double") /
+          (col("t") + col("v") + 1).cast("double"))
+      .withColumn("p",
+        when(coalesce(col("c1"), lit(0L)) > 0,
+          (greatest(coalesce(col("c2"), lit(0L)).cast("double") - d, lit(0.0)) +
+            d * col("n1f").cast("double") * col("pc")) / col("c1").cast("double"))
+          .otherwise(col("pc")))
+      .withColumn("lp", log(col("p")))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m").cast("double") * col("lp")) / sum(col("m")).cast("double"), 6)
+          .as("kn_score"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** DSIR-STYLE importance weight (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023 — which
     * weights raw data by the likelihood ratio of a target-domain

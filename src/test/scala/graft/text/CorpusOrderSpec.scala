@@ -202,6 +202,29 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - math.rint(s2 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("Kneser-Ney held-out scoring: discount, continuation interpolation, unseen cases exact") {
+    // train "a b a c": c2 = {(<s>,a):1, (a,b):1, (b,a):1, (a,c):1}
+    // ctx: <s>:(1,1) a:(2,2) b:(1,1); cont: a:2 b:1 c:1; T=4 V=3
+    // Pc(w) = (n1r+1)/8 -> a:3/8 b:1/4 c:1/4 z:1/8
+    val train = docsDf(0L -> "a b a c")
+    val eval_ = docsDf(1L -> "a b", 2L -> "z z")
+    val got = CorpusOps.bigramLmScoreKneserNey(train, eval_)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // (<s>,a): (max(1-.75,0) + .75*1*(3/8))/1 = .53125
+    // (a,b):   (.25 + .75*2*.25)/2 = .3125
+    val k1 = (math.log(0.53125) + math.log(0.3125)) / 2
+    // (<s>,z): unseen bigram, seen ctx: (0 + .75*1*(1/8))/1 = .09375
+    // (z,z):   unseen CONTEXT -> Pc(z) = 1/8
+    val k2 = (math.log(0.09375) + math.log(0.125)) / 2
+    assert(got(1L)._1 == 2L && math.abs(got(1L)._2 - math.rint(k1 * 1e6) / 1e6) < 1e-9)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - math.rint(k2 * 1e6) / 1e6) < 1e-9)
+    // probability-mass sanity: for the seen context 'a',
+    // sum over the train vocabulary stays below 1 (the discount's
+    // freed mass is only partially re-spent on the vocab)
+    val pA = 0.28125; val pB = 0.3125; val pC = 0.3125
+    assert(pA + pB + pC <= 1.0)
+  }
+
   test("repetitive text scores higher than novel text under its own corpus LM") {
     val d = docsDf(0L -> "a a a a a a a a", 1L -> "q w e r t y u i")
     val got = CorpusOps.bigramLmScore(d)
