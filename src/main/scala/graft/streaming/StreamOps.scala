@@ -470,6 +470,80 @@ object StreamOps {
       }
   }
 
+  final case class WsBuf(seq: Long, ids: List[Long], sims: List[Double])
+
+  /** STREAMING WEIGHTED SAMPLE — the unbounded-stream twin of
+    * [[graft.text.TextOps.weightedSamplePerStratum]]: the A-ES
+    * exponential race over an ARRIVING corpus, maintained as k-best
+    * state per stratum. Because the race key `ln(u)/w` is a pure
+    * deterministic function of (salt, id, weight), a streamed corpus
+    * converges to EXACTLY the batch sample — arrival order, batch
+    * boundaries, and re-deliveries (same id ⇒ same key, deduplicated
+    * against the held sample) cannot change the winners.
+    *
+    * State is the k-entry heap per stratum — BOUNDED BY CONSTRUCTION,
+    * the only growth axis is the stratum count, so the operator
+    * survives an unbounded stream (the
+    * `dropDuplicatesWithinWatermark` contract, but with zero
+    * eviction pressure). Update-mode emission: whenever a batch
+    * changes a stratum's sample, the stratum's ENTIRE current sample
+    * re-emits under an incremented `emit_seq` — a consumer (and the
+    * parity spec) reads the max-seq emission per stratum as the
+    * current sample. Comparator = the batch TopK's
+    * (key DESC, id ASC) via `Double.compare`, so ranks match the
+    * batch operator exactly.
+    */
+  def streamingWeightedSample(
+      docs: DataFrame, k: Int, salt: String = "graft",
+      keyCol: String = "source", idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
+    docs.filter(col(weightCol) > 0)
+      .select(col(keyCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        (log(u) / col(weightCol).cast("double")).as("s"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (stratum: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[WsBuf]) =>
+          val prev = state.getOption.getOrElse(WsBuf(0L, Nil, Nil))
+          var ids = prev.ids
+          var sims = prev.sims
+          rows.foreach { case (_, id, s) =>
+            if (!ids.contains(id)) {
+              // insert in (s DESC, id ASC) order, then cut to k
+              val (pre, post) = ids.zip(sims).span {
+                case (i2, s2) => better(s2, i2, s, id)
+              }
+              val merged = (pre ++ ((id, s) :: post.toList)).take(k)
+              ids = merged.map(_._1)
+              sims = merged.map(_._2)
+            }
+          }
+          if (ids == prev.ids) Iterator.empty
+          else {
+            val seq = prev.seq + 1L
+            state.update(WsBuf(seq, ids, sims))
+            ids.iterator.zipWithIndex.map { case (id, r) =>
+              (stratum, id, r.toLong + 1L, seq)
+            }
+          }
+      }
+      .toDF("stratum", idCol, "rank_in_stratum", "emit_seq")
+      .withColumnRenamed("stratum", keyCol)
+  }
+
   /** STREAMING WORDPIECE ENCODING — the deployment shape of
     * [[graft.text.TextOps.wordpieceEncode]]: the piece inventory is
     * trained in batch on the historical corpus (the artifact a

@@ -913,6 +913,44 @@ class StreamSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == "doc-c"), "token-less document must produce no row")
   }
 
+  test("streaming weighted sample converges to the batch A-ES sample across arrival splits") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ws-stream").toFile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // two arrival waves + a re-delivered overlap: the final sample must
+    // be a pure function of the SET of rows, not of arrival grouping
+    docs.filter(col("doc_id") % 3 =!= 0).write.mode("overwrite")
+      .parquet(srcDir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val src = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val k = 5
+    val q = StreamOps.streamingWeightedSample(src, k, salt = "ws-stream")
+      .writeStream.format("memory").queryName("ws_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // second wave: the remaining third PLUS re-delivered rows
+      docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+      q.processAllAvailable()
+    } finally q.stop()
+    // current sample = the max-seq emission per stratum
+    val em = spark.table("ws_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxSeq = em.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._4).max }
+    val streamed = em.filter { case (s, _, _, q2) => maxSeq(s) == q2 }
+      .map(t => (t._1, t._2, t._3)).toSet
+    val batch = graft.text.TextOps.weightedSamplePerStratum(
+        docs, k, salt = "ws-stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("streaming unigram encoding against the batch-trained model reproduces the batch report") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ug-stream").toFile
