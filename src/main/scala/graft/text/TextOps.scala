@@ -683,7 +683,7 @@ object TextOps {
     * tail of the LSH and prefix-filter routes: two narrow joins on id,
     * identical output to the unpruned join restricted to `cand`.
     */
-  private def verifyJaccardCandidates(
+  private[graft] def verifyJaccardCandidates(
       tok: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
