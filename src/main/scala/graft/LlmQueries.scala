@@ -454,6 +454,20 @@ object LlmQueries {
     // decimal(38,0), heap-ranked (no vocab-wide window)
     "q_zipf_fit" -> ((s, dir) => CorpusOps.zipfFit(docs(s, dir), topRanks = 1000)),
 
+    // typo clustering: Levenshtein<=1 vocabulary pairs via SymSpell
+    // deletion blocking — one variant-keyed equi-join, exact verify.
+    // The synthetic corpus is typo-free by construction, so the query
+    // probes against a deterministically mutated copy (every token's
+    // first character dropped, ids offset) — each surviving mutant
+    // sits at distance 1 from its source word
+    "q_word_edit_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val typos = d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ", transform(TextOps.tokens(col("text")),
+          t => t.substr(lit(2), length(t)))).as("text"))
+      TextOps.editDistancePairs(d.unionByName(typos))
+    }),
+
     // token-budget mixing: ~800 tokens per source (sources carry ~1350+
     // tokens at every SF, so the budget BINDS)
     "q_token_budget" -> ((s, dir) =>
@@ -3310,6 +3324,39 @@ object LlmQueries {
         |      doc_id) AS rank_in_stratum
         |  FROM documents)
         |WHERE rank_in_stratum <= 15 ORDER BY source, rank_in_stratum""".stripMargin,
+
+    // edit-distance pairs: the same deletion-variant construction
+    // (identity + per-position deletion), variant equi-join, exact
+    // levenshtein verify — identical in both engines
+    "q_word_edit_pairs" ->
+      """WITH occ AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |),
+        |occ2 AS (SELECT substring(w, 2, len(w)) AS w FROM occ WHERE len(w) >= 2),
+        |v AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT w FROM occ UNION ALL SELECT w FROM occ2)
+        |  GROUP BY 1
+        |),
+        |var AS (
+        |  SELECT w, w AS variant FROM v
+        |  UNION ALL
+        |  SELECT w, substring(w, 1, CAST(i - 1 AS INT)) ||
+        |            substring(w, CAST(i + 1 AS INT), len(w)) AS variant
+        |  FROM v, unnest(generate_series(1, len(w))) u(i)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.w AS w_a, b.w AS w_b
+        |  FROM var a JOIN var b ON a.variant = b.variant AND a.w < b.w
+        |)
+        |SELECT c.w_a, c.w_b, CAST(levenshtein(c.w_a, c.w_b) AS BIGINT) AS dist,
+        |       va.wc AS wc_a, vb.wc AS wc_b
+        |FROM cand c
+        |JOIN v va ON va.w = c.w_a
+        |JOIN v vb ON vb.w = c.w_b
+        |WHERE levenshtein(c.w_a, c.w_b) <= 1
+        |ORDER BY 1, 2""".stripMargin,
 
     // Zipf fit: ranks by (freq DESC, 60-bit token hash ASC) — the
     // TopK heap's order; nano-unit ln terms summed in HUGEINT, the

@@ -1425,6 +1425,50 @@ object TextOps {
       .select(col(keyCol), col("e.id").as(idCol), col("e.rank").as("rank_in_stratum"))
   }
 
+  /** EDIT-DISTANCE-1 WORD PAIRS over the corpus vocabulary — typo/
+    * variant clustering (the vocabulary-normalization pass a corpus
+    * intake runs before frequency-based filters: "recieve" should
+    * count toward "receive"). SymSpell-style DELETION BLOCKING
+    * (Garbe's symmetric-delete idea, itself the classic
+    * deletion-neighborhood trick): every word emits itself plus its
+    * single-character deletions; two words within Levenshtein 1 of
+    * each other PROVABLY share a variant (equal → same word;
+    * substitution → the deletion at the edited position; insert/
+    * delete → the shorter word IS a variant of the longer), so one
+    * variant-keyed equi-join generates a complete candidate set and
+    * `levenshtein(...) <= 1` verifies exactly — never an all-pairs
+    * distance matrix. Work is Σ word-length over the DISTINCT
+    * vocabulary: vocabulary-compressed like the tokenizer family,
+    * with the candidate fan-out bounded by variant-bucket sizes.
+    *
+    * Returns (w_a < w_b, dist, wc_a, wc_b) — the counts are the
+    * "which side is the typo" signal (typos are rare, canonicals
+    * frequent).
+    */
+  def editDistancePairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+    : DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val variants = words.select(col("w"), col("w").as("variant"))
+      .unionByName(words.select(col("w"), explode(
+        transform(sequence(lit(1), length(col("w"))),
+          i => concat(col("w").substr(lit(1), i - 1),
+            col("w").substr(i + 1, length(col("w")))))).as("variant")))
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.variant") === col("b.variant") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w_a"), col("b.w").as("w_b")).distinct()
+    cand
+      .filter(levenshtein(col("w_a"), col("w_b")) <= 1)
+      .join(words.select(col("w").as("w_a"), col("wc").as("wc_a")), "w_a")
+      .join(words.select(col("w").as("w_b"), col("wc").as("wc_b")), "w_b")
+      .select(col("w_a"), col("w_b"),
+        levenshtein(col("w_a"), col("w_b")).cast("long").as("dist"),
+        col("wc_a"), col("wc_b"))
+  }
+
   /** WEIGHTED sampling WITHOUT replacement per stratum — the third
     * data-mixing primitive ([[stratifiedSample]] keeps a rate,
     * [[capPerStratum]] a uniform count; this keeps a count drawn with

@@ -414,6 +414,21 @@ class TextVectorSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).toSet.subsetOf(more))
   }
 
+  test("editDistancePairs: substitution/deletion/insertion found, distance-2 blocked out") {
+    val d = Seq((0L, "cat bat cast cat xyz"), (1L, "cart cat")).toDF("doc_id", "text")
+    val out = TextOps.editDistancePairs(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // bat~cat and cart~cast (substitutions), cart~cat (insertion),
+    // cast~cat (deletion); bat~cast is distance 2 and must never even
+    // be a candidate; xyz pairs with nothing; cat's count is 3
+    assert(out == Seq(
+      ("bat", "cat", 1L, 1L, 3L),
+      ("cart", "cast", 1L, 1L, 1L),
+      ("cart", "cat", 1L, 1L, 3L),
+      ("cast", "cat", 1L, 1L, 3L)), s"got $out")
+  }
+
   test("weightedSamplePerStratum: A-ES race parity, weight bias, zero-weight exclusion") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val k = 5
