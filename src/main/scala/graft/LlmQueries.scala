@@ -789,6 +789,12 @@ object LlmQueries {
     "q_source_drift" -> ((s, dir) =>
       CorpusOps.sourceDrift(docs(s, dir), nextRelease(docs(s, dir)))),
 
+    // source distinctiveness: KL of each source's unigram distribution
+    // from the corpus blend (exact — no smoothing needed; integer
+    // 1e-12-nat summands, order-free)
+    "q_source_kl" -> ((s, dir) =>
+      CorpusOps.sourceKlDistinctiveness(docs(s, dir))),
+
     // event-mix drift: 6h-bucket event-type distributions compared
     // (JS, integer 1e-12 nats) against the previous bucket
     "q_events_drift" -> ((s, dir) =>
@@ -4354,6 +4360,24 @@ object LlmQueries {
         |)
         |SELECT source, COUNT(*) AS n_terms, CAST(SUM(t) AS BIGINT) AS js_e12
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // source KL: the engine's exact double tree — p = c*1.0/ns,
+    // q = cw*1.0/n, floor(p*ln(p/q)*1e12) — summed as integers
+    "q_source_kl" ->
+      """WITH occ AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |),
+        |sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+        |cc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY 1),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM cc)
+        |SELECT sc.source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(CAST(FLOOR(
+        |    (sc.c * 1.0 / st.ns) *
+        |    ln((sc.c * 1.0 / st.ns) / (cc.cw * 1.0 / nt.n)) * 1e12) AS BIGINT)) AS BIGINT) AS kl_e12
+        |FROM sc JOIN cc USING (w) JOIN st USING (source) CROSS JOIN nt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // hard negatives: the cosine-topk oracle with the cross-label
     // predicate fused in

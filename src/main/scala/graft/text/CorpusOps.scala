@@ -999,6 +999,49 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_terms"), sum(col("t")).as("js_e12"))
   }
 
+  /** SOURCE DISTINCTIVENESS — KL divergence of each source's unigram
+    * distribution from the WHOLE CORPUS distribution,
+    * `KL(P_s ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))` — the
+    * composition report that ranks "how unlike the blend is this
+    * source" (near 0 = redundant with the mixture; large = a domain
+    * the blend under-represents), the single-snapshot companion of
+    * [[sourceDrift]]'s two-snapshot JS. No smoothing is needed:
+    * every word of a source IS in the corpus, so p_c > 0 wherever
+    * p_s > 0 — exact KL, not an approximation.
+    *
+    * Same determinism contract as [[sourceDrift]]: each per-term
+    * summand is one fixed double expression floored into 1e-12-nat
+    * units (signed here — individual terms can be negative even
+    * though the sum cannot be below the truncation slack), so the
+    * cross-vocabulary sum is an integer sum, order-free across
+    * partitionings and engines. One token aggregation per grain
+    * (source-term, term, source, corpus), token-keyed joins,
+    * broadcast totals.
+    *
+    * Returns (source, n_terms, kl_e12) — kl in 1e-12 nats.
+    */
+  def sourceKlDistinctiveness(
+      docs: DataFrame, srcCol: String = "source", textCol: String = "text")
+    : DataFrame = {
+    val sc = docs
+      .select(col(srcCol), explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col(srcCol), col("w")).agg(count(lit(1)).as("c"))
+    val cc = sc.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val st = sc.groupBy(col(srcCol)).agg(sum(col("c")).as("ns"))
+    val nTot = cc.agg(sum(col("cw")).as("n"))
+    // fixed arithmetic order, mirrored verbatim in the oracle:
+    // p = c * 1.0 / ns ; q = cw * 1.0 / n ; term = floor(p*ln(p/q)*1e12)
+    val p = col("c") * lit(1.0) / col("ns")
+    val q = col("cw") * lit(1.0) / col("n")
+    val term = floor(p * log(p / q) * lit(1e12)).cast("long")
+    sc.join(cc, "w")
+      .join(broadcast(st), srcCol)
+      .crossJoin(broadcast(nTot))
+      .select(col(srcCol), term.as("t"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("t")).as("kl_e12"))
+  }
+
   /** EPOCH REPEAT-FACTOR SCHEDULING — materialize a target source
     * mixture as integer per-document repeat counts (the "epochs per
     * source" table of Llama/Gopher-style data recipes): source `s`

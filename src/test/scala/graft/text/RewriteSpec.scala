@@ -161,6 +161,30 @@ class RewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceKlDistinctiveness: single source reads 0; hand KL exact; partition-invariant") {
+    // one source == the corpus -> p == q termwise -> KL exactly 0
+    val one = Seq((1L, "A", "x y x")).toDF("doc_id", "source", "text")
+    val z = CorpusOps.sourceKlDistinctiveness(one).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(z == Map("A" -> 0L))
+    // hand case: A = "a a b", B = "c c c"; corpus a:2 b:1 c:3, n = 6
+    // KL(A) = 2/3 ln((2/3)/(1/3)) + 1/3 ln((1/3)/(1/6)) = ln 2
+    // KL(B) = 1 * ln(1/(1/2)) = ln 2
+    val d = Seq((1L, "A", "a a b"), (2L, "B", "c c c")).toDF("doc_id", "source", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.sourceKlDistinctiveness(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val out = run(d)
+    val ln2e12 = (math.log(2.0) * 1e12).toLong
+    out.foreach { case (src, nTerms, kl) =>
+      assert(kl <= ln2e12 && kl >= ln2e12 - nTerms,
+        s"$src: kl=$kl outside [ln2*1e12 - $nTerms, ln2*1e12]")
+    }
+    assert(out.map(_._2) == Seq(2L, 1L)) // A has 2 terms, B has 1
+    // integer summands: partitioning cannot move the result
+    assert(run(d.repartition(7)) == out)
+  }
+
   test("curriculumOrder: bucket-major layout, within-bucket shuffle, partition-invariant") {
     val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
       .toDF("doc_id", "n_chars")
