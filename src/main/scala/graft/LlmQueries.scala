@@ -486,6 +486,16 @@ object LlmQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // fuzzy decontamination: near-dup (not just verbatim) eval leakage
+    // dropped via the banding cross-probe; capped cohort like the
+    // other pairwise dedup queries
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < PairLimit)
+      CorpusOps.fuzzyDecontaminate(d, d.filter(col("doc_id") % 50 === 0),
+        numHashes = 64, bands = 16, threshold = 0.9)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // same semantics as q_decontaminate via the bloom-prefilter route;
     // the oracle is intentionally the identical SQL — exactness of the
     // prefiltered plan IS the claim under test
@@ -2563,6 +2573,20 @@ object LlmQueries {
          |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
          |ORDER BY 1, 2""".stripMargin,
+
+    // fuzzy decontamination: the same signature/banding CTEs with the
+    // eval side as the probe target (b.id % 50 = 0; self-ids NOT
+    // excluded — verbatim leakage must flag), NOT IN over the flagged
+    "q_decontaminate_fuzzy" ->
+      s"""WITH ${sqlMinhashCtes(64, 16, "b.id % 50 = 0")},
+         |flagged AS (
+         |  SELECT DISTINCT id_a FROM inter
+         |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9
+         |)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id < $PairLimit AND doc_id NOT IN (SELECT id_a FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
 
     // cluster-size histogram over the same recursive closure
     "q_dedup_cluster_sizes" ->

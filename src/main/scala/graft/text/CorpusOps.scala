@@ -514,6 +514,40 @@ object CorpusOps {
       md5(coalesce(col(textCol), lit(""))) === col("eval_hash"), "left_anti")
   }
 
+  /** FUZZY (near-dup) decontamination — the paraphrase-leak policy:
+    * drop training documents within Jaccard `threshold` of ANY eval
+    * document, catching reworded/partially-copied benchmark material
+    * that [[decontaminate]]'s verbatim hash can never see (the
+    * documented failure mode of exact decontamination in practice).
+    * The train side's MinHash band buckets probe the eval side's —
+    * the [[TextOps.incrementalLshPairs]] cross-probe shape with eval
+    * as the (benchmark-sized) index — and only cross candidates are
+    * exact-verified; a train document flagged against any eval doc is
+    * anti-joined out. Self-ids are NOT excluded: an eval document
+    * that also sits in the train side IS verbatim leakage (Jaccard 1)
+    * and must flag.
+    *
+    * At 100 TB: banding the train side is one linear pass, the eval
+    * bucket table is benchmark-sized, candidates are bucket-bounded,
+    * and the verify cost is candidates — never train × eval.
+    */
+  def fuzzyDecontaminate(
+      train: DataFrame, eval: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.9,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokT = TextOps.tokenTable(train, idCol, textCol)
+    val tokE = TextOps.tokenTable(eval, idCol, textCol)
+    val cand = TextOps.minhashBandBuckets(tokT, numHashes, bands)
+      .toDF("id_a", "bucket")
+      .join(TextOps.minhashBandBuckets(tokE, numHashes, bands)
+        .toDF("id_b", "bucket"), "bucket")
+      .select(col("id_a"), col("id_b")).distinct()
+    val flagged = TextOps.verifyJaccardCandidates(
+        tokT.unionByName(tokE).distinct(), cand, threshold)
+      .select(col("id_a").as("flag")).distinct()
+    train.join(flagged, col(idCol) === col("flag"), "left_anti")
+  }
+
   /** BLOOM-PREFILTERED decontamination — the 100 TB route when the
     * eval corpus is too large to broadcast as an exact hash set: a
     * Bloom filter over the eval hashes (bits ~ 1.2 bytes/item at 1%

@@ -161,6 +161,25 @@ class RewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyDecontaminate: verbatim and near-dup eval leakage drop, unrelated text survives") {
+    // doc 0 = the eval doc; doc 1 a verbatim copy (jaccard 1); doc 3
+    // a near-paraphrase: 8 shared of 9 union tokens -> jaccard 8/9 =
+    // 0.888889; doc 2 token-disjoint
+    val base = "a b c d e f g h"
+    val train = Seq(
+      (0L, base), (1L, base), (2L, "p q r s t u v w"),
+      (3L, base + " x")).toDF("doc_id", "text")
+    val eval_ = train.filter(col("doc_id") === 0L)
+    def survivors(t: Double) =
+      CorpusOps.fuzzyDecontaminate(train, eval_, numHashes = 64, bands = 16,
+        threshold = t).collect().map(_.getLong(0)).sorted.toSeq
+    // at 0.9: the eval doc itself and its verbatim copy drop; the
+    // 0.889-jaccard paraphrase sits below the cut and survives
+    assert(survivors(0.9) == Seq(2L, 3L))
+    // at 0.5 the paraphrase is leakage too
+    assert(survivors(0.5) == Seq(2L))
+  }
+
   test("sourceKlDistinctiveness: single source reads 0; hand KL exact; partition-invariant") {
     // one source == the corpus -> p == q termwise -> KL exactly 0
     val one = Seq((1L, "A", "x y x")).toDF("doc_id", "source", "text")
