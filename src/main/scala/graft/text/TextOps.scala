@@ -589,12 +589,6 @@ object TextOps {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
 
-  /** (id, bucket) band rows of the MinHash signatures — the indexable
-    * unit of the LSH route. Exposed separately so candidate generation
-    * can be SELF-join (dedup within one corpus) or CROSS-join (an
-    * increment probing an existing corpus index in
-    * [[incrementalLshPairs]]).
-    */
   /** (id, sig) MinHash signature rows over a [[tokenTable]] — the
     * shared kernel of the banding route and the estimator-error
     * report.
@@ -630,6 +624,13 @@ object TextOps {
       }.toDF("id", "sig")
   }
 
+  /** (id, bucket) band rows of the MinHash signatures — the indexable
+    * unit of the LSH route. Exposed separately so candidate generation
+    * can be SELF-join (dedup within one corpus) or CROSS-join (an
+    * increment probing an existing corpus index in
+    * [[incrementalLshPairs]] / a stored one in
+    * [[graft.io.DedupIndexIO]]).
+    */
   private[graft] def minhashBandBuckets(
       tok: DataFrame, numHashes: Int, bands: Int): DataFrame =
     bandBucketsFromSigs(minhashSignatures(tok, numHashes), numHashes, bands)
