@@ -1684,18 +1684,6 @@ object LlmQueries {
        |)""".stripMargin
   }
 
-  /** DuckDB oracle for the minhash-LSH dedup: signatures are exactly
-    * reproducible because the token hash is an md5 prefix and the
-    * permutation hash `(a*h+b) mod 2^64 mod 2^61` equals the exact
-    * 128-bit product mod 2^61 (2^61 divides 2^64), i.e. HUGEINT-mod;
-    * band buckets are md5 strings in both engines.
-    */
-  /** Shared CTE chain for the MinHash banding oracles: token table →
-    * signatures → band buckets → candidate pairs → sizes → candidate
-    * intersections. Reused by the LSH pair oracle and the banding
-    * quality oracle so their candidate stages are literally the same
-    * SQL.
-    */
   /** The band-independent MinHash prefix (tokw, toks, coef, mh, sig)
     * — shared by the single-config chain and the band sweep, which
     * derives every band count from the ONE `sig` table exactly like
@@ -1746,6 +1734,12 @@ object LlmQueries {
        |)""".stripMargin
   }
 
+  /** Shared CTE chain for the MinHash banding oracles: token table →
+    * signatures → band buckets → candidate pairs → sizes → candidate
+    * intersections. Reused by the LSH pair oracle and the banding
+    * quality oracle so their candidate stages are literally the same
+    * SQL.
+    */
   private def sqlMinhashCtes(
       numHashes: Int, bands: Int,
       candCond: String = "a.id < b.id"): String =
@@ -1753,6 +1747,12 @@ object LlmQueries {
       sqlBandCtes(numHashes, bands, "", candCond) + ",\n" +
       "sizes AS (SELECT id, COUNT(*) AS sz FROM tokw GROUP BY 1)"
 
+  /** DuckDB oracle for the minhash-LSH dedup: signatures are exactly
+    * reproducible because the token hash is an md5 prefix and the
+    * permutation hash `(a*h+b) mod 2^64 mod 2^61` equals the exact
+    * 128-bit product mod 2^61 (2^61 divides 2^64), i.e. HUGEINT-mod;
+    * band buckets are md5 strings in both engines.
+    */
   private def sqlMinhashLsh(numHashes: Int, bands: Int, threshold: Double): String =
     s"""WITH ${sqlMinhashCtes(numHashes, bands)}
        |SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
@@ -1826,10 +1826,6 @@ object LlmQueries {
        |ORDER BY bands""".stripMargin
   }
 
-  /** DuckDB oracle for the LSH ANN top-k: the hyperplanes are a
-    * deterministic sin lattice, interpolated bit-exactly from the JVM's
-    * values, so buckets and reranks are fully reproducible in SQL.
-    */
   /** Single-table LSH ANN CTE chain ending in `ann` (query_id,
     * cand_id, sim rank ≤ k) — shared by the ANN top-k oracle and the
     * kNN-degree oracle.
@@ -1863,6 +1859,10 @@ object LlmQueries {
        |)""".stripMargin
   }
 
+  /** DuckDB oracle for the LSH ANN top-k: the hyperplanes are a
+    * deterministic sin lattice, interpolated bit-exactly from the JVM's
+    * values, so buckets and reranks are fully reproducible in SQL.
+    */
   private def sqlAnnLsh(numPlanes: Int, dims: Int, k: Int): String =
     s"""WITH ${sqlAnnTopCte(numPlanes, dims, k)}
        |SELECT query_id, cand_id, ROUND(sim, 6) AS sim

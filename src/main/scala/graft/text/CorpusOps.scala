@@ -12,10 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Word n-gram array of a text column: empty when the document has
-    * fewer than n tokens (same construction as the shingle join in
-    * [[TextOps.ngramJaccardPairs]]).
-    */
   /** Inline-text shingle convenience — ONLY for frames already known
     * to hold short documents (the eval/benchmark side of the
     * contamination checks): the tokenization re-runs per gram inside
@@ -119,34 +115,6 @@ object CorpusOps {
           .otherwise(lit(0.0)).as("span_frac"))
   }
 
-  /** EXACT-SUBSTRING DUPLICATION SPANS — the ExactSubstr signal of
-    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    * Models Better"), re-expressed relationally: every position where
-    * a document shares an `n`-token run with ANY other occurrence in
-    * the corpus (another document, or a repeat inside the same one),
-    * merged per document into maximal covered spans — the spans a
-    * substring-level dedup pass cuts, where document-level dedup
-    * (which needs near-total overlap) sees nothing.
-    *
-    * An anchor at position p covers tokens [p, p+n-1]; anchors whose
-    * coverage overlaps or touches merge. Since positions arrive
-    * sorted, a new span starts exactly when p > prev_p + n.
-    *
-    * Shape at 100 TB: one corpus-wide n-gram count aggregation
-    * (vocabulary-sized, partial map-side combine), an equi-join of the
-    * gram stream back on the duplicated-gram set, and a per-document
-    * merge kernel over that document's sorted anchor positions —
-    * state bounded by document length, no corpus-wide window (the SQL
-    * oracle's gaps-and-islands window is per-document only). Grams
-    * key on the 60-bit md5 prefix ([[TextOps.tokenHash]]) rather than
-    * the n-token string, thinning the shuffle ~6x; a prefix collision
-    * would spuriously mark both runs duplicated — the same accepted
-    * odds (~n_grams^2 / 2^61) as the dup-gram-mass and minhash
-    * operators, and the identical hash is replayed in the oracle.
-    *
-    * Returns (id, span_start, span_end, n_anchors), 1-based inclusive
-    * token positions, ordered within each document.
-    */
   /** The corpus's DUPLICATED-GRAM SET — every `n`-gram hash occurring
     * more than once (any document, any position). This is the static
     * side of the ExactSubstr family: [[dupSubstringSpans]] joins the
@@ -188,6 +156,34 @@ object CorpusOps {
     out.result()
   }
 
+  /** EXACT-SUBSTRING DUPLICATION SPANS — the ExactSubstr signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: every position where
+    * a document shares an `n`-token run with ANY other occurrence in
+    * the corpus (another document, or a repeat inside the same one),
+    * merged per document into maximal covered spans — the spans a
+    * substring-level dedup pass cuts, where document-level dedup
+    * (which needs near-total overlap) sees nothing.
+    *
+    * An anchor at position p covers tokens [p, p+n-1]; anchors whose
+    * coverage overlaps or touches merge. Since positions arrive
+    * sorted, a new span starts exactly when p > prev_p + n.
+    *
+    * Shape at 100 TB: one corpus-wide n-gram count aggregation
+    * (vocabulary-sized, partial map-side combine), an equi-join of the
+    * gram stream back on the duplicated-gram set, and a per-document
+    * merge kernel over that document's sorted anchor positions —
+    * state bounded by document length, no corpus-wide window (the SQL
+    * oracle's gaps-and-islands window is per-document only). Grams
+    * key on the 60-bit md5 prefix ([[TextOps.tokenHash]]) rather than
+    * the n-token string, thinning the shuffle ~6x; a prefix collision
+    * would spuriously mark both runs duplicated — the same accepted
+    * odds (~n_grams^2 / 2^61) as the dup-gram-mass and minhash
+    * operators, and the identical hash is replayed in the oracle.
+    *
+    * Returns (id, span_start, span_end, n_anchors), 1-based inclusive
+    * token positions, ordered within each document.
+    */
   def dupSubstringSpans(
       docs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -1206,32 +1206,6 @@ object TextOps {
           greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)), 6).as("dup_frac"))
   }
 
-  /** CONTENT-DEFINED CHUNKING span dedup — the insertion-robust
-    * upgrade of [[chunkDupStats]] (Muthitacharoen et al., "A
-    * Low-Bandwidth Network File System", SOSP 2001 — the published CDC
-    * construction): a fixed-size chunker re-aligns every chunk after
-    * one inserted character, so a single edit hides ALL downstream
-    * duplication; content-defined boundaries (cut where the hash of
-    * the local `k`-gram hits `0 mod modulus`) re-synchronize within
-    * one expected chunk length, so shared spans after an edit still
-    * produce identical chunks.
-    *
-    * Boundary rule (deterministic, SQL-replayable): position `p`
-    * (1-based) in `[2, len-k+1]` starts a new chunk when the 60-bit
-    * md5-prefix hash of `substr(p, k)` is `0 mod modulus` — the SAME
-    * gram hash as winnowing ([[tokenHashJvm]]), so the oracle replays
-    * it with `CAST(concat('0x', substr(md5(...),1,15)) AS BIGINT)`.
-    * Expected chunk length ~`modulus` chars. Chunk identity is the
-    * md5 of the chunk TEXT; the dedup join shuffles 32-char digests,
-    * never chunk bodies. A chunk occurrence counts as duplicated when
-    * the same chunk text appears in >= 2 DISTINCT documents.
-    *
-    * Chunking is a row-local mapPartitions (shuffle-free); the df
-    * join is one groupBy bounded by the distinct-chunk count — the
-    * same 100 TB shape as [[chunkDupStats]].
-    *
-    * Returns (id, n_chunks, n_dup_chunks, dup_frac), one row per doc.
-    */
   /** The CDC chunking KERNEL alone — (id, chunk-digest) rows from the
     * content-defined boundary rule. Row-local mapPartitions with no
     * state, so it is stream-transparent: the same body runs unmodified
@@ -1272,6 +1246,32 @@ object TextOps {
       .select(col("id"), md5(col("chunk")).as("ch"))
   }
 
+  /** CONTENT-DEFINED CHUNKING span dedup — the insertion-robust
+    * upgrade of [[chunkDupStats]] (Muthitacharoen et al., "A
+    * Low-Bandwidth Network File System", SOSP 2001 — the published CDC
+    * construction): a fixed-size chunker re-aligns every chunk after
+    * one inserted character, so a single edit hides ALL downstream
+    * duplication; content-defined boundaries (cut where the hash of
+    * the local `k`-gram hits `0 mod modulus`) re-synchronize within
+    * one expected chunk length, so shared spans after an edit still
+    * produce identical chunks.
+    *
+    * Boundary rule (deterministic, SQL-replayable): position `p`
+    * (1-based) in `[2, len-k+1]` starts a new chunk when the 60-bit
+    * md5-prefix hash of `substr(p, k)` is `0 mod modulus` — the SAME
+    * gram hash as winnowing ([[tokenHashJvm]]), so the oracle replays
+    * it with `CAST(concat('0x', substr(md5(...),1,15)) AS BIGINT)`.
+    * Expected chunk length ~`modulus` chars. Chunk identity is the
+    * md5 of the chunk TEXT; the dedup join shuffles 32-char digests,
+    * never chunk bodies. A chunk occurrence counts as duplicated when
+    * the same chunk text appears in >= 2 DISTINCT documents.
+    *
+    * Chunking is a row-local mapPartitions (shuffle-free); the df
+    * join is one groupBy bounded by the distinct-chunk count — the
+    * same 100 TB shape as [[chunkDupStats]].
+    *
+    * Returns (id, n_chunks, n_dup_chunks, dup_frac), one row per doc.
+    */
   def cdcChunkStats(
       docs: DataFrame, k: Int = 8, modulus: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -2460,32 +2460,6 @@ object TextOps {
           .as("bpe_fertility"))
   }
 
-  /** WORDPIECE-STYLE GREEDY ENCODING — tokenize the corpus by greedy
-    * longest-match-first against the BPE-trained piece inventory
-    * (Schuster & Nakajima, ICASSP 2012; the inference rule BERT ships,
-    * Devlin et al. 2019; linear-time variant analyzed in Song et al.
-    * 2021, "Fast WordPiece Tokenization"). Greedy inference and
-    * merge-order inference ([[bpeEncode]]) usually agree but are NOT
-    * the same function: greedy can overshoot with a long piece
-    * harvested from another word and then fail mid-word — classic
-    * WordPiece maps such words to ONE [UNK] token, and this report
-    * counts them, which is exactly the signal for choosing between
-    * the two inference rules for a deployment.
-    *
-    * The piece inventory is the distinct symbols of the final BPE
-    * vocabulary table — bounded by (distinct characters + `merges`),
-    * a tokenizer-sized artifact, so it travels as a broadcast value
-    * (the k-centroids pattern, not a data-sized collect). The greedy
-    * walk runs once per DISTINCT word (row-local, over code points —
-    * the same character semantics as [[bpeLearn]] and both engines'
-    * `substring`); the corpus is then ONE word-stream scan joined
-    * against the broadcast word → count table, identical in shape to
-    * [[bpeEncode]].
-    *
-    * Returns (doc_id, n_words, n_wp_tokens, n_unk_words,
-    * wp_fertility), one row per document with at least one token;
-    * an [UNK] word contributes 1 to both n_wp_tokens and n_unk_words.
-    */
   /** The greedy longest-match-first walk over ONE word's code points:
     * returns (piece_count, unk) where unk = 1 iff no piece matched at
     * some position (classic WordPiece then emits ONE [UNK] for the
@@ -2559,6 +2533,32 @@ object TextOps {
       .flatMap(_._2).distinct().collect().sorted
   }
 
+  /** WORDPIECE-STYLE GREEDY ENCODING — tokenize the corpus by greedy
+    * longest-match-first against the BPE-trained piece inventory
+    * (Schuster & Nakajima, ICASSP 2012; the inference rule BERT ships,
+    * Devlin et al. 2019; linear-time variant analyzed in Song et al.
+    * 2021, "Fast WordPiece Tokenization"). Greedy inference and
+    * merge-order inference ([[bpeEncode]]) usually agree but are NOT
+    * the same function: greedy can overshoot with a long piece
+    * harvested from another word and then fail mid-word — classic
+    * WordPiece maps such words to ONE [UNK] token, and this report
+    * counts them, which is exactly the signal for choosing between
+    * the two inference rules for a deployment.
+    *
+    * The piece inventory is the distinct symbols of the final BPE
+    * vocabulary table — bounded by (distinct characters + `merges`),
+    * a tokenizer-sized artifact, so it travels as a broadcast value
+    * (the k-centroids pattern, not a data-sized collect). The greedy
+    * walk runs once per DISTINCT word (row-local, over code points —
+    * the same character semantics as [[bpeLearn]] and both engines'
+    * `substring`); the corpus is then ONE word-stream scan joined
+    * against the broadcast word → count table, identical in shape to
+    * [[bpeEncode]].
+    *
+    * Returns (doc_id, n_words, n_wp_tokens, n_unk_words,
+    * wp_fertility), one row per document with at least one token;
+    * an [UNK] word contributes 1 to both n_wp_tokens and n_unk_words.
+    */
   def wordpieceEncode(
       docs: DataFrame, merges: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
