@@ -108,6 +108,17 @@ object EmbedStats {
     (n, s, g, dims)
   }
 
+  /** The moments tuple both faces derive from — exposed so one Gram
+    * pass can serve [[covarianceFromMoments]] AND
+    * [[pcaSpectrumFromMoments]] (the tokenizer-memo sharing contract:
+    * at a real corpus each redundant pass is a full data scan).
+    */
+  type Moments = (Long, Array[BigInteger], Array[BigInteger], Int)
+
+  def moments(
+      embeddings: DataFrame, vecCol: String = "embedding"): Moments =
+    gramMoments(embeddings, vecCol)
+
   /** EXACT COVARIANCE matrix of the embedding columns, upper triangle
     * (i ≤ j): population covariance
     * `cov_ij = (n·Σpipj − Σpi·Σpj) / (n² · 2^48)` with the numerator
@@ -116,9 +127,14 @@ object EmbedStats {
     * decimal(38,0) — the hash-matchable face; cov the 6-dp double.
     */
   def embedCovariance(
-      embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
-    val (n, s, g, dims) = gramMoments(embeddings, vecCol)
+      embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    covarianceFromMoments(embeddings.sparkSession,
+      gramMoments(embeddings, vecCol))
+
+  /** [[embedCovariance]] from ALREADY-ACCUMULATED moments. */
+  def covarianceFromMoments(
+      spark: org.apache.spark.sql.SparkSession, m: Moments): DataFrame = {
+    val (n, s, g, dims) = m
     require(n >= 1, "empty embedding table")
     val nBig = BigInteger.valueOf(n)
     val denom = n.toDouble * n.toDouble * UnitScale * UnitScale
@@ -207,10 +223,16 @@ object EmbedStats {
     */
   def embedPcaSpectrum(
       embeddings: DataFrame, topK: Int = 16,
-      vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
+      vecCol: String = "embedding"): DataFrame =
+    pcaSpectrumFromMoments(embeddings.sparkSession,
+      gramMoments(embeddings, vecCol), topK)
+
+  /** [[embedPcaSpectrum]] from ALREADY-ACCUMULATED moments. */
+  def pcaSpectrumFromMoments(
+      spark: org.apache.spark.sql.SparkSession, m: Moments,
+      topK: Int = 16): DataFrame = {
     import spark.implicits._
-    val (n, s, g, dims) = gramMoments(embeddings, vecCol)
+    val (n, s, g, dims) = m
     require(n >= 2, "need at least 2 vectors for a spectrum")
     val denom = n.toDouble * n.toDouble * UnitScale * UnitScale
     val nBig = BigInteger.valueOf(n)
