@@ -4169,8 +4169,14 @@ object LlmQueries {
     // ROUND rounds negative halves AWAY from zero while Java floors
     // them toward +inf, and float-derived half-units are common (any
     // component whose last mantissa bit sits below the unit grid).
-    // HUGEINT pair-product sums; shortest-decimal ROUND idiom on the
-    // double edge (see q_robust_outliers)
+    // HUGEINT pair-product sums. The 6-dp face is integer-exact end
+    // to end: cov_micro = round_half_away(num*1e6 / (n^2*2^48)) via
+    // sign * ((2*|num|*1e6 + D) // (2*D)) — HUGEINT `//` truncates,
+    // which on non-negative operands is the same quotient BigInteger
+    // computes on the Spark side; the only double is the final exact
+    // cov_micro/1e6 division. (A hugeint->double cast of the ~2^70
+    // numerator is NOT correctly rounded on every engine version —
+    // the r11 hash-fail.)
     "q_embed_covariance" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |u AS (
@@ -4185,17 +4191,24 @@ object LlmQueries {
         |         SUM(CAST(a.p AS HUGEINT) * CAST(b.p AS HUGEINT)) AS spp
         |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
         |  GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT g.i, g.j, nn.n, g.spp,
+        |         CAST(nn.n AS HUGEINT) * g.spp - si.si * sj.si AS num,
+        |         CAST(nn.n AS HUGEINT) * CAST(nn.n AS HUGEINT)
+        |           * CAST(281474976710656 AS HUGEINT) AS d
+        |  FROM g
+        |  JOIN s si ON si.i = g.i
+        |  JOIN s sj ON sj.i = g.j
+        |  CROSS JOIN nn
         |)
-        |SELECT g.i, g.j, nn.n, CAST(g.spp AS DECIMAL(38,0)) AS spp,
-        |  CAST(ROUND(CAST(CAST(
-        |    CAST(nn.n * g.spp - si.si * sj.si AS DOUBLE)
-        |      / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 16777216.0 * 16777216.0)
-        |    AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cov
-        |FROM g
-        |JOIN s si ON si.i = g.i
-        |JOIN s sj ON sj.i = g.j
-        |CROSS JOIN nn
-        |ORDER BY g.i, g.j""".stripMargin,
+        |SELECT i, j, n, CAST(spp AS DECIMAL(38,0)) AS spp,
+        |  CAST(CASE WHEN num < 0
+        |    THEN -((2 * (-num) * 1000000 + d) // (2 * d))
+        |    ELSE  ((2 * num    * 1000000 + d) // (2 * d)) END
+        |  AS DOUBLE) / 1000000.0 AS cov
+        |FROM c
+        |ORDER BY i, j""".stripMargin,
 
     // binary quantization recall: sign map to +/-1 (x > 0 in both
     // engines, zeros to -1), same cosine-ranked recall tail

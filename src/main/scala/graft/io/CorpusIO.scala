@@ -93,12 +93,31 @@ object CorpusIO {
     * lines, and parsed lines missing the primary key (a line can be
     * valid JSON and still lack doc_id — schema-valid but unusable).
     * One aggregation over the line scan.
+    *
+    * FULL-SCHEMA GUARD: the aggregation references every parsed
+    * column (through a never-foldable hash comparison), because
+    * Spark's JSON required-schema pruning otherwise parses only the
+    * columns the plan mentions — a line malformed ONLY in an
+    * unreferenced column (say a string where n_chars should be) would
+    * count as parsed in a (corrupt, doc_id)-pruned report while
+    * [[readJsonlClean]], with the full schema in play, marks it
+    * corrupt and drops it. The guard makes report and corpus judge
+    * every line under the SAME schema, which is the whole "accounted,
+    * not silently dropped" invariant.
     */
-  def ingestReport(lines: DataFrame): DataFrame =
+  def ingestReport(lines: DataFrame): DataFrame = {
+    val parsedCols = lines.columns.filterNot(_ == corruptCol).map(col).toSeq
+    val touchAll =
+      if (parsedCols.isEmpty) lit(true)
+      // always true, but Catalyst has no rule to fold a hash range
+      // check — the attribute references survive into the scan's
+      // required schema
+      else hash(parsedCols: _*) >= lit(Int.MinValue)
     lines.agg(
-      count(lit(1)).as("n_lines"),
+      count(when(touchAll, 1)).as("n_lines"),
       count(when(col(corruptCol).isNull, 1)).as("n_parsed"),
       count(col(corruptCol)).as("n_corrupt"),
       count(when(col(corruptCol).isNull && col("doc_id").isNull, 1))
         .as("n_missing_id"))
+  }
 }

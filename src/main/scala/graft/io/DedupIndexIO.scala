@@ -44,15 +44,23 @@ object DedupIndexIO {
     * the SIDEcar's banding parameters. Append-only parquet writes —
     * the ingest transaction is the caller's (run [[probeIndex]] on the
     * shard BEFORE appending it, or its rows pair with themselves).
+    *
+    * TORN-APPEND ORDER: tokens are appended BEFORE buckets. A crash
+    * between the two writes then leaves token rows no bucket points at
+    * — dead weight, harmlessly re-appendable — never bucket rows whose
+    * ids have no token payload, which would make later [[probeIndex]]
+    * candidates against those ids silently vanish at the exact-verify
+    * inner join (false-negative dup pairs). The buckets write is the
+    * commit point, mirroring writeIndex's sidecar-last contract.
     */
   def appendToIndex(
       docs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val (numHashes, bands) = storedParams(path)
     val tok = TextOps.tokenTable(docs, idCol, textCol)
+    tok.write.mode(SaveMode.Append).parquet(s"$path/tokens")
     TextOps.minhashBandBuckets(tok, numHashes, bands)
       .write.mode(SaveMode.Append).parquet(s"$path/buckets")
-    tok.write.mode(SaveMode.Append).parquet(s"$path/tokens")
   }
 
   /** Validated sidecar read → (numHashes, bands). */

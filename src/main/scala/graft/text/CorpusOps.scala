@@ -519,9 +519,19 @@ object CorpusOps {
     * the [[TextOps.incrementalLshPairs]] cross-probe shape with eval
     * as the (benchmark-sized) index — and only cross candidates are
     * exact-verified; a train document flagged against any eval doc is
-    * anti-joined out. Self-ids are NOT excluded: an eval document
-    * that also sits in the train side IS verbatim leakage (Jaccard 1)
-    * and must flag.
+    * anti-joined out. An eval document that also sits in the train
+    * side IS verbatim leakage (identical text ⇒ Jaccard 1) and flags.
+    *
+    * ID NAMESPACING: the two corpora are INDEPENDENT, so raw id values
+    * may collide across sides while naming different documents. Both
+    * sides are remapped into disjoint long namespaces (train → 2·id,
+    * eval → 2·id + 1) before any token-table union, so a raw-id
+    * collision can never merge two documents' token sets under one key
+    * and corrupt the Jaccard verification — unlike
+    * [[TextOps.incrementalLshPairs]], whose caller contract demands
+    * disjoint ids, this operator makes no cross-corpus id assumption.
+    * (Ids must be long-castable and fit in 62 bits — the minhash
+    * kernel's existing contract plus one doubling bit.)
     *
     * At 100 TB: banding the train side is one linear pass, the eval
     * bucket table is benchmark-sized, candidates are bucket-bounded,
@@ -531,8 +541,12 @@ object CorpusOps {
       train: DataFrame, eval: DataFrame,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.9,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tokT = TextOps.tokenTable(train, idCol, textCol)
-    val tokE = TextOps.tokenTable(eval, idCol, textCol)
+    val trainTag = col(idCol).cast("long") * 2
+    val tokT = TextOps.tokenTable(
+      train.select(trainTag.as("gid"), col(textCol)), "gid", textCol)
+    val tokE = TextOps.tokenTable(
+      eval.select((col(idCol).cast("long") * 2 + 1).as("gid"),
+        col(textCol)), "gid", textCol)
     val cand = TextOps.minhashBandBuckets(tokT, numHashes, bands)
       .toDF("id_a", "bucket")
       .join(TextOps.minhashBandBuckets(tokE, numHashes, bands)
@@ -541,7 +555,7 @@ object CorpusOps {
     val flagged = TextOps.verifyJaccardCandidates(
         tokT.unionByName(tokE).distinct(), cand, threshold)
       .select(col("id_a").as("flag")).distinct()
-    train.join(flagged, col(idCol) === col("flag"), "left_anti")
+    train.join(flagged, trainTag === col("flag"), "left_anti")
   }
 
   /** BLOOM-PREFILTERED decontamination — the 100 TB route when the

@@ -24,9 +24,9 @@ import org.apache.spark.sql.types._
   * driver fold touches #partitions × d² numbers, never n. The
   * alternative (posexplode twice + groupBy (i,j)) shuffles n·d² rows
   * — four orders of magnitude more traffic at d = 64. Long
-  * accumulators flush into BigInteger every 4096 rows so no partition
-  * size can overflow (|p| ≤ 2^25 ⇒ pair products ≤ 2^50 ⇒ 4096 of
-  * them ≤ 2^62).
+  * accumulators flush into BigInteger every 256 rows so no partition
+  * size can overflow (|x| ≤ 8 enforced ⇒ |p| ≤ 2^27 ⇒ pair products
+  * ≤ 2^54 ⇒ 256 of them ≤ 2^62).
   */
 object EmbedStats {
 
@@ -35,7 +35,15 @@ object EmbedStats {
     */
   val UnitScale: Double = 16777216.0
 
-  private val FlushEvery = 4096
+  /** Largest accepted |component| — the bound the Long-accumulator
+    * overflow proof in [[partitionGram]] relies on: |x| <= 8 means
+    * |p| <= 2^27, pair products <= 2^54, and [[FlushEvery]] = 256 of
+    * them stay under 2^62. Embeddings are unit-norm-ish in practice;
+    * anything larger fails loudly instead of silently overflowing.
+    */
+  val MaxComponent: Double = 8.0
+
+  private val FlushEvery = 256
 
   /** One partition's exact partial: row count, per-dim unit sums, and
     * the upper-triangle pair-product sums, all as big-integer bytes.
@@ -64,7 +72,15 @@ object EmbedStats {
     rows.foreach { v =>
       require(v.length == dims, s"ragged embedding: ${v.length} != $dims dims")
       var i = 0
-      while (i < dims) { p(i) = math.round(v(i) * UnitScale); i += 1 }
+      while (i < dims) {
+        // The flush-interval overflow proof holds only for
+        // |x| <= MaxComponent; fail loudly on unnormalized embeddings
+        // rather than silently overflow the Long accumulators.
+        require(math.abs(v(i)) <= MaxComponent,
+          s"embedding component ${v(i)} exceeds |x| <= $MaxComponent; " +
+            "normalize (or rescale) before EmbedStats")
+        p(i) = math.round(v(i) * UnitScale); i += 1
+      }
       var k = 0
       i = 0
       while (i < dims) {
@@ -121,10 +137,18 @@ object EmbedStats {
 
   /** EXACT COVARIANCE matrix of the embedding columns, upper triangle
     * (i ≤ j): population covariance
-    * `cov_ij = (n·Σpipj − Σpi·Σpj) / (n² · 2^48)` with the numerator
-    * exact in integers and ONE double division at the edge. Returns
-    * (i, j, n, spp, cov) where spp is the exact pair-product sum in
-    * decimal(38,0) — the hash-matchable face; cov the 6-dp double.
+    * `cov_ij = (n·Σpipj − Σpi·Σpj) / (n² · 2^48)`. The 6-dp face is
+    * computed ENTIRELY in integers on both engines:
+    * `cov_micro = round_half_away((n·Σpipj − Σpi·Σpj)·10^6 / (n²·2^48))`
+    * via `sign · ((2·|num|·10^6 + D) div (2·D))` (truncating division
+    * on non-negative operands = the same quotient in BigInteger and
+    * DuckDB HUGEINT `//`), and only `cov = cov_micro / 1e6` touches a
+    * double — an exact IEEE division both engines round identically.
+    * A hugeint→double cast of the ~2^70 numerator is NOT part of the
+    * chain: that conversion is not guaranteed correctly rounded and
+    * differs across DuckDB versions (the r11 hash-fail root cause).
+    * Returns (i, j, n, spp, cov) where spp is the exact pair-product
+    * sum in decimal(38,0) — the hash-matchable face.
     */
   def embedCovariance(
       embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
@@ -137,7 +161,10 @@ object EmbedStats {
     val (n, s, g, dims) = m
     require(n >= 1, "empty embedding table")
     val nBig = BigInteger.valueOf(n)
-    val denom = n.toDouble * n.toDouble * UnitScale * UnitScale
+    // D = n^2 * 2^48 (the unit-scale^2 denominator), exact.
+    val dBig = nBig.multiply(nBig).multiply(BigInteger.ONE.shiftLeft(48))
+    val twoD = dBig.shiftLeft(1)
+    val micro = BigInteger.valueOf(1000000L)
     val rows = new scala.collection.mutable.ArrayBuffer[Row]
     var k = 0
     var i = 0
@@ -145,8 +172,10 @@ object EmbedStats {
       var j = i
       while (j < dims) {
         val num = nBig.multiply(g(k)).subtract(s(i).multiply(s(j)))
-        val cov = BigDecimal(num.doubleValue / denom)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // round-half-away-from-zero of num*1e6/D, pure integers.
+        val q = num.abs.multiply(micro).shiftLeft(1).add(dBig).divide(twoD)
+        val covMicro = if (num.signum < 0) q.negate else q
+        val cov = covMicro.doubleValue / 1e6
         rows += Row(i.toLong, j.toLong, n, new java.math.BigDecimal(g(k)), cov)
         j += 1; k += 1
       }

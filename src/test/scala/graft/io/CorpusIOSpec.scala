@@ -79,4 +79,27 @@ class CorpusIOSpec extends AnyFunSuite {
     assert((batch.getLong(0), batch.getLong(1), batch.getLong(2), batch.getLong(3)) ==
       ((4L, 3L, 1L, 1L)))
   }
+
+  test("ingestReport judges lines under the FULL schema, not a pruned one") {
+    // a line malformed ONLY in n_chars (a string where the schema says
+    // long): if required-schema pruning parsed just (_corrupt_record,
+    // doc_id) for the report, this line would count as parsed there
+    // while readJsonlClean (full schema in play) marks it corrupt and
+    // drops it — report and corpus must agree
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl4").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/shard-0.json"),
+      Seq(
+        """{"doc_id": 1, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}""",
+        """{"doc_id": 2, "text": "bad", "lang": "en", "source": "web", "n_chars": "oops"}""")
+        .mkString("\n"))
+    val rep = CorpusIO.ingestReport(CorpusIO.readJsonl(spark, dir)).head()
+    // full-row collect (a bare count() would itself prune to the
+    // corrupt column and trip QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val nClean = CorpusIO.readJsonlClean(spark, dir).collect().length.toLong
+    assert(rep.getLong(1) == nClean,
+      s"report n_parsed ${rep.getLong(1)} != clean rows $nClean")
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) == ((2L, 1L, 1L)),
+      s"report: $rep")
+  }
 }

@@ -180,6 +180,27 @@ class RewriteSpec extends AnyFunSuite {
     assert(survivors(0.5) == Seq(2L))
   }
 
+  test("fuzzyDecontaminate: cross-corpus id collisions never merge token sets") {
+    // train doc 7 and eval doc 7 are DIFFERENT documents sharing a raw
+    // id — independent corpora reusing id values. Without namespacing,
+    // the token-table union would merge them into one 16-token
+    // pseudo-doc: train 7 would then self-verify at jaccard 1 and drop
+    // (false positive), and the merged eval set would dilute every
+    // other comparison. With namespacing both train docs survive (no
+    // eval text is near either) and the genuinely leaked doc still
+    // drops.
+    val train = Seq(
+      (7L, "a b c d e f g h"),
+      (8L, "m n o p q r s t")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (7L, "i j k l w x y z"),          // shares the id, not the text
+      (9L, "m n o p q r s t")).toDF("doc_id", "text") // leaked copy of 8
+    val out = CorpusOps.fuzzyDecontaminate(train, eval_,
+      numHashes = 64, bands = 16, threshold = 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(7L))
+  }
+
   test("sourceKlDistinctiveness: single source reads 0; hand KL exact; partition-invariant") {
     // one source == the corpus -> p == q termwise -> KL exactly 0
     val one = Seq((1L, "A", "x y x")).toDF("doc_id", "source", "text")
