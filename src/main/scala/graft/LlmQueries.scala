@@ -707,6 +707,16 @@ object LlmQueries {
     "q_knn_assortativity" -> ((s, dir) =>
       VectorOps.knnAssortativity(annGraph(s, dir))),
 
+    // Newman modularity of the 4-round LPA labeling: the community
+    // quality go/no-go, integer-exact micro face
+    "q_knn_modularity" -> ((s, dir) =>
+      VectorOps.knnModularity(annGraph(s, dir), iters = 4)),
+
+    // multi-source BFS blast radius: hop-distance histogram from a
+    // 1/16 salted-hash seed fraction, 4 synchronous frontier rounds
+    "q_knn_bfs_dist" -> ((s, dir) =>
+      VectorOps.knnBfsDepths(annGraph(s, dir), maxDepth = 4)),
+
     "q_seq_pack" -> ((s, dir) => OrderOps.packSequences(docs(s, dir), capacity = 256)),
 
     // packing-efficiency report: per training sequence, docs touching /
@@ -1511,6 +1521,173 @@ object LlmQueries {
             .as("totacctbal"))
     }),
 
+    // TPC-H Q2 shape: minimum-cost supplier — the correlated-MIN
+    // subquery, decorrelated as a per-(part, supplier) cost aggregate
+    // + per-part min + exact-equality join back (no partsupp table in
+    // the synthetic schema, so "supply cost" is the supplier's best
+    // unit price MIN(l_extendedprice / l_quantity) — one IEEE division
+    // per line, bit-identical across engines, and MIN/equality over
+    // those doubles is bit-stable). Region membership prunes the fact
+    // scan through a broadcast semi-join; the part filter semi-joins
+    // the fact EARLY (a per-part min is unchanged by a per-part
+    // restriction); both aggregates and the min-join shuffle on the
+    // part key; only the dim tables broadcast. Total ORDER BY (every
+    // output key) keeps the LIMIT deterministic across engines.
+    "q_tpch_q2" -> ((s, dir) => {
+      val partF = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "STANDARD" && col("p_size") < 25)
+        .select(col("p_partkey"), col("p_type"))
+      val esupp = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("uc"))
+        .join(partF.select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(esupp.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+      val cost = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("uc")).as("supply_cost"))
+      val minc = cost.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      cost.join(minc, col("l_partkey") === col("mk") &&
+          col("supply_cost") === col("min_cost"))
+        .join(partF, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape: product-type profit by nation and year — the
+    // widest join tree of the suite (lineitem × part × orders ×
+    // supplier × nation) with a LIKE-filtered part cut ("supply cost"
+    // proxied as 0.4 · p_retailprice · l_quantity; no partsupp). The
+    // per-line profit is ONE double expression evaluated identically
+    // in both engines, then cast to decimal(18,6) so the group sums
+    // are exact and order-free. Part and orders joins stay AQE-sized
+    // (both fact-scaled); supplier and nation broadcast.
+    "q_tpch_q9" -> ((s, dir) => {
+      val partW = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(partW, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.4) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(18,6)")).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: important parts by value share — the
+    // scalar-subquery HAVING. Per-part value aggregates ONCE over the
+    // one-nation supplier semi-join (localCheckpoint: the Q15
+    // shared-view idiom), the grand total folds from the PER-PART view
+    // (supplier-bounded rows, not a second fact scan), broadcasts as
+    // one row, and the share cut compares doubles derived from exact
+    // decimal sums — identical in both engines. The 0.0001 share
+    // threshold is scale-free: the query returns the same "important"
+    // fraction at any corpus size.
+    "q_tpch_q11" -> ((s, dir) => {
+      val supp7 = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_12",
+            "NATION_13"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("val"))
+        .localCheckpoint()
+      val tot = value.agg(sum(col("val")).as("tot"))
+      value.join(broadcast(tot),
+          col("val").cast("double") > lit(0.0001) * col("tot").cast("double"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("val").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q16 shape: supplier diversity by part attribute — COUNT
+    // DISTINCT over a NOT-IN-pruned join (the complaint exclusion
+    // proxied by negative-leaning balances: s_acctbal < 1000). The
+    // excluded-supplier set is dim-sized and broadcast as an
+    // anti-join; the distinct compresses (brand, type, size, supplier)
+    // BEFORE the count aggregation, so the shuffle carries the
+    // deduplicated attribute rows, never raw lineitem.
+    "q_tpch_q16" -> ((s, dir) => {
+      val bad = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_acctbal") < 1000.0).select(col("s_suppkey"))
+      val partF = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(partF, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+        .distinct()
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape: excess-concentration suppliers — the correlated
+    // half-sum threshold (a (supplier, part) pair is flagged when its
+    // 1996 shipped quantity exceeds half its all-time quantity),
+    // computed from ONE conditional aggregation over a single
+    // part-pruned fact scan (the real Q20 needs two correlated scans;
+    // the conditional-sum decorrelation is the 100 TB form), then a
+    // semi-join chain up to the nation-filtered supplier dim. Exact
+    // decimal quantity sums; the half comparison is one identical
+    // double product per pair.
+    "q_tpch_q20" -> ((s, dir) => {
+      val partR = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").contains("rod")).select(col("p_partkey"))
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val sp = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(partR, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(
+          sum(when(col("l_shipdate") >= lo && col("l_shipdate") < hi,
+            col("l_quantity")).otherwise(lit(0.0)).cast("decimal(18,2)"))
+            .as("qty_1996"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_all"))
+      val over = sp.filter(col("qty_1996").cast("double") >
+          lit(0.5) * col("qty_all").cast("double"))
+        .select(col("l_suppkey")).distinct()
+      s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .filter(col("n_name").isin("NATION_3", "NATION_4", "NATION_5"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(over, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
     "q_events_sessionize" -> ((s, dir) =>
       // 4-hour inactivity gap. toMicros normalizes whichever physical
       // ts type the driver shipped (int64 nanos or timestamp[us]) to
@@ -2295,7 +2472,10 @@ object LlmQueries {
     * aggregation and this ROW_NUMBER (votes DESC, label ASC) pick the
     * same winner — both are the lexicographic max of (votes, -label).
     */
-  private def sqlKnnLabelProp(iters: Int): String = {
+  /** The shared LPA CTE chain (ann → sym → l0 → … → l`iters`) —
+    * prefix of both the labelprop oracle and the modularity oracle.
+    */
+  private def sqlKnnLabelPropCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH ${sqlAnnTopCte(8, 64, 5)},
@@ -2319,10 +2499,79 @@ object LlmQueries {
          |  ) WHERE rn = 1
          |)""".stripMargin)
     }
-    sb.append(s""",
+    sb.toString
+  }
+
+  private def sqlKnnLabelProp(iters: Int): String =
+    s"""${sqlKnnLabelPropCtes(iters)},
        |sizes AS (SELECT lbl, COUNT(*) AS comm_size FROM l$iters GROUP BY 1)
        |SELECT l$iters.node, l$iters.lbl AS community, s.comm_size
-       |FROM l$iters JOIN sizes s ON s.lbl = l$iters.lbl ORDER BY 1""".stripMargin)
+       |FROM l$iters JOIN sizes s ON s.lbl = l$iters.lbl ORDER BY 1""".stripMargin
+
+  /** Oracle for [[graft.vector.VectorOps.knnModularity]]: the LPA CTE
+    * chain, then HUGEINT-exact Newman terms and the micro-integer
+    * half-away rounding (the covariance doctrine — no wide-int→double
+    * cast anywhere).
+    */
+  private def sqlKnnModularity(iters: Int): String =
+    s"""${sqlKnnLabelPropCtes(iters)},
+       |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY 1),
+       |m2t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM sym),
+       |dct AS (
+       |  SELECT l.lbl, SUM(CAST(deg.d AS HUGEINT)) AS dcv
+       |  FROM deg JOIN l$iters l ON l.node = deg.src GROUP BY 1
+       |),
+       |sd AS (SELECT SUM(dcv * dcv) AS sdc2, COUNT(*) AS n_comms FROM dct),
+       |it AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS intra
+       |  FROM sym e
+       |  JOIN l$iters a ON a.node = e.src
+       |  JOIN l$iters b ON b.node = e.dst
+       |  WHERE a.lbl = b.lbl
+       |)
+       |SELECT CAST(m2 AS BIGINT) AS n_edges_sym,
+       |  CAST(n_comms AS BIGINT) AS n_comms,
+       |  CAST(CASE WHEN intra * m2 - sdc2 < 0
+       |    THEN -((2 * (sdc2 - intra * m2) * 1000000 + m2 * m2) // (2 * (m2 * m2)))
+       |    ELSE  ((2 * (intra * m2 - sdc2) * 1000000 + m2 * m2) // (2 * (m2 * m2))) END
+       |  AS DOUBLE) / 1000000.0 AS modularity
+       |FROM m2t, sd, it""".stripMargin
+
+  /** Oracle for [[graft.vector.VectorOps.knnBfsDepths]]: unrolled
+    * frontier stages (v_d = neighbors of f_{d-1} minus everything
+    * seen), one (dist, count) row per reached depth — the kcore-style
+    * unrolling; no recursive CTE (the DuckDB 1.0.0
+    * recursive+MATERIALIZED trap).
+    */
+  private def sqlKnnBfsDepths(maxDepth: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS src, cand_id AS dst FROM ann
+         |  UNION
+         |  SELECT cand_id AS src, query_id AS dst FROM ann
+         |),
+         |f0 AS (
+         |  SELECT DISTINCT src AS node FROM sym
+         |  WHERE substr(md5(CAST(src AS VARCHAR)), 1, 1) = '0'
+         |),
+         |v0 AS (SELECT node, 0 AS dist FROM f0)""".stripMargin)
+    for (d <- 1 to maxDepth) {
+      val p = d - 1
+      sb.append(s""",
+         |f$d AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM sym e JOIN f$p ON f$p.node = e.src
+         |  WHERE e.dst NOT IN (SELECT node FROM v$p)
+         |),
+         |v$d AS (
+         |  SELECT * FROM v$p UNION ALL SELECT node, $d AS dist FROM f$d
+         |)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
+       |FROM v$maxDepth GROUP BY 1 ORDER BY 1""".stripMargin)
     sb.toString
   }
 
@@ -3932,6 +4181,13 @@ object LlmQueries {
     // rounds, per-node argmax via (votes DESC, label ASC) row_number
     "q_knn_labelprop" -> sqlKnnLabelProp(4),
 
+    // modularity: the LPA chain + HUGEINT Newman terms, micro-integer
+    // rounding (no wide-int->double cast)
+    "q_knn_modularity" -> sqlKnnModularity(4),
+
+    // BFS blast radius: unrolled frontier stages, kcore-style
+    "q_knn_bfs_dist" -> sqlKnnBfsDepths(4),
+
     // IVF nprobe sweep: shared scored/ground-truth CTEs, one top-k +
     // summary row per probe level
     "q_ivf_probe_sweep" -> sqlIvfProbeSweep(16, Seq(1, 2, 4, 8), 5),
@@ -4853,6 +5109,94 @@ object LlmQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q2 (unit-price-proxied): correlated MIN decorrelated; total
+    // ORDER BY keeps the LIMIT deterministic
+    "q_tpch_q2" ->
+      """WITH esupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'STANDARD' AND p_size < 25)
+        |    AND l_suppkey IN (SELECT s_suppkey FROM esupp)
+        |  GROUP BY 1, 2),
+        |minc AS (SELECT l_partkey AS mk, MIN(supply_cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+        |FROM cost
+        |JOIN minc ON l_partkey = mk AND supply_cost = min_cost
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN esupp ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // Q9 (retailprice-proxied supply cost): widest join tree, exact
+    // decimal profit sums
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.4 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    // Q11 (one-nation value share): scalar-subquery HAVING over the
+    // per-part view
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS val
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12', 'NATION_13'))
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(val) AS tot FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+        |FROM v, t
+        |WHERE CAST(val AS DOUBLE) > 0.0001 * CAST(tot AS DOUBLE)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    // Q16 (acctbal-proxied complaints): NOT IN + COUNT DISTINCT via
+    // pre-deduplicated attribute rows
+    "q_tpch_q16" ->
+      """WITH sel AS (
+        |  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |    AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0))
+        |SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+        |FROM sel GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q20 (half-sum concentration): ONE conditional aggregation, then
+    // the semi-join chain
+    "q_tpch_q20" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01'
+        |        THEN l_quantity ELSE 0.0 END AS DECIMAL(18,2))) AS qty_1996,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%')
+        |  GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT DISTINCT l_suppkey FROM sp
+        |  WHERE CAST(qty_1996 AS DOUBLE) > 0.5 * CAST(qty_all AS DOUBLE))
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+        |  AND s_suppkey IN (SELECT l_suppkey FROM ov)
+        |ORDER BY s_name""".stripMargin,
 
     // salted join: the PLAIN join — salting must be invisible
     "q_salted_join" ->

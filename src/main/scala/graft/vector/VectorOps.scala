@@ -1104,10 +1104,27 @@ object VectorOps {
   def knnLabelPropagation(
       ann: DataFrame, iters: Int = 4, reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
-    val edges = graft.model.Lineage.cut(
-      ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
-        .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
-        .distinct(), reliable)
+    val edges = graft.model.Lineage.cut(symmetrized(ann), reliable)
+    val lab = lpaLabels(edges, iters)
+    val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    lab.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("comm_size"))
+  }
+
+  /** The symmetrized directed-edge table of an ANN top-k result —
+    * the shared graph base of the kNN analytics family.
+    */
+  private def symmetrized(ann: DataFrame): DataFrame =
+    ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
+      .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
+      .distinct()
+
+  /** The synchronous-LPA label table after `iters` rounds — shared by
+    * [[knnLabelPropagation]] (which decorates it with community sizes)
+    * and [[knnModularity]] (which scores it). `edges` must already be
+    * lineage-cut: every round re-reads it.
+    */
+  private def lpaLabels(edges: DataFrame, iters: Int): DataFrame = {
     var lab = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 0 until iters) {
@@ -1117,9 +1134,100 @@ object VectorOps {
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
     }
-    val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
-    lab.join(sizes, "lbl")
-      .select(col("node"), col("lbl").as("community"), col("comm_size"))
+    lab
+  }
+
+  /** NEWMAN MODULARITY of the synchronous-LPA labeling (Newman &
+    * Girvan 2004, "Finding and evaluating community structure in
+    * networks", Phys. Rev. E 69): the one-number quality score of the
+    * community structure [[knnLabelPropagation]] finds —
+    * `Q = Σ_c [ I_c/2m − (D_c/2m)² ]` with I_c the intra-community
+    * DIRECTED edge count, D_c the community degree sum, and 2m the
+    * directed edge count of the symmetrized graph. Q near 0 means the
+    * labeling is no better than random wiring (LSH edges are noise);
+    * Q ≳ 0.3 means the dedup/topic communities are structurally real
+    * — the go/no-go readout before acting on graph communities.
+    *
+    * EXACT integer accounting end to end: `Q_micro =
+    * round_half_away((Σ I_c·2m − Σ D_c²)·10⁶ / (2m)²)` computed in
+    * decimal(38,0) on Spark and HUGEINT on DuckDB (the covariance
+    * doctrine: the hash-checked face is integer-exact, the ONLY
+    * double is the final exact Q_micro/1e6 division — never a
+    * wide-integer→double cast).
+    *
+    * Cost beyond the LPA rounds: one degree aggregation, one
+    * label-keyed degree sum, one two-sided label join counting
+    * intra edges, three 1-row aggregates crossed into one output row.
+    * Every shuffle is node- or label-keyed; nothing is corpus-wide.
+    */
+  def knnModularity(
+      ann: DataFrame, iters: Int = 4, reliable: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val edges = graft.model.Lineage.cut(symmetrized(ann), reliable)
+    val lab = graft.model.Lineage.cut(lpaLabels(edges, iters), reliable)
+    val dec = "decimal(38,0)"
+    val m2 = edges.agg(count(lit(1)).cast(dec).as("m2"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, deg("src") === lab("node"))
+      .groupBy(col("lbl")).agg(sum(col("d").cast(dec)).as("dcv"))
+    val sd = dc.agg(sum(col("dcv") * col("dcv")).cast(dec).as("sdc2"),
+      count(lit(1)).as("n_comms"))
+    val intra = edges
+      .join(lab.select(col("node").as("src"), col("lbl").as("la")), "src")
+      .join(lab.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).cast(dec).as("intra"))
+    m2.crossJoin(sd).crossJoin(intra)
+      .selectExpr(
+        "CAST(m2 AS BIGINT) AS n_edges_sym",
+        "CAST(n_comms AS BIGINT) AS n_comms",
+        // integer-exact micro face, half-away-from-zero (see scaladoc)
+        """CAST(CASE WHEN intra * m2 - sdc2 < 0
+          |  THEN -((2 * (sdc2 - intra * m2) * 1000000 + m2 * m2) div (2 * (m2 * m2)))
+          |  ELSE  ((2 * (intra * m2 - sdc2) * 1000000 + m2 * m2) div (2 * (m2 * m2))) END
+          |AS DOUBLE) / 1000000.0 AS modularity""".stripMargin)
+  }
+
+  /** MULTI-SOURCE BFS DEPTH HISTOGRAM over the symmetrized kNN graph:
+    * from a scale-invariant seed set (a salted-hash 1/16 fraction of
+    * the nodes — the DocProbe idiom, so the seed FRACTION is constant
+    * at any corpus size), expand `maxDepth` synchronous frontier
+    * rounds and report how many nodes sit at each minimum hop
+    * distance. The reachability readout of the graph family: how much
+    * of the corpus a near-dup/topic seed set touches within d hops —
+    * the blast-radius estimate before propagating a label, a quality
+    * score, or a takedown through graph neighborhoods.
+    *
+    * Each round is ONE frontier-keyed equi-join + distinct + one
+    * anti-join against the visited set (both node-keyed shuffles,
+    * frontier-sized, never corpus-wide); the visited set is
+    * lineage-cut per round like every iterative graph operator here,
+    * and the round count is the bounded `maxDepth`, not a
+    * convergence loop. Returns (dist, n_nodes), one row per reached
+    * depth 0..maxDepth.
+    */
+  def knnBfsDepths(
+      ann: DataFrame, maxDepth: Int = 4, reliable: Boolean = false): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"maxDepth must be in [1,8], got $maxDepth")
+    val edges = graft.model.Lineage.cut(symmetrized(ann), reliable)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(substring(md5(col("node").cast("string")), 1, 1) === "0")
+    var visited = graft.model.Lineage.cut(
+      seeds.select(col("node"), lit(0L).as("dist")), reliable)
+    var frontier = visited.select(col("node"))
+    for (d <- 1 to maxDepth) {
+      val nxt = graft.model.Lineage.cut(
+        edges.join(frontier.select(col("node").as("src")), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti"), reliable)
+      visited = graft.model.Lineage.cut(
+        visited.unionByName(nxt.select(col("node"), lit(d.toLong).as("dist"))),
+        reliable)
+      frontier = nxt
+    }
+    visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
   }
 
   /** DEGREE ASSORTATIVITY of the symmetrized kNN graph (Newman 2002,
