@@ -723,6 +723,25 @@ object LlmQueries {
     // starting — the fragmentation health check of the packing run
     "q_pack_bins" -> ((s, dir) => OrderOps.packBinStats(docs(s, dir), capacity = 256)),
 
+    // batching-efficiency decision table: naive vs length-sorted vs
+    // packed collation, exact global positions (no window)
+    "q_pad_waste" -> ((s, dir) =>
+      OrderOps.padWasteReport(docs(s, dir), capacity = 256, batchSize = 8)),
+
+    // Morton-curve vs linear layout: per-file min/max envelopes of
+    // both cluster keys — the zone-map pruning evidence table
+    "q_zorder_layout" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      OrderOps.zorderLayoutStats(li, col("l_partkey"), col("l_suppkey"),
+        col("l_orderkey") * 100 + col("l_linenumber"), files = 32, bits = 16)
+    }),
+
+    // Poisson-bootstrap CI for the mean token count: md5-fraction
+    // uniforms through the Poisson(1) CASE ladder, percentile bounds
+    // from the bounded TopK aggregator
+    "q_bootstrap_ci" -> ((s, dir) =>
+      CorpusOps.bootstrapMeanCi(docs(s, dir), replicas = 64)),
+
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
 
     // span-dedup REWRITE: every duplicated chunk occurrence except the
@@ -4320,6 +4339,84 @@ object LlmQueries {
         |SELECT bin, COUNT(*) AS n_docs_touching,
         |  CAST(SUM(CASE WHEN start_bin = bin THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // padding waste: identical truncation, batch = global-position
+    // div batchSize per strategy, exact long token sums
+    "q_pad_waste" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CAST(LEAST(len(list_filter(string_split(text, ' '), w -> w <> '')), 256) AS BIGINT) AS eff
+        |  FROM documents
+        |), nb AS (SELECT (ROW_NUMBER() OVER (ORDER BY id) - 1) // 8 AS b, eff FROM t),
+        |nbb AS (SELECT b, COUNT(*) AS c, MAX(eff) AS m FROM nb GROUP BY 1),
+        |na AS (SELECT 'naive' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |       CAST(SUM(c * m) AS BIGINT) AS padded_tokens FROM nbb),
+        |sb AS (SELECT (ROW_NUMBER() OVER (ORDER BY eff DESC, id) - 1) // 8 AS b, eff FROM t),
+        |sbb AS (SELECT b, COUNT(*) AS c, MAX(eff) AS m FROM sb GROUP BY 1),
+        |sa AS (SELECT 'sorted' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |       CAST(SUM(c * m) AS BIGINT) AS padded_tokens FROM sbb),
+        |tot AS (SELECT CAST(SUM(eff) AS BIGINT) AS real_tokens FROM t),
+        |pk AS (SELECT 'packed' AS strategy,
+        |       CAST((real_tokens + 255) // 256 AS BIGINT) AS n_batches,
+        |       CAST(((real_tokens + 255) // 256) * 256 AS BIGINT) AS padded_tokens FROM tot),
+        |u AS (SELECT * FROM na UNION ALL SELECT * FROM sa UNION ALL SELECT * FROM pk)
+        |SELECT strategy, n_batches, padded_tokens, real_tokens,
+        |  CAST(padded_tokens - real_tokens AS DOUBLE) / CAST(padded_tokens AS DOUBLE) AS waste_frac
+        |FROM u, tot ORDER BY strategy""".stripMargin,
+
+    // z-order vs linear layout: Morton interleave spelled as 16 bit
+    // terms, equal-split files via pos*32 div n, per-file envelopes
+    "q_zorder_layout" -> {
+      val zterms = (0 until 16).map(k =>
+        s"((((x & 65535) >> $k) & 1) << ${2 * k}) + " +
+          s"((((y & 65535) >> $k) & 1) << ${2 * k + 1})").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT l_partkey AS x, l_suppkey AS y,
+         |         l_orderkey * 100 + l_linenumber AS tie
+         |  FROM lineitem
+         |), z AS (SELECT x, y, tie, $zterms AS zk FROM t),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+         |lp AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, y, tie) - 1 AS pos FROM t),
+         |la AS (SELECT 'linear' AS layout, CAST((pos * 32) // n AS BIGINT) AS file_id, x, y FROM lp, n),
+         |zp AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY zk, tie) - 1 AS pos FROM z),
+         |za AS (SELECT 'zorder' AS layout, CAST((pos * 32) // n AS BIGINT) AS file_id, x, y FROM zp, n),
+         |u AS (SELECT * FROM la UNION ALL SELECT * FROM za)
+         |SELECT layout, file_id, COUNT(*) AS n_rows,
+         |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // bootstrap CI: identical md5-fraction uniforms, the Poisson(1)
+    // CASE ladder over the engine's own thresholds, 2nd-order-statistic
+    // bounds with the same (mean, b) tiebreak
+    "q_bootstrap_ci" -> {
+      val ladder = CorpusOps.PoissonCdf1.zipWithIndex
+        .map { case (t, i) => s"WHEN u < ${d(t)} THEN $i" }.mkString(" ")
+      s"""WITH x AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS x
+         |  FROM documents
+         |), e AS (
+         |  SELECT id, x, CAST(b AS BIGINT) AS b
+         |  FROM x, unnest(generate_series(0, 63)) g(b)
+         |), uu AS (
+         |  SELECT b, x,
+         |    (CAST(concat('0x', substr(md5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+         |      / 4503599627370496.0 AS u
+         |  FROM e
+         |), ww AS (SELECT b, x, CASE $ladder ELSE ${CorpusOps.PoissonCdf1.length} END AS w FROM uu),
+         |r AS (
+         |  SELECT b, CASE WHEN SUM(w) = 0 THEN 0.0
+         |    ELSE CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) END AS mean_b
+         |  FROM ww GROUP BY 1
+         |),
+         |lo AS (SELECT mean_b AS ci_lo FROM r ORDER BY mean_b ASC, b ASC LIMIT 1 OFFSET 1),
+         |hi AS (SELECT mean_b AS ci_hi FROM r ORDER BY mean_b DESC, b ASC LIMIT 1 OFFSET 1),
+         |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |      CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_tokens FROM x)
+         |SELECT n_docs, CAST(64 AS BIGINT) AS n_replicas, mean_tokens, ci_lo, ci_hi
+         |FROM p, lo, hi""".stripMargin
+    },
 
     // span-dedup rewrite: first occurrence per chunk text by global
     // (doc_id, chunk idx) order via row_number; survivors string_agg'd

@@ -1206,4 +1206,79 @@ object CorpusOps {
           .otherwise(round(col("num") * col("num") / (col("dx") * col("dy")), 6))
           .as("r2"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds P(X ≤ k), k = 0..6 — the
+    * single source of truth for [[bootstrapMeanCi]]'s weight ladder;
+    * the SQL oracle embeds THESE doubles bit-exactly, so both engines
+    * draw identical weights from identical uniforms.
+    */
+  val PoissonCdf1: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24, 1.0 / 120, 1.0 / 720)
+      .scanLeft(0.0)(_ + _).tail.map(_ * e1)
+  }
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the corpus mean token
+    * count — the uncertainty readout every corpus-level metric should
+    * ship with (a mean quality score over 10 documents and over 10
+    * billion get very different error bars; dashboards that show only
+    * the point estimate hide that). The classic resampling bootstrap
+    * is a multinomial over n docs — undistributable; the POISSON
+    * bootstrap (each document enters replica b Poisson(1) times,
+    * independent across docs) is the standard scale-out approximation
+    * and is embarrassingly parallel: one corpus scan expanded
+    * `replicas`-fold, map-side-combined down to `replicas` partial
+    * rows per partition before the one tiny shuffle.
+    *
+    * DETERMINISM: the "randomness" is the md5-fraction uniform
+    * u(doc, b) = (first-13-hex-digits + 0.5) / 2^52 (the A-ES sampling
+    * idiom) pushed through the Poisson(1) inverse CDF as a CASE ladder
+    * over [[PoissonCdf1]] (weights capped at 7 — P(X > 6) ≈ 8·10⁻⁵,
+    * and the CAP is part of the operator's definition, applied
+    * identically in the oracle, not an approximation slack). Replica
+    * means are exact-integer sums with one IEEE division; the CI
+    * bounds are the 2nd-lowest / 2nd-highest replica means (the
+    * percentile bootstrap at B = 64 ⇒ ~3 % tails), selected by the
+    * bounded TopK aggregator — no corpus-wide window anywhere.
+    *
+    * Returns one row: (n_docs, n_replicas, mean_tokens, ci_lo, ci_hi).
+    */
+  def bootstrapMeanCi(
+      docs: DataFrame, replicas: Int = 64, salt: String = "boot",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(replicas >= 4 && replicas <= 512,
+      s"replicas must be in [4,512], got $replicas")
+    val x = docs.select(col(idCol).cast("long").as("id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("x"))
+    val e = x.select(col("id"), col("x"),
+      explode(sequence(lit(0), lit(replicas - 1))).as("b"))
+    val h = conv(substring(md5(concat_ws(":", lit(salt),
+      col("b").cast("string"), col("id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val w = PoissonCdf1.zipWithIndex
+      .foldRight(lit(PoissonCdf1.length.toLong): Column) {
+        case ((thr, i), els) => when(col("u") < lit(thr), lit(i.toLong)).otherwise(els)
+      }
+    val rep = e.withColumn("u", u).withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        when(col("sw") === 0L, lit(0.0))
+          .otherwise(col("swx").cast("double") / col("sw").cast("double"))
+          .as("mean_b"))
+    // both CI bounds from ONE pass over the replica table (negation
+    // turns the 2nd-lowest into a 2nd-best query; means are >= 0)
+    val ci = rep.agg(
+      graft.functions.TopK.topK(2)(col("b"), -col("mean_b")).as("tlo"),
+      graft.functions.TopK.topK(2)(col("b"), col("mean_b")).as("thi"))
+      .select(
+        (-element_at(col("tlo.entries"), 2).getField("sim")).as("ci_lo"),
+        element_at(col("thi.entries"), 2).getField("sim").as("ci_hi"))
+    val point = x.agg(count(lit(1)).as("n_docs"),
+      (sum(col("x")).cast("double") / count(lit(1))).as("mean_tokens"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_docs"), lit(replicas.toLong).as("n_replicas"),
+        col("mean_tokens"), col("ci_lo"), col("ci_hi"))
+  }
 }

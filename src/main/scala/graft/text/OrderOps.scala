@@ -344,4 +344,152 @@ object OrderOps {
       .agg(count(lit(1)).as("n_docs_touching"),
         sum(when(col("start_bin") === col("bin"), 1L).otherwise(0L))
           .as("n_docs_starting"))
+
+  /** The (position, payload) frame of one global layout: range-sort by
+    * `key`, then the two-pass prefix machinery turns partition-local
+    * iteration into an exact global position — shared by the
+    * batching-waste and layout-stats reports. Returns rows
+    * (pos, <payloadCols…>) with `pos` 0-based in `key` order.
+    */
+  private def globalPositions(
+      base: DataFrame, key: Column, payloadCols: Seq[String],
+      reliable: Boolean): (DataFrame, Long) = {
+    val spark = base.sparkSession
+    val sorted = rangeSorted(base.withColumn("__k", key), col("__k"), reliable)
+    val partials = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.size.toLong)
+      }.collect().toMap
+    val n = partials.valuesIterator.sum
+    val offsets = exclusiveOffsets(partials, sorted.rdd.getNumPartitions)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val fields = payloadCols
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = bc.value(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(
+          pos +: fields.map(f => r.getAs[Any](f)))
+        pos += 1
+        out
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType) +:
+        fields.map(f => sorted.schema(f)))
+    (spark.createDataFrame(rows, schema), n)
+  }
+
+  /** PADDING-WASTE REPORT — the batching-efficiency decision table a
+    * training pipeline reads before choosing its collation strategy.
+    * Documents are truncated to `capacity` tokens; three strategies
+    * are costed against the same corpus:
+    *
+    *  - `naive`: documents batched `batchSize` at a time in id order;
+    *    each batch pads to its longest member, so cost =
+    *    Σ batch_count·batch_max (the classic worst case: one long doc
+    *    pads its whole batch).
+    *  - `sorted`: the length-bucketing trick — batch in (length DESC,
+    *    id) order, so near-equal lengths share a batch and padding
+    *    shrinks, at the price of a global sort (which this operator
+    *    prices with the SAME distributed range-sort it measures).
+    *  - `packed`: [[packSequences]]' concat-and-chunk lower bound —
+    *    ⌈Σtokens / capacity⌉ full sequences, no padding beyond the
+    *    final partial one.
+    *
+    * Batch membership comes from the exact global position (two
+    * narrow passes, no single-partition window): batch = pos div
+    * batchSize. All token counts are integer-exact longs; the only
+    * doubles are the waste fractions (padded−real)/padded — single
+    * IEEE divisions of < 2^53 integers, bit-identical across engines.
+    *
+    * Returns one row per strategy: (strategy, n_batches,
+    * padded_tokens, real_tokens, waste_frac).
+    */
+  def padWasteReport(
+      docs: DataFrame, capacity: Long, batchSize: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      reliable: Boolean = false): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      least(size(TextOps.tokens(col(textCol))).cast("long"), lit(capacity))
+        .as("eff"))
+    def batched(name: String, key: Column): DataFrame = {
+      val (pos, _) = globalPositions(base, key, Seq("eff"), reliable)
+      pos.select(expr(s"pos div $batchSize").as("b"), col("eff"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("c"), max(col("eff")).as("m"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("c") * col("m")).as("padded_tokens"))
+        .withColumn("strategy", lit(name))
+    }
+    val naive = batched("naive", col("id"))
+    val sorted = batched("sorted", struct((-col("eff")).as("ne"), col("id")))
+    val tot = base.agg(sum(col("eff")).as("real_tokens"))
+    val packed = tot.select(
+      expr(s"(real_tokens + ${capacity - 1}L) div ${capacity}L").as("n_batches"))
+      .select(col("n_batches"), (col("n_batches") * capacity).as("padded_tokens"))
+      .withColumn("strategy", lit("packed"))
+    naive.unionByName(sorted).unionByName(packed)
+      .crossJoin(broadcast(tot))
+      .select(col("strategy"), col("n_batches"), col("padded_tokens"),
+        col("real_tokens"),
+        ((col("padded_tokens") - col("real_tokens")).cast("double") /
+          col("padded_tokens").cast("double")).as("waste_frac"))
+      .orderBy(col("strategy"))
+  }
+
+  /** Z-ORDER LAYOUT STATS — the data-layout decision table for
+    * multi-dimensional scan pruning. Interleaving the low `bits` bits
+    * of two cluster keys (the Morton curve) and range-splitting the
+    * sorted corpus into `files` equal slices bounds BOTH dimensions'
+    * min/max range inside every file, so engine zone-maps (parquet
+    * row-group stats, the exact mechanism Spark's parquet filter
+    * pushdown prunes with) can skip files for predicates on EITHER
+    * key; a linear (x, y) sort gives perfect x pruning and useless y
+    * pruning. This operator emits the per-file (min, max) envelope of
+    * both layouts over the same rows — the measured basis for
+    * choosing, instead of folklore.
+    *
+    * File assignment is `pos · files div n` over the exact global
+    * position in key order (writeShards' equal-split contract:
+    * deterministic, ±1 balanced, no sampled partitioner boundaries and
+    * no single-partition window). `tieCol` must be row-unique — it
+    * totalizes the order so the split is reproducible bit-for-bit.
+    *
+    * Returns (layout ∈ {linear, zorder}, file_id, n_rows, x_min,
+    * x_max, y_min, y_max).
+    */
+  def zorderLayoutStats(
+      df: DataFrame, xCol: Column, yCol: Column, tieCol: Column,
+      files: Int = 32, bits: Int = 16,
+      reliable: Boolean = false): DataFrame = {
+    require(files >= 2, s"files must be >= 2, got $files")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val mask = (1L << bits) - 1L
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+      tieCol.cast("long").as("tie"))
+    val zkey = (0 until bits).map { k =>
+      shiftleft(shiftright(col("x").bitwiseAND(lit(mask)), k).bitwiseAND(lit(1L)),
+        2 * k) +
+        shiftleft(shiftright(col("y").bitwiseAND(lit(mask)), k).bitwiseAND(lit(1L)),
+          2 * k + 1)
+    }.reduce(_ + _)
+    def layout(name: String, key: Column): DataFrame = {
+      val (pos, n) = globalPositions(base, key, Seq("x", "y"), reliable)
+      pos.select(expr(s"(pos * $files) div ${n}L").as("file_id"),
+          col("x"), col("y"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .withColumn("layout", lit(name))
+    }
+    layout("linear", struct(col("x"), col("y"), col("tie")))
+      .unionByName(layout("zorder", struct(zkey.as("z"), col("tie"))))
+      .select(col("layout"), col("file_id"), col("n_rows"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      .orderBy(col("layout"), col("file_id"))
+  }
 }

@@ -612,4 +612,73 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(graft.functions.NfcNormalize.nfcUtf8(
       org.apache.spark.unsafe.types.UTF8String.fromString("plain ascii")).toString == "plain ascii")
   }
+
+  test("padWasteReport: hand-costed strategies; packed never beaten; partition-invariant") {
+    // token counts (5, 2, 7, 1), capacity 8, batch 2:
+    //  naive  (5,2)(7,1): padded = 2*5 + 2*7 = 24
+    //  sorted (7,5)(2,1): padded = 2*7 + 2*2 = 18
+    //  packed ceil(15/8) = 2 bins: padded = 16
+    val d = docsDf(
+      0L -> "a a a a a", 1L -> "b b", 2L -> "c c c c c c c", 3L -> "d")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      OrderOps.padWasteReport(df, capacity = 8, batchSize = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val out = run(d)
+    assert(out == Seq(
+      ("naive", 2L, 24L, 15L), ("packed", 2L, 16L, 15L), ("sorted", 2L, 18L, 15L)))
+    assert(run(d.repartition(3)) == out)
+    // waste fractions are the exact divisions
+    val waste = OrderOps.padWasteReport(d, 8, 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(waste("naive") == 9.0 / 24.0 && waste("packed") == 1.0 / 16.0)
+    // truncation: a doc longer than capacity counts as capacity tokens
+    val long = docsDf(0L -> Seq.fill(20)("w").mkString(" "))
+    val lt = OrderOps.padWasteReport(long, capacity = 8, batchSize = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(lt("naive") == 8L)
+  }
+
+  test("zorderLayoutStats: 16x16 grid splits into quadrants under z-order, columns under linear") {
+    // 256 grid points, 4 files: morton order makes each file one 8x8
+    // quadrant (both envelopes width 8); linear sort makes each file
+    // 4 full columns (x width 4, y width 16)
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong, (x * 16 + y).toLong))
+      .toDF("x", "y", "tie")
+    val out = graft.text.OrderOps.zorderLayoutStats(
+      grid, col("x"), col("y"), col("tie"), files = 4, bits = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    for (f <- 0L to 3L) {
+      val (n, xmin, xmax, ymin, ymax) = out(("zorder", f))
+      assert(n == 64L && xmax - xmin == 7L && ymax - ymin == 7L,
+        s"zorder file $f: ${out(("zorder", f))}")
+      val (nl, lxmin, lxmax, lymin, lymax) = out(("linear", f))
+      assert(nl == 64L && lxmax - lxmin == 3L && lymin == 0L && lymax == 15L,
+        s"linear file $f: ${out(("linear", f))}")
+    }
+  }
+
+  test("bootstrapMeanCi: exact point mean, ordered CI, partition- and replica-rank invariants") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.text.CorpusOps.bootstrapMeanCi(df).collect()(0)
+    val r = run(docs)
+    val nDocs = r.getLong(0)
+    assert(nDocs == docs.count())
+    assert(r.getLong(1) == 64L)
+    // point estimate is the exact corpus mean
+    val totTokens = docs.select(
+      sum(size(array_remove(split(col("text"), " "), ""))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(r.getDouble(2) == totTokens.toDouble / nDocs)
+    // CI brackets are ordered and hug the point estimate's scale
+    assert(r.getDouble(3) <= r.getDouble(4))
+    assert(r.getDouble(3) > 0.0 && r.getDouble(4) < 2.0 * r.getDouble(2))
+    // deterministic across partitionings
+    assert(run(docs.repartition(7)).toSeq == r.toSeq)
+  }
 }

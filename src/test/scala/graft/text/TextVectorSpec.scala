@@ -1583,4 +1583,36 @@ class TextVectorSpec extends AnyFunSuite {
     val k = VectorOps.knnTransitivity(k4).collect()(0)
     assert((k.getLong(0), k.getLong(1), k.getDouble(2)) == ((4L, 12L, 1.0)))
   }
+
+  test("knnModularity: hand-computed Newman Q on bridged triangles; K4 single community reads 0") {
+    // two triangles bridged by one edge; LPA finds {0,1,2} / {3,4,5}.
+    // sym edges 2m = 14, intra (directed) = 12, degrees (2,2,3,3,2,2)
+    // -> D_A = D_B = 7, sum D^2 = 98.
+    // Q = 12/14 - 98/196 = 5/14; micro face: round(5/14 * 1e6) = 357143
+    val ann = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+      .toDF("query_id", "cand_id")
+    val r = VectorOps.knnModularity(ann, iters = 4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((14L, 2L, 0.357143)))
+    // K4 converges to one community: intra = 2m, sum D^2 = (2m)^2
+    // -> Q = 1 - 1 = 0 exactly
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
+      .toDF("query_id", "cand_id")
+    val q4 = VectorOps.knnModularity(k4, iters = 4).collect()(0)
+    assert((q4.getLong(0), q4.getLong(1), q4.getDouble(2)) == ((12L, 1L, 0.0)))
+  }
+
+  test("knnBfsDepths: path graph from an md5-seed walks one node per round; off-component unreached") {
+    // md5("27") starts with '0' (seed); 1..6 do not. Path 27-1-2-3-4
+    // yields one node per depth; the 5-6 component has no seed and
+    // must be absent from the histogram.
+    val ann = Seq((27L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("query_id", "cand_id")
+    val out = VectorOps.knnBfsDepths(ann, maxDepth = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // depth cap: maxDepth = 2 stops the walk at distance 2
+    val capped = VectorOps.knnBfsDepths(ann, maxDepth = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
 }
