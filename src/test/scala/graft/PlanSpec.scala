@@ -557,6 +557,63 @@ class PlanSpec extends AnyFunSuite {
       s"q15 should read the checkpointed view:\n${p.take(3000)}")
   }
 
+  test("relational anchors: Q2/Q11/Q16/Q20 decorrelated shapes survive optimization") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti => LA, LeftSemi => LS}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def joinTypes(name: String) = LlmQueries.all(name)(spark, dir)
+      .queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+    // Q2: the part and euro-supplier prunes must stay semi-joins on
+    // the fact (an inner rewrite would duplicate lines per dim row)
+    assert(joinTypes("q_tpch_q2").count(_ == LS) >= 2,
+      s"q2 lost its pruning semi-joins: ${joinTypes("q_tpch_q2")}")
+    // Q16: the complaint exclusion must stay a genuine anti-join
+    assert(joinTypes("q_tpch_q16").contains(LA), "q16 lost its anti-join")
+    // Q20: nation-filtered supplier semi-join chain
+    assert(joinTypes("q_tpch_q20").count(_ == LS) >= 2,
+      s"q20 needs the part prune + overstock semi: ${joinTypes("q_tpch_q20")}")
+    // Q20's correlated half-sum is ONE conditional aggregation: the
+    // fact appears exactly once in the plan
+    val q20 = plan(LlmQueries.all("q_tpch_q20")(spark, dir))
+    assert("lineitem".r.findAllIn(q20).size <= 1,
+      s"q20 re-scans lineitem:\n${q20.take(3000)}")
+    // Q11: the value view is checkpointed — the grand total must fold
+    // from the view, never a second fact scan
+    val df11 = LlmQueries.all("q_tpch_q11")(spark, dir)
+    df11.collect()
+    val p11 = plan(df11)
+    assert(!p11.contains("lineitem"),
+      s"q11 re-scans lineitem for the total:\n${p11.take(3000)}")
+    // no cartesian / BNLJ on DATA in the five new anchors (Q11's
+    // scalar-threshold join is a 1-ROW broadcast BNLJ by design — the
+    // accepted Q22 shape — so it is checked above via the view reuse,
+    // not here)
+    for (q <- Seq("q_tpch_q2", "q_tpch_q9", "q_tpch_q16", "q_tpch_q20")) {
+      val p = plan(LlmQueries.all(q)(spark, dir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join shape in $q:\n${p.take(2000)}")
+    }
+  }
+
+  test("graph metrics and reports: keyed joins only, bounded final aggregates") {
+    // modularity: every join is node-/label-keyed; the only cross
+    // joins combine 1-row aggregates
+    val pm = plan(LlmQueries.all("q_knn_modularity")(spark, dir))
+    assert(!pm.contains("CartesianProduct"), s"cartesian in modularity:\n${pm.take(2000)}")
+    // bootstrap: the expansion partial-aggregates map-side (one
+    // partial_sum under the replica groupBy before the exchange)
+    val pb = plan(LlmQueries.all("q_bootstrap_ci")(spark, dir))
+    assert(pb.contains("partial_sum") || pb.contains("Partial"),
+      s"bootstrap replica sums must partial-aggregate:\n${pb.take(3000)}")
+    // layout/batching reports: no corpus-wide window (positions come
+    // from the two-pass prefix machinery)
+    for (q <- Seq("q_pad_waste", "q_zorder_layout")) {
+      val df = LlmQueries.all(q)(spark, dir)
+      df.collect()
+      assert(!plan(df).contains("Window"),
+        s"corpus-wide window in $q:\n${plan(df).take(2000)}")
+    }
+  }
+
   test("no broadcast hint sits on an unbuildable join side anywhere in the harness") {
     // A broadcast hint on the stream-preserved side of an outer join is
     // silently dropped at strategy time (HintErrorLogger warning + plan

@@ -172,4 +172,62 @@ class ScaleSpec extends AnyFunSuite {
       assert(s.split(" ").mkString === w, s"word $w reassembled as $s")
     }
   }
+
+  test("BFS seed fraction and per-round frontier stay probe-bounded under 10x replication") {
+    // the md5 seed predicate selects a constant 1/16 FRACTION of the
+    // nodes, so the round-0 row and every frontier (bounded by
+    // reachable nodes <= n) scale with the graph, never a fixed cap —
+    // the blast-radius histogram is an operator measurement at any
+    // corpus size. Rounds are the bounded maxDepth by construction.
+    val e1 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val e10 = graft.ScaleData.replicateEmbeddings(e1, 10)
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val ann = graft.vector.VectorOps.annTopK(df, numPlanes = 8, dims = 64, k = 5)
+      val out = graft.vector.VectorOps.knnBfsDepths(ann, maxDepth = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = ann.select(col("query_id").as("node")).unionByName(
+        ann.select(col("cand_id").as("node"))).distinct().count()
+      (out.filter(_._1 == 0L).map(_._2).sum, out.map(_._2).sum, nodes)
+    }
+    val (s1, r1, n1) = stats(e1)
+    val (s10, r10, n10) = stats(e10)
+    assert(s1 > 0 && s10 > 0, s"degenerate seed sets $s1/$s10")
+    // seed counts track the md5 fraction of the node population
+    assert(math.abs(s10.toDouble / n10 - s1.toDouble / n1) < 0.05,
+      s"seed fraction drifted: 1x ${s1.toDouble / n1}, 10x ${s10.toDouble / n10}")
+    // reached mass is node-bounded and grows with the graph
+    assert(r10 <= n10 && r10 >= 5 * r1,
+      s"reach did not scale with the graph: $r1/$n1 at 1x, $r10/$n10 at 10x")
+  }
+
+  test("layout/batching/bootstrap outputs are configuration-sized at both scales") {
+    // the three round-12 report operators return CONFIGURATION-sized
+    // results (files, strategies, one CI row) no matter the corpus —
+    // the driver-collect story is structurally safe at 100 TB, and the
+    // z-order equal-split balance (±1 row via pos*F div n) holds at
+    // both scales.
+    val li1 = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val li10 = spark.read.parquet("/root/repo/testdata-x10/lineitem.parquet")
+    for (li <- Seq(li1, li10)) {
+      val z = OrderOps.zorderLayoutStats(li, col("l_partkey"), col("l_suppkey"),
+        col("l_orderkey") * 100 + col("l_linenumber"), files = 8, bits = 16)
+        .collect()
+      assert(z.length == 16, s"expected 2 layouts x 8 files, got ${z.length}")
+      val n = li.count()
+      val sizes = z.filter(_.getString(0) == "zorder").map(_.getLong(2))
+      assert(sizes.sum == n)
+      assert(sizes.max - sizes.min <= 1,
+        s"equal-split violated: ${sizes.mkString(",")}")
+    }
+    val d10x = graft.ScaleData.replicateDocuments(d1, 10)
+    assert(CorpusOps.bootstrapMeanCi(d1).count() == 1L)
+    assert(CorpusOps.bootstrapMeanCi(d10x).count() == 1L)
+    val pw = OrderOps.padWasteReport(d10x, capacity = 256, batchSize = 8).collect()
+    assert(pw.length == 3)
+    // packed is the lower bound: no strategy beats it
+    val padded = pw.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(padded("packed") <= padded("naive") && padded("packed") <= padded("sorted"))
+    assert(padded("sorted") <= padded("naive"),
+      "length-bucketing must not pad more than naive batching")
+  }
 }
