@@ -643,4 +643,33 @@ object StreamOps {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** STREAMING DEDUP-INDEX PROBE — the live half of the persisted-
+    * index ingest pipeline ([[graft.io.DedupIndexIO]]): arriving
+    * documents probe the corpus index AS THEY LAND, emitting
+    * (id_a = incoming, id_b = indexed, bucket) near-dup CANDIDATES per
+    * micro-batch. The signature/banding math is
+    * [[graft.text.TextOps.rowLocalBandBuckets]] — a document's minhash
+    * depends only on that document, so the whole probe is a NARROW map
+    * + one stream-static equi-join against the bucket table: no
+    * stateful aggregation, no watermark, no shuffle of the stream
+    * beyond the join, which Structured Streaming executes per batch
+    * with the static side loaded once. Exact Jaccard verification of
+    * the candidates is the downstream batch step (the candidates are
+    * already bucket-bounded); banding parameters come from the
+    * sidecar, so a stream can never band differently than the index
+    * it probes.
+    */
+  def streamingIndexProbe(
+      spark: SparkSession, indexPath: String, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (numHashes, bands) = graft.io.DedupIndexIO.storedParams(indexPath)
+    val baseBuckets = spark.read.parquet(s"$indexPath/buckets")
+      .toDF("id_b", "bucket")
+    graft.text.TextOps.rowLocalBandBuckets(incoming, numHashes, bands, idCol, textCol)
+      .toDF("id_a", "bucket")
+      .join(baseBuckets, "bucket")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bucket"))
+  }
 }

@@ -593,6 +593,73 @@ object TextOps {
     * shared kernel of the banding route and the estimator-error
     * report.
     */
+  /** ROW-LOCAL (id, bucket) band rows — the same tokenize → distinct
+    * token-hash → masked-affine minhash → banded md5 math as
+    * [[minhashBandBuckets]], computed entirely inside one row with NO
+    * groupBy: the signature of a document depends only on that
+    * document, so the tokenTable/collect_list shuffle the batch path
+    * uses is an implementation convenience, not a semantic need. This
+    * kernel is what a STREAMING ingest probe rides (per-microbatch
+    * narrow map, no stateful aggregation), and it is pinned
+    * bit-identical to the batch path by DedupIndexIOSpec. Empty-token
+    * documents emit no rows, exactly like the batch route.
+    */
+  private[graft] def rowLocalBandBuckets(
+      docs: DataFrame, numHashes: Int, bands: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val coefs = minhashCoefficients(numHashes)
+    val aCoef = coefs.map(_._1).toArray
+    val bCoef = coefs.map(_._2).toArray
+    val rowsPerBand = numHashes / bands
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val hsSet = new java.util.HashSet[java.lang.Long]()
+          text.split(" ").foreach { w =>
+            if (w.nonEmpty) hsSet.add(tokenHashJvm(md, w))
+          }
+          if (hsSet.isEmpty) Iterator.empty
+          else {
+            val hs = new Array[Long](hsSet.size)
+            val hit = hsSet.iterator()
+            var t = 0
+            while (hit.hasNext) { hs(t) = hit.next(); t += 1 }
+            val sig = new Array[Long](numHashes)
+            var k = 0
+            while (k < numHashes) {
+              val a = aCoef(k); val b = bCoef(k)
+              var mn = Long.MaxValue
+              var u = 0
+              while (u < hs.length) {
+                val v = (a * hs(u) + b) & 0x1FFFFFFFFFFFFFFFL
+                if (v < mn) mn = v
+                u += 1
+              }
+              sig(k) = mn
+              k += 1
+            }
+            (0 until bands).iterator.map { b =>
+              // the EXACT banding string of bandBucketsFromSigs:
+              // concat_ws(",", "b<k>", "<v>,<v>,...") and lowercase
+              // md5 hex
+              val sb = new StringBuilder("b").append(b)
+              var r = b * rowsPerBand
+              while (r < (b + 1) * rowsPerBand) { sb.append(',').append(sig(r)); r += 1 }
+              md.reset()
+              val dig = md.digest(sb.toString.getBytes("UTF-8"))
+              val hex = new StringBuilder(32)
+              dig.foreach(x => hex.append(f"${x & 0xFF}%02x"))
+              (id, hex.toString)
+            }
+          }
+        }
+      }.toDF("id", "bucket")
+  }
+
   private[graft] def minhashSignatures(tok: DataFrame, numHashes: Int): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._

@@ -65,4 +65,19 @@ class DedupIndexIOSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](DedupIndexIO.appendToIndex(docs.limit(5), dir))
     assert(e2.getMessage.contains("sidecar"))
   }
+
+  test("row-local band buckets are bit-identical to the batch tokenTable route") {
+    // the streaming probe kernel must produce EXACTLY the (id, bucket)
+    // rows the batch shuffle route computes — same token hashes, same
+    // masked-affine minhash, same banding md5 — or a streamed shard
+    // would probe a different LSH space than the index it rolls into
+    val d = docs.filter(col("doc_id") < 300)
+    val batch = graft.text.TextOps.minhashBandBuckets(
+        graft.text.TextOps.tokenTable(d), numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rowLocal = graft.text.TextOps.rowLocalBandBuckets(d, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowLocal == batch && rowLocal.nonEmpty,
+      s"row-local ${rowLocal.size} rows vs batch ${batch.size}")
+  }
 }

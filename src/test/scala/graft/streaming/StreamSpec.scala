@@ -989,4 +989,44 @@ class StreamSpec extends AnyFunSuite {
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
     assert(!streamed.exists(_._1 == -1L), "token-less document must produce no row")
   }
+
+  test("streaming index probe emits exactly the batch candidate set, across late shards") {
+    // base corpus -> persisted index; the rest of the corpus streams in
+    // as two file drops. The streamed candidates must equal the batch
+    // bucket-join candidates for the SAME documents — the row-local
+    // kernel and the stream-static join change the execution shape,
+    // never the candidate set.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val s1 = docs.filter(col("doc_id") % 6 === 0)
+    val s2 = docs.filter(col("doc_id") % 6 === 3)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-six").toString
+    graft.io.DedupIndexIO.writeIndex(base, ixDir, numHashes = 64, bands = 16)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-six-src").toString
+    s1.coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir)
+    val q = graft.streaming.StreamOps.streamingIndexProbe(spark, ixDir, src)
+      .writeStream.format("memory").queryName("index_probe").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      s2.coalesce(1).write.mode("append").parquet(srcDir) // late shard lands
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("index_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shard = docs.filter(col("doc_id") % 3 === 0)
+    val batchCand = graft.text.TextOps.minhashBandBuckets(
+        graft.text.TextOps.tokenTable(shard), 64, 16).toDF("id_a", "bucket")
+      .join(spark.read.parquet(s"$ixDir/buckets").toDF("id_b", "bucket"), "bucket")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchCand && streamed.nonEmpty,
+      s"streamed ${streamed.size} pairs vs batch ${batchCand.size}")
+  }
 }

@@ -33,6 +33,22 @@ class EmbedStatsSpec extends AnyFunSuite {
     assert(spp((0L, 0L)) == java.math.BigInteger.valueOf(2L << 48))
   }
 
+  test("components beyond the overflow-proof bound fail loudly, not silently") {
+    // the Long-accumulator proof needs |x| <= MaxComponent; an
+    // unnormalized embedding must raise, never produce a wrong Gram
+    val bad = Seq((0L, Array(9.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      EmbedStats.embedCovariance(bad).collect()
+    }
+    assert(e.getMessage.contains("MaxComponent") ||
+      e.getCause != null && e.getCause.getMessage.contains("normalize"),
+      s"unexpected failure: ${e.getMessage}")
+    // the bound itself is accepted
+    val ok = Seq((0L, Array(8.0f, -8.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(EmbedStats.embedCovariance(ok).count() == 3)
+  }
+
   test("integer sums are partitioning-invariant (order-free proof)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def face(parts: Int) = EmbedStats.embedCovariance(e.repartition(parts))
