@@ -742,6 +742,17 @@ object LlmQueries {
     "q_bootstrap_ci" -> ((s, dir) =>
       CorpusOps.bootstrapMeanCi(docs(s, dir), replicas = 64)),
 
+    // co-located join through bucketed warehouse tables: the shuffle
+    // is pre-paid at write time, the join plans with zero exchanges
+    // (PlanSpec-pinned); results identical to the plain join oracle
+    "q_bucketed_join" -> ((s, dir) =>
+      graft.io.BucketedIO.bucketedOrderJoin(s, dir, numBuckets = 32)),
+
+    // join-key skew diagnostic: one keyed aggregation + bounded TopK
+    "q_key_skew" -> ((s, dir) =>
+      graft.rel.RelOps.keySkewReport(
+        s.read.parquet(s"$dir/lineitem.parquet"), col("l_suppkey"))),
+
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
 
     // span-dedup REWRITE: every duplicated chunk occurrence except the
@@ -4385,6 +4396,28 @@ object LlmQueries {
          |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    // bucketed join: the PLAIN join — bucketing only changes layout
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // key skew: histogram + top-10 mass with the same (cnt DESC, key)
+    // tiebreak as the TopK heap
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS topk_cnt
+        |      FROM (SELECT cnt FROM c ORDER BY cnt DESC, key LIMIT 10)),
+        |a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |             CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c)
+        |SELECT n_rows, n_keys, max_cnt, topk_cnt,
+        |  CAST(topk_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topk_share,
+        |  CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
+        |FROM a, t""".stripMargin,
 
     // bootstrap CI: identical md5-fraction uniforms, the Poisson(1)
     // CASE ladder over the engine's own thresholds, 2nd-order-statistic

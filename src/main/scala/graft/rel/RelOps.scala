@@ -1,0 +1,51 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational planning diagnostics — the measurements a pipeline runs
+  * BEFORE committing a join strategy at scale, next to the layout
+  * evidence of `OrderOps.zorderLayoutStats`.
+  */
+object RelOps {
+
+  /** JOIN-KEY SKEW REPORT: the one-row summary that decides between a
+    * plain shuffle join, AQE skew splitting, and explicit salting
+    * (`q_salted_join`'s strategy) for a given key. `skew_ratio` is the
+    * heaviest key's count over the mean per-key count — the factor by
+    * which the hottest shuffle partition outweighs the average, i.e.
+    * the straggler multiplier a plain hash shuffle would suffer;
+    * `topk_share` is how concentrated the key mass is (a high share
+    * over few keys says salting the handful of hot keys fixes the
+    * join; a flat share says the key is fine).
+    *
+    * Cost: ONE map-side-combined aggregation to key grain, then one
+    * bounded aggregation over the key histogram with the TopK heap —
+    * no window, no second scan, nothing driver-side beyond one row.
+    * Counts are exact longs; the two ratios are single IEEE divisions
+    * (< 2^53 integers), bit-identical across engines.
+    *
+    * Returns (n_rows, n_keys, max_cnt, topk_cnt, topk_share,
+    * skew_ratio). Keys must be long-castable (the TopK entry id).
+    */
+  def keySkewReport(
+      df: DataFrame, keyCol: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cnt = df.select(keyCol.cast("long").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    cnt.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        graft.functions.TopK.topK(topK)(col("key"), col("cnt").cast("double"))
+          .as("t"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("CAST(aggregate(t.entries, 0D, (a, x) -> a + x.sim) AS BIGINT)")
+          .as("topk_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("topk_cnt"),
+        (col("topk_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("topk_share"),
+        (col("max_cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .as("skew_ratio"))
+  }
+}

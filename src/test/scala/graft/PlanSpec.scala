@@ -614,6 +614,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed co-located join: zero exchanges feed the sort-merge join") {
+    // the whole point of BucketedIO: both scans expose matching
+    // HashPartitioning(orderkey, 32), so the SMJ plans WITHOUT a
+    // shuffle on either input — the only exchange left in the plan is
+    // the final single-key aggregation
+    val df = LlmQueries.all("q_bucketed_join")(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"bucketed join lost SMJ:\n${p.take(2000)}")
+    assert(!"Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findFirstIn(p).isDefined,
+      s"the bucketed join still shuffles a side:\n${p.take(3000)}")
+  }
+
+  test("key skew report: one keyed aggregation + the bounded TopK heap, no window") {
+    val df = LlmQueries.all("q_key_skew")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"window in the skew plan:\n${p.take(2000)}")
+    assert(p.contains("partial_"),
+      s"key histogram must partial-aggregate map-side:\n${p.take(3000)}")
+  }
+
   test("no broadcast hint sits on an unbuildable join side anywhere in the harness") {
     // A broadcast hint on the stream-preserved side of an outer join is
     // silently dropped at strategy time (HintErrorLogger warning + plan
