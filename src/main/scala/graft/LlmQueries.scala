@@ -175,6 +175,25 @@ object LlmQueries {
       df
     })
 
+  /** One LOSSLESS PNG keyframe per (video doc, frame): the GIF grid's
+    * frame sequence re-encoded frame-per-row — the keyframe-table
+    * shape a video pipeline extracts before scene analysis.
+    */
+  private def stagedFrameSeqs(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "frames"), {
+      import s.implicits._
+      val df = docs(s, dir).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val nf = 2 + (id % 5).toInt
+          (0 until nf).map(f => (id, f.toLong, Multimodal.syntheticPngFrame(id, f)))
+        }
+        .toDF("doc_id", "frame_idx", "payload")
+        .persist()
+      df.count()
+      df
+    })
+
   /** Eagerly stage the per-dir media fixtures (synthetic PNG / GIF /
     * WAV / AVI payloads) outside any timed region.
     */
@@ -183,6 +202,7 @@ object LlmQueries {
     stagedGifs(s, dir)
     stagedWavs(s, dir)
     stagedAvis(s, dir)
+    stagedFrameSeqs(s, dir)
     ()
   }
 
@@ -1048,6 +1068,12 @@ object LlmQueries {
         .select(col("doc_id"), col("frame_idx"),
           col("frame_w"), col("frame_h"))
     }),
+
+    "q_multimodal_scene_cuts" -> ((s, dir) =>
+      // REAL per-frame PNG decode into RGB arrays, adjacent-frame
+      // |ΔR|+|ΔG|+|ΔB| integer sums, mean-per-pixel threshold; the
+      // oracle replays the lossless pixel formula analytically
+      Multimodal.frameDiffCuts(stagedFrameSeqs(s, dir), cutPerPixel = 64.0)),
 
     "q_multimodal_wav_energy" -> ((s, dir) => {
       // windowed PCM energy (256-sample frames, integer Σ s²) over
@@ -4954,6 +4980,33 @@ object LlmQueries {
         |       w AS frame_w, h AS frame_h
         |FROM v, unnest(generate_series(0, nf - 1)) u(k)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // scene cuts: the lossless PNG pixel formula
+    // (x*13 + y*5 + f*41 + id) & 0xFFFFFF replayed per channel over
+    // the frame grid; same 64/px threshold
+    "q_multimodal_scene_cuts" ->
+      """WITH v AS (
+        |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 11 AS h,
+        |         2 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), px AS (
+        |  SELECT doc_id, w * h AS n_px, CAST(ff.f AS BIGINT) AS frame_idx,
+        |    (xx.x * 13 + yy.y * 5 + (ff.f - 1) * 41 + doc_id) & 16777215 AS v1,
+        |    (xx.x * 13 + yy.y * 5 + ff.f * 41 + doc_id) & 16777215 AS v2
+        |  FROM v,
+        |    unnest(generate_series(1, nf - 1)) ff(f),
+        |    unnest(generate_series(0, w - 1)) xx(x),
+        |    unnest(generate_series(0, h - 1)) yy(y)
+        |), d AS (
+        |  SELECT doc_id, frame_idx, n_px,
+        |    CAST(SUM(ABS((v1 // 65536) % 256 - (v2 // 65536) % 256)
+        |           + ABS((v1 // 256) % 256 - (v2 // 256) % 256)
+        |           + ABS(v1 % 256 - v2 % 256)) AS BIGINT) AS diff
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, frame_idx, CAST(n_px AS BIGINT) AS n_px, diff,
+        |  CAST(CASE WHEN CAST(diff AS DOUBLE) > 64.0 * n_px THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
 
     // RIFF/WAVE parse: rate/channels/frame-count cycles predicted from
     // the id; sum_abs replays the synthetic 16-bit PCM sample formula

@@ -104,6 +104,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** One LOSSLESS keyframe of a synthetic video: frame `f` of the
+    * same `(8 + id % 16) x (8 + id % 11)` grid the animated GIF uses,
+    * pixel `(x·13 + y·5 + f·41 + id) & 0xFFFFFF`, PNG-encoded — PNG
+    * round-trips RGB exactly (GIF palettizes, JPEG is lossy), which is
+    * what lets the frame-difference oracle replay pixels analytically.
+    */
+  def syntheticPngFrame(id: Long, f: Int): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + (id % 11).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 13 + y * 5 + f * 41 + id) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic multi-frame ANIMATED GIF: `2 + id % 5` frames of
     * `(8 + id % 16) x (8 + id % 11)` pixels, written through the JDK's
     * GIF sequence writer — a real multi-frame payload for the
@@ -736,6 +761,68 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "frame_idx", "frame_w", "frame_h")
+  }
+
+  /** SCENE-CUT DETECTION over a keyframe table (doc_id, frame_idx,
+    * payload) of LOSSLESSLY-encoded frames: each frame is REALLY
+    * decoded (ImageIO) into its RGB pixel array once, adjacent frames
+    * equi-join on (doc_id, frame_idx + 1), and the per-pair difference
+    * is the exact integer sum of |ΔR|+|ΔG|+|ΔB| over pixels —
+    * `is_cut` fires when the mean per-pixel difference exceeds
+    * `cutPerPixel` (the classic frame-differencing shot-boundary
+    * detector; Hanjalic 2002 surveys the family). At 100 TB the shape
+    * is: one narrow decode pass (row-local, the multimodal contract),
+    * one doc-keyed self-join of frame-sized rows, one array fold per
+    * pair — no corpus-wide anything; a video's frames co-locate under
+    * its doc key.
+    *
+    * Frames must be losslessly coded (PNG/BMP): the decoded pixels ARE
+    * the signal; a lossy codec would make the difference
+    * codec-version-dependent. Mismatched adjacent dims yield no pair
+    * (dimension changes are trivially cuts — surface them from the
+    * dims face instead of inventing a pixel metric).
+    *
+    * Returns (doc_id, frame_idx, n_px, diff, is_cut) for frame_idx >=
+    * 1, is_cut as 0/1.
+    */
+  def frameDiffCuts(
+      frames: DataFrame, cutPerPixel: Double = 64.0): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val dec = frames
+      .select(col("doc_id").cast("long"), col("frame_idx").cast("long"),
+        col("payload")).as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, f, p) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xFFFFFF; x += 1 }
+              y += 1
+            }
+            Iterator((id, f, w * h, px))
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "n_px", "px")
+    val a = dec.toDF("doc_id", "fa", "n_px", "pa")
+    val b = dec.toDF("doc_b", "frame_idx", "nb", "pb")
+    a.join(b, col("fa") + 1 === col("frame_idx") && col("doc_id") === col("doc_b")
+        && col("n_px") === col("nb"))
+      .select(col("doc_id"), col("frame_idx"), col("n_px"),
+        expr("""aggregate(zip_with(pa, pb, (x, y) ->
+          abs((x div 65536) % 256 - (y div 65536) % 256) +
+          abs((x div 256) % 256 - (y div 256) % 256) +
+          abs(x % 256 - y % 256)), 0L, (acc, v) -> acc + v)""").as("diff"))
+      .withColumn("is_cut",
+        when(col("diff").cast("double") > lit(cutPerPixel) * col("n_px"), 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("frame_idx"), col("n_px").cast("long").as("n_px"),
+        col("diff"), col("is_cut"))
   }
 
   /** (doc_id, audio metadata) over a media table's RIFF/WAVE payloads —

@@ -26,12 +26,15 @@ object RelOps {
     * (< 2^53 integers), bit-identical across engines.
     *
     * Returns (n_rows, n_keys, max_cnt, topk_cnt, topk_share,
-    * skew_ratio). Keys must be long-castable (the TopK entry id).
+    * skew_ratio). Keys must be long-castable (the TopK entry id);
+    * NULL keys are excluded — they never match an equi-join, so they
+    * contribute no shuffle weight to the join being diagnosed.
     */
   def keySkewReport(
       df: DataFrame, keyCol: Column, topK: Int = 10): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val cnt = df.select(keyCol.cast("long").as("key"))
+      .filter(col("key").isNotNull)
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
     cnt.agg(
         sum(col("cnt")).as("n_rows"),

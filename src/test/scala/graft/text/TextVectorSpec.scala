@@ -895,6 +895,36 @@ class TextVectorSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Multimodal.syntheticPng(5L)).get._3 == 1)
   }
 
+  test("frameDiffCuts: PNG round-trip is lossless, diffs match the pixel formula, cuts threshold") {
+    // identical adjacent frames read diff 0 and never cut; analytic
+    // frames read the exact per-channel |delta| sum of the generator
+    val id = 9L
+    val w = 8 + (id % 16).toInt; val h = 8 + (id % 11).toInt
+    val f0 = Multimodal.syntheticPngFrame(id, 0)
+    val frames = Seq(
+      (id, 0L, f0), (id, 1L, f0),                          // identical pair
+      (id, 2L, Multimodal.syntheticPngFrame(id, 2)))       // formula pair
+      .toDF("doc_id", "frame_idx", "payload")
+    val out = Multimodal.frameDiffCuts(frames, cutPerPixel = 64.0).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((w.toLong * h, 0L, 0L)), s"identical pair: ${out(1L)}")
+    // reference diff between f=0 and f=2 straight from the formula
+    var want = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v1 = (x * 13 + y * 5 + 0 * 41 + id) & 0xFFFFFF
+      val v2 = (x * 13 + y * 5 + 2 * 41 + id) & 0xFFFFFF
+      want += math.abs((v1 >> 16 & 255) - (v2 >> 16 & 255)) +
+        math.abs((v1 >> 8 & 255) - (v2 >> 8 & 255)) +
+        math.abs((v1 & 255) - (v2 & 255))
+    }
+    assert(out(2L)._2 == want, s"formula pair diff: ${out(2L)._2} vs $want")
+    assert(out(2L)._3 == (if (want.toDouble > 64.0 * w * h) 1L else 0L))
+    // mismatched dims produce no pair
+    val mixed = Seq((id, 0L, f0), (id, 1L, Multimodal.syntheticPngFrame(id + 1, 1)))
+      .toDF("doc_id", "frame_idx", "payload")
+    assert(Multimodal.frameDiffCuts(mixed).count() == 0)
+  }
+
   test("image resize really resizes; undecodable payloads rejected") {
     val png = Multimodal.syntheticPng(5L) // 21 x 21
     val resized = Multimodal.resizeImage(png, 7, 4).get
