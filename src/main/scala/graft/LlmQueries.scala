@@ -387,6 +387,17 @@ object LlmQueries {
       VectorOps.ivfTopK(embeddings(s, dir).filter(col("vec_id") < PairLimit),
         nlist = 16, nprobe = 4, k = 5)),
 
+    // persisted-IVF round trip: build the stored index, then answer
+    // the SAME query batch THROUGH it — must equal q_embed_ann_ivf
+    // bit for bit (the oracle IS that query's SQL), proving storage
+    // round-trips the quantizer + inverted file + rerank payload
+    "q_ann_index_probe" -> ((s, dir) => {
+      val cohort = embeddings(s, dir).filter(col("vec_id") < PairLimit)
+      val ix = s"/tmp/graft-annindex-${math.abs(dir.hashCode)}"
+      graft.io.AnnIndexIO.writeIndex(cohort, ix, nlist = 16)
+      graft.io.AnnIndexIO.probeIndex(s, ix, cohort, nprobe = 4, k = 5)
+    }),
+
     // recall accounting: per query point, |ANN top-k ∩ brute top-k| —
     // the LSH route's recall loss as a measured number, not a caveat
     "q_embed_ann_recall" -> ((s, dir) =>
@@ -3229,6 +3240,15 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_ann_ivf" ->
+      s"""WITH ${sqlIvfPairsCte(16, 4)}
+         |SELECT query_id, cand_id, ROUND(sim, 6) AS sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+         |  FROM pairs
+         |) WHERE rn <= 5 ORDER BY query_id, cand_id""".stripMargin,
+
+    // the stored-index probe answers the same queries: the oracle is
+    // DELIBERATELY the identical IVF SQL — storage must be invisible
+    "q_ann_index_probe" ->
       s"""WITH ${sqlIvfPairsCte(16, 4)}
          |SELECT query_id, cand_id, ROUND(sim, 6) AS sim FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn

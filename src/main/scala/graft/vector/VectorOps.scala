@@ -20,7 +20,7 @@ object VectorOps {
     * anywhere. Same (sim DESC, cand_id ASC) order and rank as the
     * `row_number` window form, row for row.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topK(k)(col("cand_id"), col("sim")).as("tk"))
       .select(col("query_id"), explode(col("tk.entries")).as("e"))
@@ -291,7 +291,7 @@ object VectorOps {
     * the column the nprobe SWEEP filters on, so one max-nprobe pass
     * serves every probe level.
     */
-  private def ivfRankedWithRank(
+  private[graft] def ivfRankedWithRank(
       embeddings: DataFrame, nlist: Int, limit: Int,
       idCol: String, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
