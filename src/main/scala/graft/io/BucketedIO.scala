@@ -39,16 +39,12 @@ object BucketedIO {
       .saveAsTable(table)
   }
 
-  /** The co-located join demonstration: bucket lineitem and orders by
-    * the order key, join through the catalog, aggregate. The `merge`
-    * hint pins the sort-merge strategy (at harness scale AQE would
-    * broadcast the small side, hiding exactly the shuffle-elision this
-    * operator exists to prove; at 100 TB both sides are fact-sized and
-    * SMJ is what the planner picks anyway). PlanSpec asserts no
-    * exchange feeds the join.
+  /** Write the demonstration pair: lineitem and orders bucketed by
+    * the order key under the SAME bucket count (the shuffle-elision
+    * contract). The one-time layout investment of the pattern.
     */
-  def bucketedOrderJoin(
-      spark: SparkSession, dir: String, numBuckets: Int = 32): DataFrame = {
+  def writeBucketedOrderTables(
+      spark: SparkSession, dir: String, numBuckets: Int = 32): Unit = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
@@ -56,6 +52,17 @@ object BucketedIO {
       .select(col("o_orderkey"), col("o_orderstatus"))
     writeBucketed(li, "graft_b_lineitem", "l_orderkey", numBuckets)
     writeBucketed(ord, "graft_b_orders", "o_orderkey", numBuckets)
+  }
+
+  /** The co-located join demonstration over tables
+    * [[writeBucketedOrderTables]] laid out: join through the catalog,
+    * aggregate. The `merge` hint pins the sort-merge strategy (at
+    * harness scale AQE would broadcast the small side, hiding exactly
+    * the shuffle-elision this operator exists to prove; at 100 TB both
+    * sides are fact-sized and SMJ is what the planner picks anyway).
+    * PlanSpec asserts no exchange feeds the join.
+    */
+  def bucketedOrderJoin(spark: SparkSession): DataFrame = {
     spark.table("graft_b_lineitem")
       .join(spark.table("graft_b_orders").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
