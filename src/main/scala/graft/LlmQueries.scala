@@ -1540,34 +1540,48 @@ object LlmQueries {
     }),
 
     // TPC-H Q21 shape: suppliers who kept orders waiting — the
-    // semi-join + anti-join pair over the SAME fact with a non-equi
-    // residual (same order, different supplier). Both qualifying sides
-    // are fact-sized, so both stay shuffle joins on the order key with
-    // the suppkey inequality as residual; the supplier name join is the
-    // only broadcast. ("late" proxied by l_returnflag = 'R' as in Q4.)
+    // EXISTS ("some OTHER supplier shipped in this order") + NOT EXISTS
+    // ("no OTHER supplier had a returned line") pair over the SAME
+    // fact. Rewritten to ONE lineitem scan (r11 verdict #5): the pair
+    // conditions are pure per-order set facts, so a per-(order,
+    // supplier) aggregate + per-order window replaces the two
+    // fact-vs-fact semi/anti joins — EXISTS other-supplier ⇔ the order
+    // has ≥ 2 distinct suppliers; NOT EXISTS other-returned-supplier ⇔
+    // the order's returned lines all come from THIS supplier (exactly 1
+    // returned supplier, and this pair has r_cnt > 0). numwait counts
+    // qualifying RETURNED LINES, i.e. sum(r_cnt). At 100 TB the fact
+    // scan is the dominant term: this pays it once and shuffles only
+    // the distinct-pair aggregate (map-side combined), vs three scans +
+    // two fact-fact shuffle joins before. The window partitions by
+    // order key — per-order group sizes are line-count-bounded, never
+    // corpus-wide. ("late" proxied by l_returnflag = 'R' as in Q4.)
     "q_tpch_q21" -> ((s, dir) => {
-      val l1 = s.read.parquet(s"$dir/lineitem.parquet")
-        .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val lAll = s.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-      val lRet = s.read.parquet(s"$dir/lineitem.parquet")
-        .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      import org.apache.spark.sql.expressions.Window
+      // ONE fact shuffle: repartitioning by order key up front means the
+      // pair aggregate (clustering (o, s) ⊇ partitioning (o)) and both
+      // per-order windows run exchange-free in the same stage, and the
+      // orders semi-join reuses the same partitioning on the left side.
+      val pairAgg = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_ret"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(col("is_ret")).as("r_cnt"))
+      val byOrder = Window.partitionBy(col("l_orderkey"))
       val ordF = s.read.parquet(s"$dir/orders.parquet")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       val supp = s.read.parquet(s"$dir/supplier.parquet")
         .select(col("s_suppkey"), col("s_name"))
-      l1.join(ordF, col("l_orderkey") === col("o_orderkey"), "left_semi")
-        // some OTHER supplier also shipped in this order...
-        .join(lAll, col("l_orderkey") === col("o2") &&
-          col("l_suppkey") =!= col("s2"), "left_semi")
-        // ...and no OTHER supplier had a returned line
-        .join(lRet, col("l_orderkey") === col("o3") &&
-          col("l_suppkey") =!= col("s3"), "left_anti")
+      pairAgg
+        .withColumn("n_supp", count(lit(1)).over(byOrder))
+        .withColumn("n_ret_supp",
+          sum(when(col("r_cnt") > 0L, 1L).otherwise(0L)).over(byOrder))
+        .filter(col("r_cnt") > 0L && col("n_supp") >= 2L &&
+          col("n_ret_supp") === 1L)
+        .join(ordF, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("r_cnt")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),
