@@ -687,4 +687,40 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"unhonorable broadcast hints:\n${offenders.mkString("\n")}")
   }
+
+  test("unigram memo: segment and encode never retrain once training ran") {
+    // The artifact-sharing contract (r11 verdict #4): after
+    // q_unigram_train populates ugMemo, the segment/encode endpoints
+    // must derive from the memoized artifacts — the driver-held vocab
+    // Seq and the localCheckpointed word table — and NEVER re-enter the
+    // hard-EM loop. Training is loud in job terms (substring-seed
+    // collects plus one Viterbi-count job per EM round, >= 5 jobs);
+    // segment/encode alone are 1-2 jobs. A listener counts jobs across
+    // each endpoint's build+collect; the bound separates the two
+    // regimes with slack for AQE stage jobs.
+    LlmQueries.all("q_unigram_train")(spark, dir).collect()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      LlmQueries.all("q_unigram_segment")(spark, dir).collect()
+      LlmQueries.all("q_unigram_encode")(spark, dir).collect()
+      // the listener bus is async; give it a moment to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(counter.get <= 6,
+      s"segment+encode ran ${counter.get} jobs after training — " +
+        "a re-training leak (the EM loop alone is >= 5 jobs)")
+    // and segment's plan proves it: no parquet scan at all — the word
+    // table is the checkpointed training artifact, not a corpus read
+    val segPlan = plan(LlmQueries.all("q_unigram_segment")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!segPlan.contains("Scan parquet"),
+      s"segment re-scanned the corpus:\n${segPlan.take(2000)}")
+  }
 }
