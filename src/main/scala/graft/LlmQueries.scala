@@ -873,6 +873,15 @@ object LlmQueries {
       graft.vector.EmbedStats.pcaSpectrumFromMoments(s,
         momentsMemo.getOrElse(dir, momentsFresh(s, dir)), topK = 16)),
 
+    // dominant embedding direction by integer power iteration over the
+    // exact covariance numerator — the per-step trace is the
+    // hash-checkable face the Jacobi spectrum can't have: each of the
+    // 8 matvec+renormalize stages unrolls into SQL exactly (no double
+    // anywhere in the chain). Shares the memoized moments pass.
+    "q_embed_power_iter" -> ((s, dir) =>
+      graft.vector.EmbedStats.powerIterationFromMoments(s,
+        momentsMemo.getOrElse(dir, momentsFresh(s, dir)), steps = 8)),
+
     // one-row dataset card: the release-notes summary a corpus ships
     // with — size, composition breadth, exact-dup mass, token stats
     "q_dataset_card" -> ((s, dir) =>
@@ -1975,6 +1984,34 @@ object LlmQueries {
     * derives every band count from the ONE `sig` table exactly like
     * the engine's materialized signature table.
     */
+  /** Unrolled power-iteration stages over the exact covariance
+    * numerator (see `q_embed_power_iter`): each stage is one integer
+    * matvec (`n_t`), its max-abs normalizer (`m_t`), and the
+    * round-half-away renormalized vector (`v_t`) — HUGEINT `//` on
+    * non-negative operands matches BigInteger.divide exactly, the
+    * covariance-micro idiom. Expects CTEs `f` (full numerator matrix)
+    * and `v0` (start vector) in scope; emits the per-step union.
+    */
+  private def sqlPowerIterStages(steps: Int): String = {
+    val stages = (1 to steps).map { t =>
+      s"""n$t AS (
+         |  SELECT f.i AS i, SUM(f.num * v${t - 1}.v) AS nv
+         |  FROM f JOIN v${t - 1} ON v${t - 1}.i = f.j GROUP BY 1
+         |),
+         |m$t AS (SELECT MAX(ABS(nv)) AS m FROM n$t),
+         |v$t AS (
+         |  SELECT i, CASE WHEN nv < 0
+         |    THEN -((2 * (-nv) * 1048576 + m) // (2 * m))
+         |    ELSE  ((2 * nv    * 1048576 + m) // (2 * m)) END AS v
+         |  FROM n$t, m$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to steps).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS step, i, CAST(v AS BIGINT) AS v_unit FROM v$t"
+    }.mkString("\nUNION ALL\n")
+    stages + "\n" + sel + "\nORDER BY step, i"
+  }
+
   private def sqlMinhashSigCtes(
       numHashes: Int, probeCond: String = s"doc_id < $PairLimit"): String = {
     val coefValues = TextOps.minhashCoefficients(numHashes).zipWithIndex
@@ -4668,6 +4705,42 @@ object LlmQueries {
         |  AS DOUBLE) / 1000000.0 AS cov
         |FROM c
         |ORDER BY i, j""".stripMargin,
+
+    // power iteration: the same quantization + moment CTEs as the
+    // covariance oracle build the FULL numerator matrix (upper
+    // triangle mirrored), then 8 unrolled integer matvec +
+    // max-abs-renormalize stages replay the Spark trace exactly — no
+    // double anywhere, so the per-step vectors are bit-identical.
+    "q_embed_power_iter" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |u AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |         CAST(FLOOR(v[CAST(i AS INT)] * 16777216 + 0.5) AS BIGINT) AS p
+         |  FROM e, unnest(generate_series(1, len(v))) ui(i)
+         |),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+         |s AS MATERIALIZED (SELECT i, SUM(CAST(p AS HUGEINT)) AS si FROM u GROUP BY 1),
+         |g AS (
+         |  SELECT a.i AS i, b.i AS j,
+         |         SUM(CAST(a.p AS HUGEINT) * CAST(b.p AS HUGEINT)) AS spp
+         |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |  GROUP BY 1, 2
+         |),
+         |c AS (
+         |  SELECT g.i, g.j,
+         |         CAST(nn.n AS HUGEINT) * g.spp - si.si * sj.si AS num
+         |  FROM g
+         |  JOIN s si ON si.i = g.i
+         |  JOIN s sj ON sj.i = g.j
+         |  CROSS JOIN nn
+         |),
+         |f AS MATERIALIZED (
+         |  SELECT i, j, num FROM c
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, num FROM c WHERE i <> j
+         |),
+         |v0 AS (SELECT i, CAST(1048576 AS HUGEINT) AS v FROM s),
+         |${sqlPowerIterStages(8)}""".stripMargin,
 
     // binary quantization recall: sign map to +/-1 (x > 0 in both
     // engines, zeros to -1), same cosine-ranked recall tail

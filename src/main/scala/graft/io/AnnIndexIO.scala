@@ -88,6 +88,24 @@ object AnnIndexIO {
     (n.get, d.get)
   }
 
+  /** The stored quantizer as a driver array (id-sorted, nlist-bounded
+    * by the sidecar contract — the same bounded collect every probe
+    * performs). Shared with the streaming probe twin, which needs the
+    * centroids broadcast into a row-local kernel.
+    */
+  private[graft] def storedCentroids(
+      spark: SparkSession, path: String): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    val (nlist, _) = storedParams(path)
+    val cents = spark.read.parquet(s"$path/vectors")
+      .filter(col("id") < nlist)
+      .select(col("id"), col("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(cents.length == nlist,
+      s"stored index has ${cents.length} centroid rows, sidecar says $nlist")
+    cents
+  }
+
   /** Rank `queries` against an explicit centroid table (id, v): the
     * same argmax-cosine / ties-to-smaller-centroid kernel as the
     * in-memory quantizer, with the centroids read from storage.

@@ -660,6 +660,60 @@ object StreamOps {
     * sidecar, so a stream can never band differently than the index
     * it probes.
     */
+  /** STREAMING ANN-INDEX PROBE — the live half of the persisted IVF
+    * pipeline ([[graft.io.AnnIndexIO]]), mirroring
+    * [[streamingIndexProbe]]'s contract for vectors: query embeddings
+    * probe the corpus index AS THEY ARRIVE. Quantization is row-local
+    * (broadcast nlist-bounded centroids, the index's own quantizer —
+    * argmax cosine, ties to the smaller centroid id, identical to the
+    * batch probe), candidates come from ONE stream-static equi-join on
+    * the list id, and scoring is a row-local cosine against the stored
+    * rerank payload. No stateful aggregation, no watermark: the top-k
+    * cut is the downstream batch step (candidates are already
+    * nprobe·list-bounded per query), exactly as the dedup probe leaves
+    * exact-verify downstream. StreamSpec pins that batch top-k over
+    * the streamed candidates equals [[graft.io.AnnIndexIO.probeIndex]]
+    * bit for bit.
+    */
+  def streamingAnnProbe(
+      spark: SparkSession, indexPath: String, incoming: DataFrame,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centB = spark.sparkContext.broadcast(
+      graft.io.AnnIndexIO.storedCentroids(spark, indexPath))
+    val assign = spark.read.parquet(s"$indexPath/assign")
+      .toDF("cand_id", "list")
+    val stored = spark.read.parquet(s"$indexPath/vectors")
+      .toDF("cand_id", "cv")
+    val probes = incoming
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cs = centB.value
+        var nv = 0.0
+        var d = 0
+        while (d < v.length) { nv += v(d) * v(d); d += 1 }
+        val normV = math.sqrt(nv)
+        val sims = cs.map { case (cid, cv) =>
+          var dot = 0.0; var nc = 0.0
+          var i = 0
+          val n = math.min(v.length, cv.length)
+          while (i < n) { dot += v(i) * cv(i); nc += cv(i) * cv(i); i += 1 }
+          (cid, dot / (normV * math.sqrt(nc)))
+        }
+        sims.sortBy { case (cid, s) => (-s, cid) }.take(nprobe)
+          .map { case (cid, _) => (id, v, cid) }
+      }.toDF("query_id", "qv", "list")
+    probes.join(assign, "list")
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(stored, "cand_id")
+      .withColumn("sim",
+        graft.vector.VectorOps.cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
   def streamingIndexProbe(
       spark: SparkSession, indexPath: String, incoming: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -190,6 +190,97 @@ object EmbedStats {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** POWER ITERATION over the exact covariance — the dominant
+    * embedding direction as a per-step integer trace, the
+    * hash-checkable face the Jacobi spectrum can't have (no SQL
+    * eigensolver exists, but T unrolled matvec stages DO replay in
+    * SQL). Each step multiplies the current vector by the exact
+    * integer covariance NUMERATOR matrix `num_ij = n·Σpipj − Σpi·Σpj`
+    * (scale-invariant under the per-step normalization, so the
+    * n²·2^48 denominator never appears) and renormalizes to
+    * max-abs = 2^20 units with round-half-away integer division — the
+    * covariance-micro idiom: no double anywhere in the chain, so the
+    * trace is bit-identical across engines and partitionings.
+    *
+    * Start vector: all-ones (2^20 each) — deterministic; orthogonality
+    * to the dominant eigenvector is measure-zero and self-corrects
+    * under rounding. T steps of a d×d matvec are driver-trivial
+    * (d is tokenizer-small); the distributed work is the ONE memoized
+    * Gram pass that every moments consumer shares.
+    *
+    * Magnitude headroom: |num| ≲ n²·2^50·|x|²/2², matvec adds 2^20·d;
+    * the rounding step adds 2^21 — inside HUGEINT (2^127) for the
+    * oracle up to n ~ 50k at d = 64, and unbounded (BigInteger) on the
+    * Spark side.
+    *
+    * Returns (step, i, v_unit) for step 0..steps — step 0 is the start
+    * vector, each later row the renormalized matvec of the previous.
+    */
+  def powerIterationFromMoments(
+      spark: org.apache.spark.sql.SparkSession, m: Moments,
+      steps: Int = 8): DataFrame = {
+    val (n, s, g, dims) = m
+    require(n >= 1, "empty embedding table")
+    require(steps >= 1 && steps <= 64, s"steps must be in [1,64], got $steps")
+    val nBig = BigInteger.valueOf(n)
+    // full numerator matrix from the upper-triangle moments
+    val num = Array.ofDim[BigInteger](dims, dims)
+    var k = 0
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val v = nBig.multiply(g(k)).subtract(s(i).multiply(s(j)))
+        num(i)(j) = v; num(j)(i) = v
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    val unit = BigInteger.ONE.shiftLeft(20)
+    var v = Array.fill(dims)(unit)
+    val rows = new scala.collection.mutable.ArrayBuffer[Row]
+    def emit(step: Int): Unit = {
+      var ii = 0
+      while (ii < dims) {
+        rows += Row(step.toLong, ii.toLong, v(ii).longValueExact)
+        ii += 1
+      }
+    }
+    emit(0)
+    var t = 1
+    while (t <= steps) {
+      val nv = Array.tabulate(dims) { ii =>
+        var acc = BigInteger.ZERO
+        var jj = 0
+        while (jj < dims) { acc = acc.add(num(ii)(jj).multiply(v(jj))); jj += 1 }
+        acc
+      }
+      val mAbs = nv.map(_.abs).max
+      require(mAbs.signum > 0,
+        "zero covariance matvec — constant embeddings have no dominant direction")
+      // v'_i = round_half_away(nv_i · 2^20 / mAbs), pure integers
+      v = nv.map { x =>
+        val q = x.abs.multiply(unit).shiftLeft(1).add(mAbs)
+          .divide(mAbs.shiftLeft(1))
+        if (x.signum < 0) q.negate else q
+      }
+      emit(t)
+      t += 1
+    }
+    val schema = StructType(Seq(
+      StructField("step", LongType), StructField("i", LongType),
+      StructField("v_unit", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** [[powerIterationFromMoments]] end-to-end from an embedding table. */
+  def embedPowerIteration(
+      embeddings: DataFrame, steps: Int = 8,
+      vecCol: String = "embedding"): DataFrame =
+    powerIterationFromMoments(embeddings.sparkSession,
+      gramMoments(embeddings, vecCol), steps)
+
   /** Deterministic cyclic-Jacobi eigensolve of a symmetric matrix
     * (Golub & Van Loan §8.5): fixed (p,q) sweep order, rotations until
     * the off-diagonal mass is below `eps` or `maxSweeps` sweeps.

@@ -1029,4 +1029,44 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batchCand && streamed.nonEmpty,
       s"streamed ${streamed.size} pairs vs batch ${batchCand.size}")
   }
+
+  test("streaming ANN probe: batch top-k over streamed candidates equals the stored probe") {
+    // corpus embeddings -> persisted IVF index; a held-out query batch
+    // streams in as two file drops. The streamed candidate set is
+    // top-k-free by design (no stateful aggregation); cutting top-k in
+    // batch over the collected candidates must reproduce
+    // AnnIndexIO.probeIndex on the same queries EXACTLY — quantizer,
+    // list membership, and cosine are all the same kernels, only the
+    // execution shape changes.
+    // base must contain ids 0..nlist-1 (the stored-centroid contract)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 400)
+    val queries = emb.filter(col("vec_id") >= 400)
+    val q1 = queries.filter(col("vec_id") % 2 === 0)
+    val q2 = queries.filter(col("vec_id") % 2 === 1)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    graft.io.AnnIndexIO.writeIndex(base, ixDir, nlist = 8)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sann-src").toString
+    q1.coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream
+      .schema(queries.schema)
+      .parquet(srcDir)
+    val stream = graft.streaming.StreamOps.streamingAnnProbe(
+      spark, ixDir, src, nprobe = 2)
+    val q = stream.writeStream.format("memory").queryName("ann_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      q2.coalesce(1).write.mode("append").parquet(srcDir) // late batch lands
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedTopK = graft.vector.VectorOps.topKPerQuery(
+        spark.table("ann_probe"), 3).drop("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.io.AnnIndexIO.probeIndex(
+        spark, ixDir, queries, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamedTopK == batch && streamedTopK.nonEmpty,
+      s"streamed-then-cut ${streamedTopK.size} rows vs batch ${batch.size}")
+  }
 }

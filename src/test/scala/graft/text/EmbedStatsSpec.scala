@@ -76,6 +76,56 @@ class EmbedStatsSpec extends AnyFunSuite {
     assert(math.abs(dot01) < 1e-10 && math.abs(n0 - 1.0) < 1e-10)
   }
 
+  test("power iteration converges to the dominant eigenvector of the exact covariance") {
+    // a corpus with an unambiguous dominant direction: variance along
+    // dim 0 dwarfs the rest, with a small dim-1 admixture so the
+    // eigenvector is not axis-aligned (the trace must EARN the answer)
+    val e = (0 until 32).map { i =>
+      val t = 0.125f * (i - 16)
+      (i.toLong, Array(t, 0.25f * t, if (i % 2 == 0) 0.0625f else -0.0625f))
+    }.toDF("vec_id", "embedding")
+    val trace = EmbedStats.embedPowerIteration(e, steps = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(trace.length == 9 * 3)
+    // step 0 is the all-ones start vector
+    assert(trace.filter(_._1 == 0L).forall(_._3 == 1048576L))
+    // the final vector aligns with the Jacobi dominant eigenvector
+    val m = EmbedStats.moments(e)
+    val (nDocs, s, g, d) = m
+    val denom = nDocs.toDouble * nDocs.toDouble * EmbedStats.UnitScale * EmbedStats.UnitScale
+    val cov = Array.ofDim[Double](d, d)
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      val num = java.math.BigInteger.valueOf(nDocs).multiply(g(k))
+        .subtract(s(i).multiply(s(j)))
+      cov(i)(j) = num.doubleValue / denom; cov(j)(i) = cov(i)(j); k += 1
+    }
+    val (eig, vecs) = EmbedStats.jacobiEigen(cov)
+    val top = (0 until d).map(r => vecs(r)(0))
+    val vf = trace.filter(_._1 == 8L).sortBy(_._2).map(_._3.toDouble / 1048576.0)
+    val dot = vf.zip(top).map { case (a, b) => a * b }.sum
+    val cosAbs = math.abs(dot) /
+      (math.sqrt(vf.map(x => x * x).sum) * math.sqrt(top.map(x => x * x).sum))
+    assert(cosAbs > 0.9999, s"final vector off the dominant direction: cos=$cosAbs")
+    // Rayleigh quotient of the final vector ~ the top eigenvalue
+    val av = (0 until d).map(r => (0 until d).map(c => cov(r)(c) * vf(c)).sum)
+    val rayleigh = vf.zip(av).map { case (a, b) => a * b }.sum / vf.map(x => x * x).sum
+    assert(math.abs(rayleigh - eig(0)) < 1e-6 * math.max(1.0, math.abs(eig(0))),
+      s"rayleigh $rayleigh vs top eigenvalue ${eig(0)}")
+    // normalization contract: every step's max |component| is 2^20
+    for (t <- 1L to 8L)
+      assert(trace.filter(_._1 == t).map(x => math.abs(x._3)).max == 1048576L)
+  }
+
+  test("power iteration is a pure function of the moments (partitioning-invariant)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def face(parts: Int) =
+      EmbedStats.embedPowerIteration(e.repartition(parts), steps = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(face(1) == face(5))
+  }
+
   test("pca spectrum: rank-1 data explains everything in one component") {
     // all vectors on one line -> eigenvalue 1 carries all variance
     val e = (0 until 16).map(i =>
