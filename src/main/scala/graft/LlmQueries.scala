@@ -371,6 +371,15 @@ object LlmQueries {
       VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // MMR-diversified retrieval: the dedup-aware top-k (relevance
+    // minus redundancy-to-selected, λ = 0.5) every RAG pipeline wants
+    // instead of raw nearest neighbors — integer micro-unit greedy,
+    // replayed as unrolled SQL selection stages
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      VectorOps.mmrDiversify(e, e.filter(col("vec_id") < 8), n = 8, k = 4)
+    }),
+
     "q_embed_ann_lsh" -> ((s, dir) => annGraph(s, dir)),
 
     "q_embed_ann_mlsh" -> ((s, dir) =>
@@ -415,6 +424,13 @@ object LlmQueries {
 
     "q_embed_kmeans" -> ((s, dir) =>
       VectorOps.kmeansAssign(embeddings(s, dir), k = 8, iters = 2)),
+
+    // simplified silhouette of the nearest-seed clustering: per-point
+    // cluster-quality in integer micro-units — one broadcast of k seed
+    // vectors, one narrow pass, no pairwise join (the O(n²) full
+    // silhouette is what the simplified form avoids at corpus scale)
+    "q_cluster_silhouette" -> ((s, dir) =>
+      VectorOps.nearestSeedSilhouette(embeddings(s, dir), k = 8)),
 
     // SemDeDup: kmeans prepass bounds the pair join to within-cluster;
     // threshold chosen with measured >= 3e-5 margin to the nearest
@@ -2012,6 +2028,55 @@ object LlmQueries {
     stages + "\n" + sel + "\nORDER BY step, i"
   }
 
+  /** Unrolled MMR greedy-selection stages (see `q_mmr_rerank`):
+    * expects CTEs `cand` (query_id, cand_id, simq_u micro-units) and
+    * `ps` (pairwise candidate micro-unit cosines) in scope. Stage 1
+    * picks raw relevance; stage t > 1 scores every unselected
+    * candidate as `simq_u − max(ps to selected)` and picks the max
+    * with ties to the smaller candidate id — integer comparisons only,
+    * the exact kernel the Spark side runs per query.
+    */
+  private def sqlMmrStages(k: Int): String = {
+    val head =
+      """sel1 AS (
+        |  SELECT query_id, cand_id, simq_u AS mmr_u FROM (
+        |    SELECT query_id, cand_id, simq_u,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY simq_u DESC, cand_id) AS r
+        |    FROM cand
+        |  ) WHERE r = 1
+        |)""".stripMargin
+    val stages = (2 to k).map { t =>
+      val selu = (1 until t).map(j =>
+        s"SELECT query_id, cand_id FROM sel$j").mkString(" UNION ALL ")
+      s"""selu${t - 1} AS ($selu),
+         |sc$t AS (
+         |  SELECT c.query_id, c.cand_id, c.simq_u - MAX(p.ps) AS score
+         |  FROM cand c
+         |  JOIN selu${t - 1} sl ON sl.query_id = c.query_id
+         |  JOIN ps p ON p.query_id = c.query_id
+         |    AND p.id_a = c.cand_id AND p.id_b = sl.cand_id
+         |  LEFT JOIN selu${t - 1} ex
+         |    ON ex.query_id = c.query_id AND ex.cand_id = c.cand_id
+         |  WHERE ex.cand_id IS NULL
+         |  GROUP BY c.query_id, c.cand_id, c.simq_u
+         |),
+         |sel$t AS (
+         |  SELECT query_id, cand_id, score AS mmr_u FROM (
+         |    SELECT query_id, cand_id, score,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, cand_id) AS r
+         |    FROM sc$t
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    }
+    val sel = (1 to k).map { t =>
+      s"SELECT query_id, CAST($t AS BIGINT) AS rank, cand_id, mmr_u FROM sel$t"
+    }.mkString("\nUNION ALL\n")
+    (Seq(head) ++ stages).mkString(",\n") + "\n" + sel +
+      "\nORDER BY query_id, rank"
+  }
+
   private def sqlMinhashSigCtes(
       numHashes: Int, probeCond: String = s"doc_id < $PairLimit"): String = {
     val coefValues = TextOps.minhashCoefficients(numHashes).zipWithIndex
@@ -3217,6 +3282,34 @@ object LlmQueries {
         |  FROM e, c1 c) WHERE rn = 1)
         |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
 
+    // simplified silhouette: seeds are stored vectors verbatim (no
+    // averaged centroid doubles), distances micro-unit-floored, the
+    // ratio pure integer division — bit-identical to the Spark face
+    "q_cluster_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS cv
+        |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |d AS (
+        |  SELECT e.vec_id, s.cid,
+        |         CAST(FLOOR((1 - list_cosine_similarity(e.v, s.cv)) * 1000000
+        |           + 0.5) AS BIGINT) AS d_u
+        |  FROM e, seeds s
+        |),
+        |r AS (
+        |  SELECT vec_id, cid, d_u,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY d_u, cid) AS rn
+        |  FROM d
+        |),
+        |ab AS (
+        |  SELECT a.vec_id, a.cid AS cluster_id, a.d_u AS a_u, b.d_u AS b_u
+        |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+        |)
+        |SELECT vec_id, cluster_id, a_u, b_u,
+        |  CASE WHEN b_u = 0 THEN 0
+        |       ELSE (2 * (b_u - a_u) * 1000000 + b_u) // (2 * b_u) END AS s_u
+        |FROM ab ORDER BY vec_id""".stripMargin,
+
     // SemDeDup: the q_embed_kmeans assignment CTE + within-cluster
     // pair drop (junior id dropped when a senior cluster-mate is
     // within the cosine threshold)
@@ -3380,6 +3473,33 @@ object LlmQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // MMR: same cohort and cosine as the top-k oracle, micro-unit
+    // quantized with the shared FLOOR idiom, then k unrolled greedy
+    // selection stages — integer comparisons only, ties to smaller id
+    "q_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 8),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.v AS cv,
+         |         CAST(FLOOR(list_cosine_similarity(q.v, c.v) * 1000000 + 0.5)
+         |           AS BIGINT) AS simq_u
+         |  FROM q, e c WHERE c.vec_id <> q.vec_id
+         |),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, cand_id, cv, simq_u FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY simq_u DESC, cand_id) AS rn FROM s
+         |  ) WHERE rn <= 8
+         |),
+         |ps AS MATERIALIZED (
+         |  SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         |         CAST(FLOOR(list_cosine_similarity(a.cv, b.cv) * 1000000 + 0.5)
+         |           AS BIGINT) AS ps
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |),
+         |${sqlMmrStages(4)}""".stripMargin,
 
     // gopher rules: same tokenization + stopword list as the quality
     // oracle; mean word length = summed token lengths / count

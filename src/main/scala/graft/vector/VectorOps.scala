@@ -73,6 +73,88 @@ object VectorOps {
     topKPerQuery(joined, k)
   }
 
+  /** MMR-DIVERSIFIED RETRIEVAL (Carbonell & Goldstein 1998, λ = 0.5):
+    * re-rank each query's top-`n` exact-cosine candidates by maximal
+    * marginal relevance — greedily pick the candidate maximizing
+    * `relevance − max-similarity-to-already-selected`, the dedup-aware
+    * cut every RAG / few-shot-selection pipeline wants instead of raw
+    * top-k (with λ = 0.5 the constant factor cancels out of the
+    * argmax). DETERMINISM: query and pairwise cosines quantize to
+    * integer micro-units with `FLOOR(sim·10^6 + 0.5)` (the shared
+    * engine idiom), so every greedy comparison is an integer
+    * comparison with ties to the smaller candidate id — bit-identical
+    * across engines and replayable as k unrolled SQL selection stages.
+    *
+    * SCALE SHAPE: candidate generation is the broadcast scan-and-heap
+    * of [[bruteForceTopK]] (swap in [[ivfTopK]]/[[annTopK]] at a real
+    * corpus — MMR only needs SOME top-n table); the pairwise-cosine
+    * join and the greedy kernel run per query over n-bounded arrays
+    * (n² ≤ 64 integers per query), never corpus-sized state.
+    *
+    * Returns (query_id, rank, cand_id, mmr_u) — mmr_u in micro-units:
+    * rank 1 is the raw relevance, later ranks relevance − redundancy.
+    */
+  def mmrDiversify(
+      embeddings: DataFrame, queries: DataFrame, n: Int = 8, k: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(n >= k && k >= 1, s"need n >= k >= 1, got n=$n k=$k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cand = embeddings.select(col(idCol).cast("long").as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qs = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val simU = (a: Column, b: Column) =>
+      floor(cosine(a, b) * lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = cand.join(broadcast(qs), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", simU(col("qv"), col("cv")).cast("double"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    // top-n by (micro-units DESC, cand_id ASC) through the bounded heap;
+    // rounding an integer-valued double is the identity
+    val top = topKPerQuery(scored, n)
+      .select(col("query_id"), col("cand_id"),
+        col("sim").cast("long").as("simq_u"))
+    val withV = top.join(cand, "cand_id")
+    val ps = withV.as("a")
+      .join(withV.select(col("query_id"), col("cand_id").as("id_b"),
+        col("cv").as("cvb")).as("b"), Seq("query_id"))
+      .filter(col("cand_id") =!= col("id_b"))
+      .select(col("query_id"), col("cand_id").as("id_a"), col("id_b"),
+        simU(col("cv"), col("cvb")).as("ps"))
+    val candArr = top.groupBy("query_id")
+      .agg(collect_list(struct(col("cand_id"), col("simq_u"))).as("cands"))
+      .as[(Long, Seq[(Long, Long)])]
+    val pairArr = ps.groupBy("query_id")
+      .agg(collect_list(struct(col("id_a"), col("id_b"), col("ps"))).as("pairs"))
+      .as[(Long, Seq[(Long, Long, Long)])]
+    val kk = k
+    candArr.joinWith(pairArr, candArr("query_id") === pairArr("query_id"))
+      .flatMap { case ((qid, cands), (_, pairs)) =>
+        val psMap = pairs.map { case (a, b, p) => (a, b) -> p }.toMap
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          cands.sortBy { case (id, su) => (-su, id) }: _*)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var rank = 1
+        while (rank <= math.min(kk, remaining.length + selected.length) &&
+            remaining.nonEmpty) {
+          val (pick, score) =
+            if (selected.isEmpty) (remaining.head, remaining.head._2)
+            else remaining.map { case (id, su) =>
+              val red = selected.map(s => psMap((id, s))).max
+              ((id, su), su - red)
+            }.maxBy { case ((id, _), sc) => (sc, -id) } match {
+              case (c, sc) => (c, sc)
+            }
+          out += ((qid, rank.toLong, pick._1, score))
+          selected += pick._1
+          remaining -= pick
+          rank += 1
+        }
+        out
+      }.toDF("query_id", "rank", "cand_id", "mmr_u")
+  }
+
   /** HARD-NEGATIVE MINING for contrastive/retrieval training: for each
     * query vector, the k most-similar candidates of a DIFFERENT label
     * — near misses that look like the query but aren't its class, the
@@ -429,6 +511,54 @@ object VectorOps {
       .join(e.toDF("cand_id", "cv"), "cand_id")
       .withColumn("sim", cosine(col("qv"), col("cv")))
     topKPerQuery(rer, k).drop("rank")
+  }
+
+  /** SIMPLIFIED SILHOUETTE of the nearest-seed clustering — the
+    * cluster-quality readout (Rousseeuw 1987, centroid-simplified
+    * form) that decides whether a k / seeding choice produced real
+    * structure: per point, `a` = cosine distance to its own (nearest)
+    * seed, `b` = distance to the second-nearest seed, `s = (b − a) /
+    * max(a, b)` — here always `(b − a) / b` since the own seed is the
+    * argmin, so s ∈ [0, 1] with 0 = boundary point, 1 = deep interior.
+    *
+    * Seeds are the k lowest-id vectors VERBATIM (the
+    * [[kmeansAssign]]-init / [[ivfTopK]] fixed-centroid contract —
+    * iterated centroids are averaged doubles whose bit pattern is
+    * engine- and order-dependent, while stored vectors replay
+    * exactly). All distances quantize to integer micro-units with the
+    * shared `FLOOR(x·10^6 + 0.5)` idiom and the ratio is
+    * round-half-away integer division, so the whole face is
+    * bit-identical across engines and partitionings.
+    *
+    * SCALE SHAPE: one broadcast of k seed vectors, one narrow pass
+    * computing k codegen'd cosines per row, and a per-point bounded
+    * aggregation (k structs) — no pairwise join anywhere (the FULL
+    * silhouette's O(n²) per-cluster pass is exactly what the
+    * simplified form exists to avoid at corpus scale).
+    *
+    * Returns (vec_id, cluster_id, a_u, b_u, s_u), micro-units.
+    */
+  def nearestSeedSilhouette(
+      embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 seeds, got $k")
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seeds = e.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val du = floor((lit(1.0) - cosine(col("v"), col("cv"))) * lit(1000000.0)
+      + lit(0.5)).cast("long")
+    e.crossJoin(broadcast(seeds))
+      .withColumn("d_u", du)
+      .groupBy(col("id").as(idCol))
+      .agg(sort_array(collect_list(struct(col("d_u"), col("cid")))).as("ds"))
+      .select(col(idCol),
+        col("ds")(0)("cid").as("cluster_id"),
+        col("ds")(0)("d_u").as("a_u"),
+        col("ds")(1)("d_u").as("b_u"))
+      .withColumn("s_u",
+        when(col("b_u") === 0L, 0L).otherwise(expr(
+          "(2 * (b_u - a_u) * 1000000 + b_u) div (2 * b_u)")))
   }
 
   /** Distributed LLOYD'S K-MEANS assignment over the embedding column —

@@ -795,6 +795,65 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR re-rank trades redundancy for diversity; rank 1 is raw relevance") {
+    // query on the x-axis; a and b nearly identical high-relevance
+    // candidates, c diverse but less relevant. Plain top-2 is (a, b);
+    // MMR must pick a then c — b's redundancy to a wipes out its
+    // relevance edge.
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),          // query
+      (1L, Array(0.99f, 0.14f)),        // a: most relevant
+      (2L, Array(0.98f, 0.19f)),        // b: nearly a duplicate of a
+      (3L, Array(0.6f, -0.8f))          // c: diverse, less relevant
+    ).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 0L)
+    val mmr = VectorOps.mmrDiversify(e, q, n = 3, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(mmr.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"expected MMR order a, c, b; got ${mmr.toSeq}")
+    // plain top-2 would have been (a, b) — the contrast MMR exists for
+    val plain = VectorOps.bruteForceTopK(e, q, k = 2).collect()
+      .map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L))
+    // rank 1 carries the raw micro-unit relevance; later ranks are
+    // relevance minus max-redundancy-to-selected, so never larger
+    assert(mmr(0)._3 > mmr(1)._3 && mmr(1)._3 > mmr(2)._3)
+    // b's final score is negative: it is more similar to a than to q
+    assert(mmr(2)._3 < 0L, s"near-duplicate kept a positive score: ${mmr(2)._3}")
+  }
+
+  test("simplified silhouette: exact hand values, [0, 1e6] range, argmin matches nearest-seed kmeans") {
+    // seeds on the axes (ids 0, 1); a point ON seed 0 has a = 0 and
+    // s = 1e6 exactly; the 45-degree point is equidistant (a = b, tie
+    // to smaller cid) and reads s = 0 exactly
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),   // seed A
+      (1L, Array(0.0f, 1.0f)),   // seed B
+      (2L, Array(2.0f, 0.0f)),   // on A's ray: a_u = 0, s_u = 1e6
+      (3L, Array(1.0f, 1.0f))    // equidistant: a_u = b_u, s_u = 0
+    ).toDF("vec_id", "embedding")
+    val rows = VectorOps.nearestSeedSilhouette(e, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows(2L) == ((0L, 0L, 1000000L, 1000000L)),
+      s"on-ray point: ${rows(2L)}") // d to A = 0, d to B = 1 -> s = 1
+    val (c3, a3, b3, s3) = rows(3L)
+    assert(c3 == 0L && a3 == b3 && s3 == 0L, s"equidistant point: ${rows(3L)}")
+    // corpus invariants: s in [0, 1e6], b >= a, and the cluster equals
+    // the nearest-seed kmeans assignment (iters = 1) everywhere
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sil = VectorOps.nearestSeedSilhouette(emb, k = 8)
+    val bad = sil.filter(col("s_u") < 0L || col("s_u") > 1000000L ||
+      col("b_u") < col("a_u")).count()
+    assert(bad == 0L)
+    val km = VectorOps.kmeansAssign(emb, k = 8, iters = 1)
+      .withColumnRenamed("cluster_id", "km_cluster")
+    val diff = sil.select(col("vec_id"), col("cluster_id"))
+      .join(km, "vec_id")
+      .filter(col("cluster_id") =!= col("km_cluster")).count()
+    assert(diff == 0L, s"$diff rows disagree with nearest-seed kmeans")
+  }
+
   test("dHash: deterministic, re-encode-invariant, edit-local; banded pairs exact for 64-bit sigs") {
     import javax.imageio.ImageIO
     val png = Multimodal.syntheticPng(42L)
