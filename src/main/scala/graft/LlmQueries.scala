@@ -432,6 +432,15 @@ object LlmQueries {
     "q_cluster_silhouette" -> ((s, dir) =>
       VectorOps.nearestSeedSilhouette(embeddings(s, dir), k = 8)),
 
+    // embedding-distribution drift between two derived snapshots:
+    // per-label micro-unit mean deltas (L1 + L-inf), all-integer —
+    // the vector analog of q_source_drift
+    "q_embed_drift" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      VectorOps.embeddingDrift(
+        e.filter(col("vec_id") % 4 =!= 1), e.filter(col("vec_id") % 4 =!= 2))
+    }),
+
     // SemDeDup: kmeans prepass bounds the pair join to within-cluster;
     // threshold chosen with measured >= 3e-5 margin to the nearest
     // within-cluster similarity at both verify SFs
@@ -3281,6 +3290,43 @@ object LlmQueries {
         |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
         |  FROM e, c1 c) WHERE rn = 1)
         |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // embedding drift: the covariance oracle's unit quantization, a
+    // per-(label, dim) integer mean in micro-units (round-half-away
+    // via //), and integer L1/L-inf folds — no double anywhere
+    "q_embed_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, label, CAST(k - 1 AS INT) AS dim,
+        |         CAST(FLOOR(v[CAST(k AS INT)] * 16777216 + 0.5) AS BIGINT) AS p
+        |  FROM e, unnest(generate_series(1, len(v))) uk(k)
+        |),
+        |ma AS (
+        |  SELECT CAST(label AS BIGINT) AS label, dim,
+        |         COUNT(*) AS n_old, SUM(p) AS s
+        |  FROM u WHERE vec_id % 4 <> 1 GROUP BY 1, 2
+        |),
+        |mb AS (
+        |  SELECT CAST(label AS BIGINT) AS label, dim,
+        |         COUNT(*) AS n_new, SUM(p) AS s
+        |  FROM u WHERE vec_id % 4 <> 2 GROUP BY 1, 2
+        |),
+        |mu AS (
+        |  SELECT a.label, a.dim, a.n_old, b.n_new,
+        |    CASE WHEN a.s >= 0
+        |      THEN  ((2 * a.s * 1000000 + a.n_old * 16777216) // (2 * a.n_old * 16777216))
+        |      ELSE -((2 * (-a.s) * 1000000 + a.n_old * 16777216) // (2 * a.n_old * 16777216))
+        |    END AS m_old,
+        |    CASE WHEN b.s >= 0
+        |      THEN  ((2 * b.s * 1000000 + b.n_new * 16777216) // (2 * b.n_new * 16777216))
+        |      ELSE -((2 * (-b.s) * 1000000 + b.n_new * 16777216) // (2 * b.n_new * 16777216))
+        |    END AS m_new
+        |  FROM ma a JOIN mb b ON a.label = b.label AND a.dim = b.dim
+        |)
+        |SELECT label, MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+        |  CAST(SUM(ABS(m_old - m_new)) AS BIGINT) AS l1_drift_u,
+        |  MAX(ABS(m_old - m_new)) AS linf_drift_u
+        |FROM mu GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // simplified silhouette: seeds are stored vectors verbatim (no
     // averaged centroid doubles), distances micro-unit-floored, the

@@ -513,6 +513,56 @@ object VectorOps {
     topKPerQuery(rer, k).drop("rank")
   }
 
+  /** EMBEDDING-DISTRIBUTION DRIFT between two snapshots — the vector
+    * analog of the text-side source-drift monitor: per label, the L1
+    * and L∞ distance between the snapshots' per-dimension mean
+    * embeddings, the "did this class's representation move" number
+    * that flags encoder or upstream-data changes before a model
+    * trains on the new crawl.
+    *
+    * DETERMINISM: components quantize to 2^24 units (the covariance
+    * idiom), each per-dimension mean rounds to integer micro-units
+    * with round-half-away integer division — `(2s·10^6 + n·2^24) div
+    * (2n·2^24)` — and the L1/L∞ folds are integer sums/maxes over a
+    * fixed dimension set: order-free and bit-identical across engines.
+    * (Defining drift over micro-unit-QUANTIZED means is what keeps the
+    * arithmetic in 64 bits: the cross-multiplied exact form
+    * `|s1·n2 − s2·n1|` outgrows BIGINT at corpus scale.)
+    *
+    * SCALE SHAPE: one narrow pass per snapshot (posexplode to
+    * (label, dim) partial sums — map-side combined to ≤ labels·d rows
+    * per partition), one labels·d-sized equi-join, one labels-sized
+    * fold. Nothing corpus-sized ever shuffles.
+    *
+    * Returns (label, n_old, n_new, l1_drift_u, linf_drift_u) for
+    * labels present in BOTH snapshots (appearance/disappearance is a
+    * counting question, not a drift one).
+    */
+  def embeddingDrift(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    def means(snap: DataFrame): DataFrame =
+      snap.select(col(labelCol).cast("long").as("label"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .withColumn("p",
+          floor(col("x") * lit(16777216.0) + lit(0.5)).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m_u", expr(
+          """CASE WHEN s >= 0
+            |  THEN  ((2 * s * 1000000 + n * 16777216) div (2 * n * 16777216))
+            |  ELSE -((2 * (-s) * 1000000 + n * 16777216) div (2 * n * 16777216))
+            |END""".stripMargin))
+        .select(col("label"), col("dim"), col("n"), col("m_u"))
+    val a = means(oldSnap).toDF("label", "dim", "n_old", "m_old")
+    val b = means(newSnap).toDF("label", "dim", "n_new", "m_new")
+    a.join(b, Seq("label", "dim"))
+      .withColumn("d_u", abs(col("m_old") - col("m_new")))
+      .groupBy(col("label"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(col("d_u")).as("l1_drift_u"), max(col("d_u")).as("linf_drift_u"))
+  }
+
   /** SIMPLIFIED SILHOUETTE of the nearest-seed clustering — the
     * cluster-quality readout (Rousseeuw 1987, centroid-simplified
     * form) that decides whether a k / seeding choice produced real

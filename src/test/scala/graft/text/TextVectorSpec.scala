@@ -854,6 +854,31 @@ class TextVectorSpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff rows disagree with nearest-seed kmeans")
   }
 
+  test("embedding drift: zero on identical snapshots, exact micro-units on a hand shift") {
+    // dyadic components -> 2^24 quantization exact -> the micro-unit
+    // means are the textbook values with no rounding slack
+    val oldSnap = Seq(
+      (0L, Array(1.0f, 0.5f), 7),
+      (1L, Array(0.5f, 0.5f), 7)).toDF("vec_id", "embedding", "label")
+    val same = VectorOps.embeddingDrift(oldSnap, oldSnap).collect()
+    assert(same.length == 1 &&
+      same(0).getLong(3) == 0L && same(0).getLong(4) == 0L)
+    // dim 0 mean moves 0.75 -> 1.0 (250000 micro-units), dim 1 moves
+    // 0.5 -> 0.625 (125000): L1 = 375000, L-inf = 250000
+    val newSnap = Seq(
+      (0L, Array(1.0f, 0.625f), 7),
+      (1L, Array(1.0f, 0.625f), 7)).toDF("vec_id", "embedding", "label")
+    val d = VectorOps.embeddingDrift(oldSnap, newSnap).collect()
+    assert(d.length == 1)
+    assert(d(0).getLong(0) == 7L && d(0).getLong(1) == 2L && d(0).getLong(2) == 2L)
+    assert(d(0).getLong(3) == 375000L, s"l1 = ${d(0).getLong(3)}")
+    assert(d(0).getLong(4) == 250000L, s"linf = ${d(0).getLong(4)}")
+    // labels absent from either snapshot never appear
+    val extra = Seq((2L, Array(1.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    val withNew = VectorOps.embeddingDrift(oldSnap, newSnap.union(extra)).collect()
+    assert(withNew.map(_.getLong(0)).toSet == Set(7L))
+  }
+
   test("dHash: deterministic, re-encode-invariant, edit-local; banded pairs exact for 64-bit sigs") {
     import javax.imageio.ImageIO
     val png = Multimodal.syntheticPng(42L)
