@@ -1938,6 +1938,19 @@ object LlmQueries {
     // sum -> bit-identical estimate across engines)
     "q_hll_distinct_grams" -> ((s, dir) => TextOps.hllDistinctGrams(docs(s, dir), n = 3)),
 
+    // persisted-sketch round trip: the corpus lands as THREE shards
+    // (create + two appends) and the estimate reads sources × 256
+    // merged register rows — max-merge is lossless by construction, so
+    // the face hash-matches the one-pass oracle; storage is invisible
+    "q_sketch_store_est" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = s"/tmp/graft-sketch-${math.abs(dir.hashCode)}"
+      graft.io.SketchIO.writeSketch(d.filter(col("doc_id") % 3 === 0), st, n = 3)
+      graft.io.SketchIO.appendToSketch(d.filter(col("doc_id") % 3 === 1), st)
+      graft.io.SketchIO.appendToSketch(d.filter(col("doc_id") % 3 === 2), st)
+      graft.io.SketchIO.estimateFromStore(s, st)
+    }),
+
     // weekly retention cohorts anchored on signup: per (cohort week,
     // offset 0..4), distinct active users and retention fraction;
     // bucket math in integer MICRO ticks (1 week = 6.048e11 us) —
@@ -6024,6 +6037,41 @@ object LlmQueries {
         |SELECT ex.source, ex.exact_grams, ROUND(fin.est, 4) AS hll_est,
         |       ROUND(abs(fin.est - exact_grams) / exact_grams, 4) AS rel_err
         |FROM fin JOIN ex USING (source) ORDER BY 1""".stripMargin,
+
+    // persisted sketch store: the SAME register/estimate SQL as the
+    // one-pass HLL oracle — the sharded create/append/merge round trip
+    // must be invisible (max-merge is lossless by construction)
+    "q_sketch_store_est" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source, array_to_string(toks[k:k+2], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+        |  WHERE len(toks) >= 3
+        |), hh AS (
+        |  SELECT source, g, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM sh
+        |), regs AS (
+        |  SELECT source, h & 255 AS idx,
+        |         MAX(CASE WHEN h >> 8 = 0 THEN 53
+        |                  ELSE 53 - length(bin(h >> 8)) END) AS m_reg
+        |  FROM hh GROUP BY 1, 2
+        |), per AS (
+        |  SELECT source, COUNT(*) AS m_present,
+        |         SUM(CAST(1 AS BIGINT) << CAST(53 - m_reg AS INT)) AS s_present
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT source, 256 - m_present AS v_zero,
+        |         0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0 * 9007199254740992.0e0
+        |           / CAST(s_present + (256 - m_present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS e_raw
+        |  FROM per
+        |)
+        |SELECT source,
+        |       ROUND(CASE WHEN v_zero > 0 AND e_raw <= 640.0e0
+        |             THEN 256.0e0 * ln(256.0e0 / CAST(v_zero AS DOUBLE))
+        |             ELSE e_raw END, 4) AS hll_est
+        |FROM est ORDER BY 1""".stripMargin,
 
     // retention: integer // bucket math on epoch micros mirrors the
     // engine's DIV; distinct (user, week) activity, cohort by first
