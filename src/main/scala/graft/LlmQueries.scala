@@ -432,6 +432,14 @@ object LlmQueries {
     "q_cluster_silhouette" -> ((s, dir) =>
       VectorOps.nearestSeedSilhouette(embeddings(s, dir), k = 8)),
 
+    // label-based retrieval eval: does nearest-neighbor search surface
+    // same-class items — first-correct rank, reciprocal rank, and
+    // precision@k as pure integers over the brute-force top-k
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      VectorOps.retrievalEval(e, e.filter(col("vec_id") < 32), k = 5)
+    }),
+
     // embedding-distribution drift between two derived snapshots:
     // per-label micro-unit mean deltas (L1 + L-inf), all-integer —
     // the vector analog of q_source_drift
@@ -821,6 +829,14 @@ object LlmQueries {
     "q_key_skew" -> ((s, dir) =>
       graft.rel.RelOps.keySkewReport(
         s.read.parquet(s"$dir/lineitem.parquet"), col("l_suppkey"))),
+
+    // ANALYZE-style table statistics: per-column rows/nulls/exact-NDV
+    // over one (EXPAND-widened) fact scan — the CBO's input table
+    "q_table_stats" -> ((s, dir) =>
+      graft.rel.RelOps.tableStats(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_quantity"))),
 
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
 
@@ -3304,6 +3320,44 @@ object LlmQueries {
         |  FROM e, c1 c) WHERE rn = 1)
         |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
 
+    // retrieval eval: the cosine-topk ranking joined to labels on both
+    // sides; first-correct rank, reciprocal rank, and precision@k are
+    // pure-integer folds over the 5 ranked rows per query
+    "q_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 32),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM q, e c WHERE c.vec_id <> q.vec_id
+        |),
+        |top AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, cand_id ASC) AS rank
+        |    FROM s
+        |  ) WHERE rank <= 5
+        |),
+        |j AS (
+        |  SELECT t.query_id, t.rank,
+        |         CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS correct
+        |  FROM top t
+        |  JOIN e ql ON ql.vec_id = t.query_id
+        |  JOIN e cl ON cl.vec_id = t.cand_id
+        |),
+        |a AS (
+        |  SELECT query_id,
+        |         COALESCE(MIN(CASE WHEN correct = 1 THEN rank END),
+        |                  CAST(0 AS BIGINT)) AS first_correct_rank,
+        |         CAST(SUM(correct) AS BIGINT) AS n_correct
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT query_id, first_correct_rank,
+        |  CASE WHEN first_correct_rank = 0 THEN 0
+        |       ELSE 1000000 // first_correct_rank END AS mrr_u,
+        |  (1000 * n_correct) // 5 AS p_at_k_milli, n_correct
+        |FROM a ORDER BY 1""".stripMargin,
+
     // embedding drift: the covariance oracle's unit quantization, a
     // per-(label, dim) integer mean in micro-units (round-half-away
     // via //), and integer L1/L-inf folds — no double anywhere
@@ -4707,6 +4761,19 @@ object LlmQueries {
         |  CAST(topk_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topk_share,
         |  CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
         |FROM a, t""".stripMargin,
+
+    // table stats: one UNION-of-aggregates per column, exact NDV
+    "q_table_stats" -> {
+      val statCols =
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_quantity")
+      statCols.sorted.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+    },
 
     // bootstrap CI: identical md5-fraction uniforms, the Poisson(1)
     // CASE ladder over the engine's own thresholds, 2nd-order-statistic

@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   */
 object RelOps {
 
+  /** ANALYZE-STYLE TABLE STATISTICS — the per-column (rows, nulls,
+    * NDV) table a cost-based optimizer's join ordering and
+    * broadcast-threshold decisions read. NDV here is EXACT
+    * (count-distinct): at test scale the number is oracle-checkable,
+    * and the expression slot is where a real 100 TB run swaps in
+    * `approx_count_distinct` (HLL++) — the report's schema and
+    * consumers don't change. One pass over the table: the multi-column
+    * distinct expands the scan #cols-fold (Spark's EXPAND), which is
+    * exactly ANALYZE's cost profile; nothing but the single stats row
+    * is ever collected, then reshaped driver-side into one row per
+    * column.
+    *
+    * Returns (col_name, n_rows, n_null, ndv) ordered by col_name.
+    */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+          countDistinct(col(c)).as(s"__ndv_$c"))
+      }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("__n")
+    cols.sorted.map { c =>
+      (c, n, r.getAs[Long](s"__null_$c"), r.getAs[Long](s"__ndv_$c"))
+    }.toDF("col_name", "n_rows", "n_null", "ndv")
+  }
+
   /** JOIN-KEY SKEW REPORT: the one-row summary that decides between a
     * plain shuffle join, AQE skew splitting, and explicit salting
     * (`q_salted_join`'s strategy) for a given key. `skew_ratio` is the

@@ -513,6 +513,48 @@ object VectorOps {
     topKPerQuery(rer, k).drop("rank")
   }
 
+  /** LABEL-BASED RETRIEVAL EVALUATION — does nearest-neighbor search
+    * surface same-class items? Per query: the rank of the first
+    * correct-label candidate, reciprocal rank in micro-units,
+    * precision@k in milli-units, and the correct count — the
+    * intrinsic-quality readout an embedding table ships with (the ANN
+    * recall family measures index-vs-exact fidelity; this measures
+    * whether the SPACE itself retrieves meaning). All integers: rank
+    * positions are exact, `mrr_u = 10^6 div rank`, `p_at_k_milli =
+    * 10^3·hits div k` — no logarithmic discount whose last bits could
+    * differ between engines.
+    *
+    * SCALE SHAPE: one [[bruteForceTopK]] candidate pass (swap in an
+    * ANN route at a real corpus), one broadcast label join on each
+    * side, one per-query bounded aggregation.
+    *
+    * Returns (query_id, first_correct_rank — 0 when no correct
+    * candidate in the top k, mrr_u, p_at_k_milli, n_correct).
+    */
+  def retrievalEval(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val labels = embeddings.select(col(idCol).cast("long").as("lid"),
+      col(labelCol).cast("long").as("lab"))
+    val top = bruteForceTopK(embeddings, queries, k, idCol, vecCol)
+    top
+      .join(broadcast(labels).toDF("query_id", "q_lab"), "query_id")
+      .join(broadcast(labels).toDF("cand_id", "c_lab"), "cand_id")
+      .withColumn("correct", when(col("q_lab") === col("c_lab"), 1L).otherwise(0L))
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(min(when(col("correct") === 1L, col("rank"))), lit(0L))
+          .as("first_correct_rank"),
+        sum(col("correct")).as("n_correct"))
+      .withColumn("mrr_u",
+        when(col("first_correct_rank") === 0L, 0L)
+          .otherwise(expr("1000000 div first_correct_rank")))
+      .withColumn("p_at_k_milli", expr(s"(1000 * n_correct) div $k"))
+      .select(col("query_id"), col("first_correct_rank"), col("mrr_u"),
+        col("p_at_k_milli"), col("n_correct"))
+  }
+
   /** EMBEDDING-DISTRIBUTION DRIFT between two snapshots — the vector
     * analog of the text-side source-drift monitor: per label, the L1
     * and L∞ distance between the snapshots' per-dimension mean

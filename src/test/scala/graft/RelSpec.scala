@@ -46,4 +46,16 @@ class RelSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(bucketed == plain && bucketed.nonEmpty)
   }
+
+  test("tableStats: exact rows/nulls/NDV on a hand table") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None),
+      (None, Some("a")), (Some(3L), Some("a"))
+    ).toDF("k", "s")
+    val st = graft.rel.RelOps.tableStats(df, Seq("s", "k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ordered by col_name: k before s
+    assert(st.toSeq == Seq(("k", 5L, 1L, 3L), ("s", 5L, 1L, 2L)), s"got ${st.toSeq}")
+  }
 }

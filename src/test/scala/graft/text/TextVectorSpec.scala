@@ -854,6 +854,28 @@ class TextVectorSpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff rows disagree with nearest-seed kmeans")
   }
 
+  test("retrieval eval: exact integer MRR and precision@k on a crafted label layout") {
+    // query 0 (label 1); ranks by cosine to (1,0) are unambiguous:
+    // rank 1 = id 1 (label 2, wrong), rank 2 = id 2 (label 1, correct),
+    // rank 3 = id 3 (label 1, correct) -> first_correct = 2,
+    // mrr = 500000, hits = 2 of k=3 -> p = 666
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.999f, 0.01f), 2),
+      (2L, Array(0.9f, 0.2f), 1),
+      (3L, Array(0.5f, 0.6f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.retrievalEval(e, e.filter($"vec_id" === 0L), k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((0L, 2L, 500000L, 666L, 2L)), s"got ${r.toSeq}")
+    // a query whose label never appears reads all zeros
+    val e2 = e.union(Seq((9L, Array(0.0f, 1.0f), 5)).toDF("vec_id", "embedding", "label"))
+    val r2 = VectorOps.retrievalEval(e2, e2.filter($"vec_id" === 9L), k = 3)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(4))).head
+    assert(r2 == ((0L, 0L, 0L)), s"label-less query: $r2")
+  }
+
   test("embedding drift: zero on identical snapshots, exact micro-units on a hand shift") {
     // dyadic components -> 2^24 quantization exact -> the micro-unit
     // means are the textbook values with no rounding slack
