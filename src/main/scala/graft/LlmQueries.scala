@@ -961,6 +961,14 @@ object LlmQueries {
         graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
         bucket = 21600L * 1000000L)),
 
+    // event-rate anomaly: per-type daily-bucket counts (zero-filled
+    // over the full range — a dead stream is the anomaly that matters)
+    // gated by the exact median/MAD modified-z rule
+    "q_events_anomaly" -> ((s, dir) =>
+      graft.events.EventOps.rateAnomaly(
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        bucket = 86400L * 1000000L)),
+
     // curriculum order: length-decile buckets, shuffled within bucket,
     // global easy-to-hard positions
     "q_curriculum" -> ((s, dir) =>
@@ -5095,6 +5103,37 @@ object LlmQueries {
          |    md5('estream:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep_idx AS VARCHAR)))
          |    - 1 AS BIGINT) AS pos
          |FROM s ORDER BY doc_id, rep_idx""".stripMargin,
+
+    // rate anomaly: zero-filled daily buckets over generate_series,
+    // the robustOutliers median/MAD/z contract (incl. the
+    // VARCHAR-decimal rounding idiom for boundary-hitting z values)
+    "q_events_anomaly" ->
+      """WITH ev AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS b FROM events),
+        |counts AS (SELECT t, b, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |r AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM counts),
+        |frame AS (
+        |  SELECT ty.t, gs.b
+        |  FROM (SELECT DISTINCT t FROM counts) ty, r,
+        |       unnest(generate_series(r.lo, r.hi)) gs(b)
+        |),
+        |dense AS (
+        |  SELECT f.t, f.b, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+        |  FROM frame f LEFT JOIN counts c ON c.t = f.t AND c.b = f.b
+        |),
+        |m AS (SELECT t, quantile_cont(CAST(c AS DOUBLE), 0.5) AS med FROM dense GROUP BY 1),
+        |w AS (SELECT dense.*, m.med FROM dense JOIN m USING (t)),
+        |d AS (SELECT t, quantile_cont(abs(CAST(c AS DOUBLE) - med), 0.5) AS mad FROM w GROUP BY 1),
+        |f2 AS (
+        |  SELECT w.t, w.b, w.c, w.med, d.mad,
+        |    CASE WHEN d.mad > 0
+        |         THEN CAST(ROUND(CAST(CAST(0.6745 * (CAST(w.c AS DOUBLE) - w.med) / d.mad AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
+        |         ELSE 0.0 END AS z
+        |  FROM w JOIN d USING (t)
+        |)
+        |SELECT t AS event_type, b AS bucket_id, c,
+        |  ROUND(med, 6) AS med, ROUND(mad, 6) AS mad, z,
+        |  abs(z) > 3.5 AS is_anomaly
+        |FROM f2 ORDER BY 1, 2""".stripMargin,
 
     // event-mix drift: same integer-JS contract as q_source_drift;
     // bucket pairs formed by the b+1 self-join

@@ -325,6 +325,63 @@ object EventOps {
       .select(col("b").as("bucket_id"), col("n_types"), col("js_e12"))
   }
 
+  /** EVENT-RATE ANOMALY DETECTION — the robust-outlier contract
+    * ([[graft.text.CorpusOps.robustOutliers]]) applied to RATES: per
+    * event type, bucket the stream, take the exact median and MAD of
+    * the per-bucket counts, and flag buckets whose Iglewicz-Hoaglin
+    * modified z exceeds `cut` — the pager rule for "this event type
+    * spiked / went dark this interval".
+    *
+    * Buckets with NO events are materialized as zero-count rows over
+    * the [min, max] bucket range (a dead stream is the anomaly that
+    * matters most, and a median over only the present buckets would
+    * mask it) — the densification is a types × range frame from ONE
+    * 1-row min/max aggregate, never a scan. Counts are exact longs;
+    * median/MAD interpolate only at even counts where (a+b)/2 on
+    * integers is an exact double in both engines; z follows the
+    * robustOutliers rounding contract.
+    *
+    * Plan shape: one map-side-combined count to (type, bucket) grain,
+    * two tiny percentile aggregations over the bucket frame (range ×
+    * types rows, NOT events), one broadcast join back. Nothing
+    * event-sized shuffles twice.
+    *
+    * Returns (event_type, bucket_id, c, med, mad, z, is_anomaly).
+    */
+  def rateAnomaly(
+      events: DataFrame, bucket: Long, cut: Double = 3.5,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    require(cut > 0, s"cut must be positive, got $cut")
+    val counts = events
+      .select(expr(s"$tsCol div $bucket").as("b"), col(typeCol).as("t"))
+      .groupBy(col("t"), col("b")).agg(count(lit(1)).as("c"))
+    val range = counts.agg(min(col("b")).as("b_lo"), max(col("b")).as("b_hi"))
+    val frame = counts.select(col("t")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("t"), explode(expr("sequence(b_lo, b_hi)")).as("b"))
+    val dense = frame.join(counts, Seq("t", "b"), "left")
+      .select(col("t"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("x", col("c").cast("double"))
+    val med = dense.groupBy(col("t"))
+      .agg(expr("percentile(x, 0.5d)").as("med"))
+      .withColumnRenamed("t", "_t")
+    val withMed = dense.join(broadcast(med), col("t") === col("_t")).drop("_t")
+    val mad = withMed.withColumn("adev", abs(col("x") - col("med")))
+      .groupBy(col("t"))
+      .agg(expr("percentile(adev, 0.5d)").as("mad"))
+      .withColumnRenamed("t", "_t")
+    withMed.join(broadcast(mad), col("t") === col("_t")).drop("_t")
+      .withColumn("z",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (col("x") - col("med")) / col("mad"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("t").as(typeCol), col("b").as("bucket_id"), col("c"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("z"), (abs(col("z")) > cut).as("is_anomaly"))
+  }
+
   /** Ordered funnel: how many users complete step 1, then step 2
     * strictly after it within `within` ticks of it, then step 3
     * relative to step 2, and so on — EARLIEST-completion semantics

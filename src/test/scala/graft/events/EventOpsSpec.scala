@@ -262,4 +262,43 @@ class EventOpsSpec extends AnyFunSuite {
     assert(js == term(2, 4, 4, 4) + term(2, 4, 0, 4), s"js=$js")
     assert(js > 0)
   }
+
+  test("rateAnomaly: spike flagged, dead bucket zero-filled and flagged, steady type quiet") {
+    // type a: 2 events in buckets 0,1,3,4 and a 14-event SPIKE in
+    // bucket 2; type b: 1 event in every bucket except bucket 2 (the
+    // DEAD bucket the zero-fill must materialize). Daily analog with
+    // bucket = 10 ticks.
+    val rows =
+      (for (b <- Seq(0L, 1L, 3L, 4L); i <- 0 until 2)
+        yield ("a", b * 10 + i)) ++
+      (0 until 14).map(i => ("a", 20L + i % 10)) ++
+      Seq(0L, 1L, 3L, 4L).map(b => ("b", b * 10 + 5))
+    val e = rows.zipWithIndex
+      .map { case ((t, ts), i) => (i.toLong, t, ts) }
+      .toDF("event_id", "event_type", "ts")
+    val out = EventOps.rateAnomaly(e, bucket = 10L, cut = 3.5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getBoolean(6))).toMap
+    // frame is types x full range: 2 x 5 rows, incl. b's dead bucket
+    assert(out.size == 10, s"expected 10 dense rows, got ${out.size}")
+    // types a and b are MAD-degenerate by construction (a majority of
+    // identical counts -> MAD 0 -> the mad>0 guard reads z = 0, the
+    // documented robustOutliers behavior); here they pin the counts
+    // and the zero-fill, and type c below pins the z semantics
+    val aCounts = Seq(0L, 1L, 2L, 3L, 4L).map(b => out(("a", b))._1)
+    assert(aCounts == Seq(2L, 2L, 14L, 2L, 2L))
+    val bCounts = Seq(0L, 1L, 2L, 3L, 4L).map(b => out(("b", b))._1)
+    assert(bCounts == Seq(1L, 1L, 0L, 1L, 1L))
+    assert(out(("b", 2L))._1 == 0L, "dead bucket must be zero-filled")
+    // the z/flag semantics under a real MAD: type c with a genuine
+    // spread {1,2,3,4,100}: med 3, MAD 1, z(100) = 0.6745*97 = 65.4265
+    val c = (Seq((0L, 1), (1L, 2), (2L, 3), (3L, 4), (4L, 100))
+      .flatMap { case (b, n) => (0 until n).map(i => ("c", b * 10 + i % 10)) })
+      .zipWithIndex.map { case ((t, ts), i) => (1000L + i, t, ts) }
+      .toDF("event_id", "event_type", "ts")
+    val oc = EventOps.rateAnomaly(c, bucket = 10L, cut = 3.5).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(5), r.getBoolean(6))).toMap
+    assert(oc(4L)._1 == 65.4265 && oc(4L)._2, s"spike z: ${oc(4L)}")
+    assert(!oc(0L)._2 && !oc(1L)._2, "steady buckets must stay quiet")
+  }
 }
