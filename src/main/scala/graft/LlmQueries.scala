@@ -838,6 +838,24 @@ object LlmQueries {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_quantity"))),
 
+    // materialized-aggregate maintenance: the base/delta split's merged
+    // state must equal (and hash-match) the one-pass aggregate — the
+    // nightly-rescan killer, maintenance cost = delta scan + agg-sized
+    // join, the base is never read again
+    "q_mv_maintain" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = graft.rel.RelOps.distributiveAgg(
+        li.filter(col("l_orderkey") % 4 =!= 0), keys, "l_quantity")
+      val delta = graft.rel.RelOps.distributiveAgg(
+        li.filter(col("l_orderkey") % 4 === 0), keys, "l_quantity")
+      graft.rel.RelOps.mergeDistributiveAgg(base, delta, keys)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n_rows"), col("sum_v").as("sum_qty"),
+          col("min_v").as("min_qty"), col("max_v").as("max_qty"),
+          round(col("sum_v") / col("n_rows"), 6).as("avg_qty"))
+    }),
+
     "q_corpus_shuffle" -> ((s, dir) => OrderOps.shuffleOrder(docs(s, dir), salt = "shuf1")),
 
     // span-dedup REWRITE: every duplicated chunk occurrence except the
@@ -4769,6 +4787,18 @@ object LlmQueries {
         |  CAST(topk_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topk_share,
         |  CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
         |FROM a, t""".stripMargin,
+
+    // mv maintenance: the oracle is the ONE-PASS aggregate — the
+    // base/delta merge must be invisible (distributive algebra)
+    "q_mv_maintain" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  SUM(l_quantity) AS sum_qty,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // table stats: one UNION-of-aggregates per column, exact NDV
     "q_table_stats" -> {

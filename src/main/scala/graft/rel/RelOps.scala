@@ -39,6 +39,47 @@ object RelOps {
     }.toDF("col_name", "n_rows", "n_null", "ndv")
   }
 
+  /** MATERIALIZED-AGGREGATE DELTA MAINTENANCE — the warehouse
+    * capability that turns "rescan 100 TB nightly" into "aggregate the
+    * delta and merge": [[distributiveAgg]] computes the per-key
+    * (count, sum, min, max) state once per shard, and
+    * [[mergeDistributiveAgg]] combines two states by the aggregates'
+    * own algebra (count/sum by +, min/max by least/greatest — the
+    * DISTRIBUTIVE family; insert-only, as min/max cannot retract).
+    * Maintenance cost is the delta scan plus an aggregate-sized
+    * full-outer join — the base table is never read again. AVG and
+    * other algebraic aggregates derive from the merged state at the
+    * edge; a merged state is bit-equal to the one-pass aggregate
+    * whenever the summed values are exactly representable (integer
+    * grains, decimals), the same exactness contract the TPC-H anchors
+    * rely on.
+    */
+  def distributiveAgg(
+      df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(valueCol)).as("sum_v"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"))
+
+  /** Merge two [[distributiveAgg]] states (insert-only). Keys present
+    * on one side pass through; on both, the aggregate algebra applies.
+    */
+  def mergeDistributiveAgg(
+      base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val b = base.toDF(keys ++ Seq("n_a", "s_a", "mn_a", "mx_a"): _*)
+    val d = delta.toDF(keys ++ Seq("n_b", "s_b", "mn_b", "mx_b"): _*)
+    b.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n_rows"),
+        when(col("s_a").isNull, col("s_b"))
+          .when(col("s_b").isNull, col("s_a"))
+          .otherwise(col("s_a") + col("s_b")).as("sum_v"),
+        least(col("mn_a"), col("mn_b")).as("min_v"),
+        greatest(col("mx_a"), col("mx_b")).as("max_v")): _*)
+  }
+
   /** JOIN-KEY SKEW REPORT: the one-row summary that decides between a
     * plain shuffle join, AQE skew splitting, and explicit salting
     * (`q_salted_join`'s strategy) for a given key. `skew_ratio` is the

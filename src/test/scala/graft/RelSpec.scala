@@ -47,6 +47,27 @@ class RelSpec extends AnyFunSuite {
     assert(bucketed == plain && bucketed.nonEmpty)
   }
 
+  test("mergeDistributiveAgg: merged state == one-pass aggregate; one-sided keys pass through") {
+    import spark.implicits._
+    val rows = Seq(
+      ("x", 1.0), ("x", 5.0), ("y", 2.0), ("y", 2.0), ("z", 9.0)
+    ).toDF("k", "v")
+    val base = graft.rel.RelOps.distributiveAgg(
+      rows.filter($"v" < 5.0), Seq("k"), "v")   // x:1, y:2,2
+    val delta = graft.rel.RelOps.distributiveAgg(
+      rows.filter($"v" >= 5.0), Seq("k"), "v")  // x:5, z:9
+    val merged = graft.rel.RelOps.mergeDistributiveAgg(base, delta, Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val onePass = graft.rel.RelOps.distributiveAgg(rows, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(merged == onePass, s"merged $merged vs one-pass $onePass")
+    // z exists only in the delta; its state must pass through intact
+    assert(merged("z") == ((1L, 9.0, 9.0, 9.0)))
+    assert(merged("x") == ((2L, 6.0, 1.0, 5.0)))
+  }
+
   test("tableStats: exact rows/nulls/NDV on a hand table") {
     import spark.implicits._
     val df = Seq(
