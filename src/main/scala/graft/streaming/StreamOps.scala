@@ -660,6 +660,30 @@ object StreamOps {
     * sidecar, so a stream can never band differently than the index
     * it probes.
     */
+  /** STREAMING SKETCH INGEST — the live half of the persisted HLL
+    * store ([[graft.io.SketchIO]]): each arriving micro-batch is
+    * sketched under the store's pinned parameters and its register
+    * rows appended via `foreachBatch`. Structured Streaming's
+    * `foreachBatch` is AT-LEAST-ONCE on failure/replay — and that is
+    * EXACTLY the delivery guarantee this sink needs, because the
+    * read-side max-merge is idempotent: a replayed batch re-appends
+    * identical register rows that change no estimate. The
+    * exactly-once engineering (transactional sinks, batch-id
+    * bookkeeping) that most streaming aggregates require is made
+    * unnecessary by the sketch's algebra, which is the whole reason a
+    * 100 TB ingest pipeline ships registers instead of counts.
+    */
+  def streamingSketchIngest(
+      spark: SparkSession, indexPath: String, incoming: DataFrame)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.io.SketchIO.storedNgram(indexPath) // loud sidecar gate up front
+    incoming.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.SketchIO.appendToSketch(batch, indexPath)
+      }
+      .start()
+  }
+
   /** STREAMING ANN-INDEX PROBE — the live half of the persisted IVF
     * pipeline ([[graft.io.AnnIndexIO]]), mirroring
     * [[streamingIndexProbe]]'s contract for vectors: query embeddings

@@ -688,6 +688,33 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unhonorable broadcast hints:\n${offenders.mkString("\n")}")
   }
 
+  test("round-12 bands: silhouette broadcast pass, drift partial agg, mv-merge join shapes") {
+    // silhouette: the k seeds broadcast; the corpus never self-joins
+    val sil = LlmQueries.all("q_cluster_silhouette")(spark, dir)
+    sil.collect()
+    val pSil = plan(sil).split("== Initial Plan ==")(0)
+    assert(pSil.contains("BroadcastNestedLoopJoin") || pSil.contains("BroadcastExchange"),
+      s"silhouette must broadcast the seed side:\n${pSil.take(2000)}")
+    assert(!pSil.contains("SortMergeJoin"),
+      s"corpus-sized join in silhouette:\n${pSil.take(2000)}")
+    // embedding drift: both posexplode passes partial-aggregate before
+    // their one shuffle (labels x dims rows, never corpus-sized)
+    val drift = LlmQueries.all("q_embed_drift")(spark, dir)
+    drift.collect()
+    val pDrift = plan(drift).split("== Initial Plan ==")(0)
+    assert(pDrift.contains("partial_sum") || pDrift.contains("partial"),
+      s"drift lost map-side combine:\n${pDrift.take(2000)}")
+    assert(!pDrift.contains("CartesianProduct"))
+    // mv maintenance: the merge is a FULL OUTER join of two aggregate
+    // states — full outer survives optimization (it cannot broadcast,
+    // and must never degrade to a cartesian)
+    import org.apache.spark.sql.catalyst.plans.{FullOuter => FO}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val mvTypes = LlmQueries.all("q_mv_maintain")(spark, dir)
+      .queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(mvTypes.contains(FO), s"mv merge lost its full-outer join: $mvTypes")
+  }
+
   test("unigram memo: segment and encode never retrain once training ran") {
     // The artifact-sharing contract (r11 verdict #4): after
     // q_unigram_train populates ugMemo, the segment/encode endpoints

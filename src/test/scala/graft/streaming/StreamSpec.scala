@@ -1069,4 +1069,37 @@ class StreamSpec extends AnyFunSuite {
     assert(streamedTopK == batch && streamedTopK.nonEmpty,
       s"streamed-then-cut ${streamedTopK.size} rows vs batch ${batch.size}")
   }
+
+  test("streaming sketch ingest: file-drop shards land in the store; estimate equals one pass") {
+    // base shard -> store; the rest streams in as two file drops via
+    // foreachBatch appends. The store's estimate after the stream must
+    // equal ONE pass over the whole corpus — and because max-merge is
+    // idempotent, at-least-once replay of a batch could never change
+    // it (the delivery guarantee foreachBatch actually provides is
+    // exactly the one the sketch algebra needs).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val s1 = docs.filter(col("doc_id") % 3 === 1)
+    val s2 = docs.filter(col("doc_id") % 3 === 2)
+    val store = java.nio.file.Files.createTempDirectory("graft-sksi").toString
+    graft.io.SketchIO.writeSketch(base, store, n = 3)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sksi-src").toString
+    s1.coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = graft.streaming.StreamOps.streamingSketchIngest(spark, store, src)
+    try {
+      q.processAllAvailable()
+      s2.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = graft.io.SketchIO.estimateFromStore(spark, store)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val onePass = graft.text.TextOps.hllEstimate(
+        graft.text.TextOps.hllShingleRegisters(docs, n = 3))
+      .select(col("source"), round(col("est"), 4).as("hll_est"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(stored == onePass && stored.nonEmpty,
+      s"stored ${stored.size} sources vs one-pass ${onePass.size}")
+  }
 }
