@@ -838,6 +838,13 @@ object LlmQueries {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_quantity"))),
 
+    // equi-depth histogram: rank-range buckets with exact [lo, hi]
+    // envelopes — the CBO's range-selectivity statistic, built on the
+    // two-pass global-position machinery (no single-partition window)
+    "q_equidepth_hist" -> ((s, dir) =>
+      OrderOps.equiDepthHistogram(docs(s, dir), "n_chars", "doc_id",
+        buckets = 8)),
+
     // materialized-aggregate maintenance: the base/delta split's merged
     // state must equal (and hash-match) the one-pass aggregate — the
     // nightly-rescan killer, maintenance cost = delta scan + agg-sized
@@ -4787,6 +4794,18 @@ object LlmQueries {
         |  CAST(topk_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topk_share,
         |  CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
         |FROM a, t""".stripMargin,
+
+    // equi-depth histogram: the oracle's window replays the exact
+    // (value, id) global order; bucket = pos*B // n rank ranges
+    "q_equidepth_hist" ->
+      """WITH r AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+        |  FROM documents
+        |), nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT (pos * 8) // n AS bucket,
+        |  MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM r, nn GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mv maintenance: the oracle is the ONE-PASS aggregate — the
     // base/delta merge must be invisible (distributive algebra)

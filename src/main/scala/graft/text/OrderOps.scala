@@ -398,6 +398,33 @@ object OrderOps {
     (spark.createDataFrame(rows, schema), n)
   }
 
+  /** EQUI-DEPTH HISTOGRAM — the other half of the CBO statistics pair
+    * next to `RelOps.tableStats`: `buckets` rank-range buckets of
+    * (value, id) order, each carrying its exact [lo, hi] envelope and
+    * count — what a cost model reads to estimate range-predicate
+    * selectivity on skewed columns where NDV alone misleads. Bucket
+    * membership is `pos·B div n` over the EXACT global position (the
+    * same two narrow range-sort passes as the packing/curriculum
+    * family — no single-partition window, shuffle files reused across
+    * the two passes), so ties split deterministically by the id
+    * tiebreak and every bucket holds ⌊n/B⌋ or ⌈n/B⌉ rows by
+    * construction. All integers; the value envelopes are exact column
+    * values, never interpolations.
+    */
+  def equiDepthHistogram(
+      df: DataFrame, valueCol: String, idCol: String, buckets: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("v"))
+    val (pos, n) = globalPositions(
+      base, Seq(col("v"), col("id")), Seq("id", "v"), reliable)
+    pos.withColumn("bucket", expr(s"(pos * $buckets) div $n"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("cnt"))
+  }
+
   /** PADDING-WASTE REPORT — the batching-efficiency decision table a
     * training pipeline reads before choosing its collation strategy.
     * Documents are truncated to `capacity` tokens; three strategies

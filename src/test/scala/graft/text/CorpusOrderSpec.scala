@@ -681,4 +681,25 @@ class CorpusOrderSpec extends AnyFunSuite {
     // deterministic across partitionings
     assert(run(docs.repartition(7)).toSeq == r.toSeq)
   }
+
+  test("equiDepthHistogram: rank-range depths, ordered exact envelopes, tie splits, partition-invariance") {
+    // 10 values with heavy ties; B = 4 -> depths must be 3,3,2,2 and
+    // the tied value 5 splits across buckets by the id tiebreak
+    val d = Seq(
+      (0L, 5L), (1L, 1L), (2L, 5L), (3L, 9L), (4L, 5L),
+      (5L, 2L), (6L, 5L), (7L, 7L), (8L, 5L), (9L, 3L)
+    ).toDF("doc_id", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      OrderOps.equiDepthHistogram(df, "n_chars", "doc_id", buckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val h = run(d)
+    // sorted values: 1,2,3,5,5,5,5,5,7,9 -> pos*4 div 10 buckets of
+    // depth 3,2,3,2
+    assert(h.map(_._4) == Seq(3L, 2L, 3L, 2L), s"depths: $h")
+    // envelopes are exact values and non-decreasing across buckets
+    assert(h == Seq((0L, 1L, 3L, 3L), (1L, 5L, 5L, 2L),
+      (2L, 5L, 5L, 3L), (3L, 7L, 9L, 2L)), s"got $h")
+    assert(run(d.repartition(5)) == h, "partitioning changed the histogram")
+  }
 }
