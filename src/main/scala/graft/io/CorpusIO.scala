@@ -73,6 +73,34 @@ object CorpusIO {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
 
+  /** CSV twin of the JSONL pair — the OTHER interchange format corpus
+    * drops arrive in (spreadsheet exports, warehouse UNLOADs). Same
+    * contract exactly: explicit schema (never inference), PERMISSIVE
+    * mode with the malformed line captured intact in the corrupt
+    * column, line-parallel scan (multiLine stays off — a 100 TB CSV
+    * with embedded newlines cannot split by line and should be
+    * re-exported, not limped through). [[quarantine]] and
+    * [[ingestReport]] are format-agnostic and serve both readers,
+    * full-schema guard included.
+    */
+  def writeCsv(docs: DataFrame, path: String): Unit =
+    docs.write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("header", "true")
+      .csv(path)
+
+  /** The parsed CSV corpus alone — pair with [[ingestReport]], as with
+    * the JSONL form, so the drop is never silent.
+    */
+  def readCsvClean(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path).filter(col(corruptCol).isNull).drop(corruptCol)
+
   /** The raw text of every unparseable line, for replay or
     * quarantine. The projection keeps `doc_id` alongside the corrupt
     * column because Spark (SPARK-38523 contract) refuses a query over
@@ -80,14 +108,25 @@ object CorpusIO {
     * record column — co-projecting a parsed column is the sanctioned
     * shape.
     */
-  def quarantine(lines: DataFrame): DataFrame =
-    lines.filter(col(corruptCol).isNotNull)
+  def quarantine(lines: DataFrame): DataFrame = {
+    // FULL-SCHEMA GUARD (the ingestReport contract): without it,
+    // required-schema pruning parses only (doc_id, corrupt), and a row
+    // malformed ONLY in an unreferenced column (a CSV n_chars that
+    // fails to coerce, say) parses clean under the pruned schema and
+    // silently escapes quarantine while readCsvClean/readJsonlClean —
+    // full schema in play — drop it.
+    val parsedCols = lines.columns.filterNot(_ == corruptCol).map(col).toSeq
+    val touchAll =
+      if (parsedCols.isEmpty) lit(true)
+      else hash(parsedCols: _*) >= lit(Int.MinValue)
+    lines.filter(col(corruptCol).isNotNull && touchAll)
       // coalesce keeps a GENUINE doc_id reference in the plan even if
       // the caller projects raw_line alone — column pruning cannot
       // reduce the scan to the corrupt column only (the filter already
       // guarantees the corrupt branch wins, so values are unchanged)
       .select(col("doc_id"),
         coalesce(col(corruptCol), col("doc_id").cast("string")).as("raw_line"))
+  }
 
   /** One-row ingest health report: total lines, parsed lines, corrupt
     * lines, and parsed lines missing the primary key (a line can be

@@ -53,6 +53,39 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(good.toSeq == Seq((1L, "good one"), (2L, "good two")))
   }
 
+  test("csv roundtrip preserves the documents table; malformed rows account under the same contract") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    CorpusIO.writeCsv(docs, dir)
+    val back = CorpusIO.readCsvClean(spark, dir)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(key(back).toSeq == key(docs).toSeq)
+    // hand shard: 2 good rows, a type-corrupt n_chars, a short row
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-csv2").toString
+    val lines = Seq(
+      "doc_id,text,lang,source,n_chars",
+      "1,good one,en,web,8",
+      "2,good two,de,book,8",
+      "3,bad count,en,web,notanumber",
+      "4,short row,en")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/part-00000.csv"), lines.mkString("\n"))
+    val all = CorpusIO.readCsv(spark, dir2)
+    val rep = CorpusIO.ingestReport(all).head()
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) == ((4L, 2L, 2L)),
+      s"report: $rep")
+    // quarantine carries the raw malformed rows for replay
+    val bad = CorpusIO.quarantine(all)
+      .select(col("raw_line")).collect().map(_.getString(0)).sorted
+    assert(bad.toSeq == Seq("3,bad count,en,web,notanumber", "4,short row,en").sorted,
+      s"quarantine: ${bad.toSeq}")
+    val good = CorpusIO.readCsvClean(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(good.toSeq == Seq((1L, "good one"), (2L, "good two")))
+  }
+
   test("streaming ingest report converges to the batch report as shards arrive") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl3").toString
     java.nio.file.Files.writeString(
