@@ -230,4 +230,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(padded("sorted") <= padded("naive"),
       "length-bucketing must not pad more than naive batching")
   }
+
+  test("round-12 state shapes are corpus-size-free at both scales") {
+    // sketch store: the READ-side state is sources x <= 256 register
+    // rows no matter how much corpus was sketched — the property that
+    // lets a 100 TB history answer from kilobytes
+    val d10x = graft.ScaleData.replicateDocuments(d1, 10)
+    for (d <- Seq(d1, d10x)) {
+      val store = java.nio.file.Files.createTempDirectory("graft-sc-sk").toString
+      graft.io.SketchIO.writeSketch(d, store, n = 3)
+      val m = graft.io.SketchIO.mergedRegisters(spark, store)
+      val perSource = m.groupBy("source").count().collect().map(_.getLong(1))
+      assert(perSource.nonEmpty && perSource.forall(_ <= 256L),
+        s"register table outgrew 256/source: max ${perSource.max}")
+    }
+    // equi-depth histogram: depths are floor/ceil(n/B) BY CONSTRUCTION
+    // at any corpus size — the rank-range definition, not data luck
+    for (d <- Seq(d1, d10x)) {
+      val n = d.count()
+      val h = OrderOps.equiDepthHistogram(d, "n_chars", "doc_id", buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      assert(h.length == 8)
+      val (lo, hi) = (n / 8, n / 8 + (if (n % 8 == 0) 0 else 1))
+      assert(h.forall { case (_, c) => c == lo || c == hi },
+        s"equi-depth violated at n=$n: ${h.mkString(",")}")
+    }
+    // mv maintenance: the merge's inputs are AGGREGATE-sized (distinct
+    // key combinations), never corpus-sized, at both scales
+    val li1 = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val li10 = spark.read.parquet("/root/repo/testdata-x10/lineitem.parquet")
+    for (li <- Seq(li1, li10)) {
+      val st = graft.rel.RelOps.distributiveAgg(
+        li, Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      assert(st.count() <= 9L, "aggregate state outgrew the key domain")
+    }
+  }
 }
