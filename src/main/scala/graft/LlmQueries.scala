@@ -360,6 +360,12 @@ object LlmQueries {
     "q_dedup_embed_cosine" -> ((s, dir) =>
       VectorOps.cosineDupPairs(embeddings(s, dir).filter(col("vec_id") < PairLimit), 0.2)),
 
+    // dedup impact report: per-source exact vs near removal counts —
+    // the decision table read before committing a dedup config
+    "q_dedup_report" -> ((s, dir) =>
+      TextOps.dedupImpactReport(
+        docs(s, dir).filter(col("doc_id") < PairLimit))),
+
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       // rows-only: LSH recall < 1 by construction; invariants in
       // TextVectorSpec (candidates are a subset of exact pairs)
@@ -3089,6 +3095,43 @@ object LlmQueries {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> sqlMinhashLsh(64, 16, 0.95),
+
+    // dedup impact: the minhash pair CTEs reduced to per-source
+    // removal counts — near-removals are the distinct greater pair
+    // ids (keep-smallest), exact removals the non-keeper digest rows
+    "q_dedup_report" ->
+      s"""WITH ${sqlMinhashCtes(64, 16)},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
+         |),
+         |cohort AS (
+         |  SELECT doc_id AS id, source, md5(text) AS h
+         |  FROM documents WHERE doc_id < $PairLimit
+         |),
+         |ex AS (
+         |  SELECT c.source, COUNT(*) AS n_exact_removed
+         |  FROM cohort c
+         |  JOIN (SELECT h, MIN(id) AS keeper FROM cohort GROUP BY 1) k
+         |    ON k.h = c.h
+         |  WHERE c.id <> k.keeper GROUP BY 1
+         |),
+         |nd AS (
+         |  SELECT c.source, COUNT(*) AS n_near_removed
+         |  FROM (SELECT DISTINCT id_b AS id FROM pairs) p
+         |  JOIN cohort c ON c.id = p.id GROUP BY 1
+         |),
+         |base AS (SELECT source, COUNT(*) AS n_docs FROM cohort GROUP BY 1)
+         |SELECT b.source, b.n_docs,
+         |  CAST(COALESCE(ex.n_exact_removed, 0) AS BIGINT) AS n_exact_removed,
+         |  CAST(COALESCE(nd.n_near_removed, 0) AS BIGINT) AS n_near_removed,
+         |  CAST(COALESCE(ex.n_exact_removed, 0) AS DOUBLE) / b.n_docs AS exact_frac,
+         |  CAST(COALESCE(nd.n_near_removed, 0) AS DOUBLE) / b.n_docs AS near_frac
+         |FROM base b
+         |LEFT JOIN ex ON ex.source = b.source
+         |LEFT JOIN nd ON nd.source = b.source
+         |ORDER BY 1""".stripMargin,
 
     // banding quality: same candidate CTEs as q_dedup_minhash_lsh plus
     // the full exact pair join, reduced to one summary row

@@ -568,6 +568,49 @@ object TextOps {
     verifyJaccardCandidates(tok, cand, threshold)
   }
 
+  /** DEDUP IMPACT REPORT — the per-source removal summary a data team
+    * reads BEFORE committing a dedup configuration: for each source,
+    * how many documents an exact dedup (keep the smallest id per text
+    * digest) would remove, and how many a keep-smallest near-dedup at
+    * the given MinHash-LSH threshold would remove — the numbers that
+    * decide whether a source is boilerplate-ridden enough to warrant
+    * the near-dup pass at all. Near-removals count the GREATER id of
+    * each verified pair (the keep-smallest contract shared with
+    * [[dedupKeepers]] / SemDeDup); exact and near counts are
+    * independent readouts of their respective strategies, not stages
+    * of one pipeline. Cost: one digest aggregation plus the one
+    * [[minhashLshPairs]] pass — bucketed, never all-pairs.
+    *
+    * Returns (source, n_docs, n_exact_removed, n_near_removed,
+    * exact_frac, near_frac), fractions as single IEEE divisions of
+    * < 2^53 integers.
+    */
+  def dedupImpactReport(
+      docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.95, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val cohort = docs.select(col(idCol).cast("long").as("id"),
+      col(srcCol).as("source"), md5(col(textCol)).as("h"))
+    val keepers = cohort.groupBy(col("h")).agg(min(col("id")).as("keeper"))
+    val exact = cohort.join(keepers, "h")
+      .filter(col("id") =!= col("keeper"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact_removed"))
+    val near = minhashLshPairs(docs, numHashes, bands, threshold, idCol, textCol)
+      .select(col("id_b").as("id")).distinct()
+      .join(cohort.select(col("id"), col("source")), "id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_near_removed"))
+    cohort.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(exact, Seq("source"), "left")
+      .join(near, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_exact_removed"), lit(0L)).as("n_exact_removed"),
+        coalesce(col("n_near_removed"), lit(0L)).as("n_near_removed"))
+      .withColumn("exact_frac",
+        col("n_exact_removed").cast("double") / col("n_docs"))
+      .withColumn("near_frac",
+        col("n_near_removed").cast("double") / col("n_docs"))
+  }
+
   /** The LSH CANDIDATE stage of [[minhashLshPairs]] alone — banding
     * bucket-join output before exact verification. Exposed so the
     * banding's measured quality (precision of its candidates, recall of

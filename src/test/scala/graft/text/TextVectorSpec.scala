@@ -854,6 +854,25 @@ class TextVectorSpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff rows disagree with nearest-seed kmeans")
   }
 
+  test("dedup impact report: exact and near removals counted per source, keep-smallest") {
+    // s1: doc 2 is an exact copy of doc 1 (same digest); doc 3 is
+    // token-identical but digest-different (trailing space) — a
+    // near-dup (jaccard 1.0) that exact dedup misses. s2 is clean.
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq(
+      (1L, t, "s1"), (2L, t, "s1"), (3L, t + " ", "s1"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.dedupImpactReport(d).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5)))
+      .toMap
+    // exact: only doc 2 (doc 3's digest differs); near: pairs
+    // (1,2),(1,3),(2,3) all verify at 1.0 -> greater ids {2,3}
+    assert(r("s1") == ((3L, 1L, 2L, 1.0 / 3, 2.0 / 3)), s"s1: ${r("s1")}")
+    assert(r("s2") == ((1L, 0L, 0L, 0.0, 0.0)), s"s2: ${r("s2")}")
+  }
+
   test("retrieval eval: exact integer MRR and precision@k on a crafted label layout") {
     // query 0 (label 1); ranks by cosine to (1,0) are unambiguous:
     // rank 1 = id 1 (label 2, wrong), rank 2 = id 2 (label 1, correct),
