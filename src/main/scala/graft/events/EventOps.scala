@@ -348,14 +348,28 @@ object EventOps {
     *
     * Returns (event_type, bucket_id, c, med, mad, z, is_anomaly).
     */
+  /** The COUNT stage of [[rateAnomaly]] alone — (t, b, c) per type and
+    * bucket. Split out because groupBy+count is STREAMING-LEGAL: the
+    * same expression tree over a `readStream` source in Complete mode
+    * is the live rate monitor whose output converges to the batch
+    * counts (StreamSpec pins the parity), so the anomaly gate's input
+    * is watchable while events arrive — the median/MAD cut itself
+    * stays a batch pass over the types × range frame.
+    */
+  def eventRateCounts(
+      events: DataFrame, bucket: Long,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    events
+      .select(expr(s"$tsCol div $bucket").as("b"), col(typeCol).as("t"))
+      .groupBy(col("t"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
   def rateAnomaly(
       events: DataFrame, bucket: Long, cut: Double = 3.5,
       typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
-    require(bucket > 0, s"bucket must be positive, got $bucket")
     require(cut > 0, s"cut must be positive, got $cut")
-    val counts = events
-      .select(expr(s"$tsCol div $bucket").as("b"), col(typeCol).as("t"))
-      .groupBy(col("t"), col("b")).agg(count(lit(1)).as("c"))
+    val counts = eventRateCounts(events, bucket, typeCol, tsCol)
     val range = counts.agg(min(col("b")).as("b_lo"), max(col("b")).as("b_hi"))
     val frame = counts.select(col("t")).distinct()
       .crossJoin(broadcast(range))

@@ -652,6 +652,34 @@ class StreamSpec extends AnyFunSuite {
       s"streamed registers diverge from batch:\n$streamed\n$batch")
   }
 
+  test("event-rate counts stream in complete mode and converge to the batch counts") {
+    // the anomaly gate's input is a streaming-legal groupBy+count —
+    // the live rate monitor: streamed (type, bucket) counts across
+    // micro-batches must equal one batch pass over the same events
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rate-stream").toFile
+    val ev = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("event_id"), col("event_type"), col("ts"))
+    ev.repartition(2).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1) // force multi-batch merging
+      .parquet(srcDir.getAbsolutePath)
+    val q = graft.events.EventOps.eventRateCounts(src, bucket = 86400L * 1000000L)
+      .writeStream.format("memory").queryName("rate_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = key(spark.table("rate_stream"))
+    val batch = key(graft.events.EventOps.eventRateCounts(ev, bucket = 86400L * 1000000L))
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} count rows vs batch ${batch.size}")
+  }
+
   test("streaming funnel depth updates reproduce the batch funnel counts") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-funnel-stream").toFile
