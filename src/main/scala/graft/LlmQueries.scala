@@ -3456,14 +3456,14 @@ object LlmQueries {
         |),
         |mu AS (
         |  SELECT a.label, a.dim, a.n_old, b.n_new,
-        |    CASE WHEN a.s >= 0
-        |      THEN  ((2 * a.s * 1000000 + a.n_old * 16777216) // (2 * a.n_old * 16777216))
-        |      ELSE -((2 * (-a.s) * 1000000 + a.n_old * 16777216) // (2 * a.n_old * 16777216))
-        |    END AS m_old,
-        |    CASE WHEN b.s >= 0
-        |      THEN  ((2 * b.s * 1000000 + b.n_new * 16777216) // (2 * b.n_new * 16777216))
-        |      ELSE -((2 * (-b.s) * 1000000 + b.n_new * 16777216) // (2 * b.n_new * 16777216))
-        |    END AS m_new
+        |    CAST(CASE WHEN a.s >= 0
+        |      THEN  ((2 * CAST(a.s AS HUGEINT) * 1000000 + CAST(a.n_old AS HUGEINT) * 16777216) // (2 * CAST(a.n_old AS HUGEINT) * 16777216))
+        |      ELSE -((2 * CAST(-a.s AS HUGEINT) * 1000000 + CAST(a.n_old AS HUGEINT) * 16777216) // (2 * CAST(a.n_old AS HUGEINT) * 16777216))
+        |    END AS BIGINT) AS m_old,
+        |    CAST(CASE WHEN b.s >= 0
+        |      THEN  ((2 * CAST(b.s AS HUGEINT) * 1000000 + CAST(b.n_new AS HUGEINT) * 16777216) // (2 * CAST(b.n_new AS HUGEINT) * 16777216))
+        |      ELSE -((2 * CAST(-b.s AS HUGEINT) * 1000000 + CAST(b.n_new AS HUGEINT) * 16777216) // (2 * CAST(b.n_new AS HUGEINT) * 16777216))
+        |    END AS BIGINT) AS m_new
         |  FROM ma a JOIN mb b ON a.label = b.label AND a.dim = b.dim
         |)
         |SELECT label, MAX(n_old) AS n_old, MAX(n_new) AS n_new,
@@ -5011,14 +5011,16 @@ object LlmQueries {
     // ROUND rounds negative halves AWAY from zero while Java floors
     // them toward +inf, and float-derived half-units are common (any
     // component whose last mantissa bit sits below the unit grid).
-    // HUGEINT pair-product sums. The 6-dp face is integer-exact end
-    // to end: cov_micro = round_half_away(num*1e6 / (n^2*2^48)) via
+    // HUGEINT pair-product sums. The face is integer-exact end to
+    // end: cov_micro = round_half_away(num*1e6 / (n^2*2^48)) via
     // sign * ((2*|num|*1e6 + D) // (2*D)) — HUGEINT `//` truncates,
     // which on non-negative operands is the same quotient BigInteger
-    // computes on the Spark side; the only double is the final exact
-    // cov_micro/1e6 division. (A hugeint->double cast of the ~2^70
-    // numerator is NOT correctly rounded on every engine version —
-    // the r11 hash-fail.)
+    // computes on the Spark side. The HASHED face carries no DECIMAL
+    // and no DOUBLE: spp travels as VARCHAR and the covariance as
+    // BIGINT micro-units (DECIMAL(38,0) canonicalizes differently
+    // between a Spark parquet dump and a DuckDB result — the r12
+    // hash-fail; a hugeint->double cast of the ~2^70 numerator is
+    // not correctly rounded on every engine version — the r11 one.)
     "q_embed_covariance" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |u AS (
@@ -5044,11 +5046,11 @@ object LlmQueries {
         |  JOIN s sj ON sj.i = g.j
         |  CROSS JOIN nn
         |)
-        |SELECT i, j, n, CAST(spp AS DECIMAL(38,0)) AS spp,
+        |SELECT i, j, n, CAST(spp AS VARCHAR) AS spp,
         |  CAST(CASE WHEN num < 0
         |    THEN -((2 * (-num) * 1000000 + d) // (2 * d))
         |    ELSE  ((2 * num    * 1000000 + d) // (2 * d)) END
-        |  AS DOUBLE) / 1000000.0 AS cov
+        |  AS BIGINT) AS cov_micro
         |FROM c
         |ORDER BY i, j""".stripMargin,
 

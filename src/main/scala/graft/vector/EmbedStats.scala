@@ -147,8 +147,11 @@ object EmbedStats {
     * A hugeint→double cast of the ~2^70 numerator is NOT part of the
     * chain: that conversion is not guaranteed correctly rounded and
     * differs across DuckDB versions (the r11 hash-fail root cause).
-    * Returns (i, j, n, spp, cov) where spp is the exact pair-product
-    * sum in decimal(38,0) — the hash-matchable face.
+    * Returns (i, j, n, spp, cov_micro) where spp is the exact
+    * pair-product sum as a decimal STRING and cov_micro the covariance
+    * in BIGINT micro-units — the hash-matchable face carries no
+    * DECIMAL or DOUBLE column at all (cross-engine DECIMAL
+    * canonicalization was the r10–r12 hash-fail root cause).
     */
   def embedCovariance(
       embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
@@ -175,8 +178,16 @@ object EmbedStats {
         // round-half-away-from-zero of num*1e6/D, pure integers.
         val q = num.abs.multiply(micro).shiftLeft(1).add(dBig).divide(twoD)
         val covMicro = if (num.signum < 0) q.negate else q
-        val cov = covMicro.doubleValue / 1e6
-        rows += Row(i.toLong, j.toLong, n, new java.math.BigDecimal(g(k)), cov)
+        // Hashed face is DECIMAL- and DOUBLE-free BY DESIGN: spp (the
+        // exact pair-product sum, potentially > 2^63) travels as its
+        // decimal STRING, and the covariance as BIGINT micro-units —
+        // a DECIMAL(38,0) output column canonicalizes differently
+        // between a Spark parquet dump and a DuckDB HUGEINT result
+        // even when the values are identical (three rounds of
+        // driver-hash evidence), while strings and longs round-trip
+        // bit-for-bit. cov_micro ≤ 10^6·|x|²_max, checked exact.
+        rows += Row(i.toLong, j.toLong, n, g(k).toString,
+          covMicro.longValueExact)
         j += 1; k += 1
       }
       i += 1
@@ -184,8 +195,8 @@ object EmbedStats {
     val schema = StructType(Seq(
       StructField("i", LongType), StructField("j", LongType),
       StructField("n", LongType),
-      StructField("spp", DecimalType(38, 0)),
-      StructField("cov", DoubleType)))
+      StructField("spp", StringType),
+      StructField("cov_micro", LongType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }

@@ -589,11 +589,18 @@ object VectorOps {
         .withColumn("p",
           floor(col("x") * lit(16777216.0) + lit(0.5)).cast("long"))
         .groupBy(col("label"), col("dim"))
-        .agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("s"), count(lit(1)).as("n"))
+        // the mean numerator is widened to DECIMAL(38,0) BEFORE the
+        // 2·s·10^6 cross-multiply (oracle mirrors with HUGEINT):
+        // a BIGINT `2*s*1000000` overflows once a (label, dim) group
+        // holds ~2^17 unit-scale rows — far below corpus scale.
+        // Spark's `div` on decimals emits BIGINT, which the micro-unit
+        // MEAN (≤ 8·10^6) always fits.
         .withColumn("m_u", expr(
           """CASE WHEN s >= 0
-            |  THEN  ((2 * s * 1000000 + n * 16777216) div (2 * n * 16777216))
-            |  ELSE -((2 * (-s) * 1000000 + n * 16777216) div (2 * n * 16777216))
+            |  THEN  ((2 * s * 1000000 + CAST(n AS DECIMAL(38,0)) * 16777216) div (2 * CAST(n AS DECIMAL(38,0)) * 16777216))
+            |  ELSE -((2 * (-s) * 1000000 + CAST(n AS DECIMAL(38,0)) * 16777216) div (2 * CAST(n AS DECIMAL(38,0)) * 16777216))
             |END""".stripMargin))
         .select(col("label"), col("dim"), col("n"), col("m_u"))
     val a = means(oldSnap).toDF("label", "dim", "n_old", "m_old")
@@ -603,6 +610,9 @@ object VectorOps {
       .groupBy(col("label"))
       .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
         sum(col("d_u")).as("l1_drift_u"), max(col("d_u")).as("linf_drift_u"))
+      // report face: the oracle ends ORDER BY 1 and the driver's hash
+      // is row-order-sensitive — a bare groupBy emits shuffle order.
+      .orderBy(col("label"))
   }
 
   /** SIMPLIFIED SILHOUETTE of the nearest-seed clustering — the

@@ -23,13 +23,15 @@ class EmbedStatsSpec extends AnyFunSuite {
       (1L, Array(0.0f, 0.5f)),
       (2L, Array(-1.0f, 0.5f))).toDF("vec_id", "embedding")
     val cov = EmbedStats.embedCovariance(e).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
-    assert(cov((0L, 0L)) == 0.666667) // E[x^2] - 0 = 2/3
-    assert(cov((0L, 1L)) == 0.0)      // dim 1 constant
-    assert(cov((1L, 1L)) == 0.0)
-    // the exact integer face: spp(0,0) = 2 * 2^48
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(cov((0L, 0L)) == 666667L) // E[x^2] - 0 = 2/3, micro-units
+    assert(cov((0L, 1L)) == 0L)      // dim 1 constant
+    assert(cov((1L, 1L)) == 0L)
+    // the exact integer face: spp(0,0) = 2 * 2^48 (decimal string —
+    // the hashed face is DECIMAL- and DOUBLE-free by design)
     val spp = EmbedStats.embedCovariance(e).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(3).toBigInteger).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        new java.math.BigInteger(r.getString(3))).toMap
     assert(spp((0L, 0L)) == java.math.BigInteger.valueOf(2L << 48))
   }
 
@@ -52,8 +54,8 @@ class EmbedStatsSpec extends AnyFunSuite {
   test("integer sums are partitioning-invariant (order-free proof)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def face(parts: Int) = EmbedStats.embedCovariance(e.repartition(parts))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(3).toString,
-        r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
     assert(face(1) == face(7))
   }
 
