@@ -828,7 +828,7 @@ object LlmQueries {
         graft.io.BucketedIO.writeBucketedOrderTables(s, dir, numBuckets = 32)
         true
       })
-      graft.io.BucketedIO.bucketedOrderJoin(s)
+      graft.io.BucketedIO.bucketedOrderJoin(s, dir)
     }),
 
     // join-key skew diagnostic: one keyed aggregation + bounded TopK

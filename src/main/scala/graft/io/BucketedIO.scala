@@ -28,6 +28,20 @@ object BucketedIO {
   /** Root for the demonstration tables' storage, outside the repo. */
   val WarehouseRoot = "/tmp/graft-warehouse"
 
+  /** Per-source-dir namespace key. Table names AND storage paths are
+    * suffixed with it (the AnnIndexIO/SketchIO contract): a fixed
+    * global name + per-dir memoized write would let a session that
+    * touches two scale dirs skip the rewrite and silently serve the
+    * other dir's rows.
+    */
+  private def dirKey(dir: String): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+
+  /** The demonstration pair's catalog names for a source dir. */
+  def orderTableNames(dir: String): (String, String) =
+    (s"graft_b_lineitem_${dirKey(dir)}", s"graft_b_orders_${dirKey(dir)}")
+
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int): Unit = {
@@ -50,8 +64,9 @@ object BucketedIO {
         col("l_extendedprice"), col("l_discount"))
     val ord = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"))
-    writeBucketed(li, "graft_b_lineitem", "l_orderkey", numBuckets)
-    writeBucketed(ord, "graft_b_orders", "o_orderkey", numBuckets)
+    val (liName, ordName) = orderTableNames(dir)
+    writeBucketed(li, liName, "l_orderkey", numBuckets)
+    writeBucketed(ord, ordName, "o_orderkey", numBuckets)
   }
 
   /** The co-located join demonstration over tables
@@ -62,9 +77,10 @@ object BucketedIO {
     * sides are fact-sized and SMJ is what the planner picks anyway).
     * PlanSpec asserts no exchange feeds the join.
     */
-  def bucketedOrderJoin(spark: SparkSession): DataFrame = {
-    spark.table("graft_b_lineitem")
-      .join(spark.table("graft_b_orders").hint("merge"),
+  def bucketedOrderJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (liName, ordName) = orderTableNames(dir)
+    spark.table(liName)
+      .join(spark.table(ordName).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),

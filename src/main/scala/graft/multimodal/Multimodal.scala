@@ -805,14 +805,18 @@ object Multimodal {
               while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xFFFFFF; x += 1 }
               y += 1
             }
-            Iterator((id, f, w * h, px))
+            Iterator((id, f, w, h, px))
           }
         }
-      }.toDF("doc_id", "frame_idx", "n_px", "px")
-    val a = dec.toDF("doc_id", "fa", "n_px", "pa")
-    val b = dec.toDF("doc_b", "frame_idx", "nb", "pb")
+      }.toDF("doc_id", "frame_idx", "w", "h", "px")
+    // pair on BOTH dims, not their product: equal-area frames with
+    // swapped dims (8x6 vs 6x8) would otherwise diff row-major across
+    // mismatched strides instead of yielding no pair
+    val a = dec.toDF("doc_id", "fa", "w", "h", "pa")
+    val b = dec.toDF("doc_b", "frame_idx", "wb", "hb", "pb")
     a.join(b, col("fa") + 1 === col("frame_idx") && col("doc_id") === col("doc_b")
-        && col("n_px") === col("nb"))
+        && col("w") === col("wb") && col("h") === col("hb"))
+      .withColumn("n_px", col("w") * col("h"))
       .select(col("doc_id"), col("frame_idx"), col("n_px"),
         expr("""aggregate(zip_with(pa, pb, (x, y) ->
           abs((x div 65536) % 256 - (y div 65536) % 256) +

@@ -684,6 +684,31 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING MV MAINTENANCE — the live half of the persisted
+    * materialized-aggregate state ([[graft.io.MvIO]]): each arriving
+    * micro-batch of raw fact rows is aggregated to the per-key
+    * distributive state and folded into the store by
+    * [[graft.rel.RelOps.mergeDistributiveAgg]]'s algebra. The MV
+    * state is ADDITIVE (a replayed delta would double-count), so
+    * unlike the sketch ingest this sink cannot lean on idempotence —
+    * it passes `foreachBatch`'s batch id through to
+    * [[graft.io.MvIO.applyDelta]], whose commit-marker bookkeeping
+    * turns at-least-once replay into exactly-once effect. Per batch
+    * the work is delta-scan + keys-sized join; the base fact is never
+    * rescanned, which is the whole point of the operator at 100 TB.
+    */
+  def streamingMvMaintain(
+      spark: SparkSession, mvPath: String, incoming: DataFrame)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.io.MvIO.storedSchema(mvPath) // loud sidecar gate up front
+    incoming.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.MvIO.applyDelta(spark, mvPath, batch.toDF(), batchId)
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING ANN-INDEX PROBE — the live half of the persisted IVF
     * pipeline ([[graft.io.AnnIndexIO]]), mirroring
     * [[streamingIndexProbe]]'s contract for vectors: query embeddings

@@ -31,7 +31,7 @@ class RelSpec extends AnyFunSuite {
   test("bucketed join result equals the plain join bit for bit") {
     val dir = "/root/testdata/sf0.001"
     graft.io.BucketedIO.writeBucketedOrderTables(spark, dir)
-    val bucketed = graft.io.BucketedIO.bucketedOrderJoin(spark)
+    val bucketed = graft.io.BucketedIO.bucketedOrderJoin(spark, dir)
       .collect().map(_.toSeq).toSeq
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ord = spark.read.parquet(s"$dir/orders.parquet")

@@ -1130,4 +1130,47 @@ class StreamSpec extends AnyFunSuite {
     assert(stored == onePass && stored.nonEmpty,
       s"stored ${stored.size} sources vs one-pass ${onePass.size}")
   }
+
+  test("streaming MV maintenance: micro-batched deltas reach the one-pass aggregate bit for bit") {
+    // base shard -> store; three delta shards stream in as file drops.
+    // After the stream, the persisted state must equal ONE aggregation
+    // pass over the whole fact — bit-for-bit, because l_quantity sums
+    // are integer-valued doubles (< 2^53, the distributiveAgg
+    // exactness contract). The MV algebra is additive (NOT
+    // idempotent), so the batch-id bookkeeping is also pinned here: a
+    // replayed batch id must be refused and change nothing.
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_quantity"))
+    val store = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    graft.io.MvIO.createMv(
+      li.filter(col("l_orderkey") % 4 === 0), store, keys, "l_quantity")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mv-src").toString
+    def drop(m: Int): Unit = li.filter(col("l_orderkey") % 4 === m)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drop(1)
+    val src = spark.readStream.schema(li.schema).parquet(srcDir)
+    val q = graft.streaming.StreamOps.streamingMvMaintain(spark, store, src)
+    try {
+      q.processAllAvailable()
+      drop(2)
+      q.processAllAvailable()
+      drop(3)
+      q.processAllAvailable()
+    } finally q.stop()
+    def face(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+    val streamed = face(graft.io.MvIO.readState(spark, store))
+    val onePass = face(graft.rel.RelOps.distributiveAgg(li, keys, "l_quantity"))
+    assert(streamed.nonEmpty && streamed == onePass,
+      s"streamed state diverges from the one-pass aggregate: " +
+        s"${streamed.take(2)} vs ${onePass.take(2)}")
+    // replay guard: the last committed batch id, re-applied, is a no-op
+    val (_, lastBatch) = graft.io.MvIO.latestCommitted(store)
+    assert(!graft.io.MvIO.applyDelta(
+      spark, store, li.filter(col("l_orderkey") % 4 === 3), lastBatch))
+    assert(face(graft.io.MvIO.readState(spark, store)) == onePass,
+      "a replayed batch id mutated the MV state")
+  }
 }

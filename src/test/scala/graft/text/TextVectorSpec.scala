@@ -1048,6 +1048,17 @@ class TextVectorSpec extends AnyFunSuite {
     val mixed = Seq((id, 0L, f0), (id, 1L, Multimodal.syntheticPngFrame(id + 1, 1)))
       .toDF("doc_id", "frame_idx", "payload")
     assert(Multimodal.frameDiffCuts(mixed).count() == 0)
+    // equal AREA but swapped dims also yield no pair (regression: a
+    // w*h pair key would diff row-major across mismatched strides)
+    def blank(wi: Int, hi: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        wi, hi, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val swapped = Seq((id, 0L, blank(8, 6)), (id, 1L, blank(6, 8)))
+      .toDF("doc_id", "frame_idx", "payload")
+    assert(Multimodal.frameDiffCuts(swapped).count() == 0)
   }
 
   test("image resize really resizes; undecodable payloads rejected") {
