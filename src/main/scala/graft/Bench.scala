@@ -101,6 +101,11 @@ object Bench {
       var failed = false
       var r = 0
       while (r < Runs && !failed) {
+        // between-run hygiene (UNTIMED): localCheckpoint/cache blocks
+        // from run r-1 otherwise accrete into run r's heap — the
+        // checkpoint-heavy queries (LSH sweep, cluster CC) measured a
+        // ±14% median spread from exactly this pollution
+        hygiene()
         val t = timeOnce(fn)
         if (t < 0) failed = true else times(r) = t
         r += 1

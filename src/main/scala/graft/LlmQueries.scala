@@ -262,6 +262,20 @@ object LlmQueries {
     m
   }
 
+  // staged (token table, signature table) for the LSH banding pair —
+  // built fresh (and re-staged) by q_dedup_lsh_sigs' timed region,
+  // read by q_dedup_lsh_sweep so the sweep row times only the sweep
+  private val lshMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def lshStagedFresh(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tok = TextOps.tokenTable(docProbe(s, dir)).localCheckpoint()
+    val sigs = TextOps.minhashSignatures(tok, 64).localCheckpoint()
+    lshMemo.put(dir, (tok, sigs))
+    (tok, sigs)
+  }
+
   private def clustersFresh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < PairLimit)
     val r = TextOps.dedupClusters(d, TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95))
@@ -295,12 +309,26 @@ object LlmQueries {
       TextOps.lshPairQuality(docs(s, dir).filter(col("doc_id") < PairLimit),
         numHashes = 64, bands = 16, threshold = 0.95)),
 
+    // signature BUILD stage of the banding sweep, as its own bench
+    // row: the tok + minhash materialization is timed HERE (fresh
+    // each run, refreshing the staged memo the sweep reads — the
+    // momentsFresh contract), so build drift and sweep drift are
+    // separately attributable on the round trend. Face: per-position
+    // count/min/max/xor folds over every signature cell.
+    "q_dedup_lsh_sigs" -> ((s, dir) =>
+      TextOps.sigSummaryFromSigs(lshStagedFresh(s, dir)._2)),
+
     // banding DESIGN sweep: the same quality accounting across band
     // counts from ONE materialized signature table — the knob-tuning
-    // pass a 100 TB dedup run does on a sample before committing
-    "q_dedup_lsh_sweep" -> ((s, dir) =>
-      TextOps.lshBandSweep(docProbe(s, dir),
-        numHashes = 64, bandsList = Seq(8, 16, 32), threshold = 0.95)),
+    // pass a 100 TB dedup run does on a sample before committing.
+    // Reads the staged signatures (built by q_dedup_lsh_sigs's bench
+    // row, alphabetically earlier; built here on a cold path), so the
+    // timed region is banding + bucket join + union-verify only.
+    "q_dedup_lsh_sweep" -> ((s, dir) => {
+      val (tok, sigs) = lshMemo.getOrElse(dir, lshStagedFresh(s, dir))
+      TextOps.lshBandSweepFromSigs(tok, sigs,
+        numHashes = 64, bandsList = Seq(8, 16, 32), threshold = 0.95)
+    }),
 
     "q_dedup_simhash" -> ((s, dir) => TextOps.simhash(docs(s, dir))),
 
@@ -3137,6 +3165,15 @@ object LlmQueries {
     // the full exact pair join, reduced to one summary row
     "q_dedup_lsh_quality" -> sqlLshQuality(64, 16, 0.95),
     "q_dedup_lsh_sweep" -> sqlLshBandSweep(64, Seq(8, 16, 32), 0.95),
+
+    // signature build stage: the same minhash CTEs reduced to the
+    // per-position (count, min, max, xor) fold — order-free exact
+    // integers covering every signature cell
+    "q_dedup_lsh_sigs" ->
+      s"""WITH ${sqlMinhashSigCtes(64, DocProbeSql)}
+         |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(mn) AS min_mn, MAX(mn) AS max_mn, BIT_XOR(mn) AS xor_mn
+         |FROM mh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // incremental dedup: identical signature/banding CTEs, but cand is
     // the CROSS-side join (increment ids >= 250 probe base ids < 250)

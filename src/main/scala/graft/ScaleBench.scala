@@ -38,7 +38,11 @@ object ScaleBench {
       }
       System.gc(); Thread.sleep(50)
       once() // warm-up
-      val ts = Array.fill(runs)(once()).sorted
+      // between-run hygiene (untimed), mirroring Bench: drop the
+      // previous run's checkpoint blocks before timing the next
+      val ts = Array.fill(runs) {
+        System.gc(); Thread.sleep(50); once()
+      }.sorted
       name -> (if (ts.head < 0) -1.0 else ts(runs / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
