@@ -91,6 +91,13 @@ object CfConv {
               falseEasting = num("false_easting").getOrElse(0.0),
               falseNorthing = num("false_northing").getOrElse(0.0),
               ell = ellOr(Crs.GRS80), name = "CF:laea")
+          case "lambert_cylindrical_equal_area" =>
+            Crs.CylindricalEqualArea(
+              latTsDeg = num("standard_parallel").getOrElse(0.0),
+              lon0Deg = num("longitude_of_central_meridian").getOrElse(0.0),
+              falseEasting = num("false_easting").getOrElse(0.0),
+              falseNorthing = num("false_northing").getOrElse(0.0),
+              ell = ellOr(Crs.WGS84), name = "CF:cea")
           case "rotated_latitude_longitude" =>
             Crs.RotatedPole(
               poleLatDeg = num("grid_north_pole_latitude").getOrElse(90.0),
@@ -348,6 +355,15 @@ object CfConv {
       "semi_major_axis" -> a.ell.a.toString,
       "inverse_flattening" -> a.ell.invF.toString,
       "crs_name" -> a.name)
+    case c: Crs.CylindricalEqualArea => Map(
+      "grid_mapping_name" -> "lambert_cylindrical_equal_area",
+      "standard_parallel" -> c.latTsDeg.toString,
+      "longitude_of_central_meridian" -> c.lon0Deg.toString,
+      "false_easting" -> c.falseEasting.toString,
+      "false_northing" -> c.falseNorthing.toString,
+      "semi_major_axis" -> c.ell.a.toString,
+      "inverse_flattening" -> c.ell.invF.toString,
+      "crs_name" -> c.name)
     case p: Crs.PolarStereographic => Map(
       "grid_mapping_name" -> "polar_stereographic",
       "latitude_of_projection_origin" -> (if (p.south) "-90.0" else "90.0"),

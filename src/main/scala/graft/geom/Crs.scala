@@ -375,6 +375,67 @@ object Crs {
     }
   }
 
+  /** Lambert Cylindrical Equal-Area on the ellipsoid, normal aspect
+    * (Snyder 1987, USGS PP 1395 eqs. 10-13/10-14/10-16 + the 3-16
+    * authalic-latitude iteration shared with [[LambertAzimuthalEqualArea]]):
+    * the projection family of the NSIDC EASE grids that remote-sensing
+    * swath resampling lands on (EPSG:6933 EASE-Grid 2.0 Global on
+    * WGS84, EPSG:3410 EASE-Grid Global on the 6371228 m sphere), both
+    * with standard parallel 30°. Forward: `x = a·k0·Δλ`,
+    * `y = a·q(φ)/(2·k0)` with `k0 = cosφs/√(1−e²sin²φs)`; the map is
+    * exactly area-preserving by construction (TransformSpec pins the
+    * Jacobian against the ellipsoid area element numerically).
+    */
+  final case class CylindricalEqualArea(
+      latTsDeg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double,
+      ell: Ellipsoid, override val name: String) extends Crs {
+    val isGeographic = false
+    override def ellipsoid: Ellipsoid = ell
+
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val lon0 = math.toRadians(lon0Deg)
+    private val phiS = math.toRadians(latTsDeg)
+    private val k0 =
+      math.cos(phiS) / math.sqrt(1 - e2 * math.sin(phiS) * math.sin(phiS))
+
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      if (e < 1e-12) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var dLon = math.toRadians(lonDeg) - lon0
+      if (dLon > math.Pi) dLon -= 2 * math.Pi
+      if (dLon < -math.Pi) dLon += 2 * math.Pi
+      val x = falseEasting + ell.a * k0 * dLon
+      val y = falseNorthing + ell.a * q(math.toRadians(latDeg)) / (2 * k0)
+      (x, y)
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val lon = lon0 + (x - falseEasting) / (ell.a * k0)
+      val qv = 2 * (y - falseNorthing) * k0 / ell.a
+      // iterate phi from q (Snyder eq. 3-16), exactly as in LAEA; on
+      // the sphere q = 2 sin phi and the asin seed is already exact
+      var phi = math.asin(math.min(1.0, math.max(-1.0, qv / 2)))
+      var i = 0
+      while (i < 10 && e >= 1e-12) {
+        val s = math.sin(phi)
+        val oneMinus = 1 - e2 * s * s
+        val corr = (oneMinus * oneMinus) / (2 * math.cos(phi)) *
+          (qv / (1 - e2) - s / oneMinus +
+            (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += corr
+        if (math.abs(corr) < 1e-13) i = 10 else i += 1
+      }
+      (math.toDegrees(lon), math.toDegrees(phi))
+    }
+  }
+
   /** CF `rotated_latitude_longitude`: a geographic system whose north
     * pole sits at (grid_north_pole_latitude, grid_north_pole_longitude)
     * of the true sphere, with an optional extra rotation
@@ -1291,7 +1352,13 @@ object Crs {
     // WGS84 Equal Earth: Greenwich / Americas / Asia-Pacific aspects
     "EPSG:8857" -> EqualEarth(0.0, 0.0, 0.0, WGS84, "EPSG:8857"),
     "EPSG:8858" -> EqualEarth(-90.0, 0.0, 0.0, WGS84, "EPSG:8858"),
-    "EPSG:8859" -> EqualEarth(150.0, 0.0, 0.0, WGS84, "EPSG:8859"))
+    "EPSG:8859" -> EqualEarth(150.0, 0.0, 0.0, WGS84, "EPSG:8859"),
+    // NSIDC EASE grids (cylindrical equal-area, standard parallel 30):
+    // EASE-Grid 2.0 Global on WGS84; original EASE-Grid Global on the
+    // authalic 6371228 m sphere
+    "EPSG:6933" -> CylindricalEqualArea(30.0, 0.0, 0.0, 0.0, WGS84, "EPSG:6933"),
+    "EPSG:3410" -> CylindricalEqualArea(30.0, 0.0, 0.0, 0.0,
+      Ellipsoid(6371228.0, Double.PositiveInfinity), "EPSG:3410"))
 
   private val SupportedMsg =
     "supported: EPSG:4326/OGC:CRS84 (geographic), EPSG:3857 (web mercator), " +
@@ -1308,7 +1375,8 @@ object Crs {
       "EPSG:27200 (New Zealand Map Grid), " +
       "SR-ORG:6974 + ESRI:53008 (sinusoidal), " +
       "EPSG:8857/8858/8859 (Equal Earth), " +
-      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|sinu(spherical)|stere|ob_tran|eqearth|somerc|krovak|nzmg), " +
+      "EPSG:6933/3410 (EASE cylindrical equal-area), " +
+      "proj strings (+proj=longlat|merc|utm|tmerc|laea|lcc|aea|cea|sinu(spherical)|stere|ob_tran|eqearth|somerc|krovak|nzmg), " +
       "and WKT with PROJECTION " +
       "Transverse_Mercator|Lambert_Azimuthal_Equal_Area|Lambert_Conformal_Conic_2SP|" +
       "Albers_Conic_Equal_Area|Polar_Stereographic|Mercator|Sinusoidal(spherical)|Equal_Earth"
@@ -1378,6 +1446,15 @@ object Crs {
       case "aea" => AlbersEqualAreaConic(
         num("lat_1", 0), num("lat_2", num("lat_1", 0)), num("lat_0", 0), num("lon_0", 0),
         num("x_0", 0), num("y_0", 0), ell, s.trim)
+      case "cea" =>
+        // +R / sphere-shaped +a selects the spherical form (EASE v1)
+        val ceaEll = kv.get("R").map(_.toDouble)
+          .orElse(kv.get("a").map(_.toDouble).filter(a =>
+            kv.get("b").forall(_.toDouble == a)).filter(_ => !kv.contains("ellps")))
+          .map(r => Ellipsoid(r, Double.PositiveInfinity)).getOrElse(ell)
+        CylindricalEqualArea(
+          num("lat_ts", 0), num("lon_0", 0),
+          num("x_0", 0), num("y_0", 0), ceaEll, s.trim)
       case "sinu" =>
         // only the spherical form (the MODIS case) is implemented: an
         // explicit +R, or a sphere-shaped +a (+b absent or equal)

@@ -603,6 +603,13 @@ class PlanSpec extends AnyFunSuite {
     val p11 = plan(df11)
     assert(!p11.contains("lineitem"),
       s"q11 re-scans lineitem for the total:\n${p11.take(3000)}")
+    // Q9: the multi-fact star pays its lineitem scan exactly once
+    // (the Q21 single-scan discipline — part/supplier/partsupp/
+    // orders/nation are dims, the fact never re-enters for the
+    // profit expression)
+    val q9 = plan(LlmQueries.all("q_tpch_q9")(spark, dir))
+    assert("lineitem".r.findAllIn(q9).size <= 1,
+      s"q9 re-scans lineitem:\n${q9.take(3000)}")
     // no cartesian / BNLJ on DATA in the five new anchors (Q11's
     // scalar-threshold join is a 1-ROW broadcast BNLJ by design — the
     // accepted Q22 shape — so it is checked above via the view reuse,

@@ -899,6 +899,57 @@ class TransformSpec extends AnyFunSuite {
     assert(math.abs(wkLon - gLon) < 1e-7 && math.abs(wkLat - gLat) < 1e-7)
   }
 
+  test("cylindrical equal-area (EASE grids): published EASE-2 extents, area scale 1, exact roundtrip") {
+    val cea = Crs.fromString("EPSG:6933")
+    // published NSIDC EASE-Grid 2.0 global constants (Brodzik et al.
+    // 2012, doi:10.3390/ijgi1010032): map x extent at lon=180 and the
+    // y of the grid-boundary latitude 85.0445664 — external anchors
+    // for both forward axes
+    val (xMax, _) = cea.fromLonLat(180.0, 0.0)
+    assert(math.abs(xMax - 17367530.445161) < 1e-3, s"x extent: $xMax")
+    val (_, yBound) = cea.fromLonLat(0.0, 85.0445664)
+    assert(math.abs(yBound - 7314540.8306) < 1e-2, s"y at 85.0445664: $yBound")
+    // defining property: area scale 1 everywhere; parallel scale 1 on
+    // the standard parallels +-30
+    for (lat <- Seq(-30.0, 30.0); lon <- Seq(-120.0, 0.0, 77.0)) {
+      val (kM, kP) = scaleFactors(cea, lon, lat)
+      assert(math.abs(kP - 1.0) < 1e-6 && math.abs(kM * kP - 1.0) < 1e-6,
+        s"scale at ($lon,$lat): $kM/$kP")
+    }
+    for (lat <- Seq(-67.0, 0.0, 48.9, 82.0); lon <- Seq(-179.0, 13.0))
+      assert(math.abs(scaleFactors(cea, lon, lat)._1 * scaleFactors(cea, lon, lat)._2 - 1.0) < 1e-6,
+        s"area distortion at ($lon,$lat)")
+    // roundtrip to sub-nanodegree globally
+    for (lat <- Seq(-85.0, -12.5, 0.0, 37.5, 85.0); lon <- Seq(-179.9, -96.0, 0.0, 66.9, 179.9)) {
+      val (x, y) = cea.fromLonLat(lon, lat)
+      val (lon2, lat2) = cea.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // EASE v1 sphere (EPSG:3410): closed-form x = R cos30 dlam,
+    // y = R sin(lat)/cos30 — the e -> 0 limit of the same class
+    val sph = Crs.fromString("EPSG:3410")
+    val r = 6371228.0
+    val (sx, sy) = sph.fromLonLat(45.0, 52.0)
+    assert(math.abs(sx - r * math.cos(math.toRadians(30)) * math.toRadians(45)) < 1e-6)
+    assert(math.abs(sy - r * math.sin(math.toRadians(52)) / math.cos(math.toRadians(30))) < 1e-6)
+    val (sl, sp) = sph.toLonLat(sx, sy)
+    assert(math.abs(sl - 45.0) < 1e-9 && math.abs(sp - 52.0) < 1e-9)
+    // proj-string route builds the same EASE-2 parameters
+    val viaProj = Crs.fromString("+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+      .asInstanceOf[Crs.CylindricalEqualArea]
+    assert(viaProj.latTsDeg == 30.0 && viaProj.ell == Crs.WGS84)
+    val (px, py) = viaProj.fromLonLat(180.0, 85.0445664)
+    assert(math.abs(px - xMax) < 1e-9 && math.abs(py - yBound) < 1e-9)
+    // CF grid-mapping attrs roundtrip through CfConv
+    val attrs = CfConv.crsToAttrs(cea)
+    assert(attrs("grid_mapping_name") == "lambert_cylindrical_equal_area")
+    val back = CfConv.crsFromAttrs(attrs).get
+    val (bx, by) = back.fromLonLat(100.0, -45.0)
+    val (ox, oy) = cea.fromLonLat(100.0, -45.0)
+    assert(bx == ox && by == oy, "CF roundtrip changed the projection")
+  }
+
   test("roundtrip transform preserves geometry within tolerance") {
     val gm = GridMapping.regular(4, 4, 9.0, 52.0, 0.5, 0.5, Crs.Geographic)
     val (gmUtm, coordsUtm) = GridMappingOps.transform(spark, gm, None, Crs.utm(32, north = true))
