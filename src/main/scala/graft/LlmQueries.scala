@@ -483,6 +483,13 @@ object LlmQueries {
         e.filter(col("vec_id") % 4 =!= 1), e.filter(col("vec_id") % 4 =!= 2))
     }),
 
+    // class-separation readout: exact integer dot products between
+    // per-label micro-unit centroid embeddings (the pre-training
+    // confusion matrix — near-parallel centroids flag label pairs the
+    // encoder cannot separate)
+    "q_label_centroid_dots" -> ((s, dir) =>
+      VectorOps.labelCentroidDots(embeddings(s, dir))),
+
     // SemDeDup: kmeans prepass bounds the pair join to within-cluster;
     // threshold chosen with measured >= 3e-5 margin to the nearest
     // within-cluster similarity at both verify SFs
@@ -587,6 +594,13 @@ object LlmQueries {
     // tokens at every SF, so the budget BINDS)
     "q_token_budget" -> ((s, dir) =>
       CorpusOps.tokenBudgetPerStratum(docs(s, dir), budget = 800, salt = "tb1")),
+
+    // waterfill mixing design: per-source training-token quotas under
+    // a half-total budget with a 4-epoch repeat cap — closed-form
+    // level fill over the sources-bounded capacity table
+    "q_token_waterfill" -> ((s, dir) =>
+      CorpusOps.tokenWaterfill(docs(s, dir),
+        maxEpochs = 4L, budgetNumer = 1L, budgetDenom = 2L)),
 
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
@@ -1027,6 +1041,16 @@ object LlmQueries {
       graft.events.EventOps.rateAnomaly(
         graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
         bucket = 86400L * 1000000L)),
+
+    // k-anonymity privacy gate over (event_type, event day): class
+    // histogram + the re-identifiable row mass below k=5, one row
+    "q_k_anonymity" -> ((s, dir) => {
+      val ev = graft.events.EventOps.toMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .withColumn("day", expr("ts div 86400000000"))
+      graft.events.EventOps.kAnonymityReport(
+        ev, Seq("event_type", "day"), k = 5L)
+    }),
 
     // curriculum order: length-decile buckets, shuffled within bucket,
     // global easy-to-hard positions
@@ -3508,6 +3532,30 @@ object LlmQueries {
         |  MAX(ABS(m_old - m_new)) AS linf_drift_u
         |FROM mu GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // label-centroid Gram: the drift oracle's micro-unit integer mean
+    // per (label, dim), then exact BIGINT dots over the fixed
+    // dimension set — no double anywhere
+    "q_label_centroid_dots" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT label, CAST(k - 1 AS INT) AS dim,
+        |         CAST(FLOOR(v[CAST(k AS INT)] * 16777216 + 0.5) AS BIGINT) AS p
+        |  FROM e, unnest(generate_series(1, len(v))) uk(k)
+        |),
+        |m AS (
+        |  SELECT CAST(label AS BIGINT) AS label, dim, COUNT(*) AS n,
+        |    CAST(CASE WHEN SUM(p) >= 0
+        |      THEN  ((2 * CAST(SUM(p) AS HUGEINT) * 1000000 + CAST(COUNT(*) AS HUGEINT) * 16777216) // (2 * CAST(COUNT(*) AS HUGEINT) * 16777216))
+        |      ELSE -((2 * CAST(-SUM(p) AS HUGEINT) * 1000000 + CAST(COUNT(*) AS HUGEINT) * 16777216) // (2 * CAST(COUNT(*) AS HUGEINT) * 16777216))
+        |    END AS BIGINT) AS m_u
+        |  FROM u GROUP BY 1, 2
+        |)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+        |  CAST(SUM(a.m_u * b.m_u) AS BIGINT) AS dot_uu
+        |FROM m a JOIN m b ON a.dim = b.dim AND a.label <= b.label
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // simplified silhouette: seeds are stored vectors verbatim (no
     // averaged centroid doubles), distances micro-unit-floored, the
     // ratio pure integer division — bit-identical to the Spark face
@@ -4092,6 +4140,40 @@ object LlmQueries {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens - n_tokens < 800
         |ORDER BY source, doc_id""".stripMargin,
+
+    // waterfill allocation: caps = 4 epochs per source, budget = half
+    // the total tokens; the cut m and level lambda come from the
+    // sorted prefix-sum closed form — pure BIGINT end to end
+    "q_token_waterfill" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |),
+        |b AS (SELECT (SUM(n_tokens) * 1) // 2 AS budget,
+        |             CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        |o AS (
+        |  SELECT source, n_tokens, n_tokens * 4 AS cap,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens * 4, source) AS BIGINT) AS i,
+        |    SUM(n_tokens * 4) OVER (ORDER BY n_tokens * 4, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM t
+        |),
+        |mm AS (
+        |  SELECT COALESCE(MAX(o.i), 0) AS m
+        |  FROM o, b WHERE o.p + (b.n - o.i) * o.cap <= b.budget
+        |),
+        |pm AS (SELECT COALESCE((SELECT o.p FROM o, mm WHERE o.i = mm.m), 0) AS pv),
+        |lam AS (
+        |  SELECT CAST(CASE WHEN mm.m = b.n THEN (SELECT MAX(cap) FROM o)
+        |              ELSE (b.budget - pm.pv) // (b.n - mm.m) END AS BIGINT) AS lambda
+        |  FROM mm, b, pm
+        |)
+        |SELECT o.source, o.n_tokens, CAST(o.cap AS BIGINT) AS cap,
+        |  LEAST(o.cap, lam.lambda) AS alloc,
+        |  CASE WHEN o.n_tokens = 0 THEN 0
+        |       ELSE (1000 * LEAST(o.cap, lam.lambda)) // o.n_tokens END AS epochs_milli
+        |FROM o, lam ORDER BY 1""".stripMargin,
 
     // quota cap: identical salted 52-bit-hash order, window form (the
     // oracle engine's corpus fits one task; the ENGINE plan is the
@@ -5265,6 +5347,23 @@ object LlmQueries {
         |  ROUND(med, 6) AS med, ROUND(mad, 6) AS mad, z,
         |  abs(z) > 3.5 AS is_anomaly
         |FROM f2 ORDER BY 1, 2""".stripMargin,
+
+    // k-anonymity gate: QI = (event_type, event day); the class
+    // histogram folds and the below-k mass in integer ppm — all exact
+    "q_k_anonymity" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT event_type, day, COUNT(*) AS cnt FROM ev GROUP BY 1, 2
+        |)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  MIN(cnt) AS min_class, MAX(cnt) AS max_class,
+        |  CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below_k,
+        |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+        |  (CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(SUM(cnt) AS BIGINT) AS below_k_ppm
+        |FROM c""".stripMargin,
 
     // event-mix drift: same integer-JS contract as q_source_drift;
     // bucket pairs formed by the b+1 self-join

@@ -450,4 +450,39 @@ object EventOps {
       .select(col("step_idx"), col("step"), col("n_users"),
         round(col("n_users") * lit(1.0) / col("n_first"), 6).as("conv"))
   }
+
+  /** K-ANONYMITY REPORT over a quasi-identifier column set (Sweeney
+    * 2002) — the privacy gate a training-data release runs before
+    * shipping event-derived features: rows whose QI combination is
+    * shared by fewer than k records are re-identifiable by linkage,
+    * so the report counts the equivalence classes and the row mass
+    * below the threshold. A release policy then drops or generalizes
+    * exactly that mass.
+    *
+    * Shape at 100 TB: ONE map-side-combined aggregation to QI-class
+    * grain, then one bounded aggregation over the class histogram —
+    * the key-skew-report shape; no window, no second scan. All counts
+    * exact longs; the below-k share is reported in integer ppm
+    * (truncating div — both engines' integer division agrees on
+    * non-negative operands), so the one-row face carries no double.
+    *
+    * Returns one row: (n_rows, n_classes, min_class, max_class,
+    * n_classes_below_k, n_rows_below_k, below_k_ppm).
+    */
+  def kAnonymityReport(events: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs at least one QI column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val classes = events.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    classes.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("cnt")).as("min_class"),
+        max(col("cnt")).as("max_class"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_classes_below_k"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("n_rows_below_k"))
+      .select(col("n_rows"), col("n_classes"), col("min_class"),
+        col("max_class"), col("n_classes_below_k"), col("n_rows_below_k"),
+        expr("(n_rows_below_k * 1000000) div n_rows").as("below_k_ppm"))
+  }
 }

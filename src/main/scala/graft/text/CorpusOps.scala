@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Corpus-STATISTICS operators — the training-data quality passes that
@@ -717,6 +717,83 @@ object CorpusOps {
         if (prior < budget) Iterator.single((k, id, n, prior + n)) else Iterator.empty
       }
     }.toDF(keyCol, idCol, "n_tokens", "cum_tokens")
+  }
+
+  /** WATERFILL TOKEN ALLOCATION across sources — the mixing-design
+    * step that turns "we can afford B training tokens" into a
+    * per-source quota: every source is capped at `maxEpochs` passes
+    * over its own tokens (repeating a small source beyond a few
+    * epochs stops helping and starts memorizing), and the budget
+    * fills sources to a common level λ — the largest integer with
+    * `Σ min(cap_s, λ) ≤ B` — so no source is starved while any
+    * larger source still has headroom (the classic waterfilling
+    * allocation). `B = total_tokens · budgetNumer / budgetDenom`.
+    *
+    * Closed form, no iteration: with caps ascending `c_1 ≤ … ≤ c_n`
+    * and prefix sums `P_i`, the cut `m = max{ i : P_i + (n−i)·c_i ≤ B }`
+    * (0 if none) and `λ = (B − P_m) div (n − m)` (all caps when
+    * `m = n`); `alloc_s = min(cap_s, λ)`. Up to `n − m − 1` leftover
+    * tokens stay unallocated — deterministic, documented.
+    *
+    * SCALE SHAPE: ONE map-side-combined aggregation to source grain;
+    * the fold runs on the driver over the sources-bounded table (the
+    * vocabulary-bounded-collect contract, guarded loudly) and the
+    * sources-sized face is emitted as one pinned partition. All
+    * integer arithmetic — the face carries no double.
+    *
+    * Returns (source, n_tokens, cap, alloc, epochs_milli).
+    */
+  def tokenWaterfill(
+      docs: DataFrame, maxEpochs: Long = 4L,
+      budgetNumer: Long = 1L, budgetDenom: Long = 2L,
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(budgetNumer >= 0 && budgetDenom >= 1,
+      s"budget fraction must be >= 0, got $budgetNumer/$budgetDenom")
+    val spark = docs.sparkSession
+    val perSource = docs
+      .select(col(keyCol).cast("string").as("source"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .collect() // sources-bounded, never corpus-bounded
+    require(perSource.nonEmpty, "tokenWaterfill over an empty corpus")
+    require(perSource.length <= 10000,
+      s"tokenWaterfill collected ${perSource.length} sources — the " +
+        "driver fold is sized for a bounded source taxonomy")
+    val caps = perSource
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(1) * maxEpochs))
+      .sortBy { case (src, _, cap) => (cap, src) }
+    val n = caps.length.toLong
+    val total = caps.map(_._2).sum
+    val budget = total * budgetNumer / budgetDenom
+    var m = 0L
+    var pm = 0L
+    var prefix = 0L
+    caps.zipWithIndex.foreach { case ((_, _, cap), idx) =>
+      prefix += cap
+      if (prefix + (n - idx - 1) * cap <= budget) { m = idx + 1L; pm = prefix }
+    }
+    val lambda =
+      if (m == n) caps.map(_._3).max
+      else (budget - pm) / (n - m)
+    val rows = caps.sortBy(_._1).map { case (src, nt, cap) =>
+      val alloc = math.min(cap, lambda)
+      val epochsMilli = if (nt == 0) 0L else 1000L * alloc / nt
+      Row(src, nt, cap, alloc, epochsMilli)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cap",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("alloc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("epochs_milli",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /** END-TO-END corpus selection — the composed endpoint a pretraining

@@ -580,29 +580,36 @@ object VectorOps {
     * labels present in BOTH snapshots (appearance/disappearance is a
     * counting question, not a drift one).
     */
+  /** Per-(label, dim) integer micro-unit mean embeddings — the shared
+    * kernel of [[embeddingDrift]] and [[labelCentroidDots]]: quantize
+    * to 2^24 units, partial-sum (widened to DECIMAL(38,0) BEFORE the
+    * 2·s·10^6 cross-multiply — oracle mirrors with HUGEINT; a BIGINT
+    * `2*s*1000000` overflows once a (label, dim) group holds ~2^17
+    * unit-scale rows, far below corpus scale), then round-half-away
+    * integer division to the micro-unit mean. Spark's `div` on
+    * decimals emits BIGINT, which the mean (≤ 8·10^6) always fits.
+    * Returns (label, dim, n, m_u).
+    */
+  private def microUnitMeans(
+      snap: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    snap.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("p",
+        floor(col("x") * lit(16777216.0) + lit(0.5)).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("s"), count(lit(1)).as("n"))
+      .withColumn("m_u", expr(
+        """CASE WHEN s >= 0
+          |  THEN  ((2 * s * 1000000 + CAST(n AS DECIMAL(38,0)) * 16777216) div (2 * CAST(n AS DECIMAL(38,0)) * 16777216))
+          |  ELSE -((2 * (-s) * 1000000 + CAST(n AS DECIMAL(38,0)) * 16777216) div (2 * CAST(n AS DECIMAL(38,0)) * 16777216))
+          |END""".stripMargin))
+      .select(col("label"), col("dim"), col("n"), col("m_u"))
+
   def embeddingDrift(
       oldSnap: DataFrame, newSnap: DataFrame,
       labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
-    def means(snap: DataFrame): DataFrame =
-      snap.select(col(labelCol).cast("long").as("label"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-        .withColumn("p",
-          floor(col("x") * lit(16777216.0) + lit(0.5)).cast("long"))
-        .groupBy(col("label"), col("dim"))
-        .agg(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("s"), count(lit(1)).as("n"))
-        // the mean numerator is widened to DECIMAL(38,0) BEFORE the
-        // 2·s·10^6 cross-multiply (oracle mirrors with HUGEINT):
-        // a BIGINT `2*s*1000000` overflows once a (label, dim) group
-        // holds ~2^17 unit-scale rows — far below corpus scale.
-        // Spark's `div` on decimals emits BIGINT, which the micro-unit
-        // MEAN (≤ 8·10^6) always fits.
-        .withColumn("m_u", expr(
-          """CASE WHEN s >= 0
-            |  THEN  ((2 * s * 1000000 + CAST(n AS DECIMAL(38,0)) * 16777216) div (2 * CAST(n AS DECIMAL(38,0)) * 16777216))
-            |  ELSE -((2 * (-s) * 1000000 + CAST(n AS DECIMAL(38,0)) * 16777216) div (2 * CAST(n AS DECIMAL(38,0)) * 16777216))
-            |END""".stripMargin))
-        .select(col("label"), col("dim"), col("n"), col("m_u"))
+    def means(snap: DataFrame): DataFrame = microUnitMeans(snap, labelCol, vecCol)
     val a = means(oldSnap).toDF("label", "dim", "n_old", "m_old")
     val b = means(newSnap).toDF("label", "dim", "n_new", "m_new")
     a.join(b, Seq("label", "dim"))
@@ -613,6 +620,43 @@ object VectorOps {
       // report face: the oracle ends ORDER BY 1 and the driver's hash
       // is row-order-sensitive — a bare groupBy emits shuffle order.
       .orderBy(col("label"))
+  }
+
+  /** LABEL-CENTROID GRAM MATRIX — the class-separation readout of an
+    * embedding table: for every label pair (a ≤ b), the exact integer
+    * dot product of the labels' micro-unit mean embeddings, plus the
+    * self-dots on the diagonal. Downstream, cosine between centroids
+    * is `dot(a,b)/√(dot(a,a)·dot(b,b))` — near-1 off-diagonal cosines
+    * flag label pairs the encoder cannot separate (merge candidates /
+    * labeling-noise suspects), the vector analog of a confusion
+    * matrix before any classifier is trained.
+    *
+    * DETERMINISM: centroids are the [[embeddingDrift]] micro-unit
+    * integer means; dots are integer sums over a fixed dimension set
+    * (|m_u| ≤ 8·10^6 ⇒ a 64-dim dot ≤ 4·10^15, comfortably BIGINT) —
+    * the face carries no double at all, so it is bit-identical across
+    * engines and partitionings.
+    *
+    * SCALE SHAPE: one narrow posexplode pass map-side-combined to
+    * labels·d rows, one labels·d equi-join on dim, one labels²-sized
+    * aggregation. Nothing corpus-sized shuffles; the pair join is on
+    * the tiny centroid table, never on data.
+    *
+    * Returns (label_a, label_b, n_a, n_b, dot_uu) for label_a ≤
+    * label_b, dot in micro-unit² units.
+    */
+  def labelCentroidDots(
+      embeddings: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    val m = microUnitMeans(embeddings, labelCol, vecCol)
+    val a = m.toDF("label_a", "dim", "n_a", "m_a")
+    val b = m.toDF("label_b", "dim", "n_b", "m_b")
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("m_a") * col("m_b")).as("dot_uu"))
+      .orderBy(col("label_a"), col("label_b"))
   }
 
   /** SIMPLIFIED SILHOUETTE of the nearest-seed clustering — the

@@ -301,4 +301,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(oc(4L)._1 == 65.4265 && oc(4L)._2, s"spike z: ${oc(4L)}")
     assert(!oc(0L)._2 && !oc(1L)._2, "steady buckets must stay quiet")
   }
+
+  test("kAnonymityReport: hand-computed class histogram, below-k mass in exact ppm") {
+    // classes: A x3, B x1, C x7 under k = 5 -> below-k classes {A, B}
+    // carrying 4 of the 11 rows; ppm truncates 4e6/11 = 363636
+    val rows = (Seq.fill(3)("A") ++ Seq.fill(1)("B") ++ Seq.fill(7)("C"))
+      .zipWithIndex.map { case (qi, i) => (i.toLong, qi) }
+      .toDF("event_id", "qi")
+    val r = EventOps.kAnonymityReport(rows, Seq("qi"), k = 5L).collect()
+    assert(r.length == 1)
+    val f = r.head
+    assert(f.getLong(0) == 11L && f.getLong(1) == 3L, s"rows/classes: $f")
+    assert(f.getLong(2) == 1L && f.getLong(3) == 7L, s"min/max: $f")
+    assert(f.getLong(4) == 2L && f.getLong(5) == 4L, s"below-k: $f")
+    assert(f.getLong(6) == 363636L, s"ppm: $f")
+    // fully k-anonymous table reads zero risk
+    val ok = Seq.fill(5)("A").zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("event_id", "qi")
+    val g = EventOps.kAnonymityReport(ok, Seq("qi"), k = 5L).collect().head
+    assert(g.getLong(4) == 0L && g.getLong(5) == 0L && g.getLong(6) == 0L)
+  }
 }

@@ -378,6 +378,31 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(again == out.keySet)
   }
 
+  test("tokenWaterfill: hand-computed cut and level; all-capped when the budget covers everything") {
+    // tokens a=10, b=100, c=1000; maxEpochs 2 -> caps 20, 200, 2000;
+    // budget = 1110 div 2 = 555. Cut m=2 (P_2=220, +1*200 <= 555),
+    // lambda = (555-220)/1 = 335 -> allocs 20, 200, 335
+    val d = Seq(
+      ("a", ("t " * 10).trim), ("b", ("t " * 100).trim), ("c", ("t " * 1000).trim))
+      .map { case (s, t) => (s.hashCode.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.tokenWaterfill(d, maxEpochs = 2L,
+        budgetNumer = 1L, budgetDenom = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((10L, 20L, 20L, 2000L)), s"a: ${out("a")}")
+    assert(out("b") == ((100L, 200L, 200L, 2000L)), s"b: ${out("b")}")
+    assert(out("c") == ((1000L, 2000L, 335L, 335L)), s"c: ${out("c")}")
+    // budget >= total caps: every source fully allocated at its cap
+    val full = CorpusOps.tokenWaterfill(d, maxEpochs = 2L,
+        budgetNumer = 3L, budgetDenom = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(full == Map("a" -> 20L, "b" -> 200L, "c" -> 2000L), s"full: $full")
+    // the face emits in source order from one pinned partition
+    val srcs = CorpusOps.tokenWaterfill(d).collect().map(_.getString(0)).toSeq
+    assert(srcs == srcs.sorted)
+  }
+
   test("tokenBudgetPerStratum: a NULL stratum spanning partitions keeps ONE running budget") {
     // regression: the two-pass emit used curK = null as its first-row
     // sentinel, so a null stratum's rows in partitions after the first

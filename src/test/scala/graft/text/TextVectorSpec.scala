@@ -920,6 +920,26 @@ class TextVectorSpec extends AnyFunSuite {
     assert(withNew.map(_.getLong(0)).toSet == Set(7L))
   }
 
+  test("labelCentroidDots: exact micro-unit dots on dyadic centroids, upper triangle only") {
+    // label 7 centroid (0.75, 0.5) -> (750000, 500000) micro-units;
+    // label 9 centroid (1, 1) -> (1000000, 1000000)
+    val e = Seq(
+      (0L, Array(1.0f, 0.5f), 7),
+      (1L, Array(0.5f, 0.5f), 7),
+      (2L, Array(1.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.labelCentroidDots(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set((7L, 7L), (7L, 9L), (9L, 9L)), s"pairs: ${out.keySet}")
+    assert(out((7L, 7L)) == ((2L, 2L, 750000L * 750000L + 500000L * 500000L)))
+    assert(out((7L, 9L)) == ((2L, 1L, 750000L * 1000000L + 500000L * 1000000L)))
+    assert(out((9L, 9L)) == ((1L, 1L, 2L * 1000000L * 1000000L)))
+    // emitted sorted by (label_a, label_b): the report-face contract
+    val pairs = VectorOps.labelCentroidDots(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == pairs.sorted)
+  }
+
   test("dHash: deterministic, re-encode-invariant, edit-local; banded pairs exact for 64-bit sigs") {
     import javax.imageio.ImageIO
     val png = Multimodal.syntheticPng(42L)
