@@ -602,6 +602,11 @@ object LlmQueries {
       CorpusOps.tokenWaterfill(docs(s, dir),
         maxEpochs = 4L, budgetNumer = 1L, budgetDenom = 2L)),
 
+    // exact two-sample KS between two sources' token-length
+    // distributions — the length-profile drift gate, pure integers
+    "q_len_ks_drift" -> ((s, dir) =>
+      CorpusOps.ksLengthDrift(docs(s, dir), "src3", "src7")),
+
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir), MixRates, defaultRate = 1.0, salt = "mix1")
         .select(col("doc_id"), col("lang"))),
@@ -1941,6 +1946,16 @@ object LlmQueries {
       graft.events.EventOps.asofLatest(
         graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
         "purchase", "click")
+        .withColumnRenamed("ts", "ts_us")
+        .withColumnRenamed("b_ts", "b_ts_us")),
+
+    // directed as-of with tolerance: each purchase correlated to the
+    // user's NEXT click within the hour (post-event attribution) —
+    // the pandas merge_asof(direction='forward', tolerance=...) shape
+    "q_events_asof_fwd" -> ((s, dir) =>
+      graft.events.EventOps.asofNearest(
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        "purchase", "click", forward = true, toleranceUs = 3600L * 1000000L)
         .withColumnRenamed("ts", "ts_us")
         .withColumnRenamed("b_ts", "b_ts_us")),
 
@@ -4141,6 +4156,32 @@ object LlmQueries {
         |FROM c WHERE cum_tokens - n_tokens < 800
         |ORDER BY source, doc_id""".stripMargin,
 
+    // two-sample KS on token-length distributions: inclusive ranks at
+    // every distinct length, cross-multiplied integer sup fold in
+    // HUGEINT, ppm statistic by integer division — no double anywhere
+    "q_len_ks_drift" ->
+      """WITH l AS (
+        |  SELECT source AS k,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src3', 'src7')
+        |), c AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN k = 'src3' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN k = 'src7' THEN 1 ELSE 0 END) AS cb
+        |  FROM l GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j,
+        |    SUM(ca) OVER () AS n, SUM(cb) OVER () AS m
+        |  FROM c
+        |)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_a, CAST(MAX(m) AS BIGINT) AS n_b,
+        |  CAST(MAX(ABS(CAST(i AS HUGEINT) * m - CAST(j AS HUGEINT) * n)) AS BIGINT) AS d_num,
+        |  CAST((MAX(ABS(CAST(i AS HUGEINT) * m - CAST(j AS HUGEINT) * n)) * 1000000)
+        |    // (CAST(MAX(n) AS HUGEINT) * MAX(m)) AS BIGINT) AS ks_ppm
+        |FROM cum""".stripMargin,
+
     // waterfill allocation: caps = 4 epochs per source, budget = half
     // the total tokens; the cut m and level lambda come from the
     // sorted prefix-sum closed form — pure BIGINT end to end
@@ -6055,6 +6096,23 @@ object LlmQueries {
         |FROM a ASOF LEFT JOIN b
         |  ON a.user_id = b.user_id AND a.tsu >= b.tsu
         |ORDER BY a.event_id""".stripMargin,
+
+    // forward as-of with tolerance: native ASOF picks the nearest
+    // upcoming click; the hour tolerance nulls farther matches (the
+    // CASE wraps each carried column so no frankenrow can form)
+    "q_events_asof_fwd" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type, value FROM events
+        |), a AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT a.event_id, a.user_id, a.tsu AS ts_us,
+        |  CASE WHEN b.tsu - a.tsu <= 3600000000 THEN b.event_id END AS b_event_id,
+        |  CASE WHEN b.tsu - a.tsu <= 3600000000 THEN b.tsu END AS b_ts_us,
+        |  CASE WHEN b.tsu - a.tsu <= 3600000000 THEN b.value END AS b_value,
+        |  CASE WHEN b.tsu - a.tsu <= 3600000000 THEN b.tsu - a.tsu END AS lag_us
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.tsu <= b.tsu
+        |ORDER BY 1""".stripMargin,
 
     "q_events_interval" ->
       """WITH e AS (

@@ -137,6 +137,67 @@ object EventOps {
         col("b")(valueCol).as("b_value"))
   }
 
+  /** DIRECTED AS-OF JOIN WITH TOLERANCE — the full pandas
+    * `merge_asof(direction=, tolerance=)` surface Spark lacks
+    * natively: each `leftType` event matched to the NEAREST same-user
+    * `rightType` event at-or-after it (`forward = true`; the
+    * post-event attribution question "which click followed this
+    * purchase") or at-or-before it (`forward = false`,
+    * [[asofLatest]]'s direction), with matches farther than
+    * `toleranceUs` nulled out — left rows always survive.
+    *
+    * Same scalable shape as [[asofLatest]]: ONE user-keyed window
+    * over the tagged union carries the nearest right event as a
+    * single struct (never spliced per-column), so cost is one
+    * user-partitioned sort — no corpus×corpus join, no driver-side
+    * anything. Tie discipline: at equal timestamps the right event
+    * COUNTS as a match in both directions (inclusive comparison, the
+    * ASOF-join convention), and among equal right timestamps the
+    * smallest event id wins.
+    *
+    * Returns (event_id, user_id, ts, b_event_id, b_ts, b_value,
+    * lag_us) with lag_us = |b_ts − ts|, all b_* NULL when no match
+    * lies within tolerance.
+    */
+  def asofNearest(
+      events: DataFrame, leftType: String, rightType: String,
+      forward: Boolean, toleranceUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(toleranceUs > 0, s"tolerance must be positive, got $toleranceUs")
+    val base = events.select(
+      col(idCol), col(userCol), col(tsCol), col(typeCol), col(valueCol))
+    val tagged = base.filter(col(typeCol) === leftType).withColumn("tag", lit(1))
+      .unionByName(base.filter(col(typeCol) === rightType).withColumn("tag", lit(0)))
+    // forward: left rows sort BEFORE same-ts right rows (tag desc) and
+    // the frame looks ahead; backward: mirror image
+    val frame =
+      if (forward)
+        W.partitionBy(col(userCol))
+          .orderBy(col(tsCol), col("tag").desc, col(idCol))
+          .rowsBetween(W.currentRow, W.unboundedFollowing)
+      else
+        W.partitionBy(col(userCol))
+          .orderBy(col(tsCol), col("tag"), col(idCol))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val carriedExpr =
+      when(col("tag") === 0, struct(col(idCol), col(tsCol), col(valueCol)))
+    val carried =
+      if (forward) first(carriedExpr, ignoreNulls = true).over(frame)
+      else last(carriedExpr, ignoreNulls = true).over(frame)
+    tagged
+      .withColumn("b0", carried)
+      .filter(col("tag") === 1)
+      .withColumn("b",
+        when(abs(col("b0")(tsCol) - col(tsCol)) <= toleranceUs, col("b0")))
+      .select(col(idCol), col(userCol), col(tsCol),
+        col("b")(idCol).as("b_event_id"),
+        col("b")(tsCol).as("b_ts"),
+        col("b")(valueCol).as("b_value"),
+        abs(col("b")(tsCol) - col(tsCol)).as("lag_us"))
+  }
+
   /** INTERVAL JOIN (batch form): every `leftType` event paired with
     * ALL the same user's `rightType` events in the trailing `window`
     * ticks — the attribution-window join ("purchases with the clicks

@@ -719,6 +719,58 @@ object CorpusOps {
     }.toDF(keyCol, idCol, "n_tokens", "cum_tokens")
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift test between two cohorts'
+    * token-length distributions — the distribution-level companion of
+    * the count-level source-drift monitors: `D = sup_x |F_a(x) −
+    * F_b(x)|` answers "did this source's LENGTH PROFILE change", the
+    * signal that catches a scraper that started truncating or
+    * concatenating long before mean length moves. Computed EXACTLY in
+    * cross-multiplied integers: at every distinct length v with
+    * inclusive ranks (i, j), `|i·m − j·n|` folds to its max, and the
+    * reported statistic is `ks_ppm = 10^6·D_num div (n·m)` — no
+    * double anywhere (the cross-multiply is widened to DECIMAL(38,0)
+    * / HUGEINT, since n·m·10^6 outgrows BIGINT past ~3M rows a side).
+    *
+    * SCALE SHAPE: two map-side-combined counts to (value) grain; the
+    * cumulative fold runs over the DISTINCT-VALUE table — bounded by
+    * the length domain (max tokens per document), never by corpus
+    * rows — so the single-partition window is domain-sized, the
+    * events-anomaly frame contract, not a corpus window.
+    *
+    * Returns one row: (n_a, n_b, d_num, ks_ppm).
+    */
+  def ksLengthDrift(
+      docs: DataFrame, groupA: String, groupB: String,
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    val lens = docs
+      .filter(col(keyCol).isin(groupA, groupB))
+      .select(col(keyCol).as("k"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("v"))
+    val counts = lens.groupBy(col("v")).agg(
+      sum(when(col("k") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("k") === groupB, 1L).otherwise(0L)).as("cb"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.orderBy(col("v")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    counts
+      .withColumn("i", sum(col("ca")).over(wCum))
+      .withColumn("j", sum(col("cb")).over(wCum))
+      .withColumn("n", sum(col("ca")).over(wAll))
+      .withColumn("m", sum(col("cb")).over(wAll))
+      .withColumn("d", abs(col("i").cast(dec) * col("m").cast(dec)
+        - col("j").cast(dec) * col("n").cast(dec)))
+      .agg(max(col("n")).as("n_a"), max(col("m")).as("n_b"),
+        max(col("d")).as("dmax"))
+      .select(col("n_a"), col("n_b"),
+        // d_num <= n*m: inside BIGINT up to ~3e9 rows a side
+        col("dmax").cast("long").as("d_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("CAST((dmax * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+          .otherwise(lit(0L)).as("ks_ppm"))
+  }
+
   /** WATERFILL TOKEN ALLOCATION across sources — the mixing-design
     * step that turns "we can afford B training tokens" into a
     * per-source quota: every source is capped at `maxEpochs` passes

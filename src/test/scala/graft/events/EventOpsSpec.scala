@@ -302,6 +302,35 @@ class EventOpsSpec extends AnyFunSuite {
     assert(!oc(0L)._2 && !oc(1L)._2, "steady buckets must stay quiet")
   }
 
+  test("asofNearest: forward nearest within tolerance, inclusive same-ts match, id tie-break, backward mirror") {
+    // user 1: L@100 with R@90 (behind), R@100 (same tick), R@105;
+    //         L@200 with next R@260 — outside tolerance 50
+    val ev = Seq(
+      (1L, 1L, 100L, "L", 0.0), (2L, 1L, 90L, "R", 9.0),
+      (3L, 1L, 100L, "R", 1.0), (4L, 1L, 105L, "R", 2.0),
+      (5L, 1L, 200L, "L", 0.0), (6L, 1L, 260L, "R", 3.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val fwd = EventOps.asofNearest(ev, "L", "R", forward = true, toleranceUs = 50L)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)),
+         (if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(fwd(1L) == ((3L, 0L)), s"same-ts inclusive: ${fwd(1L)}")
+    assert(fwd(5L) == ((-1L, -1L)), s"beyond tolerance must null: ${fwd(5L)}")
+    // equal right timestamps: the smaller event id wins
+    val tie = Seq(
+      (1L, 1L, 100L, "L", 0.0),
+      (8L, 1L, 110L, "R", 8.0), (7L, 1L, 110L, "R", 7.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val t = EventOps.asofNearest(tie, "L", "R", forward = true, toleranceUs = 50L)
+      .collect().head
+    assert(t.getLong(3) == 7L && t.getLong(6) == 10L, s"tie pick: $t")
+    // backward mirror: L@200 matches the latest prior R within 150
+    val back = EventOps.asofNearest(ev, "L", "R", forward = false, toleranceUs = 150L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(back(5L) == 4L, s"backward nearest: ${back(5L)}")
+  }
+
   test("kAnonymityReport: hand-computed class histogram, below-k mass in exact ppm") {
     // classes: A x3, B x1, C x7 under k = 5 -> below-k classes {A, B}
     // carrying 4 of the 11 rows; ppm truncates 4e6/11 = 363636

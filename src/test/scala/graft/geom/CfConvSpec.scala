@@ -231,7 +231,10 @@ class CfConvSpec extends AnyFunSuite {
   }
 
   test("unsupported CRSs fail loudly with the supported list") {
-    for (bad <- Seq("EPSG:6933", "+proj=sinu +lon_0=0",
+    // EPSG:4087 is equidistant cylindrical (eqc) — a family this
+    // registry does not implement (6933, the old example, became the
+    // supported EASE-2 cylindrical EQUAL-AREA in round 13)
+    for (bad <- Seq("EPSG:4087", "+proj=sinu +lon_0=0",
         """PROJCS["x",PROJECTION["Sinusoidal"]]""")) {
       val ex = intercept[IllegalArgumentException](Crs.fromString(bad))
       assert(ex.getMessage.contains("supported:"), s"$bad -> ${ex.getMessage}")

@@ -403,6 +403,27 @@ class CorpusOrderSpec extends AnyFunSuite {
     assert(srcs == srcs.sorted)
   }
 
+  test("ksLengthDrift: hand-computed sup of the integer CDF cross-multiply; identical groups read 0") {
+    // A lengths {1,2}, B lengths {2,4}: at v=1 |1*2-0*2|=2, v=2
+    // |2*2-1*2|=2, v=4 0 -> D_num=2 over n*m=4 -> KS=0.5 = 500000 ppm
+    def doc(src: String, id: Long, n: Int) = (id, src, ("w " * n).trim)
+    val d = Seq(doc("A", 0, 1), doc("A", 1, 2), doc("B", 2, 2), doc("B", 3, 4))
+      .toDF("doc_id", "source", "text")
+    val r = CorpusOps.ksLengthDrift(d, "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 500000L)), s"ks face: $r")
+    // a group compared against an identically-distributed twin reads 0
+    val same = Seq(doc("A", 0, 3), doc("A", 1, 5), doc("B", 2, 3), doc("B", 3, 5))
+      .toDF("doc_id", "source", "text")
+    val z = CorpusOps.ksLengthDrift(same, "A", "B").collect().head
+    assert(z.getLong(2) == 0L && z.getLong(3) == 0L, s"identical: $z")
+    // disjoint supports read the maximum statistic (1.0 = 1e6 ppm)
+    val far = Seq(doc("A", 0, 1), doc("A", 1, 2), doc("B", 2, 9), doc("B", 3, 9))
+      .toDF("doc_id", "source", "text")
+    val f = CorpusOps.ksLengthDrift(far, "A", "B").collect().head
+    assert(f.getLong(3) == 1000000L, s"disjoint: $f")
+  }
+
   test("tokenBudgetPerStratum: a NULL stratum spanning partitions keeps ONE running budget") {
     // regression: the two-pass emit used curK = null as its first-row
     // sentinel, so a null stratum's rows in partitions after the first
