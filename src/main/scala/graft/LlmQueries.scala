@@ -490,6 +490,12 @@ object LlmQueries {
     "q_label_centroid_dots" -> ((s, dir) =>
       VectorOps.labelCentroidDots(embeddings(s, dir))),
 
+    // embedding-space mislabel suspects: per-vector integer centroid
+    // distance gated by the label's own median/MAD spread — the
+    // robust-outliers contract applied to the vector table
+    "q_centroid_outliers" -> ((s, dir) =>
+      VectorOps.centroidOutliers(embeddings(s, dir))),
+
     // SemDeDup: kmeans prepass bounds the pair join to within-cluster;
     // threshold chosen with measured >= 3e-5 margin to the nearest
     // within-cluster similarity at both verify SFs
@@ -4155,6 +4161,42 @@ object LlmQueries {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens - n_tokens < 800
         |ORDER BY source, doc_id""".stripMargin,
+
+    // centroid-distance mislabel gate: grid-unit integer centroids,
+    // div-2^24-reduced squared distances (midpoint-exact medians),
+    // quarter/eighth-unit med/MAD, pure-integer 3.5-z cross-multiply
+    "q_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, label, CAST(k - 1 AS INT) AS dim,
+        |         CAST(FLOOR(v[CAST(k AS INT)] * 16777216 + 0.5) AS BIGINT) AS p
+        |  FROM e, unnest(generate_series(1, len(v))) uk(k)
+        |),
+        |c AS (
+        |  SELECT label, dim,
+        |    CAST(CASE WHEN SUM(p) >= 0
+        |      THEN  ((2 * CAST(SUM(p) AS HUGEINT) + COUNT(*)) // (2 * CAST(COUNT(*) AS HUGEINT)))
+        |      ELSE -((2 * CAST(-SUM(p) AS HUGEINT) + COUNT(*)) // (2 * CAST(COUNT(*) AS HUGEINT)))
+        |    END AS BIGINT) AS c
+        |  FROM u GROUP BY 1, 2
+        |),
+        |d AS (
+        |  SELECT u.vec_id, u.label,
+        |    CAST(SUM(CAST(u.p - c.c AS HUGEINT) * (u.p - c.c)) // 16777216 AS BIGINT) AS d2q
+        |  FROM u JOIN c ON c.label = u.label AND c.dim = u.dim
+        |  GROUP BY 1, 2
+        |),
+        |s AS (SELECT label, CAST(quantile_cont(d2q, 0.5) * 4 AS BIGINT) AS med4
+        |      FROM d GROUP BY 1),
+        |m AS (
+        |  SELECT d.label, CAST(quantile_cont(ABS(4 * d.d2q - s.med4), 0.5) * 2 AS BIGINT) AS mad8
+        |  FROM d JOIN s ON s.label = d.label GROUP BY 1
+        |)
+        |SELECT d.vec_id, d.label, d.d2q, s.med4, m.mad8,
+        |  (m.mad8 > 0 AND 13490 * ABS(4 * d.d2q - s.med4) > 35000 * m.mad8) AS is_outlier
+        |FROM d JOIN s ON s.label = d.label JOIN m ON m.label = d.label
+        |ORDER BY 1""".stripMargin,
 
     // two-sample KS on token-length distributions: inclusive ranks at
     // every distinct length, cross-multiplied integer sup fold in

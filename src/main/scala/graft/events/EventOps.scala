@@ -532,9 +532,23 @@ object EventOps {
     */
   def kAnonymityReport(events: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
     require(qiCols.nonEmpty, "k-anonymity needs at least one QI column")
+    kAnonymityFromClasses(qiClassCounts(events, qiCols), k)
+  }
+
+  /** The report's stage 1 — QI equivalence-class counts. A plain
+    * keyed count, so it is STREAMING-LEGAL as-is (complete/update
+    * mode): the live privacy monitor runs this over the stream and
+    * derives the report batch-side from the sink, the
+    * eventRateCounts split. StreamSpec pins stream == batch.
+    */
+  def qiClassCounts(events: DataFrame, qiCols: Seq[String]): DataFrame =
+    events.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+
+  /** The report's stage 2 — the bounded histogram fold over a
+    * [[qiClassCounts]] table (however it was produced).
+    */
+  def kAnonymityFromClasses(classes: DataFrame, k: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val classes = events.groupBy(qiCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
     classes.agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_classes"),

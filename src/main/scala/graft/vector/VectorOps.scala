@@ -659,6 +659,78 @@ object VectorOps {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** CENTROID-DISTANCE MISLABEL SUSPECTS — the embedding-space data
+    * cleaner: a vector sitting far from its OWN label's centroid,
+    * measured against that label's robust spread (median/MAD modified
+    * z, the [[graft.text.CorpusOps.robustOutliers]] gate applied to
+    * integer centroid distances), is a labeling-noise or
+    * out-of-distribution suspect worth auditing before training.
+    *
+    * DETERMINISM, all integers: components quantize to 2^24 units,
+    * centroids are round-half-away integer means ON THE SAME GRID,
+    * and the squared distance reduces by `div 2^24` to `d2q ≤ ~2^32`
+    * — small enough that the exact-interpolation median midpoints
+    * (x.0 / x.5) are exactly representable, so per-label `med4 =
+    * 4·median(d2q)` and `mad8 = 2·median(|4·d2q − med4|)` are exact
+    * BIGINTs on both engines. The 3.5-modified-z gate is then the
+    * pure-integer cross-multiply `13490·|4·d2q − med4| >
+    * 10·cutMilli·mad8` (0.6745·Δ/MAD > cut with every fraction
+    * cleared) — the face carries no double at all.
+    *
+    * SCALE SHAPE: one narrow posexplode pass to (label, dim) means,
+    * one labels·d broadcast join computing the per-row distance, two
+    * labels-sized percentile aggregations broadcast back — nothing
+    * corpus-sized shuffles twice, no window.
+    *
+    * Returns (vec_id, label, d2q, med4, mad8, is_outlier).
+    */
+  def centroidOutliers(
+      embeddings: DataFrame, cutMilli: Long = 3500L,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(cutMilli > 0, s"cutMilli must be positive, got $cutMilli")
+    val u = embeddings.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      // the 2^62 headroom proof needs |x| <= 8 (the EmbedStats
+      // MaxComponent contract) — an unnormalized embedding must raise,
+      // never produce a silently wrapped distance
+      .withColumn("x", when(abs(col("x")) <= lit(8.0), col("x"))
+        .otherwise(raise_error(concat(
+          lit("centroidOutliers: |component| > MaxComponent=8, got "),
+          col("x").cast("string")))))
+      .withColumn("p",
+        floor(col("x") * lit(16777216.0) + lit(0.5)).cast("long"))
+    // grid-unit centroid: round-half-away mean of the quantized
+    // components (same 2^24 grid as the points)
+    val cent = u.groupBy(col("label"), col("dim"))
+      .agg(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr(
+        """CASE WHEN s >= 0
+          |  THEN  ((2 * s + CAST(n AS DECIMAL(38,0))) div (2 * CAST(n AS DECIMAL(38,0))))
+          |  ELSE -((2 * (-s) + CAST(n AS DECIMAL(38,0))) div (2 * CAST(n AS DECIMAL(38,0))))
+          |END""".stripMargin))
+      .select(col("label"), col("dim"), col("c"))
+    val d2 = u.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum((col("p") - col("c")) * (col("p") - col("c"))).as("d2"))
+      .withColumn("d2q", expr("d2 div 16777216"))
+      .select(col("id"), col("label"), col("d2q"))
+    val med = d2.groupBy(col("label"))
+      .agg((expr("percentile(d2q, 0.5d)") * 4).cast("long").as("med4"))
+    val withMed = d2.join(broadcast(med), Seq("label"))
+    val mad = withMed.groupBy(col("label"))
+      .agg((expr("percentile(abs(4 * d2q - med4), 0.5d)") * 2)
+        .cast("long").as("mad8"))
+    withMed.join(broadcast(mad), Seq("label"))
+      .select(col("id").as(idCol), col("label"), col("d2q"),
+        col("med4"), col("mad8"),
+        (col("mad8") > 0 &&
+          lit(13490L) * abs(lit(4L) * col("d2q") - col("med4")) >
+            lit(10L * cutMilli) * col("mad8")).as("is_outlier"))
+  }
+
   /** SIMPLIFIED SILHOUETTE of the nearest-seed clustering — the
     * cluster-quality readout (Rousseeuw 1987, centroid-simplified
     * form) that decides whether a k / seeding choice produced real

@@ -1131,6 +1131,32 @@ class StreamSpec extends AnyFunSuite {
       s"stored ${stored.size} sources vs one-pass ${onePass.size}")
   }
 
+  test("streaming k-anonymity: complete-mode QI class counts reproduce the batch privacy report") {
+    val ev = graft.events.EventOps.toMicros(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .withColumn("day", expr("ts div 86400000000"))
+      .select(col("event_id"), col("event_type"), col("day"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = graft.events.EventOps
+      .qiClassCounts(src, Seq("event_type", "day"))
+      .writeStream.format("memory").queryName("kanon_classes")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.events.EventOps
+      .kAnonymityFromClasses(spark.table("kanon_classes"), k = 5L)
+      .collect().head.toSeq
+    val batch = graft.events.EventOps
+      .kAnonymityReport(ev, Seq("event_type", "day"), k = 5L)
+      .collect().head.toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming MV maintenance: micro-batched deltas reach the one-pass aggregate bit for bit") {
     // base shard -> store; three delta shards stream in as file drops.
     // After the stream, the persisted state must equal ONE aggregation

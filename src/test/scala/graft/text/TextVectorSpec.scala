@@ -940,6 +940,44 @@ class TextVectorSpec extends AnyFunSuite {
     assert(pairs == pairs.sorted)
   }
 
+  test("centroidOutliers: integer med/MAD replay, far point flagged, degenerate spread quiet, loud bound") {
+    // 1-D label: {0, 0.5, 1, 1.5, 8} — the 8.0 point is the suspect
+    val e = (Seq(0.0f, 0.5f, 1.0f, 1.5f, 8.0f).zipWithIndex.map {
+      case (x, i) => (i.toLong, Array(x), 7)
+    }).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.centroidOutliers(e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // independent scalar replay of the definitions
+    val ps = Seq(0.0, 0.5, 1.0, 1.5, 8.0).map(x => math.floor(x * 16777216.0 + 0.5).toLong)
+    val s = ps.sum
+    val c = (2 * s + ps.length) / (2L * ps.length) // s >= 0 here
+    val d2q = ps.map(p => (p - c) * (p - c) / 16777216L)
+    def medTimes(xs: Seq[Long], f: Long): Long = {
+      val v = xs.sorted
+      val n = v.length
+      if (n % 2 == 1) v(n / 2) * f else (v(n / 2 - 1) + v(n / 2)) * f / 2
+    }
+    val med4 = medTimes(d2q, 4)
+    val mad8 = medTimes(d2q.map(d => math.abs(4 * d - med4)), 2)
+    d2q.zipWithIndex.foreach { case (d, i) =>
+      val expect = mad8 > 0 && 13490L * math.abs(4 * d - med4) > 35000L * mad8
+      assert(out(i.toLong) == ((d, med4, mad8, expect)), s"row $i: ${out(i.toLong)}")
+    }
+    assert(out.values.count(_._4) == 1 && out(4L)._4, "exactly the far point flags")
+    // a zero-spread label reads NO outliers (mad8 = 0 guard)
+    val flat = (0L to 3L).map(i => (i, Array(1.0f), 3)).toDF("vec_id", "embedding", "label")
+    assert(VectorOps.centroidOutliers(flat).collect().forall(!_.getBoolean(5)))
+    // components beyond the 2^62 headroom bound raise loudly
+    val bad = Seq((0L, Array(9.0f), 1)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[org.apache.spark.SparkException] {
+      VectorOps.centroidOutliers(bad).collect()
+    }
+    assert(ex.getMessage.contains("MaxComponent") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("MaxComponent")),
+      s"unexpected failure: ${ex.getMessage}")
+  }
+
   test("dHash: deterministic, re-encode-invariant, edit-local; banded pairs exact for 64-bit sigs") {
     import javax.imageio.ImageIO
     val png = Multimodal.syntheticPng(42L)
