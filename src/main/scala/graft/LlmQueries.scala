@@ -519,6 +519,11 @@ object LlmQueries {
     // conjunction keep bit (the form pipelines actually gate on)
     "q_gopher_rules" -> ((s, dir) => TextOps.gopherRules(docs(s, dir))),
 
+    // the audit face of the hard-gate battery: per-doc reason bitmask
+    // (gopher thresholds + repetition + language), every threshold a
+    // cross-multiplied integer comparison — no float anywhere
+    "q_quality_audit" -> ((s, dir) => TextOps.qualityAudit(docs(s, dir))),
+
     // context-window chunking: size-64 windows advancing by 48 tokens
     // (16-token overlap) — long-document preparation for a fixed-context
     // model; narrow/stream-transparent
@@ -3909,6 +3914,47 @@ object LlmQueries {
          |      / 1152921504606846976 < COALESCE(r.rate, '0.75'::DOUBLE)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // quality audit: the same token counters as the gopher/repetition
+    // oracles reduced to integer cross-multiplied gates and summed
+    // into the reason bitmask
+    "q_quality_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(toks) AS BIGINT) AS n,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w -> LENGTH(w))), 0) AS BIGINT) AS wc,
+        |    CAST(LEN(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(LEN(list_intersect(list_distinct(toks),
+        |         ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS n_stop,
+        |    CAST(GREATEST(LEN(toks) - 2, 0) AS BIGINT) AS ng
+        |  FROM t
+        |), tp AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), dg AS (
+        |  SELECT t.doc_id, CAST(COUNT(DISTINCT array_to_string(toks[k:k+2], ' ')) AS BIGINT) AS nd
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+        |  WHERE len(toks) >= 3 GROUP BY 1
+        |), m AS (
+        |  SELECT f.doc_id, f.n,
+        |    (CASE WHEN f.n < 20 OR f.n > 100000 THEN 1 ELSE 0 END
+        |     + CASE WHEN f.wc < 3 * f.n OR f.wc > 10 * f.n THEN 2 ELSE 0 END
+        |     + CASE WHEN 5 * f.n_alpha < 4 * f.n THEN 4 ELSE 0 END
+        |     + CASE WHEN f.n_stop < 2 THEN 8 ELSE 0 END
+        |     + CASE WHEN 5 * COALESCE(tp.top, 0) > f.n THEN 16 ELSE 0 END
+        |     + CASE WHEN 2 * (f.ng - COALESCE(dg.nd, 0)) > f.ng THEN 32 ELSE 0 END
+        |     + CASE WHEN f.lang IS NULL OR f.lang <> 'en' THEN 64 ELSE 0 END) AS reason_mask
+        |  FROM f LEFT JOIN tp ON tp.doc_id = f.doc_id
+        |         LEFT JOIN dg ON dg.doc_id = f.doc_id
+        |)
+        |SELECT doc_id, n AS n_words, CAST(reason_mask AS BIGINT) AS reason_mask,
+        |  reason_mask = 0 AS keep
+        |FROM m ORDER BY 1""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (

@@ -1384,6 +1384,22 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 >= t._2 && t._4 == t._3 - t._2), s"CMS under-counted: ${out.toSeq}")
   }
 
+  test("qualityAudit: reason bits fire independently as pure-integer gates; keep = mask 0") {
+    val good = (Seq("the", "of") ++ (1 to 23).map(i => f"word$i%02d")).mkString(" ")
+    val d = Seq(
+      (0L, good, "en"),            // all gates pass
+      (1L, "hi", "en"),            // words(1) + meanlen(2) + stop(8) + top(16) = 27
+      (2L, good, "de"),            // language only = 64
+      (3L, ("x y z " * 10).trim, "en")) // meanlen(2)+stop(8)+top(16)+rep(32) = 58
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.qualityAudit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((25L, 0L, true)), s"good doc: ${out(0L)}")
+    assert(out(1L) == ((1L, 27L, false)), s"short doc: ${out(1L)}")
+    assert(out(2L) == ((25L, 64L, false)), s"lang doc: ${out(2L)}")
+    assert(out(3L) == ((30L, 58L, false)), s"loop doc: ${out(3L)}")
+  }
+
   test("gopherRules: each gate fires independently; keep is the conjunction") {
     val d = Seq(
       // passes all: 20 short alpha words incl. 2 stopwords
