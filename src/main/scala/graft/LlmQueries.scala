@@ -1148,6 +1148,19 @@ object LlmQueries {
           col("n_emails"), col("n_ips"), col("n_longnums"))
     }),
 
+    // per-source PII risk inventory: every third doc gets the
+    // deterministic synthetic PII (the corpus itself has none), so
+    // the affected-share column reads a real ~1/3 per source
+    "q_pii_inventory" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+          lit(" contact"), col("doc_id").cast("string"), lit("@example.com via 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextOps.piiInventory(aug)
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       // oracle-checkable projection; checksum/dims validated in ScalaTest
@@ -4078,6 +4091,34 @@ object LlmQueries {
          |  len(regexp_extract_all(t1, '$ip')) AS n_ips,
          |  len(regexp_extract_all(t2, '$num')) AS n_longnums
          |FROM s3 ORDER BY doc_id""".stripMargin
+    },
+
+    // per-source PII inventory: identical augmentation and sequential
+    // counting; the affected share in integer ppm
+    "q_pii_inventory" -> {
+      val em = TextOps.EmailRe; val ip = TextOps.Ipv4Re; val num = TextOps.LongNumRe
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact' || CAST(doc_id AS VARCHAR) ||
+         |      '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+         |      CAST(doc_id % 250 AS VARCHAR)
+         |    ELSE text END AS text
+         |  FROM documents
+         |), c AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$em')) AS e,
+         |    len(regexp_extract_all(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ip')) AS i,
+         |    len(regexp_extract_all(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+         |        '$ip', '<IP>', 'g'), '$num')) AS n
+         |  FROM aug
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+         |  CAST(SUM(e) AS BIGINT) AS n_emails, CAST(SUM(i) AS BIGINT) AS n_ips,
+         |  CAST(SUM(n) AS BIGINT) AS n_longnums,
+         |  (CAST(SUM(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(COUNT(*) AS BIGINT) AS pii_doc_ppm
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q_decontaminate" ->

@@ -1868,6 +1868,40 @@ object TextOps {
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"))
   }
 
+  /** PII RISK INVENTORY — the per-source rollup a release review
+    * reads BEFORE deciding where [[scrubPii]] must run: how many
+    * documents in each source carry any PII-shaped match, and the
+    * per-category totals. Same RE2/Java-identical patterns and
+    * sequential counting discipline as the scrub (emails first, since
+    * an email can embed an IP-shaped host); the affected-document
+    * share reports in integer ppm, so the face carries no double.
+    * One narrow codegen'd pass + one map-side-combined rollup to
+    * source grain — the key-skew report shape.
+    *
+    * Returns (source, n_docs, n_docs_with_pii, n_emails, n_ips,
+    * n_longnums, pii_doc_ppm).
+    */
+  def piiInventory(
+      docs: DataFrame, keyCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    docs.select(col(keyCol).as("source"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("i"),
+        size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("i") + col("n") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("e")).as("n_emails"), sum(col("i")).as("n_ips"),
+        sum(col("n")).as("n_longnums"))
+      .withColumn("pii_doc_ppm",
+        expr("(n_docs_with_pii * 1000000) div n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Top-K bigram collocations by frequency with pointwise mutual
     * information (Church & Hanks 1990): PMI of adjacent word pairs
     * against independent unigram draws — the collocation/phrase-mining

@@ -1384,6 +1384,24 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 >= t._2 && t._4 == t._3 - t._2), s"CMS under-counted: ${out.toSeq}")
   }
 
+  test("piiInventory: per-source rollup, sequential counting, affected share in exact ppm") {
+    val d = Seq(
+      (0L, "A", "mail me at a@b.co please"),
+      (1L, "A", "nothing here"),
+      (2L, "B", "host 1.2.3.4 ref 123456789"),
+      (3L, "B", "clean"),
+      (4L, "B", "also clean")).toDF("doc_id", "source", "text")
+    val out = TextOps.piiInventory(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out("A") == ((2L, 1L, 1L, 0L, 0L, 500000L)), s"A: ${out("A")}")
+    assert(out("B") == ((3L, 1L, 0L, 1L, 1L, 333333L)), s"B: ${out("B")}")
+    // an email's IP-shaped host never double-counts (sequential order)
+    val seq = Seq((0L, "C", "x@10.1.2.34mail.com y")).toDF("doc_id", "source", "text")
+    val c = TextOps.piiInventory(seq).collect().head
+    assert(c.getLong(3) == 1L && c.getLong(4) == 0L, s"sequential: $c")
+  }
+
   test("qualityAudit: reason bits fire independently as pure-integer gates; keep = mask 0") {
     val good = (Seq("the", "of") ++ (1 to 23).map(i => f"word$i%02d")).mkString(" ")
     val d = Seq(
