@@ -722,6 +722,52 @@ class PlanSpec extends AnyFunSuite {
     assert(mvTypes.contains(FO), s"mv merge lost its full-outer join: $mvTypes")
   }
 
+  test("round-13 bands: row-local audits, keyed as-of window, bounded folds, local waterfill") {
+    // quality audit is ONE row-local pass: no exchange anywhere
+    val audit = LlmQueries.all("q_quality_audit")(spark, dir)
+    audit.collect()
+    val pAudit = plan(audit).split("== Initial Plan ==")(0)
+    assert(!pAudit.contains("Exchange"),
+      s"quality audit must stay shuffle-free:\n${pAudit.take(2000)}")
+    // pii inventory / k-anonymity: map-side combine before the one
+    // shuffle, no window, no cartesian
+    for (q <- Seq("q_pii_inventory", "q_k_anonymity")) {
+      val df = LlmQueries.all(q)(spark, dir)
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(p.contains("partial"), s"$q lost map-side combine:\n${p.take(2000)}")
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"window/cartesian in $q:\n${p.take(2000)}")
+    }
+    // forward as-of: exactly one Window, partitioned by the user key
+    // (a partition-less window would single-task the event stream)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val asof = LlmQueries.all("q_events_asof_fwd")(spark, dir)
+    val wins = asof.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"as-of window must be user-keyed: ${wins.map(_.partitionSpec)}")
+    // centroid families: the corpus joins only against broadcast
+    // label-sized sides — no sort-merge join anywhere
+    for (q <- Seq("q_label_centroid_dots", "q_centroid_outliers")) {
+      val df = LlmQueries.all(q)(spark, dir)
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"corpus-sized join in $q:\n${p.take(3000)}")
+    }
+    // waterfill: the face is a driver-built single pinned partition
+    val wf = LlmQueries.all("q_token_waterfill")(spark, dir)
+    assert(wf.rdd.getNumPartitions == 1, "waterfill face must stay one partition")
+    // ks drift: the cumulative window runs over the DISTINCT-LENGTH
+    // aggregate (its child contains the length groupBy), never the
+    // raw corpus rows
+    val ks = LlmQueries.all("q_len_ks_drift")(spark, dir)
+    val ksWins = ks.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(ksWins.nonEmpty && ksWins.forall(_.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined), "ks window must sit above the length-domain aggregate")
+  }
+
   test("unigram memo: segment and encode never retrain once training ran") {
     // The artifact-sharing contract (r11 verdict #4): after
     // q_unigram_train populates ugMemo, the segment/encode endpoints
