@@ -108,6 +108,10 @@ object LlmQueries {
   private val bucketMemo =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  // one-time stored-tokenizer write for the OOV drift report
+  private val tokOovMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   private val mediaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
@@ -954,6 +958,32 @@ object LlmQueries {
     "q_wordpiece_encode" -> ((s, dir) =>
       TextOps.wordpieceEncodeFromVocab(docs(s, dir),
         tokMemo.getOrElse(dir, tokArtifactsFresh(s, dir))._2)),
+
+    // frozen-tokenizer drift: train the stored artifact on the even
+    // half, encode the FULL corpus through the persisted path, roll
+    // the OOV/UNK shares up to source grain in integer ppm. The
+    // synthetic corpus shares one global vocabulary (training on any
+    // half covers it), so odd documents get a deterministic drift
+    // token appended — the PII-augmentation precedent — exercising
+    // the OOV greedy-walk path with a real per-source share
+    "q_tokenizer_oov" -> ((s, dir) => {
+      val tk = s"/tmp/graft-tokoov-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+      // the artifact write is a ONE-TIME investment (the bucketMemo
+      // contract): memoized per dir, so the timed region is what a
+      // monitoring run actually pays — the stored-path encode + rollup
+      tokOovMemo.getOrElseUpdate(dir, {
+        graft.io.TokenizerIO.writeTokenizer(
+          docs(s, dir).filter(col("doc_id") % 2 === 0), merges = 10, tk)
+        true
+      })
+      val drifted = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 2 === 1,
+          concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.io.TokenizerIO.oovReportStored(s, tk, drifted)
+    }),
 
     // UNIGRAM-LM tokenizer training (Kudo 2018 hard-EM): substring-
     // frequency seed, then 2 Viterbi-count rounds over the distinct
@@ -2626,20 +2656,81 @@ object LlmQueries {
       |FROM docw d JOIN wct c ON c.w = d.w
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stored-tokenizer OOV report: the BPE chain TRAINS on the even
+    * half (`doc_id % 2 = 0`), known words take their merge-order
+    * piece counts from the final state, out-of-vocabulary words take
+    * the greedy walk against the piece inventory (the encodeStored
+    * contract), and the rollup lands on source grain with the OOV
+    * share in integer ppm.
+    */
+  private def sqlTokenizerOov(merges: Int): String =
+    "WITH RECURSIVE " + sqlBpeChain(merges, "doc_id % 2 = 0").stripPrefix("WITH ") + s""",
+      |vocabp AS MATERIALIZED (SELECT DISTINCT sym FROM s$merges),
+      |known AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS nt FROM s$merges GROUP BY 1
+      |),
+      |drifted AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 2 = 1 THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+      |         ELSE text END AS text
+      |  FROM documents
+      |),
+      |docw AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM drifted
+      |),
+      |wr AS MATERIALIZED (
+      |  SELECT DISTINCT d.w FROM docw d LEFT JOIN known k ON k.w = d.w
+      |  WHERE k.w IS NULL
+      |),
+      |walk AS (
+      |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS nt FROM wr
+      |  UNION ALL
+      |  SELECT w, pos + ml, nt + 1 FROM (
+      |    SELECT wk.w, wk.pos, wk.nt, MAX(len(vp.sym)) AS ml
+      |    FROM walk wk JOIN vocabp vp
+      |      ON substring(wk.w, CAST(wk.pos AS INT), len(vp.sym)) = vp.sym
+      |    WHERE wk.pos <= len(wk.w)
+      |    GROUP BY 1, 2, 3
+      |  )
+      |),
+      |oovct AS MATERIALIZED (
+      |  SELECT w,
+      |    CASE WHEN MAX(pos) = len(w) + 1 THEN MAX(nt)
+      |         ELSE CAST(1 AS BIGINT) END AS nt,
+      |    CASE WHEN MAX(pos) = len(w) + 1 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(1 AS BIGINT) END AS unk
+      |  FROM walk GROUP BY w
+      |),
+      |wct AS (
+      |  SELECT w, nt, CAST(0 AS BIGINT) AS oov, CAST(0 AS BIGINT) AS unk FROM known
+      |  UNION ALL
+      |  SELECT w, nt, CAST(1 AS BIGINT) AS oov, unk FROM oovct
+      |)
+      |SELECT d.source, CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(c.nt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(c.oov) AS BIGINT) AS n_oov_words,
+      |  CAST(SUM(c.unk) AS BIGINT) AS n_unk_words,
+      |  (CAST(SUM(c.oov) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS oov_ppm
+      |FROM docw d JOIN wct c ON c.w = d.w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The unrolled BPE merge-chain CTE prefix (occ, v, s0, then
     * p_i/t_i/c_i/sel_i/s_i per round) shared by the train and encode
     * oracles — one definition, so the learned merges and the encoding
     * can never disagree on greedy-application semantics.
     */
-  private def sqlBpeChain(merges: Int): String = {
+  private def sqlBpeChain(merges: Int, trainCond: String = "TRUE"): String = {
     // every stage CTE is MATERIALIZED: the merge chain references each
     // previous stage several times, and inlining (DuckDB's default)
     // would re-expand the base scan exponentially in the merge count
     val sb = new StringBuilder
     sb.append(
-      """WITH occ AS MATERIALIZED (
+      s"""WITH occ AS MATERIALIZED (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-        |  FROM documents
+        |  FROM documents WHERE $trainCond
         |), v AS MATERIALIZED (SELECT w, COUNT(*) AS wc FROM occ GROUP BY 1),
         |s0 AS MATERIALIZED (
         |  SELECT w, wc, CAST(k AS BIGINT) AS pos,
@@ -5256,6 +5347,8 @@ object LlmQueries {
     "q_bpe_train" -> sqlBpeTrain(10),
     "q_bpe_encode" -> sqlBpeEncode(10),
     "q_wordpiece_encode" -> sqlWordpieceEncode(10),
+
+    "q_tokenizer_oov" -> sqlTokenizerOov(10),
 
     // unigram-LM tokenizer: the hard-EM loop unrolled — per round a
     // recursive forward Viterbi DP over packed integer composites and

@@ -130,6 +130,36 @@ object TokenizerIO {
         round(col("n_tokens") * lit(1.0) / col("n_words"), 6).as("fertility"))
   }
 
+  /** TOKENIZER-DRIFT / OOV REPORT — the frozen-tokenizer health check
+    * a pipeline runs when the corpus moves under a SHIPPED tokenizer:
+    * [[encodeStored]] over the new corpus, rolled up to source grain
+    * with the out-of-vocabulary word share in integer ppm. A source
+    * whose oov_ppm climbs is drifting away from the tokenizer's
+    * training distribution (new jargon, new language, a scraper
+    * change) — the signal that retraining or vocab patching is due,
+    * long before fertility visibly degrades.
+    *
+    * Cost on top of the encode: one doc-keyed join to recover the
+    * source column and one map-side-combined rollup to source grain.
+    *
+    * Returns (source, n_docs, n_words, n_tokens, n_oov_words,
+    * n_unk_words, oov_ppm).
+    */
+  def oovReportStored(
+      spark: SparkSession, path: String, docs: DataFrame,
+      keyCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val enc = encodeStored(spark, path, docs, idCol, textCol)
+    enc.join(docs.select(col(idCol), col(keyCol).as("source")), Seq(idCol))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_oov_words")).as("n_oov_words"),
+        sum(col("n_unk_words")).as("n_unk_words"))
+      .withColumn("oov_ppm", expr("(n_oov_words * 1000000) div n_words"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------
   // Unigram-LM artifact (the [[graft.text.UnigramOps]] model): one
   // piece-cost table + its own sidecar. Layout:
