@@ -1088,6 +1088,14 @@ object LlmQueries {
         graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
         bucket = 86400L * 1000000L)),
 
+    // retransmission (duplicate-delivery) report: same user + type +
+    // value within 60 s of the previous — the at-least-once noise a
+    // rate/funnel pipeline must discount; per-type share in ppm
+    "q_events_retrans" -> ((s, dir) =>
+      graft.events.EventOps.retransmissionStats(
+        graft.events.EventOps.toMicros(s.read.parquet(s"$dir/events.parquet")),
+        toleranceUs = 60L * 1000000L)),
+
     // k-anonymity privacy gate over (event_type, event day): class
     // histogram + the re-identifiable row mass below k=5, one row
     "q_k_anonymity" -> ((s, dir) => {
@@ -5610,6 +5618,24 @@ object LlmQueries {
         |  ROUND(med, 6) AS med, ROUND(mad, 6) AS mad, z,
         |  abs(z) > 3.5 AS is_anomaly
         |FROM f2 ORDER BY 1, 2""".stripMargin,
+
+    // retransmission report: the same keyed lag comparison in SQL
+    "q_events_retrans" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type, value FROM events
+        |), l AS (
+        |  SELECT event_type, tsu,
+        |    LAG(tsu) OVER (PARTITION BY user_id, event_type, value
+        |                   ORDER BY tsu, event_id) AS prev_ts
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND tsu - prev_ts <= 60000000
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_retrans,
+        |  (CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND tsu - prev_ts <= 60000000
+        |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS retrans_ppm
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k-anonymity gate: QI = (event_type, event day); the class
     // histogram folds and the below-k mass in integer ppm — all exact

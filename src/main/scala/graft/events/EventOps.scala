@@ -512,6 +512,39 @@ object EventOps {
         round(col("n_users") * lit(1.0) / col("n_first"), 6).as("conv"))
   }
 
+  /** RETRANSMISSION REPORT — the stream-hygiene gate an event
+    * pipeline runs before anything aggregates: an event identical to
+    * the SAME user's previous event of the same type and value within
+    * `toleranceUs` is a duplicate delivery (client retry, at-least-
+    * once producer), and counting it as signal corrupts every rate
+    * and funnel downstream. Detection is one lag comparison inside a
+    * (user, type, value)-keyed window — keyed, so the sort
+    * parallelizes per group; nothing corpus-wide. The per-type rollup
+    * reports the duplicate share in integer ppm (no double in the
+    * face).
+    *
+    * Returns (event_type, n_events, n_retrans, retrans_ppm).
+    */
+  def retransmissionStats(
+      events: DataFrame, toleranceUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(toleranceUs > 0, s"tolerance must be positive, got $toleranceUs")
+    val w = W.partitionBy(col(userCol), col(typeCol), col(valueCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(idCol), col(userCol), col(tsCol), col(typeCol), col(valueCol))
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("is_retrans",
+        col("prev_ts").isNotNull && col(tsCol) - col("prev_ts") <= toleranceUs)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_retrans"), 1L).otherwise(0L)).as("n_retrans"))
+      .withColumn("retrans_ppm", expr("(n_retrans * 1000000) div n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** K-ANONYMITY REPORT over a quasi-identifier column set (Sweeney
     * 2002) — the privacy gate a training-data release runs before
     * shipping event-derived features: rows whose QI combination is

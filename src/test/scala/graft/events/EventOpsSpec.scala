@@ -331,6 +331,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(back(5L) == 4L, s"backward nearest: ${back(5L)}")
   }
 
+  test("retransmissionStats: within-tolerance repeats flagged, value/type/user changes never") {
+    // user 1 type A value 1.0: t=0, 10 (retrans), 100 (beyond tol 50)
+    // user 1 type A value 2.0 at t=12: different value, never a dup
+    // user 2 type A value 1.0 at t=11: different user, never a dup
+    // type B single event: clean
+    val ev = Seq(
+      (1L, 1L, 0L, "A", 1.0), (2L, 1L, 10L, "A", 1.0), (3L, 1L, 100L, "A", 1.0),
+      (4L, 1L, 12L, "A", 2.0), (5L, 2L, 11L, "A", 1.0), (6L, 1L, 5L, "B", 9.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = EventOps.retransmissionStats(ev, toleranceUs = 50L).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("A") == ((5L, 1L, 200000L)), s"A: ${r("A")}")
+    assert(r("B") == ((1L, 0L, 0L)), s"B: ${r("B")}")
+    // equal timestamps: the later event id is the duplicate
+    val tie = Seq((1L, 1L, 7L, "A", 1.0), (2L, 1L, 7L, "A", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val t = EventOps.retransmissionStats(tie, toleranceUs = 50L).collect().head
+    assert(t.getLong(1) == 2L && t.getLong(2) == 1L, s"tie: $t")
+  }
+
   test("kAnonymityReport: hand-computed class histogram, below-k mass in exact ppm") {
     // classes: A x3, B x1, C x7 under k = 5 -> below-k classes {A, B}
     // carrying 4 of the 11 rows; ppm truncates 4e6/11 = 363636
