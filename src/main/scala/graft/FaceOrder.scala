@@ -39,13 +39,13 @@ object FaceOrder {
   private val Item =
     """(?i)\s*([A-Za-z0-9_.]+)\s*(ASC|DESC)?\s*""".r
 
-  /** The face sort columns implied by the oracle's trailing ORDER BY,
-    * resolved against the face's output columns (ordinals by
-    * position, names case-insensitively with any `alias.` qualifier
-    * stripped). None when the oracle has no trailing ORDER BY or the
-    * clause isn't a simple column list.
+  /** The (face column name, isDescending) pairs implied by the
+    * oracle's trailing ORDER BY, resolved against the face's output
+    * columns (ordinals by position, names case-insensitively with any
+    * `alias.` qualifier stripped). None when the oracle has no
+    * trailing ORDER BY or the clause isn't a simple column list.
     */
-  def sortCols(oracleSql: String, faceCols: Seq[String]): Option[Seq[Column]] = {
+  def sortKeys(oracleSql: String, faceCols: Seq[String]): Option[Seq[(String, Boolean)]] = {
     oracleSql.trim match {
       case Tail(clause) =>
         val byLower = faceCols.map(c => c.toLowerCase -> c).toMap
@@ -57,16 +57,25 @@ object FaceOrder {
                 if (i >= 1 && i <= faceCols.length) Some(faceCols(i - 1))
                 else None
               } else byLower.get(key.split('.').last.toLowerCase)
-            name.map { n =>
-              if (dir != null && dir.equalsIgnoreCase("DESC")) col(n).desc
-              else col(n).asc
-            }
+            name.map(n => (n, dir != null && dir.equalsIgnoreCase("DESC")))
           case _ => None
         }
         if (items.forall(_.isDefined)) Some(items.map(_.get)) else None
       case _ => None
     }
   }
+
+  /** [[sortKeys]] as Spark sort Columns. DuckDB's ORDER BY default is
+    * NULLS LAST for both directions; Spark's bare `asc` is NULLS
+    * FIRST — match the oracle engine's null placement or a nullable
+    * sort key emits a different row order than its oracle even with
+    * identical values.
+    */
+  def sortCols(oracleSql: String, faceCols: Seq[String]): Option[Seq[Column]] =
+    sortKeys(oracleSql, faceCols).map(_.map {
+      case (n, true)  => col(n).desc_nulls_last
+      case (n, false) => col(n).asc_nulls_last
+    })
 
   /** Append the oracle-derived final sort to a face (identity when
     * the oracle doesn't order or orders by an expression).

@@ -178,8 +178,12 @@ object EventOps {
           .orderBy(col(tsCol), col("tag").desc, col(idCol))
           .rowsBetween(W.currentRow, W.unboundedFollowing)
       else
+        // id DESC so `last()` lands on the SMALLEST right id among
+        // equal timestamps — same tie rule as the forward direction's
+        // first() over id asc; tag asc keeps same-ts right rows
+        // inside the left row's trailing frame (inclusive match)
         W.partitionBy(col(userCol))
-          .orderBy(col(tsCol), col("tag"), col(idCol))
+          .orderBy(col(tsCol), col("tag"), col(idCol).desc)
           .rowsBetween(W.unboundedPreceding, W.currentRow)
     val carriedExpr =
       when(col("tag") === 0, struct(col(idCol), col(tsCol), col(valueCol)))

@@ -39,6 +39,21 @@ object MvIO {
 
   private def sidecar(path: String) = Paths.get(s"$path/mv.json")
 
+  /** Marker/sidecar writes go through temp-file + ATOMIC_MOVE: a
+    * plain Files.writeString can be torn by a crash mid-write,
+    * leaving a commit.json that EXISTS but is truncated — which reads
+    * as "committed but unparseable" and wedges the store, breaking
+    * the "a torn applyDelta leaves no observable trace" contract.
+    * With the atomic rename the marker is either absent or complete.
+    */
+  private def writeAtomic(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Create the store from the initial shard's rows; sidecar last. */
   def createMv(
       rows: DataFrame, path: String, keys: Seq[String],
@@ -47,9 +62,9 @@ object MvIO {
     Files.createDirectories(Paths.get(path))
     RelOps.distributiveAgg(rows, keys, valueCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/v0/state")
-    Files.writeString(Paths.get(s"$path/v0/commit.json"),
+    writeAtomic(Paths.get(s"$path/v0/commit.json"),
       """{"batch_id": -1}""")
-    Files.writeString(sidecar(path),
+    writeAtomic(sidecar(path),
       s"""{"format": 1, "keys": "${keys.mkString(",")}", "value": "$valueCol"}""")
   }
 
@@ -72,22 +87,26 @@ object MvIO {
   }
 
   /** Latest COMMITTED version and its producing batch id. A state dir
-    * without a commit marker (torn applyDelta) is never returned.
+    * without a commit marker (torn applyDelta) is never returned; a
+    * marker that exists but carries no parseable batch_id (a legacy
+    * torn write, predating [[writeAtomic]]) is treated as UNCOMMITTED
+    * rather than wedging the store — the replay heals it.
     */
   def latestCommitted(path: String): (Int, Long) = {
     storedSchema(path) // sidecar validation gates every read
     val root = new java.io.File(path)
+    def batchOf(k: Int): Option[Long] = {
+      val p = Paths.get(s"$path/v$k/commit.json")
+      if (!Files.exists(p)) None
+      else """"batch_id"\s*:\s*(-?\d+)""".r
+        .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+    }
     val versions = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toInt)
-      .filter(k => Files.exists(Paths.get(s"$path/v$k/commit.json")))
+      .flatMap(k => batchOf(k).map(k -> _))
     require(versions.nonEmpty, s"mv store $path has no committed version")
-    val k = versions.max
-    val commit = Files.readString(Paths.get(s"$path/v$k/commit.json"))
-    val b = """"batch_id"\s*:\s*(-?\d+)""".r.findFirstMatchIn(commit)
-      .map(_.group(1).toLong)
-    require(b.isDefined, s"mv commit marker for v$k lacks batch_id")
-    (k, b.get)
+    versions.maxBy(_._1)
   }
 
   /** The current merged per-key state. */
@@ -112,7 +131,7 @@ object MvIO {
       spark.read.parquet(s"$path/v$k/state"),
       RelOps.distributiveAgg(deltaRows, keys, valueCol), keys)
     merged.write.mode(SaveMode.Overwrite).parquet(s"$path/v${k + 1}/state")
-    Files.writeString(Paths.get(s"$path/v${k + 1}/commit.json"),
+    writeAtomic(Paths.get(s"$path/v${k + 1}/commit.json"),
       s"""{"batch_id": $batchId}""")
     pruneBelow(path, k) // keep k (rollback margin) and k+1
     true

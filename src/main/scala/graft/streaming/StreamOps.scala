@@ -696,16 +696,36 @@ object StreamOps {
     * turns at-least-once replay into exactly-once effect. Per batch
     * the work is delta-scan + keys-sized join; the base fact is never
     * rescanned, which is the whole point of the operator at 100 TB.
+    *
+    * Exactly-once depends on a DURABLE batch-id sequence: without a
+    * checkpointLocation Spark allocates a fresh temporary checkpoint
+    * on every (re)start and batch ids restart at 0, so every new
+    * micro-batch with id <= the store's last committed id would be
+    * misclassified as replay and SILENTLY dropped. So either pass
+    * `checkpointLocation` (restart-safe — required in production), or
+    * the store must be pristine (last committed batch id == -1, i.e.
+    * fresh from [[graft.io.MvIO.createMv]]) and the query must never
+    * restart; the pristine case is gated loudly up front.
     */
   def streamingMvMaintain(
-      spark: SparkSession, mvPath: String, incoming: DataFrame)
+      spark: SparkSession, mvPath: String, incoming: DataFrame,
+      checkpointLocation: Option[String] = None)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.io.MvIO.storedSchema(mvPath) // loud sidecar gate up front
-    incoming.writeStream
+    if (checkpointLocation.isEmpty) {
+      val (_, lastBatch) = graft.io.MvIO.latestCommitted(mvPath)
+      require(lastBatch == -1L,
+        s"mv store $mvPath already committed batch $lastBatch; without a " +
+          "durable checkpointLocation this stream's batch ids restart at 0 " +
+          "and every micro-batch <= that id would be silently dropped as " +
+          "replay — pass checkpointLocation to resume an advanced store")
+    }
+    val writer = incoming.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.io.MvIO.applyDelta(spark, mvPath, batch.toDF(), batchId)
         ()
       }
+    checkpointLocation.fold(writer)(p => writer.option("checkpointLocation", p))
       .start()
   }
 

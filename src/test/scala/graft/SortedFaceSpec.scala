@@ -68,20 +68,54 @@ class SortedFaceSpec extends AnyFunSuite {
          |${bad.mkString("\n")}""".stripMargin)
   }
 
+  test("oracle ORDER BY keys form a unique key of each face (no tie rows)") {
+    // FaceOrder guarantees the SAME sort as the oracle — but a sort
+    // only determines emission order when its keys are UNIQUE. On a
+    // tie, Spark and DuckDB each emit engine-dependent order and the
+    // driver's order-sensitive hash can go red nondeterministically
+    // (the last way order nondeterminism can still reach it after
+    // r13). This guard executes every FaceOrder-parsed face at
+    // sf0.001 and asserts no two rows share the full sort key; a
+    // violation is fixed by widening the oracle's ORDER BY (both
+    // sides — FaceOrder then follows automatically).
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val parsedFaces = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        FaceOrder.sortKeys(sql, df.columns.toSeq).map(k => (name, df, k))
+    }
+    assert(parsedFaces.size > 200,
+      s"only ${parsedFaces.size} faces parse a FaceOrder sort — parser broke?")
+    val dups = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, df, sortKeys) <- parsedFaces) {
+      val keys = sortKeys.map { case (n, _) => col(n) }
+      val ties = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      if (ties > 0) dups += name
+    }
+    assert(dups.isEmpty,
+      s"""${dups.size} faces have NON-UNIQUE oracle sort keys — ties emit in
+         |engine-dependent order and the order-sensitive driver hash can go
+         |red; widen these oracles' ORDER BY (both sides):
+         |${dups.mkString("\n")}""".stripMargin)
+  }
+
   test("FaceOrder parses the oracle ORDER BY vocabulary") {
     import org.apache.spark.sql.functions.col
     val cols = Seq("a", "b", "c")
     def names(sql: String) =
       FaceOrder.sortCols(sql, cols).map(_.map(_.toString))
-    // ordinals, names, DESC, alias qualifiers, LIMIT tails
+    // ordinals, names, DESC, alias qualifiers, LIMIT tails — all with
+    // DuckDB's default NULLS LAST placement (Spark's bare asc is
+    // NULLS FIRST, which would misplace nullable keys vs the oracle)
     assert(names("SELECT * FROM t ORDER BY 1") ==
-      Some(Seq(col("a").asc.toString)))
+      Some(Seq(col("a").asc_nulls_last.toString)))
     assert(names("SELECT * FROM t ORDER BY 2 DESC, 1") ==
-      Some(Seq(col("b").desc.toString, col("a").asc.toString)))
+      Some(Seq(col("b").desc_nulls_last.toString, col("a").asc_nulls_last.toString)))
     assert(names("SELECT * FROM t ORDER BY x.b, C ASC") ==
-      Some(Seq(col("b").asc.toString, col("c").asc.toString)))
+      Some(Seq(col("b").asc_nulls_last.toString, col("c").asc_nulls_last.toString)))
     assert(names("SELECT * FROM t ORDER BY b DESC, a LIMIT 20") ==
-      Some(Seq(col("b").desc.toString, col("a").asc.toString)))
+      Some(Seq(col("b").desc_nulls_last.toString, col("a").asc_nulls_last.toString)))
     // expression tails and inner-only ORDER BY parse to None
     assert(names("SELECT * FROM t ORDER BY SUM(x) DESC, a").isEmpty)
     assert(names(
@@ -91,6 +125,6 @@ class SortedFaceSpec extends AnyFunSuite {
     assert(names("SELECT * FROM t ORDER BY nope").isEmpty)
     // multi-line statements: the tail regex is DOTALL
     assert(names("SELECT *\nFROM t\nORDER BY c,\n  b DESC") ==
-      Some(Seq(col("c").asc.toString, col("b").desc.toString)))
+      Some(Seq(col("c").asc_nulls_last.toString, col("b").desc_nulls_last.toString)))
   }
 }

@@ -329,6 +329,15 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
     assert(back(5L) == 4L, s"backward nearest: ${back(5L)}")
+    // backward equal-right-ts tie: the smaller event id wins, same
+    // rule as forward (the frame orders id DESC so last() lands on it)
+    val tieB = Seq(
+      (1L, 1L, 100L, "L", 0.0),
+      (8L, 1L, 90L, "R", 8.0), (7L, 1L, 90L, "R", 7.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val tb = EventOps.asofNearest(tieB, "L", "R", forward = false, toleranceUs = 50L)
+      .collect().head
+    assert(tb.getLong(3) == 7L && tb.getLong(6) == 10L, s"backward tie pick: $tb")
   }
 
   test("retransmissionStats: within-tolerance repeats flagged, value/type/user changes never") {

@@ -1199,4 +1199,45 @@ class StreamSpec extends AnyFunSuite {
     assert(face(graft.io.MvIO.readState(spark, store)) == onePass,
       "a replayed batch id mutated the MV state")
   }
+
+  test("streaming MV maintenance: durable checkpoint survives a query restart; checkpoint-less resume of an advanced store is refused") {
+    // Restart semantics are where the exactly-once contract actually
+    // bites: without a durable checkpointLocation a restarted query's
+    // batch ids begin again at 0, applyDelta classifies every new
+    // micro-batch as replay, and fresh data is SILENTLY dropped. With
+    // the checkpoint the second query resumes the batch-id sequence
+    // and the state converges to the one-pass aggregate.
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_quantity"))
+    val store = java.nio.file.Files.createTempDirectory("graft-mv-ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-ckpt-loc").toString
+    graft.io.MvIO.createMv(
+      li.filter(col("l_orderkey") % 3 === 0), store, keys, "l_quantity")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mv-ckpt-src").toString
+    def drop(m: Int): Unit = li.filter(col("l_orderkey") % 3 === m)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = graft.streaming.StreamOps.streamingMvMaintain(
+      spark, store,
+      spark.readStream.schema(li.schema).parquet(srcDir), Some(ckpt))
+    drop(1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the store has now committed batch ids > -1; a RESTART without a
+    // checkpoint must be refused loudly instead of silently dropping
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingMvMaintain(
+        spark, store, spark.readStream.schema(li.schema).parquet(srcDir))
+    }
+    assert(ex.getMessage.contains("checkpointLocation"), ex.getMessage)
+    drop(2)
+    val q2 = start() // resumes the checkpointed batch-id sequence
+    try q2.processAllAvailable() finally q2.stop()
+    def face(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+    val onePass = face(graft.rel.RelOps.distributiveAgg(li, keys, "l_quantity"))
+    assert(face(graft.io.MvIO.readState(spark, store)) == onePass,
+      "restarted stream with durable checkpoint diverges from one-pass aggregate")
+  }
 }
