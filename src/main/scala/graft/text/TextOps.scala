@@ -996,9 +996,15 @@ object TextOps {
       val s = obs.get("lblSum").asInstanceOf[java.math.BigDecimal]
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // round r's eager cut just materialized, so round r-1's blocks
+      // are dead NOW — release them instead of letting O(rounds) of
+      // executor storage accrete per execution (the q_dedup_clusters
+      // 2.3–3.7 s bench drift)
+      graft.model.Lineage.release(labels)
       labels = chk
       iter += 1
     }
+    graft.model.Lineage.release(edges) // final labels never re-read edges
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"dedupClusters exited after maxIterations=$maxIterations without converging; " +

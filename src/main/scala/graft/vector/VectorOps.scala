@@ -1564,15 +1564,24 @@ object VectorOps {
     var visited = graft.model.Lineage.cut(
       seeds.select(col("node"), lit(0L).as("dist")), reliable)
     var frontier = visited.select(col("node"))
+    var prevFrontierCut: Option[DataFrame] = None
     for (d <- 1 to maxDepth) {
       val nxt = graft.model.Lineage.cut(
         edges.join(frontier.select(col("node").as("src")), "src")
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti"), reliable)
-      visited = graft.model.Lineage.cut(
+      val grown = graft.model.Lineage.cut(
         visited.unionByName(nxt.select(col("node"), lit(d.toLong).as("dist"))),
         reliable)
+      // this round's two eager cuts were the last readers of the
+      // previous round's visited/frontier blocks — free them now
+      // rather than letting O(depth) of executor storage accrete
+      // (the dedupClusters release pattern)
+      graft.model.Lineage.release(visited)
+      prevFrontierCut.foreach(graft.model.Lineage.release)
+      visited = grown
       frontier = nxt
+      prevFrontierCut = Some(nxt)
     }
     visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
