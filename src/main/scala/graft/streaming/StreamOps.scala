@@ -207,6 +207,92 @@ object StreamOps {
       .toDF("event_id", "user_id", "ts", "b_event_id", "b_ts", "b_value")
   }
 
+  /** STREAMING FORWARD AS-OF JOIN — the twin of
+    * [[graft.events.EventOps.asofNearest]] with `forward = true`
+    * (pandas merge_asof direction='forward' with tolerance): each left
+    * event matches the EARLIEST right event in [ts, ts + tolerance],
+    * smallest event id on equal right timestamps, null columns when
+    * none. The state shape differs from the backward twin in one
+    * essential way: a probe's match horizon extends FORWARD, so it
+    * finalizes only when the watermark passes `ts + tolerance` (every
+    * right event that could still win has then arrived), not its own
+    * timestamp — the tolerance is what makes a forward as-of
+    * streamable at all (without it no probe could ever finalize).
+    *
+    *  - probes (left) and anchors (right) buffer in per-user group
+    *    state; a probe emits exactly once, when `ts + tolerance` falls
+    *    strictly below the watermark (same strictness reasoning as the
+    *    backward twin's boundary note);
+    *  - anchors compact to those at or after `min(watermark, earliest
+    *    pending probe ts)` — anything earlier can never be inside a
+    *    live or future probe's forward horizon, so state is bounded by
+    *    the tolerance + lateness window, O(in-flight) per user;
+    *  - an EventTimeTimeout on the earliest pending probe's horizon
+    *    end fires the group when the watermark passes it even if the
+    *    user goes quiet.
+    *
+    * Emits the batch face's exact columns (event_id, user_id, ts,
+    * b_event_id, b_ts, b_value, lag_us); StreamSpec pins batch ==
+    * stream row for row across multi-batch arrival.
+    */
+  def streamingAsofNearestForward(
+      events: DataFrame, leftType: String, rightType: String,
+      toleranceUs: Long, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(toleranceUs > 0, s"tolerance must be positive, got $toleranceUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ts2 must SURVIVE the projection (see streamingAsofLatest)
+    val base = events.withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", watermark)
+      .filter(col("event_type") === leftType || col("event_type") === rightType)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long"), col("event_id").cast("long"), col("value").cast("double"),
+        col("ts2"))
+      .as[(Long, String, Long, Long, Option[Double], java.sql.Timestamp)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long, Option[Double], java.sql.Timestamp)],
+            state: GroupState[AsofBuf]) =>
+          val st = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          var anchors = st.anchors
+          var probes = st.probes
+          // two independent ifs (leftType == rightType unions into
+          // both sides, as in the batch twin)
+          rows.foreach { case (_, typ, ts, id, v, _) =>
+            if (typ == rightType) anchors ::= AsofEv(ts, id, v)
+            if (typ == leftType) probes ::= AsofEv(ts, id, v)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a probe is final when its whole forward horizon
+          // [ts, ts + tolerance] lies STRICTLY below the watermark
+          val (ready, pending) = probes.partition(p => p.ts + toleranceUs < wmUs)
+          val out = ready.sortBy(p => (p.ts, p.id)).map { p =>
+            val m = anchors.filter(a => a.ts >= p.ts && a.ts <= p.ts + toleranceUs)
+            val best = if (m.isEmpty) None else Some(m.minBy(a => (a.ts, a.id)))
+            (p.id, user, p.ts, best.map(_.id), best.map(_.ts),
+              best.flatMap(_.value), best.map(_.ts - p.ts))
+          }
+          // compact: anchors before every live horizon's start are
+          // unreachable (a future probe arrives at or after the
+          // watermark, so its horizon starts at or after it too)
+          val floorTs = (wmUs :: pending.map(_.ts)).min
+          val next = AsofBuf(anchors.filter(_.ts >= floorTs), pending)
+          if (next.anchors.isEmpty && next.probes.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(next)
+            if (pending.nonEmpty)
+              // +1 ms past the micros -> millis truncation, as in the
+              // backward twin
+              state.setTimeoutTimestamp(
+                (pending.map(_.ts).min + toleranceUs) / 1000L + 1L)
+          }
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "ts", "b_event_id", "b_ts", "b_value", "lag_us")
+  }
+
   final case class FunnelBuf(depth: Int, tprev: Long, pending: List[(Long, String)])
 
   /** STREAMING FUNNEL DEPTH — the twin of

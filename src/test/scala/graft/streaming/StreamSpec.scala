@@ -241,6 +241,69 @@ class StreamSpec extends AnyFunSuite {
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
   }
 
+  test("streaming FORWARD as-of join matches the batch operator probe for probe across arrival splits") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-asoffwd-stream").toFile
+    val tol = 3600L * 1000000L // 1 hour of micro ticks, the batch face's own
+    val raw = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .limit(600)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    // two arrival splits ALONG THE TIMELINE (an id-parity split would
+    // land half the events below the first batch's watermark and they
+    // would be dropped as late): probes near the cut exercise forward
+    // horizons that only fill in the second batch
+    val stage = java.nio.file.Files.createTempDirectory("graft-asoffwd-all").toFile
+    raw.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val all = spark.read.parquet(stage.getAbsolutePath)
+    val cutTs = all.agg(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    all.filter(col("ts") <= cutTs)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingAsofNearestForward(
+      src, "purchase", "click", toleranceUs = tol, watermark = "2 hours")
+      .writeStream.format("memory").queryName("asoffwd_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("ts") > cutTs)
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+      q.processAllAvailable()
+      val maxTs = spark.read.parquet(srcDir.getAbsolutePath)
+        .agg(max(col("ts"))).head().getLong(0)
+      // push the watermark past every horizon end (ts + tolerance);
+      // same two-sentinel protocol as the backward twin's test
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), maxTs + tol + k * 100L * 3600L * 1000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) null else r.getLong(3),
+      if (r.isNullAt(4)) null else r.getLong(4),
+      if (r.isNullAt(5)) null else r.getDouble(5),
+      if (r.isNullAt(6)) null else r.getLong(6))
+    val streamedRows = spark.table("asoffwd_stream").collect().map(key)
+    val streamed = streamedRows.toSet
+    val staged = spark.read.parquet(srcDir.getAbsolutePath)
+      .filter(col("event_id") >= 0)
+    val batch = graft.events.EventOps.asofNearest(
+        staged, "purchase", "click", forward = true, toleranceUs = tol)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("b_event_id"), col("b_ts"), col("b_value"), col("lag_us"))
+      .collect().map(key).toSet
+    assert(streamedRows.length == batch.size,
+      s"emitted ${streamedRows.length} rows for ${batch.size} probes (duplicate or missing emission)")
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
+
   test("streaming as-of with leftType == rightType self-matches like the batch twin") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-self").toFile
