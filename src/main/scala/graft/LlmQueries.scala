@@ -112,6 +112,10 @@ object LlmQueries {
   private val tokOovMemo =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  private def tokOovPath(dir: String): String =
+    "/tmp/graft-tokoov-" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+
   private val mediaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
@@ -966,12 +970,29 @@ object LlmQueries {
     // half covers it), so odd documents get a deterministic drift
     // token appended — the PII-augmentation precedent — exercising
     // the OOV greedy-walk path with a real per-source share
+    // the stored-artifact BUILD, billed honestly as its own bench row
+    // (the q_dedup_lsh_sigs pattern — alphabetically before the oov
+    // report, so bench order trains fresh and the report reads the
+    // memo): each execution runs BPE training on the even half, writes
+    // the artifact, refreshes the memo, and reads the stored merges
+    // table back — a training regression can no longer hide inside an
+    // unmeasured memoized step. The face is the persisted merge list,
+    // the artifact's externally-checkable content.
+    "q_tokenizer_artifact" -> ((s, dir) => {
+      val tk = tokOovPath(dir)
+      graft.io.TokenizerIO.writeTokenizer(
+        docs(s, dir).filter(col("doc_id") % 2 === 0), merges = 10, tk)
+      tokOovMemo.put(dir, true)
+      graft.io.TokenizerIO.readMerges(s, tk)
+        .select(col("merge_rank"), col("left_sym"), col("right_sym"),
+          col("pair_count"))
+    }),
+
     "q_tokenizer_oov" -> ((s, dir) => {
-      val tk = s"/tmp/graft-tokoov-" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+      val tk = tokOovPath(dir)
       // the artifact write is a ONE-TIME investment (the bucketMemo
-      // contract): memoized per dir, so the timed region is what a
+      // contract): memoized per dir — q_tokenizer_artifact is the row
+      // that bills the build; the timed region here is what a
       // monitoring run actually pays — the stored-path encode + rollup
       tokOovMemo.getOrElseUpdate(dir, {
         graft.io.TokenizerIO.writeTokenizer(
@@ -2591,8 +2612,8 @@ object LlmQueries {
     * renumbered). The final SELECT unions the `merges` one-row winner
     * tables into the learned merge table.
     */
-  private def sqlBpeTrain(merges: Int): String =
-    sqlBpeChain(merges) + (1 to merges).map(i =>
+  private def sqlBpeTrain(merges: Int, trainCond: String = "TRUE"): String =
+    sqlBpeChain(merges, trainCond) + (1 to merges).map(i =>
         s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, " +
           s"r AS right_sym, cnt AS pair_count FROM t$i")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
@@ -5356,6 +5377,9 @@ object LlmQueries {
     "q_bpe_encode" -> sqlBpeEncode(10),
     "q_wordpiece_encode" -> sqlWordpieceEncode(10),
 
+    // the stored artifact's merge list IS the bpe-train face over the
+    // even training half — DuckDB replays the same unrolled chain
+    "q_tokenizer_artifact" -> sqlBpeTrain(10, "doc_id % 2 = 0"),
     "q_tokenizer_oov" -> sqlTokenizerOov(10),
 
     // unigram-LM tokenizer: the hard-EM loop unrolled — per round a
