@@ -621,6 +621,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("relational anchors: Q12/Q13/Q14 classification, left-join and single-scan shapes") {
+    import org.apache.spark.sql.catalyst.plans.{LeftOuter => LO}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // Q13: the zero-order customers survive ONLY if the join stays a
+    // genuine LEFT OUTER, and the per-custkey count must aggregate the
+    // fact BELOW the join (aggregating after would shuffle every order
+    // row against customer at 100 TB instead of a custkey-sized side)
+    val q13 = LlmQueries.all("q_tpch_q13")(spark, dir).queryExecution.optimizedPlan
+    val q13joins = q13.collect { case j: Join => j }
+    assert(q13joins.map(_.joinType).contains(LO), "q13 lost its left outer join")
+    val aggBelowJoin = q13joins.exists(_.right.collect { case a: Aggregate => a }.nonEmpty)
+    assert(aggBelowJoin,
+      s"q13 must pre-aggregate orders below the join:\n${q13.treeString.take(2000)}")
+    // Q14: the promo share is ONE conditional aggregate over ONE
+    // date-filtered lineitem scan — a second scan for the denominator
+    // is the classic Q14 anti-pattern
+    val df14 = LlmQueries.all("q_tpch_q14")(spark, dir)
+    df14.collect()
+    val p14 = plan(df14).split("== Initial Plan ==")(0)
+    assert("lineitem".r.findAllIn(p14).size <= 1,
+      s"q14 re-scans lineitem for the total:\n${p14.take(3000)}")
+    assert(!p14.contains("CartesianProduct") && !p14.contains("BroadcastNestedLoopJoin"),
+      s"q14 part join degraded:\n${p14.take(2000)}")
+    assert(p14.contains("PushedFilters: [IsNotNull(l_shipdate)") || p14.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q14 date filter not pushed to the scan:\n${p14.take(3000)}")
+    // Q12: both lineitem predicates reach the parquet scan, the order
+    // join stays equi, and the two-level counts partial-aggregate
+    val df12 = LlmQueries.all("q_tpch_q12")(spark, dir)
+    df12.collect()
+    val p12 = plan(df12).split("== Initial Plan ==")(0)
+    assert(p12.contains("EqualTo(l_returnflag,N)"),
+      s"q12 returnflag filter not pushed:\n${p12.take(3000)}")
+    // the explain string truncates long PushedFilters lists mid-token
+    // ("GreaterThanOrEqual(l_sh..."), so match the survivable prefix
+    assert(p12.contains("GreaterThanOrEqual(l_sh"),
+      s"q12 shipdate filter not pushed:\n${p12.take(3000)}")
+    assert(!p12.contains("CartesianProduct") && !p12.contains("BroadcastNestedLoopJoin"),
+      s"q12 join degraded:\n${p12.take(2000)}")
+    assert(p12.contains("partial_sum"),
+      s"q12 counts must map-side combine:\n${p12.take(3000)}")
+  }
+
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {
     // modularity: every join is node-/label-keyed; the only cross
     // joins combine 1-row aggregates
