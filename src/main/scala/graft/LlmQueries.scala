@@ -358,6 +358,23 @@ object LlmQueries {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
 
+    // SYNDICATION report over the shared clustering result: for every
+    // real dup family (size > 1), how many distinct sources carry it
+    // and which — cross-source dup mass is syndicated/scraped content
+    // (keep once, attribute provenance), same-source dup mass is a
+    // pipeline defect (re-crawl, retry storm); the n_sources column is
+    // what splits those two cleanup paths. Cluster-keyed rollup over
+    // the memoized labels + one doc-keyed join to recover the source.
+    "q_dedup_syndication" -> ((s, dir) =>
+      clusterMemo.getOrElse(dir, clustersFresh(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("source")).as("first_source"),
+          max(col("source")).as("last_source"))
+        .filter(col("n_docs") > 1)),
+
     // incremental ingestion: the second half of the corpus arrives as
     // an increment and probes the first half's band-bucket index —
     // cross-side candidates only, never a base self-join
@@ -1005,6 +1022,47 @@ object LlmQueries {
           .otherwise(col("text")).as("text"))
       graft.io.TokenizerIO.oovReportStored(s, tk, drifted)
     }),
+
+    // vocab-patch candidates: the remediation readout paired with the
+    // drift report — odd documents get one of SEVEN repeated novel
+    // COMPOUNDS appended (the corpus's 7 most frequent words doubled,
+    // picked by doc_id % 7: the "new jargon built from known
+    // morphemes" shape — segmentable by the greedy walk, so the
+    // projected token savings are real), and the face ranks every OOV
+    // word by occurrence mass with its greedy piece count and the
+    // savings were it promoted to a single vocabulary entry
+    "q_tokenizer_patch" -> ((s, dir) => {
+      val tk = tokOovPath(dir)
+      tokOovMemo.getOrElseUpdate(dir, {
+        graft.io.TokenizerIO.writeTokenizer(
+          docs(s, dir).filter(col("doc_id") % 2 === 0), merges = 10, tk)
+        true
+      })
+      val w7 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("w"))
+      // 7-ROW window (post-limit), not a corpus-wide one
+      val top7 = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(7)
+        .withColumn("r", row_number().over(w7) - 1)
+        .select(col("r"), col("w").as("nww"))
+      val drifted = docs(s, dir)
+        .join(broadcast(top7), (col("doc_id") % 7) === col("r"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 2 === 1,
+            concat(col("text"), lit(" "), col("nww"), col("nww")))
+            .otherwise(col("text")).as("text"))
+      graft.io.TokenizerIO.oovPatchCandidates(s, tk, drifted, topK = 15)
+    }),
+
+    // PREFERENCE AGGREGATION (Bradley–Terry via Hunter's MM, 3
+    // rounds): adjacent documents duel, the longer doc's source wins,
+    // and the face reports per-source games/wins/strength in integer
+    // micro-units — the reward-data QA readout an RLHF pipeline runs
+    // over its annotation table (here synthesized deterministically)
+    "q_pref_bradley_terry" -> ((s, dir) =>
+      graft.text.PrefOps.bradleyTerry(docs(s, dir), iters = 3)),
 
     // UNIGRAM-LM tokenizer training (Kudo 2018 hard-EM): substring-
     // frequency seed, then 2 Viterbi-count rounds over the distinct
@@ -2685,6 +2743,141 @@ object LlmQueries {
       |FROM docw d JOIN wct c ON c.w = d.w
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for [[graft.text.PrefOps.bradleyTerry]]: the duel build,
+    * pair matrix and Hunter-MM rounds unrolled as MATERIALIZED CTEs,
+    * every step in the same integer micro-unit arithmetic (DuckDB `//`
+    * and Spark `div` truncate identically on non-negative operands;
+    * sums CAST back to BIGINT so no HUGEINT reaches the face).
+    */
+  private def sqlBradleyTerry(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH scored AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+        |  FROM documents
+        |),
+        |duels AS MATERIALIZED (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    CASE WHEN a.ntok >= b.ntok THEN a.source ELSE b.source END AS winner
+        |  FROM scored a JOIN scored b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0 AND a.source <> b.source
+        |),
+        |pairs AS MATERIALIZED (
+        |  SELECT LEAST(sa, sb) AS i, GREATEST(sa, sb) AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM duels GROUP BY 1, 2
+        |),
+        |sym AS MATERIALIZED (
+        |  SELECT i AS s, j AS o, nij FROM pairs
+        |  UNION ALL SELECT j AS s, i AS o, nij FROM pairs
+        |),
+        |wins AS MATERIALIZED (
+        |  SELECT winner AS source, CAST(COUNT(*) AS BIGINT) AS n_wins
+        |  FROM duels GROUP BY 1
+        |),
+        |games AS MATERIALIZED (
+        |  SELECT s AS source, CAST(SUM(nij) AS BIGINT) AS n_games
+        |  FROM sym GROUP BY 1
+        |),
+        |p0 AS MATERIALIZED (
+        |  SELECT source, CAST(1000000 AS BIGINT) AS p FROM games
+        |)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(
+        s""",
+          |d$k AS MATERIALIZED (
+          |  SELECT sym.s AS source,
+          |    CAST(SUM((sym.nij * CAST(1000000000000 AS BIGINT))
+          |      // GREATEST(pa.p + pb.p, 1)) AS BIGINT) AS denom
+          |  FROM sym
+          |  JOIN p${k - 1} pa ON pa.source = sym.s
+          |  JOIN p${k - 1} pb ON pb.source = sym.o
+          |  GROUP BY 1
+          |),
+          |p$k AS MATERIALIZED (
+          |  SELECT d.source,
+          |    CAST((COALESCE(w.n_wins, 0) * CAST(1000000000000 AS BIGINT))
+          |      // GREATEST(d.denom, 1) AS BIGINT) AS p
+          |  FROM d$k d LEFT JOIN wins w ON w.source = d.source
+          |)""".stripMargin)
+    }
+    sb.append(
+      s""",
+        |tot AS MATERIALIZED (SELECT CAST(SUM(p) AS BIGINT) AS t FROM p$iters)
+        |SELECT g.source, g.n_games, COALESCE(w.n_wins, 0) AS n_wins,
+        |  pf.p AS strength_micro,
+        |  CAST((pf.p * CAST(1000000 AS BIGINT)) // GREATEST(tot.t, 1) AS BIGINT)
+        |    AS strength_ppm
+        |FROM games g
+        |LEFT JOIN wins w ON w.source = g.source
+        |JOIN p$iters pf ON pf.source = g.source
+        |CROSS JOIN tot
+        |ORDER BY 1""".stripMargin)
+    sb.toString
+  }
+
+  /** Vocab-patch candidates: the same trained chain and greedy walk
+    * as [[sqlTokenizerOov]], but the drift is seven REPEATED novel
+    * words (`doc_id % 7`) and the output ranks every OOV word by
+    * occurrence mass with its greedy token count and projected
+    * savings were it promoted to a single vocabulary entry.
+    */
+  private def sqlTokenizerPatch(merges: Int, topK: Int): String =
+    "WITH RECURSIVE " + sqlBpeChain(merges, "doc_id % 2 = 0").stripPrefix("WITH ") + s""",
+      |vocabp AS MATERIALIZED (SELECT DISTINCT sym FROM s$merges),
+      |known AS MATERIALIZED (
+      |  SELECT w FROM s$merges GROUP BY 1
+      |),
+      |top7 AS MATERIALIZED (
+      |  SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) - 1 AS r FROM (
+      |    SELECT w, COUNT(*) AS n FROM (
+      |      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |      FROM documents
+      |    ) GROUP BY 1 ORDER BY n DESC, w LIMIT 7
+      |  )
+      |),
+      |drifted AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 2 = 1 THEN d.text || ' ' || t.w || t.w
+      |         ELSE d.text END AS text
+      |  FROM documents d LEFT JOIN top7 t ON t.r = d.doc_id % 7
+      |),
+      |docw AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM drifted
+      |),
+      |wr AS MATERIALIZED (
+      |  SELECT DISTINCT d.w FROM docw d LEFT JOIN known k ON k.w = d.w
+      |  WHERE k.w IS NULL
+      |),
+      |walk AS (
+      |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS nt FROM wr
+      |  UNION ALL
+      |  SELECT w, pos + ml, nt + 1 FROM (
+      |    SELECT wk.w, wk.pos, wk.nt, MAX(len(vp.sym)) AS ml
+      |    FROM walk wk JOIN vocabp vp
+      |      ON substring(wk.w, CAST(wk.pos AS INT), len(vp.sym)) = vp.sym
+      |    WHERE wk.pos <= len(wk.w)
+      |    GROUP BY 1, 2, 3
+      |  )
+      |),
+      |oovct AS MATERIALIZED (
+      |  SELECT w,
+      |    CASE WHEN MAX(pos) = len(w) + 1 THEN MAX(nt)
+      |         ELSE CAST(1 AS BIGINT) END AS nt,
+      |    CASE WHEN MAX(pos) = len(w) + 1 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(1 AS BIGINT) END AS unk
+      |  FROM walk GROUP BY w
+      |)
+      |SELECT d.w AS w, CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+      |       MAX(c.nt) AS n_tokens_greedy, MAX(c.unk) AS is_unk,
+      |       CAST(COUNT(*) * (MAX(c.nt) - 1) AS BIGINT) AS token_savings
+      |FROM docw d JOIN oovct c ON c.w = d.w
+      |GROUP BY 1 ORDER BY n_occ DESC, w LIMIT $topK""".stripMargin
+
   /** Stored-tokenizer OOV report: the BPE chain TRAINS on the even
     * half (`doc_id % 2 = 0`), known words take their merge-order
     * piece counts from the final state, out-of-vocabulary words take
@@ -3457,6 +3650,15 @@ object LlmQueries {
     "q_dedup_clusters" -> s"$sqlClustersCte\nSELECT doc_id, cluster_id FROM clusters ORDER BY 1",
 
     "q_dedup_keep" -> s"$sqlClustersCte\nSELECT doc_id FROM clusters WHERE cluster_id = doc_id ORDER BY 1",
+
+    "q_dedup_syndication" ->
+      s"""$sqlClustersCte
+         |SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |  MIN(d.source) AS first_source, MAX(d.source) AS last_source
+         |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+         |GROUP BY 1 HAVING COUNT(*) > 1
+         |ORDER BY 1""".stripMargin,
 
     // winnowing: same gram hash (md5 prefix), same window expansion,
     // same rightmost-min selection rule as the engine
@@ -5381,6 +5583,8 @@ object LlmQueries {
     // even training half — DuckDB replays the same unrolled chain
     "q_tokenizer_artifact" -> sqlBpeTrain(10, "doc_id % 2 = 0"),
     "q_tokenizer_oov" -> sqlTokenizerOov(10),
+    "q_tokenizer_patch" -> sqlTokenizerPatch(10, 15),
+    "q_pref_bradley_terry" -> sqlBradleyTerry(3),
 
     // unigram-LM tokenizer: the hard-EM loop unrolled — per round a
     // recursive forward Viterbi DP over packed integer composites and

@@ -160,6 +160,48 @@ object TokenizerIO {
       .orderBy(col("source"))
   }
 
+  /** VOCAB-PATCH CANDIDATES — the remediation half of the OOV drift
+    * report ([[oovReportStored]] says a source is drifting; this says
+    * WHAT to patch): the top-k out-of-vocabulary words by occurrence
+    * mass, each with its greedy piece count under the stored
+    * inventory and the projected token savings were it promoted to a
+    * single vocabulary entry (`n_occ * (nt - 1)` — the quantity a
+    * vocabulary-patching pass ranks by before retraining is
+    * justified). The candidate table is OOV-vocabulary-sized; the
+    * only corpus-sized work is the same word-stream scan the drift
+    * report already pays.
+    *
+    * Returns (w, n_occ, n_docs, n_tokens_greedy, is_unk,
+    * token_savings), top-k by (n_occ desc, w).
+    */
+  def oovPatchCandidates(
+      spark: SparkSession, path: String, docs: DataFrame, topK: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val known = readVocab(spark, path).select(col("w"))
+    val pieces = readPieces(spark, path)
+    require(pieces.nonEmpty, s"empty piece inventory at $path")
+    val maxCp = pieces.map(p => p.codePointCount(0, p.length)).max
+    val bc = spark.sparkContext.broadcast((pieces.toSet, maxCp))
+    val occ = docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("id")).as("n_docs"))
+      .join(known, Seq("w"), "left_anti")
+    occ.select(col("w"), col("n_occ"), col("n_docs")).as[(String, Long, Long)]
+      .map { case (w, nOcc, nDocs) =>
+        val (v, mx) = bc.value
+        val (nt, unk) = TextOps.greedyPieceCount(w, v, mx)
+        (w, nOcc, nDocs, nt, unk, nOcc * (nt - 1L))
+      }
+      .toDF("w", "n_occ", "n_docs", "n_tokens_greedy", "is_unk",
+        "token_savings")
+      .orderBy(col("n_occ").desc, col("w"))
+      .limit(topK)
+  }
+
   // ---------------------------------------------------------------
   // Unigram-LM artifact (the [[graft.text.UnigramOps]] model): one
   // piece-cost table + its own sidecar. Layout:

@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PREFERENCE AGGREGATION — the reward-data QA operator an RLHF /
+  * arena-style pipeline runs over pairwise comparisons: fit
+  * Bradley–Terry strengths (Bradley & Terry 1952) to a duel table via
+  * Hunter's MM iteration (Hunter 2004, "MM algorithms for generalized
+  * Bradley-Terry models": p_i' = wins_i / Σ_j n_ij/(p_i + p_j)), and
+  * report per-contestant games, wins and normalized strength.
+  *
+  * Duels here are synthesized from the corpus deterministically (the
+  * harness has no human-annotation table): adjacent documents duel
+  * (even doc vs doc+1), the contestant is the document's SOURCE, the
+  * longer document (whitespace-token count) wins, ties to the left —
+  * the "which source produces the meatier answer" readout. Real
+  * pipelines swap in their annotation table; the algebra is the same.
+  *
+  * EXACT integer accounting (the repo's oracle-portability idiom):
+  * strengths live in micro-units (1e6 = 1.0) and every MM step is
+  * integer arithmetic — per-pair `(n_ij * 1e12) div (p_i + p_j)`,
+  * summed, then `(wins_i * 1e12) div denom_i` — so both engines
+  * truncate identically (non-negative operands) and the face carries
+  * only BIGINTs. No double appears anywhere.
+  *
+  * 100 TB shape: the duel build is ONE fact-sized self-equi-join on
+  * the adjacent key (scan-linear, shuffle on doc id); everything
+  * after is sources²-sized (the pair matrix) — corpus-size-free, so
+  * the MM iterations are broadcast-tiny joins unrolled `iters` times,
+  * no checkpointing needed.
+  */
+object PrefOps {
+
+  private val U = 1000000L            // micro-unit scale
+  private val U2 = 1000000000000L     // U squared, the MM numerator scale
+
+  /** The synthesized duel table: (sa, sb, winner) per adjacent-doc
+    * pair with distinct sources.
+    */
+  private[graft] def sourceDuels(
+      docs: DataFrame, idCol: String = "doc_id", keyCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      col(keyCol).as("src"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("ntok"))
+    val a = scored.filter(col("id") % 2 === 0)
+      .select(col("id").as("ida"), col("src").as("sa"), col("ntok").as("na"))
+    val b = scored
+      .select(col("id").as("idb"), col("src").as("sb"), col("ntok").as("nb"))
+    a.join(b, col("idb") === col("ida") + 1)
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"),
+        when(col("na") >= col("nb"), col("sa")).otherwise(col("sb"))
+          .as("winner"))
+  }
+
+  /** Bradley–Terry strengths over the synthesized duels. Returns
+    * (source, n_games, n_wins, strength_micro, strength_ppm) — the
+    * strength in micro-units after `iters` MM rounds and its share of
+    * the total in ppm.
+    */
+  def bradleyTerry(
+      docs: DataFrame, iters: Int = 3, idCol: String = "doc_id",
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val duels = sourceDuels(docs, idCol, keyCol, textCol)
+    // ONE corpus-sized pass collapses the duels to a (pair, winner)
+    // count table, materialized by a lineage cut: every downstream
+    // frame (pair matrix, win counts, all MM rounds) derives from this
+    // sources²-sized table, so the unrolled iteration plan can never
+    // re-run the fact scan (the lazy form re-scanned the corpus once
+    // per plan reference — measurably slower at 1x than 10x)
+    val duelAgg = graft.model.Lineage.cut(
+      duels.groupBy(
+          least(col("sa"), col("sb")).as("i"),
+          greatest(col("sa"), col("sb")).as("j"), col("winner"))
+        .agg(count(lit(1)).as("n")), reliable = false)
+    val pairs = duelAgg.groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).cast("long").as("nij"))
+    // both directions of every pair: the denominator sums over a
+    // contestant's opponents
+    val sym = pairs.select(col("i").as("s"), col("j").as("o"), col("nij"))
+      .unionByName(pairs.select(col("j").as("s"), col("i").as("o"), col("nij")))
+    val wins = duelAgg.groupBy(col("winner").as("source"))
+      .agg(sum(col("n")).cast("long").as("n_wins"))
+    val games = sym.groupBy(col("s").as("source"))
+      .agg(sum(col("nij")).cast("long").as("n_games"))
+    // every contestant appears in sym (it played at least one duel)
+    var p = games.select(col("source"), lit(U).as("p"))
+    for (_ <- 1 to iters) {
+      val denom = sym
+        .join(broadcast(p.select(col("source").as("s"), col("p").as("ps"))), "s")
+        .join(broadcast(p.select(col("source").as("o"), col("p").as("po"))), "o")
+        .select(col("s").as("source"),
+          expr(s"(nij * CAST($U2 AS BIGINT)) div greatest(ps + po, CAST(1 AS BIGINT))")
+            .as("term"))
+        .groupBy(col("source")).agg(sum(col("term")).cast("long").as("denom"))
+      p = denom
+        .join(wins, Seq("source"), "left")
+        .select(col("source"),
+          expr(s"(coalesce(n_wins, CAST(0 AS BIGINT)) * CAST($U2 AS BIGINT)) " +
+            "div greatest(denom, CAST(1 AS BIGINT))").as("p"))
+    }
+    val tot = p.agg(sum(col("p")).cast("long").as("t"))
+    games
+      .join(wins, Seq("source"), "left")
+      .join(p, Seq("source"))
+      .crossJoin(broadcast(tot)) // 1-row aggregate, the accepted shape
+      .select(col("source"), col("n_games"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        col("p").as("strength_micro"),
+        expr("(p * CAST(1000000 AS BIGINT)) div greatest(t, CAST(1 AS BIGINT))")
+          .as("strength_ppm"))
+  }
+}

@@ -663,6 +663,34 @@ class PlanSpec extends AnyFunSuite {
       s"q12 counts must map-side combine:\n${p12.take(3000)}")
   }
 
+  test("r14 additions: BT reads the duel cut not the corpus; syndication/patch stay keyed") {
+    // Bradley–Terry: the unrolled MM rounds must derive from the
+    // sources²-sized lineage cut — a `documents` scan inside the face
+    // plan means the lazy form is back (it re-scanned the corpus once
+    // per plan reference and measured slower at 1x than 10x)
+    val bt = LlmQueries.all("q_pref_bradley_terry")(spark, dir)
+    bt.collect()
+    val pbt = plan(bt).split("== Initial Plan ==")(0)
+    assert(!pbt.contains("documents"),
+      s"BT MM tail re-scans the corpus:\n${pbt.take(2000)}")
+    assert(!pbt.contains("CartesianProduct"),
+      s"cartesian in BT tail:\n${pbt.take(2000)}")
+    // syndication: cluster-keyed equi rollup over the memoized labels
+    val syn = LlmQueries.all("q_dedup_syndication")(spark, dir)
+    syn.collect()
+    val psyn = plan(syn)
+    assert(!psyn.contains("CartesianProduct") && !psyn.contains("Window"),
+      s"syndication must stay a keyed rollup:\n${psyn.take(2000)}")
+    // vocab patch: corpus word counts partial-aggregate before the
+    // shuffle; the only Window is the 7-row post-limit ranker
+    val pat = LlmQueries.all("q_tokenizer_patch")(spark, dir)
+    pat.collect()
+    val ppat = plan(pat).split("== Initial Plan ==")(0)
+    assert(!ppat.contains("CartesianProduct"), s"cartesian in patch:\n${ppat.take(2000)}")
+    assert(ppat.contains("partial_count") || ppat.contains("Partial"),
+      s"patch word counts must map-side combine:\n${ppat.take(2000)}")
+  }
+
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {
     // modularity: every join is node-/label-keyed; the only cross
     // joins combine 1-row aggregates
