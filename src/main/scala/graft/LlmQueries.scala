@@ -358,6 +358,27 @@ object LlmQueries {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
 
+    // DEDUP TOKEN-INFLATION: the headline KPI of the dedup pass — how
+    // much token mass the keeper set saves vs training on everything
+    // (epochs-worth of redundant gradient steps at 100 TB). One
+    // doc-keyed join of the memoized labels to per-doc token counts,
+    // folded to a single exact-integer row.
+    "q_dedup_inflation" -> ((s, dir) =>
+      clusterMemo.getOrElse(dir, clustersFresh(s, dir))
+        .join(docs(s, dir).filter(col("doc_id") < PairLimit)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt")), "doc_id")
+        .agg(count(lit(1)).as("n_docs_total"),
+          sum(when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_docs_kept"),
+          sum(col("nt")).cast("long").as("tokens_total"),
+          sum(when(col("cluster_id") === col("doc_id"), col("nt")).otherwise(0L))
+            .cast("long").as("tokens_kept"))
+        .select(col("n_docs_total"), col("n_docs_kept"),
+          col("tokens_total"), col("tokens_kept"),
+          expr("(tokens_total - tokens_kept) * CAST(1000000 AS BIGINT) " +
+            "div greatest(tokens_total, CAST(1 AS BIGINT))").as("savings_ppm"))),
+
     // SYNDICATION report over the shared clustering result: for every
     // real dup family (size > 1), how many distinct sources carry it
     // and which — cross-source dup mass is syndicated/scraped content
@@ -1063,6 +1084,16 @@ object LlmQueries {
     // over its annotation table (here synthesized deterministically)
     "q_pref_bradley_terry" -> ((s, dir) =>
       graft.text.PrefOps.bradleyTerry(docs(s, dir), iters = 3)),
+
+    // per-pair upset share under the fitted strengths — the annotator-
+    // noise readout (≈500000 ppm = coin-flip labels, ≈0 = redundant)
+    "q_pref_upsets" -> ((s, dir) =>
+      graft.text.PrefOps.upsetReport(docs(s, dir), iters = 3)),
+
+    // token-mass concentration across sources (exact integer Gini in
+    // micro-units) — the one-number inequality readout next to the
+    // diversity table and the temperature weights
+    "q_source_gini" -> ((s, dir) => TextOps.sourceGini(docs(s, dir))),
 
     // UNIGRAM-LM tokenizer training (Kudo 2018 hard-EM): substring-
     // frequency seed, then 2 Viterbi-count rounds over the distinct
@@ -2749,7 +2780,45 @@ object LlmQueries {
     * and Spark `div` truncate identically on non-negative operands;
     * sums CAST back to BIGINT so no HUGEINT reaches the face).
     */
-  private def sqlBradleyTerry(iters: Int): String = {
+  private def sqlBradleyTerry(iters: Int): String =
+    sqlBtChain(iters) + (
+      s""",
+        |tot AS MATERIALIZED (SELECT CAST(SUM(p) AS BIGINT) AS t FROM p$iters)
+        |SELECT g.source, g.n_games, COALESCE(w.n_wins, 0) AS n_wins,
+        |  pf.p AS strength_micro,
+        |  CAST((pf.p * CAST(1000000 AS BIGINT)) // GREATEST(tot.t, 1) AS BIGINT)
+        |    AS strength_ppm
+        |FROM games g
+        |LEFT JOIN wins w ON w.source = g.source
+        |JOIN p$iters pf ON pf.source = g.source
+        |CROSS JOIN tot
+        |ORDER BY 1""".stripMargin)
+
+  /** Oracle for [[graft.text.PrefOps.upsetReport]]: the same chain,
+    * plus per-ordered-pair win counts and the favored-side comparison
+    * against the round-`iters` strengths (ties favor `i`, the
+    * lexicographically smaller side, as in the engine).
+    */
+  private def sqlPrefUpsets(iters: Int): String =
+    sqlBtChain(iters) + (
+      s""",
+        |winpair AS MATERIALIZED (
+        |  SELECT LEAST(sa, sb) AS i, GREATEST(sa, sb) AS j,
+        |    CAST(SUM(CASE WHEN winner = LEAST(sa, sb) THEN 1 ELSE 0 END) AS BIGINT) AS wins_i,
+        |    CAST(SUM(CASE WHEN winner = GREATEST(sa, sb) THEN 1 ELSE 0 END) AS BIGINT) AS wins_j,
+        |    CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM duels GROUP BY 1, 2
+        |)
+        |SELECT w.i, w.j, w.nij, w.wins_i, w.wins_j,
+        |  CASE WHEN pj.p > pi.p THEN w.j ELSE w.i END AS fav,
+        |  CAST((CASE WHEN pj.p > pi.p THEN w.wins_i ELSE w.wins_j END)
+        |    * CAST(1000000 AS BIGINT) // GREATEST(w.nij, 1) AS BIGINT) AS upset_ppm
+        |FROM winpair w
+        |JOIN p$iters pi ON pi.source = w.i
+        |JOIN p$iters pj ON pj.source = w.j
+        |ORDER BY 1, 2""".stripMargin)
+
+  private def sqlBtChain(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH scored AS MATERIALIZED (
@@ -2802,18 +2871,6 @@ object LlmQueries {
           |  FROM d$k d LEFT JOIN wins w ON w.source = d.source
           |)""".stripMargin)
     }
-    sb.append(
-      s""",
-        |tot AS MATERIALIZED (SELECT CAST(SUM(p) AS BIGINT) AS t FROM p$iters)
-        |SELECT g.source, g.n_games, COALESCE(w.n_wins, 0) AS n_wins,
-        |  pf.p AS strength_micro,
-        |  CAST((pf.p * CAST(1000000 AS BIGINT)) // GREATEST(tot.t, 1) AS BIGINT)
-        |    AS strength_ppm
-        |FROM games g
-        |LEFT JOIN wins w ON w.source = g.source
-        |JOIN p$iters pf ON pf.source = g.source
-        |CROSS JOIN tot
-        |ORDER BY 1""".stripMargin)
     sb.toString
   }
 
@@ -3650,6 +3707,21 @@ object LlmQueries {
     "q_dedup_clusters" -> s"$sqlClustersCte\nSELECT doc_id, cluster_id FROM clusters ORDER BY 1",
 
     "q_dedup_keep" -> s"$sqlClustersCte\nSELECT doc_id FROM clusters WHERE cluster_id = doc_id ORDER BY 1",
+
+    "q_dedup_inflation" ->
+      s"""$sqlClustersCte,
+         |ntt AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt
+         |  FROM documents WHERE doc_id < $PairLimit
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+         |  CAST(SUM(CASE WHEN c.cluster_id = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |  CAST(SUM(t.nt) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN c.cluster_id = c.doc_id THEN t.nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(((SUM(t.nt) - SUM(CASE WHEN c.cluster_id = c.doc_id THEN t.nt ELSE 0 END)) * 1000000)
+         |    // GREATEST(SUM(t.nt), 1) AS BIGINT) AS savings_ppm
+         |FROM clusters c JOIN ntt t ON t.doc_id = c.doc_id""".stripMargin,
 
     "q_dedup_syndication" ->
       s"""$sqlClustersCte
@@ -5585,6 +5657,24 @@ object LlmQueries {
     "q_tokenizer_oov" -> sqlTokenizerOov(10),
     "q_tokenizer_patch" -> sqlTokenizerPatch(10, 15),
     "q_pref_bradley_terry" -> sqlBradleyTerry(3),
+    "q_pref_upsets" -> sqlPrefUpsets(3),
+
+    "q_source_gini" ->
+      """WITH mass AS MATERIALIZED (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS x FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        |    FROM documents
+        |  ) GROUP BY 1
+        |),
+        |ranked AS MATERIALIZED (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, source) AS i FROM mass
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  CAST(SUM(x) AS BIGINT) AS total_tokens,
+        |  CAST(((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000)
+        |    // GREATEST(COUNT(*) * SUM(x), 1) AS BIGINT) AS gini_micro
+        |FROM ranked""".stripMargin,
 
     // unigram-LM tokenizer: the hard-EM loop unrolled — per round a
     // recursive forward Viterbi DP over packed integer composites and

@@ -55,14 +55,13 @@ object PrefOps {
           .as("winner"))
   }
 
-  /** Bradley–Terry strengths over the synthesized duels. Returns
-    * (source, n_games, n_wins, strength_micro, strength_ppm) — the
-    * strength in micro-units after `iters` MM rounds and its share of
-    * the total in ppm.
+  /** The shared MM core: (duelAgg, games, wins, p_final). duelAgg is
+    * the materialized (i, j, winner, n) table every downstream frame
+    * derives from; p_final is the strength table after `iters` rounds.
     */
-  def bradleyTerry(
-      docs: DataFrame, iters: Int = 3, idCol: String = "doc_id",
-      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+  private def mmCore(
+      docs: DataFrame, iters: Int, idCol: String, keyCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
     val duels = sourceDuels(docs, idCol, keyCol, textCol)
     // ONE corpus-sized pass collapses the duels to a (pair, winner)
@@ -102,6 +101,18 @@ object PrefOps {
           expr(s"(coalesce(n_wins, CAST(0 AS BIGINT)) * CAST($U2 AS BIGINT)) " +
             "div greatest(denom, CAST(1 AS BIGINT))").as("p"))
     }
+    (duelAgg, games, wins, p)
+  }
+
+  /** Bradley–Terry strengths over the synthesized duels. Returns
+    * (source, n_games, n_wins, strength_micro, strength_ppm) — the
+    * strength in micro-units after `iters` MM rounds and its share of
+    * the total in ppm.
+    */
+  def bradleyTerry(
+      docs: DataFrame, iters: Int = 3, idCol: String = "doc_id",
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    val (_, games, wins, p) = mmCore(docs, iters, idCol, keyCol, textCol)
     val tot = p.agg(sum(col("p")).cast("long").as("t"))
     games
       .join(wins, Seq("source"), "left")
@@ -112,5 +123,33 @@ object PrefOps {
         col("p").as("strength_micro"),
         expr("(p * CAST(1000000 AS BIGINT)) div greatest(t, CAST(1 AS BIGINT))")
           .as("strength_ppm"))
+  }
+
+  /** UPSET report — the annotator-noise readout next to the fit: per
+    * unordered source pair, how often the model-favored side LOST.
+    * A pair whose upset share sits near 500000 ppm carries no signal
+    * (coin-flip annotations); one near zero is redundant to the
+    * strengths. fav is the higher-strength side, ties to the
+    * lexicographically smaller (= `i`, since i < j by construction).
+    */
+  def upsetReport(
+      docs: DataFrame, iters: Int = 3, idCol: String = "doc_id",
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    val (duelAgg, _, _, p) = mmCore(docs, iters, idCol, keyCol, textCol)
+    val winpair = duelAgg.groupBy(col("i"), col("j"))
+      .agg(
+        sum(when(col("winner") === col("i"), col("n")).otherwise(0L))
+          .cast("long").as("wins_i"),
+        sum(when(col("winner") === col("j"), col("n")).otherwise(0L))
+          .cast("long").as("wins_j"),
+        sum(col("n")).cast("long").as("nij"))
+    winpair
+      .join(broadcast(p.select(col("source").as("i"), col("p").as("pi"))), "i")
+      .join(broadcast(p.select(col("source").as("j"), col("p").as("pj"))), "j")
+      .select(col("i"), col("j"), col("nij"), col("wins_i"), col("wins_j"),
+        when(col("pj") > col("pi"), col("j")).otherwise(col("i")).as("fav"),
+        expr("(CASE WHEN pj > pi THEN wins_i ELSE wins_j END) " +
+          "* CAST(1000000 AS BIGINT) div greatest(nij, CAST(1 AS BIGINT))")
+          .as("upset_ppm"))
   }
 }

@@ -216,6 +216,36 @@ object TextOps {
           greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)), 6).as("ttr"))
   }
 
+  /** TOKEN-MASS CONCENTRATION (Gini) across sources — the one-number
+    * inequality readout a mixing decision pairs with the diversity
+    * table: 0 = every source contributes equal token mass, → 1 = one
+    * source dominates (train on it and the mixture is a monoculture
+    * no temperature rescue fixes). Computed EXACTLY in integers from
+    * the rank formulation G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over
+    * ascending-sorted masses, emitted in micro-units with one final
+    * integer division — both engines truncate identically.
+    *
+    * Shape: one exploded-token aggregation to per-source masses
+    * (map-side combined), then a |sources|-row ranked fold — the
+    * window is source-count-sized, never corpus-sized.
+    */
+  def sourceGini(
+      docs: DataFrame, strataCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val mass = docs
+      .select(col(strataCol).as("source"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("source")).agg(count(lit(1)).as("x"))
+    val ranked = mass.withColumn("i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("x"), col("source"))))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("tot"),
+        sum(col("i") * col("x")).cast("long").as("iwx"))
+      .select(col("n").as("n_sources"), col("tot").as("total_tokens"),
+        expr("(2 * iwx - (n + 1) * tot) * CAST(1000000 AS BIGINT) " +
+          "div greatest(n * tot, CAST(1 AS BIGINT))").as("gini_micro"))
+  }
+
   /** Temperature-scaled source mixing weights — the multinomial
     * up/down-sampling rates (mC4/XLM-R shape) that flatten a skewed
     * source distribution: p_temp(s) ∝ p_raw(s)^alpha with

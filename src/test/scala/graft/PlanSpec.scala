@@ -689,6 +689,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!ppat.contains("CartesianProduct"), s"cartesian in patch:\n${ppat.take(2000)}")
     assert(ppat.contains("partial_count") || ppat.contains("Partial"),
       s"patch word counts must map-side combine:\n${ppat.take(2000)}")
+    // upsets: same contract as the BT fit — pair tail reads the cut
+    val up = LlmQueries.all("q_pref_upsets")(spark, dir)
+    up.collect()
+    val pup = plan(up).split("== Initial Plan ==")(0)
+    assert(!pup.contains("documents"),
+      s"upset tail re-scans the corpus:\n${pup.take(2000)}")
+    // gini: the ranked fold's window is |sources|-rows — it must sit
+    // ABOVE the map-side-combined token aggregation, never on the
+    // token stream
+    val gi = LlmQueries.all("q_source_gini")(spark, dir)
+    gi.collect()
+    val pgi = plan(gi).split("== Initial Plan ==")(0)
+    assert(pgi.contains("partial_count"),
+      s"gini token masses must map-side combine:\n${pgi.take(2000)}")
+    // inflation: keyed join + one fold, no window, no cartesian
+    val inf = LlmQueries.all("q_dedup_inflation")(spark, dir)
+    inf.collect()
+    val pinf = plan(inf)
+    assert(!pinf.contains("CartesianProduct") && !pinf.contains("Window"),
+      s"inflation must stay a keyed fold:\n${pinf.take(2000)}")
   }
 
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {
