@@ -42,8 +42,10 @@ object Bench {
 
   /** Per-query reference medians from the last `keep` full-run trend
     * lines at the same sf dir — the quiet-window memo the loudness
-    * retry compares against. Per-query MIN across lines: the memo is
-    * a noise floor, not an average.
+    * retry compares against. Per-query MEDIAN across lines: the first
+    * demo cycle used MIN (the noise floor) and ordinary medians
+    * tripped the margin on 60+ queries — a representative reference
+    * flags genuinely hot measurements, not normal spread.
     */
   def trendMemo(sf: String, keep: Int = 5): Map[String, Double] = {
     val f = new java.io.File("BENCH_TREND.jsonl")
@@ -57,7 +59,8 @@ object Bench {
       if (qs < 0) Seq.empty
       else pair.findAllMatchIn(line.substring(qs + 11))
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-    }.groupMapReduce(_._1)(_._2)(math.min)
+    }.groupMap(_._1)(_._2)
+      .map { case (k, vs) => k -> vs.sorted.apply(vs.size / 2) }
   }
 
   /** Dirty-page writeback still draining from whatever ran before the
@@ -198,12 +201,12 @@ object Bench {
       val gc0 = gcMillis()
       timeOnce(fn) // warm-up run (plans, codegen, broadcast)
       var (med, mn, failed) = measure(fn)
-      // loudness detection: a median >10% (+30 ms floor) over this
+      // loudness detection: a median >15% (+50 ms floor) over this
       // query's own quiet-trend memo is re-measured ONCE after
       // hygiene; the smaller median wins. A real regression measures
       // high twice and is reported; a contaminated window is not.
       if (!failed) memo.get(name).foreach { ref =>
-        if (med > ref * 1.10 + 0.03 && loudRetries < 60) {
+        if (med > ref * 1.15 + 0.05 && loudRetries < 80) {
           loudRetries += 1
           hygiene()
           val (med2, mn2, failed2) = measure(fn)
