@@ -114,6 +114,81 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
       .drop("ts2")
 
+  final case class RetransBuf(lastTs: Long, pending: List[(Long, Long)])
+
+  /** STREAMING RETRANSMISSION FLAGS — the live half of
+    * [[graft.events.EventOps.retransmissionStats]]'s hygiene gate:
+    * every arriving event is flagged against the SAME (user, type,
+    * value) group's previous event as it finalizes, so the dedup
+    * decision happens at ingest, not in a nightly batch. Group state
+    * is ONE cursor (the last finalized timestamp) plus the in-flight
+    * buffer inside the lateness bound:
+    *
+    *  - an event finalizes (emits exactly once, in (ts, id) order —
+    *    the batch lag's frame order) when the watermark passes its
+    *    timestamp; its flag compares against the cursor, then it
+    *    BECOMES the cursor, matching lag(1) exactly (a duplicate's
+    *    duplicate compares to the duplicate, not the original);
+    *  - the cursor itself expires once the watermark is more than
+    *    `toleranceUs` past it — no future in-time event can land
+    *    within tolerance, so steady-state state for a quiet key is
+    *    ZERO, not one row per (user, type, value) ever seen;
+    *  - an EventTimeTimeout on the earliest pending event (or the
+    *    cursor's expiry) drains groups the source goes quiet on.
+    *
+    * Emits (event_id, event_type, is_retrans); the per-type ppm
+    * rollup over the emitted flags reproduces the batch report —
+    * StreamSpec pins it across a timeline-split arrival.
+    */
+  def streamingRetransFlags(
+      events: DataFrame, toleranceUs: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(toleranceUs > 0, s"tolerance must be positive, got $toleranceUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NoTs = Long.MinValue
+    // ts2 must SURVIVE the projection (see streamingAsofLatest)
+    val base = events.withColumn("ts2", timestamp_micros(col("ts")))
+      .withWatermark("ts2", watermark)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"), col("ts").cast("long"),
+        col("event_id").cast("long"), col("ts2"))
+      .as[(Long, String, Option[Double], Long, Long, java.sql.Timestamp)]
+    base.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String, Option[Double]),
+            rows: Iterator[(Long, String, Option[Double], Long, Long, java.sql.Timestamp)],
+            state: GroupState[RetransBuf]) =>
+          val st = state.getOption.getOrElse(RetransBuf(NoTs, Nil))
+          var pending = st.pending
+          rows.foreach(r => pending ::= ((r._4, r._5)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // strictly below the watermark, the asof twins' boundary rule
+          val (ready, rest) = pending.partition(_._1 < wmUs)
+          var last = st.lastTs
+          val out = ready.sorted.map { case (ts, id) =>
+            val isR = last != NoTs && ts - last <= toleranceUs
+            last = ts
+            (id, key._2, isR)
+          }
+          // the cursor is dead once no in-time arrival can sit within
+          // tolerance of it
+          val cursorLive = last != NoTs && last + toleranceUs >= wmUs
+          if (rest.isEmpty && !cursorLive) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(RetransBuf(if (cursorLive || rest.nonEmpty) last else NoTs, rest))
+            val wake =
+              if (rest.nonEmpty) rest.map(_._1).min
+              else last + toleranceUs
+            state.setTimeoutTimestamp(wake / 1000L + 1L)
+          }
+          out.iterator
+      }
+      .toDF("event_id", "event_type", "is_retrans")
+  }
+
   final case class AsofEv(ts: Long, id: Long, value: Option[Double])
   final case class AsofBuf(anchors: List[AsofEv], probes: List[AsofEv])
 

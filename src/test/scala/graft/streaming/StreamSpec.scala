@@ -304,6 +304,66 @@ class StreamSpec extends AnyFunSuite {
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
   }
 
+  test("streaming retransmission flags reproduce the batch hygiene report across arrival splits") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-retrans-stream").toFile
+    val tol = 3600L * 1000000L
+    val raw0 = graft.events.EventOps.toMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .limit(600)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    // inject deterministic redeliveries (same user/type/value, +10 s,
+    // fresh ids): the 600-row subset carries no natural duplicates,
+    // and a parity over zero retransmissions proves nothing
+    val raw = raw0.unionByName(raw0.filter(col("event_id") % 12 === 0)
+      .select((col("event_id") + 10000000L).as("event_id"),
+        (col("ts") + 10000000L).as("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props")))
+    // timeline split (the forward-asof test's arrival shape): the
+    // cursor state is what must survive the batch boundary
+    val stage = java.nio.file.Files.createTempDirectory("graft-retrans-all").toFile
+    raw.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val all = spark.read.parquet(stage.getAbsolutePath)
+    val cutTs = all.agg(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    all.filter(col("ts") <= cutTs)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingRetransFlags(src, toleranceUs = tol)
+      .writeStream.format("memory").queryName("retrans_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("ts") > cutTs)
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+      q.processAllAvailable()
+      val maxTs = spark.read.parquet(srcDir.getAbsolutePath)
+        .agg(max(col("ts"))).head().getLong(0)
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), maxTs + tol + k * 100L * 3600L * 1000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("retrans_stream")
+      .filter(col("event_id") >= 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_retrans"), 1L).otherwise(0L)).as("n_retrans"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val staged = spark.read.parquet(srcDir.getAbsolutePath)
+      .filter(col("event_id") >= 0)
+    val batch = graft.events.EventOps.retransmissionStats(staged, toleranceUs = tol)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed $streamed vs batch $batch")
+    assert(batch.values.map(_._2).sum > 0,
+      "test corpus produced zero retransmissions — the parity proved nothing")
+  }
+
   test("streaming as-of with leftType == rightType self-matches like the batch twin") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-self").toFile
