@@ -287,7 +287,12 @@ object LlmQueries {
   private def clustersFresh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < PairLimit)
     val r = TextOps.dedupClusters(d, TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95))
-    clusterMemo.put(dir, r)
+    // the REPLACED memo entry's final-labels checkpoint is dead the
+    // moment the fresh one lands (its only readers — sizes/keep/
+    // syndication — always read the current memo); without the eager
+    // release each bench execution leaves one labels-sized block set
+    // to slow weak-ref reclaim (part of the q_dedup_clusters spread)
+    clusterMemo.put(dir, r).foreach(graft.model.Lineage.releaseAll)
     r
   }
 

@@ -65,4 +65,20 @@ object Lineage {
         lr.rdd.unpersist(blocking = true); ()
       case _ => ()
     }
+
+  /** [[release]] for a plan that WRAPS its cut (a memoized face is
+    * typically a Project over the final checkpoint, where the shallow
+    * match is a silent no-op): unpersists EVERY materialized scan in
+    * the plan. The caller asserts exclusivity — nothing in this plan
+    * may be shared with a frame that is still read (a shared cut
+    * would fail loudly on its next access).
+    */
+  def releaseAll(df: Dataset[_]): Unit = {
+    silenceUnpersistWarn
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true); ()
+      case _ => ()
+    }
+  }
 }
