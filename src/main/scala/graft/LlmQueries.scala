@@ -599,6 +599,18 @@ object LlmQueries {
 
     "q_lang_id" -> ((s, dir) => TextOps.languageId(docs(s, dir))),
 
+    // classifier EVAL against the labeled column: the confusion matrix
+    // of the marker-based language id vs the corpus's own lang label —
+    // the precision/recall readout a pipeline checks before trusting
+    // the heuristic to route documents (off-diagonal mass = routing
+    // errors). One doc-keyed join + a labels²-bounded rollup.
+    "q_lang_confusion" -> ((s, dir) =>
+      TextOps.languageId(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("lang").as("lang_true")),
+          "doc_id")
+        .groupBy(col("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
 
     "q_text_repetition" -> ((s, dir) => TextOps.repetitionFeatures(docs(s, dir))),
@@ -2785,6 +2797,21 @@ object LlmQueries {
     * and Spark `div` truncate identically on non-negative operands;
     * sums CAST back to BIGINT so no HUGEINT reaches the face).
     */
+  /** Shared `scores` CTE of the marker-based language id (expects the
+    * `tok` CTE in scope) — one definition so the prediction and its
+    * confusion-matrix eval can never drift.
+    */
+  private lazy val sqlLangScoresCte: String = {
+    val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
+    val scoreSelects = markers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"""SELECT doc_id, '$lang' AS lang_pred,
+         |       CAST(SUM(CASE WHEN w IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS score
+         |FROM tok GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"scores AS (\n$scoreSelects\n)"
+  }
+
   private def sqlBradleyTerry(iters: Int): String =
     sqlBtChain(iters) + (
       s""",
@@ -4283,22 +4310,24 @@ object LlmQueries {
          |  FROM documents
          |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_lang_id" -> {
-      val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
-      val scoreSelects = markers.map { case (lang, ms) =>
-        val inList = ms.map(m => s"'$m'").mkString(", ")
-        s"""SELECT doc_id, '$lang' AS lang_pred,
-           |       CAST(SUM(CASE WHEN w IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS score
-           |FROM tok GROUP BY 1""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $sqlToks, scores AS (
-         |$scoreSelects
-         |)
+    "q_lang_id" ->
+      s"""WITH $sqlToks, $sqlLangScoresCte
          |SELECT doc_id, lang_pred, score FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_pred ASC) AS rn
          |  FROM scores
-         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    },
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_lang_confusion" ->
+      s"""WITH $sqlToks, $sqlLangScoresCte,
+         |pred AS (
+         |  SELECT doc_id, lang_pred FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_pred ASC) AS rn
+         |    FROM scores
+         |  ) WHERE rn = 1
+         |)
+         |SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pred p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_doc_fingerprint" ->
       s"""WITH $sqlToks
