@@ -287,12 +287,14 @@ object LlmQueries {
   private def clustersFresh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < PairLimit)
     val r = TextOps.dedupClusters(d, TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95))
-    // the REPLACED memo entry's final-labels checkpoint is dead the
-    // moment the fresh one lands (its only readers — sizes/keep/
-    // syndication — always read the current memo); without the eager
-    // release each bench execution leaves one labels-sized block set
-    // to slow weak-ref reclaim (part of the q_dedup_clusters spread)
-    clusterMemo.put(dir, r).foreach(graft.model.Lineage.releaseAll)
+    // the replaced memo entry is left to weak-ref reclaim DELIBERATELY:
+    // an eager releaseAll here broke the uniqueness-guard spec, which
+    // constructs every face up front and executes later — a consumer
+    // holding a plan over the OLD entry hits a released checkpoint
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Sequential consumers (Bench,
+    // Verify) never see that window, but the memo's contract cannot
+    // assume sequential construction+execution.
+    clusterMemo.put(dir, r)
     r
   }
 
