@@ -1,0 +1,43 @@
+package graft.model
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The release contract is load-bearing for the iterative operators'
+  * bench stability (the r14 q_dedup_clusters fix): released blocks
+  * must actually be gone, a later read must fail LOUDLY (local
+  * checkpoints have no recompute path — a silent recompute would hide
+  * a use-after-release), and non-cut frames must pass through as
+  * no-ops so release can be called unconditionally in loops.
+  */
+class LineageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("release frees a cut frame's blocks; a later read fails loudly") {
+    val cut = Lineage.cut((1 to 100).toDF("x"), reliable = false)
+    assert(cut.count() == 100) // materialized, readable
+    Lineage.release(cut)
+    val ex = intercept[Exception](cut.count())
+    assert(ex.getMessage.contains("CHECKPOINT") || ex.getMessage.contains("Checkpoint"),
+      s"expected a loud checkpoint-block failure, got: ${ex.getMessage.take(200)}")
+  }
+
+  test("releaseAll reaches a cut wrapped in a Project (the memoized-face shape)") {
+    val cut = Lineage.cut((1 to 50).toDF("x"), reliable = false)
+    val face = cut.select((col("x") * 2).as("y")) // Project over LogicalRDD
+    assert(face.count() == 50)
+    Lineage.release(face) // shallow: must be a NO-OP on a wrapped plan
+    assert(face.count() == 50, "shallow release must not reach through a Project")
+    Lineage.releaseAll(face)
+    intercept[Exception](face.count())
+  }
+
+  test("release of a non-cut frame is a no-op") {
+    val plain = (1 to 10).toDF("x")
+    Lineage.release(plain)
+    Lineage.releaseAll(plain)
+    assert(plain.count() == 10)
+  }
+}
