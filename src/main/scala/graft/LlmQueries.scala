@@ -613,6 +613,32 @@ object LlmQueries {
         .groupBy(col("lang_true"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    // the confusion matrix folded to the per-class scoreboard: exact
+    // integer precision/recall in ppm per language (full outer over
+    // label-present and prediction-present classes, so a language the
+    // heuristic never predicts still reports its zero recall)
+    "q_lang_id_quality" -> ((s, dir) => {
+      val conf = TextOps.languageId(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("lang").as("lang_true")),
+          "doc_id")
+      val byTrue = conf.groupBy(col("lang_true").as("lang"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("lang_pred") === col("lang_true"), 1L).otherwise(0L))
+            .cast("long").as("n_correct"))
+      val byPred = conf.groupBy(col("lang_pred").as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      byTrue.join(byPred, Seq("lang"), "full")
+        .select(col("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+        .select(col("lang"), col("n_true"), col("n_pred"), col("n_correct"),
+          expr("n_correct * CAST(1000000 AS BIGINT) div greatest(n_pred, CAST(1 AS BIGINT))")
+            .as("precision_ppm"),
+          expr("n_correct * CAST(1000000 AS BIGINT) div greatest(n_true, CAST(1 AS BIGINT))")
+            .as("recall_ppm"))
+    }),
+
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
 
     "q_text_repetition" -> ((s, dir) => TextOps.repetitionFeatures(docs(s, dir))),
@@ -4330,6 +4356,35 @@ object LlmQueries {
          |SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM pred p JOIN documents d USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_lang_id_quality" ->
+      s"""WITH $sqlToks, $sqlLangScoresCte,
+         |pred AS (
+         |  SELECT doc_id, lang_pred FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_pred ASC) AS rn
+         |    FROM scores
+         |  ) WHERE rn = 1
+         |),
+         |conf AS MATERIALIZED (
+         |  SELECT d.lang AS lang_true, p.lang_pred
+         |  FROM pred p JOIN documents d USING (doc_id)
+         |),
+         |bt AS (
+         |  SELECT lang_true AS lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM conf GROUP BY 1
+         |),
+         |bp AS (
+         |  SELECT lang_pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+         |  FROM conf GROUP BY 1
+         |)
+         |SELECT COALESCE(bt.lang, bp.lang) AS lang,
+         |  COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+         |  COALESCE(n_correct, 0) AS n_correct,
+         |  CAST(COALESCE(n_correct, 0) * 1000000 // GREATEST(COALESCE(n_pred, 0), 1) AS BIGINT) AS precision_ppm,
+         |  CAST(COALESCE(n_correct, 0) * 1000000 // GREATEST(COALESCE(n_true, 0), 1) AS BIGINT) AS recall_ppm
+         |FROM bt FULL JOIN bp ON bt.lang = bp.lang
+         |ORDER BY 1""".stripMargin,
 
     "q_doc_fingerprint" ->
       s"""WITH $sqlToks
