@@ -32,10 +32,18 @@ import org.apache.spark.sql.SparkSession
   *    the same code ~15% slower): a settle gate waits for dirty-page
   *    writeback to drain, the input dir is re-warmed into the page
   *    cache, a FULL untimed discard pass runs before the first timed
-  *    query, and any query whose median lands >10% over its own
-  *    BENCH_TREND memo is re-measured once after hygiene (the smaller
-  *    median wins — a genuine regression stays high on the retry and
-  *    is reported; a contaminated first measurement is not).
+  *    query, and any query whose median lands >15% (+50 ms floor) over
+  *    its own BENCH_TREND memo is re-measured once after hygiene (the
+  *    smaller median wins — a genuine regression stays high on the
+  *    retry and is reported; a contaminated first measurement is not,
+  *    and the discarded first median is recorded in `loud_discards` so
+  *    an intermittent real regression still leaves a visible trace);
+  *  - a machine-loudness index (median probe-vs-memo ratio over a
+  *    post-discard probe pass) gates ENTRY to the timed region: a loud
+  *    co-tenant window is waited out (bounded sleep-and-recheck) rather
+  *    than merely retried inside it, and the final index lands in the
+  *    artifact (`loudness_index`) so a capture that had to proceed loud
+  *    is self-describing.
   */
 object Bench {
   val Runs = 5
@@ -47,8 +55,9 @@ object Bench {
     * tripped the margin on 60+ queries — a representative reference
     * flags genuinely hot measurements, not normal spread.
     */
-  def trendMemo(sf: String, keep: Int = 5): Map[String, Double] = {
-    val f = new java.io.File("BENCH_TREND.jsonl")
+  def trendMemo(sf: String, keep: Int = 5,
+      path: String = "BENCH_TREND.jsonl"): Map[String, Double] = {
+    val f = new java.io.File(path)
     if (!f.exists()) return Map.empty
     val pair = """"([A-Za-z0-9_]+)":(-?[0-9.Ee+-]+)""".r
     val lines = scala.io.Source.fromFile(f).getLines().toSeq
@@ -60,7 +69,12 @@ object Bench {
       else pair.findAllMatchIn(line.substring(qs + 11))
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq
     }.groupMap(_._1)(_._2)
-      .map { case (k, vs) => k -> vs.sorted.apply(vs.size / 2) }
+      // drop -1.0 failure sentinels from past runs: a query that failed
+      // in most trend lines would get a NEGATIVE reference median, making
+      // the loudness check permanently true and burning a retry forever
+      .map { case (k, vs) => k -> vs.filter(_ > 0) }
+      .collect { case (k, vs) if vs.nonEmpty =>
+        k -> vs.sorted.apply(vs.size / 2) }
   }
 
   /** Dirty-page writeback still draining from whatever ran before the
@@ -172,6 +186,41 @@ object Bench {
 
     val memo = trendMemo(sfDir)
     var loudRetries = 0
+    val loudDiscards = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // Machine-loudness gate (all UNTIMED): the r14 official capture sat
+    // in a ~5-8% uniformly loud co-tenant window, and the per-query
+    // retry fired 19 times INSIDE that same window — retrying measures
+    // the same load. Probe the post-discard steady state against the
+    // quiet-trend memo; if the MEDIAN ratio says the whole machine is
+    // hot, sleep-and-recheck (bounded) before entering the timed
+    // region. The final index is written to the artifact either way, so
+    // a capture that had to proceed loud says so itself.
+    def probeIndex(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Double = {
+      val ratios = subset.flatMap { case (name, fn) =>
+        memo.get(name).flatMap { ref =>
+          hygiene()
+          val t = timeOnce(fn)
+          if (t > 0 && ref > 0) Some(t / ref) else None
+        }
+      }
+      if (ratios.isEmpty) 1.0
+      else { val s = ratios.sorted; s(s.size / 2) }
+    }
+    // recheck subset: the longest-running memo queries — relatively the
+    // least noisy, and they cover most of the wall clock — keeps each
+    // recheck bounded instead of re-probing all ~250 queries
+    val recheckSubset = selected
+      .filter { case (n, _) => memo.contains(n) }
+      .sortBy { case (n, _) => -memo(n) }
+      .take(12)
+    var loudnessIndex = probeIndex(selected)
+    var loudnessWaits = 0
+    while (loudnessIndex > 1.05 && loudnessWaits < 3) {
+      Thread.sleep(45000)
+      loudnessWaits += 1
+      loudnessIndex = probeIndex(recheckSubset)
+    }
 
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
       : (Double, Double, Boolean) = {
@@ -210,7 +259,13 @@ object Bench {
           loudRetries += 1
           hygiene()
           val (med2, mn2, failed2) = measure(fn)
-          if (!failed2 && med2 < med) { med = med2; mn = math.min(mn, mn2) }
+          if (!failed2 && med2 < med) {
+            // keeping the smaller median clips only upward noise; record
+            // the discarded first median so an intermittent REAL
+            // regression (loud first, quiet retry) still leaves a trace
+            loudDiscards(name) = med
+            med = med2; mn = math.min(mn, mn2)
+          }
         }
       }
       val stat = if (failed) QStat(-1.0, -1.0, gcMillis() - gc0, heap0, heapMb())
@@ -228,7 +283,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
     val totalMin = results.map(_._2.minSec).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
+    val discards = loudDiscards.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val li3 = math.rint(loudnessIndex * 1000) / 1000.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"loud_discards":$discards,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(effectiveOut)
       try w.println(line) finally w.close()
@@ -248,7 +306,7 @@ object Bench {
     try if (onlyQueries.isEmpty) {
       val trend = new java.io.FileWriter("BENCH_TREND.jsonl", true)
       val ts = java.time.Instant.now().toString
-      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"sf":"$sfDir","queries":$qs}""" + "\n")
+      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"sf":"$sfDir","queries":$qs}""" + "\n")
       finally trend.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the final line: its shutdown logging must not

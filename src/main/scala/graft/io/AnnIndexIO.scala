@@ -42,7 +42,7 @@ object AnnIndexIO {
       .toDF("id", "list")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/assign")
     Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/ann_index.json"),
+    Sidecars.writeAtomic(Paths.get(s"$path/ann_index.json"),
       s"""{"format": 1, "nlist": $nlist, "dims": $dims}""")
   }
 

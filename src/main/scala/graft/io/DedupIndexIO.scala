@@ -36,7 +36,7 @@ object DedupIndexIO {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets")
     tok.write.mode(SaveMode.Overwrite).parquet(s"$path/tokens")
     Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/dedup_index.json"),
+    Sidecars.writeAtomic(Paths.get(s"$path/dedup_index.json"),
       s"""{"format": 1, "num_hashes": $numHashes, "bands": $bands}""")
   }
 

@@ -39,20 +39,12 @@ object MvIO {
 
   private def sidecar(path: String) = Paths.get(s"$path/mv.json")
 
-  /** Marker/sidecar writes go through temp-file + ATOMIC_MOVE: a
-    * plain Files.writeString can be torn by a crash mid-write,
-    * leaving a commit.json that EXISTS but is truncated — which reads
-    * as "committed but unparseable" and wedges the store, breaking
-    * the "a torn applyDelta leaves no observable trace" contract.
-    * With the atomic rename the marker is either absent or complete.
+  /** Marker/sidecar writes go through temp-file + ATOMIC_MOVE
+    * ([[Sidecars.writeAtomic]]): with the atomic rename the marker is
+    * either absent or complete, never torn.
     */
-  private def writeAtomic(target: java.nio.file.Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeAtomic(target: java.nio.file.Path, content: String): Unit =
+    Sidecars.writeAtomic(target, content)
 
   /** Create the store from the initial shard's rows; sidecar last. */
   def createMv(
@@ -87,10 +79,14 @@ object MvIO {
   }
 
   /** Latest COMMITTED version and its producing batch id. A state dir
-    * without a commit marker (torn applyDelta) is never returned; a
-    * marker that exists but carries no parseable batch_id (a legacy
-    * torn write, predating [[writeAtomic]]) is treated as UNCOMMITTED
-    * rather than wedging the store — the replay heals it.
+    * without a commit marker (torn applyDelta) is never returned; an
+    * EMPTY or clearly-truncated marker (a legacy torn write, predating
+    * [[writeAtomic]]) is treated as UNCOMMITTED rather than wedging
+    * the store — the replay heals it. But a marker that parses as a
+    * complete JSON object yet carries no batch_id is NOT healed: that
+    * is a future format this reader does not understand (commit.json
+    * has no format field of its own), and silently demoting it would
+    * roll the store back to an older version instead of failing loud.
     */
   def latestCommitted(path: String): (Int, Long) = {
     storedSchema(path) // sidecar validation gates every read
@@ -98,8 +94,16 @@ object MvIO {
     def batchOf(k: Int): Option[Long] = {
       val p = Paths.get(s"$path/v$k/commit.json")
       if (!Files.exists(p)) None
-      else """"batch_id"\s*:\s*(-?\d+)""".r
-        .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+      else {
+        val s = Files.readString(p)
+        val parsed = """"batch_id"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(s).map(_.group(1).toLong)
+        val completeJson = s.trim.startsWith("{") && s.trim.endsWith("}")
+        require(parsed.isDefined || !completeJson,
+          s"mv commit marker $p is complete JSON but carries no batch_id — " +
+            "unrecognized marker format; refusing to silently roll back")
+        parsed
+      }
     }
     val versions = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))

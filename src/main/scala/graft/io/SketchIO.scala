@@ -45,7 +45,7 @@ object SketchIO {
     TextOps.hllShingleRegisters(docs, n, srcCol, textCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/registers")
     Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/sketch.json"),
+    Sidecars.writeAtomic(Paths.get(s"$path/sketch.json"),
       s"""{"format": 1, "p": 8, "ngram": $n}""")
   }
 

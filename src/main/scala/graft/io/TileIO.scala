@@ -26,7 +26,7 @@ object TileIO {
       .partitionBy("tj")
       .parquet(s"$path/tiles")
     Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/gridmapping.json"), gridMappingToJson(gm))
+    Sidecars.writeAtomic(Paths.get(s"$path/gridmapping.json"), gridMappingToJson(gm))
   }
 
   def readTiles(spark: SparkSession, path: String): (Dataset[Tile], GridMapping) = {
@@ -65,7 +65,7 @@ object TileIO {
     val sidecar = Paths.get(s"$path/gridmapping.json")
     require(Files.exists(sidecar), s"no tile store at $path (missing gridmapping.json)")
     val gm = gridMappingFromJson(Files.readString(sidecar))
-    Files.writeString(sidecar, gridMappingToJson(gm.copy(crs = crs)))
+    Sidecars.writeAtomic(sidecar, gridMappingToJson(gm.copy(crs = crs)))
   }
 
   private def esc(s: String): String =

@@ -41,7 +41,7 @@ object TokenizerIO {
     mergesDf.write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
     vocabDf.write.mode(SaveMode.Overwrite).parquet(s"$path/vocab")
     Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/tokenizer.json"),
+    Sidecars.writeAtomic(Paths.get(s"$path/tokenizer.json"),
       s"""{"format": 1, "merges": $merges}""")
   }
 
@@ -221,7 +221,7 @@ object TokenizerIO {
       docs, maxPieceLen, seedMulti, iters, textCol)
     vocab.write.mode(SaveMode.Overwrite).parquet(s"$path/pieces")
     Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/unigram.json"),
+    Sidecars.writeAtomic(Paths.get(s"$path/unigram.json"),
       s"""{"format": 1, "max_piece_len": $maxPieceLen, """ +
         s""""seed_multi": $seedMulti, "iters": $iters}""")
   }

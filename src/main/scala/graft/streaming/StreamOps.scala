@@ -362,6 +362,18 @@ object StreamOps {
               // backward twin
               state.setTimeoutTimestamp(
                 (pending.map(_.ts).min + toleranceUs) / 1000L + 1L)
+            else
+              // anchors but no probes: without a timeout this group
+              // never wakes again and a quiet user retains its last
+              // window's full anchor buffer forever (the backward twin
+              // keeps O(1) BY DESIGN — its one past anchor stays
+              // matchable indefinitely; here every anchor dies once the
+              // watermark passes it). Fire once the watermark passes the
+              // last anchor: the compaction floor (= watermark) then
+              // exceeds every anchor ts, the buffer empties, and the
+              // state is removed. Safe to register: kept anchors satisfy
+              // ts >= floorTs >= wmUs, so the timestamp is in the future.
+              state.setTimeoutTimestamp(next.anchors.map(_.ts).max / 1000L + 1L)
           }
           out.iterator
       }

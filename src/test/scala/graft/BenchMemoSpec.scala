@@ -16,12 +16,32 @@ class BenchMemoSpec extends AnyFunSuite {
     assert(memo.contains("q_tpch_q1"), "headline query missing from memo")
     assert(memo.values.forall(v => v > 0 && v < 120),
       "memo values outside a sane per-query seconds range")
-    // per-query MIN across lines: the memo is a noise floor
+    // per-query MEDIAN across lines: a representative quiet reference,
+    // not the noise floor (MIN tripped the retry margin on 60+ queries)
     val q1 = memo("q_tpch_q1")
     assert(q1 > 0.0 && q1 < 5.0, s"q_tpch_q1 floor implausible: $q1")
   }
 
   test("trendMemo of an unknown sf dir is empty (no retry, no crash)") {
     assert(Bench.trendMemo("/no/such/dir").isEmpty)
+  }
+
+  test("trendMemo drops -1.0 failure sentinels instead of letting them poison the median") {
+    // a query that failed in MOST past lines must either get a median
+    // from its surviving positive samples or vanish from the memo —
+    // a negative reference makes the loudness check permanently true
+    val tmp = java.io.File.createTempFile("trend", ".jsonl")
+    tmp.deleteOnExit()
+    val w = new java.io.PrintWriter(tmp)
+    try {
+      w.println("""{"ts":"t1","total":1.0,"sf":"/x/sf0.1","queries":{"q_ok":0.50,"q_flaky":-1.0,"q_dead":-1.0}}""")
+      w.println("""{"ts":"t2","total":1.0,"sf":"/x/sf0.1","queries":{"q_ok":0.52,"q_flaky":-1.0,"q_dead":-1.0}}""")
+      w.println("""{"ts":"t3","total":1.0,"sf":"/x/sf0.1","queries":{"q_ok":0.54,"q_flaky":0.30,"q_dead":-1.0}}""")
+    } finally w.close()
+    val memo = Bench.trendMemo("/x/sf0.1", path = tmp.getAbsolutePath)
+    assert(memo("q_ok") == 0.52)
+    assert(memo("q_flaky") == 0.30, "surviving positive sample should be the reference")
+    assert(!memo.contains("q_dead"), "all-sentinel query must vanish, not go negative")
+    assert(memo.values.forall(_ > 0))
   }
 }

@@ -1363,4 +1363,137 @@ class StreamSpec extends AnyFunSuite {
     assert(face(graft.io.MvIO.readState(spark, store)) == onePass,
       "restarted stream with durable checkpoint diverges from one-pass aggregate")
   }
+
+  test("as-of equal-ts anchor ties resolve identically in batch and stream, independent of arrival order") {
+    import spark.implicits._
+    // deliberate equal-timestamp tie between two right anchors, with
+    // the SMALLER id arriving in a LATER micro-batch: a stream that
+    // resolved ties by arrival order instead of the batch rule would
+    // pass a whole-corpus parity (real fixtures carry no exact micro-
+    // second ties) and still diverge here. Backward rule (asofLatest):
+    // among equal anchor timestamps the LARGEST id wins (batch last()
+    // over id asc); forward rule (asofNearest forward): the SMALLEST
+    // id wins (batch first() over id asc).
+    val base = 1704000000000000L
+    val tol = 3600L * 1000000L
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-tie").toFile
+    // batch 1: anchor id=2 at T+1s, both probes; the TIED anchor id=1
+    // (same ts, smaller id) arrives only in batch 2, before the
+    // watermark passes the probes
+    Seq(
+      (2L, base + 1000000L, 5L, "click", 2.0, "{}"),
+      (10L, base + 2000000L, 5L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    // the late tied anchor (same ts, SMALLER id) lands in a second file
+    Seq((1L, base + 1000000L, 5L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingAsofLatest(src, "purchase", "click", watermark = "1 second")
+      .writeStream.format("memory").queryName("asof_tie_bwd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), base + tol + (k + 10L) * 100L * 3600L * 1000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val bwd = spark.table("asof_tie_bwd").filter(col("event_id") === 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+    assert(bwd.toSeq == Seq((10L, 2L, 2.0)),
+      s"backward tie must pick the LARGEST anchor id (batch rule): ${bwd.toSeq}")
+    val staged = spark.read.parquet(srcDir.getAbsolutePath).filter(col("event_id") > 0)
+    val bwdBatch = graft.events.EventOps.asofLatest(staged, "purchase", "click")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+    assert(bwdBatch.toSeq == bwd.toSeq, "backward stream diverges from batch on the tie")
+  }
+
+  test("forward as-of equal-ts tie picks the smallest anchor id across an arrival split") {
+    import spark.implicits._
+    val base = 1704000000000000L
+    val tol = 3600L * 1000000L
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-tie-fwd").toFile
+    // probe at T, tied anchors at T+1s with ids 4 (arrives first) and
+    // 3 (arrives later): the forward rule picks id 3 regardless of
+    // arrival order
+    Seq(
+      (10L, base, 5L, "purchase", 0.0, "{}"),
+      (4L, base + 1000000L, 5L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    Seq((3L, base + 1000000L, 5L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingAsofNearestForward(
+        src, "purchase", "click", toleranceUs = tol, watermark = "1 second")
+      .writeStream.format("memory").queryName("asof_tie_fwd2")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      for (k <- 1 to 2) {
+        Seq((-(k.toLong), base + tol + (k + 10L) * 100L * 3600L * 1000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("asof_tie_fwd2").filter(col("event_id") === 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+    assert(got.toSeq == Seq((10L, 3L, 3.0)),
+      s"forward tie must pick the SMALLEST anchor id (batch rule): ${got.toSeq}")
+    val staged = spark.read.parquet(srcDir.getAbsolutePath).filter(col("event_id") > 0)
+    val batch = graft.events.EventOps.asofNearest(
+        staged, "purchase", "click", forward = true, toleranceUs = tol)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+    assert(batch.toSeq == got.toSeq, "forward stream diverges from batch on the tie")
+  }
+
+  test("forward as-of state for an anchors-only quiet user is removed once the watermark passes") {
+    import spark.implicits._
+    // the r14 leak: a group left with anchors but NO pending probes
+    // registered no timeout, never woke again, and retained its last
+    // window's full anchor buffer forever. The fix arms a timeout at
+    // the last anchor's ts; when it fires the compaction floor (= the
+    // watermark) exceeds every anchor and the state row is removed.
+    // Observable from outside via stateOperators.numRowsTotal.
+    val base = 1704000000000000L
+    val tol = 3600L * 1000000L
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-asof-anchorleak").toFile
+    // user 5: three anchors, zero probes — the quiet-user shape
+    Seq(
+      (1L, base + 1000000L, 5L, "click", 1.0, "{}"),
+      (2L, base + 2000000L, 5L, "click", 2.0, "{}"),
+      (3L, base + 3000000L, 5L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val src = spark.readStream.schema(StreamOps.eventsSchema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamOps.streamingAsofNearestForward(
+        src, "purchase", "click", toleranceUs = tol, watermark = "1 second")
+      .writeStream.format("memory").queryName("asof_anchorleak")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      for (k <- 1 to 3) {
+        Seq((-(k.toLong), base + tol + (k + 10L) * 100L * 3600L * 1000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      // only the final sentinel's own (user -1) group may survive —
+      // its last anchor still sits above the watermark
+      assert(stateRows >= 0 && stateRows <= 1,
+        s"quiet anchors-only group leaked: $stateRows state rows remain")
+    } finally q.stop()
+  }
 }
