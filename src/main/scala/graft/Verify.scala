@@ -20,11 +20,38 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Sort-key-uniqueness guard AT THE DRIVER'S SCALE: FaceOrder makes
+    // every face emit its oracle's ORDER BY, but a sort only determines
+    // emission order when its keys are UNIQUE — and a key unique at
+    // sf0.001 (SortedFaceSpec's scale) can collide at sf0.01 (10x rows,
+    // same key domain), reopening the nondeterministic-tie hash red the
+    // guard exists to prevent. Checking here runs the assertion on the
+    // ACTUAL verify corpus for free (the face output is already
+    // materialized; re-grouping a result-sized frame is trivial).
+    val tieNames = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        for (sql <- SparkEntry.oracleSql.get(name)) {
+          val face = spark.read.parquet(s"$outDir/$name")
+          for (keys <- FaceOrder.sortKeys(sql, face.columns.toSeq)) {
+            import org.apache.spark.sql.functions.{col, count, lit}
+            val ties = face.groupBy(keys.map { case (n, _) => col(n) }: _*)
+              .agg(count(lit(1)).as("n"))
+              .filter(col("n") > 1).limit(1).count()
+            if (ties > 0) {
+              tieNames += name
+              System.err.println(s"[verify] FACE_TIES: $name — oracle sort " +
+                "keys are NOT unique at this scale; the order-sensitive " +
+                "driver hash can go red nondeterministically. Widen the " +
+                "ORDER BY on both sides.")
+            }
+          }
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -44,6 +71,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable tie report next to the dumps (empty list = the
+    // uniqueness contract held for every parsed face at this sf)
+    Files.writeString(Paths.get(s"$outDir/face_ties.json"),
+      tieNames.sorted.map(q).mkString("[", ",", "]"))
+    if (tieNames.nonEmpty)
+      System.err.println(s"[verify] ${tieNames.size} faces with non-unique " +
+        s"sort keys: ${tieNames.sorted.mkString(", ")}")
     spark.stop()
   }
 }

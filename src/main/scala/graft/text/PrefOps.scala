@@ -55,26 +55,33 @@ object PrefOps {
           .as("winner"))
   }
 
-  /** The shared MM core: (duelAgg, games, wins, p_final). duelAgg is
-    * the materialized (i, j, winner, n) table every downstream frame
-    * derives from; p_final is the strength table after `iters` rounds.
+  /** The duel CUT: ONE corpus-sized pass collapses the duels to a
+    * (pair, winner) count table, materialized by a lineage cut —
+    * every downstream frame (pair matrix, win counts, all MM rounds,
+    * the upset report) derives from this sources²-sized table, so an
+    * unrolled iteration plan can never re-run the fact scan (the lazy
+    * form re-scanned the corpus once per plan reference — measurably
+    * slower at 1x than 10x). [[bradleyTerryFrom]] and
+    * [[upsetReportFrom]] both consume it, so a harness that runs both
+    * builds the corpus-sized stage ONCE (the clusterMemo pattern) and
+    * the fit/report rows time only their sources²-sized tails.
     */
-  private def mmCore(
-      docs: DataFrame, iters: Int, idCol: String, keyCol: String,
-      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
-    val duels = sourceDuels(docs, idCol, keyCol, textCol)
-    // ONE corpus-sized pass collapses the duels to a (pair, winner)
-    // count table, materialized by a lineage cut: every downstream
-    // frame (pair matrix, win counts, all MM rounds) derives from this
-    // sources²-sized table, so the unrolled iteration plan can never
-    // re-run the fact scan (the lazy form re-scanned the corpus once
-    // per plan reference — measurably slower at 1x than 10x)
-    val duelAgg = graft.model.Lineage.cut(
-      duels.groupBy(
+  def duelCut(
+      docs: DataFrame, idCol: String = "doc_id", keyCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    graft.model.Lineage.cut(
+      sourceDuels(docs, idCol, keyCol, textCol).groupBy(
           least(col("sa"), col("sb")).as("i"),
           greatest(col("sa"), col("sb")).as("j"), col("winner"))
         .agg(count(lit(1)).as("n")), reliable = false)
+
+  /** The shared MM core over a prebuilt [[duelCut]] table:
+    * (games, wins, p_final); p_final is the strength table after
+    * `iters` rounds.
+    */
+  private def mmCore(
+      duelAgg: DataFrame, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
     val pairs = duelAgg.groupBy(col("i"), col("j"))
       .agg(sum(col("n")).cast("long").as("nij"))
     // both directions of every pair: the denominator sums over a
@@ -101,7 +108,7 @@ object PrefOps {
           expr(s"(coalesce(n_wins, CAST(0 AS BIGINT)) * CAST($U2 AS BIGINT)) " +
             "div greatest(denom, CAST(1 AS BIGINT))").as("p"))
     }
-    (duelAgg, games, wins, p)
+    (games, wins, p)
   }
 
   /** Bradley–Terry strengths over the synthesized duels. Returns
@@ -111,8 +118,14 @@ object PrefOps {
     */
   def bradleyTerry(
       docs: DataFrame, iters: Int = 3, idCol: String = "doc_id",
-      keyCol: String = "source", textCol: String = "text"): DataFrame = {
-    val (_, games, wins, p) = mmCore(docs, iters, idCol, keyCol, textCol)
+      keyCol: String = "source", textCol: String = "text"): DataFrame =
+    bradleyTerryFrom(duelCut(docs, idCol, keyCol, textCol), iters)
+
+  /** [[bradleyTerry]] from a prebuilt [[duelCut]] table — the
+    * corpus-size-free tail alone.
+    */
+  def bradleyTerryFrom(duelAgg: DataFrame, iters: Int = 3): DataFrame = {
+    val (games, wins, p) = mmCore(duelAgg, iters)
     val tot = p.agg(sum(col("p")).cast("long").as("t"))
     games
       .join(wins, Seq("source"), "left")
@@ -134,8 +147,14 @@ object PrefOps {
     */
   def upsetReport(
       docs: DataFrame, iters: Int = 3, idCol: String = "doc_id",
-      keyCol: String = "source", textCol: String = "text"): DataFrame = {
-    val (duelAgg, _, _, p) = mmCore(docs, iters, idCol, keyCol, textCol)
+      keyCol: String = "source", textCol: String = "text"): DataFrame =
+    upsetReportFrom(duelCut(docs, idCol, keyCol, textCol), iters)
+
+  /** [[upsetReport]] from a prebuilt [[duelCut]] table — the
+    * pair-matrix-sized tail alone.
+    */
+  def upsetReportFrom(duelAgg: DataFrame, iters: Int = 3): DataFrame = {
+    val (_, _, p) = mmCore(duelAgg, iters)
     val winpair = duelAgg.groupBy(col("i"), col("j"))
       .agg(
         sum(when(col("winner") === col("i"), col("n")).otherwise(0L))
