@@ -173,6 +173,34 @@ object LlmQueries {
       df
     })
 
+  /** Twin doc_ids live 2^40 above their base so the pool can never
+    * collide with a real document id.
+    */
+  private val WavTwinOffset = 1L << 40
+
+  /** The audio dedup-evaluation pool: every staged WAV plus, for each
+    * base with doc_id % 5 == 0, a PLANTED NEAR-DUPLICATE twin —
+    * [[Multimodal.perturbWav]]'s decode→attenuate-1-ulp→re-encode
+    * pass, keyed at base + 2^40. Planting known twins is the standard
+    * recall fixture for dedup evaluation (the phash faces get theirs
+    * from near-identical synthetic PNGs); the oracle replays both the
+    * base sample formula and the every-97th-sample attenuation
+    * analytically. Persisted and eagerly materialized like the other
+    * media fixtures.
+    */
+  private def stagedWavPool(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "wavpool"), {
+      import s.implicits._
+      val base = stagedWavs(s, dir)
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .map { case (id, p) => (id + WavTwinOffset, "audio", Multimodal.perturbWav(p)) }
+        .toDF("doc_id", "media_type", "payload")
+      val df = base.unionByName(twins).persist()
+      df.count()
+      df
+    })
+
   /** One synthesized MJPEG-in-AVI payload per video doc
     * (doc_id % 3 == 2), persisted and eagerly materialized.
     */
@@ -214,6 +242,7 @@ object LlmQueries {
     stagedImages(s, dir)
     stagedGifs(s, dir)
     stagedWavs(s, dir)
+    stagedWavPool(s, dir)
     stagedAvis(s, dir)
     stagedFrameSeqs(s, dir)
     ()
@@ -1521,6 +1550,39 @@ object LlmQueries {
           col("n_samples").cast("long").as("n_samples"), col("energy"))
     }),
 
+    "q_multimodal_audio_fp" -> ((s, dir) => {
+      // band-energy audio fingerprint (Haitsma-Kalker-style sign of
+      // the band-energy derivative, 65 bands -> 64 bits) over the
+      // dedup pool (staged WAVs + planted perturbWav twins); the
+      // oracle replays the synthetic sample formula AND the twin
+      // attenuation analytically, bit for bit
+      import s.implicits._
+      Multimodal.audioFingerprints(stagedWavPool(s, dir).as[Multimodal.MediaRow])
+    }),
+
+    "q_multimodal_audio_fp_pairs" -> ((s, dir) => {
+      // audio near-dup pairs via the same banded Hamming join as the
+      // image phash face (radius 6 -> 7 pigeonhole bands over 64-bit
+      // signatures); the planted twins are the recall set
+      import s.implicits._
+      val sigs = Multimodal.audioFingerprints(stagedWavPool(s, dir).as[Multimodal.MediaRow])
+      TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
+        .toDF("id_a", "id_b", "hamming")
+    }),
+
+    "q_multimodal_audio_dup_clusters" -> ((s, dir) => {
+      // audio dedup endpoint: fingerprint pairs feed the SAME
+      // pointer-jumping connected components as text and image dedup
+      // — cluster_id = min doc id reachable through <= 6-bit edges;
+      // banded pair join + O(log d) label rounds is the 100 TB shape
+      import s.implicits._
+      val pool = stagedWavPool(s, dir)
+      val sigs = Multimodal.audioFingerprints(pool.as[Multimodal.MediaRow])
+      val pairs = TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
+        .toDF("id_a", "id_b", "hamming")
+      TextOps.dedupClusters(pool.select(col("doc_id")), pairs)
+    }),
+
     "q_multimodal_wav" -> ((s, dir) => {
       // REAL RIFF/WAVE parse: fmt chunk (rate/channels/bits) + every
       // 16-bit PCM sample decoded into a sum of absolute amplitudes;
@@ -2783,6 +2845,44 @@ object LlmQueries {
       |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
       |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
       |  FROM sbits
+      |)""".stripMargin
+
+  // Shared analytic audio-fingerprint oracle chain: the dedup pool
+  // (audio docs + planted twins at +2^40), the synthetic 16-bit PCM
+  // sample formula with the twin's every-97th-sample 1-ulp
+  // attenuation, 65 integer band energies, and the sign-of-derivative
+  // bits — ending in d(doc_id, fp) with the signed bit-63 wrap
+  private val sqlAudioFpD: String =
+    """pool AS (
+      |  SELECT doc_id, doc_id AS src,
+      |    (200 + doc_id % 300) * (1 + doc_id % 2) AS total, 0 AS twin
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1099511627776, doc_id,
+      |    (200 + doc_id % 300) * (1 + doc_id % 2), 1
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+      |), sm AS (
+      |  SELECT p.doc_id, (k.i * 65) // p.total AS band,
+      |    CASE WHEN p.twin = 1 AND k.i % 97 = 0 THEN
+      |      CASE WHEN ((k.i * 2347 + p.src * 17) % 65536) - 32768 > 0
+      |        THEN ((k.i * 2347 + p.src * 17) % 65536) - 32769
+      |        ELSE ((k.i * 2347 + p.src * 17) % 65536) - 32767 END
+      |    ELSE ((k.i * 2347 + p.src * 17) % 65536) - 32768 END AS s
+      |  FROM pool p, unnest(generate_series(0, p.total - 1)) k(i)
+      |), e AS (
+      |  SELECT doc_id, band, SUM(CAST(s AS BIGINT) * s) AS energy
+      |  FROM sm GROUP BY 1, 2
+      |), fbits AS (
+      |  SELECT a.doc_id,
+      |    SUM(CASE WHEN b.energy > a.energy
+      |      THEN CAST(1 AS HUGEINT) << a.band ELSE 0 END) AS raw
+      |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.band = a.band + 1
+      |  WHERE a.band < 64
+      |  GROUP BY 1
+      |), d AS (
+      |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS fp
+      |  FROM fbits
       |)""".stripMargin
 
   /** Oracle for [[graft.text.TextOps.bpeTrain]]: the iterative merge
@@ -6431,6 +6531,43 @@ object LlmQueries {
         |)
         |SELECT doc_id, win, COUNT(*) AS n_samples, CAST(SUM(s * s) AS BIGINT) AS energy
         |FROM sm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // band-energy audio fingerprint over the dedup pool: the analytic
+    // sample formula (+ the planted twin's 1-ulp attenuation), 65
+    // exact integer band energies, sign-of-derivative bits
+    "q_multimodal_audio_fp" ->
+      s"""WITH $sqlAudioFpD
+         |SELECT doc_id, fp FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_audio_fp_pairs" ->
+      s"""WITH $sqlAudioFpD
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |ORDER BY 1, 2""".stripMargin,
+
+    // audio dup clusters: connected components over the banded-Hamming
+    // near-dup pairs (min reachable id), singletons keep their own id
+    "q_multimodal_audio_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlAudioFpD,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p
+         |),
+         |walk(id, lbl) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+         |)
+         |SELECT pl.doc_id, LEAST(pl.doc_id, COALESCE(MIN(w.lbl), pl.doc_id)) AS cluster_id
+         |FROM pool pl LEFT JOIN walk w ON w.id = pl.doc_id
+         |GROUP BY pl.doc_id ORDER BY 1""".stripMargin,
 
     "q_multimodal_wav" ->
       """WITH a AS (

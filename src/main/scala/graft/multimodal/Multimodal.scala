@@ -538,6 +538,109 @@ object Multimodal {
     }.toDF("doc_id", "win", "n_samples", "energy")
   }
 
+  /** Locate the 16-bit PCM data chunk: (dataOff, dataLen) after the
+    * same fmt/data walk as [[decodeWav]], or None for non-WAV /
+    * non-16-bit-PCM payloads. Shared by the fingerprint and the
+    * perturbation so they cannot disagree on what "the samples" are.
+    */
+  private def pcm16DataChunk(p: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeWav(p)) None
+    else {
+      var off = 12
+      var dataOff = -1; var dataLen = 0
+      var bits = 0; var fmtOk = false
+      while (off + 8 <= p.length) {
+        val tag = tagAt(p, off)
+        val size = chunkSize(p, off)
+        val body = off + 8
+        if (tag == "fmt " && size >= 16 && body + 16 <= p.length) {
+          fmtOk = rdU16(p, body) == 1
+          bits = rdU16(p, body + 14)
+        } else if (tag == "data") {
+          dataOff = body; dataLen = math.min(size, p.length - body)
+        }
+        off = body + size + (size & 1)
+      }
+      if (!fmtOk || bits != 16 || dataOff < 0) None else Some((dataOff, dataLen))
+    }
+
+  /** Band-energy audio fingerprint (Haitsma & Kalker 2002 style, the
+    * time-domain variant): the decoded 16-bit PCM stream is cut into
+    * `bands` equal spans (sample `i` lands in band `i*bands/total`,
+    * integer division), each reduced to an exact int64 energy Σ s²,
+    * and bit `k` of the 64-bit signature is set iff
+    * `E(k+1) > E(k)` — the sign of the band-energy derivative, the
+    * same comparison-of-adjacent-aggregates bit the image dHash uses
+    * along its column axis. Small local perturbations (quantization
+    * noise, re-encoding) move each band energy by a vanishing fraction
+    * of the inter-band differences, so near-duplicate clips land
+    * within a few Hamming bits — the property the banded pair join
+    * exploits.
+    *
+    * Per-partition flatMap like the other media kernels: decode cost
+    * on the executors, one (doc_id, fp) row per decodable clip with
+    * at least `bands` samples. Mirrors reference coverage of feature
+    * extraction over opaque media columns (multimodal mandate).
+    */
+  def audioFingerprints(media: Dataset[MediaRow], bands: Int = 65): DataFrame = {
+    require(bands >= 2 && bands <= 65, s"bands must be in [2,65], got $bands")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val p = m.payload
+        pcm16DataChunk(p).flatMap { case (dataOff, dataLen) =>
+          val total = (dataLen & ~1) / 2
+          if (total < bands) None
+          else {
+            val e = new Array[Long](bands)
+            var i = 0
+            while (i < total) {
+              val v = (rdU16(p, dataOff + 2 * i) << 16) >> 16
+              e((i.toLong * bands / total).toInt) += v.toLong * v
+              i += 1
+            }
+            var fp = 0L
+            var k = 0
+            while (k < bands - 1) {
+              if (e(k + 1) > e(k)) fp |= 1L << k
+              k += 1
+            }
+            Some((m.doc_id, fp))
+          }
+        }
+      }
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Inaudible re-encode of a WAV: every `every`-th sample (index over
+    * the interleaved stream) is attenuated one quantization step
+    * toward zero (`s > 0 → s-1`, else `s+1` — never overflows int16).
+    * A REAL decode→perturb→re-encode pass over the payload bytes;
+    * header chunks are untouched. Used to plant known near-duplicate
+    * twins — the standard recall fixture for dedup evaluation (the
+    * audio analog of the near-identical PNGs behind the phash faces).
+    * Non-PCM16 payloads come back unchanged.
+    */
+  def perturbWav(payload: Array[Byte], every: Int = 97): Array[Byte] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    pcm16DataChunk(payload) match {
+      case None => payload.clone()
+      case Some((dataOff, dataLen)) =>
+        val out = payload.clone()
+        val total = (dataLen & ~1) / 2
+        var k = 0
+        while (k < total) {
+          val s = (rdU16(out, dataOff + 2 * k) << 16) >> 16
+          val s2 = if (s > 0) s - 1 else s + 1
+          out(dataOff + 2 * k) = (s2 & 0xFF).toByte
+          out(dataOff + 2 * k + 1) = ((s2 >> 8) & 0xFF).toByte
+          k += every
+        }
+        out
+    }
+  }
+
   final case class AviMeta(
       width: Int, height: Int, nFrames: Int, fps: Int,
       frame0Width: Int, frame0Height: Int)

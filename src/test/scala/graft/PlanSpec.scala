@@ -180,6 +180,24 @@ class PlanSpec extends AnyFunSuite {
       s"no equi-join on cluster_id in:\n${p.take(3000)}")
   }
 
+  test("audio fingerprint pairs plan as a band-bucket equi-join, never a cartesian") {
+    import graft.multimodal.Multimodal
+    val media = spark.createDataset((1L to 60L).map(id =>
+      Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id))))
+    val sigs = Multimodal.audioFingerprints(media)
+    val pairs = graft.text.TextOps.hammingPairs(sigs.toDF("id", "sig"),
+      sigBits = 64, maxHamming = 6)
+    pairs.collect()
+    val p = plan(pairs)
+    // the banded-Hamming contract: candidates come from the 7-band
+    // pigeonhole equi-join (cost = bucket occupancy), never pool²
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated to a cartesian in:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join on (band, bits) in:\n${p.take(3000)}")
+  }
+
   test("chunkDupStats aggregates partially on both shuffles; heldout LM broadcasts the vocab scalar") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val cd = graft.text.TextOps.chunkDupStats(docs, k = 8)

@@ -1169,6 +1169,71 @@ class TextVectorSpec extends AnyFunSuite {
     assert(tMeta.sampleRate == meta.sampleRate && tMeta.nFrames < meta.nFrames)
   }
 
+  test("audio fingerprint: matches the analytic band-energy reference; planted twin within Hamming 6") {
+    import spark.implicits._
+    for (id <- Seq(10L, 25L, 40L, 1234L)) {
+      val wav = Multimodal.syntheticWav(id)
+      // independent reference: sample formula -> 65 integer band
+      // energies -> sign-of-derivative bits
+      val total = (200 + (id % 300).toInt) * (1 + (id % 2).toInt)
+      val e = new Array[Long](65)
+      for (i <- 0 until total) {
+        val s = ((i * 2347L + id * 17L) % 65536L).toInt - 32768
+        e((i.toLong * 65 / total).toInt) += s.toLong * s
+      }
+      var exp = 0L
+      for (k <- 0 until 64) if (e(k + 1) > e(k)) exp |= 1L << k
+      val media = spark.createDataset(Seq(Multimodal.MediaRow(id, "audio", wav)))
+      val got = Multimodal.audioFingerprints(media).as[(Long, Long)].collect().toSeq
+      assert(got == Seq((id, exp)), s"fp mismatch for id $id")
+      // the perturbed twin: bytes changed, header meta preserved,
+      // fingerprint within the banded join's radius
+      val twin = Multimodal.perturbWav(wav)
+      assert(!java.util.Arrays.equals(twin, wav))
+      val bm = Multimodal.decodeWav(wav).get
+      val tm = Multimodal.decodeWav(twin).get
+      assert(tm.sampleRate == bm.sampleRate && tm.channels == bm.channels
+        && tm.nFrames == bm.nFrames)
+      val tfp = Multimodal.audioFingerprints(
+        spark.createDataset(Seq(Multimodal.MediaRow(id, "audio", twin))))
+        .as[(Long, Long)].collect().head._2
+      assert(java.lang.Long.bitCount(tfp ^ exp) <= 6,
+        s"twin drifted ${java.lang.Long.bitCount(tfp ^ exp)} bits for id $id")
+    }
+    // non-audio payloads and non-PCM16 bytes yield no fingerprint row
+    val junk = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", "not a wav at all".getBytes)))
+    assert(Multimodal.audioFingerprints(junk).count() == 0)
+    // perturbWav on a non-wav is the identity (fresh copy)
+    val raw = "plain bytes".getBytes
+    assert(java.util.Arrays.equals(Multimodal.perturbWav(raw), raw))
+  }
+
+  test("audio near-dup pipeline: banded pairs recover every planted twin; CC pairs twin with base") {
+    import spark.implicits._
+    val ids = (0L until 40L).map(_ * 3 + 1) // audio-doc-shaped ids
+    val planted = ids.filter(_ % 5 == 0)
+    val rows = ids.map(id => Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id))) ++
+      planted.map(id => Multimodal.MediaRow(id + (1L << 40), "audio",
+        Multimodal.perturbWav(Multimodal.syntheticWav(id))))
+    val media = spark.createDataset(rows)
+    val sigs = Multimodal.audioFingerprints(media)
+    assert(sigs.count() == rows.size) // every clip decodable
+    val pairs = TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
+      .toDF("id_a", "id_b", "hamming")
+    val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (id <- planted)
+      assert(pairSet.contains((id, id + (1L << 40))), s"planted twin of $id missed")
+    val clusters = TextOps.dedupClusters(media.toDF().select(col("doc_id")), pairs)
+      .as[(Long, Long)].collect().toMap
+    for (id <- planted)
+      assert(clusters(id + (1L << 40)) == clusters(id), s"twin of $id in a different cluster")
+    // a cluster label is always the min id of its members
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl == members.keys.min)
+    }
+  }
+
   test("AVI: frames inside LIST('rec ') wrappers decode like bare movi chunks") {
     // interleaved VfW files wrap frame groups in rec sub-lists; wrap
     // the whole movi body of a synthetic AVI in one and expect an
