@@ -1214,6 +1214,15 @@ object LlmQueries {
       graft.text.PrefOps.upsetReportFrom(
         duelMemo.getOrElse(dir, duelFresh(s, dir)), iters = 3)),
 
+    // circular-triad audit (Kendall & Babington Smith 1940) over the
+    // majority tournament — the intransitive evidence mass no
+    // Bradley-Terry fit can explain; runs over its OWN offsets-{1,2,3}
+    // tournament (the adjacent-only design is bipartite in the
+    // source key — triangle-free by construction), built fresh and
+    // billed in this row
+    "q_pref_cycles" -> ((s, dir) =>
+      graft.text.PrefOps.prefCycles(docs(s, dir))),
+
     // token-mass concentration across sources (exact integer Gini in
     // micro-units) — the one-number inequality readout next to the
     // diversity table and the temperature weights
@@ -1548,6 +1557,26 @@ object LlmQueries {
       Multimodal.wavWindowEnergy(stagedWavs(s, dir).as[Multimodal.MediaRow], window = 256)
         .select(col("doc_id"), col("win").cast("long").as("win"),
           col("n_samples").cast("long").as("n_samples"), col("energy"))
+    }),
+
+    "q_multimodal_image_entropy" -> ((s, dir) => {
+      // luma-histogram entropy over REAL decoded pixels (the vision
+      // quality gate); the oracle replays the synthetic pixel formula
+      // and the same folded ln(n) - sum(c ln c)/n entropy form
+      import s.implicits._
+      Multimodal.imageEntropy(stagedImages(s, dir).as[Multimodal.MediaRow])
+    }),
+
+    "q_multimodal_vad" -> ((s, dir) => {
+      // energy-gate VAD: 64-sample windows over the real PCM walk,
+      // active iff exact energy > threshold*n (cross-multiplied),
+      // consecutive actives merged gaps-and-islands into segments;
+      // the oracle replays the sample formula and the same island key
+      import s.implicits._
+      Multimodal.vadSegments(
+        Multimodal.wavWindowEnergy(
+          stagedWavs(s, dir).as[Multimodal.MediaRow], window = 64),
+        thresholdPerSample = 358000000L)
     }),
 
     "q_multimodal_audio_fp" -> ((s, dir) => {
@@ -3027,6 +3056,54 @@ object LlmQueries {
         |JOIN p$iters pi ON pi.source = w.i
         |JOIN p$iters pj ON pj.source = w.j
         |ORDER BY 1, 2""".stripMargin)
+
+  /** Oracle for [[graft.text.PrefOps.prefCycles]]: the same duel
+    * synthesis, per-pair strict-majority directions, the a<b<c
+    * triangle join carrying orientation bits, and the circular-triad
+    * test (chain edges agree, closing edge disagrees).
+    */
+  private val sqlPrefCycles: String =
+    """WITH scored AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+      |  FROM documents
+      |),
+      |duels AS MATERIALIZED (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    CASE WHEN a.ntok >= b.ntok THEN a.source ELSE b.source END AS winner
+      |  FROM scored a
+      |  CROSS JOIN unnest(generate_series(1, 3)) o(off)
+      |  JOIN scored b ON b.doc_id = a.doc_id + o.off
+      |  WHERE a.source <> b.source
+      |),
+      |dec AS MATERIALIZED (
+      |  SELECT i, j, wi > wj AS iwins FROM (
+      |    SELECT LEAST(sa, sb) AS i, GREATEST(sa, sb) AS j,
+      |      SUM(CASE WHEN winner = LEAST(sa, sb) THEN 1 ELSE 0 END) AS wi,
+      |      SUM(CASE WHEN winner = GREATEST(sa, sb) THEN 1 ELSE 0 END) AS wj
+      |    FROM duels GROUP BY 1, 2
+      |  ) WHERE wi <> wj
+      |),
+      |tri AS (
+      |  SELECT ab.iwins AS w_ab, bc.iwins AS w_bc, ac.iwins AS w_ac
+      |  FROM dec ab
+      |  JOIN dec bc ON bc.i = ab.j
+      |  JOIN dec ac ON ac.i = ab.i AND ac.j = bc.j
+      |),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+      |    CAST(COALESCE(SUM(CASE WHEN w_ab = w_bc AND w_ac <> w_ab
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cycles
+      |  FROM tri
+      |),
+      |cont AS (
+      |  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_contestants FROM (
+      |    SELECT sa AS s FROM duels UNION ALL SELECT sb FROM duels)
+      |),
+      |dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_decided_pairs FROM dec)
+      |SELECT n_contestants, n_decided_pairs, n_triangles, n_cycles,
+      |  n_cycles * CAST(1000000 AS BIGINT) // GREATEST(n_triangles, 1) AS cyclic_ppm
+      |FROM cont, dp, agg""".stripMargin
 
   private def sqlBtChain(iters: Int): String = {
     val sb = new StringBuilder
@@ -5922,6 +5999,7 @@ object LlmQueries {
     "q_tokenizer_patch" -> sqlTokenizerPatch(10, 15),
     "q_pref_bradley_terry" -> sqlBradleyTerry(3),
     "q_pref_upsets" -> sqlPrefUpsets(3),
+    "q_pref_cycles" -> sqlPrefCycles,
 
     "q_source_gini" ->
       """WITH mass AS MATERIALIZED (
@@ -6531,6 +6609,54 @@ object LlmQueries {
         |)
         |SELECT doc_id, win, COUNT(*) AS n_samples, CAST(SUM(s * s) AS BIGINT) AS energy
         |FROM sm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // luma-histogram image entropy: the analytic pixel formula, the
+    // ITU-R 601 integer luma, 256-level counts, folded entropy form
+    "q_multimodal_image_entropy" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 17 AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), px AS (
+        |  SELECT doc_id, w, h,
+        |    (299 * (((xx.x * 31 + yy.y * 7 + doc_id) % 16777216) // 65536)
+        |     + 587 * ((((xx.x * 31 + yy.y * 7 + doc_id) % 16777216) // 256) % 256)
+        |     + 114 * (((xx.x * 31 + yy.y * 7 + doc_id) % 16777216) % 256)) // 1000 AS luma
+        |  FROM img, unnest(generate_series(0, w - 1)) xx(x),
+        |    unnest(generate_series(0, h - 1)) yy(y)
+        |), c AS (
+        |  SELECT doc_id, luma, COUNT(*) AS c FROM px GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id, SUM(c) AS n_px, COUNT(*) AS n_levels,
+        |         SUM(c * ln(c)) AS clnc
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+        |  CAST(n_levels AS BIGINT) AS n_levels,
+        |  ROUND(ln(n_px) - clnc / n_px, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // energy-gate VAD segments: analytic 64-sample window energies,
+    // the same cross-multiplied activity gate, gaps-and-islands merge
+    "q_multimodal_vad" ->
+      """WITH a AS (
+        |  SELECT doc_id, (200 + doc_id % 300) * (1 + doc_id % 2) AS total
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), sm AS (
+        |  SELECT doc_id, k.i // 64 AS win,
+        |         ((k.i * 2347 + doc_id * 17) % 65536) - 32768 AS s
+        |  FROM a, unnest(generate_series(0, a.total - 1)) k(i)
+        |), e AS (
+        |  SELECT doc_id, win, COUNT(*) AS n, CAST(SUM(s * s) AS BIGINT) AS energy
+        |  FROM sm GROUP BY 1, 2
+        |), act AS (
+        |  SELECT doc_id, win, energy,
+        |    win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win) AS g
+        |  FROM e WHERE energy > 358000000 * n
+        |)
+        |SELECT doc_id, CAST(MIN(win) AS BIGINT) AS seg_start,
+        |  CAST(MAX(win) AS BIGINT) AS seg_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_wins, CAST(SUM(energy) AS BIGINT) AS sum_energy
+        |FROM act GROUP BY doc_id, g ORDER BY doc_id, seg_start""".stripMargin,
 
     // band-energy audio fingerprint over the dedup pool: the analytic
     // sample formula (+ the planted twin's 1-ulp attenuation), 65

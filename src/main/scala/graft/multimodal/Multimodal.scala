@@ -613,6 +613,100 @@ object Multimodal {
     }.toDF("doc_id", "fp")
   }
 
+  /** Luma-histogram ENTROPY per image — the vision-corpus quality
+    * filter (near-zero entropy = flat/synthetic fills, screenshots of
+    * solid panels; high entropy = textured natural content — the
+    * image analog of [[graft.text.TextOps.entropyFeatures]]'
+    * low-information-density gate). REAL decode: every pixel's
+    * ITU-R 601 integer luma `(299R + 587G + 114B) / 1000` lands in
+    * one of 256 levels; Shannon entropy uses the same algebraically
+    * folded `ln(n) − Σ c·ln c / n` form as the text face, summed in
+    * ascending-level order, rounded to 6.
+    *
+    * Per-partition flatMap like the other media kernels — decode and
+    * the 256-bin fold are row-local; no shuffle at all. Returns
+    * (doc_id, n_px, n_levels, entropy).
+    */
+  def imageEntropy(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (!looksLikeImage(m.payload)) None
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val hist = new Array[Long](256)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+                  + 114 * (rgb & 0xFF)) / 1000
+                hist(luma) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var clnc = 0.0
+            var levels = 0L
+            var v = 0
+            while (v < 256) {
+              val c = hist(v)
+              if (c > 0) { clnc += c * math.log(c.toDouble); levels += 1 }
+              v += 1
+            }
+            val ent = math.log(n.toDouble) - clnc / n
+            Some((m.doc_id, n, levels, ent))
+          }
+        } catch { case _: Exception => None }
+      }
+    }.toDF("doc_id", "n_px", "n_levels", "entropy")
+      // round through Spark's own expression — the same Round the
+      // text-entropy face goes through, proven to agree with the
+      // oracle's ROUND(x, 6) bit for bit
+      .select(col("doc_id"), col("n_px"), col("n_levels"),
+        round(col("entropy"), 6).as("entropy"))
+  }
+
+  /** Energy-gate VAD (voice-activity detection) segments over a
+    * [[wavWindowEnergy]] table: a window is ACTIVE when its exact
+    * integer energy exceeds `thresholdPerSample` per sample
+    * (cross-multiplied — no division, no float), and consecutive
+    * active windows merge into one segment via gaps-and-islands
+    * (island key = win − row_number within the doc). The classic
+    * first stage of every speech pipeline (silence trimming, ASR
+    * chunking, diarization pre-segmentation).
+    *
+    * Returns (doc_id, seg_start, seg_end, n_wins, sum_energy), one
+    * row per maximal active run.
+    *
+    * 100 TB shape: the only window function is PARTITIONED BY doc_id
+    * — per-partition state is one clip's window count (clip-length
+    * bound, never corpus-wide), so the segment merge parallelizes
+    * across documents like any keyed aggregation.
+    */
+  def vadSegments(energy: DataFrame, thresholdPerSample: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("win"))
+    energy
+      .filter(col("energy") > lit(thresholdPerSample) * col("n_samples"))
+      .withColumn("isl", col("win") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        min(col("win")).cast("long").as("seg_start"),
+        max(col("win")).cast("long").as("seg_end"),
+        count(lit(1)).cast("long").as("n_wins"),
+        sum(col("energy")).cast("long").as("sum_energy"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_wins"), col("sum_energy"))
+  }
+
   /** Inaudible re-encode of a WAV: every `every`-th sample (index over
     * the interleaved stream) is attenuated one quantization step
     * toward zero (`s > 0 → s-1`, else `s+1` — never overflows int16).

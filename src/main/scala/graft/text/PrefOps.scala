@@ -171,4 +171,103 @@ object PrefOps {
           "* CAST(1000000 AS BIGINT) div greatest(nij, CAST(1 AS BIGINT))")
           .as("upset_ppm"))
   }
+
+  /** Multi-offset duel synthesis for the transitivity audit: every
+    * document duels each of doc+off for off in `offsets` (same
+    * source-keyed, longer-wins rule). The adjacent-only table pairs
+    * source k only with source k±1 under a cyclic source assignment —
+    * a BIPARTITE comparison design with no triangles at all, which is
+    * common in real annotation batches too; auditing transitivity
+    * needs a design whose comparison graph closes triangles, so this
+    * is the audit's own tournament (built fresh, billed in its row).
+    */
+  private[graft] def sourceDuelsAt(
+      docs: DataFrame, offsets: Seq[Int], idCol: String = "doc_id",
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1), s"bad offsets: $offsets")
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      col(keyCol).as("src"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("ntok"))
+    val a = scored.select(col("id").as("ida"), col("src").as("sa"),
+        col("ntok").as("na"),
+        explode(array(offsets.map(o => lit(o.toLong)): _*)).as("off"))
+      .select(col("ida"), col("sa"), col("na"),
+        (col("ida") + col("off")).as("idb"))
+    val b = scored
+      .select(col("id").as("idb"), col("src").as("sb"), col("ntok").as("nb"))
+    a.join(b, "idb")
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"),
+        when(col("na") >= col("nb"), col("sa")).otherwise(col("sb"))
+          .as("winner"))
+  }
+
+  /** [[duelCut]] over the multi-offset tournament. */
+  def duelCutMulti(
+      docs: DataFrame, offsets: Seq[Int], idCol: String = "doc_id",
+      keyCol: String = "source", textCol: String = "text"): DataFrame =
+    graft.model.Lineage.cut(
+      sourceDuelsAt(docs, offsets, idCol, keyCol, textCol).groupBy(
+          least(col("sa"), col("sb")).as("i"),
+          greatest(col("sa"), col("sb")).as("j"), col("winner"))
+        .agg(count(lit(1)).as("n")), reliable = false)
+
+  /** TRANSITIVITY AUDIT — circular triads (Kendall & Babington Smith
+    * 1940) in the majority tournament: each source pair with a strict
+    * majority winner gets a directed edge; of the triangles whose
+    * three pairs are all decided, the cyclic ones (a beats b beats c
+    * beats a) are the annotation set's intransitive evidence — the
+    * mass no Bradley–Terry fit can explain, reported in exact integer
+    * ppm of decided triangles. One row:
+    * (n_contestants, n_decided_pairs, n_triangles, n_cycles,
+    * cyclic_ppm). Runs over its own offsets-{1,2,3} tournament
+    * ([[sourceDuelsAt]]) because the adjacent-only design is
+    * triangle-free by construction.
+    *
+    * 100 TB shape: one fact-sized duel build (explode ×|offsets|,
+    * one equi-join), then everything is sources²- and sources³-sized
+    * — the corpus never re-enters; the triangle join is an equi-join
+    * chain on contestant keys, and the three 1-row aggregates
+    * combine by broadcast (the accepted shape).
+    */
+  def prefCycles(
+      docs: DataFrame, offsets: Seq[Int] = Seq(1, 2, 3),
+      idCol: String = "doc_id", keyCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    prefCyclesFrom(duelCutMulti(docs, offsets, idCol, keyCol, textCol))
+
+  /** [[prefCycles]] from a prebuilt [[duelCut]] table. */
+  def prefCyclesFrom(duelAgg: DataFrame): DataFrame = {
+    // per-pair direction: decided iff the majority is strict
+    val dec = duelAgg.groupBy(col("i"), col("j"))
+      .agg(
+        sum(when(col("winner") === col("i"), col("n")).otherwise(0L))
+          .cast("long").as("wi"),
+        sum(when(col("winner") === col("j"), col("n")).otherwise(0L))
+          .cast("long").as("wj"))
+      .filter(col("wi") =!= col("wj"))
+      .select(col("i"), col("j"), (col("wi") > col("wj")).as("iwins"))
+    // triangles over a < b < c (i < j holds per pair by construction),
+    // carrying each edge's orientation bit
+    val tri = dec.select(col("i").as("a"), col("j").as("b"), col("iwins").as("w_ab"))
+      .join(dec.select(col("i").as("b"), col("j").as("c"), col("iwins").as("w_bc")), "b")
+      .join(dec.select(col("i").as("a"), col("j").as("c"), col("iwins").as("w_ac")),
+        Seq("a", "c"))
+    // cyclic iff the two chain edges agree and the closing edge
+    // disagrees: (a→b→c→a) or (a→c→b→a)
+    val triAgg = tri.agg(
+      count(lit(1)).cast("long").as("n_triangles"),
+      coalesce(sum(when(col("w_ab") === col("w_bc")
+        && col("w_ac") =!= col("w_ab"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_cycles"))
+    val contAgg = duelAgg.select(col("i").as("s"))
+      .unionByName(duelAgg.select(col("j").as("s")))
+      .agg(countDistinct(col("s")).cast("long").as("n_contestants"))
+    val decAgg = dec.agg(count(lit(1)).cast("long").as("n_decided_pairs"))
+    contAgg.crossJoin(broadcast(decAgg)).crossJoin(broadcast(triAgg))
+      .select(col("n_contestants"), col("n_decided_pairs"),
+        col("n_triangles"), col("n_cycles"),
+        expr("n_cycles * CAST(1000000 AS BIGINT) " +
+          "div greatest(n_triangles, CAST(1 AS BIGINT))").as("cyclic_ppm"))
+  }
 }

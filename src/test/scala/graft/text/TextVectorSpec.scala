@@ -1234,6 +1234,91 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("image entropy: flat fill reads zero, analytic reference matches, junk drops") {
+    import spark.implicits._
+    // a flat single-color image has exactly one luma level -> entropy 0
+    val flat = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) flat.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "png", bos)
+    val flatRow = Multimodal.MediaRow(1L, "image", bos.toByteArray)
+    // independent reference for a synthetic PNG: pixel formula ->
+    // integer luma histogram -> folded entropy
+    val id = 37L
+    val (w, h) = (16 + (id % 32).toInt, 16 + (id % 17).toInt)
+    val hist = new Array[Long](256)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 31 + y * 7 + id) & 0xFFFFFF).toInt
+      val luma = (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) + 114 * (v & 0xFF)) / 1000
+      hist(luma) += 1
+    }
+    val n = w.toLong * h
+    val clnc = hist.filter(_ > 0).map(c => c * math.log(c.toDouble)).sum
+    val expEnt = BigDecimal(math.log(n.toDouble) - clnc / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val media = spark.createDataset(Seq(
+      flatRow,
+      Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)),
+      Multimodal.MediaRow(9L, "image", "not an image".getBytes)))
+    val got = Multimodal.imageEntropy(media)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 37L)) // junk row dropped
+    assert(got(0) == ((1L, 24L, 1L, 0.0)))
+    assert(got(1)._2 == n && got(1)._4 == expEnt)
+    assert(got(1)._3 == hist.count(_ > 0))
+  }
+
+  test("VAD segments: islands merge maximal active runs, gate is exact, docs isolated") {
+    import spark.implicits._
+    // hand energy table: doc 1 windows 0,1 active / 2 idle / 3,4 active;
+    // doc 2 all idle except window 7 (also proves docs don't bleed)
+    val e = Seq(
+      (1L, 0, 10L, 1000L), (1L, 1, 10L, 900L), (1L, 2, 10L, 500L),
+      (1L, 3, 10L, 501L), (1L, 4, 10L, 2000L),
+      (2L, 6, 10L, 100L), (2L, 7, 10L, 999L)
+    ).toDF("doc_id", "win", "n_samples", "energy")
+    // threshold 50/sample -> active iff energy > 500
+    val segs = Multimodal.vadSegments(e, thresholdPerSample = 50L)
+      .orderBy("doc_id", "seg_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(segs == Seq(
+      (1L, 0L, 1L, 2L, 1900L),  // windows 0-1 merged
+      (1L, 3L, 4L, 2L, 2501L),  // idle window 2 splits the runs
+      (2L, 7L, 7L, 1L, 999L)))  // strict gate: 100 <= 500 idle, 999 > 500 active
+    // boundary: energy == threshold*n is NOT active (strict >)
+    val b = Seq((1L, 0, 10L, 500L)).toDF("doc_id", "win", "n_samples", "energy")
+    assert(Multimodal.vadSegments(b, 50L).count() == 0)
+  }
+
+  test("prefCycles: rock-paper-scissors triad reads fully cyclic; transitive chain reads zero") {
+    import spark.implicits._
+    // duelCut-shaped input: (i, j, winner, n) with i < j
+    def audit(rows: Seq[(String, String, String, Long)]) =
+      graft.text.PrefOps.prefCyclesFrom(rows.toDF("i", "j", "winner", "n"))
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    // r beats s, s beats p... classic intransitive triad: p>r, r>s, s>p
+    val rps = audit(Seq(
+      ("p", "r", "p", 3L), ("r", "s", "r", 3L), ("p", "s", "s", 3L)))
+    assert(rps == ((3L, 3L, 1L, 1L, 1000000L)))
+    // transitive: a>b, b>c, a>c — one triangle, zero cycles
+    val chain = audit(Seq(
+      ("a", "b", "a", 2L), ("b", "c", "b", 2L), ("a", "c", "a", 2L)))
+    assert(chain == ((3L, 3L, 1L, 0L, 0L)))
+    // a tied pair is undecided: its triangle disappears but the
+    // contestants still count
+    val tied = audit(Seq(
+      ("a", "b", "a", 2L), ("a", "b", "b", 2L),
+      ("b", "c", "b", 2L), ("a", "c", "a", 2L)))
+    assert(tied == ((3L, 2L, 0L, 0L, 0L)))
+    // split-vote majority still decides: 2-1 for a
+    val maj = audit(Seq(
+      ("a", "b", "a", 2L), ("a", "b", "b", 1L),
+      ("b", "c", "c", 2L), ("a", "c", "c", 2L)))
+    // a>b, c>b, c>a: chain edges a→b, c→b... orientations: w_ab=T, w_bc=F, w_ac=F
+    // not cyclic (c beats both): one triangle, zero cycles
+    assert(maj == ((3L, 3L, 1L, 0L, 0L)))
+  }
+
   test("AVI: frames inside LIST('rec ') wrappers decode like bare movi chunks") {
     // interleaved VfW files wrap frame groups in rec sub-lists; wrap
     // the whole movi body of a synthetic AVI in one and expect an
