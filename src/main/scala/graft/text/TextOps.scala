@@ -1815,6 +1815,43 @@ object TextOps {
       }.toDF("doc_id", "n_words", "reason_mask", "keep")
   }
 
+  /** QUALITY FILTER FUNNEL — the stage-by-stage survival readout a
+    * pipeline owner reads before touching thresholds: the
+    * [[qualityAudit]] gates applied IN BIT ORDER, each stage entering
+    * with the survivors of all earlier gates (stage s enters with
+    * docs clean on mask prefix 2^s−1 and exits clean on 2^(s+1)−1).
+    * n_dropped attributes every document to the FIRST gate that
+    * rejects it — the funnel convention — and survival_ppm is the
+    * exact integer share of the corpus still alive after the stage.
+    *
+    * 100 TB shape: one aggregation over the audit's (doc, mask) rows
+    * (the 7-way stage explode is a constant fan-out, combined
+    * map-side), then a 7-row tail joined to the 1-row corpus count by
+    * broadcast.
+    */
+  def filterFunnel(audit: DataFrame): DataFrame = {
+    val names = Seq("word_count", "mean_word_len", "alpha_ratio",
+      "stopwords", "top_word_mass", "dup_trigrams", "language")
+    val staged = audit.select(col("reason_mask"),
+      explode(array(names.indices.map(s => lit(s.toLong)): _*)).as("stage"))
+    val total = audit.agg(count(lit(1)).cast("long").as("n_corpus"))
+    staged.groupBy(col("stage"))
+      .agg(
+        sum(when(expr(
+          "(reason_mask & (shiftleft(1, cast(stage AS int)) - 1)) = 0"),
+          1L).otherwise(0L)).cast("long").as("n_in"),
+        sum(when(expr(
+          "(reason_mask & (shiftleft(1, cast(stage AS int) + 1) - 1)) = 0"),
+          1L).otherwise(0L)).cast("long").as("n_out"))
+      .crossJoin(broadcast(total)) // 1-row aggregate, the accepted shape
+      .select(col("stage"),
+        element_at(lit(names.toArray), col("stage").cast("int") + 1).as("gate"),
+        col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("n_dropped"),
+        expr("n_out * CAST(1000000 AS BIGINT) " +
+          "div greatest(n_corpus, CAST(1 AS BIGINT))").as("survival_ppm"))
+  }
+
   /** COMPRESSION-RATIO quality signal (the Gopher-style filter):
     * deflate(text).length / text.length — highly repetitive or
     * templated documents compress far below natural prose, and the

@@ -186,11 +186,11 @@ class PlanSpec extends AnyFunSuite {
       Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id))))
     val sigs = Multimodal.audioFingerprints(media)
     val pairs = graft.text.TextOps.hammingPairs(sigs.toDF("id", "sig"),
-      sigBits = 64, maxHamming = 6)
+      sigBits = 64, maxHamming = 2)
     pairs.collect()
     val p = plan(pairs)
-    // the banded-Hamming contract: candidates come from the 7-band
-    // pigeonhole equi-join (cost = bucket occupancy), never pool²
+    // the banded-Hamming contract: candidates come from the pigeonhole
+    // band equi-join (cost = bucket occupancy), never pool²
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"banded join degenerated to a cartesian in:\n${p.take(3000)}")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

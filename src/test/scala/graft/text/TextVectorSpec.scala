@@ -1169,7 +1169,7 @@ class TextVectorSpec extends AnyFunSuite {
     assert(tMeta.sampleRate == meta.sampleRate && tMeta.nFrames < meta.nFrames)
   }
 
-  test("audio fingerprint: matches the analytic band-energy reference; planted twin within Hamming 6") {
+  test("audio fingerprint: matches the analytic band-energy reference; planted twin within Hamming 2") {
     import spark.implicits._
     for (id <- Seq(10L, 25L, 40L, 1234L)) {
       val wav = Multimodal.syntheticWav(id)
@@ -1197,8 +1197,9 @@ class TextVectorSpec extends AnyFunSuite {
       val tfp = Multimodal.audioFingerprints(
         spark.createDataset(Seq(Multimodal.MediaRow(id, "audio", twin))))
         .as[(Long, Long)].collect().head._2
-      assert(java.lang.Long.bitCount(tfp ^ exp) <= 6,
-        s"twin drifted ${java.lang.Long.bitCount(tfp ^ exp)} bits for id $id")
+      assert(java.lang.Long.bitCount(tfp ^ exp) <= 2,
+        s"twin drifted ${java.lang.Long.bitCount(tfp ^ exp)} bits for id $id" +
+          " — outside the cc_pairs face's radius-2 recall guarantee")
     }
     // non-audio payloads and non-PCM16 bytes yield no fingerprint row
     val junk = spark.createDataset(Seq(
@@ -1219,7 +1220,7 @@ class TextVectorSpec extends AnyFunSuite {
     val media = spark.createDataset(rows)
     val sigs = Multimodal.audioFingerprints(media)
     assert(sigs.count() == rows.size) // every clip decodable
-    val pairs = TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
+    val pairs = TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 2)
       .toDF("id_a", "id_b", "hamming")
     val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     for (id <- planted)
@@ -1232,6 +1233,27 @@ class TextVectorSpec extends AnyFunSuite {
     clusters.groupBy(_._2).foreach { case (lbl, members) =>
       assert(lbl == members.keys.min)
     }
+  }
+
+  test("filterFunnel: first-gate attribution, monotone survivors, exact corpus share") {
+    import spark.implicits._
+    // masks: 0 = clean, 1 = dies at gate 0, 4 = gate 2, 64 = gate 6,
+    // 5 = gates 0 and 2 -> attributed to gate 0 (first-gate rule)
+    val audit = Seq(
+      (1L, 30L, 0L, true), (2L, 5L, 1L, false), (3L, 30L, 4L, false),
+      (4L, 30L, 64L, false), (5L, 5L, 5L, false)
+    ).toDF("doc_id", "n_words", "reason_mask", "keep")
+    val f = graft.text.TextOps.filterFunnel(audit)
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(f.map(_._2) == Seq("word_count", "mean_word_len", "alpha_ratio",
+      "stopwords", "top_word_mass", "dup_trigrams", "language"))
+    assert(f(0) == ((0L, "word_count", 5L, 3L, 2L, 600000L)))
+    assert(f(2) == ((2L, "alpha_ratio", 3L, 2L, 1L, 400000L)))
+    assert(f(6) == ((6L, "language", 2L, 1L, 1L, 200000L)))
+    // survivors never increase along the funnel; n_in chains to the
+    // previous stage's n_out
+    assert(f.sliding(2).forall { case Seq(a, b) => b._3 == a._4 })
   }
 
   test("image entropy: flat fill reads zero, analytic reference matches, junk drops") {
