@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -967,5 +967,40 @@ object StreamOps {
       .join(baseBuckets, "bucket")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("bucket"))
+  }
+
+  /** STREAMING AUDIO-FINGERPRINT PROBE — the multimodal member of the
+    * live-probe family ([[streamingIndexProbe]] for text,
+    * [[streamingAnnProbe]] for vectors): clips are fingerprinted AS
+    * THEY ARRIVE with the identical row-local band-energy kernel
+    * ([[graft.multimodal.Multimodal.audioFingerprints]] — a stateless
+    * mapPartitions, streaming-safe by construction), exploded through
+    * the SAME [[graft.text.TextOps.hammingBands]] pigeonhole the
+    * batch pair join uses (one definition — the stream can never band
+    * differently), and candidates come from ONE stream-static
+    * equi-join on (band, bits) against the stored corpus signatures.
+    * The exact `bit_count` verify runs inline (row-local); the
+    * multi-band candidate DEDUP is the downstream batch cut, exactly
+    * as exact-verify is downstream of the text probe — `distinct` is
+    * a stateful aggregation a probe stream must not own.
+    *
+    * No state, no watermark: O(bucket occupancy) per arriving clip
+    * against a 100 TB corpus index.
+    */
+  def streamingAudioFpProbe(
+      baseSigs: DataFrame, incoming: Dataset[graft.multimodal.Multimodal.MediaRow],
+      maxHamming: Int = 2): DataFrame = {
+    val probe = graft.text.TextOps.hammingBands(
+        graft.multimodal.Multimodal.audioFingerprints(incoming).toDF("id", "sig"),
+        sigBits = 64, maxHamming = maxHamming)
+      .toDF("id_a", "sig_a", "band", "bits")
+    val base = graft.text.TextOps.hammingBands(
+        baseSigs.toDF("id", "sig"), sigBits = 64, maxHamming = maxHamming)
+      .toDF("id_b", "sig_b", "band", "bits")
+    probe.join(base, Seq("band", "bits"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -1496,4 +1496,50 @@ class StreamSpec extends AnyFunSuite {
         s"quiet anchors-only group leaked: $stateRows state rows remain")
     } finally q.stop()
   }
+
+  test("streaming audio fp probe equals the exhaustive batch join; twins found across arrival splits") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val baseIds = (0L until 30L).map(_ * 3 + 1)
+    val baseMedia = spark.createDataset(baseIds.map(id =>
+      Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id))))
+    val baseSigs = Multimodal.audioFingerprints(baseMedia).toDF("id", "sig")
+    val planted = baseIds.filter(_ % 5 == 0)
+    val twinRows = planted.map(id => Multimodal.MediaRow(id + (1L << 40), "audio",
+      Multimodal.perturbWav(Multimodal.syntheticWav(id))))
+    val freshRows = (2000L until 2010L).map(id =>
+      Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id)))
+    val wave1 = twinRows.take(3) ++ freshRows.take(5)
+    val wave2 = twinRows.drop(3) ++ freshRows.drop(5)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-afp-src").toString
+    spark.createDataset(wave1).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema(baseMedia.schema).parquet(srcDir)
+      .as[Multimodal.MediaRow]
+    val q = StreamOps.streamingAudioFpProbe(baseSigs, src, maxHamming = 2)
+      .writeStream.format("memory").queryName("afp_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.createDataset(wave2).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // multi-band candidate dedup is the downstream batch cut
+    val streamed = spark.table("afp_probe").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    // exhaustive reference: every (incoming, base) pair within radius
+    val inSigs = Multimodal.audioFingerprints(
+      spark.createDataset(wave1 ++ wave2)).as[(Long, Long)].collect()
+    val bSigs = Multimodal.audioFingerprints(baseMedia).as[(Long, Long)].collect()
+    val expect = (for {
+      (ia, fa) <- inSigs; (ib, fb) <- bSigs
+      if ia != ib && java.lang.Long.bitCount(fa ^ fb) <= 2
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+    assert(streamed == expect && streamed.nonEmpty,
+      s"streamed ${streamed.size} pairs vs exhaustive ${expect.size}")
+    // every planted twin surfaced its base, regardless of which wave
+    // carried it
+    for (id <- planted)
+      assert(streamed.exists { case (a, b, _) => a == id + (1L << 40) && b == id },
+        s"twin of $id never surfaced")
+  }
 }
