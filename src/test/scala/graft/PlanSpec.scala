@@ -729,6 +729,49 @@ class PlanSpec extends AnyFunSuite {
       s"inflation must stay a keyed fold:\n${pinf.take(2000)}")
   }
 
+  test("r15 additions: funnel/cycles/VAD/image-entropy/audio-CC plan shapes") {
+    // filter funnel: one map-side-combined aggregation over the mask
+    // rows; the only cross joins combine the 1-row corpus count
+    val fu = LlmQueries.all("q_filter_funnel")(spark, dir)
+    fu.collect()
+    val pfu = plan(fu).split("== Initial Plan ==")(0)
+    assert(!pfu.contains("Window"), s"funnel must not window:\n${pfu.take(2000)}")
+    assert(pfu.contains("partial_count") || pfu.contains("Partial"),
+      s"funnel stage counts must map-side combine:\n${pfu.take(2000)}")
+    // pref cycles: the sources³ triangle tail never re-scans the
+    // corpus (it derives from the duel lineage cut) and every join in
+    // the tail is contestant-keyed
+    val cy = LlmQueries.all("q_pref_cycles")(spark, dir)
+    cy.collect()
+    val pcy = plan(cy).split("== Initial Plan ==")(0)
+    assert(!pcy.contains("documents"),
+      s"cycle tail re-scans the corpus:\n${pcy.take(2000)}")
+    assert(!pcy.contains("CartesianProduct"),
+      s"cartesian in cycle tail:\n${pcy.take(2000)}")
+    // VAD: the island merge's only Window is doc_id-partitioned —
+    // a global (empty-partition-spec) window would serialize the
+    // corpus through one task
+    val va = LlmQueries.all("q_multimodal_vad")(spark, dir)
+    va.collect()
+    val pva = plan(va)
+    assert(!pva.contains("Window [") || !pva.contains("windowspecdefinition()"),
+      s"global window in VAD plan:\n${pva.take(2000)}")
+    assert(pva.contains("doc_id"), s"VAD window not doc-keyed:\n${pva.take(2000)}")
+    // image entropy: row-local decode + fold — no exchange at all
+    // before the face's final sort
+    val ie = LlmQueries.all("q_multimodal_image_entropy")(spark, dir)
+    ie.collect()
+    val pie = plan(ie)
+    assert(!pie.contains("Window") && !pie.contains("CartesianProduct"),
+      s"image entropy must stay row-local:\n${pie.take(2000)}")
+    // audio CC pairs: banded equi-join, never cartesian
+    val ap = LlmQueries.all("q_multimodal_audio_cc_pairs")(spark, dir)
+    ap.collect()
+    val pap = plan(ap)
+    assert(!pap.contains("CartesianProduct") && !pap.contains("BroadcastNestedLoopJoin"),
+      s"audio pair join degenerated:\n${pap.take(2000)}")
+  }
+
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {
     // modularity: every join is node-/label-keyed; the only cross
     // joins combine 1-row aggregates
