@@ -27,13 +27,68 @@ object Lineage {
       "reliable=true requires sparkContext.setCheckpointDir(...) pointing at " +
         "storage that survives executor loss (HDFS/object store on a cluster)")
 
+  /** Cap applied to the statistics a checkpoint INHERITS from its
+    * origin plan: 1 EiB / 2^60 rows. Spark's `LogicalRDD.fromDataset`
+    * copies the origin's estimated `sizeInBytes` onto the cut
+    * (`rewriteStatsAndConstraints`), and Catalyst's size-only stats
+    * visitor MULTIPLIES child sizes through joins — so an iterative
+    * operator whose round joins cut frames to cut frames (pointer
+    * jumping joins labels to labels) SQUARES the inherited stat every
+    * round. That is exponential growth in the BigInt's bit length: by
+    * round r the number carries 2^r × base bits, and the stats walk
+    * of the next cut degenerates into Karatsuba/Toom-Cook multiplies
+    * of million-digit integers — measured as 35+ minutes of driver
+    * CPU inside `BigInteger.multiply` on the 10x audio CC bench
+    * before any data moved. A cut is a materialized table whose
+    * history is irrelevant by definition, and every value at or over
+    * the cap plans identically (broadcast thresholds live in the
+    * megabytes), so capping changes no planning decision — it only
+    * bounds the arithmetic.
+    */
+  private val StatCap = BigInt(1L) << 60
+
+  /** Cap the cut's inherited stats in place. `originStats` is the
+    * constructor-carried field (`otherCopyArgs`), so the capped value
+    * survives optimizer copies; the per-instance `statsCache` is
+    * invalidated so the current node recomputes from the capped
+    * value. Reflection because the field is private and Spark offers
+    * no public stats override — the alternative (rebuilding the
+    * Dataset from `rdd`+schema) pays a per-row Row conversion on
+    * every iterative hot path.
+    */
+  private lazy val originStatsField: java.lang.reflect.Field = {
+    val f = classOf[org.apache.spark.sql.execution.LogicalRDD]
+      .getDeclaredField("originStats")
+    f.setAccessible(true)
+    f
+  }
+
+  private def capCutStats[T](cut: Dataset[T]): Dataset[T] = {
+    cut.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        import org.apache.spark.sql.catalyst.plans.logical.Statistics
+        val cur = originStatsField.get(lr).asInstanceOf[Option[Statistics]]
+        val needsCap = cur.exists(s =>
+          s.sizeInBytes > StatCap || s.rowCount.exists(_ > StatCap))
+        if (needsCap) {
+          val capped = cur.map(s => Statistics(
+            s.sizeInBytes.min(StatCap), s.rowCount.map(_.min(StatCap)),
+            s.attributeStats, s.isRuntime))
+          originStatsField.set(lr, capped)
+          lr.invalidateStatsCache()
+        }
+      case _ => ()
+    }
+    cut
+  }
+
   def cut(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) { requireDir(df); df.checkpoint() }
-    else df.localCheckpoint()
+    if (reliable) { requireDir(df); capCutStats(df.checkpoint()) }
+    else capCutStats(df.localCheckpoint())
 
   def cutDs[T](ds: Dataset[T], reliable: Boolean): Dataset[T] =
-    if (reliable) { requireDir(ds); ds.checkpoint() }
-    else ds.localCheckpoint()
+    if (reliable) { requireDir(ds); capCutStats(ds.checkpoint()) }
+    else capCutStats(ds.localCheckpoint())
 
   /** EAGER release of a [[cut]] frame's blocks, for iterative loops
     * where round r's cut makes round r-1's blocks dead the moment it

@@ -34,6 +34,26 @@ class LineageSpec extends AnyFunSuite {
     intercept[Exception](face.count())
   }
 
+  test("cut caps inherited stats: label-to-label join rounds cannot square sizeInBytes") {
+    // the pointer-jumping shape: every round joins the cut frame to
+    // itself, so Catalyst's size-only stats visitor SQUARES the
+    // inherited sizeInBytes — uncapped, the BigInt's bit length
+    // doubles per round (2^r growth) until the next cut's stats walk
+    // drowns in million-digit multiplies (measured: 35+ min of driver
+    // CPU on the 10x audio CC bench). The cap must hold EVERY round.
+    var labels = Lineage.cut(
+      (1L to 100L).toDF("id").withColumn("lbl", col("id")), reliable = false)
+    for (r <- 1 to 8) {
+      val joined = labels.toDF("a_id", "a_lbl")
+        .join(labels.toDF("b_id", "b_lbl"), col("a_lbl") === col("b_id"))
+        .select(col("a_id").as("id"), col("b_lbl").as("lbl"))
+      labels = Lineage.cut(joined, reliable = false)
+      val bits = labels.queryExecution.analyzed.stats.sizeInBytes.bitLength
+      assert(bits <= 61, s"round $r: inherited sizeInBytes grew to $bits bits")
+    }
+    assert(labels.count() == 100) // the cut chain still reads correctly
+  }
+
   test("release of a non-cut frame is a no-op") {
     val plain = (1 to 10).toDF("x")
     Lineage.release(plain)
