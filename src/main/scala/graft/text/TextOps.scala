@@ -1114,9 +1114,17 @@ object TextOps {
     // the contract (one row per doc) holds in the degraded case too.
     val star = if (converged) e.toDF("root", "id")
       else e.groupBy(col("hi").as("id")).agg(min(col("lo")).as("root"))
-    val labels = docIds
-      .join(star, Seq("id"), "left")
-      .select(col("id").as(idCol), coalesce(col("root"), col("id")).as("cluster_id"))
+    // cut the final labels so the returned frame is MATERIALIZED, as
+    // the label-iteration form's was — memoized cluster results are
+    // read by many downstream faces (keep/keep_best/sizes/inflation/
+    // leakage), and an unmaterialized join here re-executed on every
+    // read (measured 3-5x on the memo-reader bench rows)
+    val labels = graft.model.Lineage.cut(
+      docIds
+        .join(star, Seq("id"), "left")
+        .select(col("id").as(idCol), coalesce(col("root"), col("id")).as("cluster_id")),
+      reliable)
+    graft.model.Lineage.release(e) // star edges dead once labels materialize
     (labels, iter)
   }
 
