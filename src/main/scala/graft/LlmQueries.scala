@@ -1016,6 +1016,13 @@ object LlmQueries {
     "q_knn_labelprop" -> ((s, dir) =>
       VectorOps.knnLabelPropagation(annGraph(s, dir), iters = 4)),
 
+    // connected components of the kNN graph: the coarsest structure
+    // readout (disconnected islands = out-of-distribution pockets no
+    // local metric surfaces) — the same star-contraction CC as the
+    // dedup families, component = min reachable vec id
+    "q_knn_components" -> ((s, dir) =>
+      VectorOps.knnComponents(annGraph(s, dir))),
+
     // 6-core peel of the kNN graph: 6 synchronous peel rounds, each
     // node tagged with the round that removed it (0 = in the core)
     "q_knn_kcore" -> ((s, dir) =>
@@ -5712,6 +5719,32 @@ object LlmQueries {
     // label propagation: same ann CTE; 4 unrolled neighbor-majority
     // rounds, per-node argmax via (votes DESC, label ASC) row_number
     "q_knn_labelprop" -> sqlKnnLabelProp(4),
+
+    // kNN connected components: recursive min-label walk over the
+    // symmetrized ann edges (the dedup-cluster oracle pattern)
+    "q_knn_components" ->
+      s"""WITH RECURSIVE ${sqlAnnTopCte(8, 64, 5)},
+         |sym AS (
+         |  SELECT query_id AS src, cand_id AS dst FROM ann
+         |  UNION
+         |  SELECT cand_id AS src, query_id AS dst FROM ann
+         |),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |walk(id, lbl) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT e.src, w.lbl FROM sym e JOIN walk w ON w.id = e.dst
+         |),
+         |comp AS (
+         |  SELECT n.node, LEAST(n.node, COALESCE(MIN(w.lbl), n.node)) AS component
+         |  FROM nodes n LEFT JOIN walk w ON w.id = n.node GROUP BY n.node
+         |),
+         |sizes AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS comp_size
+         |  FROM comp GROUP BY 1
+         |)
+         |SELECT c.node, c.component, s.comp_size
+         |FROM comp c JOIN sizes s USING (component) ORDER BY c.node""".stripMargin,
 
     // modularity: the LPA chain + HUGEINT Newman terms, micro-integer
     // rounding (no wide-int->double cast)

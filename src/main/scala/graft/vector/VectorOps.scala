@@ -1462,6 +1462,28 @@ object VectorOps {
   /** The symmetrized directed-edge table of an ANN top-k result —
     * the shared graph base of the kNN analytics family.
     */
+  /** CONNECTED COMPONENTS of the kNN similarity graph — the coarsest
+    * structure readout of the embedding space: an island disconnected
+    * from the main component is an out-of-distribution pocket (or a
+    * modality boundary) that no local metric (degree, triangles,
+    * k-core) surfaces. component = min vec id reachable through kNN
+    * edges, plus the component's size — the SAME star-contraction CC
+    * the dedup families run ([[graft.text.TextOps.dedupClusters]]),
+    * so the iterative cost is O(log n) rounds of edge contraction on
+    * any graph shape.
+    */
+  def knnComponents(ann: DataFrame, reliable: Boolean = false): DataFrame = {
+    val pairs = ann.select(col("query_id").as("id_a"), col("cand_id").as("id_b"))
+    val nodes = ann.select(col("query_id").as("node"))
+      .unionByName(ann.select(col("cand_id").as("node"))).distinct()
+    val cc = graft.text.TextOps.dedupClusters(nodes, pairs, idCol = "node",
+      reliable = reliable)
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("comp_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("node"), col("cluster_id").as("component"),
+        col("comp_size").cast("long").as("comp_size"))
+  }
+
   private def symmetrized(ann: DataFrame): DataFrame =
     ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
       .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
