@@ -111,6 +111,41 @@ object Bench {
     try walk(new java.io.File(dir)) catch { case _: Throwable => () }
   }
 
+  /** Fixed-work CPU calibration probe (runs in the UNTIMED region): a
+    * deterministic splitmix64-style integer-hash spin, once on a single
+    * thread and once on all `threads` threads concurrently, reporting
+    * elapsed ms for the FIXED work. Fixed work / measured time makes
+    * any two captures comparable regime-adjusted: BENCH_r15's three
+    * captures ran 2.0–4.1× loud and produced a +56% total with zero
+    * like-for-like code regression — the trend had no machine-speed
+    * denominator to show it. A same-code capture whose `calib_mt_ms`
+    * is 2× its trend is a loud window, not a regression.
+    */
+  private def calibProbe(threads: Int): (Long, Long) = {
+    def spin(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < iters) {
+        x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+        x ^= x >>> 27; x *= 0x94d049bb133111ebL
+        x ^= x >>> 31
+        i += 1
+      }
+      x
+    }
+    val Iters = 200000000L // ~150-250 ms single-thread when quiet
+    val blackhole = new java.util.concurrent.atomic.AtomicLong
+    def timedRun(n: Int): Long = {
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map(_ =>
+        new Thread(() => { blackhole.addAndGet(spin(Iters)); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1000000L
+    }
+    blackhole.addAndGet(spin(Iters / 20)) // JIT warm-up, untimed
+    (timedRun(1), timedRun(threads))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -222,6 +257,10 @@ object Bench {
       loudnessIndex = probeIndex(recheckSubset)
     }
 
+    // CPU calibration (UNTIMED, immediately before the timed region so
+    // it measures the regime the timed queries actually run in)
+    val (calibStMs, calibMtMs) = calibProbe(cpus.toInt)
+
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
       : (Double, Double, Boolean) = {
       val times = new Array[Double](Runs)
@@ -286,7 +325,7 @@ object Bench {
     val discards = loudDiscards.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val li3 = math.rint(loudnessIndex * 1000) / 1000.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"loud_discards":$discards,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,"loud_discards":$discards,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(effectiveOut)
       try w.println(line) finally w.close()
@@ -306,7 +345,7 @@ object Bench {
     try if (onlyQueries.isEmpty) {
       val trend = new java.io.FileWriter("BENCH_TREND.jsonl", true)
       val ts = java.time.Instant.now().toString
-      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"sf":"$sfDir","queries":$qs}""" + "\n")
+      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,"sf":"$sfDir","queries":$qs}""" + "\n")
       finally trend.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the final line: its shutdown logging must not

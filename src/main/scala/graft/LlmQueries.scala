@@ -1522,16 +1522,21 @@ object LlmQueries {
 
     "q_multimodal_dup_clusters" -> ((s, dir) => {
       // image-level dedup endpoint: perceptual near-dup pairs feed the
-      // same pointer-jumping connected components as text dedup —
+      // same star-contraction connected components as text dedup —
       // cluster_id = min doc id reachable through <= 6-bit Hamming
       // edges; the operator composition IS the 100 TB shape (banded
-      // pair join, O(log d) label rounds)
+      // pair join, O(log d) contraction rounds). Routed through the
+      // EXACT-DUP QUOTIENT (dedupClustersBySig, the audio precedent):
+      // identical phashes collapse to min-id equality classes before
+      // the iterative rounds — result provably identical to
+      // member-graph CC, but the rounds see the class graph (exact
+      // signature collisions dominate every real phash corpus).
       import s.implicits._
       val imgs = stagedImages(s, dir)
       val sigs = Multimodal.imageHashes(imgs.as[Multimodal.MediaRow])
       val pairs = TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 6)
         .toDF("id_a", "id_b", "hamming")
-      TextOps.dedupClusters(imgs.select(col("doc_id")), pairs)
+      TextOps.dedupClustersBySig(imgs.select(col("doc_id")), sigs, pairs)
     }),
 
     "q_multimodal_resize" -> ((s, dir) => {
@@ -1642,9 +1647,9 @@ object LlmQueries {
       // data); reads the memoized pair cut (the cc_pairs billing
       // split). Result identical to member-graph CC.
       import s.implicits._
-      val sigs = Multimodal.audioFingerprints(
-        stagedWavPool(s, dir).as[Multimodal.MediaRow])
-      TextOps.dedupClustersBySig(sigs,
+      val pool = stagedWavPool(s, dir)
+      val sigs = Multimodal.audioFingerprints(pool.as[Multimodal.MediaRow])
+      TextOps.dedupClustersBySig(pool.select(col("doc_id")), sigs,
         audioPairMemo.getOrElse(dir, audioPairsFresh(s, dir)))
     }),
 

@@ -56,28 +56,55 @@ object Lineage {
     * Dataset from `rdd`+schema) pays a per-row Row conversion on
     * every iterative hot path.
     */
-  private lazy val originStatsField: java.lang.reflect.Field = {
-    val f = classOf[org.apache.spark.sql.execution.LogicalRDD]
-      .getDeclaredField("originStats")
-    f.setAccessible(true)
-    f
-  }
+  // Resolved inside Try: the cap is a planning-arithmetic optimization,
+  // not a correctness requirement, and cut() sits on every iterative hot
+  // path — a Spark upgrade that renames the private field must degrade
+  // to uncapped stats (with one loud warning), never fail the engine.
+  // LineageSpec pins that the cap still takes effect on this Spark
+  // version, so a silent no-op here turns into a red canary test.
+  private[model] lazy val originStatsField: Option[java.lang.reflect.Field] =
+    scala.util.Try {
+      val f = classOf[org.apache.spark.sql.execution.LogicalRDD]
+        .getDeclaredField("originStats")
+      f.setAccessible(true)
+      f
+    }.toOption
 
-  private def capCutStats[T](cut: Dataset[T]): Dataset[T] = {
-    cut.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        import org.apache.spark.sql.catalyst.plans.logical.Statistics
-        val cur = originStatsField.get(lr).asInstanceOf[Option[Statistics]]
-        val needsCap = cur.exists(s =>
-          s.sizeInBytes > StatCap || s.rowCount.exists(_ > StatCap))
-        if (needsCap) {
-          val capped = cur.map(s => Statistics(
-            s.sizeInBytes.min(StatCap), s.rowCount.map(_.min(StatCap)),
-            s.attributeStats, s.isRuntime))
-          originStatsField.set(lr, capped)
-          lr.invalidateStatsCache()
+  @volatile private var warnedNoField = false
+
+  private def capCutStats[T](cut: Dataset[T]): Dataset[T] =
+    capCutStatsWith(originStatsField, cut)
+
+  /** Package-private seam so the missing-field degradation (a future
+    * Spark renaming `originStats`) is testable without a classloader
+    * trick: `None` must be a warn-once no-op, never a throw.
+    */
+  private[model] def capCutStatsWith[T](
+      fieldOpt: Option[java.lang.reflect.Field], cut: Dataset[T]): Dataset[T] = {
+    fieldOpt match {
+      case None =>
+        if (!warnedNoField) {
+          warnedNoField = true
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            "LogicalRDD.originStats not found on this Spark version; " +
+              "checkpoint stat capping disabled — iterative plans with " +
+              "join-multiplied stats may plan slowly")
         }
-      case _ => ()
+      case Some(field) => cut.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          import org.apache.spark.sql.catalyst.plans.logical.Statistics
+          val cur = field.get(lr).asInstanceOf[Option[Statistics]]
+          val needsCap = cur.exists(s =>
+            s.sizeInBytes > StatCap || s.rowCount.exists(_ > StatCap))
+          if (needsCap) {
+            val capped = cur.map(s => Statistics(
+              s.sizeInBytes.min(StatCap), s.rowCount.map(_.min(StatCap)),
+              s.attributeStats, s.isRuntime))
+            field.set(lr, capped)
+            lr.invalidateStatsCache()
+          }
+        case _ => ()
+      }
     }
     cut
   }

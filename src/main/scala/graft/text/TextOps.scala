@@ -997,15 +997,27 @@ object TextOps {
     * pool: 20k clips / 147k pairs collapse to 8.2k classes / 12.2k
     * pairs — the CC row runs at 1x cost on 10x data).
     *
-    * `sigs` must be (id, sig) covering every member; `pairs` is the
-    * verified member-pair table (id_a, id_b, ...).
+    * `docs` is the member UNIVERSE (one id column) — the output has
+    * exactly one row per docs id, like [[dedupClusters]]. `sigs` is
+    * (id, sig); members with NO signature row (a clip too short or
+    * corrupt to fingerprint) are their own equality class and cluster
+    * as singletons instead of being dropped (the old inner-join form
+    * silently lost them relative to the oracle's member universe).
+    * `pairs` is the verified member-pair table (id_a, id_b, ...);
+    * pairs naming ids outside `docs` are ignored (the
+    * [[dedupClusters]] id-closure contract).
     */
-  def dedupClustersBySig(sigs: DataFrame, pairs: DataFrame,
+  def dedupClustersBySig(docs: DataFrame, sigs: DataFrame, pairs: DataFrame,
       maxIterations: Int = 50, reliable: Boolean = false): DataFrame = {
+    val d = docs.toDF("id")
     val s = sigs.toDF("id", "sig")
-    val reps = s.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+    val withSig = d.join(s, Seq("id"), "left")
+    val reps = withSig.filter(col("sig").isNotNull)
+      .groupBy(col("sig")).agg(min(col("id")).as("rep"))
+    // sig-less members: rep = own id (singleton equality class)
     val memberRep = graft.model.Lineage.cut(
-      s.join(reps, "sig").select(col("id"), col("rep")), reliable)
+      withSig.join(reps, Seq("sig"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep")), reliable)
     val repPairs = pairs
       .join(memberRep.toDF("id_a", "rep_a"), "id_a")
       .join(memberRep.toDF("id_b", "rep_b"), "id_b")
@@ -1060,11 +1072,21 @@ object TextOps {
     def closedMin(s: DataFrame): DataFrame =
       s.groupBy(col("x")).agg(min(col("y")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
+    // Id-closure contract, enforced: edges are semi-joined to the doc
+    // universe on BOTH endpoints, so an id present in `pairs` but not
+    // in `docs` can neither become a cluster root nor transitively
+    // merge two docs (the old raw-graph contraction did both when a
+    // caller passed a stale or wider pair table). cluster_id is
+    // therefore always a member of `docs`. Cost: two pair-sized semi
+    // joins before the first cut — noise against the iterative rounds.
     var e = graft.model.Lineage.cut(
       pairs.select(
           least(col("id_a"), col("id_b")).cast("long").as("lo"),
           greatest(col("id_a"), col("id_b")).cast("long").as("hi"))
-        .where(col("lo") =!= col("hi")).distinct(), reliable)
+        .where(col("lo") =!= col("hi"))
+        .join(docIds.toDF("lo"), Seq("lo"), "left_semi")
+        .join(docIds.toDF("hi"), Seq("hi"), "left_semi")
+        .distinct(), reliable)
     var iter = 0
     var converged = e.isEmpty
     var prevN = -1L

@@ -54,6 +54,22 @@ class LineageSpec extends AnyFunSuite {
     assert(labels.count() == 100) // the cut chain still reads correctly
   }
 
+  test("stat-cap reflection resolves on this Spark version (canary) and " +
+      "degrades to a no-op when the field is missing") {
+    // canary: a Spark upgrade that renames LogicalRDD.originStats makes
+    // this assert red instead of silently shipping uncapped iterative
+    // stats (the cap test above would then also fail, loudly)
+    assert(Lineage.originStatsField.isDefined,
+      "LogicalRDD.originStats no longer resolvable — stat capping is " +
+        "silently disabled; update the reflection in Lineage.capCutStats")
+    // missing-field path: must return the cut unchanged, never throw —
+    // the cap is a planning optimization, and cut() is on every
+    // iterative hot path
+    val cut = (1 to 20).toDF("x").localCheckpoint()
+    val out = Lineage.capCutStatsWith(None, cut)
+    assert(out.count() == 20)
+  }
+
   test("release of a non-cut frame is a no-op") {
     val plain = (1 to 10).toDF("x")
     Lineage.release(plain)

@@ -1235,9 +1235,19 @@ class TextVectorSpec extends AnyFunSuite {
     }
     // the exact-dup quotient path is result-identical to member-graph
     // CC (equality classes are cliques; cross edges map to rep edges)
-    val viaQuotient = TextOps.dedupClustersBySig(sigs, pairs)
+    val viaQuotient = TextOps.dedupClustersBySig(
+        media.toDF().select(col("doc_id")), sigs, pairs)
       .as[(Long, Long)].collect().toMap
     assert(viaQuotient == clusters, "quotient CC diverged from member-graph CC")
+    // sig-less member (no signature row): clusters as a SINGLETON
+    // instead of being dropped — the member universe is `docs`, not
+    // the decodable subset
+    val withJunkId = media.toDF().select(col("doc_id"))
+      .union(spark.createDataset(Seq(999999L)).toDF("doc_id"))
+    val withJunk = TextOps.dedupClustersBySig(withJunkId, sigs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(withJunk(999999L) == 999999L, "sig-less member not a singleton")
+    assert((withJunk - 999999L) == clusters)
   }
 
   test("filterFunnel: first-gate attribution, monotone survivors, exact corpus share") {
