@@ -6723,8 +6723,14 @@ object LlmQueries {
         |), c AS (
         |  SELECT doc_id, luma, COUNT(*) AS c FROM px GROUP BY 1, 2
         |), a AS (
+        |  -- clnc summed SEQUENTIALLY in ascending-luma order (ordered
+        |  -- list fold), matching the engine's ascending-level loop
+        |  -- bitwise: ln() agrees with the JVM bit-for-bit on the whole
+        |  -- integer count domain, and an order-pinned double sum
+        |  -- removes the one float-summation-order difference a plain
+        |  -- SUM() could flip at a ROUND(x,6) boundary
         |  SELECT doc_id, SUM(c) AS n_px, COUNT(*) AS n_levels,
-        |         SUM(c * ln(c)) AS clnc
+        |         list_aggregate(list(c * ln(c) ORDER BY luma), 'sum') AS clnc
         |  FROM c GROUP BY 1
         |)
         |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,

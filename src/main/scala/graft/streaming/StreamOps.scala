@@ -984,6 +984,15 @@ object StreamOps {
     * as exact-verify is downstream of the text probe — `distinct` is
     * a stateful aggregation a probe stream must not own.
     *
+    * OUTPUT CONTRACT — BAND-MULTIPLIED candidate pairs: a true pair
+    * within the radius matches in up to `maxHamming + 1` pigeonhole
+    * bands and is emitted once PER matching band, with that `band` in
+    * the row (the text probe's `bucket` column, same reason). A
+    * consumer counting pairs must first cut to
+    * `distinct(id_a, id_b)` downstream; the multiplicity is visible
+    * in the schema precisely so it cannot be mistaken for one row
+    * per pair.
+    *
     * No state, no watermark: O(bucket occupancy) per arriving clip
     * against a 100 TB corpus index.
     */
@@ -999,7 +1008,7 @@ object StreamOps {
       .toDF("id_b", "sig_b", "band", "bits")
     probe.join(base, Seq("band", "bits"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("band"),
         expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

@@ -1523,8 +1523,11 @@ class StreamSpec extends AnyFunSuite {
       spark.createDataset(wave2).toDF().coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
     } finally q.stop()
-    // multi-band candidate dedup is the downstream batch cut
-    val streamed = spark.table("afp_probe").distinct()
+    // multi-band candidate dedup is the downstream batch cut — the
+    // probe emits one row PER matching band (the band rides in the
+    // schema so the multiplicity is visible); drop it, then distinct
+    val streamed = spark.table("afp_probe")
+      .select("id_a", "id_b", "hamming").distinct()
       .as[(Long, Long, Long)].collect().toSet
     // exhaustive reference: every (incoming, base) pair within radius
     val inSigs = Multimodal.audioFingerprints(
