@@ -235,6 +235,29 @@ object LlmQueries {
       df
     })
 
+  /** The VIDEO dedup-evaluation pool: every staged frame sequence
+    * plus, for each base video with doc_id % 5 == 0, a PLANTED
+    * NEAR-DUPLICATE twin at base + 2^40 — every frame re-encoded
+    * through [[Multimodal.perturbPngFrame]]'s decode→nudge-blue-LSB→
+    * re-encode pass (the video analog of the audio pool's 1-ulp
+    * attenuation; PNG is lossless so the oracle replays the
+    * perturbation analytically). Persisted and eagerly materialized.
+    */
+  private def stagedVideoPool(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "videopool"), {
+      import s.implicits._
+      val base = stagedFrameSeqs(s, dir)
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("frame_idx"), col("payload"))
+        .as[(Long, Long, Array[Byte])]
+        .map { case (id, f, p) =>
+          (id + WavTwinOffset, f, Multimodal.perturbPngFrame(p)) }
+        .toDF("doc_id", "frame_idx", "payload")
+      val df = base.unionByName(twins).persist()
+      df.count()
+      df
+    })
+
   /** Eagerly stage the per-dir media fixtures (synthetic PNG / GIF /
     * WAV / AVI payloads) outside any timed region.
     */
@@ -245,6 +268,7 @@ object LlmQueries {
     stagedWavPool(s, dir)
     stagedAvis(s, dir)
     stagedFrameSeqs(s, dir)
+    stagedVideoPool(s, dir)
     ()
   }
 
@@ -356,6 +380,20 @@ object LlmQueries {
       TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 2)
         .toDF("id_a", "id_b", "hamming"), reliable = false)
     audioPairMemo.put(dir, p)
+    p
+  }
+
+  // staged video-pair cut — built fresh (and cut) by
+  // q_multimodal_video_cc_pairs' timed region, read by
+  // q_multimodal_video_dup_clusters (the audioPairMemo contract)
+  private val videoPairMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def videoPairsFresh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Multimodal.frameHashes(stagedVideoPool(s, dir))
+    val p = graft.model.Lineage.cut(
+      Multimodal.videoNearDupPairs(sigs, maxHamming = 2), reliable = false)
+    videoPairMemo.put(dir, p)
     p
   }
 
@@ -1651,6 +1689,39 @@ object LlmQueries {
       val sigs = Multimodal.audioFingerprints(pool.as[Multimodal.MediaRow])
       TextOps.dedupClustersBySig(pool.select(col("doc_id")), sigs,
         audioPairMemo.getOrElse(dir, audioPairsFresh(s, dir)))
+    }),
+
+    "q_multimodal_video_fp" -> ((s, dir) =>
+      // per-frame dHash over the VIDEO dedup pool (lossless PNG frame
+      // sequences + planted twins with every-97th-pixel blue-LSB
+      // nudges); completes the text/image/audio/video fingerprint
+      // matrix. The oracle replays the frame pixel formula, the twin
+      // perturbation, and the integer box-average dHash bit for bit.
+      Multimodal.frameHashes(stagedVideoPool(s, dir))),
+
+    "q_multimodal_video_cc_pairs" -> ((s, dir) =>
+      // video near-dup pairs: frame-ALIGNED banded Hamming join
+      // (radius 2, frame_idx in the equi-join key) rolled up per video
+      // pair under the strict-majority quorum 2*matched > min(nf).
+      // The oracle is the EXHAUSTIVE aligned-frame Hamming join, so
+      // banding provably loses no pair. Built fresh (billed in this
+      // row) and memoized as a lineage cut for the clusters row.
+      videoPairsFresh(s, dir)),
+
+    "q_multimodal_video_dup_clusters" -> ((s, dir) => {
+      // video dedup endpoint through the EXACT-DUP QUOTIENT: identical
+      // frame-hash VECTORS (all frames, in order) collapse to min-id
+      // equality classes before the star-contraction CC; labels = min
+      // video id reachable through majority-matched pairs. Reads the
+      // memoized pair cut (the audio cc_pairs billing split).
+      val pool = stagedVideoPool(s, dir)
+      val sigVec = Multimodal.frameHashes(pool)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("frame_idx"), col("fp"))))
+          .as("sig"))
+      TextOps.dedupClustersBySig(
+        pool.select(col("doc_id")).distinct(), sigVec,
+        videoPairMemo.getOrElse(dir, videoPairsFresh(s, dir)))
     }),
 
     "q_multimodal_wav" -> ((s, dir) => {
@@ -2991,6 +3062,68 @@ object LlmQueries {
       |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
       |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS fp
       |  FROM fbits
+      |)""".stripMargin
+
+  // Shared analytic VIDEO frame-hash oracle chain: the video dedup
+  // pool (frame-sequence docs + planted twins at +2^40 whose every
+  // 97th pixel has its blue LSB nudged toward zero), the lossless PNG
+  // frame pixel formula, the decode-side integer box-average dHash per
+  // frame — ending in vd(doc_id, f, fp) with the signed bit-63 wrap
+  private val sqlVideoFpD: String =
+    """vpool AS (
+      |  SELECT doc_id, doc_id AS src, 0 AS twin
+      |  FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 1099511627776, doc_id, 1
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+      |), vframe AS (
+      |  SELECT doc_id, src, twin, 8 + src % 16 AS w, 8 + src % 11 AS h, k.f
+      |  FROM vpool, unnest(generate_series(0, 2 + src % 5 - 1)) k(f)
+      |), vcell AS (
+      |  SELECT doc_id, src, twin, w, h, f, rr.r, cc.c,
+      |    (cc.c * w) // 9 AS x0,
+      |    GREATEST((cc.c * w) // 9 + 1, ((cc.c + 1) * w) // 9) AS x1,
+      |    (rr.r * h) // 8 AS y0,
+      |    GREATEST((rr.r * h) // 8 + 1, ((rr.r + 1) * h) // 8) AS y1
+      |  FROM vframe, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
+      |), vg AS (
+      |  SELECT doc_id, f, r, c,
+      |    SUM(299 * (((x * 13 + y * 5 + f * 41 + src) % 16777216) // 65536)
+      |      + 587 * ((((x * 13 + y * 5 + f * 41 + src) % 16777216) // 256) % 256)
+      |      + 114 * (CASE WHEN twin = 1 AND (y * w + x) % 97 = 0 THEN
+      |          CASE WHEN ((x * 13 + y * 5 + f * 41 + src) % 16777216) % 256 > 0
+      |            THEN ((x * 13 + y * 5 + f * 41 + src) % 16777216) % 256 - 1
+      |            ELSE ((x * 13 + y * 5 + f * 41 + src) % 16777216) % 256 + 1 END
+      |          ELSE ((x * 13 + y * 5 + f * 41 + src) % 16777216) % 256 END)
+      |    ) // COUNT(*) AS gval
+      |  FROM vcell, unnest(generate_series(y0, y1 - 1)) yy(y),
+      |    unnest(generate_series(x0, x1 - 1)) xx(x)
+      |  GROUP BY 1, 2, 3, 4
+      |), vbits AS (
+      |  SELECT a.doc_id, a.f,
+      |    SUM(CASE WHEN a.gval > b.gval
+      |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
+      |  FROM vg a JOIN vg b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY 1, 2
+      |), vd AS (
+      |  SELECT doc_id, f, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS fp
+      |  FROM vbits
+      |), vnf AS (
+      |  SELECT doc_id, COUNT(*) AS nf FROM vd GROUP BY 1
+      |), vp AS (
+      |  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_matched
+      |  FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f
+      |    FROM vd a JOIN vd b ON a.f = b.f AND a.doc_id < b.doc_id
+      |    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+      |  ) m
+      |  JOIN vnf na ON na.doc_id = m.id_a
+      |  JOIN vnf nb ON nb.doc_id = m.id_b
+      |  GROUP BY id_a, id_b, na.nf, nb.nf
+      |  HAVING COUNT(*) * 2 > LEAST(na.nf, nb.nf)
       |)""".stripMargin
 
   /** Oracle for [[graft.text.TextOps.bpeTrain]]: the iterative merge
@@ -6796,6 +6929,37 @@ object LlmQueries {
          |)
          |SELECT pl.doc_id, LEAST(pl.doc_id, COALESCE(MIN(w.lbl), pl.doc_id)) AS cluster_id
          |FROM pool pl LEFT JOIN walk w ON w.id = pl.doc_id
+         |GROUP BY pl.doc_id ORDER BY 1""".stripMargin,
+
+    // video frame hashes: the lossless PNG pixel formula (+ the
+    // planted twin's every-97th-pixel blue-LSB nudge), integer
+    // box-average dHash per frame, bit for bit
+    "q_multimodal_video_fp" ->
+      s"""WITH $sqlVideoFpD
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, fp FROM vd
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // video near-dup pairs: the EXHAUSTIVE frame-aligned Hamming join
+    // + the strict-majority quorum — banding provably loses no pair
+    "q_multimodal_video_cc_pairs" ->
+      s"""WITH $sqlVideoFpD
+         |SELECT id_a, id_b, n_matched FROM vp ORDER BY 1, 2""".stripMargin,
+
+    // video dup clusters: connected components over the quorum pairs
+    // (min reachable id), singletons keep their own id
+    "q_multimodal_video_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlVideoFpD,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM vp
+         |  UNION ALL SELECT id_b, id_a FROM vp
+         |),
+         |walk(id, lbl) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+         |)
+         |SELECT pl.doc_id, LEAST(pl.doc_id, COALESCE(MIN(w.lbl), pl.doc_id)) AS cluster_id
+         |FROM vpool pl LEFT JOIN walk w ON w.id = pl.doc_id
          |GROUP BY pl.doc_id ORDER BY 1""".stripMargin,
 
     "q_multimodal_wav" ->

@@ -1086,6 +1086,108 @@ object Multimodal {
     }
   }
 
+  /** Inaudible-analog PNG re-encode for VIDEO frames: every `every`-th
+    * pixel (row-major index y*w + x) has its BLUE channel nudged one
+    * step toward zero (`b > 0 → b-1`, else `b+1`). A REAL
+    * decode→perturb→re-encode pass (PNG is lossless, so the decoded
+    * pixels round-trip exactly); the standard planted-twin fixture for
+    * frame-level dedup recall, the video analog of [[perturbWav]].
+    * Undecodable payloads come back unchanged.
+    */
+  def perturbPngFrame(payload: Array[Byte], every: Int = 97): Array[Byte] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val img = try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: Exception => None }
+    img match {
+      case None => payload.clone()
+      case Some(im) =>
+        val w = im.getWidth; val h = im.getHeight
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = im.getRGB(x, y)
+            val b = v & 0xFF
+            val b2 = if ((y.toLong * w + x) % every == 0) {
+              if (b > 0) b - 1 else b + 1
+            } else b
+            out.setRGB(x, y, (v & 0xFFFF00) | b2)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+    }
+  }
+
+  /** Per-FRAME dHash signatures over a (doc_id, frame_idx, payload)
+    * frame table — [[imageHashes]] at frame grain: row-local
+    * mapPartitions decode + the same 9x8 box-average dHash kernel,
+    * shuffle-free. Returns (doc_id, frame_idx, fp); undecodable frames
+    * yield no row.
+    */
+  def frameHashes(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames
+      .select(col("doc_id").cast("long"), col("frame_idx").cast("long"),
+        col("payload")).as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, f, p) => dHash(p).map(hh => (id, f, hh)) }
+      }.toDF("doc_id", "frame_idx", "fp")
+  }
+
+  /** Frame-aligned VIDEO near-duplicate pairs over per-frame dHash
+    * signatures — the video member of the banded-Hamming dedup family
+    * (text simhash / image phash / audio band-energy fp): frames pair
+    * through the SAME [[graft.text.TextOps.hammingBands]] pigeonhole,
+    * with `frame_idx` riding in the equi-join key so only
+    * temporally-ALIGNED frames are candidates (the near-dup video
+    * definition for same-timeline clips: re-encodes, per-frame
+    * attenuation, logo burns — a shifted timeline is a different
+    * video), then frame matches roll up per video pair and a STRICT
+    * MAJORITY of the shorter video's frames must match
+    * (`2·matched > min(nf_a, nf_b)` — robust to a dropped or
+    * black frame, immune to a single coincidental frame collision).
+    *
+    * Scale shape: the banded join's candidates scale with bucket
+    * occupancy per (frame_idx, band, bits) — never videos² — and the
+    * rollup is pair-mass-sized keyed aggregation; `nf` joins are
+    * video-count-sized. Result is IDENTICAL to the exhaustive
+    * aligned-frame Hamming join (pigeonhole: ≤ `maxHamming` flipped
+    * bits cannot touch all `maxHamming + 1` bands).
+    *
+    * `frameSigs` is (doc_id, frame_idx, fp) from [[frameHashes]].
+    * Returns qualifying (id_a, id_b, n_matched).
+    */
+  def videoNearDupPairs(frameSigs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val s = frameSigs.toDF("vid", "f", "sig")
+    val banded = graft.text.TextOps.hammingBands(
+      s.select(struct(col("vid"), col("f")).as("id"), col("sig")),
+      sigBits = 64, maxHamming = maxHamming)
+    val a = banded.select(col("id.vid").as("vid_a"), col("id.f").as("f"),
+      col("sig").as("sig_a"), col("band"), col("bits"))
+    val b = banded.select(col("id.vid").as("vid_b"), col("id.f").as("f"),
+      col("sig").as("sig_b"), col("band"), col("bits"))
+    val frameMatches = a.join(b, Seq("f", "band", "bits"))
+      .filter(col("vid_a") < col("vid_b"))
+      .filter(expr("bit_count(sig_a ^ sig_b)") <= maxHamming)
+      .select(col("vid_a"), col("vid_b"), col("f"))
+      .distinct() // multi-band matches collapse to one per frame
+    val nf = s.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
+    frameMatches.groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(nf.toDF("vid_a", "nf_a"), "vid_a")
+      .join(nf.toDF("vid_b", "nf_b"), "vid_b")
+      .filter(col("n_matched") * 2 > least(col("nf_a"), col("nf_b")))
+      .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"), col("n_matched"))
+  }
+
   /** Build a MediaRow dataset from the documents table (text bytes as
     * the opaque payload — the testdata has no real media, the transport
     * is what's exercised).

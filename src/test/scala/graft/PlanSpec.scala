@@ -772,6 +772,28 @@ class PlanSpec extends AnyFunSuite {
       s"audio pair join degenerated:\n${pap.take(2000)}")
   }
 
+  test("video near-dup pairs plan as a frame-aligned band equi-join, never a cartesian") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val frames = (1L to 40L).flatMap { id =>
+      (0 until 3).map(f => (id, f.toLong, Multimodal.syntheticPngFrame(id, f)))
+    }.toDF("doc_id", "frame_idx", "payload")
+    val pairs = Multimodal.videoNearDupPairs(
+      Multimodal.frameHashes(frames), maxHamming = 2)
+    pairs.collect()
+    val p = plan(pairs)
+    // candidates come from the (frame_idx, band, bits) pigeonhole
+    // equi-join — cost = bucket occupancy, never videos²; the quorum
+    // rollup is a keyed aggregation, no corpus-wide window
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"video banded join degenerated to a cartesian in:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join on (f, band, bits) in:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"unexpected window in the video pair rollup:\n${p.take(3000)}")
+  }
+
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {
     // modularity: every join is node-/label-keyed; the only cross
     // joins combine 1-row aggregates

@@ -1250,6 +1250,52 @@ class TextVectorSpec extends AnyFunSuite {
     assert((withJunk - 999999L) == clusters)
   }
 
+  test("video near-dup pipeline: perturbed twins majority-match; quotient CC = member CC") {
+    import spark.implicits._
+    // frame-sequence pool: 30 videos, planted twins (every frame's
+    // blue LSB nudged on every 97th pixel) for ids % 5 == 0
+    val ids = (0L until 30L).map(_ * 3 + 2) // video-doc-shaped ids
+    val planted = ids.filter(_ % 5 == 0)
+    def frames(id: Long, perturb: Boolean): Seq[(Long, Long, Array[Byte])] = {
+      val nf = 2 + (id % 5).toInt
+      (0 until nf).map { f =>
+        val p = Multimodal.syntheticPngFrame(id, f)
+        val key = if (perturb) id + (1L << 40) else id
+        (key, f.toLong, if (perturb) Multimodal.perturbPngFrame(p) else p)
+      }
+    }
+    val pool = (ids.flatMap(frames(_, perturb = false)) ++
+      planted.flatMap(frames(_, perturb = true)))
+      .toDF("doc_id", "frame_idx", "payload")
+    val sigs = Multimodal.frameHashes(pool)
+    val nFrames = pool.count()
+    assert(sigs.count() == nFrames) // every lossless frame decodes
+    // perturbPngFrame round-trips deterministically (PNG is lossless)
+    val p0 = Multimodal.syntheticPngFrame(5L, 0)
+    assert(java.util.Arrays.equals(
+      Multimodal.perturbPngFrame(p0), Multimodal.perturbPngFrame(p0)))
+    // non-image payloads come back unchanged
+    val junk = "not a png".getBytes
+    assert(java.util.Arrays.equals(Multimodal.perturbPngFrame(junk), junk))
+    val pairs = Multimodal.videoNearDupPairs(sigs, maxHamming = 2)
+    val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (id <- planted)
+      assert(pairSet.contains((id, id + (1L << 40))),
+        s"planted video twin of $id missed the majority quorum")
+    // clusters: twin and base co-labeled; quotient == member-graph CC
+    val universe = pool.select(col("doc_id")).distinct()
+    val member = TextOps.dedupClusters(universe, pairs)
+      .as[(Long, Long)].collect().toMap
+    for (id <- planted)
+      assert(member(id + (1L << 40)) == member(id), s"twin of $id split off")
+    val sigVec = sigs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("fp"))))
+        .as("sig"))
+    val quotient = TextOps.dedupClustersBySig(universe, sigVec, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(quotient == member, "video quotient CC diverged from member-graph CC")
+  }
+
   test("filterFunnel: first-gate attribution, monotone survivors, exact corpus share") {
     import spark.implicits._
     // masks: 0 = clean, 1 = dies at gate 0, 4 = gate 2, 64 = gate 6,
