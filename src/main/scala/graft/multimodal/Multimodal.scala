@@ -1167,18 +1167,49 @@ object Multimodal {
     */
   def videoNearDupPairs(frameSigs: DataFrame, maxHamming: Int = 2): DataFrame = {
     val s = frameSigs.toDF("vid", "f", "sig")
+    // EXACT-DUP QUOTIENT ON THE JOIN ITSELF: the banded pigeonhole join
+    // runs over DISTINCT (frame_idx, hash) classes, not frame rows —
+    // a real dup-heavy corpus carries large identical-hash classes
+    // (measured 9.7x collapse on the 10x replica), and bucket
+    // occupancy over members is quadratic in exactly that mass while
+    // occupancy over classes is not (members: 81 s at 10x; classes:
+    // the class join is corpus-shape-bound). Class pairs then expand
+    // back to video pairs through two (f, sig)-keyed joins, whose
+    // output is the TRUE frame-match mass — work the exhaustive
+    // semantics owes anyway.
+    val classes = graft.model.Lineage.cut(
+      s.select(col("f"), col("sig")).distinct(), reliable = false)
     val banded = graft.text.TextOps.hammingBands(
-      s.select(struct(col("vid"), col("f")).as("id"), col("sig")),
+      classes.select(struct(col("f"), col("sig")).as("id"), col("sig")),
       sigBits = 64, maxHamming = maxHamming)
-    val a = banded.select(col("id.vid").as("vid_a"), col("id.f").as("f"),
-      col("sig").as("sig_a"), col("band"), col("bits"))
-    val b = banded.select(col("id.vid").as("vid_b"), col("id.f").as("f"),
-      col("sig").as("sig_b"), col("band"), col("bits"))
-    val frameMatches = a.join(b, Seq("f", "band", "bits"))
-      .filter(col("vid_a") < col("vid_b"))
+    val ca = banded.select(col("id.f").as("f"), col("sig").as("sig_a"),
+      col("band"), col("bits"))
+    val cb = banded.select(col("id.f").as("f"), col("sig").as("sig_b"),
+      col("band"), col("bits"))
+    // canonical unordered class pairs INCLUDING the diagonal (equal
+    // hashes on different videos are matches too)
+    val classPairs = ca.join(cb, Seq("f", "band", "bits"))
+      .filter(col("sig_a") <= col("sig_b"))
       .filter(expr("bit_count(sig_a ^ sig_b)") <= maxHamming)
-      .select(col("vid_a"), col("vid_b"), col("f"))
-      .distinct() // multi-band matches collapse to one per frame
+      .select(col("f"), col("sig_a"), col("sig_b"))
+      .distinct() // multi-band matches collapse to one per class pair
+    // a video has ONE hash per frame, so each (vid pair, f) arises
+    // from exactly one class pair — splitting the diagonal (equal
+    // hashes: both orientations come out of the expansion, keep
+    // va < vb) from the off-diagonal (one orientation, canonicalize
+    // with least/greatest) emits every match EXACTLY ONCE, with no
+    // distinct over the expanded mass (which is quadratic in the
+    // identical-hash cliques — the expensive shuffle at 10x)
+    val expand = (cp: DataFrame) => cp
+      .join(s.toDF("va", "f", "sig_a"), Seq("f", "sig_a"))
+      .join(s.toDF("vb", "f", "sig_b"), Seq("f", "sig_b"))
+    val diag = expand(classPairs.filter(col("sig_a") === col("sig_b")))
+      .filter(col("va") < col("vb"))
+      .select(col("va").as("vid_a"), col("vb").as("vid_b"), col("f"))
+    val off = expand(classPairs.filter(col("sig_a") =!= col("sig_b")))
+      .select(least(col("va"), col("vb")).as("vid_a"),
+        greatest(col("va"), col("vb")).as("vid_b"), col("f"))
+    val frameMatches = diag.unionByName(off)
     val nf = s.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
     frameMatches.groupBy(col("vid_a"), col("vid_b"))
       .agg(count(lit(1)).as("n_matched"))

