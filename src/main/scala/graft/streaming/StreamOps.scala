@@ -1012,4 +1012,52 @@ object StreamOps {
         expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** STREAMING VIDEO FRAME-HASH PROBE — the fourth member of the
+    * live-probe family ([[streamingIndexProbe]] text,
+    * [[streamingAnnProbe]] vectors, [[streamingAudioFpProbe]] audio):
+    * arriving FRAME rows (doc_id, frame_idx, payload) are dHashed with
+    * the identical row-local kernel
+    * ([[graft.multimodal.Multimodal.frameHashes]] — stateless
+    * mapPartitions), exploded through the SAME
+    * [[graft.text.TextOps.hammingBands]] pigeonhole the batch pair
+    * join uses, and candidates come from ONE stream-static equi-join
+    * on (frame_idx, band, bits) against the stored corpus frame
+    * signatures — temporally ALIGNED frames only, exactly the batch
+    * [[graft.multimodal.Multimodal.videoNearDupPairs]] predicate. The
+    * exact `bit_count` verify runs inline (row-local).
+    *
+    * OUTPUT CONTRACT — FRAME-level, BAND-MULTIPLIED candidates
+    * (id_a = incoming video, id_b = indexed video, frame_idx, band,
+    * hamming): the majority-quorum rollup `2·matched > min(nf)` is a
+    * per-video-pair AGGREGATION — state a probe stream must not own —
+    * and runs as the downstream batch cut, exactly as exact-verify is
+    * downstream of the text probe and pair-dedup is downstream of the
+    * audio probe. A consumer must roll up frames (distinct on
+    * (id_a, id_b, frame_idx) first — the band multiplies) before
+    * reading matches as video pairs.
+    *
+    * No state, no watermark: O(bucket occupancy) per arriving frame
+    * against a 100 TB frame index.
+    */
+  def streamingVideoFpProbe(
+      baseFrameSigs: DataFrame, incoming: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    def banded(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
+      graft.text.TextOps.hammingBands(
+          sigs.toDF("vid", "f", "sig")
+            .select(org.apache.spark.sql.functions.struct(col("vid"), col("f")).as("id"),
+              col("sig")),
+          sigBits = 64, maxHamming = maxHamming)
+        .select(col("id.vid").as(idAs), col("id.f").as("frame_idx"),
+          col("sig").as(sigAs), col("band"), col("bits"))
+    val probe = banded(
+      graft.multimodal.Multimodal.frameHashes(incoming), "id_a", "sig_a")
+    val base = banded(baseFrameSigs, "id_b", "sig_b")
+    probe.join(base, Seq("frame_idx", "band", "bits"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"), col("band"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

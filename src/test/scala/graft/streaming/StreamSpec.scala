@@ -1545,4 +1545,62 @@ class StreamSpec extends AnyFunSuite {
       assert(streamed.exists { case (a, b, _) => a == id + (1L << 40) && b == id },
         s"twin of $id never surfaced")
   }
+
+  test("streaming video fp probe equals the exhaustive aligned-frame join across arrival splits") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val baseIds = (0L until 24L).map(_ * 3 + 2)
+    def frames(id: Long, key: Long, perturb: Boolean): Seq[(Long, Long, Array[Byte])] =
+      (0 until (2 + (id % 5).toInt)).map { f =>
+        val p = Multimodal.syntheticPngFrame(id, f)
+        (key, f.toLong, if (perturb) Multimodal.perturbPngFrame(p) else p)
+      }
+    val baseFrames = baseIds.flatMap(id => frames(id, id, perturb = false))
+      .toDF("doc_id", "frame_idx", "payload")
+    val baseSigs = Multimodal.frameHashes(baseFrames)
+    val planted = baseIds.filter(_ % 5 == 0)
+    val twinRows = planted.flatMap(id =>
+      frames(id, id + (1L << 40), perturb = true))
+    val freshRows = (3000L until 3004L).flatMap(id =>
+      frames(id, id, perturb = false))
+    val wave1 = twinRows.take(twinRows.size / 2) ++ freshRows.take(4)
+    val wave2 = twinRows.drop(twinRows.size / 2) ++ freshRows.drop(4)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-vfp-src").toString
+    val schema = baseFrames.schema
+    wave1.toDF("doc_id", "frame_idx", "payload").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamOps.streamingVideoFpProbe(baseSigs, src, maxHamming = 2)
+      .writeStream.format("memory").queryName("vfp_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      wave2.toDF("doc_id", "frame_idx", "payload").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // band multiplicity is visible in the schema; frame-level dedup
+    // (and the majority rollup) are the downstream batch cut
+    val streamed = spark.table("vfp_probe")
+      .select("id_a", "id_b", "frame_idx", "hamming").distinct()
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // exhaustive reference: every (incoming frame, base frame) pair at
+    // the same frame_idx within radius
+    val inSigs = Multimodal.frameHashes(
+      (wave1 ++ wave2).toDF("doc_id", "frame_idx", "payload"))
+      .as[(Long, Long, Long)].collect()
+    val bSigs = baseSigs.as[(Long, Long, Long)].collect()
+    val expect = (for {
+      (ia, fa, ha) <- inSigs; (ib, fb, hb) <- bSigs
+      if ia != ib && fa == fb && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib, fa, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(streamed == expect && streamed.nonEmpty,
+      s"streamed ${streamed.size} frame candidates vs exhaustive ${expect.size}")
+    // every planted twin surfaces its base at frame 0, whichever wave
+    // carried that frame
+    for (id <- planted)
+      assert(streamed.exists { case (a, b, f, _) =>
+        a == id + (1L << 40) && b == id && f == 0L },
+        s"video twin of $id never surfaced")
+  }
 }
