@@ -276,6 +276,35 @@ object LlmQueries {
       df
     })
 
+  /** Shifted twin doc_ids live 2^41 above their base (the aligned
+    * pool's twins sit at 2^40 — the two fixtures can never collide).
+    */
+  private val VideoShiftOffset = 1L << 41
+
+  /** The SHIFT-TOLERANCE video fixture: every staged frame sequence
+    * plus, for each base with doc_id % 5 == 1, a TRIMMED-HEAD twin at
+    * base + 2^41 whose frame j is the source's frame j+1 (the classic
+    * head-cut re-upload — byte-identical frames at a shifted
+    * timeline). Aligned frame matching misses these by construction;
+    * the shingle face must catch every one.
+    */
+  private def stagedVideoShiftPool(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "videoshift"), {
+      import s.implicits._
+      val base = stagedFrameSeqs(s, dir)
+      val twins = docs(s, dir)
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") % 5 === 1)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val nf = 2 + (id % 5).toInt
+          (0 until nf - 1).map(f =>
+            (id + VideoShiftOffset, f.toLong, Multimodal.syntheticPngFrame(id, f + 1)))
+        }.toDF("doc_id", "frame_idx", "payload")
+      val df = base.unionByName(twins).persist()
+      df.count()
+      df
+    })
+
   /** Eagerly stage the per-dir media fixtures (synthetic PNG / GIF /
     * WAV / AVI payloads) outside any timed region.
     */
@@ -287,6 +316,7 @@ object LlmQueries {
     stagedAvis(s, dir)
     stagedFrameSeqs(s, dir)
     stagedVideoPool(s, dir)
+    stagedVideoShiftPool(s, dir)
     ()
   }
 
@@ -1313,6 +1343,14 @@ object LlmQueries {
     "q_pref_cycles" -> ((s, dir) =>
       graft.text.PrefOps.prefCycles(docs(s, dir))),
 
+    // Fleiss' kappa inter-annotator agreement over the deterministic
+    // 5-rater / 4-category annotation table (~20% planted id-keyed
+    // noise) — exact integer A/B numerators, one double division at
+    // the edge; the label-noise go/no-go next to the BT fit
+    "q_pref_fleiss" -> ((s, dir) =>
+      graft.text.PrefOps.fleissKappa(
+        graft.text.PrefOps.syntheticRatings(docs(s, dir)))),
+
     // token-mass concentration across sources (exact integer Gini in
     // micro-units) — the one-number inequality readout next to the
     // diversity table and the temperature weights
@@ -1741,6 +1779,18 @@ object LlmQueries {
       TextOps.dedupClustersBySig(
         pool.select(col("doc_id")).distinct(), sigVec,
         videoPairMemo.getOrElse(dir, videoPairsFresh(s, dir)))
+    }),
+
+    "q_multimodal_video_shingles" -> ((s, dir) => {
+      // SHIFT-TOLERANT video dedup: frame-hash shingles (grams of 2
+      // consecutive hashes, position-free) catch the trimmed-head
+      // twins the aligned face misses by construction; n_shared =
+      // exact gram-set intersection. The sig table is read k+2 times
+      // inside the operator — cut once.
+      Multimodal.videoShinglePairs(
+        graft.model.Lineage.cut(
+          Multimodal.frameHashes(stagedVideoShiftPool(s, dir)),
+          reliable = false), k = 2)
     }),
 
     "q_multimodal_wav" -> ((s, dir) => {
@@ -6250,6 +6300,39 @@ object LlmQueries {
     "q_pref_upsets" -> sqlPrefUpsets(3),
     "q_pref_cycles" -> sqlPrefCycles,
 
+    // Fleiss' kappa: the same deterministic rating synthesis, the
+    // same exact integer numerators, the same single double division
+    "q_pref_fleiss" ->
+      """WITH rat AS (
+        |  SELECT doc_id AS item_id, r.rater_id,
+        |    CASE WHEN (doc_id * 31 + r.rater_id * 17) % 5 = 0
+        |      THEN (doc_id % 4 + 1 + r.rater_id) % 4
+        |      ELSE doc_id % 4 END AS category
+        |  FROM documents, unnest(generate_series(0, 4)) r(rater_id)
+        |), nik AS (
+        |  SELECT item_id, category, COUNT(*) AS c FROM rat GROUP BY 1, 2
+        |), per_item AS (
+        |  SELECT item_id, SUM(c * c) AS sq, SUM(c) AS n FROM nik GROUP BY 1
+        |), a AS (
+        |  SELECT COUNT(*) AS n_items, MIN(n) AS n_min, MAX(n) AS n_max,
+        |         SUM(sq - n) AS a_num
+        |  FROM per_item
+        |), b AS (
+        |  SELECT SUM(ck * ck) AS b_num, COUNT(*) AS n_categories FROM (
+        |    SELECT category, SUM(c) AS ck FROM nik GROUP BY 1
+        |  )
+        |)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n_min AS BIGINT) AS n_raters,
+        |  CAST(n_categories AS BIGINT) AS n_categories,
+        |  CAST(a_num AS BIGINT) AS a_num, CAST(b_num AS BIGINT) AS b_num,
+        |  ROUND(CAST(a_num * n_items * n_items * n_min * n_min
+        |          - b_num * (n_items * n_min * (n_min - 1)) AS DOUBLE)
+        |    / CAST(n_items * n_min * (n_min - 1)
+        |          * (n_items * n_items * n_min * n_min - b_num) AS DOUBLE),
+        |    6) AS kappa
+        |FROM a, b WHERE n_min = n_max""".stripMargin,
+
     "q_source_gini" ->
       """WITH mass AS MATERIALIZED (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS x FROM (
@@ -6963,6 +7046,59 @@ object LlmQueries {
     "q_multimodal_video_cc_pairs" ->
       s"""WITH $sqlVideoFpD
          |SELECT id_a, id_b, n_matched FROM vp ORDER BY 1, 2""".stripMargin,
+
+    // shift-tolerant video shingles: the trimmed-head pool (twin frame
+    // j = source frame j+1, replayed by sf = f + shift in the pixel
+    // formula), per-frame dHash, distinct 2-gram sets, exact
+    // intersection counts
+    "q_multimodal_video_shingles" ->
+      """WITH wpool AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS shift, 2 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, doc_id, 1, 1 + doc_id % 5
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 1
+        |), wframe AS (
+        |  SELECT doc_id, src, 8 + src % 16 AS w, 8 + src % 11 AS h,
+        |         k.f, k.f + shift AS sf
+        |  FROM wpool, unnest(generate_series(0, nf - 1)) k(f)
+        |), wcell AS (
+        |  SELECT doc_id, src, w, h, f, sf, rr.r, cc.c,
+        |    (cc.c * w) // 9 AS x0,
+        |    GREATEST((cc.c * w) // 9 + 1, ((cc.c + 1) * w) // 9) AS x1,
+        |    (rr.r * h) // 8 AS y0,
+        |    GREATEST((rr.r * h) // 8 + 1, ((rr.r + 1) * h) // 8) AS y1
+        |  FROM wframe, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
+        |), wg AS (
+        |  SELECT doc_id, f, r, c,
+        |    SUM(299 * (((x * 13 + y * 5 + sf * 41 + src) % 16777216) // 65536)
+        |      + 587 * ((((x * 13 + y * 5 + sf * 41 + src) % 16777216) // 256) % 256)
+        |      + 114 * (((x * 13 + y * 5 + sf * 41 + src) % 16777216) % 256)
+        |    ) // COUNT(*) AS gval
+        |  FROM wcell, unnest(generate_series(y0, y1 - 1)) yy(y),
+        |    unnest(generate_series(x0, x1 - 1)) xx(x)
+        |  GROUP BY 1, 2, 3, 4
+        |), wbits AS (
+        |  SELECT a.doc_id, a.f,
+        |    SUM(CASE WHEN a.gval > b.gval
+        |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
+        |  FROM wg a JOIN wg b ON a.doc_id = b.doc_id AND a.f = b.f
+        |    AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8
+        |  GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, f, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+        |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS fp
+        |  FROM wbits
+        |), wgram AS (
+        |  SELECT DISTINCT a.doc_id, a.fp AS h1, b.fp AS h2
+        |  FROM wd a JOIN wd b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM wgram a JOIN wgram b
+        |  ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // video dup clusters: connected components over the quorum pairs
     // (min reachable id), singletons keep their own id

@@ -1219,6 +1219,51 @@ object Multimodal {
       .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"), col("n_matched"))
   }
 
+  /** SHIFT-TOLERANT video near-duplicate pairs via FRAME-HASH
+    * SHINGLES — the temporal complement of [[videoNearDupPairs]]:
+    * aligned matching misses a duplicate whose timeline is TRIMMED or
+    * SHIFTED (the frame at index j is the original's j+1), the
+    * classic head-cut re-upload. Shingling the frame-hash SEQUENCE
+    * (grams of `k` consecutive hashes, position-free — w-shingling
+    * over frames instead of words, Broder 1997's resemblance
+    * machinery applied to the hash stream) makes any duplicate that
+    * shares `k` consecutive frames pair regardless of offset.
+    *
+    * Exact-equality grams (near-dup tolerance belongs to the aligned
+    * face; a shifted re-encode hits BOTH faces' fixtures separately):
+    * per video the distinct gram SET, pairs by gram equi-join,
+    * `n_shared` = the exact intersection size. Gram sets are
+    * video-length-bound; the join scales with gram-bucket occupancy
+    * (identical-content cliques — the same mass the quotient faces
+    * collapse), never videos².
+    *
+    * `frameSigs` is (doc_id, frame_idx, fp). Returns
+    * (id_a, id_b, n_shared) for pairs sharing >= 1 shingle.
+    */
+  def videoShinglePairs(frameSigs: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 2, s"shingle length must be >= 2, got $k")
+    val s = frameSigs.toDF("vid", "f", "sig")
+    // grams via k-1 equi-joins on consecutive frame indices (window-
+    // free: no per-video sort state ever materializes; each join is
+    // (vid)-keyed with a frame-offset filter)
+    var grams = s.select(col("vid"), col("f"), array(col("sig")).as("g"))
+    for (step <- 1 until k) {
+      grams = grams
+        .join(s.toDF("vid", "fn", "sn"), Seq("vid"))
+        .filter(col("fn") === col("f") + step)
+        .select(col("vid"), col("f"),
+          concat(col("g"), array(col("sn"))).as("g"))
+    }
+    val gset = grams.select(col("vid"), col("g")).distinct() // gram SET
+    gset.toDF("vid_a", "g")
+      .join(gset.toDF("vid_b", "g"), Seq("g"))
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"),
+        col("n_shared"))
+  }
+
   /** Build a MediaRow dataset from the documents table (text bytes as
     * the opaque payload — the testdata has no real media, the transport
     * is what's exercised).

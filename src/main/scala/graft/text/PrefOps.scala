@@ -270,4 +270,74 @@ object PrefOps {
         expr("n_cycles * CAST(1000000 AS BIGINT) " +
           "div greatest(n_triangles, CAST(1 AS BIGINT))").as("cyclic_ppm"))
   }
+
+  /** Deterministic multi-rater ANNOTATION table for the agreement
+    * face (the harness has no human ratings table — real pipelines
+    * swap theirs in): `raters` annotators each assign every document
+    * one of `cats` categories; the base label is `doc_id % cats`, and
+    * a rater DISAGREES (rotating to `(base + 1 + rater) % cats`)
+    * whenever `(doc_id * 31 + rater * 17) % 5 == 0` — ~20% planted
+    * noise, id-keyed so both engines replay it exactly. Returns
+    * (item_id, rater_id, category).
+    */
+  def syntheticRatings(docs: DataFrame, raters: Int = 5, cats: Int = 4): DataFrame =
+    docs.select(col("doc_id").as("item_id"),
+        explode(expr(s"sequence(0, ${raters - 1})")).as("rater_id"))
+      .select(col("item_id"), col("rater_id").cast("long").as("rater_id"),
+        when((col("item_id") * 31 + col("rater_id") * 17) % 5 === 0,
+          (col("item_id") % cats + 1 + col("rater_id")) % cats)
+          .otherwise(col("item_id") % cats)
+          .cast("long").as("category"))
+
+  /** FLEISS' KAPPA (Fleiss 1971, "Measuring nominal scale agreement
+    * among many raters") — the inter-annotator-agreement readout every
+    * human-labeled training-data pipeline gates on, next to the
+    * Bradley–Terry fit and the circular-triad audit: is the label
+    * noise random disagreement or systematic?
+    *
+    * κ = (P̄ − P̄e) / (1 − P̄e) with P̄ the mean per-item pairwise
+    * agreement and P̄e the squared category-share chance agreement.
+    * EXACT integer accounting until the last step (the assortativity
+    * idiom): with n raters per item, N items,
+    * A = Σ_i (Σ_k n_ik² − n)   (so P̄  = A / (N·n·(n−1))),
+    * B = Σ_k (Σ_i n_ik)²       (so P̄e = B / (N·n)²),
+    * κ = (A·D2 − B·D1) / (D1·(D2 − B)), D1 = N·n·(n−1), D2 = (N·n)² —
+    * every term a BIGINT both engines compute identically, then ONE
+    * double division rounded to 6. Requires a complete design (every
+    * rater rates every item): an incomplete table yields ZERO rows
+    * (the harness's row check goes red) rather than a silently wrong κ.
+    *
+    * 100 TB shape: one (item, category)-keyed count, one item-keyed
+    * fold, one category-keyed fold — three map-side-combinable
+    * aggregations, no window, no join wider than the 1-row
+    * aggregate combine.
+    */
+  def fleissKappa(ratings: DataFrame): DataFrame = {
+    val r = ratings.toDF("item_id", "rater_id", "category")
+    val nik = r.groupBy(col("item_id"), col("category"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = nik.groupBy(col("item_id")).agg(
+      sum(col("c") * col("c")).as("sq"), sum(col("c")).as("n"))
+    val aAgg = perItem.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      min(col("n")).cast("long").as("n_min"),
+      max(col("n")).cast("long").as("n_max"),
+      sum(col("sq") - col("n")).cast("long").as("a_num"))
+    val bAgg = nik.groupBy(col("category"))
+      .agg(sum(col("c")).as("ck"))
+      .agg(sum(col("ck") * col("ck")).cast("long").as("b_num"),
+        count(lit(1)).cast("long").as("n_categories"))
+    aAgg.crossJoin(broadcast(bAgg))
+      .filter(col("n_min") === col("n_max")) // complete design only
+      .select(col("n_items"), col("n_min").as("n_raters"),
+        col("n_categories"), col("a_num"), col("b_num"),
+        round(
+          (col("a_num") * col("n_items") * col("n_items") * col("n_min") * col("n_min")
+            - col("b_num") * (col("n_items") * col("n_min") * (col("n_min") - 1)))
+            .cast("double")
+          / (col("n_items") * col("n_min") * (col("n_min") - 1)
+            * (col("n_items") * col("n_items") * col("n_min") * col("n_min") - col("b_num")))
+            .cast("double"),
+          6).as("kappa"))
+  }
 }

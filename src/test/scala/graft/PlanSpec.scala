@@ -792,6 +792,16 @@ class PlanSpec extends AnyFunSuite {
       s"no equi-join on (f, band, bits) in:\n${p.take(3000)}")
     assert(!p.contains("Window"),
       s"unexpected window in the video pair rollup:\n${p.take(3000)}")
+    // shingle face: gram equi-join + keyed rollup, window-free,
+    // never cartesian
+    val sh = Multimodal.videoShinglePairs(
+      Multimodal.frameHashes(frames), k = 2)
+    sh.collect()
+    val psh = plan(sh)
+    assert(!psh.contains("CartesianProduct") && !psh.contains("BroadcastNestedLoopJoin"),
+      s"shingle gram join degenerated:\n${psh.take(3000)}")
+    assert(!psh.contains("Window"),
+      s"unexpected window in the shingle rollup:\n${psh.take(3000)}")
   }
 
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {

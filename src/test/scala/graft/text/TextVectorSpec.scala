@@ -1296,6 +1296,59 @@ class TextVectorSpec extends AnyFunSuite {
     assert(quotient == member, "video quotient CC diverged from member-graph CC")
   }
 
+  test("video shingles: trimmed-head twin invisible to aligned matching, caught by shingles") {
+    import spark.implicits._
+    // base: 4 frames; twin: frames 1..3 at indices 0..2 (head cut)
+    val id = 11L
+    val base = (0 until 4).map(f => (id, f.toLong, Multimodal.syntheticPngFrame(id, f)))
+    val twin = (0 until 3).map(f => (id + (1L << 41), f.toLong, Multimodal.syntheticPngFrame(id, f + 1)))
+    val pool = (base ++ twin).toDF("doc_id", "frame_idx", "payload")
+    val sigs = Multimodal.frameHashes(pool)
+    // aligned face: frame j vs frame j are DIFFERENT source frames —
+    // the twin must not majority-match (the blind spot by design)
+    val aligned = Multimodal.videoNearDupPairs(sigs, maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(!aligned.exists { case (a, b, _) => a == id && b == id + (1L << 41) },
+      "aligned matching unexpectedly paired the shifted twin")
+    // shingle face: grams (h1,h2),(h2,h3) are shared exactly
+    val sh = Multimodal.videoShinglePairs(sigs, k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(sh.exists { case (a, b, n) => a == id && b == id + (1L << 41) && n == 2L },
+      s"shingle face missed the trimmed-head twin or miscounted: ${sh.toSeq}")
+    // k = 3 grams: base (f0..f2),(f1..f3); twin (f1..f3) -> 1 shared
+    val sh3 = Multimodal.videoShinglePairs(sigs, k = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(sh3.exists { case (a, b, n) => a == id && b == id + (1L << 41) && n == 1L },
+      s"k=3 shingles wrong: ${sh3.toSeq}")
+  }
+
+  test("fleissKappa: hand cases exact; incomplete design yields zero rows") {
+    import spark.implicits._
+    def kap(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long, Double)] =
+      graft.text.PrefOps.fleissKappa(
+          rows.toDF("item_id", "rater_id", "category"))
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // perfect agreement: kappa = 1 exactly
+    val perfect = kap(Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 1L), (2L, 1L, 1L)))
+    assert(perfect == Seq((2L, 2L, 2L, 4L, 8L, 1.0)), s"got $perfect")
+    // hand case: P-bar = 1/2, Pe = 5/8, kappa = -1/3
+    val hand = kap(Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 0L), (2L, 1L, 1L)))
+    assert(hand.size == 1 && hand.head._6 == -0.333333,
+      s"kappa should round to -0.333333, got $hand")
+    assert(hand.head._4 == 2L && hand.head._5 == 10L) // A and B exact
+    // incomplete design (item 2 rated once): zero rows, never a wrong kappa
+    val incomplete = kap(Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 1L)))
+    assert(incomplete.isEmpty)
+    // the synthetic rating table is complete by construction
+    val docs = (0L until 40L).map(id => id).toDF("doc_id")
+    val r = graft.text.PrefOps.syntheticRatings(docs, raters = 5, cats = 4)
+    assert(r.count() == 200)
+    val k = graft.text.PrefOps.fleissKappa(r)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(k.length == 1 && k.head._1 == 40L && k.head._2 == 5L)
+    assert(k.head._6 > 0.0 && k.head._6 < 1.0) // noisy but above chance
+  }
+
   test("filterFunnel: first-gate attribution, monotone survivors, exact corpus share") {
     import spark.implicits._
     // masks: 0 = clean, 1 = dies at gate 0, 4 = gate 2, 64 = gate 6,
