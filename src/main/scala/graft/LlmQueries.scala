@@ -305,6 +305,32 @@ object LlmQueries {
       df
     })
 
+  /** Trimmed-audio twin doc_ids live 2^42 above their base (aligned
+    * audio twins sit at 2^40, shifted video twins at 2^41).
+    */
+  private val WavTrimOffset = 1L << 42
+
+  /** The SHIFT-TOLERANCE audio fixture: every staged WAV plus, for
+    * each base with doc_id % 5 == 2, a TRIMMED-HEAD twin at
+    * base + 2^42 — [[Multimodal.trimWav]]'s real byte-level
+    * drop-64-samples + RIFF-size-patch pass, so the twin's 64-sample
+    * windows are the source's shifted by exactly one window. The
+    * whole-clip fingerprint misses these by construction; the energy
+    * shingle face must catch every one.
+    */
+  private def stagedWavTrimPool(s: SparkSession, dir: String): DataFrame =
+    mediaCache.getOrElseUpdate((dir, "wavtrim"), {
+      import s.implicits._
+      val base = stagedWavs(s, dir)
+      val twins = base.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .map { case (id, p) => (id + WavTrimOffset, "audio", Multimodal.trimWav(p, 64)) }
+        .toDF("doc_id", "media_type", "payload")
+      val df = base.unionByName(twins).persist()
+      df.count()
+      df
+    })
+
   /** Eagerly stage the per-dir media fixtures (synthetic PNG / GIF /
     * WAV / AVI payloads) outside any timed region.
     */
@@ -317,6 +343,7 @@ object LlmQueries {
     stagedFrameSeqs(s, dir)
     stagedVideoPool(s, dir)
     stagedVideoShiftPool(s, dir)
+    stagedWavTrimPool(s, dir)
     ()
   }
 
@@ -1787,10 +1814,26 @@ object LlmQueries {
       // twins the aligned face misses by construction; n_shared =
       // exact gram-set intersection. The sig table is read k+2 times
       // inside the operator — cut once.
-      Multimodal.videoShinglePairs(
+      Multimodal.sequenceShinglePairs(
         graft.model.Lineage.cut(
           Multimodal.frameHashes(stagedVideoShiftPool(s, dir)),
           reliable = false), k = 2)
+    }),
+
+    "q_multimodal_audio_shingles" -> ((s, dir) => {
+      // SHIFT-TOLERANT audio dedup: shingles over the 64-sample window
+      // ENERGY sequence (grams of 2 consecutive exact int64 energies,
+      // position-free) catch the trimmed-head twins the whole-clip
+      // fingerprint misses by construction — the audio member of the
+      // shingle family. Energies cut once (read k+2 times inside).
+      import s.implicits._
+      Multimodal.sequenceShinglePairs(
+        graft.model.Lineage.cut(
+          Multimodal.wavWindowEnergy(
+            stagedWavTrimPool(s, dir).as[Multimodal.MediaRow], window = 64)
+            .select(col("doc_id"), col("win"), col("energy")),
+          reliable = false),
+        k = 2)
     }),
 
     "q_multimodal_wav" -> ((s, dir) => {
@@ -7046,6 +7089,36 @@ object LlmQueries {
     "q_multimodal_video_cc_pairs" ->
       s"""WITH $sqlVideoFpD
          |SELECT id_a, id_b, n_matched FROM vp ORDER BY 1, 2""".stripMargin,
+
+    // shift-tolerant audio shingles: the trimmed pool (twin sample j =
+    // source sample j+64, replayed by i + shift in the sample
+    // formula), exact 64-sample window energies, distinct 2-gram sets,
+    // exact intersection counts
+    "q_multimodal_audio_shingles" ->
+      """WITH tpool AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS shift,
+        |    (200 + doc_id % 300) * (1 + doc_id % 2) AS total
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 4398046511104, doc_id, 64,
+        |    (200 + doc_id % 300) * (1 + doc_id % 2) - 64
+        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
+        |), sm AS (
+        |  SELECT doc_id, k.i // 64 AS win,
+        |    (((k.i + shift) * 2347 + src * 17) % 65536) - 32768 AS s
+        |  FROM tpool, unnest(generate_series(0, total - 1)) k(i)
+        |), e AS (
+        |  SELECT doc_id, win, CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+        |  FROM sm GROUP BY 1, 2
+        |), eg AS (
+        |  SELECT DISTINCT a.doc_id, a.energy AS h1, b.energy AS h2
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.win = a.win + 1
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM eg a JOIN eg b
+        |  ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // shift-tolerant video shingles: the trimmed-head pool (twin frame
     // j = source frame j+1, replayed by sf = f + shift in the pixel

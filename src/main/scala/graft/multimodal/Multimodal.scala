@@ -735,6 +735,36 @@ object Multimodal {
     }
   }
 
+  /** TRIMMED-HEAD re-encode of a WAV: the first `dropSamples`
+    * interleaved 16-bit samples are removed from the data chunk and
+    * the RIFF/data chunk sizes patched — a REAL byte-level transform
+    * producing the head-cut duplicate every shift-tolerant audio
+    * matcher must catch (the audio analog of the trimmed video
+    * fixture; [[perturbWav]] plants the aligned twin). Non-PCM16
+    * payloads come back unchanged.
+    */
+  def trimWav(payload: Array[Byte], dropSamples: Int = 64): Array[Byte] = {
+    require(dropSamples >= 0, s"dropSamples must be >= 0, got $dropSamples")
+    pcm16DataChunk(payload) match {
+      case None => payload.clone()
+      case Some((dataOff, dataLen)) =>
+        val dropBytes = math.min(dropSamples * 2, dataLen & ~1)
+        val out = new Array[Byte](payload.length - dropBytes)
+        System.arraycopy(payload, 0, out, 0, dataOff)
+        System.arraycopy(payload, dataOff + dropBytes, out, dataOff,
+          payload.length - dataOff - dropBytes)
+        def wrU32(a: Array[Byte], off: Int, v: Long): Unit = {
+          a(off) = (v & 0xFF).toByte
+          a(off + 1) = ((v >> 8) & 0xFF).toByte
+          a(off + 2) = ((v >> 16) & 0xFF).toByte
+          a(off + 3) = ((v >> 24) & 0xFF).toByte
+        }
+        wrU32(out, dataOff - 4, (dataLen - dropBytes).toLong) // data size
+        wrU32(out, 4, rdU32(payload, 4) - dropBytes)          // RIFF size
+        out
+    }
+  }
+
   final case class AviMeta(
       width: Int, height: Int, nFrames: Int, fps: Int,
       frame0Width: Int, frame0Height: Int)
@@ -1240,7 +1270,7 @@ object Multimodal {
     * `frameSigs` is (doc_id, frame_idx, fp). Returns
     * (id_a, id_b, n_shared) for pairs sharing >= 1 shingle.
     */
-  def videoShinglePairs(frameSigs: DataFrame, k: Int = 2): DataFrame = {
+  def sequenceShinglePairs(frameSigs: DataFrame, k: Int = 2): DataFrame = {
     require(k >= 2, s"shingle length must be >= 2, got $k")
     val s = frameSigs.toDF("vid", "f", "sig")
     // grams via k-1 equi-joins on consecutive frame indices (window-

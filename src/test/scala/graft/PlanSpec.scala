@@ -794,7 +794,7 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected window in the video pair rollup:\n${p.take(3000)}")
     // shingle face: gram equi-join + keyed rollup, window-free,
     // never cartesian
-    val sh = Multimodal.videoShinglePairs(
+    val sh = Multimodal.sequenceShinglePairs(
       Multimodal.frameHashes(frames), k = 2)
     sh.collect()
     val psh = plan(sh)

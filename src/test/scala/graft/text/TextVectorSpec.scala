@@ -1311,15 +1311,48 @@ class TextVectorSpec extends AnyFunSuite {
     assert(!aligned.exists { case (a, b, _) => a == id && b == id + (1L << 41) },
       "aligned matching unexpectedly paired the shifted twin")
     // shingle face: grams (h1,h2),(h2,h3) are shared exactly
-    val sh = Multimodal.videoShinglePairs(sigs, k = 2)
+    val sh = Multimodal.sequenceShinglePairs(sigs, k = 2)
       .as[(Long, Long, Long)].collect()
     assert(sh.exists { case (a, b, n) => a == id && b == id + (1L << 41) && n == 2L },
       s"shingle face missed the trimmed-head twin or miscounted: ${sh.toSeq}")
     // k = 3 grams: base (f0..f2),(f1..f3); twin (f1..f3) -> 1 shared
-    val sh3 = Multimodal.videoShinglePairs(sigs, k = 3)
+    val sh3 = Multimodal.sequenceShinglePairs(sigs, k = 3)
       .as[(Long, Long, Long)].collect()
     assert(sh3.exists { case (a, b, n) => a == id && b == id + (1L << 41) && n == 1L },
       s"k=3 shingles wrong: ${sh3.toSeq}")
+  }
+
+  test("audio shingles: trimmed-head twin invisible to the whole-clip fp, caught by energy shingles") {
+    import spark.implicits._
+    val id = 7L // audio-shaped id (id % 3 == 1), total = 207*2 = 414 samples
+    val wav = Multimodal.syntheticWav(id)
+    val trimmed = Multimodal.trimWav(wav, 64)
+    assert(trimmed.length == wav.length - 128)
+    // the trimmed payload still parses: window j energy == source j+1
+    val pool = spark.createDataset(Seq(
+      Multimodal.MediaRow(id, "audio", wav),
+      Multimodal.MediaRow(id + (1L << 42), "audio", trimmed)))
+    val e = Multimodal.wavWindowEnergy(pool, window = 64)
+      .select(col("doc_id"), col("win"), col("energy"))
+      .as[(Long, Long, Long)].collect()
+    val src = e.filter(_._1 == id).map(r => r._2 -> r._3).toMap
+    val twin = e.filter(_._1 != id).map(r => r._2 -> r._3).toMap
+    assert(twin.nonEmpty && twin.forall { case (w, en) => src(w + 1) == en },
+      "trimmed windows are not the source's shifted by one")
+    // whole-clip fingerprints diverge (different sample sets)...
+    val fps = Multimodal.audioFingerprints(pool).as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(fps(id) ^ fps(id + (1L << 42))) > 2,
+      "whole-clip fp unexpectedly survives a 64-sample trim")
+    // ...but the energy shingles share every twin gram
+    val sh = Multimodal.sequenceShinglePairs(
+      spark.createDataset(e.toSeq).toDF("doc_id", "win", "energy"), k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(sh.exists { case (a, b, n) =>
+      a == id && b == id + (1L << 42) && n == twin.size - 1 },
+      s"energy shingles missed the trimmed twin: ${sh.toSeq}")
+    // trimWav on a non-wav is the identity (fresh copy)
+    val raw = "plain bytes".getBytes
+    assert(java.util.Arrays.equals(Multimodal.trimWav(raw), raw))
   }
 
   test("fleissKappa: hand cases exact; incomplete design yields zero rows") {
