@@ -44,4 +44,32 @@ class BenchMemoSpec extends AnyFunSuite {
     assert(!memo.contains("q_dead"), "all-sentinel query must vanish, not go negative")
     assert(memo.values.forall(_ > 0))
   }
+
+  test("trendMemo excludes known-loud capture lines when enough quiet lines remain") {
+    // r15: three 2.0-4.1x loud-window lines entered the memo and
+    // skewed every per-query reference upward — a known-loud line
+    // (loudness_index > 1.5) must not shape the quiet reference
+    val tmp = java.io.File.createTempFile("trend", ".jsonl")
+    tmp.deleteOnExit()
+    val w = new java.io.PrintWriter(tmp)
+    try {
+      w.println("""{"ts":"t1","total":1.0,"sf":"/x/sf0.1","queries":{"q_a":0.50}}""")
+      w.println("""{"ts":"t2","total":1.0,"loudness_index":1.1,"sf":"/x/sf0.1","queries":{"q_a":0.54}}""")
+      w.println("""{"ts":"t3","total":4.0,"loudness_index":4.1,"sf":"/x/sf0.1","queries":{"q_a":2.10}}""")
+      w.println("""{"ts":"t4","total":4.0,"loudness_index":2.2,"sf":"/x/sf0.1","queries":{"q_a":1.90}}""")
+    } finally w.close()
+    val memo = Bench.trendMemo("/x/sf0.1", path = tmp.getAbsolutePath)
+    // median over the two quiet lines only (no-field = quiet, 1.1 = quiet)
+    assert(memo("q_a") == 0.54, s"loud lines leaked into the memo: ${memo("q_a")}")
+    // but with under 2 quiet lines, loud lines are kept: memo > none
+    val tmp2 = java.io.File.createTempFile("trend", ".jsonl")
+    tmp2.deleteOnExit()
+    val w2 = new java.io.PrintWriter(tmp2)
+    try {
+      w2.println("""{"ts":"t1","total":4.0,"loudness_index":4.1,"sf":"/x/sf0.1","queries":{"q_a":2.10}}""")
+      w2.println("""{"ts":"t2","total":4.0,"loudness_index":2.2,"sf":"/x/sf0.1","queries":{"q_a":1.90}}""")
+    } finally w2.close()
+    val memo2 = Bench.trendMemo("/x/sf0.1", path = tmp2.getAbsolutePath)
+    assert(memo2.contains("q_a"), "all-loud history must still yield a memo")
+  }
 }
