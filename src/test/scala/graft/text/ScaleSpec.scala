@@ -73,6 +73,56 @@ class ScaleSpec extends AnyFunSuite {
       s"CC rounds grew with corpus size: 1x=$r1, 10x=$r10 — rounds must track diameter, not n")
   }
 
+  test("hash-quotient join input is class-bounded under 10x member duplication") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // duplication blow-up — the dedup-corpus model (NOT corpus
+    // growth): 10 copies of the same video content under distinct
+    // ids. The banded pair join's INPUT (distinct (frame, hash)
+    // classes) must not grow at all, while the qualifying-pair
+    // OUTPUT grows quadratically because it IS the answer — this is
+    // the invariant behind the r16 81s -> 24.5s pair-build rewrite.
+    val vids = (0L until 5L).map(_ * 3 + 2)
+    def pool(copies: Int) = (0 until copies).flatMap { c =>
+      vids.flatMap { id =>
+        (0 until 3).map(f =>
+          (id + c * 1000000L, f.toLong, Multimodal.syntheticPngFrame(id, f)))
+      }
+    }.toDF("doc_id", "frame_idx", "payload")
+    def classes(df: org.apache.spark.sql.DataFrame): Long =
+      Multimodal.frameHashes(df).select(col("frame_idx"), col("fp"))
+        .distinct().count()
+    val c1 = classes(pool(1))
+    val c10 = classes(pool(10))
+    assert(c1 > 0 && c10 == c1,
+      s"distinct hash classes grew with member duplication: $c1 -> $c10")
+    // output mass: every copy of a video matches every other copy on
+    // all 3 frames — exactly C(10,1 per-id pairs) * ... = per id,
+    // C(10,2)=45 pairs, 5 ids -> 225 qualifying pairs at least
+    val p10 = Multimodal.videoNearDupPairs(
+      Multimodal.frameHashes(pool(10)), maxHamming = 0).count()
+    assert(p10 >= 5 * 45,
+      s"duplication clique mass missing from the pair output: $p10")
+    // same invariant for the flat-signature quotient core: distinct
+    // phashes bound the dedupClustersByHamming join, members do not
+    val imgs1 = vids.map(id => Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)))
+    val imgs10 = (0 until 10).flatMap(c => vids.map(id =>
+      Multimodal.MediaRow(id + c * 1000000L, "image", Multimodal.syntheticPng(id))))
+    val s1 = Multimodal.imageHashes(spark.createDataset(imgs1)).select("dhash").distinct().count()
+    val s10 = Multimodal.imageHashes(spark.createDataset(imgs10)).select("dhash").distinct().count()
+    assert(s10 == s1, s"distinct phash classes grew under duplication: $s1 -> $s10")
+    // and the quotient clustering still labels every member with the
+    // clique minimum
+    val labels = TextOps.dedupClustersByHamming(
+      spark.createDataset(imgs10).toDF().select(col("doc_id")),
+      Multimodal.imageHashes(spark.createDataset(imgs10)),
+      sigBits = 64, maxHamming = 0)
+      .as[(Long, Long)].collect().toMap
+    for (id <- vids; c <- 1 until 10)
+      assert(labels(id + c * 1000000L) == id,
+        s"copy of $id not labeled with its clique minimum")
+  }
+
   test("kNN graph work metrics are k-bounded under 10x embedding replication") {
     // the graph family's per-round work is the edge list (every edge
     // votes once per LPA round, every edge is touched once per peel
