@@ -1296,6 +1296,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(quotient == member, "video quotient CC diverged from member-graph CC")
   }
 
+  test("local union-find CC == distributed star contraction on the same graph") {
+    import spark.implicits._
+    // adversarial mix: a long id-scrambled chain (the shape that broke
+    // hook-and-jump), a clique, singletons, and a non-doc edge that
+    // the id-closure contract must drop on BOTH paths
+    val chain = (0L until 200L).map(i => (i * 7919 % 1000, (i + 1) * 7919 % 1000))
+      .filter { case (a, b) => a != b }
+    val clique = for (a <- 2000L to 2006L; b <- (a + 1) to 2006L) yield (a, b)
+    val ghost = Seq((3000L, 999999L)) // 999999 not in docs
+    val pairs = (chain ++ clique ++ ghost).toDF("id_a", "id_b")
+    val docs = ((0L until 1000L) ++ (2000L to 2006L) ++ Seq(3000L, 4000L))
+      .toDF("doc_id")
+    val local = TextOps.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    val saved = TextOps.LocalCcEdgeThreshold
+    val dist = try {
+      TextOps.LocalCcEdgeThreshold = 0L // force the distributed loop
+      TextOps.dedupClusters(docs, pairs).as[(Long, Long)].collect().toMap
+    } finally TextOps.LocalCcEdgeThreshold = saved
+    assert(local == dist, "local union-find diverged from star contraction")
+    // spot invariants: clique collapses to its minimum; ghost edge
+    // dropped (3000 stays a singleton); untouched docs self-label
+    assert(local(2006L) == 2000L)
+    assert(local(3000L) == 3000L)
+    assert(local(4000L) == 4000L)
+  }
+
   test("video shingles: trimmed-head twin invisible to aligned matching, caught by shingles") {
     import spark.implicits._
     // base: 4 frames; twin: frames 1..3 at indices 0..2 (head cut)
