@@ -674,7 +674,12 @@ object LlmQueries {
       VectorOps.mmrDiversify(e, e.filter(col("vec_id") < 8), n = 8, k = 4)
     }),
 
-    "q_embed_ann_lsh" -> ((s, dir) => annGraph(s, dir)),
+    // FRESH per call (the ccPairsFresh/videoPairsFresh billing
+    // pattern): this row's timing measures the LSH index + top-k
+    // build itself and refreshes the memo; the eleven knn* reader
+    // rows go through annGraph (getOrElse) and time only their own
+    // iteration/aggregation over the materialized cut.
+    "q_embed_ann_lsh" -> ((s, dir) => annGraphFresh(s, dir)),
 
     "q_embed_ann_mlsh" -> ((s, dir) =>
       VectorOps.annTopKMulti(embeddings(s, dir).filter(col("vec_id") < PairLimit),
@@ -1818,6 +1823,60 @@ object LlmQueries {
         graft.model.Lineage.cut(
           Multimodal.frameHashes(stagedVideoShiftPool(s, dir)),
           reliable = false), k = 2)
+    }),
+
+    "q_multimodal_video_dup_clusters_all" -> ((s, dir) => {
+      // UNIFIED video dedup endpoint — the dedup-matrix contract the
+      // per-evidence faces stop short of: ONE connected components
+      // over the UNION of aligned quorum pairs and shingle quorum
+      // pairs, computed over the COMBINED pool (base + blue-LSB
+      // re-encode twins at +2^40 + head-cut re-upload twins at +2^41).
+      // The aligned face alone calls the classic head-cut re-upload
+      // "not a dup"; here the re-encode twin clusters through aligned
+      // evidence AND the trimmed twin through shingle evidence, in the
+      // same label space. Exact-dup quotient on the frame-hash vector
+      // (identical vectors are aligned-quorum cliques, so the quotient
+      // loses nothing) before the star-contraction CC.
+      val pool = stagedVideoPool(s, dir).unionByName(
+        stagedVideoShiftPool(s, dir).filter(col("doc_id") >= VideoShiftOffset))
+      val sigs = graft.model.Lineage.cut(
+        Multimodal.frameHashes(pool), reliable = false)
+      val aligned = Multimodal.videoNearDupPairs(sigs, maxHamming = 2)
+        .select(col("id_a"), col("id_b"))
+      val shingled = Multimodal.sequenceShingleQuorumPairs(sigs, k = 2)
+        .select(col("id_a"), col("id_b"))
+      val sigVec = sigs.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("frame_idx"), col("fp"))))
+          .as("sig"))
+      TextOps.dedupClustersBySig(pool.select(col("doc_id")).distinct(),
+        sigVec, aligned.unionByName(shingled))
+    }),
+
+    "q_multimodal_audio_dup_clusters_all" -> ((s, dir) => {
+      // UNIFIED audio dedup endpoint, same recipe: whole-clip
+      // fingerprint pairs (radius 2 — catches the 1-ulp re-encode
+      // twins at +2^40) UNIONED with window-energy shingle quorum
+      // pairs (catches the 64-sample head-trim twins at +2^42, whose
+      // whole-clip fingerprint the trim shifts beyond radius) feed one
+      // CC over the combined pool; exact-dup quotient on the
+      // fingerprint (equal fps are radius-0 pairs, so the quotient
+      // loses nothing).
+      import s.implicits._
+      val pool = stagedWavPool(s, dir).unionByName(
+        stagedWavTrimPool(s, dir).filter(col("doc_id") >= WavTrimOffset))
+      val sigs = graft.model.Lineage.cut(
+        Multimodal.audioFingerprints(pool.as[Multimodal.MediaRow])
+          .toDF("doc_id", "fp"), reliable = false)
+      val aligned = TextOps.hammingPairs(sigs.toDF("id", "sig"),
+          sigBits = 64, maxHamming = 2)
+        .toDF("id_a", "id_b", "hamming").select(col("id_a"), col("id_b"))
+      val energies = graft.model.Lineage.cut(
+        Multimodal.wavWindowEnergy(pool.as[Multimodal.MediaRow], window = 64)
+          .select(col("doc_id"), col("win"), col("energy")), reliable = false)
+      val shingled = Multimodal.sequenceShingleQuorumPairs(energies, k = 2)
+        .select(col("id_a"), col("id_b"))
+      TextOps.dedupClustersBySig(pool.select(col("doc_id")),
+        sigs, aligned.unionByName(shingled))
     }),
 
     "q_multimodal_audio_shingles" -> ((s, dir) => {
@@ -3236,6 +3295,155 @@ object LlmQueries {
       |  JOIN vnf nb ON nb.doc_id = m.id_b
       |  GROUP BY id_a, id_b, na.nf, nb.nf
       |  HAVING COUNT(*) * 2 > LEAST(na.nf, nb.nf)
+      |)""".stripMargin
+
+  // Shared analytic chain for the UNIFIED video dedup endpoint: the
+  // COMBINED pool (base frame sequences + blue-LSB re-encode twins at
+  // +2^40 + head-cut twins at +2^41 whose frame j is the source's
+  // j+shift), per-frame dHash (sf = f + shift in the pixel formula),
+  // the aligned strict-majority quorum pairs (upair) AND the
+  // gram-quorum shingle pairs (ushp) — the two edge sources one CC
+  // unifies.
+  private val sqlVideoAllD: String =
+    """uvpool AS (
+      |  SELECT doc_id, doc_id AS src, 0 AS twin, 0 AS shift, 2 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 1099511627776, doc_id, 1, 0, 2 + doc_id % 5
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2199023255552, doc_id, 0, 1, 1 + doc_id % 5
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 1
+      |), uframe AS (
+      |  SELECT doc_id, src, twin, 8 + src % 16 AS w, 8 + src % 11 AS h,
+      |         k.f, k.f + shift AS sf
+      |  FROM uvpool, unnest(generate_series(0, nf - 1)) k(f)
+      |), ucell AS (
+      |  SELECT doc_id, src, twin, w, h, f, sf, rr.r, cc.c,
+      |    (cc.c * w) // 9 AS x0,
+      |    GREATEST((cc.c * w) // 9 + 1, ((cc.c + 1) * w) // 9) AS x1,
+      |    (rr.r * h) // 8 AS y0,
+      |    GREATEST((rr.r * h) // 8 + 1, ((rr.r + 1) * h) // 8) AS y1
+      |  FROM uframe, unnest(generate_series(0, 7)) rr(r), unnest(generate_series(0, 8)) cc(c)
+      |), ugv AS (
+      |  SELECT doc_id, f, r, c,
+      |    SUM(299 * (((x * 13 + y * 5 + sf * 41 + src) % 16777216) // 65536)
+      |      + 587 * ((((x * 13 + y * 5 + sf * 41 + src) % 16777216) // 256) % 256)
+      |      + 114 * (CASE WHEN twin = 1 AND (y * w + x) % 97 = 0 THEN
+      |          CASE WHEN ((x * 13 + y * 5 + sf * 41 + src) % 16777216) % 256 > 0
+      |            THEN ((x * 13 + y * 5 + sf * 41 + src) % 16777216) % 256 - 1
+      |            ELSE ((x * 13 + y * 5 + sf * 41 + src) % 16777216) % 256 + 1 END
+      |          ELSE ((x * 13 + y * 5 + sf * 41 + src) % 16777216) % 256 END)
+      |    ) // COUNT(*) AS gval
+      |  FROM ucell, unnest(generate_series(y0, y1 - 1)) yy(y),
+      |    unnest(generate_series(x0, x1 - 1)) xx(x)
+      |  GROUP BY 1, 2, 3, 4
+      |), ubits AS (
+      |  SELECT a.doc_id, a.f,
+      |    SUM(CASE WHEN a.gval > b.gval
+      |      THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c) ELSE 0 END) AS raw
+      |  FROM ugv a JOIN ugv b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY 1, 2
+      |), ud AS (
+      |  SELECT doc_id, f, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS fp
+      |  FROM ubits
+      |), unfr AS (
+      |  SELECT doc_id, COUNT(*) AS nf FROM ud GROUP BY 1
+      |), upair AS (
+      |  SELECT id_a, id_b
+      |  FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f
+      |    FROM ud a JOIN ud b ON a.f = b.f AND a.doc_id < b.doc_id
+      |    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+      |  ) m
+      |  JOIN unfr na ON na.doc_id = m.id_a
+      |  JOIN unfr nb ON nb.doc_id = m.id_b
+      |  GROUP BY id_a, id_b, na.nf, nb.nf
+      |  HAVING COUNT(*) * 2 > LEAST(na.nf, nb.nf)
+      |), ugram AS (
+      |  SELECT DISTINCT a.doc_id, a.fp AS h1, b.fp AS h2
+      |  FROM ud a JOIN ud b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |), ung AS (
+      |  SELECT doc_id, COUNT(*) AS ng FROM ugram GROUP BY 1
+      |), ushp AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |    FROM ugram a JOIN ugram b
+      |      ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2
+      |  ) sp
+      |  JOIN ung na ON na.doc_id = sp.id_a
+      |  JOIN ung nb ON nb.doc_id = sp.id_b
+      |  WHERE sp.n_shared * 2 > LEAST(na.ng, nb.ng)
+      |)""".stripMargin
+
+  // Shared analytic chain for the UNIFIED audio dedup endpoint: the
+  // COMBINED pool (base WAVs + 1-ulp re-encode twins at +2^40 +
+  // 64-sample head-trim twins at +2^42, replayed by i + shift in the
+  // sample formula), whole-clip band-energy fingerprints with
+  // radius-2 pairs (uapr) AND window-energy gram-quorum shingle
+  // pairs (uashp).
+  private val sqlAudioAllD: String =
+    """uapool AS (
+      |  SELECT doc_id, doc_id AS src, 0 AS twin, 0 AS shift,
+      |    (200 + doc_id % 300) * (1 + doc_id % 2) AS total
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1099511627776, doc_id, 1, 0,
+      |    (200 + doc_id % 300) * (1 + doc_id % 2)
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4398046511104, doc_id, 0, 64,
+      |    (200 + doc_id % 300) * (1 + doc_id % 2) - 64
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
+      |), uasm AS (
+      |  SELECT p.doc_id, k.i, p.total,
+      |    CASE WHEN p.twin = 1 AND k.i % 97 = 0 THEN
+      |      CASE WHEN (((k.i + p.shift) * 2347 + p.src * 17) % 65536) - 32768 > 0
+      |        THEN (((k.i + p.shift) * 2347 + p.src * 17) % 65536) - 32769
+      |        ELSE (((k.i + p.shift) * 2347 + p.src * 17) % 65536) - 32767 END
+      |    ELSE (((k.i + p.shift) * 2347 + p.src * 17) % 65536) - 32768 END AS s
+      |  FROM uapool p, unnest(generate_series(0, p.total - 1)) k(i)
+      |), uae AS (
+      |  SELECT doc_id, (i * 65) // total AS band,
+      |    SUM(CAST(s AS BIGINT) * s) AS energy
+      |  FROM uasm GROUP BY 1, 2
+      |), uafb AS (
+      |  SELECT a.doc_id,
+      |    SUM(CASE WHEN b.energy > a.energy
+      |      THEN CAST(1 AS HUGEINT) << a.band ELSE 0 END) AS raw
+      |  FROM uae a JOIN uae b ON a.doc_id = b.doc_id AND b.band = a.band + 1
+      |  WHERE a.band < 64
+      |  GROUP BY 1
+      |), uad AS (
+      |  SELECT doc_id, CAST(raw - CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS fp
+      |  FROM uafb
+      |), uapr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM uad a JOIN uad b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 2
+      |), uaw AS (
+      |  SELECT doc_id, i // 64 AS win, SUM(CAST(s AS BIGINT) * s) AS energy
+      |  FROM uasm GROUP BY 1, 2
+      |), uag AS (
+      |  SELECT DISTINCT a.doc_id, a.energy AS h1, b.energy AS h2
+      |  FROM uaw a JOIN uaw b ON a.doc_id = b.doc_id AND b.win = a.win + 1
+      |), uang AS (
+      |  SELECT doc_id, COUNT(*) AS ng FROM uag GROUP BY 1
+      |), uashp AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |    FROM uag a JOIN uag b
+      |      ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2
+      |  ) sp
+      |  JOIN uang na ON na.doc_id = sp.id_a
+      |  JOIN uang nb ON nb.doc_id = sp.id_b
+      |  WHERE sp.n_shared * 2 > LEAST(na.ng, nb.ng)
       |)""".stripMargin
 
   /** Oracle for [[graft.text.TextOps.bpeTrain]]: the iterative merge
@@ -6369,10 +6577,10 @@ object LlmQueries {
         |  CAST(n_min AS BIGINT) AS n_raters,
         |  CAST(n_categories AS BIGINT) AS n_categories,
         |  CAST(a_num AS BIGINT) AS a_num, CAST(b_num AS BIGINT) AS b_num,
-        |  ROUND(CAST(a_num * n_items * n_items * n_min * n_min
-        |          - b_num * (n_items * n_min * (n_min - 1)) AS DOUBLE)
-        |    / CAST(n_items * n_min * (n_min - 1)
-        |          * (n_items * n_items * n_min * n_min - b_num) AS DOUBLE),
+        |  ROUND(CAST(CAST(a_num AS HUGEINT) * n_items * n_items * n_min * n_min
+        |          - CAST(b_num AS HUGEINT) * (n_items * n_min * (n_min - 1)) AS DOUBLE)
+        |    / CAST(CAST(n_items AS HUGEINT) * n_min * (n_min - 1)
+        |          * (CAST(n_items AS HUGEINT) * n_items * n_min * n_min - b_num) AS DOUBLE),
         |    6) AS kappa
         |FROM a, b WHERE n_min = n_max""".stripMargin,
 
@@ -7074,6 +7282,44 @@ object LlmQueries {
          |)
          |SELECT pl.doc_id, LEAST(pl.doc_id, COALESCE(MIN(w.lbl), pl.doc_id)) AS cluster_id
          |FROM pool pl LEFT JOIN walk w ON w.id = pl.doc_id
+         |GROUP BY pl.doc_id ORDER BY 1""".stripMargin,
+
+    // UNIFIED audio dedup endpoint: CC over the union of whole-clip
+    // fingerprint radius-2 pairs and window-energy shingle quorum
+    // pairs, over the combined base + re-encode + head-trim pool
+    "q_multimodal_audio_dup_clusters_all" ->
+      s"""WITH RECURSIVE $sqlAudioAllD,
+         |uedge AS (
+         |  SELECT id_a, id_b FROM uapr UNION SELECT id_a, id_b FROM uashp
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM uedge
+         |  UNION ALL SELECT id_b, id_a FROM uedge
+         |), walk(id, lbl) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+         |)
+         |SELECT pl.doc_id, LEAST(pl.doc_id, COALESCE(MIN(w.lbl), pl.doc_id)) AS cluster_id
+         |FROM uapool pl LEFT JOIN walk w ON w.id = pl.doc_id
+         |GROUP BY pl.doc_id ORDER BY 1""".stripMargin,
+
+    // UNIFIED video dedup endpoint: CC over the union of aligned
+    // quorum pairs and frame-hash shingle quorum pairs, over the
+    // combined base + re-encode + head-cut pool
+    "q_multimodal_video_dup_clusters_all" ->
+      s"""WITH RECURSIVE $sqlVideoAllD,
+         |uedge AS (
+         |  SELECT id_a, id_b FROM upair UNION SELECT id_a, id_b FROM ushp
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM uedge
+         |  UNION ALL SELECT id_b, id_a FROM uedge
+         |), walk(id, lbl) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+         |)
+         |SELECT pl.doc_id, LEAST(pl.doc_id, COALESCE(MIN(w.lbl), pl.doc_id)) AS cluster_id
+         |FROM uvpool pl LEFT JOIN walk w ON w.id = pl.doc_id
          |GROUP BY pl.doc_id ORDER BY 1""".stripMargin,
 
     // video frame hashes: the lossless PNG pixel formula (+ the

@@ -61,7 +61,11 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        var ties = 0L
+        // -1 = uniqueness check never ran (no oracle SQL for the face,
+        // or FaceOrder parsed no sort keys); 0 = ran and found no ties.
+        // Without the sentinel the committed record can't distinguish
+        // "checked clean" from "not checked".
+        var ties = -1L
         for (sql <- SparkEntry.oracleSql.get(name)) {
           val face = spark.read.parquet(s"$outDir/$name")
           for (keys <- FaceOrder.sortKeys(sql, face.columns.toSeq)) {

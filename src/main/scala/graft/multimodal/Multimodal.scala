@@ -1271,20 +1271,7 @@ object Multimodal {
     * (id_a, id_b, n_shared) for pairs sharing >= 1 shingle.
     */
   def sequenceShinglePairs(frameSigs: DataFrame, k: Int = 2): DataFrame = {
-    require(k >= 2, s"shingle length must be >= 2, got $k")
-    val s = frameSigs.toDF("vid", "f", "sig")
-    // grams via k-1 equi-joins on consecutive frame indices (window-
-    // free: no per-video sort state ever materializes; each join is
-    // (vid)-keyed with a frame-offset filter)
-    var grams = s.select(col("vid"), col("f"), array(col("sig")).as("g"))
-    for (step <- 1 until k) {
-      grams = grams
-        .join(s.toDF("vid", "fn", "sn"), Seq("vid"))
-        .filter(col("fn") === col("f") + step)
-        .select(col("vid"), col("f"),
-          concat(col("g"), array(col("sn"))).as("g"))
-    }
-    val gset = grams.select(col("vid"), col("g")).distinct() // gram SET
+    val gset = shingleGramSets(frameSigs, k)
     gset.toDF("vid_a", "g")
       .join(gset.toDF("vid_b", "g"), Seq("g"))
       .filter(col("vid_a") < col("vid_b"))
@@ -1292,6 +1279,58 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
       .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"),
         col("n_shared"))
+  }
+
+  /** [[sequenceShinglePairs]] under the STRICT-MAJORITY quorum the
+    * aligned face uses (`2·n_matched > min(nf)` there;
+    * `2·n_shared > min(ng)` here, ng = each video's distinct gram
+    * count): pairs whose shared-shingle mass covers a majority of the
+    * shorter gram set. This is the edge predicate the UNIFIED dedup
+    * endpoints feed to connected components — a head-cut re-upload
+    * shares its ENTIRE gram set with its base (every twin gram is a
+    * base gram by construction), so it always passes; an incidental
+    * single-gram collision between two long unrelated videos never
+    * does. Returns (id_a, id_b, n_shared).
+    */
+  def sequenceShingleQuorumPairs(frameSigs: DataFrame, k: Int = 2): DataFrame = {
+    val gset = shingleGramSets(frameSigs, k)
+    val ng = gset.groupBy(col("vid")).agg(count(lit(1)).as("ng"))
+    gset.toDF("vid_a", "g")
+      .join(gset.toDF("vid_b", "g"), Seq("g"))
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(ng.toDF("vid_a", "ng_a"), "vid_a")
+      .join(ng.toDF("vid_b", "ng_b"), "vid_b")
+      .filter(col("n_shared") * 2 > least(col("ng_a"), col("ng_b")))
+      .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"),
+        col("n_shared"))
+  }
+
+  /** Per-video DISTINCT gram set (vid, g): the shared build behind
+    * both shingle-pair faces. Window-free; see the join-key note
+    * inside.
+    */
+  private def shingleGramSets(frameSigs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"shingle length must be >= 2, got $k")
+    val s = frameSigs.toDF("vid", "f", "sig")
+    // grams via k-1 equi-joins on consecutive frame indices (window-
+    // free: no per-video sort state ever materializes). The offset is
+    // MATERIALIZED as a column and joined on (vid, fn) — STRUCTURAL
+    // equi-keys, not a (vid)-keyed join with an arithmetic filter that
+    // relies on ExtractEquiJoinKeys lifting `fn === f + step` into the
+    // key set: if a future Catalyst stopped extracting it, that shape
+    // silently degrades to per-video frames² — invisible on short
+    // fixtures, fatal on hour-long videos.
+    var grams = s.select(col("vid"), col("f"), array(col("sig")).as("g"))
+    for (step <- 1 until k) {
+      grams = grams
+        .withColumn("fn", col("f") + step)
+        .join(s.toDF("vid", "fn", "sn"), Seq("vid", "fn"))
+        .select(col("vid"), col("f"),
+          concat(col("g"), array(col("sn"))).as("g"))
+    }
+    grams.select(col("vid"), col("g")).distinct() // gram SET
   }
 
   /** Build a MediaRow dataset from the documents table (text bytes as

@@ -984,19 +984,35 @@ object StreamOps {
     * as exact-verify is downstream of the text probe — `distinct` is
     * a stateful aggregation a probe stream must not own.
     *
-    * OUTPUT CONTRACT — BAND-MULTIPLIED candidate pairs: a true pair
-    * within the radius matches in up to `maxHamming + 1` pigeonhole
-    * bands and is emitted once PER matching band, with that `band` in
-    * the row (the text probe's `bucket` column, same reason). A
-    * consumer counting pairs must first cut to
-    * `distinct(id_a, id_b)` downstream; the multiplicity is visible
-    * in the schema precisely so it cannot be mistaken for one row
-    * per pair.
+    * OUTPUT CONTRACT — the ORIGINAL (id_a, id_b, hamming) column set
+    * (band-multiplied rows, band NOT in the schema, so an existing
+    * consumer's `distinct(id_a, id_b, hamming)` yields one row per
+    * pair exactly as it always has). The banded diagnostic schema that
+    * briefly replaced this one lives under
+    * [[streamingAudioFpProbeBanded]] — adding `band` here silently
+    * inflated any downstream plain-`distinct` pair count, a breaking
+    * public-API change this split reverts.
     *
     * No state, no watermark: O(bucket occupancy) per arriving clip
     * against a 100 TB corpus index.
     */
   def streamingAudioFpProbe(
+      baseSigs: DataFrame, incoming: Dataset[graft.multimodal.Multimodal.MediaRow],
+      maxHamming: Int = 2): DataFrame =
+    streamingAudioFpProbeBanded(baseSigs, incoming, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
+  /** BANDED variant of [[streamingAudioFpProbe]]: identical candidate
+    * stream with the matching pigeonhole `band` exposed per row (the
+    * text probe's `bucket` column, same reason — which band fired is
+    * the occupancy-skew diagnostic an index operator tunes on). A true
+    * pair within the radius matches in up to `maxHamming + 1` bands
+    * and is emitted once PER matching band: a consumer counting pairs
+    * must cut to `distinct(id_a, id_b)` downstream; the multiplicity
+    * is visible in the schema precisely so it cannot be mistaken for
+    * one row per pair.
+    */
+  def streamingAudioFpProbeBanded(
       baseSigs: DataFrame, incoming: Dataset[graft.multimodal.Multimodal.MediaRow],
       maxHamming: Int = 2): DataFrame = {
     val probe = graft.text.TextOps.hammingBands(

@@ -302,10 +302,15 @@ object PrefOps {
     * A = Σ_i (Σ_k n_ik² − n)   (so P̄  = A / (N·n·(n−1))),
     * B = Σ_k (Σ_i n_ik)²       (so P̄e = B / (N·n)²),
     * κ = (A·D2 − B·D1) / (D1·(D2 − B)), D1 = N·n·(n−1), D2 = (N·n)² —
-    * every term a BIGINT both engines compute identically, then ONE
-    * double division rounded to 6. Requires a complete design (every
-    * rater rates every item): an incomplete table yields ZERO rows
-    * (the harness's row check goes red) rather than a silently wrong κ.
+    * every term accumulated as BIGINT, the κ quotient's four products
+    * (A·D2, B·D1, D1, D2−B) widened to decimal(38,0) — A·D2 ≈ 500·N³
+    * at n=5 passes int64 at N ≈ 264k items, i.e. ANY production-scale
+    * annotation table; decimal(38,0) holds it to N ≈ 5×10¹¹ — then ONE
+    * double division rounded to 6 (the q_knn_transitivity wedge-sum
+    * idiom; the oracle mirrors with HUGEINT). Requires a complete
+    * design (every rater rates every item): an incomplete table yields
+    * ZERO rows (the harness's row check goes red) rather than a
+    * silently wrong κ.
     *
     * 100 TB shape: one (item, category)-keyed count, one item-keyed
     * fold, one category-keyed fold — three map-side-combinable
@@ -327,16 +332,20 @@ object PrefOps {
       .agg(sum(col("c")).as("ck"))
       .agg(sum(col("ck") * col("ck")).cast("long").as("b_num"),
         count(lit(1)).cast("long").as("n_categories"))
+    val dec = "decimal(38,0)"
     aAgg.crossJoin(broadcast(bAgg))
       .filter(col("n_min") === col("n_max")) // complete design only
       .select(col("n_items"), col("n_min").as("n_raters"),
         col("n_categories"), col("a_num"), col("b_num"),
         round(
-          (col("a_num") * col("n_items") * col("n_items") * col("n_min") * col("n_min")
-            - col("b_num") * (col("n_items") * col("n_min") * (col("n_min") - 1)))
+          (col("a_num").cast(dec) * col("n_items").cast(dec) * col("n_items").cast(dec)
+            * col("n_min").cast(dec) * col("n_min").cast(dec)
+            - col("b_num").cast(dec)
+              * (col("n_items").cast(dec) * col("n_min").cast(dec) * (col("n_min") - 1).cast(dec)))
             .cast("double")
-          / (col("n_items") * col("n_min") * (col("n_min") - 1)
-            * (col("n_items") * col("n_items") * col("n_min") * col("n_min") - col("b_num")))
+          / (col("n_items").cast(dec) * col("n_min").cast(dec) * (col("n_min") - 1).cast(dec)
+            * (col("n_items").cast(dec) * col("n_items").cast(dec)
+              * col("n_min").cast(dec) * col("n_min").cast(dec) - col("b_num").cast(dec)))
             .cast("double"),
           6).as("kappa"))
   }

@@ -802,6 +802,15 @@ class PlanSpec extends AnyFunSuite {
       s"shingle gram join degenerated:\n${psh.take(3000)}")
     assert(!psh.contains("Window"),
       s"unexpected window in the shingle rollup:\n${psh.take(3000)}")
+    // the gram-step join must carry the frame-offset column IN ITS
+    // EQUI-KEYS (vid, fn) — a vid-only join with an `fn = f + step`
+    // post-filter is per-video frames²: invisible on 3-frame fixtures,
+    // fatal on hour-long videos. The operator builds `fn` structurally;
+    // this pin fails if that ever regresses to filter-reliant keys.
+    val gramJoinKeys =
+      raw"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*vid#\d+L?, fn#\d+".r
+    assert(gramJoinKeys.findFirstIn(psh).isDefined,
+      s"gram-step join lost the (vid, fn) equi-keys:\n${psh.take(3000)}")
   }
 
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {

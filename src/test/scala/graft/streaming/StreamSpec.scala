@@ -1524,8 +1524,12 @@ class StreamSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     // multi-band candidate dedup is the downstream batch cut — the
-    // probe emits one row PER matching band (the band rides in the
-    // schema so the multiplicity is visible); drop it, then distinct
+    // probe emits one row PER matching band but keeps the ORIGINAL
+    // (id_a, id_b, hamming) column set (band lives only on the
+    // *Banded variant), so a plain distinct() is one row per pair
+    assert(spark.table("afp_probe").columns.toSeq ==
+      Seq("id_a", "id_b", "hamming"),
+      "streamingAudioFpProbe public schema must stay (id_a, id_b, hamming)")
     val streamed = spark.table("afp_probe")
       .select("id_a", "id_b", "hamming").distinct()
       .as[(Long, Long, Long)].collect().toSet

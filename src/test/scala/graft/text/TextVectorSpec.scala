@@ -1382,6 +1382,59 @@ class TextVectorSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Multimodal.trimWav(raw), raw))
   }
 
+  test("unified dedup endpoints: re-encode AND head-cut twins cluster with their base") {
+    import spark.implicits._
+    // VIDEO: base (4 frames), blue-LSB re-encode twin (+2^40, aligned
+    // evidence), head-cut twin (+2^41, shingle evidence), plus an
+    // unrelated video. One CC over the UNION of aligned quorum pairs
+    // and shingle quorum pairs must co-label BOTH twins with the base
+    // — the dedup-matrix contract the per-evidence faces stop short of.
+    val id = 11L
+    val base = (0 until 4).map(x => (id, x.toLong, Multimodal.syntheticPngFrame(id, x)))
+    val reenc = (0 until 4).map(x => (id + (1L << 40), x.toLong,
+      Multimodal.perturbPngFrame(Multimodal.syntheticPngFrame(id, x))))
+    val headcut = (0 until 3).map(x => (id + (1L << 41), x.toLong,
+      Multimodal.syntheticPngFrame(id, x + 1)))
+    val other = (0 until 3).map(x => (23L, x.toLong, Multimodal.syntheticPngFrame(23L, x)))
+    val pool = (base ++ reenc ++ headcut ++ other).toDF("doc_id", "frame_idx", "payload")
+    val sigs = Multimodal.frameHashes(pool)
+    val aligned = Multimodal.videoNearDupPairs(sigs, maxHamming = 2)
+      .select(col("id_a"), col("id_b"))
+    val shingled = Multimodal.sequenceShingleQuorumPairs(sigs, k = 2)
+      .select(col("id_a"), col("id_b"))
+    val sigVec = sigs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("fp")))).as("sig"))
+    val labels = TextOps.dedupClustersBySig(
+        pool.select(col("doc_id")).distinct(), sigVec,
+        aligned.unionByName(shingled))
+      .as[(Long, Long)].collect().toMap
+    assert(labels(id + (1L << 40)) == labels(id), "re-encode twin split from base")
+    assert(labels(id + (1L << 41)) == labels(id), "head-cut twin split from base")
+    assert(labels(23L) != labels(id), "unrelated video merged into the base cluster")
+    // AUDIO analog: whole-clip fp pairs (catch the 1-ulp twin) +
+    // window-energy shingle quorum pairs (catch the 64-sample trim)
+    val aid = 7L
+    val wav = Multimodal.syntheticWav(aid)
+    val apool = spark.createDataset(Seq(
+      Multimodal.MediaRow(aid, "audio", wav),
+      Multimodal.MediaRow(aid + (1L << 40), "audio", Multimodal.perturbWav(wav)),
+      Multimodal.MediaRow(aid + (1L << 42), "audio", Multimodal.trimWav(wav, 64)),
+      Multimodal.MediaRow(13L, "audio", Multimodal.syntheticWav(13L))))
+    val asigs = Multimodal.audioFingerprints(apool).toDF("doc_id", "fp")
+    val apr = TextOps.hammingPairs(asigs.toDF("id", "sig"), sigBits = 64, maxHamming = 2)
+      .toDF("id_a", "id_b", "hamming").select(col("id_a"), col("id_b"))
+    val aen = Multimodal.wavWindowEnergy(apool, window = 64)
+      .select(col("doc_id"), col("win"), col("energy"))
+    val ash = Multimodal.sequenceShingleQuorumPairs(aen, k = 2)
+      .select(col("id_a"), col("id_b"))
+    val alab = TextOps.dedupClustersBySig(
+        apool.toDF().select(col("doc_id")), asigs, apr.unionByName(ash))
+      .as[(Long, Long)].collect().toMap
+    assert(alab(aid + (1L << 40)) == alab(aid), "1-ulp audio twin split from base")
+    assert(alab(aid + (1L << 42)) == alab(aid), "trimmed audio twin split from base")
+    assert(alab(13L) != alab(aid), "unrelated clip merged into the base cluster")
+  }
+
   test("fleissKappa: hand cases exact; incomplete design yields zero rows") {
     import spark.implicits._
     def kap(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long, Double)] =
@@ -1407,6 +1460,27 @@ class TextVectorSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Double)].collect()
     assert(k.length == 1 && k.head._1 == 40L && k.head._2 == 5L)
     assert(k.head._6 > 0.0 && k.head._6 < 1.0) // noisy but above chance
+  }
+
+  test("fleissKappa survives the int64 kappa-numerator ceiling (decimal widening)") {
+    import spark.implicits._
+    // N = 400k items x 5 raters, perfect agreement: the pre-widening
+    // int64 path computed a_num·N²·n² = 500·N³ ≈ 3.2e19 > 2^63 here,
+    // so ANSI Spark threw ArithmeticException on any production-scale
+    // annotation table. The decimal(38,0) kappa terms must survive
+    // and return exactly 1.0 (perfect agreement is exact: numerator
+    // 375·N³ equals denominator 375·N³).
+    val n = 400000L
+    val ratings = spark.range(n).select(
+        col("id").as("item_id"),
+        explode(expr("sequence(0, 4)")).as("rater_id"))
+      .select(col("item_id"), col("rater_id").cast("long").as("rater_id"),
+        (col("item_id") % 4).as("category"))
+    val k = graft.text.PrefOps.fleissKappa(ratings)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(k.length == 1, s"expected one kappa row, got ${k.toSeq}")
+    assert(k.head._1 == n && k.head._2 == 5L && k.head._6 == 1.0,
+      s"kappa must be exactly 1.0 at N=$n, got ${k.head}")
   }
 
   test("filterFunnel: first-gate attribution, monotone survivors, exact corpus share") {
