@@ -86,6 +86,38 @@ object Bench {
         k -> vs.sorted.apply(vs.size / 2) }
   }
 
+  /** Calibration ANCHOR: the fastest multithread calib probe over the
+    * trend history plus the current capture — i.e. the quietest regime
+    * this machine has ever been measured in. The probe is fixed work
+    * and data-independent, so any sf's lines qualify. The anchor
+    * closes the loop the probe opened: `total_calib_adj =
+    * total × anchor_mt / capture_mt` expresses every capture's total
+    * in quiet-window machine-seconds, so a 2.9×-loud window (r16
+    * official: calib_mt 1351 vs the 953 self-capture) stops reading
+    * as a phantom 40% regression in the trend. A NEW quietest window
+    * automatically becomes the anchor for itself and all later lines;
+    * earlier lines' adjusted totals are recomputable from their
+    * recorded raw total + calib_mt + this line's anchor.
+    */
+  def calibAnchorMt(currentMt: Long,
+      path: String = "BENCH_TREND.jsonl"): Long = {
+    val pat = """"calib_mt_ms":([0-9]+)""".r
+    val hist =
+      try {
+        val f = new java.io.File(path)
+        if (!f.exists()) Seq.empty[Long]
+        else {
+          val src = scala.io.Source.fromFile(f)
+          try pat.findAllMatchIn(src.mkString).map(_.group(1).toLong).toSeq
+          finally src.close()
+        }
+      } catch { case _: Throwable => Seq.empty[Long] }
+    ((hist :+ currentMt).filter(_ > 0) :+ Long.MaxValue).min match {
+      case Long.MaxValue => currentMt
+      case m => m
+    }
+  }
+
   /** Dirty-page writeback still draining from whatever ran before the
     * bench (a full Verify pass writes hundreds of parquet files)
     * steals disk bandwidth from the timed region; wait it out, capped.
@@ -334,7 +366,13 @@ object Bench {
     val discards = loudDiscards.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val li3 = math.rint(loudnessIndex * 1000) / 1000.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,"loud_discards":$discards,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
+    // regime-adjusted total: raw total scaled by anchor_mt/capture_mt
+    // (quiet-window machine-seconds; see calibAnchorMt)
+    val anchorMt = calibAnchorMt(calibMtMs)
+    val totalCalibAdj =
+      if (calibMtMs > 0) math.rint(total * anchorMt / calibMtMs * 1000) / 1000.0
+      else total
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,"calib_anchor_mt_ms":$anchorMt,"total_calib_adj":$totalCalibAdj,"loud_discards":$discards,"queries":$qs,"queries_min":$qsMin,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(effectiveOut)
       try w.println(line) finally w.close()
@@ -354,7 +392,7 @@ object Bench {
     try if (onlyQueries.isEmpty) {
       val trend = new java.io.FileWriter("BENCH_TREND.jsonl", true)
       val ts = java.time.Instant.now().toString
-      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,"sf":"$sfDir","queries":$qs}""" + "\n")
+      try trend.write(s"""{"ts":"$ts","total":$total,"runs":$Runs,"agg":"median","total_min":$totalMin,"loud_retries":$loudRetries,"loudness_index":$li3,"loudness_waits":$loudnessWaits,"calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,"calib_anchor_mt_ms":$anchorMt,"total_calib_adj":$totalCalibAdj,"sf":"$sfDir","queries":$qs}""" + "\n")
       finally trend.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the final line: its shutdown logging must not

@@ -1307,6 +1307,16 @@ object Multimodal {
         col("n_shared"))
   }
 
+  /** The STORED gram index for the streaming shingle probe
+    * ([[graft.streaming.StreamOps.streamingShingleProbe]]): one row
+    * per (vid, distinct gram) over the corpus — the static side of
+    * the probe's stream-static equi-join. Same gram definition as the
+    * batch shingle faces (one build, the stream can never shingle
+    * differently).
+    */
+  def sequenceGramIndex(frameSigs: DataFrame, k: Int = 2): DataFrame =
+    shingleGramSets(frameSigs, k)
+
   /** Per-video DISTINCT gram set (vid, g): the shared build behind
     * both shingle-pair faces. Window-free; see the join-key note
     * inside.

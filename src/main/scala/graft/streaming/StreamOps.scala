@@ -1056,6 +1056,47 @@ object StreamOps {
     * No state, no watermark: O(bucket occupancy) per arriving frame
     * against a 100 TB frame index.
     */
+  /** STREAMING SHINGLE PROBE — the fifth live-probe member, completing
+    * the probe matrix for the SHIFT-TOLERANT dedup family
+    * ([[streamingVideoFpProbe]] covers aligned frame evidence; this
+    * covers the head-cut re-upload that aligned matching misses by
+    * construction): arriving CLIPS — one row per video,
+    * (doc_id, sigs = the ordered frame-hash sequence), the unit a
+    * finished upload presents — are w-shingled ROW-LOCALLY (the same
+    * k-consecutive-hash grams as
+    * [[graft.multimodal.Multimodal.sequenceShinglePairs]], distinct
+    * per clip), and candidates come from ONE stream-static equi-join
+    * on the gram against the stored corpus gram index
+    * ([[graft.multimodal.Multimodal.sequenceGramIndex]]). Works
+    * unchanged for audio: sigs = the 64-sample window-energy sequence.
+    *
+    * OUTPUT CONTRACT — GRAM-multiplied candidate pairs (id_a =
+    * incoming clip, id_b = indexed clip, g = the shared gram): a true
+    * shifted duplicate matches once PER shared gram, and the quorum
+    * rollup `2·n_shared > min(ng)` is a per-pair AGGREGATION — state a
+    * probe stream must not own — so it runs as the downstream batch
+    * cut, exactly as pair-dedup is downstream of the audio probe. The
+    * gram rides in the schema so the multiplicity cannot be mistaken
+    * for one row per pair.
+    *
+    * No state, no watermark: clips shorter than k frames emit nothing
+    * (no gram exists); cost is O(gram-bucket occupancy) per arriving
+    * clip against a 100 TB gram index.
+    */
+  def streamingShingleProbe(
+      baseGrams: DataFrame, incoming: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 2, s"shingle length must be >= 2, got $k")
+    val probe = incoming.toDF("id_a", "sigs")
+      .filter(size(col("sigs")) >= k)
+      .select(col("id_a"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(sigs) - ${k - 1}), i -> slice(sigs, i, $k))")))
+          .as("g"))
+    probe.join(baseGrams.toDF("id_b", "g"), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("g"))
+  }
+
   def streamingVideoFpProbe(
       baseFrameSigs: DataFrame, incoming: DataFrame,
       maxHamming: Int = 2): DataFrame = {

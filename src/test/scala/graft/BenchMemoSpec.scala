@@ -45,6 +45,25 @@ class BenchMemoSpec extends AnyFunSuite {
     assert(memo.values.forall(_ > 0))
   }
 
+  test("calibAnchorMt: fastest historical probe wins; current capture can set a new anchor") {
+    val tmp = java.io.File.createTempFile("trend", ".jsonl")
+    tmp.deleteOnExit()
+    val w = new java.io.PrintWriter(tmp)
+    try {
+      w.println("""{"ts":"t1","total":1.0,"calib_st_ms":846,"calib_mt_ms":953,"sf":"/x/sf0.1","queries":{}}""")
+      w.println("""{"ts":"t2","total":1.4,"calib_st_ms":895,"calib_mt_ms":1351,"sf":"/x/sf0.1","queries":{}}""")
+    } finally w.close()
+    // loud current capture: history's 953 is the anchor → adjusted
+    // total scales DOWN by 953/1351
+    assert(Bench.calibAnchorMt(1351, path = tmp.getAbsolutePath) == 953L)
+    // a new quietest window becomes its own anchor
+    assert(Bench.calibAnchorMt(910, path = tmp.getAbsolutePath) == 910L)
+    // no history: the current probe anchors itself (adjusted == raw)
+    assert(Bench.calibAnchorMt(1000, path = "/no/such/trend.jsonl") == 1000L)
+    // zero/garbage probes never produce a zero anchor
+    assert(Bench.calibAnchorMt(0, path = "/no/such/trend.jsonl") == 0L)
+  }
+
   test("trendMemo excludes known-loud capture lines when enough quiet lines remain") {
     // r15: three 2.0-4.1x loud-window lines entered the memo and
     // skewed every per-query reference upward — a known-loud line

@@ -1607,4 +1607,71 @@ class StreamSpec extends AnyFunSuite {
         a == id + (1L << 40) && b == id && f == 0L },
         s"video twin of $id never surfaced")
   }
+
+  test("streaming shingle probe equals the exhaustive gram intersection across arrival splits") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.types._
+    val baseIds = (0L until 24L).map(_ * 3 + 2)
+    def frames(id: Long, key: Long, shift: Int): Seq[(Long, Long, Array[Byte])] = {
+      val nf = 2 + (id % 5).toInt
+      (0 until nf - shift).map(f =>
+        (key, f.toLong, Multimodal.syntheticPngFrame(id, f + shift)))
+    }
+    val baseFrames = baseIds.flatMap(id => frames(id, id, 0))
+      .toDF("doc_id", "frame_idx", "payload")
+    val baseSigs = Multimodal.frameHashes(baseFrames)
+    val gramIndex = Multimodal.sequenceGramIndex(baseSigs, k = 2)
+    // incoming clips: head-cut twins (+2^41) whose frame j is the
+    // base's j+1 — invisible to the aligned probe by construction —
+    // plus fresh unrelated clips; each clip is ONE row (doc_id, the
+    // ordered frame-hash sequence), the unit a finished upload presents
+    val planted = baseIds.filter(_ % 5 == 1)
+    val twinFrames = planted.flatMap(id => frames(id, id + (1L << 41), 1))
+    val freshFrames = (5000L until 5004L).flatMap(id => frames(id, id, 0))
+    val toClips = (sigs: org.apache.spark.sql.DataFrame) => sigs
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(frame_idx, fp))), s -> s.fp)")
+        .as("sigs"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val clips = toClips(Multimodal.frameHashes(
+      (twinFrames ++ freshFrames).toDF("doc_id", "frame_idx", "payload")))
+    val (wave1, wave2) = clips.splitAt(clips.size / 2)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-shp-src").toString
+    wave1.toDF("doc_id", "sigs").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sigs", ArrayType(LongType))))
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamOps.streamingShingleProbe(gramIndex, src, k = 2)
+      .writeStream.format("memory").queryName("shingle_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      wave2.toDF("doc_id", "sigs").coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // quorum/count rollup is the downstream batch cut: distinct shared
+    // grams per pair (the gram rides in the schema — multiplicity is
+    // one row PER shared gram, never one row per pair)
+    val streamed = spark.table("shingle_probe")
+      .select(col("id_a"), col("id_b"), col("g")).distinct()
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    // exhaustive reference: gram-set intersections computed driver-side
+    def gramsOf(s: Seq[Long]): Set[Seq[Long]] =
+      s.sliding(2).filter(_.size == 2).map(_.toSeq).toSet
+    val baseSeqs = toClips(baseSigs)
+    val expect = (for {
+      (ia, sa) <- clips; (ib, sb) <- baseSeqs
+      if ia != ib
+      n = gramsOf(sa).intersect(gramsOf(sb)).size
+      if n > 0
+    } yield (ia, ib, n.toLong)).toSet
+    assert(streamed == expect && streamed.nonEmpty,
+      s"streamed ${streamed.size} pairs vs exhaustive ${expect.size}")
+    // every head-cut twin surfaced its base, whichever wave carried it
+    for (id <- planted)
+      assert(streamed.exists { case (a, b, _) => a == id + (1L << 41) && b == id },
+        s"head-cut twin of $id never surfaced")
+  }
 }
