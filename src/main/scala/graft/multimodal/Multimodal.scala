@@ -1293,7 +1293,13 @@ object Multimodal {
     * does. Returns (id_a, id_b, n_shared).
     */
   def sequenceShingleQuorumPairs(frameSigs: DataFrame, k: Int = 2): DataFrame = {
-    val gset = shingleGramSets(frameSigs, k)
+    // the gram set feeds THREE consumers (both sides of the pair
+    // self-join + the per-video counts) — cut it once so the k-step
+    // gram build chain doesn't run three times (the videoNearDupPairs
+    // sig-cut precedent; TextOps.dedupClustersBySig cuts memberRep the
+    // same way)
+    val gset = graft.model.Lineage.cut(
+      shingleGramSets(frameSigs, k), reliable = false)
     val ng = gset.groupBy(col("vid")).agg(count(lit(1)).as("ng"))
     gset.toDF("vid_a", "g")
       .join(gset.toDF("vid_b", "g"), Seq("g"))

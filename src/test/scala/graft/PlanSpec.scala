@@ -813,6 +813,23 @@ class PlanSpec extends AnyFunSuite {
       s"gram-step join lost the (vid, fn) equi-keys:\n${psh.take(3000)}")
   }
 
+  test("unified dedup endpoints: keyed joins only, no cartesian, no corpus window") {
+    // both _all faces union two edge predicates (aligned/fp quorum +
+    // gram quorum) into one CC — every join must stay banded/gram/
+    // class-keyed; a cartesian or corpus-wide window here would be
+    // the videos² shape the quotient machinery exists to avoid
+    for (name <- Seq("q_multimodal_video_dup_clusters_all",
+        "q_multimodal_audio_dup_clusters_all")) {
+      val f = LlmQueries.all(name)(spark, dir)
+      f.collect()
+      val p = plan(f)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a cartesian:\n${p.take(3000)}")
+      assert(!p.contains("Window"),
+        s"unexpected window in $name:\n${p.take(3000)}")
+    }
+  }
+
   test("graph metrics and reports: keyed joins only, bounded final aggregates") {
     // modularity: every join is node-/label-keyed; the only cross
     // joins combine 1-row aggregates
