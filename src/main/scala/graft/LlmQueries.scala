@@ -1834,22 +1834,36 @@ object LlmQueries {
       // The aligned face alone calls the classic head-cut re-upload
       // "not a dup"; here the re-encode twin clusters through aligned
       // evidence AND the trimmed twin through shingle evidence, in the
-      // same label space. Exact-dup quotient on the frame-hash vector
+      // same label space. ALIGNED evidence is INCREMENTAL: the
+      // base-pool pair table is read from the memoized cc_pairs cut
+      // (built once — the 100 TB arrival pattern) and only the DELTA
+      // touching the shifted uploads is computed fresh
+      // (videoNearDupPairsDelta: memo ∪ delta == full recompute,
+      // A/B-pinned). Exact-dup quotient on the frame-hash vector
       // (identical vectors are aligned-quorum cliques, so the quotient
       // loses nothing) before the star-contraction CC.
-      val pool = stagedVideoPool(s, dir).unionByName(
-        stagedVideoShiftPool(s, dir).filter(col("doc_id") >= VideoShiftOffset))
-      val sigs = graft.model.Lineage.cut(
-        Multimodal.frameHashes(pool), reliable = false)
-      val aligned = Multimodal.videoNearDupPairs(sigs, maxHamming = 2)
+      val basePool = stagedVideoPool(s, dir)
+      val newPool = stagedVideoShiftPool(s, dir)
+        .filter(col("doc_id") >= VideoShiftOffset)
+      val baseSigs = graft.model.Lineage.cut(
+        Multimodal.frameHashes(basePool), reliable = false)
+      val newSigs = graft.model.Lineage.cut(
+        Multimodal.frameHashes(newPool), reliable = false)
+      val alignedBase = videoPairMemo.getOrElse(dir, videoPairsFresh(s, dir))
         .select(col("id_a"), col("id_b"))
+      val alignedDelta = Multimodal.videoNearDupPairsDelta(newSigs, baseSigs,
+          maxHamming = 2)
+        .select(col("id_a"), col("id_b"))
+      val sigs = baseSigs.unionByName(newSigs)
       val shingled = Multimodal.sequenceShingleQuorumPairs(sigs, k = 2)
         .select(col("id_a"), col("id_b"))
       val sigVec = sigs.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("frame_idx"), col("fp"))))
           .as("sig"))
-      TextOps.dedupClustersBySig(pool.select(col("doc_id")).distinct(),
-        sigVec, aligned.unionByName(shingled))
+      TextOps.dedupClustersBySig(
+        basePool.select(col("doc_id")).unionByName(
+          newPool.select(col("doc_id"))).distinct(),
+        sigVec, alignedBase.unionByName(alignedDelta).unionByName(shingled))
     }),
 
     "q_multimodal_audio_dup_clusters_all" -> ((s, dir) => {

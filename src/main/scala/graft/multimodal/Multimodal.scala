@@ -1249,6 +1249,63 @@ object Multimodal {
       .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"), col("n_matched"))
   }
 
+  /** INCREMENTAL aligned near-dup pairs — every quorum pair TOUCHING a
+    * new upload (new-vs-base and new-vs-new), WITHOUT re-pairing
+    * base-vs-base: the contract is
+    * `videoNearDupPairs(new ∪ base) == videoNearDupPairs(base) ∪
+    * videoNearDupPairsDelta(new, base)` (disjoint by construction —
+    * the new side of the banded probe only ever expands to new
+    * members), pinned by an A/B spec. This is the 100 TB arrival
+    * pattern: the corpus pair table is built ONCE and persisted
+    * (the videoPairMemo/cc_pairs billing split); each ingest batch
+    * pays only its own delta — probing new (frame, hash) classes
+    * against the full class index — never the corpus² rebuild.
+    *
+    * Same class-quotient machinery as [[videoNearDupPairs]]; the
+    * ordered new-side/all-side probe double-emits only new-new
+    * matches and diagonal mirrors, collapsed by a distinct over the
+    * DELTA match mass (bounded by the arrival batch, not the corpus —
+    * the full-join variant cannot afford that distinct, the delta
+    * can).
+    */
+  def videoNearDupPairsDelta(newSigs: DataFrame, baseSigs: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    val sn = newSigs.toDF("vid", "f", "sig")
+    val sAll = sn.unionByName(baseSigs.toDF("vid", "f", "sig"))
+    val classesNew = graft.model.Lineage.cut(
+      sn.select(col("f"), col("sig")).distinct(), reliable = false)
+    val classesAll = graft.model.Lineage.cut(
+      sAll.select(col("f"), col("sig")).distinct(), reliable = false)
+    def banded(c: DataFrame, sigAs: String): DataFrame =
+      graft.text.TextOps.hammingBands(
+          c.select(struct(col("f"), col("sig")).as("id"), col("sig")),
+          sigBits = 64, maxHamming = maxHamming)
+        .select(col("id.f").as("f"), col("sig").as(sigAs),
+          col("band"), col("bits"))
+    // ordered class pairs: new-side class vs ANY class (the all-side
+    // is the persisted banded index at a real deployment)
+    val classPairs = banded(classesNew, "sig_n")
+      .join(banded(classesAll, "sig_o"), Seq("f", "band", "bits"))
+      .filter(expr("bit_count(sig_n ^ sig_o)") <= maxHamming)
+      .select(col("f"), col("sig_n"), col("sig_o"))
+      .distinct() // multi-band matches collapse per ordered class pair
+    val frameMatches = classPairs
+      .join(sn.toDF("va", "f", "sig_n"), Seq("f", "sig_n"))
+      .join(sAll.toDF("vb", "f", "sig_o"), Seq("f", "sig_o"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("vid_a"),
+        greatest(col("va"), col("vb")).as("vid_b"), col("f"))
+      .distinct() // new-new mirrors + diagonal both-orientations
+    val nf = sAll.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
+    frameMatches.groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(nf.toDF("vid_a", "nf_a"), "vid_a")
+      .join(nf.toDF("vid_b", "nf_b"), "vid_b")
+      .filter(col("n_matched") * 2 > least(col("nf_a"), col("nf_b")))
+      .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"),
+        col("n_matched"))
+  }
+
   /** SHIFT-TOLERANT video near-duplicate pairs via FRAME-HASH
     * SHINGLES — the temporal complement of [[videoNearDupPairs]]:
     * aligned matching misses a duplicate whose timeline is TRIMMED or

@@ -1382,6 +1382,45 @@ class TextVectorSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Multimodal.trimWav(raw), raw))
   }
 
+  test("videoNearDupPairsDelta: base pairs + delta == full recompute, disjoint") {
+    import spark.implicits._
+    // base corpus: videos plus in-base exact dups (the memoized pair
+    // mass); new arrivals: an exact re-upload of a base video
+    // (new-vs-base evidence), two mutual copies (new-new evidence,
+    // including the double-emission path the delta's distinct must
+    // collapse), and genuinely fresh content (no evidence)
+    val ids = (1L to 15L)
+    def frames(id: Long, key: Long): Seq[(Long, Long, Array[Byte])] = {
+      val nf = 2 + (id % 4).toInt
+      (0 until nf).map(f => (key, f.toLong, Multimodal.syntheticPngFrame(id, f)))
+    }
+    val base = ids.flatMap(id => frames(id, id)) ++
+      ids.filter(_ % 3 == 0).flatMap(id => frames(id, id + 1000))
+    val nw = frames(4L, 2004L) ++
+      frames(7L, 2007L) ++ frames(7L, 3007L) ++
+      frames(1000L, 9001L)
+    val sigsBase = Multimodal.frameHashes(base.toDF("doc_id", "frame_idx", "payload"))
+    val sigsNew = Multimodal.frameHashes(nw.toDF("doc_id", "frame_idx", "payload"))
+    val sigsAll = Multimodal.frameHashes(
+      (base ++ nw).toDF("doc_id", "frame_idx", "payload"))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.as[(Long, Long, Long)].collect().toSet
+    val full = pairSet(Multimodal.videoNearDupPairs(sigsAll, maxHamming = 2))
+    val basePairs = pairSet(Multimodal.videoNearDupPairs(sigsBase, maxHamming = 2))
+    val delta = pairSet(
+      Multimodal.videoNearDupPairsDelta(sigsNew, sigsBase, maxHamming = 2))
+    assert(basePairs.intersect(delta).isEmpty, "delta re-emitted a base-base pair")
+    assert(basePairs.union(delta) == full,
+      s"memo+delta != full: missing ${full -- basePairs -- delta}, " +
+        s"extra ${(basePairs ++ delta) -- full}")
+    assert(delta.exists { case (a, b, _) => a == 4L && b == 2004L },
+      "new-vs-base re-upload evidence missing from the delta")
+    assert(delta.exists { case (a, b, _) => a == 2007L && b == 3007L },
+      "new-vs-new copy evidence missing from the delta")
+    assert(!delta.exists { case (a, b, _) => a == 9001L || b == 9001L },
+      "fresh content must produce no delta evidence")
+  }
+
   test("unified dedup endpoints: re-encode AND head-cut twins cluster with their base") {
     import spark.implicits._
     // VIDEO: base (4 frames), blue-LSB re-encode twin (+2^40, aligned
