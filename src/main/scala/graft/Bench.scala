@@ -229,6 +229,11 @@ object Bench {
     // give the ContextCleaner a GC to find dropped weak refs, then a
     // beat to process its reference queue
     def hygiene(): Unit = {
+      // release every cut retired by the faces that just executed
+      // (superseded memo generations, operator-internal survivors) —
+      // leaving them to weak-ref reclaim measured as a 2-8 s GC storm
+      // bleeding into NEIGHBORING faces on the full r17 capture
+      graft.model.Lineage.drainRetired()
       System.gc()
       Thread.sleep(50)
     }

@@ -56,7 +56,7 @@ object LlmQueries {
     val g = graft.model.Lineage.cut(
       graft.vector.VectorOps.annTopK(vecProbe(s, dir),
         numPlanes = 8, dims = 64, k = 5), reliable = false)
-    annMemo.put(dir, g)
+    annMemo.put(dir, g).foreach(graft.model.Lineage.retire)
     g
   }
 
@@ -368,7 +368,8 @@ object LlmQueries {
 
   private def tokArtifactsFresh(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val r = TextOps.bpeArtifacts(docs(s, dir), merges = 10, batch = 8)
-    tokMemo.put(dir, r)
+    tokMemo.put(dir, r).foreach { case (a, b) =>
+      graft.model.Lineage.retire(a); graft.model.Lineage.retire(b) }
     r
   }
 
@@ -382,7 +383,8 @@ object LlmQueries {
   private def ugArtifactsFresh(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val r = UnigramOps.unigramArtifacts(docs(s, dir),
       maxPieceLen = 4, seedMulti = 32, iters = 2)
-    ugMemo.put(dir, r)
+    ugMemo.put(dir, r).foreach { case (a, b) =>
+      graft.model.Lineage.retire(a); graft.model.Lineage.retire(b) }
     r
   }
 
@@ -408,7 +410,8 @@ object LlmQueries {
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tok = TextOps.tokenTable(docProbe(s, dir)).localCheckpoint()
     val sigs = TextOps.minhashSignatures(tok, 64).localCheckpoint()
-    lshMemo.put(dir, (tok, sigs))
+    lshMemo.put(dir, (tok, sigs)).foreach { case (a, b) =>
+      graft.model.Lineage.retire(a); graft.model.Lineage.retire(b) }
     (tok, sigs)
   }
 
@@ -429,14 +432,14 @@ object LlmQueries {
 
   private def duelFresh(s: SparkSession, dir: String): DataFrame = {
     val d = graft.text.PrefOps.duelCut(docs(s, dir))
-    duelMemo.put(dir, d)
+    duelMemo.put(dir, d).foreach(graft.model.Lineage.retire)
     d
   }
 
   private def ccPairsFresh(s: SparkSession, dir: String): DataFrame = {
     val p = graft.model.Lineage.cut(
       TextOps.jaccardPairsFromTokens(tokTable(s, dir), 0.95), reliable = false)
-    pairMemo.put(dir, p)
+    pairMemo.put(dir, p).foreach(graft.model.Lineage.retire)
     p
   }
 
@@ -454,7 +457,7 @@ object LlmQueries {
     val p = graft.model.Lineage.cut(
       TextOps.hammingPairs(sigs.toDF("id", "sig"), sigBits = 64, maxHamming = 2)
         .toDF("id_a", "id_b", "hamming"), reliable = false)
-    audioPairMemo.put(dir, p)
+    audioPairMemo.put(dir, p).foreach(graft.model.Lineage.retire)
     p
   }
 
@@ -468,25 +471,26 @@ object LlmQueries {
     // the sig table is read three times inside videoNearDupPairs
     // (class expansion x2, per-video frame counts) — cut it once so
     // the per-frame decode doesn't re-run per read
-    val sigs = graft.model.Lineage.cut(
+    val sigs = graft.model.Lineage.cutRetired(
       Multimodal.frameHashes(stagedVideoPool(s, dir)), reliable = false)
     val p = graft.model.Lineage.cut(
       Multimodal.videoNearDupPairs(sigs, maxHamming = 2), reliable = false)
-    videoPairMemo.put(dir, p)
+    videoPairMemo.put(dir, p).foreach(graft.model.Lineage.retire)
     p
   }
 
   private def clustersFresh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < PairLimit)
     val r = TextOps.dedupClusters(d, pairMemo.getOrElse(dir, ccPairsFresh(s, dir)))
-    // the replaced memo entry is left to weak-ref reclaim DELIBERATELY:
-    // an eager releaseAll here broke the uniqueness-guard spec, which
+    // the replaced memo entry is RETIRED, not released: an eager
+    // releaseAll here broke the uniqueness-guard spec, which
     // constructs every face up front and executes later — a consumer
     // holding a plan over the OLD entry hits a released checkpoint
-    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Sequential consumers (Bench,
-    // Verify) never see that window, but the memo's contract cannot
-    // assume sequential construction+execution.
-    clusterMemo.put(dir, r)
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The retire queue defers the
+    // release to the sequential harness's drain point (Bench hygiene,
+    // Verify between faces); a non-sequential consumer that never
+    // drains keeps the weak-ref reclaim behavior.
+    clusterMemo.put(dir, r).foreach(graft.model.Lineage.retire)
     r
   }
 
@@ -1820,7 +1824,7 @@ object LlmQueries {
       // exact gram-set intersection. The sig table is read k+2 times
       // inside the operator — cut once.
       Multimodal.sequenceShinglePairs(
-        graft.model.Lineage.cut(
+        graft.model.Lineage.cutRetired(
           Multimodal.frameHashes(stagedVideoShiftPool(s, dir)),
           reliable = false), k = 2)
     }),
@@ -1845,9 +1849,9 @@ object LlmQueries {
       val basePool = stagedVideoPool(s, dir)
       val newPool = stagedVideoShiftPool(s, dir)
         .filter(col("doc_id") >= VideoShiftOffset)
-      val baseSigs = graft.model.Lineage.cut(
+      val baseSigs = graft.model.Lineage.cutRetired(
         Multimodal.frameHashes(basePool), reliable = false)
-      val newSigs = graft.model.Lineage.cut(
+      val newSigs = graft.model.Lineage.cutRetired(
         Multimodal.frameHashes(newPool), reliable = false)
       val alignedBase = videoPairMemo.getOrElse(dir, videoPairsFresh(s, dir))
         .select(col("id_a"), col("id_b"))
@@ -1878,13 +1882,13 @@ object LlmQueries {
       import s.implicits._
       val pool = stagedWavPool(s, dir).unionByName(
         stagedWavTrimPool(s, dir).filter(col("doc_id") >= WavTrimOffset))
-      val sigs = graft.model.Lineage.cut(
+      val sigs = graft.model.Lineage.cutRetired(
         Multimodal.audioFingerprints(pool.as[Multimodal.MediaRow])
           .toDF("doc_id", "fp"), reliable = false)
       val aligned = TextOps.hammingPairs(sigs.toDF("id", "sig"),
           sigBits = 64, maxHamming = 2)
         .toDF("id_a", "id_b", "hamming").select(col("id_a"), col("id_b"))
-      val energies = graft.model.Lineage.cut(
+      val energies = graft.model.Lineage.cutRetired(
         Multimodal.wavWindowEnergy(pool.as[Multimodal.MediaRow], window = 64)
           .select(col("doc_id"), col("win"), col("energy")), reliable = false)
       val shingled = Multimodal.sequenceShingleQuorumPairs(energies, k = 2)
@@ -1901,7 +1905,7 @@ object LlmQueries {
       // shingle family. Energies cut once (read k+2 times inside).
       import s.implicits._
       Multimodal.sequenceShinglePairs(
-        graft.model.Lineage.cut(
+        graft.model.Lineage.cutRetired(
           Multimodal.wavWindowEnergy(
             stagedWavTrimPool(s, dir).as[Multimodal.MediaRow], window = 64)
             .select(col("doc_id"), col("win"), col("energy")),

@@ -93,6 +93,9 @@ object Verify {
         resultsLog.println(
           f"""{"name": ${q0(name)}, "status": "fail", "error": ${q0(msg)}, "secs": $secs%.3f}""")
       }
+      // sequential drain point: this face's plans (write + tie check)
+      // have executed; cuts its construction retired are now dead
+      graft.model.Lineage.drainRetired()
     }
     resultsLog.close()
     // machine-readable tie report next to the dumps (empty list = the

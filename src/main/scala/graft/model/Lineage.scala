@@ -148,6 +148,65 @@ object Lineage {
       case _ => ()
     }
 
+  // ---------------------------------------------------------------
+  // Deferred release: the RETIRE queue.
+  //
+  // An operator's internal survivor cuts (the quotient class table, a
+  // CC label frame consumed by the final join, a banding gram set)
+  // stay materialized until the operator's RESULT is executed — the
+  // operator cannot release them eagerly, and leaving them to weak-ref
+  // reclaim lets whole GENERATIONS of checkpoint blocks accrete when a
+  // harness re-invokes the operator (Bench runs every face 6+ times:
+  // measured as a 2-8 s GC storm bleeding into NEIGHBORING faces, the
+  // r17 full-capture regression). Eager release at re-build time is
+  // also wrong: a consumer that constructed its plan over the PREVIOUS
+  // generation may not have executed yet (the clustersFresh guard-spec
+  // incident — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+  //
+  // `retire` records a cut as dead-after-the-current-execution;
+  // `drainRetired` releases everything recorded. The CONTRACT is the
+  // caller's: drain only at a point where every plan built over a
+  // retired cut has finished executing and will not run again —
+  // sequential harness mains (Bench between timed runs, Verify between
+  // faces) qualify; a test that constructs many faces up front and
+  // executes them later must NOT drain in between.
+  // ---------------------------------------------------------------
+  private val retired =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]
+
+  /** Mark a [[cut]] frame dead-after-the-current-execution: released
+    * at the next [[drainRetired]], not now. Safe to call at plan
+    * CONSTRUCTION time on cuts the returned plan still references.
+    */
+  def retire(d: Dataset[_]): Unit = retired.add(d)
+
+  /** [[cut]] + [[retire]] in one step, for operator-internal cuts
+    * whose blocks are dead once the operator's result has executed.
+    */
+  def cutRetired(df: DataFrame, reliable: Boolean): DataFrame = {
+    val c = cut(df, reliable); retire(c); c
+  }
+
+  /** Release every retired frame's blocks (blocking). Returns how many
+    * frames were drained. Call ONLY from a sequential harness point —
+    * see the retire-queue contract above. Uses [[releaseAll]] so a
+    * retired frame may be a thin wrapper (Project/toDF) over its cut —
+    * the memoized-artifact-pair shape; the retire contract therefore
+    * extends to every materialized scan in the retired plan: none may
+    * be shared with a frame that is still read (generation-unique
+    * checkpoints satisfy this by construction; double-release of a
+    * scan retired twice is a no-op).
+    */
+  def drainRetired(): Int = {
+    var n = 0
+    var d = retired.poll()
+    while (d != null) {
+      releaseAll(d); n += 1
+      d = retired.poll()
+    }
+    n
+  }
+
   /** [[release]] for a plan that WRAPS its cut (a memoized face is
     * typically a Project over the final checkpoint, where the shallow
     * match is a silent no-op): unpersists EVERY materialized scan in

@@ -1207,7 +1207,7 @@ object Multimodal {
     // back to video pairs through two (f, sig)-keyed joins, whose
     // output is the TRUE frame-match mass — work the exhaustive
     // semantics owes anyway.
-    val classes = graft.model.Lineage.cut(
+    val classes = graft.model.Lineage.cutRetired(
       s.select(col("f"), col("sig")).distinct(), reliable = false)
     val banded = graft.text.TextOps.hammingBands(
       classes.select(struct(col("f"), col("sig")).as("id"), col("sig")),
@@ -1272,9 +1272,9 @@ object Multimodal {
       maxHamming: Int = 2): DataFrame = {
     val sn = newSigs.toDF("vid", "f", "sig")
     val sAll = sn.unionByName(baseSigs.toDF("vid", "f", "sig"))
-    val classesNew = graft.model.Lineage.cut(
+    val classesNew = graft.model.Lineage.cutRetired(
       sn.select(col("f"), col("sig")).distinct(), reliable = false)
-    val classesAll = graft.model.Lineage.cut(
+    val classesAll = graft.model.Lineage.cutRetired(
       sAll.select(col("f"), col("sig")).distinct(), reliable = false)
     def banded(c: DataFrame, sigAs: String): DataFrame =
       graft.text.TextOps.hammingBands(
@@ -1355,7 +1355,7 @@ object Multimodal {
     // gram build chain doesn't run three times (the videoNearDupPairs
     // sig-cut precedent; TextOps.dedupClustersBySig cuts memberRep the
     // same way)
-    val gset = graft.model.Lineage.cut(
+    val gset = graft.model.Lineage.cutRetired(
       shingleGramSets(frameSigs, k), reliable = false)
     val ng = gset.groupBy(col("vid")).agg(count(lit(1)).as("ng"))
     gset.toDF("vid_a", "g")

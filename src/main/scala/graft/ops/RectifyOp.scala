@@ -59,6 +59,7 @@ object RectifyOp {
     val (tiles2, coords2, srcGm2) =
       downscaleSource(tiles, coordTiles, srcGm, dstGm, policies)
     val lookup = computeLookup(coords2, srcGm2, dstGm).localCheckpoint()
+    graft.model.Lineage.retire(lookup)
     gatherVars(tiles2, lookup, srcGm2, dstGm, policies)
   }
 
@@ -316,6 +317,7 @@ object RectifyOp {
       // collected, where an explicit persist() would leak cached
       // blocks for the session lifetime on every rectify call
       val wr = windowRows0.localCheckpoint()
+      graft.model.Lineage.retire(wr)
       val plan = TileGather.planDs(srcGm, wr)
       val uncovered = spark.range(nTx.toLong * nTy)
         .map(id => ((id / nTx).toInt, (id % nTx).toInt))

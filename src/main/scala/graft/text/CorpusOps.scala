@@ -205,6 +205,7 @@ object CorpusOps {
         TextOps.tokenHash(col("col")).as("g"))
       .localCheckpoint(eager = true,
         storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .transform { g => graft.model.Lineage.retire(g); g }
     val dupGrams = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("g"))
     g.join(dupGrams, "g")
@@ -254,6 +255,7 @@ object CorpusOps {
         TextOps.tokenHash(col("col")).as("g"))
       .localCheckpoint(eager = true,
         storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .transform { g => graft.model.Lineage.retire(g); g }
     val occ = g.groupBy(col("g"))
       .agg(count(lit(1)).as("c"),
         min(struct(col("id"), col("p"))).as("kk"))
@@ -673,7 +675,7 @@ object CorpusOps {
     val p = spark.sessionState.conf.numShufflePartitions
     val sorted0 = base.repartitionByRange(p, col("k"), col("h"), col("id"))
       .sortWithinPartitions(col("k"), col("h"), col("id"))
-    val sorted = graft.model.Lineage.cut(sorted0, reliable)
+    val sorted = graft.model.Lineage.cutRetired(sorted0, reliable)
       .as[(String, Long, Long, Long)]
 
     // pass 1: per-(partition, stratum) token sums — strata are

@@ -35,7 +35,8 @@ object OrderOps {
   private def rangeSorted(df: DataFrame, key: Column, reliable: Boolean): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(p, key).sortWithinPartitions(key)
-    graft.model.Lineage.cut(sorted, reliable)
+    // internal survivor: dead once the caller's result has executed
+    graft.model.Lineage.cutRetired(sorted, reliable)
   }
 
   /** Per-partition exclusive offsets of `partials` (pid -> partition

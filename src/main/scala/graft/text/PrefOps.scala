@@ -234,7 +234,11 @@ object PrefOps {
       docs: DataFrame, offsets: Seq[Int] = Seq(1, 2, 3),
       idCol: String = "doc_id", keyCol: String = "source",
       textCol: String = "text"): DataFrame =
-    prefCyclesFrom(duelCutMulti(docs, offsets, idCol, keyCol, textCol))
+    prefCyclesFrom {
+      val dc = duelCutMulti(docs, offsets, idCol, keyCol, textCol)
+      graft.model.Lineage.retire(dc) // internal to this call, dead after execution
+      dc
+    }
 
   /** [[prefCycles]] from a prebuilt [[duelCut]] table. */
   def prefCyclesFrom(duelAgg: DataFrame): DataFrame = {

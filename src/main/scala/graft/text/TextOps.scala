@@ -918,7 +918,9 @@ object TextOps {
     bandsList.foreach(b => require(b >= 1 && numHashes % b == 0,
       s"bands must divide numHashes: $b vs $numHashes"))
     val tok = tokenTable(docs, idCol, textCol).localCheckpoint()
+    graft.model.Lineage.retire(tok)
     val sigs = minhashSignatures(tok, numHashes).localCheckpoint()
+    graft.model.Lineage.retire(sigs)
     lshBandSweepFromSigs(tok, sigs, numHashes, bandsList, threshold)
   }
 
@@ -940,6 +942,7 @@ object TextOps {
       candidatesFromBanded(bandBucketsFromSigs(sigs, numHashes, b))
         .select(lit(b.toLong).as("bands"), col("id_a"), col("id_b"))
     }.reduce(_ unionAll _).localCheckpoint()
+    graft.model.Lineage.retire(allCand)
     val verified = verifyJaccardCandidates(
         tok, allCand.select(col("id_a"), col("id_b")).distinct(), threshold)
       .select(col("id_a"), col("id_b"))
@@ -1067,7 +1070,7 @@ object TextOps {
     val reps = withSig.filter(col("sig").isNotNull)
       .groupBy(col("sig")).agg(min(col("id")).as("rep"))
     // sig-less members: rep = own id (singleton equality class)
-    val memberRep = graft.model.Lineage.cut(
+    val memberRep = graft.model.Lineage.cutRetired(
       withSig.join(reps, Seq("sig"), "left")
         .select(col("id"), coalesce(col("rep"), col("id")).as("rep")), reliable)
     val repPairs = pairs
@@ -1080,6 +1083,7 @@ object TextOps {
     val repClusters = dedupClusters(
       memberRep.select(col("rep")).distinct().toDF("doc_id"), repPairs,
       maxIterations = maxIterations, reliable = reliable)
+    graft.model.Lineage.retire(repClusters) // internal: dead after the final join executes
     memberRep
       .join(repClusters.toDF("rep", "cluster_id"), "rep")
       .select(col("id").as("doc_id"), col("cluster_id"))
@@ -1109,7 +1113,7 @@ object TextOps {
     // class representative = min member id per distinct signature;
     // cut: read by the class pair join, the CC node set, and the
     // final label broadcast
-    val reps = graft.model.Lineage.cut(
+    val reps = graft.model.Lineage.cutRetired(
       withSig.filter(col("sig").isNotNull)
         .groupBy(col("sig")).agg(min(col("id")).as("rep")), reliable)
     val classPairs = hammingPairs(
@@ -1117,6 +1121,7 @@ object TextOps {
     val repClusters = dedupClusters(
       reps.select(col("rep")).toDF("doc_id"), classPairs,
       maxIterations = maxIterations, reliable = reliable)
+    graft.model.Lineage.retire(repClusters) // internal: dead after the final join executes
     withSig
       .join(reps, Seq("sig"), "left")
       .join(repClusters.toDF("rep", "cl"), Seq("rep"), "left")
@@ -1260,10 +1265,13 @@ object TextOps {
     */
   def dedupKeepers(
       docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-      maxIterations: Int = 50, reliable: Boolean = false): DataFrame =
-    dedupClusters(docs, pairs, idCol, maxIterations, reliable)
+      maxIterations: Int = 50, reliable: Boolean = false): DataFrame = {
+    val labels = dedupClusters(docs, pairs, idCol, maxIterations, reliable)
+    graft.model.Lineage.retire(labels) // internal: dead after the keeper filter executes
+    labels
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
+  }
 
   /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003, "Winnowing: Local Algorithms for Document
@@ -2951,11 +2959,16 @@ object TextOps {
           learned += ((learned.size + 1L, l, r, cnt))
         val bcM = spark.sparkContext.broadcast(
           accepted.map { case (l, r, _) => (l, r, l + r) }.toArray)
+        val prevWords = words
         words = words.map { case (w, syms, c) =>
           var s = syms
           for ((l, r, m) <- bcM.value) s = applyMerge(s, l, r, m)
           (w, s, c)
         }.localCheckpoint() // cut per-round lineage, like the CC rounds
+        // the new eager checkpoint was the last reader of the previous
+        // round's word blocks — free them now (the CC-round release
+        // pattern); the FINAL generation is the returned artifact
+        graft.model.Lineage.release(prevWords)
       }
     }
     (learned.toSeq, words)

@@ -53,9 +53,13 @@ object VectorOps {
     */
   private def cachedEmb(
       embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
-    embeddings.select(col(idCol).cast("long").as(idCol),
-      col(vecCol).cast("array<double>").as(vecCol))
-      .localCheckpoint(true)
+    // retired: each call's checkpoint is dead once the calling
+    // operator's result has executed — without the retire, every
+    // vector-face invocation leaked one full embedding-table
+    // generation (the r17 GC-storm capture's dominant leak)
+    graft.model.Lineage.cutRetired(
+      embeddings.select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as(vecCol)), reliable = false)
 
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), scan all candidates and keep the k best. Linear in the
@@ -468,9 +472,11 @@ object VectorOps {
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .select(col("query_id"), col("cand_id"), col("prank"), col("sim"))
       .localCheckpoint() // one scored table serves every level
+    graft.model.Lineage.retire(scored)
     val brute = bruteForceTopK(emb, emb, k, idCol, vecCol)
       .select(col("query_id"), col("cand_id"))
       .localCheckpoint() // one ground truth serves every level
+    graft.model.Lineage.retire(brute)
     probesList.map { p =>
       val ann = topKPerQuery(scored.filter(col("prank") <= p), k)
         .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
@@ -1452,7 +1458,7 @@ object VectorOps {
   def knnLabelPropagation(
       ann: DataFrame, iters: Int = 4, reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
-    val edges = graft.model.Lineage.cut(symmetrized(ann), reliable)
+    val edges = graft.model.Lineage.cutRetired(symmetrized(ann), reliable)
     val lab = lpaLabels(edges, iters)
     val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
     lab.join(sizes, "lbl")
@@ -1533,8 +1539,8 @@ object VectorOps {
   def knnModularity(
       ann: DataFrame, iters: Int = 4, reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
-    val edges = graft.model.Lineage.cut(symmetrized(ann), reliable)
-    val lab = graft.model.Lineage.cut(lpaLabels(edges, iters), reliable)
+    val edges = graft.model.Lineage.cutRetired(symmetrized(ann), reliable)
+    val lab = graft.model.Lineage.cutRetired(lpaLabels(edges, iters), reliable)
     val dec = "decimal(38,0)"
     val m2 = edges.agg(count(lit(1)).cast(dec).as("m2"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -1580,7 +1586,7 @@ object VectorOps {
       ann: DataFrame, maxDepth: Int = 4, reliable: Boolean = false): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 8,
       s"maxDepth must be in [1,8], got $maxDepth")
-    val edges = graft.model.Lineage.cut(symmetrized(ann), reliable)
+    val edges = graft.model.Lineage.cutRetired(symmetrized(ann), reliable)
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(substring(md5(col("node").cast("string")), 1, 1) === "0")
     var visited = graft.model.Lineage.cut(
@@ -1605,6 +1611,10 @@ object VectorOps {
       frontier = nxt
       prevFrontierCut = Some(nxt)
     }
+    // the loop's SURVIVING cuts (final visited, last frontier) are
+    // internal: dead once the rollup below has executed
+    graft.model.Lineage.retire(visited)
+    prevFrontierCut.foreach(graft.model.Lineage.retire)
     visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
   }
@@ -1786,11 +1796,11 @@ object VectorOps {
       reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 12, s"rounds must be in [1,12], got $rounds")
-    val edges = graft.model.Lineage.cut(
+    val edges = graft.model.Lineage.cutRetired(
       ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
         .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
         .distinct(), reliable)
-    val all = graft.model.Lineage.cut(
+    val all = graft.model.Lineage.cutRetired(
       edges.select(col("src").as("node")).distinct(), reliable)
     var surv = all
     var removed: Option[DataFrame] = None
@@ -1799,7 +1809,7 @@ object VectorOps {
         .join(surv.select(col("node").as("src")), "src")
         .join(surv.select(col("node").as("dst")), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("c"))
-      val next = graft.model.Lineage.cut(
+      val next = graft.model.Lineage.cutRetired(
         deg.filter(col("c") >= k).select(col("src").as("node")), reliable)
       val dropped = surv.join(next, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("removed_round"))
