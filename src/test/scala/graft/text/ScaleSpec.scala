@@ -19,6 +19,22 @@ class ScaleSpec extends AnyFunSuite {
   lazy val d1 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
   lazy val d10 = graft.ScaleData.replicateDocuments(d1, 10).persist()
 
+  /** The 10x lineitem replica (SCALE.md protocol: testdata-x10 =
+    * sf0.1 replicated via [[graft.ScaleData]]). The directory is
+    * gitignored, so a fresh checkout doesn't carry it — generate the
+    * one table these specs read on demand instead of failing on a
+    * clean sandbox (one ~6M-row write, first run only).
+    */
+  lazy val li10: org.apache.spark.sql.DataFrame = {
+    val p = "/root/repo/testdata-x10/lineitem.parquet"
+    if (!new java.io.File(p).exists())
+      graft.ScaleData.replicateKeyed(
+          spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),
+          10, Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
   test("MinHash LSH candidate pairs grow linearly under 10x corpus replication") {
     // copies are token-disjoint, so each of the 10 shards reproduces
     // exactly the 1x verified pair set and nothing across shards: the
@@ -257,7 +273,7 @@ class ScaleSpec extends AnyFunSuite {
     // z-order equal-split balance (±1 row via pos*F div n) holds at
     // both scales.
     val li1 = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    val li10 = spark.read.parquet("/root/repo/testdata-x10/lineitem.parquet")
+    val li10 = this.li10
     for (li <- Seq(li1, li10)) {
       val z = OrderOps.zorderLayoutStats(li, col("l_partkey"), col("l_suppkey"),
         col("l_orderkey") * 100 + col("l_linenumber"), files = 8, bits = 16)
@@ -308,7 +324,7 @@ class ScaleSpec extends AnyFunSuite {
     // mv maintenance: the merge's inputs are AGGREGATE-sized (distinct
     // key combinations), never corpus-sized, at both scales
     val li1 = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    val li10 = spark.read.parquet("/root/repo/testdata-x10/lineitem.parquet")
+    val li10 = this.li10
     for (li <- Seq(li1, li10)) {
       val st = graft.rel.RelOps.distributiveAgg(
         li, Seq("l_returnflag", "l_linestatus"), "l_quantity")
