@@ -1882,15 +1882,22 @@ object LlmQueries {
       import s.implicits._
       val pool = stagedWavPool(s, dir).unionByName(
         stagedWavTrimPool(s, dir).filter(col("doc_id") >= WavTrimOffset))
-      val sigs = graft.model.Lineage.cutRetired(
-        Multimodal.audioFingerprints(pool.as[Multimodal.MediaRow])
-          .toDF("doc_id", "fp"), reliable = false)
+      // ONE decode pass: both dedup features (whole-clip fingerprint +
+      // windowed energies) come out of a single PCM walk, cut once —
+      // the separate audioFingerprints/wavWindowEnergy calls decoded
+      // every payload twice and materialized two cuts (r17 opt round;
+      // values bit-identical, see Multimodal.audioFpAndEnergies)
+      val feats = graft.model.Lineage.cutRetired(
+        Multimodal.audioFpAndEnergies(pool.as[Multimodal.MediaRow],
+          bands = 65, window = 64), reliable = false)
+      val sigs = feats.filter(col("fp").isNotNull)
+        .select(col("doc_id"), col("fp"))
       val aligned = TextOps.hammingPairs(sigs.toDF("id", "sig"),
           sigBits = 64, maxHamming = 2)
         .toDF("id_a", "id_b", "hamming").select(col("id_a"), col("id_b"))
-      val energies = graft.model.Lineage.cutRetired(
-        Multimodal.wavWindowEnergy(pool.as[Multimodal.MediaRow], window = 64)
-          .select(col("doc_id"), col("win"), col("energy")), reliable = false)
+      val energies = feats.select(col("doc_id"),
+          posexplode(col("energies")).as(Seq("win", "energy")))
+        .select(col("doc_id"), col("win"), col("energy"))
       val shingled = Multimodal.sequenceShingleQuorumPairs(energies, k = 2)
         .select(col("id_a"), col("id_b"))
       TextOps.dedupClustersBySig(pool.select(col("doc_id")),

@@ -613,6 +613,56 @@ object Multimodal {
     }.toDF("doc_id", "fp")
   }
 
+  /** ONE RIFF/PCM walk emitting BOTH dedup features of a clip — the
+    * whole-clip band-energy fingerprint ([[audioFingerprints]]) and
+    * the windowed energies ([[wavWindowEnergy]], packed as one array
+    * per clip, index = window id) — for consumers that need both (the
+    * unified audio dedup endpoint): the decode pass over the samples
+    * is the dominant row-local cost, and running [[audioFingerprints]]
+    * and [[wavWindowEnergy]] separately walked every payload twice.
+    * Values are bit-identical to the two single-feature kernels (same
+    * chunk walk, same sample decode, same integer sums); `fp` is NULL
+    * for clips shorter than `bands` samples, exactly the rows
+    * [[audioFingerprints]] omits. Returns (doc_id, fp, energies).
+    */
+  def audioFpAndEnergies(
+      media: Dataset[MediaRow], bands: Int = 65, window: Int = 64): DataFrame = {
+    require(bands >= 2 && bands <= 65, s"bands must be in [2,65], got $bands")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val p = m.payload
+        pcm16DataChunk(p).map { case (dataOff, dataLen) =>
+          val total = (dataLen & ~1) / 2
+          val e = new Array[Long](bands)
+          val wins = new Array[Long]((total + window - 1) / window)
+          var i = 0
+          while (i < total) {
+            val v = (rdU16(p, dataOff + 2 * i) << 16) >> 16
+            val sq = v.toLong * v
+            e((i.toLong * bands / total).toInt) += sq
+            wins(i / window) += sq
+            i += 1
+          }
+          val fp: Option[Long] =
+            if (total < bands) None
+            else {
+              var f = 0L
+              var k = 0
+              while (k < bands - 1) {
+                if (e(k + 1) > e(k)) f |= 1L << k
+                k += 1
+              }
+              Some(f)
+            }
+          (m.doc_id, fp, wins)
+        }
+      }
+    }.toDF("doc_id", "fp", "energies")
+  }
+
   /** Luma-histogram ENTROPY per image — the vision-corpus quality
     * filter (near-zero entropy = flat/synthetic fills, screenshots of
     * solid panels; high entropy = textured natural content — the
@@ -1272,20 +1322,30 @@ object Multimodal {
       maxHamming: Int = 2): DataFrame = {
     val sn = newSigs.toDF("vid", "f", "sig")
     val sAll = sn.unionByName(baseSigs.toDF("vid", "f", "sig"))
-    val classesNew = graft.model.Lineage.cutRetired(
-      sn.select(col("f"), col("sig")).distinct(), reliable = false)
+    // ONE class table carrying an is_new flag (max over the union —
+    // the same one-aggregation shuffle the old classesAll distinct
+    // paid) and ONE banding pass over it: the new side of the probe is
+    // the flagged subset of the same banded rows, bit-identical to
+    // banding a separate classesNew table (hammingBands is row-local
+    // and deterministic), at one cut + one band explosion less per
+    // execution.
     val classesAll = graft.model.Lineage.cutRetired(
-      sAll.select(col("f"), col("sig")).distinct(), reliable = false)
-    def banded(c: DataFrame, sigAs: String): DataFrame =
-      graft.text.TextOps.hammingBands(
-          c.select(struct(col("f"), col("sig")).as("id"), col("sig")),
-          sigBits = 64, maxHamming = maxHamming)
-        .select(col("id.f").as("f"), col("sig").as(sigAs),
-          col("band"), col("bits"))
+      sn.select(col("f"), col("sig"), lit(true).as("is_new"))
+        .unionByName(sAll.select(col("f"), col("sig"), lit(false).as("is_new")))
+        .groupBy(col("f"), col("sig"))
+        .agg(max(col("is_new")).as("is_new")), reliable = false)
+    val bandedAll = graft.text.TextOps.hammingBands(
+        classesAll.select(
+          struct(col("f"), col("is_new")).as("id"), col("sig")),
+        sigBits = 64, maxHamming = maxHamming)
+      .select(col("id.f").as("f"), col("id.is_new").as("is_new"),
+        col("sig"), col("band"), col("bits"))
     // ordered class pairs: new-side class vs ANY class (the all-side
     // is the persisted banded index at a real deployment)
-    val classPairs = banded(classesNew, "sig_n")
-      .join(banded(classesAll, "sig_o"), Seq("f", "band", "bits"))
+    val classPairs = bandedAll.filter(col("is_new"))
+      .select(col("f"), col("sig").as("sig_n"), col("band"), col("bits"))
+      .join(bandedAll.select(col("f"), col("sig").as("sig_o"),
+        col("band"), col("bits")), Seq("f", "band", "bits"))
       .filter(expr("bit_count(sig_n ^ sig_o)") <= maxHamming)
       .select(col("f"), col("sig_n"), col("sig_o"))
       .distinct() // multi-band matches collapse per ordered class pair

@@ -75,13 +75,73 @@ object PrefOps {
           greatest(col("sa"), col("sb")).as("j"), col("winner"))
         .agg(count(lit(1)).as("n")), reliable = false)
 
+  /** Row bound under which [[mmCore]] runs the MM iteration LOCALLY on
+    * the collected duel-count table (the
+    * [[graft.text.TextOps.LocalCcEdgeThreshold]] hybrid): the table is
+    * (pair, winner)-sized — sources², corpus-size-free — yet every
+    * unrolled distributed round references the strength table twice,
+    * so the plan (and the executed subtree count) grew EXPONENTIALLY
+    * in `iters` (measured: a 4,389-line plan / 220 Exchanges for
+    * iters=3 at sf0.1). Locally the fit is a few thousand exact
+    * integer ops. Same arithmetic (`Math.multiplyExact`/`addExact`
+    * mirror ANSI BIGINT overflow behavior, `/` on non-negative longs
+    * mirrors `div`), pinned identical by a forced-threshold A/B spec;
+    * a duel table over the bound keeps the distributed rounds.
+    */
+  // var as a test seam: specs set it to 0 to force the distributed
+  // rounds and pin local == distributed identity
+  private[graft] var LocalDuelRowThreshold: Long = 1L << 17
+
+  private def mmCoreLocal(
+      duelAgg: DataFrame, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val spark = duelAgg.sparkSession
+    import spark.implicits._
+    val rows = duelAgg.select(col("i").cast("string"), col("j").cast("string"),
+        col("winner").cast("string"), col("n").cast("long"))
+      .as[(String, String, String, Long)].collect()
+    val nij = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    rows.foreach { case (i, j, _, n) =>
+      nij.updateWith((i, j))(o => Some(Math.addExact(o.getOrElse(0L), n))) }
+    val opp = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long)]]
+    nij.foreach { case ((i, j), n) =>
+      opp.getOrElseUpdate(i,
+        scala.collection.mutable.ArrayBuffer.empty) += ((j, n))
+      opp.getOrElseUpdate(j,
+        scala.collection.mutable.ArrayBuffer.empty) += ((i, n)) }
+    val wins = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { case (_, _, w, n) =>
+      wins.updateWith(w)(o => Some(Math.addExact(o.getOrElse(0L), n))) }
+    val games = opp.map { case (s, os) =>
+      s -> os.foldLeft(0L)((a, x) => Math.addExact(a, x._2)) }
+    var p: scala.collection.Map[String, Long] = games.map { case (s, _) => s -> U }
+    for (_ <- 1 to iters) {
+      val denom = opp.map { case (s, os) =>
+        val ps = p(s)
+        s -> os.foldLeft(0L) { case (acc, (o, n)) =>
+          Math.addExact(acc,
+            Math.multiplyExact(n, U2) / math.max(Math.addExact(ps, p(o)), 1L)) }
+      }
+      p = denom.map { case (s, d) =>
+        s -> Math.multiplyExact(wins.getOrElse(s, 0L), U2) / math.max(d, 1L) }
+    }
+    (spark.createDataset(games.toSeq).toDF("source", "n_games"),
+      spark.createDataset(wins.toSeq).toDF("source", "n_wins"),
+      spark.createDataset(p.toSeq).toDF("source", "p"))
+  }
+
   /** The shared MM core over a prebuilt [[duelCut]] table:
     * (games, wins, p_final); p_final is the strength table after
-    * `iters` rounds.
+    * `iters` rounds. HYBRID: duel tables at or under
+    * [[LocalDuelRowThreshold]] rows fit locally (one count job on the
+    * materialized cut decides); larger ones keep the distributed
+    * rounds.
     */
   private def mmCore(
       duelAgg: DataFrame, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    if (duelAgg.count() <= LocalDuelRowThreshold)
+      return mmCoreLocal(duelAgg, iters)
     val pairs = duelAgg.groupBy(col("i"), col("j"))
       .agg(sum(col("n")).cast("long").as("nij"))
     // both directions of every pair: the denominator sums over a

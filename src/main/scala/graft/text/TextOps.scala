@@ -869,6 +869,11 @@ object TextOps {
   def lshPairQuality(
       docs: DataFrame, numHashes: Int, bands: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // deliberately NOT cut: the token table's repeated references
+    // already share one exchange via ReuseExchange (the minhash
+    // single-pass contract), so materializing it only added two
+    // sequential cut jobs — measured 1.69 s -> 1.97 s when tried in
+    // the r17 optimization round, reverted
     val tok = tokenTable(docs, idCol, textCol)
     val exact = jaccardPairsFromTokens(tok, threshold).select(col("id_a"), col("id_b"))
     val cand = minhashLshCandidatesFromTok(tok, numHashes, bands)
@@ -2260,7 +2265,12 @@ object TextOps {
     require(thresholds.nonEmpty, "sweep needs at least one threshold")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = jaccardPairs(docs, thresholds.min, idCol, textCol)
+    // the pair table feeds TWO aggregations (n_pairs and the exploded
+    // n_docs distinct) — cut it once so the prefix-filtered similarity
+    // join doesn't run twice per execution (measured: the uncut form
+    // executed the whole join chain for each consumer)
+    val pairs = graft.model.Lineage.cutRetired(
+      jaccardPairs(docs, thresholds.min, idCol, textCol), reliable = false)
     val th = broadcast(thresholds.toDF("threshold"))
     val wt = pairs.join(th, col("jaccard") >= col("threshold"))
     val nPairs = wt.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))

@@ -1459,10 +1459,25 @@ object VectorOps {
       ann: DataFrame, iters: Int = 4, reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
     val edges = graft.model.Lineage.cutRetired(symmetrized(ann), reliable)
-    val lab = lpaLabels(edges, iters)
-    val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
-    lab.join(sizes, "lbl")
-      .select(col("node"), col("lbl").as("community"), col("comm_size"))
+    boundedEdges(edges) match {
+      case Some(arr) =>
+        // HYBRID local rounds (see LocalGraphEdgeThreshold): labels and
+        // community sizes computed on the collected array, identical to
+        // the distributed rounds (A/B-pinned)
+        val spark = ann.sparkSession
+        import spark.implicits._
+        val lab = lpaLocal(arr, iters)
+        val sizes = new java.util.HashMap[Long, Long]()
+        lab.forEach { (_, l) => sizes.merge(l, 1L, (a, b) => a + b) }
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        lab.forEach { (n, l) => rows += ((n, l, sizes.get(l))) }
+        spark.createDataset(rows.toSeq).toDF("node", "community", "comm_size")
+      case None =>
+        val lab = lpaLabels(edges, iters)
+        val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+        lab.join(sizes, "lbl")
+          .select(col("node"), col("lbl").as("community"), col("comm_size"))
+    }
   }
 
   /** The symmetrized directed-edge table of an ANN top-k result —
@@ -1494,6 +1509,68 @@ object VectorOps {
     ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
       .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
       .distinct()
+
+  /** Edge-count bound under which the iterative kNN-graph analytics
+    * (LPA, modularity, BFS, k-core peel) run their rounds LOCALLY on
+    * the collected edge array instead of as Spark jobs — the
+    * [[graft.text.TextOps.LocalCcEdgeThreshold]] hybrid brought to the
+    * rest of the graph family: 2^17 edges is ~2 MB of driver memory
+    * (bounded by construction, the guarded-fold idiom), while each
+    * distributed round costs several full jobs of fixed overhead on
+    * exactly the probe-sized graphs the harness analytics run over.
+    * Results are pinned identical local == distributed by forced-
+    * threshold A/B specs; graphs over the bound — corpus-scale kNN at
+    * 100 TB — take the distributed rounds unchanged.
+    */
+  // var as a test seam: specs set it to 0 to force the distributed
+  // rounds on small graphs and pin local == distributed identity
+  private[graft] var LocalGraphEdgeThreshold: Long = 1L << 17
+
+  /** Collect a MATERIALIZED edge cut when it sits under
+    * [[LocalGraphEdgeThreshold]] — one cheap count job on the cut
+    * decides (the dedupClusters gate). None = stay distributed.
+    */
+  private def boundedEdges(edges: DataFrame): Option[Array[(Long, Long)]] =
+    if (edges.count() > LocalGraphEdgeThreshold) None
+    else {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val arr = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      if (arr.isEmpty) None else Some(arr)
+    }
+
+  /** Synchronous LPA on a collected edge array — the exact local
+    * mirror of the [[lpaLabels]] rounds: per round every dst node's
+    * new label is the argmax of its IN-neighbors' labels by
+    * (vote count, then smallest label); a node's own label does not
+    * vote. Symmetric edges mean every node appears as dst, so the
+    * label map stays total.
+    */
+  private def lpaLocal(
+      edges: Array[(Long, Long)], iters: Int): java.util.HashMap[Long, Long] = {
+    val lab = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (s, _) => lab.put(s, s) }
+    for (_ <- 0 until iters) {
+      // votes: (dst, label of src) -> count
+      val votes = new java.util.HashMap[Long, java.util.HashMap[Long, Long]]()
+      edges.foreach { case (s, d) =>
+        val l = lab.get(s)
+        votes.computeIfAbsent(d, _ => new java.util.HashMap[Long, Long]())
+          .merge(l, 1L, (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Long, Long]()
+      votes.forEach { (d, m) =>
+        var bestC = -1L; var bestL = Long.MaxValue
+        m.forEach { (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        next.put(d, bestL)
+      }
+      lab.clear(); lab.putAll(next)
+    }
+    lab
+  }
 
   /** The synchronous-LPA label table after `iters` rounds — shared by
     * [[knnLabelPropagation]] (which decorates it with community sizes)
@@ -1540,6 +1617,40 @@ object VectorOps {
       ann: DataFrame, iters: Int = 4, reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
     val edges = graft.model.Lineage.cutRetired(symmetrized(ann), reliable)
+    boundedEdges(edges) match {
+      case Some(arr) =>
+        // HYBRID local scoring (see LocalGraphEdgeThreshold): the LPA
+        // rounds AND the degree/intra aggregates run on the collected
+        // array; the exact integer accounting is mirrored in BigInt
+        // (identical to decimal(38,0): both are arbitrary-precision,
+        // both `div` truncate on the non-negative operands here, and
+        // the final CAST-to-double is correctly rounded in both).
+        val spark = ann.sparkSession
+        import spark.implicits._
+        val lab = lpaLocal(arr, iters)
+        val m2v = arr.length.toLong
+        val deg = new java.util.HashMap[Long, Long]()
+        arr.foreach { case (s, _) => deg.merge(s, 1L, (a, b) => a + b) }
+        val dcv = new java.util.HashMap[Long, Long]()
+        deg.forEach { (n, d) => dcv.merge(lab.get(n), d, (a, b) => a + b) }
+        var sdc2 = BigInt(0)
+        var nComms = 0L
+        dcv.forEach { (_, v) => sdc2 += BigInt(v) * BigInt(v); nComms += 1 }
+        var intraL = 0L
+        arr.foreach { case (s, d) =>
+          if (lab.get(s) == lab.get(d)) intraL += 1 }
+        val m2 = BigInt(m2v); val intra = BigInt(intraL)
+        val q =
+          if (intra * m2 - sdc2 < 0)
+            -((BigInt(2) * (sdc2 - intra * m2) * 1000000 + m2 * m2) /
+              (BigInt(2) * m2 * m2))
+          else
+            (BigInt(2) * (intra * m2 - sdc2) * 1000000 + m2 * m2) /
+              (BigInt(2) * m2 * m2)
+        return spark.createDataset(Seq((m2v, nComms, q.toDouble / 1000000.0)))
+          .toDF("n_edges_sym", "n_comms", "modularity")
+      case None => ()
+    }
     val lab = graft.model.Lineage.cutRetired(lpaLabels(edges, iters), reliable)
     val dec = "decimal(38,0)"
     val m2 = edges.agg(count(lit(1)).cast(dec).as("m2"))
@@ -1587,6 +1698,43 @@ object VectorOps {
     require(maxDepth >= 1 && maxDepth <= 8,
       s"maxDepth must be in [1,8], got $maxDepth")
     val edges = graft.model.Lineage.cutRetired(symmetrized(ann), reliable)
+    boundedEdges(edges) match {
+      case Some(arr) =>
+        // HYBRID local BFS (see LocalGraphEdgeThreshold): the seed
+        // predicate is the same md5-prefix hash — java.security MD5 of
+        // the decimal id string, first hex nibble 0 — so the seed set
+        // is bit-identical to the distributed round's.
+        val spark = ann.sparkSession
+        import spark.implicits._
+        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        arr.foreach { case (s, d) =>
+          adj.computeIfAbsent(s, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += d }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def seeded(n: Long): Boolean = {
+          md.reset()
+          val h = md.digest(n.toString.getBytes("UTF-8"))
+          ((h(0) >> 4) & 0xF) == 0
+        }
+        val dist = new java.util.HashMap[Long, Long]()
+        var frontier = scala.collection.mutable.ArrayBuffer.empty[Long]
+        adj.forEach { (n, _) => if (seeded(n)) { dist.put(n, 0L); frontier += n } }
+        for (d <- 1 to maxDepth) {
+          val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+          frontier.foreach { n =>
+            val out = adj.get(n)
+            if (out != null) out.foreach { m =>
+              if (!dist.containsKey(m)) { dist.put(m, d.toLong); next += m } }
+          }
+          frontier = next
+        }
+        val hist = new java.util.TreeMap[Long, Long]()
+        dist.forEach { (_, dd) => hist.merge(dd, 1L, (a, b) => a + b) }
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        hist.forEach { (dd, c) => rows += ((dd, c)) }
+        return spark.createDataset(rows.toSeq).toDF("dist", "n_nodes")
+          .orderBy(col("dist"))
+      case None => ()
+    }
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(substring(md5(col("node").cast("string")), 1, 1) === "0")
     var visited = graft.model.Lineage.cut(
@@ -1800,6 +1948,33 @@ object VectorOps {
       ann.select(col("query_id").as("src"), col("cand_id").as("dst"))
         .unionByName(ann.select(col("cand_id").as("src"), col("query_id").as("dst")))
         .distinct(), reliable)
+    boundedEdges(edges) match {
+      case Some(arr) =>
+        // HYBRID local peel (see LocalGraphEdgeThreshold): the same
+        // bounded `rounds` of degree-filter-drop over the collected
+        // array — a survivor with no surviving edge has degree 0 and
+        // drops that round, exactly like the distributed anti-join.
+        val spark = ann.sparkSession
+        import spark.implicits._
+        val survSet = new java.util.HashSet[Long]()
+        arr.foreach { case (s, _) => survSet.add(s) }
+        val removedR = new java.util.HashMap[Long, Long]()
+        for (r <- 1 to rounds) {
+          val deg = new java.util.HashMap[Long, Long]()
+          arr.foreach { case (s, d) =>
+            if (survSet.contains(s) && survSet.contains(d))
+              deg.merge(s, 1L, (a, b) => a + b) }
+          val dropped = scala.collection.mutable.ArrayBuffer.empty[Long]
+          survSet.forEach { n => if (deg.getOrDefault(n, 0L) < k) dropped += n }
+          dropped.foreach { n => survSet.remove(n); removedR.put(n, r.toLong) }
+        }
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val nodeSet = new java.util.HashSet[Long]()
+        arr.foreach { case (s, _) => nodeSet.add(s) }
+        nodeSet.forEach { n => rows += ((n, removedR.getOrDefault(n, 0L))) }
+        return spark.createDataset(rows.toSeq).toDF("node", "removed_round")
+      case None => ()
+    }
     val all = graft.model.Lineage.cutRetired(
       edges.select(col("src").as("node")).distinct(), reliable)
     var surv = all

@@ -2332,4 +2332,59 @@ class TextVectorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(capped == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
   }
+
+  test("graph-family hybrid: local kernels == forced-distributed rounds (A/B)") {
+    // the LocalGraphEdgeThreshold contract (the CC A/B precedent):
+    // labels, depth histograms, peel rounds and the modularity score
+    // must be identical whichever side of the bound the graph lands on.
+    // Mixed shape: a 100-node chain (adversarial for propagation), a
+    // 7-clique, a star, one bridge — enough md5-'0' BFS seeds exist in
+    // 0..199 for a non-trivial histogram.
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val clique = for (a <- 150L to 156L; b <- (a + 1) to 156L) yield (a, b)
+    val star = (161L to 170L).map(b => (160L, b))
+    val ann = (chain ++ clique ++ star ++ Seq((99L, 150L)))
+      .toDF("query_id", "cand_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val saved = VectorOps.LocalGraphEdgeThreshold
+    def forced[A](f: => A): A =
+      try { VectorOps.LocalGraphEdgeThreshold = 0L; f }
+      finally VectorOps.LocalGraphEdgeThreshold = saved
+    val lpaL = rows(VectorOps.knnLabelPropagation(ann, iters = 4))
+    val lpaD = forced(rows(VectorOps.knnLabelPropagation(ann, iters = 4)))
+    assert(lpaL == lpaD, "LPA local diverged from distributed")
+    val modL = rows(VectorOps.knnModularity(ann, iters = 4))
+    val modD = forced(rows(VectorOps.knnModularity(ann, iters = 4)))
+    assert(modL == modD, "modularity local diverged from distributed")
+    val bfsL = rows(VectorOps.knnBfsDepths(ann, maxDepth = 4))
+    val bfsD = forced(rows(VectorOps.knnBfsDepths(ann, maxDepth = 4)))
+    assert(bfsL == bfsD, "BFS local diverged from distributed")
+    assert(bfsL.nonEmpty, "BFS fixture must seed at least one node")
+    val kcL = rows(VectorOps.knnKCore(ann, k = 2, rounds = 6))
+    val kcD = forced(rows(VectorOps.knnKCore(ann, k = 2, rounds = 6)))
+    assert(kcL == kcD, "k-core local diverged from distributed")
+  }
+
+  test("bradley-terry hybrid: local MM fit == forced-distributed rounds (A/B)") {
+    // the LocalDuelRowThreshold contract: strengths, games/wins and the
+    // upset report are identical whichever side of the bound the duel
+    // table lands on. Sources s0..s4 with deterministic varying token
+    // counts so wins are asymmetric and several MM rounds move p.
+    val docs = (0L until 60L).map { i =>
+      (i, s"s${i % 5}", Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val duels = PrefOps.duelCut(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val saved = PrefOps.LocalDuelRowThreshold
+    def forced[A](f: => A): A =
+      try { PrefOps.LocalDuelRowThreshold = 0L; f }
+      finally PrefOps.LocalDuelRowThreshold = saved
+    val btL = rows(PrefOps.bradleyTerryFrom(duels, iters = 3))
+    val btD = forced(rows(PrefOps.bradleyTerryFrom(duels, iters = 3)))
+    assert(btL == btD, "BT local fit diverged from distributed")
+    assert(btL.nonEmpty)
+    val upL = rows(PrefOps.upsetReportFrom(duels, iters = 3))
+    val upD = forced(rows(PrefOps.upsetReportFrom(duels, iters = 3)))
+    assert(upL == upD, "upset report local diverged from distributed")
+  }
 }
