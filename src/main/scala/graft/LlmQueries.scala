@@ -1849,16 +1849,21 @@ object LlmQueries {
       val basePool = stagedVideoPool(s, dir)
       val newPool = stagedVideoShiftPool(s, dir)
         .filter(col("doc_id") >= VideoShiftOffset)
-      val baseSigs = graft.model.Lineage.cutRetired(
-        Multimodal.frameHashes(basePool), reliable = false)
-      val newSigs = graft.model.Lineage.cutRetired(
-        Multimodal.frameHashes(newPool), reliable = false)
+      // ONE frame-decode pass and ONE cut over both pools (disjoint id
+      // ranges: base + aligned twins < 2^41 <= shifted uploads); the
+      // base/new sides are narrow filters of the materialized cut
+      // instead of two separate decode jobs (r17 opt round)
+      val allSigs = graft.model.Lineage.cutRetired(
+        Multimodal.frameHashes(basePool.unionByName(newPool)),
+        reliable = false)
+      val baseSigs = allSigs.filter(col("doc_id") < VideoShiftOffset)
+      val newSigs = allSigs.filter(col("doc_id") >= VideoShiftOffset)
       val alignedBase = videoPairMemo.getOrElse(dir, videoPairsFresh(s, dir))
         .select(col("id_a"), col("id_b"))
       val alignedDelta = Multimodal.videoNearDupPairsDelta(newSigs, baseSigs,
           maxHamming = 2)
         .select(col("id_a"), col("id_b"))
-      val sigs = baseSigs.unionByName(newSigs)
+      val sigs = allSigs
       val shingled = Multimodal.sequenceShingleQuorumPairs(sigs, k = 2)
         .select(col("id_a"), col("id_b"))
       val sigVec = sigs.groupBy(col("doc_id"))

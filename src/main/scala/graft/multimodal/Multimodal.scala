@@ -1329,11 +1329,15 @@ object Multimodal {
     // banding a separate classesNew table (hammingBands is row-local
     // and deterministic), at one cut + one band explosion less per
     // execution.
-    val classesAll = graft.model.Lineage.cutRetired(
+    // deliberately NOT cut: the class aggregate's exchange is the
+    // shared subtree under both sides of the banded self-join, so
+    // ReuseExchange materializes it once — a cut here only added a
+    // sequential job (the lshPairQuality lesson, r17 opt round)
+    val classesAll =
       sn.select(col("f"), col("sig"), lit(true).as("is_new"))
         .unionByName(sAll.select(col("f"), col("sig"), lit(false).as("is_new")))
         .groupBy(col("f"), col("sig"))
-        .agg(max(col("is_new")).as("is_new")), reliable = false)
+        .agg(max(col("is_new")).as("is_new"))
     val bandedAll = graft.text.TextOps.hammingBands(
         classesAll.select(
           struct(col("f"), col("is_new")).as("id"), col("sig")),
@@ -1410,13 +1414,12 @@ object Multimodal {
     * does. Returns (id_a, id_b, n_shared).
     */
   def sequenceShingleQuorumPairs(frameSigs: DataFrame, k: Int = 2): DataFrame = {
-    // the gram set feeds THREE consumers (both sides of the pair
-    // self-join + the per-video counts) — cut it once so the k-step
-    // gram build chain doesn't run three times (the videoNearDupPairs
-    // sig-cut precedent; TextOps.dedupClustersBySig cuts memberRep the
-    // same way)
-    val gset = graft.model.Lineage.cutRetired(
-      shingleGramSets(frameSigs, k), reliable = false)
+    // deliberately NOT cut: the gram-set distinct's exchange is the
+    // shared subtree under all three consumers (both self-join sides
+    // and the per-video counts), so ReuseExchange materializes the
+    // k-step gram build once — a cut here only added a sequential job
+    // (the lshPairQuality lesson, r17 opt round)
+    val gset = shingleGramSets(frameSigs, k)
     val ng = gset.groupBy(col("vid")).agg(count(lit(1)).as("ng"))
     gset.toDF("vid_a", "g")
       .join(gset.toDF("vid_b", "g"), Seq("g"))
