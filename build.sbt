@@ -39,4 +39,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // caches, showing up as multi-second pauses on random queries.
   // 24g stays under the compressed-oops cutoff (~32g).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput GC for the batch harness (SPARK_GRAFT_GC=g1 to revert):
+  // matched-regime A/B on a 12-query sf0.1 subset measured ParallelGC
+  // 14.45 s vs G1 16.27 s (-11%), with the wins concentrated on the
+  // allocation-heavy shuffle faces (gram/jaccard families -23..-28%)
+  // and no per-query regression beyond noise. The workload is a batch
+  // pipeline with no pause-time requirement - the textbook ParallelGC
+  // case; on a real cluster the same flag goes in
+  // spark.executor.extraJavaOptions.
+  sys.env.get("SPARK_GRAFT_GC") match {
+    case Some("g1") => "-XX:+UseG1GC"
+    case _ => "-XX:+UseParallelGC"
+  },
 )
